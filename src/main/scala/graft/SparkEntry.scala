@@ -10,11 +10,17 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_top_rated" -> (RelationalQueries.q1TopRated _),
+    "q2_top_genres" -> (RelationalQueries.q2TopGenres _),
+    "q3_group_concat" -> (RelationalQueries.q3GroupConcat _),
+    "q4_by_year" -> (RelationalQueries.q4ByYear _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q1_top_rated" -> RelationalQueries.q1OracleSql,
+    "q2_top_genres" -> RelationalQueries.q2OracleSql,
+    "q3_group_concat" -> RelationalQueries.q3OracleSql,
+    "q4_by_year" -> RelationalQueries.q4OracleSql,
   )
 }

@@ -44,4 +44,115 @@ object RelationalQueries {
       |GROUP BY c.c_custkey, c.c_name
       |ORDER BY avg_price DESC, order_count DESC, custkey ASC
       |LIMIT 1""".stripMargin
+
+  /** Q2 analog — "top-5 genres by average rating" (reference
+    * `queries.sql:19-30`): 4-way star join region⋈nation⋈customer⋈orders,
+    * top-5 nations by rounded avg order price, with exact distinct-customer
+    * count (A4, `queries.sql:22`).
+    *
+    * Scale: region/nation/customer are all dimension-side — Catalyst
+    * broadcasts them, so the fact table never shuffles for the join; the
+    * single shuffle is the 25-group hash aggregate. `countDistinct` plans
+    * as Expand + two-phase agg (exact, per the reference); at true 100 TB
+    * scale an `approx_count_distinct` variant would be the opt-in.
+    */
+  def q2TopGenres(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    r.join(n, r("r_regionkey") === n("n_regionkey"))
+      .join(c, n("n_nationkey") === c("c_nationkey"))
+      .join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(n("n_nationkey").as("nationkey"), n("n_name").as("nation"),
+        r("r_name").as("region"))
+      .agg(
+        round2(avg(o("o_totalprice"))).as("avg_price"),
+        countDistinct(c("c_custkey")).as("customer_count"),
+        count(o("o_totalprice")).as("order_count"))
+      .orderBy(desc("avg_price"), desc("order_count"), asc("nation"))
+      .limit(5)
+  }
+
+  val q2OracleSql: String =
+    """SELECT n.n_nationkey AS nationkey, n.n_name AS nation, r.r_name AS region,
+      |       CAST(ROUND(CAST(AVG(o.o_totalprice) AS DECIMAL(20,10)), 2) AS DOUBLE) AS avg_price,
+      |       COUNT(DISTINCT c.c_custkey) AS customer_count,
+      |       COUNT(o.o_totalprice) AS order_count
+      |FROM region r
+      |JOIN nation n ON r.r_regionkey = n.n_regionkey
+      |JOIN customer c ON n.n_nationkey = c.c_nationkey
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY n.n_nationkey, n.n_name, r.r_name
+      |ORDER BY avg_price DESC, order_count DESC, nation ASC
+      |LIMIT 5""".stripMargin
+
+  /** Q3 analog — "most prolific director with GROUP_CONCAT" (reference
+    * `queries.sql:35-44`): per-nation concatenated customer names, top-1 by
+    * member count. The reference's `GROUP_CONCAT(title, ', ')` order is
+    * SQLite-arbitrary; SURVEY.md §7.4.1 mandates a deterministic order, so
+    * both sides sort the names (Spark `sort_array(collect_list(...))`,
+    * DuckDB `string_agg(... ORDER BY ...)`).
+    *
+    * The P2/P3 predicates (`director IS NOT NULL AND director != 'N/A'`,
+    * reference `queries.sql:40-41`) map to not-null + inequality filters on
+    * the grouped rows. `collect_list` is bounded by group cardinality — a
+    * presentation aggregate; at 100 TB you'd cap members per group first.
+    */
+  def q3GroupConcat(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    c.filter(c("c_name").isNotNull && c("c_mktsegment") =!= "MACHINERY")
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("customer_count"),
+        concat_ws(", ", sort_array(collect_list(c("c_name")))).as("customers"))
+      .orderBy(desc("customer_count"), asc("nation"))
+      .limit(1)
+  }
+
+  val q3OracleSql: String =
+    """SELECT n.n_name AS nation,
+      |       COUNT(*) AS customer_count,
+      |       STRING_AGG(c.c_name, ', ' ORDER BY c.c_name) AS customers
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |WHERE c.c_name IS NOT NULL AND c.c_mktsegment <> 'MACHINERY'
+      |GROUP BY n.n_name
+      |ORDER BY customer_count DESC, nation ASC
+      |LIMIT 1""".stripMargin
+
+  /** Q4 analog — "average rating by release year" (reference
+    * `queries.sql:49-58`): join fact to its parent, group by the year of
+    * the dimension date, full DESC sort. The reference's year sort is a
+    * string sort over TEXT-affinity years (SURVEY.md §1.2 wart); we use the
+    * intended integer semantic — identical output for 4-digit years.
+    *
+    * Scale: orders⋈lineitem is the one genuinely large join in this family
+    * — both sides big, equi-key `orderkey` → sort-merge or shuffled hash;
+    * the year-group aggregate then reduces to a handful of rows, and the
+    * final sort is trivial. AQE can coalesce the post-join partitions.
+    */
+  def q4ByYear(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    o.filter(o("o_orderdate").isNotNull)
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(year(o("o_orderdate")).as("order_year"))
+      .agg(
+        round2(avg(l("l_extendedprice"))).as("avg_price"),
+        countDistinct(o("o_orderkey")).as("order_count"),
+        count(l("l_quantity")).as("line_count"))
+      .orderBy(desc("order_year"))
+  }
+
+  val q4OracleSql: String =
+    """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+      |       CAST(ROUND(CAST(AVG(l.l_extendedprice) AS DECIMAL(20,10)), 2) AS DOUBLE) AS avg_price,
+      |       COUNT(DISTINCT o.o_orderkey) AS order_count,
+      |       COUNT(l.l_quantity) AS line_count
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderdate IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY order_year DESC""".stripMargin
 }

@@ -15,4 +15,27 @@ class RelationalQueriesSpec extends SparkSpec {
     val again = RelationalQueries.q1TopRated(spark, sf).collect().head
     assert(r == again)
   }
+
+  test("q2_top_genres returns 5 nations ordered by avg_price desc") {
+    val rows = RelationalQueries.q2TopGenres(spark, sf).collect()
+    assert(rows.length == 5)
+    val avgs = rows.map(_.getAs[Double]("avg_price"))
+    assert(avgs.sameElements(avgs.sortBy(-_)))
+    assert(rows.forall(_.getAs[Long]("customer_count") > 0))
+  }
+
+  test("q3_group_concat concatenates sorted names for top nation") {
+    val r = RelationalQueries.q3GroupConcat(spark, sf).collect().head
+    val names = r.getAs[String]("customers").split(", ").toSeq
+    assert(names.length == r.getAs[Long]("customer_count"))
+    assert(names == names.sorted)
+  }
+
+  test("q4_by_year sorts years descending with positive counts") {
+    val rows = RelationalQueries.q4ByYear(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val years = rows.map(_.getAs[Int]("order_year"))
+    assert(years.sameElements(years.sorted.reverse))
+    assert(rows.forall(_.getAs[Long]("line_count") >= 1L))
+  }
 }
