@@ -13,6 +13,10 @@ object SparkEntry {
     "q2_top_genres" -> (RelationalQueries.q2TopGenres _),
     "q3_group_concat" -> (RelationalQueries.q3GroupConcat _),
     "q4_by_year" -> (RelationalQueries.q4ByYear _),
+    "q5_title_clean" -> (TextQueries.q5TitleClean _),
+    "q6_title_candidates" -> (TextQueries.q6TitleCandidates _),
+    "q7_field_cleaning" -> (TextQueries.q7FieldCleaning _),
+    "q8_strip_diacritics" -> (TextQueries.q8StripDiacritics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,5 +26,9 @@ object SparkEntry {
     "q2_top_genres" -> RelationalQueries.q2OracleSql,
     "q3_group_concat" -> RelationalQueries.q3OracleSql,
     "q4_by_year" -> RelationalQueries.q4OracleSql,
+    "q5_title_clean" -> TextQueries.q5OracleSql,
+    "q6_title_candidates" -> TextQueries.q6OracleSql,
+    "q7_field_cleaning" -> TextQueries.q7OracleSql,
+    "q8_strip_diacritics" -> TextQueries.q8OracleSql,
   )
 }
