@@ -17,6 +17,12 @@ object SparkEntry {
     "q6_title_candidates" -> (TextQueries.q6TitleCandidates _),
     "q7_field_cleaning" -> (TextQueries.q7FieldCleaning _),
     "q8_strip_diacritics" -> (TextQueries.q8StripDiacritics _),
+    "q9_token_explode" -> (EtlOps.q9TokenExplode _),
+    "q10_token_dim" -> (EtlOps.q10TokenDim _),
+    "q11_junction" -> (EtlOps.q11Junction _),
+    "q12_upsert_latest" -> (EtlOps.q12UpsertLatest _),
+    "q13_check_violations" -> (EtlOps.q13CheckViolations _),
+    "q14_table_stats" -> (EtlOps.q14TableStats _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +36,11 @@ object SparkEntry {
     "q6_title_candidates" -> TextQueries.q6OracleSql,
     "q7_field_cleaning" -> TextQueries.q7OracleSql,
     "q8_strip_diacritics" -> TextQueries.q8OracleSql,
+    "q9_token_explode" -> EtlOps.q9OracleSql,
+    "q10_token_dim" -> EtlOps.q10OracleSql,
+    "q11_junction" -> EtlOps.q11OracleSql,
+    "q12_upsert_latest" -> EtlOps.q12OracleSql,
+    "q13_check_violations" -> EtlOps.q13OracleSql,
+    "q14_table_stats" -> EtlOps.q14OracleSql,
   )
 }

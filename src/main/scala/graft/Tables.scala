@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated star-schema parquet tables (TESTDATA.md).
   *
@@ -22,7 +23,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a raw
+    * nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and expose
+    * BOTH forms: `ts` as a µs-truncated TimestampType for event-time ops
+    * (windows, watermarks) and `ts_ns` as the lossless long for total
+    * ordering (upsert version ordering must match the oracle's
+    * ns-precision sort). Oracle-side convention: compare timestamps via `epoch_us(ts)`
+    * and order via raw `ts` (ns) ⇔ Spark `ts_ns`.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.EtlOps
+import graft.sources.{Sinks, SqlScriptRunner}
+
+class EtlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("explodeTokens trims, drops empties and the sentinel") {
+    val df = Seq((1, "Adventure| Animation ||(no genres listed)|Comedy"),
+      (2, "(no genres listed)")).toDF("movie_id", "genres")
+    val out = EtlOps.explodeTokens(df, $"movie_id", $"genres")
+      .as[(Int, String)].collect().toSet
+    assert(out == Set((1, "Adventure"), (1, "Animation"), (1, "Comedy")))
+  }
+
+  test("dictionaryEncode assigns dense sorted ids") {
+    val toks = Seq("b", "a", "c", "a", "b").toDF("token")
+    val dim = EtlOps.dictionaryEncode(toks).as[(Long, String)].collect().toSeq
+    assert(dim == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("junction dedups composite keys through the dictionary") {
+    val exploded = Seq((10, "a"), (10, "a"), (10, "b"), (20, "b"))
+      .toDF("id", "token")
+    val out = EtlOps.junction(exploded, EtlOps.dictionaryEncode(exploded))
+      .as[(Int, Long)].collect().toSet
+    assert(out == Set((10, 1L), (10, 2L), (20, 2L)))
+  }
+
+  test("latestByKey keeps the newest version per key") {
+    val df = Seq((1, 10L, "old"), (1, 20L, "new"), (2, 5L, "only"))
+      .toDF("k", "ver", "v")
+    val out = EtlOps.latestByKey(df, Seq("k"), Seq($"ver".desc))
+      .select("k", "v").as[(Int, String)].collect().toSet
+    assert(out == Set((1, "new"), (2, "only")))
+  }
+
+  test("upsertByKey parquet round-trip is last-write-wins and idempotent") {
+    val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
+    val v1 = Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "ver", "v")
+    val v2 = Seq((2, 2L, "b2"), (3, 1L, "c")).toDF("k", "ver", "v")
+    Sinks.upsertByKey(spark, dir, v1, Seq("k"), Seq("ver"))
+    Sinks.upsertByKey(spark, dir, v2, Seq("k"), Seq("ver"))
+    Sinks.upsertByKey(spark, dir, v2, Seq("k"), Seq("ver")) // idempotent re-run
+    val out = spark.read.parquet(dir).select("k", "v")
+      .as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "b2"), (3, "c")))
+  }
+
+  test("insertIfAbsent appends only new keys") {
+    val dir = Files.createTempDirectory("graft_ioa").toString + "/t"
+    Sinks.insertIfAbsent(spark, dir, Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    Sinks.insertIfAbsent(spark, dir, Seq((2, "XX"), (3, "c"), (3, "c")).toDF("k", "v"), Seq("k"))
+    val out = spark.read.parquet(dir).as[(Int, String)].collect().toSet
+    assert(out == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
+  test("appendIfEmpty only loads into an empty target") {
+    val dir = Files.createTempDirectory("graft_aie").toString + "/t"
+    Sinks.appendIfEmpty(spark, dir, Seq(1, 2, 3).toDF("x"))
+    Sinks.appendIfEmpty(spark, dir, Seq(9, 9).toDF("x"))
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("SqlScriptRunner splits on ; and renders NULL like the reference") {
+    Seq((1, Option("x")), (2, None)).toDF("id", "v")
+      .createOrReplaceTempView("script_t")
+    val results = SqlScriptRunner.run(spark,
+      "SELECT id, v FROM script_t ORDER BY id; SELECT COUNT(*) AS n FROM script_t;")
+    assert(results.length == 2)
+    val rendered = SqlScriptRunner.render(results.head._2)
+    assert(rendered.contains("id | v"))
+    assert(rendered.contains("2 | NULL"))
+    assert(results(1)._2.collect().head.getLong(0) == 2L)
+  }
+
+  test("checkViolations counts out-of-range rows per group") {
+    val df = Seq(("a", 1.0), ("a", -1.0), ("b", 5.5), ("b", 3.0))
+      .toDF("g", "rating")
+    val out = EtlOps.checkViolations(df, "g", $"rating" >= 0.0 && $"rating" <= 5.0)
+      .as[(String, Long, Long)].collect().toSet
+    assert(out == Set(("a", 2L, 1L), ("b", 2L, 1L)))
+  }
+}
