@@ -23,6 +23,8 @@ object SparkEntry {
     "q12_upsert_latest" -> (EtlOps.q12UpsertLatest _),
     "q13_check_violations" -> (EtlOps.q13CheckViolations _),
     "q14_table_stats" -> (EtlOps.q14TableStats _),
+    "q15_candidate_join" -> (CandidateJoin.q15CandidateJoin _),
+    "q16_enrichment_join" -> (CandidateJoin.q16EnrichmentJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +44,7 @@ object SparkEntry {
     "q12_upsert_latest" -> EtlOps.q12OracleSql,
     "q13_check_violations" -> EtlOps.q13OracleSql,
     "q14_table_stats" -> EtlOps.q14OracleSql,
+    "q15_candidate_join" -> CandidateJoin.q15OracleSql,
+    "q16_enrichment_join" -> CandidateJoin.q16OracleSql,
   )
 }

@@ -18,7 +18,7 @@ object TextQueries {
     * exercises trailing-article move (doc_id%3==0), parenthetical
     * alternates (doc_id%3==1), and the trailing `(yyyy)` strip (all rows).
     */
-  private def syntheticTitle(docId: Column, text: Column): Column = {
+  private[operators] def syntheticTitle(docId: Column, text: Column): Column = {
     val suffix = when(docId % 3 === 0, lit(", The"))
       .when(docId % 3 === 1, lit(" (a.k.a. alias)"))
       .otherwise(lit(""))
@@ -26,7 +26,7 @@ object TextQueries {
       lit(" ("), (lit(1970) + docId % 50).cast("string"), lit(")"))
   }
 
-  private val syntheticTitleSql: String =
+  private[operators] val syntheticTitleSql: String =
     """substr(text, 1, 40) ||
       |       CASE WHEN doc_id % 3 = 0 THEN ', The'
       |            WHEN doc_id % 3 = 1 THEN ' (a.k.a. alias)'
