@@ -25,6 +25,18 @@ object SparkEntry {
     "q14_table_stats" -> (EtlOps.q14TableStats _),
     "q15_candidate_join" -> (CandidateJoin.q15CandidateJoin _),
     "q16_enrichment_join" -> (CandidateJoin.q16EnrichmentJoin _),
+    "q17_dedup_exact" -> (Dedup.q17DedupExact _),
+    "q18_dedup_minhash" -> (Dedup.q18DedupMinhash _),
+    "q19_dedup_simhash" -> (Dedup.q19DedupSimhash _),
+    "q20_ngram_jaccard" -> (Dedup.q20NgramJaccard _),
+    "q21_embedding_neardup" -> (Dedup.q21EmbeddingNearDup _),
+    "q22_cosine_topk" -> (Similarity.q22CosineTopK _),
+    "q23_ann_lsh" -> (Similarity.q23AnnLsh _),
+    "q24_text_stats" -> (TextAnalysis.q24TextStats _),
+    "q25_lang_id" -> (TextAnalysis.q25LangId _),
+    "q26_token_count" -> (TextAnalysis.q26TokenCount _),
+    "q27_fingerprint" -> (TextAnalysis.q27Fingerprint _),
+    "q28_multimodal_features" -> (Multimodal.q28MultimodalFeatures _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +58,18 @@ object SparkEntry {
     "q14_table_stats" -> EtlOps.q14OracleSql,
     "q15_candidate_join" -> CandidateJoin.q15OracleSql,
     "q16_enrichment_join" -> CandidateJoin.q16OracleSql,
+    "q17_dedup_exact" -> Dedup.q17OracleSql,
+    // q18/q19: MinHash/SimHash kernels (xxhash64) are not DuckDB-expressible
+    // -> rows-only driver check; accuracy asserted in DedupSpec.
+    "q20_ngram_jaccard" -> Dedup.q20OracleSql,
+    "q21_embedding_neardup" -> Dedup.q21OracleSql,
+    "q22_cosine_topk" -> Similarity.q22OracleSql,
+    // q23: hyperplane LSH kernel not SQL-expressible -> rows-only; recall
+    // floor asserted in SimilaritySpec against q22.
+    "q24_text_stats" -> TextAnalysis.q24OracleSql,
+    "q25_lang_id" -> TextAnalysis.q25OracleSql,
+    "q26_token_count" -> TextAnalysis.q26OracleSql,
+    "q27_fingerprint" -> TextAnalysis.q27OracleSql,
+    // q28: mapPartitions decode stub not SQL-expressible -> rows-only.
   )
 }

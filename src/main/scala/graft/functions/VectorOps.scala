@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column math over `array<float>` embeddings, built from
+  * codegen'd higher-order functions (`zip_with`/`aggregate`) — no UDFs, so
+  * similarity scans stay inside whole-stage codegen.
+  *
+  * All arithmetic is promoted to double BEFORE accumulation and folds run
+  * sequentially left-to-right — the same evaluation order DuckDB's list
+  * kernels use — so oracle scores match bit-for-bit (belt-and-braces:
+  * query outputs still round through decimal).
+  */
+object VectorOps {
+
+  /** Σ aᵢ·bᵢ in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ in double. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity dot/(‖a‖·‖b‖) in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Oracle-side cosine matching [[cosine]]'s formula exactly:
+    * `list_inner_product` on double lists, norms multiplied separately.
+    */
+  def cosineSql(a: String, b: String): String =
+    s"list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+      s"(sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+      s"sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+
+  /** round(x, 6) through decimal for cross-engine determinism (same
+    * rationale as [[Parity.round2]]).
+    */
+  def round6(c: Column): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(24, 12)), 6)
+      .cast("double")
+
+  def round6Sql(expr: String): String =
+    s"CAST(ROUND(CAST($expr AS DECIMAL(24,12)), 6) AS DOUBLE)"
+}

@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Deduplication operators for a large-scale training-data pipeline —
+  * exact hashing, MinHash+LSH, SimHash, exact n-gram Jaccard, and
+  * embedding-cosine near-dup (BASELINE.json north star; no counterpart in
+  * the reference, which dedups only on primary keys via `INSERT OR
+  * REPLACE`/`IGNORE`, `etl.py:238-258`).
+  *
+  * Scale shape: every candidate-generation path here is
+  * inverted-index-or-bucket based — near-dup pairs come from equi-joins on
+  * shingles / LSH bands / simhash chunks, never from an O(n²) cross join.
+  * The only cross join in this family is [[q21EmbeddingNearDup]]'s
+  * brute-force baseline, kept as the oracle-checkable ground truth (the
+  * scalable path is `Similarity.q23AnnLsh`).
+  */
+object Dedup {
+
+  /** Whitespace tokens of the document text (already lower-cased in this
+    * corpus; composition with TextNorm.tidyWhitespace is the general
+    * path).
+    */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** Distinct 3-token shingles. Guarded so <3-token docs yield an empty
+    * list (Spark's `sequence(1,0)` would count DOWN, not return empty).
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2)))))
+
+  /** (doc_id, shingle) inverted-index rows. */
+  private def shingleIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles3(tokens(col("text")))).as("sh"))
+
+  // ---- q17: exact dedup --------------------------------------------------
+
+  /** q17 — exact dedup by content hash: one row per distinct text with the
+    * deterministic keeper (min id) and multiplicity. Single hash-partition
+    * shuffle; the 100 TB-scale shape (hash is computed map-side, groups
+    * are tiny).
+    */
+  def q17DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(md5(col("text")).as("text_hash"), col("doc_id"))
+      .groupBy("text_hash")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+      .orderBy("text_hash")
+
+  val q17OracleSql: String =
+    """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+      |       COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
+
+  // ---- q18: MinHash + LSH ------------------------------------------------
+
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val NumHashes = 16
+  private val Bands = 4 // x 4 rows per band
+
+  /** Affine hash family over a reduced xxhash64 base value. The base is
+    * reduced mod p FIRST so `a*h + b` stays below 2^62 — Spark 4 runs in
+    * ANSI mode where a silent long overflow is instead a runtime error.
+    */
+  private def minhashFns: Seq[Column] = {
+    val rnd = new java.util.Random(42)
+    val base = pmod(xxhash64(col("sh")), lit(MinhashP))
+    (0 until NumHashes).map { i =>
+      val a = 1 + rnd.nextInt(Int.MaxValue - 1).toLong
+      val b = rnd.nextInt(Int.MaxValue).toLong
+      pmod(lit(a) * base + lit(b), lit(MinhashP)).as(s"h$i")
+    }
+  }
+
+  /** Per-doc MinHash signature: groupBy(doc) of k column-wise mins — pure
+    * hash-aggregate with map-side partials, one shuffle.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val hashed = shingleIndex(docs).select(col("doc_id") +: minhashFns: _*)
+    hashed.groupBy("doc_id")
+      .agg(min(col("h0")).as("h0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+  }
+
+  /** q18 — MinHash LSH near-dup pairs: band-bucket equi-join generates
+    * candidates; signature agreement estimates Jaccard; pairs ≥ 0.5 kept.
+    * Non-SQL-expressible hash kernels → rows-only driver check; accuracy
+    * is asserted against exact Jaccard in `DedupSpec`.
+    */
+  def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = minhashSignatures(Tables.documents(spark, dir))
+      .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
+      .select("doc_id", "sig")
+
+    val rowsPerBand = NumHashes / Bands
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => xxhash64(concat_ws("_", b.cast("string"),
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
+            .cast("string")))))
+        .as(Seq("band", "bucket")))
+
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          m => m)).cast("double") / NumHashes)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- q19: SimHash ------------------------------------------------------
+
+  /** Per-doc 64-bit SimHash over distinct tokens: 64 ±1 bit-sums in one
+    * hash-aggregate, sign-assembled into a long.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** q19 — SimHash near-dup pairs: candidates share at least one of four
+    * 16-bit chunks; by pigeonhole every pair with Hamming ≤ 3 lands in
+    * some shared chunk, so the ≤ 3 verification is exact AND complete.
+    * Rows-only driver check (hash kernel), accuracy asserted in
+    * `DedupSpec`.
+    */
+  def q19DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhashSignatures(Tables.documents(spark, dir))
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- q20: exact n-gram Jaccard ----------------------------------------
+
+  /** q20 — exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join
+    * (pairs share ≥1 shingle; intersection counted per pair, union by
+    * inclusion–exclusion). DuckDB-expressible → full oracle.
+    *
+    * Scale note: the shingle join's fan-out is bounded by shingle document
+    * frequency; a production run over 100 TB would cap DF (drop shingles
+    * appearing in >K docs) before the join — kept exact here because the
+    * oracle must agree.
+    */
+  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val idx = shingleIndex(Tables.documents(spark, dir))
+    val counts = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val q20OracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sh
+      |  FROM toks
+      |), counts AS (
+      |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+      |), pairs AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_inter,
+      |       CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+      |FROM pairs
+      |JOIN counts ca ON ca.doc_id = doc_a
+      |JOIN counts cb ON cb.doc_id = doc_b
+      |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q21: embedding-cosine near-dup -----------------------------------
+
+  /** q21 — embedding near-dup pairs: brute-force cosine ≥ 0.4 with the
+    * deterministic decimal-rounded score (the oracle ground truth;
+    * `Similarity.q23AnnLsh` is the bucketed scale path).
+    */
+  def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        VectorOps.round6(VectorOps.cosine(col("va"), col("vb"))))
+      .filter(col("cos") >= 0.4)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q21OracleSql: String = {
+    val cos = VectorOps.round6Sql(VectorOps.cosineSql("a.embedding", "b.embedding"))
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |       $cos AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE $cos >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps.{round6, round6Sql}
+
+/** Text-analysis operators for a training-data pipeline: quality stats,
+  * n-gram-heuristic language id, tokenizer-style token counting, and
+  * bag-of-words document fingerprinting (BASELINE.json north star). All
+  * four are pure column expressions — codegen'd, scan-pruned to
+  * (doc_id, text) — with full DuckDB oracles.
+  */
+object TextAnalysis {
+
+  /** ASCII-safe BPE-ish pre-tokenizer: letter runs, digit runs, or
+    * punctuation runs (identical semantics in Java regex and RE2).
+    */
+  private val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  private val StopRe = "\\b(the|a|an|of|to|and|in|is)\\b"
+
+  /** q24 — per-document quality stats: sizes, token counts, and ratio
+    * features (length/punctuation/stopword/digit), the standard quality
+    * filters applied before LLM training.
+    */
+  def q24TextStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val text = col("text")
+    val toks = split(text, "\\s+")
+    val chars = length(text)
+    val tokenChars = length(regexp_replace(text, "\\s+", ""))
+    d.select(
+        col("doc_id"),
+        chars.as("n_chars"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct_tokens"),
+        round6(tokenChars.cast("double") / size(toks)).as("avg_token_len"),
+        round6(size(regexp_extract_all(text, lit(StopRe))).cast("double") /
+          size(toks)).as("stopword_ratio"),
+        round6(size(array_distinct(toks)).cast("double") / size(toks))
+          .as("distinct_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q24OracleSql: String = {
+    val avgLen = round6Sql("CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\\s+'))")
+    val stopR = round6Sql(s"CAST(len(regexp_extract_all(text, '\\b(the|a|an|of|to|and|in|is)\\b')) AS DOUBLE) / len(string_split_regex(text, '\\s+'))")
+    val distR = round6Sql("CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE) / len(string_split_regex(text, '\\s+'))")
+    s"""SELECT doc_id,
+      |       length(text) AS n_chars,
+      |       len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |       len(list_distinct(string_split_regex(text, '\\s+'))) AS n_distinct_tokens,
+      |       $avgLen AS avg_token_len,
+      |       $stopR AS stopword_ratio,
+      |       $distR AS distinct_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language stopword profiles for the n-gram-heuristic classifier. */
+  private val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|in|is|that|it)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein)\\b",
+    "es" -> "\\b(el|la|los|las|de|y|es|que)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|une)\\b")
+
+  /** q25 — language identification by stopword-profile argmax with a
+    * deterministic tie order (en > de > es > fr). The corpus text is
+    * synthetic English-ish regardless of its `lang` label, so the value
+    * of this query is the deterministic classifier plumbing, not label
+    * accuracy.
+    */
+  def q25LangId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val scores = LangProfiles.map { case (l, re) =>
+      l -> size(regexp_extract_all(lower(col("text")), lit(re)))
+    }
+    val Seq(en, de, es, fr) = scores.map(_._2)
+    val pred = when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+    d.select(col("doc_id"),
+        en.as("score_en"), de.as("score_de"),
+        es.as("score_es"), fr.as("score_fr"),
+        pred.as("pred_lang"), col("lang").as("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  val q25OracleSql: String = {
+    def s(re: String) = s"len(regexp_extract_all(lower(text), '$re'))"
+    val en = s("\\b(the|and|of|to|in|is|that|it)\\b")
+    val de = s("\\b(der|die|das|und|ist|nicht|ein)\\b")
+    val es = s("\\b(el|la|los|las|de|y|es|que)\\b")
+    val fr = s("\\b(le|la|les|et|est|que|une)\\b")
+    s"""SELECT doc_id,
+      |       $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
+      |       CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+      |            WHEN $de >= $es AND $de >= $fr THEN 'de'
+      |            WHEN $es >= $fr THEN 'es'
+      |            ELSE 'fr' END AS pred_lang,
+      |       lang AS labeled_lang
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** q26 — token counting: whitespace tokens vs BPE-ish pre-tokenizer
+    * runs (the "how many tokens will this cost" estimator).
+    */
+  def q26TokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
+          .as("bpe_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q26OracleSql: String =
+    """SELECT doc_id,
+      |       len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** q27 — document fingerprint: md5 over the sorted distinct token bag —
+    * an order-insensitive content signature (near-dup docs that only
+    * reorder words share it; complements Dedup's exact md5).
+    */
+  def q27Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val fp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), "\\s+")))))
+    val out = d.select(col("doc_id"), fp.as("fingerprint"))
+    val groups = out.groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
+    out.join(groups, "fingerprint")
+      .select("doc_id", "fingerprint", "keeper_id", "n_docs")
+      .orderBy("doc_id")
+  }
+
+  val q27OracleSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(list_sort(list_distinct(
+      |           string_split_regex(text, '\s+'))), ' ')) AS fingerprint
+      |  FROM documents
+      |), g AS (
+      |  SELECT fingerprint, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+      |  FROM fp GROUP BY fingerprint
+      |)
+      |SELECT fp.doc_id, fp.fingerprint, g.keeper_id, g.n_docs
+      |FROM fp JOIN g USING (fingerprint)
+      |ORDER BY fp.doc_id""".stripMargin
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Multimodal, Similarity}
+
+class SimilaritySpec extends SparkSpec {
+
+  test("q23 ANN recalls a solid fraction of the exact top-10") {
+    val exact = Similarity.q22CosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ann = Similarity.q23AnnLsh(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    info(s"ANN recall@10 = $recall (${ann.size} ANN rows)")
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("q22 scores are valid cosines in descending rank order") {
+    val rows = Similarity.q22CosineTopK(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y })
+      assert(byRank.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
+  test("q28 multimodal decode stub is deterministic with L1-normalized features") {
+    val a = Multimodal.q28MultimodalFeatures(spark, sf).collect()
+    val b = Multimodal.q28MultimodalFeatures(spark, sf).collect()
+    assert(a.sameElements(b))
+    a.take(50).foreach { r =>
+      val fsum = (0 until Multimodal.FeatureDim)
+        .map(i => r.getAs[Double](s"f$i")).sum
+      assert(math.abs(fsum - 1.0) < 1e-3, s"f-sum $fsum")
+      assert(r.getAs[Int]("n_bytes") > 0)
+    }
+  }
+
+  test("frameSample emits n fixed-width windows") {
+    val frames = Multimodal.frameSample(
+      Multimodal.withMediaColumns(spark.read.parquet(s"$sf/documents.parquet")),
+      nFrames = 4, frameLen = 16)
+      .collect()
+    frames.foreach { r =>
+      val fs = r.getSeq[Array[Byte]](1)
+      assert(fs.length == 4)
+      assert(fs.forall(_.length <= 16))
+    }
+  }
+}
