@@ -37,6 +37,9 @@ object SparkEntry {
     "q26_token_count" -> (TextAnalysis.q26TokenCount _),
     "q27_fingerprint" -> (TextAnalysis.q27Fingerprint _),
     "q28_multimodal_features" -> (Multimodal.q28MultimodalFeatures _),
+    "q29_tumbling_window" -> (graft.streaming.StreamingOps.q29TumblingWindow _),
+    "q30_sliding_window" -> (graft.streaming.StreamingOps.q30SlidingWindow _),
+    "q31_session_window" -> (graft.streaming.StreamingOps.q31SessionWindow _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -71,5 +74,8 @@ object SparkEntry {
     "q26_token_count" -> TextAnalysis.q26OracleSql,
     "q27_fingerprint" -> TextAnalysis.q27OracleSql,
     // q28: mapPartitions decode stub not SQL-expressible -> rows-only.
+    "q29_tumbling_window" -> graft.streaming.StreamingOps.q29OracleSql,
+    "q30_sliding_window" -> graft.streaming.StreamingOps.q30OracleSql,
+    "q31_session_window" -> graft.streaming.StreamingOps.q31OracleSql,
   )
 }

@@ -1,0 +1,163 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import graft.Tables
+import graft.functions.Parity.round2
+import graft.sources.Sinks
+
+/** Event row for typed stateful streaming (ms-precision timestamps are
+  * sufficient for the streaming paths; the batch/oracle paths keep the
+  * lossless ns long from `Tables.events`).
+  */
+case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+  event_type: String, value: Double)
+
+/** Keyed state for [[StreamingOps.latestPerKey]]. */
+case class LatestState(event_id: Long, tsUs: Long, value: Double)
+
+/** Update row emitted by [[StreamingOps.latestPerKey]]. */
+case class LatestUpdate(user_id: Long, event_type: String, event_id: Long,
+  value: Double)
+
+/** Streaming variants of the reference's aggregations (SURVEY.md §2.10 —
+  * the reference is batch-only; incremental loading is its own listed
+  * future work, reference `README.md:261`).
+  *
+  * Every aggregation here is a *plan function*: the same logical plan runs
+  * over the static `events` table (giving the driver a DuckDB-checkable
+  * batch form, q29–q31) and over a streaming DataFrame (exercised with
+  * MemoryStream + watermarks in `StreamingSpec`). That batch/stream
+  * duality is the Structured Streaming contract — identical plan,
+  * incrementalized execution.
+  *
+  * Scale: windowed aggregates shuffle on (window, key) with map-side
+  * partials; state size is bounded by watermarking (late rows beyond the
+  * watermark are dropped instead of growing state forever).
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round2(sum(col("value"))).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Sliding 1-hour windows every 30 minutes per event type. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round2(sum(col("value"))).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("w_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** 30-minute-gap session windows per user (reference's rating bursts
+    * analog). Spark merges an event into the current session when it
+    * arrives strictly within `gap` of the previous event.
+    */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round2(sum(col("value"))).as("sum_value"))
+      .select(unix_micros(col("session_window.start")).as("s_start_us"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** The watermarked streaming form of [[tumblingCounts]]: event-time
+    * windows with a 10-minute late-data allowance; rows later than the
+    * watermark are dropped, bounding state.
+    */
+  def tumblingCountsStream(events: DataFrame): DataFrame =
+    tumblingCounts(events.withWatermark("ts", "10 minutes"))
+
+  /** S5's upsert as custom keyed state (`mapGroupsWithState`): the newest
+    * event per (user, type) survives, emitted as an update stream —
+    * the streaming twin of `EtlOps.latestByKey`/`INSERT OR REPLACE`
+    * (reference `etl.py:238-244`). State is one small record per key.
+    */
+  def latestPerKey(events: Dataset[StreamEvent]): Dataset[LatestUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestState, LatestUpdate](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), batch, state) =>
+          val incoming = batch.map(e =>
+            LatestState(e.event_id, e.ts.getTime * 1000L, e.value))
+          val newest = (state.getOption.iterator ++ incoming)
+            .maxBy(s => (s.tsUs, s.event_id))
+          state.update(newest)
+          LatestUpdate(uid, etype, newest.event_id, newest.value)
+      }
+  }
+
+  /** S5's upsert as an exactly-once streaming sink: each micro-batch is
+    * merged into the parquet target by key via the same last-write-wins
+    * reduction the batch sink uses (`foreachBatch` ⇒ the MERGE body in a
+    * Delta/Iceberg deployment; checkpointing makes replays idempotent).
+    */
+  def upsertSink(updates: DataFrame, spark: SparkSession, path: String,
+      keys: Seq[String], versionCols: Seq[String]): StreamingQuery =
+    updates.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sinks.upsertByKey(spark, path, batch.toDF(), keys, versionCols)
+      }
+      .start()
+
+  // ---- driver-contract batch entries ----
+
+  /** q29 — tumbling-window aggregation over the static events table. */
+  def q29TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, dir))
+      .orderBy("w_start_us", "event_type")
+
+  val q29OracleSql: String =
+    """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS w_start_us,
+      |       event_type, COUNT(*) AS n_events,
+      |       CAST(ROUND(CAST(SUM(value) AS DECIMAL(20,10)), 2) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
+
+  /** q30 — sliding-window aggregation (every event belongs to exactly two
+    * 1h/30m windows; the oracle materializes both bucket starts).
+    */
+  def q30SlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(spark, dir))
+      .orderBy("w_start_us", "event_type")
+
+  val q30OracleSql: String =
+    """WITH w AS (
+      |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+      |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
+      |         event_type, value
+      |  FROM events
+      |)
+      |SELECT epoch_us(w_start) AS w_start_us, event_type,
+      |       COUNT(*) AS n_events,
+      |       CAST(ROUND(CAST(SUM(value) AS DECIMAL(20,10)), 2) AS DOUBLE) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin
+
+  /** q31 — session-window aggregation; oracle via gaps-and-islands over
+    * µs timestamps (new session when the gap is ≥ 30 minutes, matching
+    * Spark's strictly-within-gap merge rule).
+    */
+  def q31SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionAgg(Tables.events(spark, dir))
+      .orderBy("user_id", "s_start_us")
+
+  val q31OracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+      |), flagged AS (
+      |  SELECT user_id, ts_us, value,
+      |         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |                   >= 1800000000 THEN 1 ELSE 0 END AS new_session
+      |  FROM e
+      |), sessions AS (
+      |  SELECT user_id, ts_us, value,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged
+      |)
+      |SELECT MIN(ts_us) AS s_start_us, user_id, COUNT(*) AS n_events,
+      |       CAST(ROUND(CAST(SUM(value) AS DECIMAL(20,10)), 2) AS DOUBLE) AS sum_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, s_start_us""".stripMargin
+}

@@ -1,0 +1,94 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{LatestUpdate, StreamEvent, StreamingOps}
+
+/** Structured Streaming paths (SURVEY.md §2.10/§5.5): the same plan
+  * functions the q29–q31 batch entries use, driven incrementally through
+  * MemoryStream — windowed aggregation parity, watermark late-data drops,
+  * custom keyed state, and the foreachBatch upsert sink.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(minutes * 60000L)
+
+  private def ev(id: Long, minute: Long, user: Long, etype: String,
+      value: Double): StreamEvent =
+    StreamEvent(id, ts(minute), user, etype, value)
+
+  test("streaming tumbling windows equal the batch plan on the same rows") {
+    val input = MemoryStream[StreamEvent](spark)
+    val events = Seq(
+      ev(1, 5, 1, "view", 1.0), ev(2, 20, 1, "view", 2.0),
+      ev(3, 65, 2, "buy", 3.0), ev(4, 70, 1, "view", 4.0))
+    input.addData(events)
+    val q = StreamingOps.tumblingCounts(input.toDF())
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumble_out").start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("tumble_out")
+      .orderBy("w_start_us", "event_type").collect().toSeq
+    val batch = StreamingOps.tumblingCounts(events.toDF())
+      .orderBy("w_start_us", "event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("watermark drops events later than the allowance") {
+    val input = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.tumblingCountsStream(input.toDF())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("late_out").start()
+
+    input.addData(ev(1, 5, 1, "view", 1.0), ev(2, 200, 1, "view", 1.0))
+    q.processAllAvailable() // watermark advances to minute 190
+    input.addData(ev(3, 6, 1, "view", 1.0)) // 184 min late -> dropped
+    q.processAllAvailable(); q.stop()
+
+    val hour0 = spark.table("late_out").filter($"w_start_us" === 0L).collect()
+    assert(hour0.forall(_.getAs[Long]("n_events") == 1L),
+      s"late row leaked into ${hour0.mkString(",")}")
+  }
+
+  test("mapGroupsWithState keeps the newest event per key across batches") {
+    val input = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.latestPerKey(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out").start()
+
+    input.addData(ev(1, 10, 1, "view", 1.0), ev(2, 20, 1, "view", 2.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 15, 1, "view", 9.0)) // older than event 2 -> ignored
+    input.addData(ev(4, 30, 1, "view", 4.0)) // newest -> wins
+    q.processAllAvailable(); q.stop()
+
+    val last = spark.table("latest_out").as[LatestUpdate].collect()
+      .groupBy(u => (u.user_id, u.event_type))
+      .map { case (_, us) => us.last }
+    assert(last.toSeq == Seq(LatestUpdate(1, "view", 4, 4.0)))
+  }
+
+  test("foreachBatch upsert sink is last-write-wins over micro-batches") {
+    val dir = Files.createTempDirectory("graft_stream_upsert").toString + "/t"
+    val input = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.upsertSink(
+      input.toDF().select($"user_id", $"event_type", $"event_id", $"value",
+        unix_micros($"ts").as("ts_us")),
+      spark, dir, Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
+
+    input.addData(ev(1, 10, 1, "view", 1.0), ev(2, 12, 2, "buy", 2.0))
+    q.processAllAvailable()
+    input.addData(ev(3, 20, 1, "view", 7.0))
+    q.processAllAvailable(); q.stop()
+
+    val rows = spark.read.parquet(dir)
+      .select("user_id", "event_type", "event_id", "value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows == Set((1L, "view", 3L, 7.0), (2L, "buy", 2L, 2.0)))
+  }
+}
