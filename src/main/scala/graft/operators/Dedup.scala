@@ -26,15 +26,15 @@ object Dedup {
     */
   def tokens(text: Column): Column = split(text, "\\s+")
 
-  /** Distinct 3-token shingles. Guarded so <3-token docs yield an empty
-    * list (Spark's `sequence(1,0)` would count DOWN, not return empty).
+  /** Distinct 3-token shingles via the native
+    * [[graft.functions.NgramShingles]] kernel (the HOF
+    * `transform`+`array_distinct` chain runs interpreted and dominated the
+    * sf0.1 dedup bench; <3-token docs yield an empty list).
     */
   def shingles3(toks: Column): Column =
-    when(size(toks) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2)))))
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), 3))
 
   /** (doc_id, shingle) inverted-index rows. */
   private def shingleIndex(docs: DataFrame): DataFrame =
@@ -232,12 +232,18 @@ object Dedup {
     * `Similarity.q23AnnLsh` is the bucketed scale path).
     */
   def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    // Norms are precomputed once per vector (not once per pair): the pair
+    // scan then evaluates a single codegen'd dot product per candidate.
     val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+      col("nrm").as("nb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cos",
-        VectorOps.round6(VectorOps.cosine(col("va"), col("vb"))))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
       .filter(col("cos") >= 0.4)
       .select("id_a", "id_b", "cos")
       .orderBy("id_a", "id_b")

@@ -32,14 +32,19 @@ object Similarity {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
 
   /** q22 — exact cosine top-k for the first [[NumProbes]] vectors.
-    * Deterministic rank: (rounded score desc, neighbor id asc).
+    * Deterministic rank: (rounded score desc, neighbor id asc). Norms are
+    * precomputed per side; the corpus scan evaluates one codegen'd dot
+    * per (probe, vector).
     */
   def q22CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val scored = broadcast(probes(e)).crossJoin(e)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val p = probes(e).withColumn("pn", VectorOps.norm(col("pv")))
+    val scored = broadcast(p).crossJoin(e)
       .filter(col("probe_id") =!= col("vec_id"))
-      .withColumn("cos",
-        VectorOps.round6(VectorOps.cosine(col("pv"), col("embedding"))))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("embedding")) / (col("pn") * col("nrm"))))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -118,10 +123,13 @@ object Similarity {
       .dropDuplicates("probe_id", "neighbor_id")
 
     val withVecs = cand
-      .join(broadcast(probes(e)), "probe_id")
+      .join(broadcast(probes(e).withColumn("pn", VectorOps.norm(col("pv")))),
+        "probe_id")
       .join(e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("nv")), "neighbor_id")
-      .withColumn("cos", VectorOps.round6(VectorOps.cosine(col("pv"), col("nv"))))
+        col("embedding").as("nv"), VectorOps.norm(col("embedding")).as("nn")),
+        "neighbor_id")
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("nv")) / (col("pn") * col("nn"))))
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     withVecs.withColumn("rank", row_number().over(w))
