@@ -40,6 +40,9 @@ object SparkEntry {
     "q29_tumbling_window" -> (graft.streaming.StreamingOps.q29TumblingWindow _),
     "q30_sliding_window" -> (graft.streaming.StreamingOps.q30SlidingWindow _),
     "q31_session_window" -> (graft.streaming.StreamingOps.q31SessionWindow _),
+    "q32_set_ops" -> (SetAndJsonQueries.q32SetOps _),
+    "q33_json_extract" -> (SetAndJsonQueries.q33JsonExtract _),
+    "q34_sql_surface" -> (SetAndJsonQueries.q34SqlSurface _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -77,5 +80,8 @@ object SparkEntry {
     "q29_tumbling_window" -> graft.streaming.StreamingOps.q29OracleSql,
     "q30_sliding_window" -> graft.streaming.StreamingOps.q30OracleSql,
     "q31_session_window" -> graft.streaming.StreamingOps.q31OracleSql,
+    "q32_set_ops" -> SetAndJsonQueries.q32OracleSql,
+    "q33_json_extract" -> SetAndJsonQueries.q33OracleSql,
+    "q34_sql_surface" -> SetAndJsonQueries.q34OracleSql,
   )
 }

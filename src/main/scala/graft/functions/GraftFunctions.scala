@@ -1,0 +1,27 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for the graft native expressions, so `spark.sql`
+  * scripts (the reference's query surface, `etl.py:295-321`) can call
+  * them like builtins: `strip_diacritics(s)`, `vec_dot(a, b)`,
+  * `ngram_shingles(arr, n)`.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("strip_diacritics",
+      (es: Seq[Expression]) => StripDiacritics(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_dot",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_shingles",
+      (es: Seq[Expression]) => es match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => NgramShingles(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "ngram_shingles(array<string>, <int literal>)")
+      }, "scala_udf")
+  }
+}

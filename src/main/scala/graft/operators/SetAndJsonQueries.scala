@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GraftFunctions, Parity}
+
+/** Set operations (SURVEY.md §2.6 — extension parity; the reference's
+  * closest construct is `INSERT OR IGNORE`), JSON scalar extraction
+  * (SURVEY.md §2.8 — `events.props`), and the registered-function SQL
+  * surface (§2.11 + S11).
+  */
+object SetAndJsonQueries {
+
+  /** q32 — union/intersect/except over customer key sets (customers with
+    * finished vs open orders). Spark's set operators are distinct-based,
+    * matching ANSI `UNION`/`INTERSECT`/`EXCEPT`.
+    */
+  def q32SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey")).distinct()
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey")).distinct()
+    def tagged(tag: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_customers")).select(lit(tag).as("op"), col("n_customers"))
+    tagged("except", f.except(p))
+      .unionByName(tagged("intersect", f.intersect(p)))
+      .unionByName(tagged("union", f.union(p).distinct()))
+      .orderBy("op")
+  }
+
+  val q32OracleSql: String =
+    """SELECT * FROM (
+      |  SELECT 'except' AS op, COUNT(*) AS n_customers FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    EXCEPT
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT 'intersect', COUNT(*) FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    INTERSECT
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |  UNION ALL
+      |  SELECT 'union', COUNT(*) FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |    UNION
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      |) ORDER BY op""".stripMargin
+
+  /** q33 — JSON extraction from `events.props` (`{"k": <int>}`) and an
+    * aggregate over the extracted key (the OMDb-JSON field-consumption
+    * analog, reference `etl.py:135-145`, as a column op).
+    */
+  def q33JsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val k = get_json_object(col("props"), "$.k").cast("int")
+    e.select(k.as("k"), col("value"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        Parity.round2(avg(col("value"))).as("avg_value"))
+      .orderBy("k")
+  }
+
+  val q33OracleSql: String =
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
+      |       COUNT(*) AS n_events,
+      |       ${Parity.round2Sql("AVG(value)")} AS avg_value
+      |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q34 — the SQL surface end-to-end: temp views + the registered native
+    * functions, executed through `spark.sql` (Catalyst's full parser →
+    * analyzer → optimizer path, the reference's `run_queries` shape,
+    * `etl.py:295-321`).
+    */
+  def q34SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.documents(spark, dir).createOrReplaceTempView("documents_v")
+    spark.sql(
+      """SELECT doc_id,
+        |       strip_diacritics(translate(text, 'aeiou', 'áéíóü')) AS stripped,
+        |       size(ngram_shingles(split(text, '\\s+'), 3)) AS n_shingles
+        |FROM documents_v ORDER BY doc_id""".stripMargin)
+  }
+
+  val q34OracleSql: String =
+    """SELECT doc_id,
+      |       strip_accents(translate(text, 'aeiou', 'áéíóü')) AS stripped,
+      |       len(list_distinct(CASE WHEN len(string_split_regex(text, '\s+')) < 3 THEN []
+      |             ELSE list_transform(generate_series(1, len(string_split_regex(text, '\s+')) - 2),
+      |                    i -> string_split_regex(text, '\s+')[i] || ' ' ||
+      |                         string_split_regex(text, '\s+')[i+1] || ' ' ||
+      |                         string_split_regex(text, '\s+')[i+2]) END)) AS n_shingles
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
