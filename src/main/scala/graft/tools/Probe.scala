@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Scratch main for plan/behavior probes during development. Not part of
   * the driver contract.
@@ -11,28 +12,34 @@ object Probe {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
+    val sf = "/root/testdata/sf0.01"
 
-    def summarize(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
-      val plan = df.queryExecution.executedPlan.toString
-      val joins = plan.linesIterator.filter(_.contains("Join"))
-        .map(_.trim.takeWhile(_ != '(')).toSeq.distinct
-      val scans = plan.linesIterator.filter(_.contains("ReadSchema"))
-        .map(_.trim.take(160)).toSeq
-      val codegen = plan.linesIterator.count(_.contains("WholeStageCodegen"))
-      println(s"== $name: joins=${joins.mkString("[", ", ", "]")} codegenSpans=$codegen")
-      scans.foreach(s => println(s"   scan: $s"))
-    }
+    // partition-pruned layout
+    val dir = java.nio.file.Files.createTempDirectory("probe_part").toString + "/e"
+    val events = graft.Tables.events(spark, sf)
+    graft.sources.PartitionedLayout.writeByDate(events, dir)
+    val pruned = graft.sources.PartitionedLayout.read(spark, dir)
+      .filter(col("event_date") === "2024-01-03")
+    val scanLine = pruned.queryExecution.executedPlan.toString
+      .linesIterator.find(l => l.contains("PartitionFilters")).getOrElse("NO PartitionFilters")
+    println("[probe] scan: " + scanLine.trim.take(600))
+    println(s"[probe] pruned rows: ${pruned.count()}, expected: " +
+      events.filter(to_date(col("ts")) === "2024-01-03").count())
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("event_date")).sorted
+    println(s"[probe] partition dirs: ${dirs.length} (first: ${dirs.headOption.getOrElse("")})")
 
-    summarize("q2_top_genres", graft.operators.RelationalQueries.q2TopGenres(spark, dir))
-    summarize("q4_by_year", graft.operators.RelationalQueries.q4ByYear(spark, dir))
-    summarize("q16_enrichment", graft.operators.CandidateJoin.q16EnrichmentJoin(spark, dir))
-    summarize("q22_cosine_topk", graft.operators.Similarity.q22CosineTopK(spark, dir))
-    summarize("q24_text_stats", graft.operators.TextAnalysis.q24TextStats(spark, dir))
+    // salted join parity
+    val big = graft.Tables.orders(spark, sf)
+    val small = graft.Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey")
+    val plain = big.join(small, "o_custkey").count()
+    val salted = graft.operators.Skew.saltedJoin(big, small, "o_custkey", 8).count()
+    println(s"[probe] plain join rows: $plain, salted join rows: $salted")
+    // probe: saltFactor = 1 degenerates to the plain join
+    val salt1 = graft.operators.Skew.saltedJoin(big, small, "o_custkey", 1).count()
+    println(s"[probe] saltFactor=1 rows: $salt1")
     spark.stop()
   }
 }
