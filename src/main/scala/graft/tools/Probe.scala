@@ -40,6 +40,20 @@ object Probe {
     // probe: saltFactor = 1 degenerates to the plain join
     val salt1 = graft.operators.Skew.saltedJoin(big, small, "o_custkey", 1).count()
     println(s"[probe] saltFactor=1 rows: $salt1")
+
+    // bucketed co-located join: shuffle-free plan at the library surface
+    val ob = graft.Tables.orders(spark, sf)
+    val lb = graft.Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey")
+    graft.sources.Bucketing.writeBucketed(ob, "probe_orders_b", "o_orderkey", 4)
+    graft.sources.Bucketing.writeBucketed(lb, "probe_lineitem_b", "o_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val bj = graft.sources.Bucketing.table(spark, "probe_orders_b")
+      .join(graft.sources.Bucketing.table(spark, "probe_lineitem_b"), "o_orderkey")
+    val bplan = bj.queryExecution.executedPlan.toString
+    println("[probe] bucketed exchanges: " + bplan.linesIterator.count(_.contains("Exchange")))
+    println("[probe] bucketed join node: " + bplan.linesIterator.find(_.contains("Join")).getOrElse("?").trim.take(120))
+    println(s"[probe] bucketed rows: ${bj.count()} plain rows: ${ob.join(lb, "o_orderkey").count()}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
     spark.stop()
   }
 }
