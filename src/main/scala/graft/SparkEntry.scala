@@ -65,7 +65,8 @@ object SparkEntry {
     "q15_candidate_join" -> CandidateJoin.q15OracleSql,
     "q16_enrichment_join" -> CandidateJoin.q16OracleSql,
     "q17_dedup_exact" -> Dedup.q17OracleSql,
-    // q18/q19: MinHash/SimHash kernels (xxhash64) are not DuckDB-expressible
+    "q18_dedup_minhash" -> Dedup.q18OracleSql,
+    // q19: the SimHash kernel (xxhash64 bit-sums) is not DuckDB-expressible
     // -> rows-only driver check; accuracy asserted in DedupSpec.
     "q20_ngram_jaccard" -> Dedup.q20OracleSql,
     "q21_embedding_neardup" -> Dedup.q21OracleSql,

@@ -62,20 +62,30 @@ object Dedup {
 
   // ---- q18: MinHash + LSH ------------------------------------------------
 
-  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private val MinhashP = graft.functions.PolyHash.Mod // 2^31 - 1
   private val NumHashes = 16
   private val Bands = 4 // x 4 rows per band
 
-  /** Affine hash family over a reduced xxhash64 base value. The base is
-    * reduced mod p FIRST so `a*h + b` stays below 2^62 — Spark 4 runs in
-    * ANSI mode where a silent long overflow is instead a runtime error.
+  /** Shared affine-family coefficients: the SAME values parameterize the
+    * Spark expressions and the generated oracle SQL.
+    */
+  private val MinhashCoeffs: Seq[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Seq.fill(NumHashes)(
+      (1L + rnd.nextInt(Int.MaxValue - 1), rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Affine hash family over the [[graft.functions.PolyHash]] base value
+    * (cross-engine computable — this is what makes q18 fully
+    * oracle-checkable). The base is already < p, so `a*h + b` stays below
+    * 2^62 — Spark 4 runs in ANSI mode where a silent long overflow is
+    * instead a runtime error.
     */
   private def minhashFns: Seq[Column] = {
-    val rnd = new java.util.Random(42)
-    val base = pmod(xxhash64(col("sh")), lit(MinhashP))
-    (0 until NumHashes).map { i =>
-      val a = 1 + rnd.nextInt(Int.MaxValue - 1).toLong
-      val b = rnd.nextInt(Int.MaxValue).toLong
+    val base = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("sh"))))
+    MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       pmod(lit(a) * base + lit(b), lit(MinhashP)).as(s"h$i")
     }
   }
@@ -91,9 +101,11 @@ object Dedup {
   }
 
   /** q18 — MinHash LSH near-dup pairs: band-bucket equi-join generates
-    * candidates; signature agreement estimates Jaccard; pairs ≥ 0.5 kept.
-    * Non-SQL-expressible hash kernels → rows-only driver check; accuracy
-    * is asserted against exact Jaccard in `DedupSpec`.
+    * candidates (bucket = the band's signature slice rendered as a string
+    * — directly joinable, no second hash); signature agreement estimates
+    * Jaccard; pairs ≥ 0.5 kept. Fully oracle-checked: the PolyHash base +
+    * shared affine coefficients are computed identically in DuckDB
+    * ([[q18OracleSql]] is generated from the same constants).
     */
   def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = minhashSignatures(Tables.documents(spark, dir))
@@ -104,9 +116,9 @@ object Dedup {
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
-        b => xxhash64(concat_ws("_", b.cast("string"),
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))
-            .cast("string")))))
+        b => concat_ws("_",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            _.cast("string")))))
         .as(Seq("band", "bucket")))
 
     val a = banded.select(col("band"), col("bucket"),
@@ -124,6 +136,53 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Generated from the same shingle chain as q20's oracle, the PolyHash
+    * SQL kernel, and [[MinhashCoeffs]].
+    */
+  val q18OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("sh")
+    val minCols = MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN(($a * base + $b) % $MinhashP) AS h$i"
+    }.mkString(",\n         ")
+    val rowsPerBand = NumHashes / Bands
+    val bandRows = (0 until Bands).map { bnd =>
+      val cols = (bnd * rowsPerBand until (bnd + 1) * rowsPerBand)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $cols AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    val eqTerms = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    CASE WHEN len(t) < 3 THEN []
+      |         ELSE list_transform(generate_series(1, len(t) - 2),
+      |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sh
+      |  FROM toks
+      |), hashed AS (
+      |  SELECT doc_id, $ph AS base FROM sh
+      |), sigs AS (
+      |  SELECT doc_id,
+      |         $minCols
+      |  FROM hashed GROUP BY doc_id
+      |), bands AS (
+      |  $bandRows
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      |)
+      |SELECT c.doc_a, c.doc_b,
+      |       ($eqTerms) / 16.0 AS est_jaccard
+      |FROM cand c
+      |JOIN sigs sa ON sa.doc_id = c.doc_a
+      |JOIN sigs sb ON sb.doc_id = c.doc_b
+      |WHERE ($eqTerms) / 16.0 >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---- q19: SimHash ------------------------------------------------------
