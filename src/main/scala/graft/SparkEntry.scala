@@ -43,6 +43,7 @@ object SparkEntry {
     "q32_set_ops" -> (SetAndJsonQueries.q32SetOps _),
     "q33_json_extract" -> (SetAndJsonQueries.q33JsonExtract _),
     "q34_sql_surface" -> (SetAndJsonQueries.q34SqlSurface _),
+    "q35_ivf_ann" -> (Similarity.q35IvfAnn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -84,5 +85,6 @@ object SparkEntry {
     "q32_set_ops" -> SetAndJsonQueries.q32OracleSql,
     "q33_json_extract" -> SetAndJsonQueries.q33OracleSql,
     "q34_sql_surface" -> SetAndJsonQueries.q34OracleSql,
+    "q35_ivf_ann" -> Similarity.q35OracleSql,
   )
 }

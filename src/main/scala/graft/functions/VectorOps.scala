@@ -36,6 +36,13 @@ object VectorOps {
       s"(sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
       s"sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
 
+  /** Element-wise mean of a vector column — the custom
+    * [[VectorCentroid]] `TypedImperativeAggregate`.
+    */
+  def vectorCentroid(c: Column): Column =
+    GraftSqlBridge.column(
+      VectorCentroid(GraftSqlBridge.expression(c)).toAggregateExpression())
+
   /** round(x, 6) through decimal for cross-engine determinism (same
     * rationale as [[Parity.round2]]).
     */

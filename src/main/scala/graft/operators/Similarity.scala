@@ -107,6 +107,98 @@ object Similarity {
           bucketExpr(col(vecCol), t)): _*)).as(Seq("table", "bucket")))
       .select("id", "table", "bucket")
 
+  /** q35 — IVF-style ANN: cells come from the existing `label` column
+    * (standing in for a trained coarse quantizer), cell centroids from
+    * the custom [[graft.functions.VectorCentroid]] aggregate, probes
+    * search only the `nprobe` nearest cells, exact cosine reranks within
+    * them. The 100 TB shape: the corpus-wide op is one centroid
+    * aggregation (8·dim-byte partials) and a probe-to-cell-members join
+    * — the full corpus is never pairwise-scanned.
+    *
+    * Fully oracle-checked: centroid components are decimal-rounded on
+    * both sides before any distance math, so engine-order float
+    * summation differences cannot leak into cell selection or ranks.
+    */
+  def q35IvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val nprobe = 3
+    val e = Tables.embeddings(spark, dir)
+    val cells = e.groupBy(col("label"))
+      .agg(VectorOps.vectorCentroid(col("embedding")).as("c_raw"))
+      .select(col("label"),
+        transform(col("c_raw"), VectorOps.round6 _).as("centroid"))
+
+    val p = probes(e).withColumn("pn", VectorOps.norm(col("pv")))
+    val cellRank = Window.partitionBy("probe_id")
+      .orderBy(col("cell_cos").desc, col("label").asc)
+    val selected = broadcast(p).crossJoin(broadcast(cells))
+      .withColumn("cell_cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("centroid")) /
+          (col("pn") * VectorOps.norm(col("centroid")))))
+      .withColumn("cell_rank", row_number().over(cellRank))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("probe_id"), col("pv"), col("pn"), col("label"))
+
+    val rank = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    selected.join(e.select(col("label"), col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv"), VectorOps.norm(col("embedding")).as("nn")),
+        Seq("label"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("nv")) / (col("pn") * col("nn"))))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        col("label").as("cell"), col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val q35OracleSql: String = {
+    val pcos = VectorOps.round6Sql(
+      "list_inner_product(p.pv, c.centroid) / " +
+        "(sqrt(list_inner_product(p.pv, p.pv)) * " +
+        "sqrt(list_inner_product(c.centroid, c.centroid)))")
+    val ncos = VectorOps.round6Sql(
+      "list_inner_product(s.pv, e.nv) / " +
+        "(sqrt(list_inner_product(s.pv, s.pv)) * " +
+        "sqrt(list_inner_product(e.nv, e.nv)))")
+    s"""WITH comp AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS i,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |), cen0 AS (
+      |  SELECT label, i,
+      |         ${VectorOps.round6Sql("AVG(v)")} AS c
+      |  FROM comp GROUP BY label, i
+      |), cen AS (
+      |  SELECT label, list(c ORDER BY i) AS centroid FROM cen0 GROUP BY label
+      |), p AS (
+      |  SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      |  FROM embeddings WHERE vec_id < $NumProbes
+      |), pc AS (
+      |  SELECT p.probe_id, p.pv, c.label, $pcos AS cell_cos,
+      |         row_number() OVER (PARTITION BY p.probe_id
+      |           ORDER BY $pcos DESC, c.label ASC) AS cell_rank
+      |  FROM p CROSS JOIN cen c
+      |), s AS (
+      |  SELECT probe_id, pv, label FROM pc WHERE cell_rank <= 3
+      |), cand AS (
+      |  SELECT s.probe_id, e.vec_id AS neighbor_id, s.label AS cell,
+      |         $ncos AS cos
+      |  FROM s JOIN (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS nv
+      |               FROM embeddings) e
+      |    ON s.label = e.label AND s.probe_id <> e.vec_id
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, cell, cos,
+      |         row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM cand
+      |)
+      |SELECT probe_id, rank, neighbor_id, cell, cos
+      |FROM ranked WHERE rank <= $TopK
+      |ORDER BY probe_id, rank""".stripMargin
+  }
+
   /** q23 — LSH-bucketed ANN top-k for the probe set: candidates share a
     * bucket in ≥1 table; exact cosine reranks. Non-SQL-expressible
     * (hyperplane kernel) → rows-only driver check; recall floor asserted

@@ -16,6 +16,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"recall $recall")
   }
 
+  test("vectorCentroid aggregate averages element-wise across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0, Array(1.0f, 2.0f)), (0, Array(3.0f, 6.0f)),
+      (1, Array(10.0f, 20.0f))).toDF("g", "v").repartition(3)
+    val out = df.groupBy("g")
+      .agg(graft.functions.VectorOps.vectorCentroid(col("v")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(out(0) == Seq(2.0, 4.0))
+    assert(out(1) == Seq(10.0, 20.0))
+  }
+
+  test("q35 IVF recalls a solid fraction of the exact top-10") {
+    val exact = Similarity.q22CosineTopK(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val ivf = Similarity.q35IvfAnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id")))
+      .toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    info(s"IVF recall@10 = $recall (nprobe=3 of 10 cells)")
+    assert(recall >= 0.25, s"recall $recall")
+  }
+
   test("q22 scores are valid cosines in descending rank order") {
     val rows = Similarity.q22CosineTopK(spark, sf).collect()
     assert(rows.nonEmpty)
