@@ -44,6 +44,7 @@ object SparkEntry {
     "q33_json_extract" -> (SetAndJsonQueries.q33JsonExtract _),
     "q34_sql_surface" -> (SetAndJsonQueries.q34SqlSurface _),
     "q35_ivf_ann" -> (Similarity.q35IvfAnn _),
+    "q36_approx_distinct" -> (SetAndJsonQueries.q36ApproxDistinct _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +87,6 @@ object SparkEntry {
     "q33_json_extract" -> SetAndJsonQueries.q33OracleSql,
     "q34_sql_surface" -> SetAndJsonQueries.q34OracleSql,
     "q35_ivf_ann" -> Similarity.q35OracleSql,
+    "q36_approx_distinct" -> SetAndJsonQueries.q36OracleSql,
   )
 }

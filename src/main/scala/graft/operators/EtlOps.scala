@@ -83,6 +83,18 @@ object EtlOps {
       .agg(count(lit(1)).as("row_count"),
         sum(when(constraint, 0L).otherwise(1L)).as("violations"))
 
+  /** P5 alternate — SQLite-style hard enforcement: any row violating the
+    * constraint aborts the job via `raise_error` (the reference's CHECK
+    * rejects the offending INSERT, `schema.sql:37`). Use
+    * [[checkViolations]] for the report-and-route flavor.
+    */
+  def enforceCheck(df: DataFrame, constraint: Column, message: String): DataFrame = {
+    val guard = when(constraint, lit(true))
+      .otherwise(raise_error(concat(lit(s"CHECK violated: $message; row="),
+        to_json(struct(df.columns.map(col): _*)))))
+    df.withColumn("__check", guard).drop("__check")
+  }
+
   // ---- driver-contract query entries ----
 
   /** q9 — G1 over `part.p_name` (space-delimited tokens). */

@@ -66,6 +66,33 @@ object SetAndJsonQueries {
       |       ${Parity.round2Sql("AVG(value)")} AS avg_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
 
+  /** q36 — A4's at-scale variant: exact `COUNT(DISTINCT)` beside
+    * `approx_count_distinct` (HLL++). The exact form plans Expand +
+    * two-phase aggregation (one extra shuffle of the distinct keys); the
+    * sketch is a fixed-size buffer per group — the 100 TB default, with
+    * exact as the opt-in. Sketch estimates are engine-specific → the
+    * oracle checks the exact column and bounds the estimate (rows-only is
+    * avoided by emitting the estimate's relative error as a checked-range
+    * boolean instead of the raw estimate).
+    */
+  def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"),
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
+      .select(col("o_orderstatus"), col("exact_customers"),
+        (abs(col("approx_customers") - col("exact_customers"))
+          .cast("double") / col("exact_customers") <= 0.1)
+          .as("approx_within_10pct"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q36OracleSql: String =
+    """SELECT o_orderstatus,
+      |       COUNT(DISTINCT o_custkey) AS exact_customers,
+      |       TRUE AS approx_within_10pct
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** q34 — the SQL surface end-to-end: temp views + the registered native
     * functions, executed through `spark.sql` (Catalyst's full parser →
     * analyzer → optimizer path, the reference's `run_queries` shape,

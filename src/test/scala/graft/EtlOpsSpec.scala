@@ -78,6 +78,20 @@ class EtlOpsSpec extends SparkSpec {
     assert(results(1)._2.collect().head.getLong(0) == 2L)
   }
 
+  test("enforceCheck aborts on a violating row, passes clean data") {
+    val clean = Seq(("a", 1.0), ("b", 5.0)).toDF("g", "rating")
+    val ok = EtlOps.enforceCheck(clean,
+      $"rating" >= 0.0 && $"rating" <= 5.0, "rating in [0,5]")
+    assert(ok.count() == 2)
+    val dirty = Seq(("a", 1.0), ("b", 5.5)).toDF("g", "rating")
+    val ex = intercept[Exception] {
+      EtlOps.enforceCheck(dirty,
+        $"rating" >= 0.0 && $"rating" <= 5.0, "rating in [0,5]").count()
+    }
+    assert(ex.getMessage.contains("CHECK violated") ||
+      Option(ex.getCause).exists(_.getMessage.contains("CHECK violated")))
+  }
+
   test("checkViolations counts out-of-range rows per group") {
     val df = Seq(("a", 1.0), ("a", -1.0), ("b", 5.5), ("b", 3.0))
       .toDF("g", "rating")
