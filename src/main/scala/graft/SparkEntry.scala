@@ -68,13 +68,11 @@ object SparkEntry {
     "q16_enrichment_join" -> CandidateJoin.q16OracleSql,
     "q17_dedup_exact" -> Dedup.q17OracleSql,
     "q18_dedup_minhash" -> Dedup.q18OracleSql,
-    // q19: the SimHash kernel (xxhash64 bit-sums) is not DuckDB-expressible
-    // -> rows-only driver check; accuracy asserted in DedupSpec.
+    "q19_dedup_simhash" -> Dedup.q19OracleSql,
     "q20_ngram_jaccard" -> Dedup.q20OracleSql,
     "q21_embedding_neardup" -> Dedup.q21OracleSql,
     "q22_cosine_topk" -> Similarity.q22OracleSql,
-    // q23: hyperplane LSH kernel not SQL-expressible -> rows-only; recall
-    // floor asserted in SimilaritySpec against q22.
+    "q23_ann_lsh" -> Similarity.q23OracleSql,
     "q24_text_stats" -> TextAnalysis.q24OracleSql,
     "q25_lang_id" -> TextAnalysis.q25OracleSql,
     "q26_token_count" -> TextAnalysis.q26OracleSql,

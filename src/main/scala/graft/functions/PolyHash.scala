@@ -17,7 +17,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * `ascii()` code points on the ASCII token domain this corpus uses
   * (documented limitation for non-ASCII).
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, mult: Int = 31) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
@@ -28,10 +28,10 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "poly_hash"
 
   override def nullSafeEval(input: Any): Any =
-    PolyHash.compute(input.asInstanceOf[UTF8String])
+    PolyHash.compute(input.asInstanceOf[UTF8String], mult)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.compute($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyHash.compute($c, $mult)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
     copy(child = newChild)
@@ -40,21 +40,21 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 object PolyHash {
   val Mod: Long = 2147483647L // 2^31 - 1
 
-  def compute(s: UTF8String): Long = {
+  def compute(s: UTF8String, mult: Int): Long = {
     val bytes = s.getBytes
     var h = 0L
     var i = 0
     while (i < bytes.length) {
-      h = (h * 31 + (bytes(i) & 0xFF)) % Mod
+      h = (h * mult + (bytes(i) & 0xFF)) % Mod
       i += 1
     }
     h
   }
 
   /** DuckDB fragment computing the identical hash of string expr `s`. */
-  def sql(s: String): String =
+  def sql(s: String, mult: Int = 31): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($s)), " +
       s"i -> CAST(ascii(substring($s, i, 1)) AS BIGINT))), " +
-      s"(h, b) -> (h * 31 + b) % $Mod)"
+      s"(h, b) -> (h * $mult + b) % $Mod)"
 }

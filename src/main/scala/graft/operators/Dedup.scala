@@ -187,28 +187,44 @@ object Dedup {
 
   // ---- q19: SimHash ------------------------------------------------------
 
-  /** Per-doc 64-bit SimHash over distinct tokens: 64 ±1 bit-sums in one
-    * hash-aggregate, sign-assembled into a long.
+  // Two PolyHash multiplier variants concatenated -> 62-bit signature
+  // (31 bits each); 31 bits alone is too coarse on a shared-vocabulary
+  // corpus (41% of all pairs landed within Hamming 3).
+  private val SimhashBits = 62
+
+  /** Per-doc 62-bit SimHash over distinct tokens: 62 ±1 bit-sums in one
+    * hash-aggregate, sign-assembled into a long. The base hash is the
+    * cross-engine [[graft.functions.PolyHash]] (multipliers 31 and 37),
+    * which is what lets q19 carry a full DuckDB oracle.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(i =>
+    // Affine scramble decorrelates the polynomial hash's magnitude from
+    // token length (short tokens otherwise leave high signature bits
+    // biased toward zero and collapse the signature's entropy).
+    def ph(mult: Int) = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("tok")), mult))
+    def scrambled(mult: Int) =
+      pmod(lit(1103515245L) * ph(mult) + lit(12345L), lit(MinhashP))
+    val hashed = tok.withColumn("h",
+      scrambled(31).bitwiseOR(shiftleft(scrambled(37), 31)))
+    val bitSums = (0 until SimhashBits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
         .otherwise(-1)).as(s"b$i"))
-    val sums = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(i =>
+    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until SimhashBits).map(i =>
         when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     sums.select(col("doc_id"), sig.as("simhash"))
   }
 
   /** q19 — SimHash near-dup pairs: candidates share at least one of four
-    * 16-bit chunks; by pigeonhole every pair with Hamming ≤ 3 lands in
+    * 8-bit chunks; by pigeonhole every pair with Hamming ≤ 3 lands in
     * some shared chunk, so the ≤ 3 verification is exact AND complete.
-    * Rows-only driver check (hash kernel), accuracy asserted in
-    * `DedupSpec`.
+    * Fully oracle-checked ([[q19OracleSql]] regenerates the bit-sums in
+    * SQL from the same PolyHash base).
     */
   def q19DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(Tables.documents(spark, dir))
@@ -228,6 +244,45 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Generated from the PolyHash SQL kernel + the same bit/chunk layout. */
+  val q19OracleSql: String = {
+    val ph31 = graft.functions.PolyHash.sql("tok", 31)
+    val ph37 = graft.functions.PolyHash.sql("tok", 37)
+    val sigExpr = (0 until SimhashBits).map { i =>
+      s"(CASE WHEN SUM(CASE WHEN (base >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n           + ")
+    val chunkRows = (0 until 4).map(c =>
+      s"SELECT doc_id, $c AS chunk, (simhash >> ${c * 16}) & 65535 AS chunk_val, simhash FROM sigs")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\\s+'))) AS tok
+      |  FROM documents
+      |), hashed AS (
+      |  SELECT doc_id,
+      |         ((1103515245 * ($ph31) + 12345) % $MinhashP)
+      |         | (((1103515245 * ($ph37) + 12345) % $MinhashP) << 31) AS base
+      |  FROM tok
+      |), sigs AS (
+      |  SELECT doc_id,
+      |         $sigExpr AS simhash
+      |  FROM hashed GROUP BY doc_id
+      |), chunks AS (
+      |  $chunkRows
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         a.simhash AS sim_a, b.simhash AS sim_b
+      |  FROM chunks a JOIN chunks b
+      |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+      |   AND a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |       CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sim_a, sim_b)) <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   // ---- q20: exact n-gram Jaccard ----------------------------------------

@@ -200,9 +200,11 @@ object Similarity {
   }
 
   /** q23 — LSH-bucketed ANN top-k for the probe set: candidates share a
-    * bucket in ≥1 table; exact cosine reranks. Non-SQL-expressible
-    * (hyperplane kernel) → rows-only driver check; recall floor asserted
-    * in `SimilaritySpec` against q22.
+    * bucket in ≥1 table; exact cosine reranks. Fully oracle-checked:
+    * [[q23OracleSql]] is generated from the SAME hyperplane constants
+    * (sign-of-dot is stable across engines because both compute the
+    * identical sequential double dot product). Recall floor additionally
+    * asserted in `SimilaritySpec` against q22.
     */
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -228,5 +230,44 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select("probe_id", "rank", "neighbor_id", "cos")
       .orderBy("probe_id", "rank")
+  }
+
+  /** Generated from [[hyperplanes]]: each table's bucket id as a sum of
+    * sign-of-`list_inner_product` bits against the literal hyperplane
+    * vectors.
+    */
+  val q23OracleSql: String = {
+    def bucketSql(t: Int): String =
+      (0 until BitsPerTable).map { j =>
+        val plane = hyperplanes(t)(j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $plane) > 0.0 " +
+          s"THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketRows = (0 until Tables_).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    val cos = graft.functions.VectorOps.round6Sql(
+      graft.functions.VectorOps.cosineSql("p.embedding", "e.embedding"))
+    s"""WITH buckets AS (
+      |  $bucketRows
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS probe_id, b.vec_id AS neighbor_id
+      |  FROM buckets a JOIN buckets b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+      |  WHERE a.vec_id < $NumProbes
+      |), scored AS (
+      |  SELECT c.probe_id, c.neighbor_id, $cos AS cos
+      |  FROM cand c
+      |  JOIN embeddings p ON p.vec_id = c.probe_id
+      |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT probe_id, rank, neighbor_id, cos
+      |FROM ranked WHERE rank <= $TopK
+      |ORDER BY probe_id, rank""".stripMargin
   }
 }
