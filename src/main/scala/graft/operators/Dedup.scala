@@ -210,14 +210,11 @@ object Dedup {
       pmod(lit(1103515245L) * ph(mult) + lit(12345L), lit(MinhashP))
     val hashed = tok.withColumn("h",
       scrambled(31).bitwiseOR(shiftleft(scrambled(37), 31)))
-    val bitSums = (0 until SimhashBits).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val sums = hashed.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until SimhashBits).map(i =>
-        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    sums.select(col("doc_id"), sig.as("simhash"))
+    val simhash = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimhashAgg(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("h")), SimhashBits)
+        .toAggregateExpression())
+    hashed.groupBy("doc_id").agg(simhash.as("simhash"))
   }
 
   /** q19 — SimHash near-dup pairs: candidates share at least one of four
