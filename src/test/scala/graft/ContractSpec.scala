@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards on the driver contract itself: every oracle key must name a
+  * query, rows-only entries must be the documented exceptions, and names
+  * must be unique and well-formed.
+  */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracleSql key has a matching queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("rows-only queries are exactly the documented set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("q28_multimodal_features"), rowsOnly.toString)
+  }
+
+  test("query names are unique, snake_case, and q-numbered") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.distinct.size == names.size)
+    names.foreach(n => assert(n.matches("q\\d+_[a-z0-9_]+"), n))
+  }
+}
