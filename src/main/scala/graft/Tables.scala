@@ -13,8 +13,15 @@ import org.apache.spark.sql.functions._
   * (`schema.sql:43-48`).
   */
 object Tables {
+  // DataFrames are immutable logical plans — safe to share. Caching them
+  // avoids re-listing the directory and re-reading parquet footers for
+  // every one of the 36 contract queries in a Verify/Bench run.
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    cache.computeIfAbsent((spark, sfDir, name),
+      _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
