@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import graft.Tables
 import graft.functions.Parity.round2
 import graft.sources.Sinks
@@ -20,6 +20,13 @@ case class LatestState(event_id: Long, tsUs: Long, value: Double)
 /** Update row emitted by [[StreamingOps.latestPerKey]]. */
 case class LatestUpdate(user_id: Long, event_type: String, event_id: Long,
   value: Double)
+
+/** Open-session state for [[StreamingOps.sessionize]]. */
+case class OpenSession(startUs: Long, lastUs: Long, n: Int, sum: Double)
+
+/** Closed session emitted by [[StreamingOps.sessionize]]. */
+case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+  n_events: Int, sum_value: Double)
 
 /** Streaming variants of the reference's aggregations (SURVEY.md §2.10 —
   * the reference is batch-only; incremental loading is its own listed
@@ -85,6 +92,50 @@ object StreamingOps {
             .maxBy(s => (s.tsUs, s.event_id))
           state.update(newest)
           LatestUpdate(uid, etype, newest.event_id, newest.value)
+      }
+  }
+
+  /** Custom sessionization via `flatMapGroupsWithState` with EVENT-TIME
+    * timeouts — the pattern for session semantics `session_window` can't
+    * express (e.g. emitting per-session aggregates only when the session
+    * CLOSES, in append mode). A session closes when the gap is exceeded
+    * within a batch or when the watermark passes its timeout; state per
+    * user is one [[OpenSession]] record.
+    */
+  def sessionize(events: Dataset[StreamEvent], gapMinutes: Int): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, batch, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, s.startUs, s.lastUs, s.n, s.sum))
+          } else {
+            val sorted = batch.map(e => (e.ts.getTime * 1000L, e.value))
+              .toSeq.sortBy(_._1)
+            var open = state.getOption
+            val closed = Seq.newBuilder[ClosedSession]
+            for ((tsUs, v) <- sorted) {
+              open match {
+                case Some(s) if tsUs - s.lastUs < gapUs =>
+                  open = Some(OpenSession(s.startUs, tsUs, s.n + 1, s.sum + v))
+                case Some(s) =>
+                  closed += ClosedSession(uid, s.startUs, s.lastUs, s.n, s.sum)
+                  open = Some(OpenSession(tsUs, tsUs, 1, v))
+                case None =>
+                  open = Some(OpenSession(tsUs, tsUs, 1, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L)
+            }
+            closed.result().iterator
+          }
       }
   }
 

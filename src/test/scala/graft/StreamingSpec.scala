@@ -73,6 +73,30 @@ class StreamingSpec extends SparkSpec {
     assert(last.toSeq == Seq(LatestUpdate(1, "view", 4, 4.0)))
   }
 
+  test("flatMapGroupsWithState sessionizer emits closed sessions on gap and timeout") {
+    import graft.streaming.ClosedSession
+    val input = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+
+    // user 1: two sessions separated by a >30min gap within one batch
+    input.addData(ev(1, 10, 1, "view", 1.0), ev(2, 20, 1, "view", 2.0),
+      ev(3, 100, 1, "view", 3.0))
+    q.processAllAvailable()
+    // a much later event advances the watermark past session 2's timeout
+    input.addData(ev(4, 500, 2, "view", 9.0))
+    q.processAllAvailable()
+    input.addData(ev(5, 900, 2, "view", 9.0))
+    q.processAllAvailable(); q.stop()
+
+    val sessions = spark.table("sessions_out").as[ClosedSession].collect()
+      .filter(_.user_id == 1L).sortBy(_.start_us)
+    assert(sessions.length == 2, sessions.mkString(","))
+    assert(sessions(0).n_events == 2 && sessions(0).sum_value == 3.0)
+    assert(sessions(1).n_events == 1 && sessions(1).sum_value == 3.0)
+  }
+
   test("foreachBatch upsert sink is last-write-wins over micro-batches") {
     val dir = Files.createTempDirectory("graft_stream_upsert").toString + "/t"
     val input = MemoryStream[StreamEvent](spark)
