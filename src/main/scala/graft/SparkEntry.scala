@@ -45,6 +45,7 @@ object SparkEntry {
     "q34_sql_surface" -> (SetAndJsonQueries.q34SqlSurface _),
     "q35_ivf_ann" -> (Similarity.q35IvfAnn _),
     "q36_approx_distinct" -> (SetAndJsonQueries.q36ApproxDistinct _),
+    "q37_window_analytics" -> (SetAndJsonQueries.q37WindowAnalytics _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -86,5 +87,6 @@ object SparkEntry {
     "q34_sql_surface" -> SetAndJsonQueries.q34OracleSql,
     "q35_ivf_ann" -> Similarity.q35OracleSql,
     "q36_approx_distinct" -> SetAndJsonQueries.q36OracleSql,
+    "q37_window_analytics" -> SetAndJsonQueries.q37OracleSql,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, Parity}
@@ -65,6 +66,42 @@ object SetAndJsonQueries {
       |       COUNT(*) AS n_events,
       |       ${Parity.round2Sql("AVG(value)")} AS avg_value
       |FROM events GROUP BY 1 ORDER BY k""".stripMargin
+
+  /** q37 — windowed analytics over the order history (extension; the
+    * reference's only window-shaped need is `row_number` for upsert):
+    * per-customer order sequence, running spend, and inter-order delta.
+    * One shuffle on the partition key; rows stay sorted within partitions
+    * for all three frames.
+    */
+  def q37WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.filter(col("o_custkey") % 100 === 0)
+      .select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("orderkey"),
+        row_number().over(w).as("order_seq"),
+        Parity.round2(sum(col("o_totalprice")).over(running)).as("running_spend"),
+        Parity.round2(col("o_totalprice") -
+          coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)))
+          .as("delta_vs_prev"))
+      .orderBy("custkey", "order_seq")
+  }
+
+  val q37OracleSql: String = {
+    val run = Parity.round2Sql(
+      "SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    val delta = Parity.round2Sql(
+      "o_totalprice - COALESCE(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0.0)")
+    s"""SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+      |       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+      |       $run AS running_spend,
+      |       $delta AS delta_vs_prev
+      |FROM orders WHERE o_custkey % 100 = 0
+      |ORDER BY custkey, order_seq""".stripMargin
+  }
 
   /** q36 — A4's at-scale variant: exact `COUNT(DISTINCT)` beside
     * `approx_count_distinct` (HLL++). The exact form plans Expand +
