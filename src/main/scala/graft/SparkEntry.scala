@@ -46,6 +46,7 @@ object SparkEntry {
     "q35_ivf_ann" -> (Similarity.q35IvfAnn _),
     "q36_approx_distinct" -> (SetAndJsonQueries.q36ApproxDistinct _),
     "q37_window_analytics" -> (SetAndJsonQueries.q37WindowAnalytics _),
+    "q38_repetition" -> (TextAnalysis.q38Repetition _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -88,5 +89,6 @@ object SparkEntry {
     "q35_ivf_ann" -> Similarity.q35OracleSql,
     "q36_approx_distinct" -> SetAndJsonQueries.q36OracleSql,
     "q37_window_analytics" -> SetAndJsonQueries.q37OracleSql,
+    "q38_repetition" -> TextAnalysis.q38OracleSql,
   )
 }

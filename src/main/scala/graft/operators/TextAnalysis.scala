@@ -121,6 +121,44 @@ object TextAnalysis {
       |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** q38 — n-gram repetition ratio: 1 − distinct/total 3-gram shingles —
+    * the standard "repetitious junk" quality signal for training-data
+    * filtering (high ratio ⇒ boilerplate/looping text). Reuses the
+    * native shingle kernel minus its dedup.
+    */
+  def q38Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = split(col("text"), "\\s+")
+    val total = greatest(size(toks) - 2, lit(0))
+    val distinctSh = size(Dedup.shingles3(toks))
+    d.select(col("doc_id"),
+        total.as("total_shingles"),
+        distinctSh.as("distinct_shingles"),
+        round6(when(total > 0,
+          lit(1.0) - distinctSh.cast("double") / total).otherwise(0.0))
+          .as("repetition_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q38OracleSql: String = {
+    val ratio = round6Sql(
+      "1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / greatest(len(t) - 2, 1)")
+    s"""WITH s AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t,
+      |         CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN []
+      |              ELSE list_transform(generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
+      |                     i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+      |                          string_split_regex(text, '\\s+')[i+1] || ' ' ||
+      |                          string_split_regex(text, '\\s+')[i+2]) END AS sh
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       greatest(len(t) - 2, 0) AS total_shingles,
+      |       len(list_distinct(sh)) AS distinct_shingles,
+      |       CASE WHEN len(t) - 2 > 0 THEN $ratio ELSE 0.0 END AS repetition_ratio
+      |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** q27 — document fingerprint: md5 over the sorted distinct token bag —
     * an order-insensitive content signature (near-dup docs that only
     * reorder words share it; complements Dedup's exact md5).
