@@ -1,19 +1,38 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-contract benchmark main: times every `SparkEntry.queries` entry
   * on `SPARK_GRAFT_SF_DIR` and prints ONE JSON line
   * `{"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}`.
   *
-  * Each query gets one untimed warmup execution (JIT + codegen compile +
-  * parquet footer caching) before the timed run, so the reported numbers
-  * measure the query plan rather than first-run JVM warmup. AQE is on —
-  * it coalesces post-shuffle partitions and converts eligible joins to
-  * broadcast at runtime, which is also the posture a production cluster
-  * would run with.
+  * Measurement discipline:
+  *   - Every query is materialized through the no-op sink
+  *     (`format("noop")`), not `.count()`. Under a bare count Catalyst
+  *     legally prunes all projections and eliminates final sorts
+  *     (`ColumnPruning`, `EliminateSorts`), so narrow text/regex queries
+  *     would be timed as metadata-only scans. The noop sink evaluates
+  *     every output column of every row and discards the bytes — the
+  *     closest local analogue of writing results to a cluster sink.
+  *   - One untimed warmup run per query (JIT + codegen compile + parquet
+  *     footer caching) so timed numbers measure the plan, not first-run
+  *     JVM warmup. AQE is on, matching production posture.
+  *   - Failures are NOT swallowed: a query that throws is reported with
+  *     value -1 in `queries`, its error in an `errors` object, and a
+  *     stack trace on stderr. (Silently-zero timings for crashed queries
+  *     were a round-1 defect.)
+  *   - The JSON line is written to stdout AND to `bench_out.json` in the
+  *     working directory; `build.sbt` sets `outputStrategy :=
+  *     StdoutOutput` so the stdout line arrives bare, without sbt's
+  *     `[info] ` prefix that broke the driver's parse in round 1.
   */
 object Bench {
+  private def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,16 +46,35 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warmup
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val timed =
+        try {
+          materialize(fn(spark, sfDir)) // warmup
+          val t0 = System.nanoTime()
+          materialize(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] query $name FAILED:")
+            e.printStackTrace()
+            -1.0
+        }
+      name -> timed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) =>
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\r\n\t]", " ") + "\""
+      }.mkString(",\"errors\":{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
+    println(line)
+    Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
   }
 }

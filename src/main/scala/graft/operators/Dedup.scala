@@ -284,17 +284,35 @@ object Dedup {
 
   // ---- q20: exact n-gram Jaccard ----------------------------------------
 
-  /** q20 — exact 3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join
-    * (pairs share ≥1 shingle; intersection counted per pair, union by
-    * inclusion–exclusion). DuckDB-expressible → full oracle.
+  /** Document-frequency cap for the q20 inverted-index join: shingles
+    * appearing in more than this many documents are treated as
+    * stop-shingles and removed from every document's set BEFORE counting —
+    * so the reported Jaccard is exact over the capped shingle universe
+    * (sets stay self-consistent; this is not a lossy candidate filter).
     *
-    * Scale note: the shingle join's fan-out is bounded by shingle document
-    * frequency; a production run over 100 TB would cap DF (drop shingles
-    * appearing in >K docs) before the join — kept exact here because the
-    * oracle must agree.
+    * Why: the self-join's cost is Σ df(shingle)². Uncapped, one
+    * boilerplate shingle shared by most of the corpus goes quadratic —
+    * the textbook 100 TB scale-killer. A shingle in >64 documents carries
+    * no dedup signal (it is corpus boilerplate by definition), and the cap
+    * bounds the join fan-out at 64² rows per shingle. The SAME cap is
+    * applied in [[q20OracleSql]], so the cross-engine hash check still
+    * holds.
+    */
+  private val MaxShingleDf = 64
+
+  /** q20 — 3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join over
+    * the DF-capped shingle universe (pairs share ≥1 surviving shingle;
+    * intersection counted per pair, union by inclusion–exclusion).
+    * DuckDB-expressible → full oracle.
     */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val idx = shingleIndex(Tables.documents(spark, dir))
+    val raw = shingleIndex(Tables.documents(spark, dir))
+    // DF cap: one hash-aggregate over the index, then an equi-join to keep
+    // only sub-cap shingles. Both sides shuffle on `sh`, which the pair
+    // join below reuses (same key → no extra exchange under AQE).
+    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxShingleDf).select("sh")
+    val idx = raw.join(keep, "sh")
     val counts = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -313,14 +331,18 @@ object Dedup {
   }
 
   val q20OracleSql: String =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents
-      |), sh AS (
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), allsh AS (
       |  SELECT doc_id, unnest(list_distinct(
       |    CASE WHEN len(t) < 3 THEN []
       |         ELSE list_transform(generate_series(1, len(t) - 2),
       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) END)) AS sh
       |  FROM toks
+      |), keep AS (
+      |  SELECT sh FROM allsh GROUP BY sh HAVING COUNT(*) <= $MaxShingleDf
+      |), sh AS (
+      |  SELECT a.doc_id, a.sh FROM allsh a JOIN keep k ON a.sh = k.sh
       |), counts AS (
       |  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
       |), pairs AS (
@@ -338,11 +360,29 @@ object Dedup {
 
   // ---- q21: embedding-cosine near-dup -----------------------------------
 
+  /** Hard ceiling on the corpus size [[q21EmbeddingNearDup]] will
+    * cross-join. The brute-force path exists as oracle-checkable ground
+    * truth for the scalable ANN paths (`Similarity.q23AnnLsh`,
+    * `Similarity.q35IvfAnn`); pointing it at a production-sized table
+    * must fail loudly at plan-build time, not silently run O(n²).
+    */
+  private val MaxBruteForceVectors = 20000L
+
   /** q21 — embedding near-dup pairs: brute-force cosine ≥ 0.4 with the
     * deterministic decimal-rounded score (the oracle ground truth;
     * `Similarity.q23AnnLsh` is the bucketed scale path).
+    *
+    * Guarded: refuses corpora larger than [[MaxBruteForceVectors]]. The
+    * guard's `count()` on a parquet source is satisfied from row-group
+    * metadata (no data scan), so the check is cheap even on a large
+    * table it is about to reject.
     */
   def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val nVecs = Tables.embeddings(spark, dir).count()
+    require(nVecs <= MaxBruteForceVectors,
+      s"q21 brute-force cosine is O(n²) and capped at $MaxBruteForceVectors " +
+        s"vectors (got $nVecs); use the ANN paths q23_ann_lsh / q35_ivf_ann " +
+        "at scale — q21 exists only as small-corpus oracle ground truth")
     // Norms are precomputed once per vector (not once per pair): the pair
     // scan then evaluates a single codegen'd dot product per candidate.
     val e = Tables.embeddings(spark, dir)
