@@ -36,10 +36,23 @@ object EtlOps {
     * map-side combined, so the single partition only ever sees the
     * (small) distinct set.
     */
-  def dictionaryEncode(tokens: DataFrame, tokenCol: String = "token"): DataFrame =
+  def dictionaryEncode(tokens: DataFrame, tokenCol: String = "token",
+      maxDomain: Long = 1000000L): DataFrame =
     tokens.select(col(tokenCol).as("token")).distinct()
       .withColumn("token_id",
         row_number().over(Window.orderBy("token")).cast("long"))
+      // Enforce the dimension-only contract at the API level: the global
+      // row_number window above is single-partition by construction, so a
+      // fact-scale domain here is a silent scale bug. The guard is a
+      // distributed raise_error on the id itself (no extra pass, no
+      // driver-side count) — exceeding maxDomain fails the job loudly.
+      .withColumn("token_id",
+        when(col("token_id") <= maxDomain, col("token_id"))
+          .otherwise(raise_error(lit(
+            s"dictionaryEncode: > $maxDomain distinct tokens — this is a " +
+              "dimension-only operator (single-partition id window, SURVEY " +
+              "§7.4.7); use hash-based surrogate keys for fact-scale domains"))
+            .cast("long")))
       .select("token_id", "token")
 
   /** S7 + J3 — junction build (reference `etl.py:253-258`): resolve each
@@ -93,6 +106,26 @@ object EtlOps {
       .otherwise(raise_error(concat(lit(s"CHECK violated: $message; row="),
         to_json(struct(df.columns.map(col): _*)))))
     df.withColumn("__check", guard).drop("__check")
+  }
+
+  /** DELETE ... WHERE as a dataflow op: the surviving rows. SQL deletes
+    * rows where the predicate is TRUE; NULL predicates keep the row
+    * (three-valued semantics), hence the coalesce.
+    */
+  def deleteWhere(df: DataFrame, pred: Column): DataFrame =
+    df.filter(!coalesce(pred, lit(false)))
+
+  /** FK `ON DELETE CASCADE` (reference `schema.sql:28-29,39`: deleting a
+    * movie cascades to `ratings` and `movie_genres`) as delete
+    * propagation: child rows survive iff their FK still resolves — a
+    * left-semi join against the surviving parent keys. One shuffle on the
+    * FK (or zero with broadcast/bucketing); no driver-side key list, so
+    * the cascade scales with the child table like any other join.
+    */
+  def cascadeChildren(child: DataFrame, fk: String,
+      survivingParent: DataFrame, pk: String): DataFrame = {
+    val keys = survivingParent.select(col(pk).as("__cascade_pk")).distinct()
+    child.join(keys, child(fk) === col("__cascade_pk"), "left_semi")
   }
 
   // ---- driver-contract query entries ----
@@ -227,4 +260,34 @@ object EtlOps {
       |  UNION ALL SELECT 'documents', COUNT(*) FROM documents
       |  UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
       |) ORDER BY table_name""".stripMargin
+
+  /** q39 — FK ON DELETE CASCADE: delete finished orders
+    * (`o_orderstatus = 'F'`), cascade to lineitem, and profile the
+    * surviving children. Quantities are summed through decimal so the
+    * result is independent of partial-aggregation order (double addition
+    * is not associative).
+    */
+  def q39CascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val surviving = deleteWhere(Tables.orders(spark, dir),
+      col("o_orderstatus") === "F")
+    cascadeChildren(Tables.lineitem(spark, dir), "l_orderkey",
+        surviving, "o_orderkey")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(20, 6)))
+          .cast("double").as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q39OracleSql: String =
+    """WITH surviving AS (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE NOT COALESCE(o_orderstatus = 'F', FALSE)
+      |)
+      |SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem l
+      |WHERE l.l_orderkey IN (SELECT o_orderkey FROM surviving)
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
 }

@@ -47,7 +47,12 @@ object MoviePipeline {
         lit("Unknown").as("director"),
         lit(null).cast("long").as("box_office_dollars"),
         lit(null).cast("int").as("runtime_mins"),
-        lit(null).cast("double").as("imdb_rating"))
+        lit(null).cast("double").as("imdb_rating"),
+        // `created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP` (reference
+        // schema.sql:14): load-time audit stamp. current_timestamp() is
+        // query-constant in Spark, so one load gets one stamp — same
+        // semantics as SQLite stamping each row of the batch INSERT.
+        current_timestamp().as("created_at"))
 
   def loadRatings(spark: SparkSession, csvPath: String): DataFrame =
     CsvTables.read(spark, csvPath, ratingsCsvSchema)

@@ -84,15 +84,48 @@ object Multimodal {
           lit(frameLen))).as("frames"))
 
   /** q28 — the multimodal pipeline end-to-end: manifest columns → batched
-    * decode stub → flattened rounded features. Rows-only driver check
-    * (`mapPartitions` kernel is not SQL-expressible).
+    * decode stub → flattened rounded features (decimal-routed rounding for
+    * cross-engine determinism).
+    *
+    * Fully oracle-checked even though the kernel runs in `mapPartitions`:
+    * the stub's byte-histogram math is replayed in DuckDB over the same
+    * payload bytes ([[q28OracleSql]]) — the corpus is ASCII, so
+    * `ascii(substring(text, i, 1))` enumerates exactly the UTF-8 bytes the
+    * kernel sees. A real codec would make this a rows-only check again;
+    * the point here is that the *plumbing* (schema, batching, feature
+    * shape) is pinned by a hash compare, not just a row count.
     */
   def q28MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     val feats = decodeFeatures(withMediaColumns(Tables.documents(spark, dir)))
     feats.select(
         col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +:
           (0 until FeatureDim).map(i =>
-            round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
+            graft.functions.VectorOps.round6(
+              element_at(col("features"), i + 1)).as(s"f$i")): _*)
       .orderBy("doc_id")
+  }
+
+  /** Replays [[decodeStub]] + [[withMediaColumns]] in SQL: per-character
+    * code points modulo [[FeatureDim]], bucket-counted and normalized by
+    * payload length — byte-identical to the kernel on an ASCII corpus.
+    */
+  val q28OracleSql: String = {
+    val fcols = (0 until FeatureDim).map { k =>
+      val frac = s"CAST(len(list_filter(codes, c -> c % $FeatureDim = $k)) AS DOUBLE) / denom"
+      "       " + graft.functions.VectorOps.round6Sql(frac) + s" AS f$k"
+    }.mkString(",\n")
+    s"""WITH base AS (
+      |  SELECT doc_id,
+      |         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |         CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+      |         CAST(n_chars % 48 + 12 AS INTEGER) AS height,
+      |         list_transform(generate_series(1, length(text)),
+      |                        i -> ascii(substring(text, i, 1))) AS codes,
+      |         CAST(GREATEST(octet_length(encode(text)), 1) AS DOUBLE) AS denom
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_bytes, width, height,
+      |$fcols
+      |FROM base ORDER BY doc_id""".stripMargin
   }
 }

@@ -92,6 +92,39 @@ class EtlOpsSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("CHECK violated")))
   }
 
+  test("dictionaryEncode rejects fact-scale domains loudly") {
+    val toks = Seq("a", "b", "c").toDF("token")
+    assert(EtlOps.dictionaryEncode(toks, maxDomain = 3).collect().length == 3)
+    // collect(), not count(): the guard lives in the token_id column, and
+    // a bare count legally prunes unused columns before evaluation
+    val ex = intercept[Exception] {
+      EtlOps.dictionaryEncode(toks, maxDomain = 2).collect()
+    }
+    def msg(t: Throwable) = Option(t.getMessage).getOrElse("")
+    assert(msg(ex).contains("dimension-only") ||
+      Option(ex.getCause).exists(c => msg(c).contains("dimension-only")))
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (SQL three-valued DELETE)") {
+    val df = Seq((1, Option("F")), (2, Option("O")), (3, None))
+      .toDF("k", "status")
+    val out = EtlOps.deleteWhere(df, $"status" === "F")
+      .select("k").as[Int].collect().toSet
+    assert(out == Set(2, 3))
+  }
+
+  test("cascadeChildren drops exactly the orphaned child rows") {
+    val parent = Seq((1, "keep"), (2, "del"), (3, "keep")).toDF("pk", "st")
+    val child = Seq((10, 1), (11, 2), (12, 2), (13, 3), (14, 99))
+      .toDF("ck", "fk")
+    val surviving = EtlOps.deleteWhere(parent, $"st" === "del")
+    val out = EtlOps.cascadeChildren(child, "fk", surviving, "pk")
+      .select("ck").as[Int].collect().toSet
+    // children of deleted parent 2 cascade away; 14's FK never resolved
+    // (no parent 99), so it goes too — the semi-join enforces integrity
+    assert(out == Set(10, 13))
+  }
+
   test("checkViolations counts out-of-range rows per group") {
     val df = Seq(("a", 1.0), ("a", -1.0), ("b", 5.5), ("b", 3.0))
       .toDF("g", "rating")

@@ -24,6 +24,12 @@ class MovieGoldenSpec extends SparkSpec {
       .select("genre_name").distinct().count() == 19)
   }
 
+  test("created_at audit stamp is present and non-null (schema.sql:14)") {
+    import org.apache.spark.sql.types.TimestampType
+    assert(movies.schema("created_at").dataType == TimestampType)
+    assert(movies.filter(movies("created_at").isNull).count() == 0)
+  }
+
   test("Q1: top-rated movie scores avg 5.0 over 2 ratings") {
     // SQLite's pick among the (5.0, 2) ties is insertion-order arbitrary
     // (queries.sql:13 has no further tie-break); the score is the golden.
