@@ -100,10 +100,40 @@ object Dedup {
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
   }
 
+  /** Bucket-population cap shared by both LSH candidate joins (q18 band
+    * buckets, q19 simhash chunk buckets): buckets holding more than this
+    * many documents are dropped BEFORE the self-join. Same disease and
+    * same cure as q20's [[MaxShingleDf]]: the candidate join's cost is
+    * Σ pop(bucket)², and on a real training corpus duplicate clusters are
+    * exactly what is common — k copies of one boilerplate page share every
+    * bucket, so one hot bucket goes O(k²). The cap bounds fan-out at 64²
+    * rows per bucket, which is also a bound on the pair OUTPUT (itself
+    * O(k²) by the pair semantics; the cluster-true shape is
+    * [[q40DedupKeepers]]). A bucket with >64 members carries little
+    * discriminating signal anyway — a pair inside one usually shares
+    * another, colder bucket. The SAME cap is applied in the generated
+    * oracle SQL, so the cross-engine hash checks still hold.
+    */
+  private val MaxBucketPop = 64
+
+  /** Drop rows of `df` whose (bucket-key) group has more than
+    * [[MaxBucketPop]] members: one hash-aggregate over the bucket index,
+    * then an equi-join on the same keys (same shuffle key as the candidate
+    * join that follows → no extra exchange under AQE).
+    */
+  private def capBuckets(df: DataFrame, keys: String*): DataFrame = {
+    val keep = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("pop"))
+      .filter(col("pop") <= MaxBucketPop)
+      .select(keys.map(col): _*)
+    df.join(keep, keys)
+  }
+
   /** q18 — MinHash LSH near-dup pairs: band-bucket equi-join generates
     * candidates (bucket = the band's signature slice rendered as a string
     * — directly joinable, no second hash); signature agreement estimates
-    * Jaccard; pairs ≥ 0.5 kept. Fully oracle-checked: the PolyHash base +
+    * Jaccard; pairs ≥ 0.5 kept. Buckets over [[MaxBucketPop]] are dropped
+    * first (hot-bucket bound). Fully oracle-checked: the PolyHash base +
     * shared affine coefficients are computed identically in DuckDB
     * ([[q18OracleSql]] is generated from the same constants).
     */
@@ -120,10 +150,11 @@ object Dedup {
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")))))
         .as(Seq("band", "bucket")))
+    val kept = capBuckets(banded, "band", "bucket")
 
-    val a = banded.select(col("band"), col("bucket"),
+    val a = kept.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"),
+    val b = kept.select(col("band"), col("bucket"),
       col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     val cand = a.join(b, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -171,9 +202,15 @@ object Dedup {
       |  FROM hashed GROUP BY doc_id
       |), bands AS (
       |  $bandRows
+      |), bkeep AS (
+      |  SELECT band, bucket FROM bands
+      |  GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucketPop
+      |), kept AS (
+      |  SELECT b.doc_id, b.band, b.bucket FROM bands b
+      |  JOIN bkeep k ON b.band = k.band AND b.bucket = k.bucket
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
+      |  FROM kept a JOIN kept b
       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
       |)
       |SELECT c.doc_a, c.doc_b,
@@ -218,10 +255,15 @@ object Dedup {
   }
 
   /** q19 — SimHash near-dup pairs: candidates share at least one of four
-    * 8-bit chunks; by pigeonhole every pair with Hamming ≤ 3 lands in
-    * some shared chunk, so the ≤ 3 verification is exact AND complete.
-    * Fully oracle-checked ([[q19OracleSql]] regenerates the bit-sums in
-    * SQL from the same PolyHash base).
+    * 16-bit chunks; by pigeonhole every pair with Hamming ≤ 3 lands in
+    * some shared chunk, so the ≤ 3 verification is exact — and complete
+    * for pairs whose shared chunk's bucket holds ≤ [[MaxBucketPop]] docs.
+    * Hot buckets (e.g. near-empty docs collapsing toward simhash 0) are
+    * dropped before the self-join, trading completeness inside a >64-way
+    * duplicate cluster for a bounded join (see [[MaxBucketPop]]; clusters
+    * are the province of [[q40DedupKeepers]]). Fully oracle-checked
+    * ([[q19OracleSql]] regenerates the bit-sums in SQL from the same
+    * PolyHash base, same cap).
     */
   def q19DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sigs = simhashSignatures(Tables.documents(spark, dir))
@@ -229,9 +271,10 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "chunk_val")))
-    val a = chunked.select(col("chunk"), col("chunk_val"),
+    val kept = capBuckets(chunked, "chunk", "chunk_val")
+    val a = kept.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = chunked.select(col("chunk"), col("chunk_val"),
+    val b = kept.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     a.join(b, Seq("chunk", "chunk_val"))
       .filter(col("doc_a") < col("doc_b"))
@@ -268,10 +311,16 @@ object Dedup {
       |  FROM hashed GROUP BY doc_id
       |), chunks AS (
       |  $chunkRows
+      |), ckeep AS (
+      |  SELECT chunk, chunk_val FROM chunks
+      |  GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucketPop
+      |), kept AS (
+      |  SELECT c.doc_id, c.chunk, c.chunk_val, c.simhash FROM chunks c
+      |  JOIN ckeep k ON c.chunk = k.chunk AND c.chunk_val = k.chunk_val
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |         a.simhash AS sim_a, b.simhash AS sim_b
-      |  FROM chunks a JOIN chunks b
+      |  FROM kept a JOIN kept b
       |    ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
       |   AND a.doc_id < b.doc_id
       |)

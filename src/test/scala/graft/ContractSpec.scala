@@ -14,8 +14,10 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("rows-only queries are exactly the documented set") {
+    // Round 2 gave q28 a DuckDB byte-histogram oracle, so every query is
+    // now hash-checked: the rows-only exception set is empty.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q28_multimodal_features"), rowsOnly.toString)
+    assert(rowsOnly.isEmpty, rowsOnly.toString)
   }
 
   test("query names are unique, snake_case, and q-numbered") {
