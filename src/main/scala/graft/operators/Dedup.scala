@@ -379,8 +379,13 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val q20OracleSql: String =
-    s"""WITH toks AS (
+  /** Shared CTE chain computing q20's capped-universe Jaccard pairs
+    * (`jac` = doc_a, doc_b, n_inter, jaccard). Used verbatim by
+    * [[q20OracleSql]] and re-used as the near-dup edge source in
+    * [[q40OracleSql]], so the two oracles can never drift apart.
+    */
+  private val jaccardCtes: String =
+    s"""toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), allsh AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -398,13 +403,18 @@ object Dedup {
       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_inter
       |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
       |  GROUP BY 1, 2
-      |)
-      |SELECT doc_a, doc_b, n_inter,
-      |       CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
-      |FROM pairs
-      |JOIN counts ca ON ca.doc_id = doc_a
-      |JOIN counts cb ON cb.doc_id = doc_b
-      |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+      |), jac AS (
+      |  SELECT doc_a, doc_b, n_inter,
+      |         CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) AS jaccard
+      |  FROM pairs
+      |  JOIN counts ca ON ca.doc_id = doc_a
+      |  JOIN counts cb ON cb.doc_id = doc_b
+      |)""".stripMargin
+
+  val q20OracleSql: String =
+    s"""WITH $jaccardCtes
+      |SELECT doc_a, doc_b, n_inter, jaccard
+      |FROM jac WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
   // ---- q21: embedding-cosine near-dup -----------------------------------
@@ -457,4 +467,118 @@ object Dedup {
       |WHERE $cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---- q40: cluster-representative keepers --------------------------------
+
+  /** Connected components by iterative min-label propagation: every vertex
+    * starts labelled with its own id; each round takes the min of its own
+    * and its neighbours' labels; fixpoint = per-component min id.
+    *
+    * Scale shape: each round is one shuffle (edge⋈label join + min
+    * aggregate), and `localCheckpoint` truncates the lineage so the plan
+    * does not grow with the iteration count (on a real cluster, swap for
+    * `checkpoint` on durable storage). Rounds needed = component
+    * diameter — small for dedup cluster graphs, which are dense blobs of
+    * mutual near-dups, not long chains. For adversarial diameters the
+    * published fix is alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    * which converges in O(log) rounds; plain propagation is the right
+    * trade here. Convergence is detected via the label sum: labels only
+    * ever decrease, so the sum is strictly monotone until fixpoint — one
+    * cheap aggregate per round instead of a per-vertex diff join.
+    *
+    * @param vertices single `v` column (vertex ids)
+    * @param edges    `src`/`dst` columns, treated as undirected
+    * @return (v, label) with label = min vertex id in v's component
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    // Materialized once: the symmetrized edge list is re-joined every
+    // round, and `edges` may carry an arbitrarily expensive upstream plan
+    // (q40 feeds it the whole n-gram Jaccard chain) that must not be
+    // re-evaluated per iteration.
+    val sym = edges.select(col("src").as("v"), col("dst").as("n"))
+      .union(edges.select(col("dst").as("v"), col("src").as("n")))
+      .distinct()
+      .localCheckpoint()
+    var labels = vertices.select(col("v"), col("v").as("label"))
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.select(col("v").as("n"), col("label").as("nl")), "n")
+        .groupBy("v").agg(min("nl").as("nmin"))
+      val next = labels.join(nbrMin, Seq("v"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds — " +
+        "component diameter exceeds the bound; raise maxIter or switch to " +
+        "large-star/small-star contraction")
+    labels
+  }
+
+  /** q40 — per-document keeper assignment, the shape a training-data
+    * pipeline actually consumes (q17–q20's pair/group outputs are
+    * intermediates): cluster the candidate graph — exact-duplicate edges
+    * (same md5, rooted at the group's min doc_id) ∪ q20's capped n-gram
+    * Jaccard pairs — with [[connectedComponents]], keeper = min doc_id of
+    * the cluster. Every document appears; singletons keep themselves.
+    * Oracle-checked via a DuckDB recursive CTE enumerating reachability
+    * over the same edge set ([[q40OracleSql]]).
+    */
+  def q40DedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hashed = docs.select(md5(col("text")).as("h"), col("doc_id"))
+    val roots = hashed.groupBy("h").agg(min("doc_id").as("root"))
+    val exactEdges = hashed.join(roots, "h")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("src"), col("doc_id").as("dst"))
+    val nearEdges = q20NgramJaccard(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    connectedComponents(docs.select(col("doc_id").as("v")),
+        exactEdges.union(nearEdges))
+      .select(col("v").as("doc_id"), col("label").as("keeper_id"),
+        (col("label") === col("v")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** Recursive reachability in DuckDB over the SAME edge set (exact-dup
+    * roots + the shared [[jaccardCtes]] pair chain); keeper = min
+    * reachable id. Cluster enumeration is O(size²) rows per cluster —
+    * fine at oracle scale, which is the point of the Spark operator.
+    */
+  val q40OracleSql: String =
+    s"""WITH RECURSIVE $jaccardCtes, hashes AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), roots AS (
+      |  SELECT h, MIN(doc_id) AS root FROM hashes GROUP BY 1
+      |), exact_edges AS (
+      |  SELECT r.root AS src, x.doc_id AS dst
+      |  FROM hashes x JOIN roots r ON x.h = r.h AND x.doc_id <> r.root
+      |), near_edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+      |), edges AS (
+      |  SELECT src, dst FROM exact_edges
+      |  UNION SELECT dst, src FROM exact_edges
+      |  UNION SELECT src, dst FROM near_edges
+      |  UNION SELECT dst, src FROM near_edges
+      |), reach(v, r) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r
+      |)
+      |SELECT v AS doc_id, MIN(r) AS keeper_id, MIN(r) = v AS is_keeper
+      |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
 }

@@ -46,6 +46,38 @@ class DedupSpec extends SparkSpec {
     assert(sims.sum / sims.length >= 0.6)
   }
 
+  test("q40 keeper assignment is a consistent clustering of the pair graph") {
+    val rows = Dedup.q40DedupKeepers(spark, sf).collect()
+    val keeper = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    // total: every document gets exactly one assignment
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    // keeper = cluster min, so never above the member
+    assert(keeper.forall { case (d, k) => k <= d })
+    // is_keeper is derived, and keepers are fixpoints (keeper of a keeper
+    // is itself — fails if propagation stopped before convergence)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_keeper") ==
+        (r.getAs[Long]("doc_id") == r.getAs[Long]("keeper_id")))
+    }
+    assert(keeper.values.toSet.forall(k => keeper(k) == k))
+    // every q20 near-dup pair landed in the same cluster
+    exact.keys.foreach { case (a, b) => assert(keeper(a) == keeper(b)) }
+  }
+
+  test("connectedComponents labels a multi-hop chain with its min id") {
+    import spark.implicits._
+    // 0-1-2-3-4 chain plus isolated 9: propagation must cross 4 hops
+    val edges = Seq((1L, 0L), (1L, 2L), (3L, 2L), (3L, 4L), (7L, 8L))
+      .toDF("src", "dst")
+    val verts = (Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 9L)).toDF("v")
+    val got = Dedup.connectedComponents(verts, edges).collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
   test("q17 exact-dedup groups partition the corpus") {
     val rows = Dedup.q17DedupExact(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
