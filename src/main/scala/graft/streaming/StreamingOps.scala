@@ -142,16 +142,23 @@ object StreamingOps {
   /** S5's upsert as an exactly-once streaming sink: each micro-batch is
     * merged into the parquet target by key via the same last-write-wins
     * reduction the batch sink uses (`foreachBatch` ⇒ the MERGE body in a
-    * Delta/Iceberg deployment; checkpointing makes replays idempotent).
+    * Delta/Iceberg deployment). `foreachBatch` executes at-least-once on
+    * failure/restart; pairing it with the idempotent keyed merge and a
+    * `checkpointLocation` is what yields effective exactly-once — a
+    * replayed or re-delivered batch reduces to the same winners
+    * (checkpoint-replay proven in `StreamingSpec`).
     */
   def upsertSink(updates: DataFrame, spark: SparkSession, path: String,
-      keys: Seq[String], versionCols: Seq[String]): StreamingQuery =
-    updates.writeStream
+      keys: Seq[String], versionCols: Seq[String],
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = updates.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         Sinks.upsertByKey(spark, path, batch.toDF(), keys, versionCols)
       }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
       .start()
+  }
 
   // ---- driver-contract batch entries ----
 
