@@ -26,6 +26,56 @@ class CandidateJoinSpec extends SparkSpec {
     assert(out == Seq((1, 0, 100), (2, 1, 200), (3, -1, -1), (4, 0, 300)))
   }
 
+  test("resolveLive with the offline client agrees with the declarative join") {
+    import graft.operators.{Enrichment, EnrichmentClient}
+    val probe = Seq(
+      (1L, Seq("alpha beta", "alpha")),
+      (2L, Seq("nope", "alpha")),
+      (3L, Seq("nope", "zilch")),
+      (4L, Seq("gamma"))
+    ).toDF("id", "candidates")
+    val lookup = Seq(("alpha beta", 100L, "x"), ("alpha", 200L, "y"),
+      ("gamma", 300L, "z")).toDF("key", "meta_id", "tag")
+
+    val live = Enrichment.resolveLive(probe, "id", "candidates",
+        EnrichmentClient.offline(lookup, "key"))
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[Integer]("matched_priority")).map(_.toInt),
+        Option(r.getAs[Map[String, String]]("payload"))))
+      .toSeq
+    val declarative = CandidateJoin.resolve(probe, "id", "candidates", lookup, "key")
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"),
+        Option(r.getAs[Integer]("matched_priority")).map(_.toInt),
+        if (r.isNullAt(r.fieldIndex("meta_id"))) None
+        else Some(Map("meta_id" -> r.getAs[Long]("meta_id").toString,
+          "tag" -> r.getAs[String]("tag")))))
+      .toSeq
+    assert(live == declarative)
+    assert(live.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(live(0)._2.contains(0) && live(1)._2.contains(1) && live(2)._2.isEmpty)
+  }
+
+  test("resolveLive opens and closes one client per partition") {
+    import graft.operators.{Enrichment, EnrichmentClient}
+    val sc = spark.sparkContext
+    val opens = sc.longAccumulator("opens")
+    val closes = sc.longAccumulator("closes")
+    val client = new EnrichmentClient {
+      override def open(): Unit = opens.add(1)
+      override def close(): Unit = closes.add(1)
+      override def fetch(c: String): Option[Map[String, String]] =
+        if (c.startsWith("k")) Some(Map("v" -> c)) else None
+    }
+    val probe = (1L to 100L).map(i => (i, Seq(s"k$i")))
+      .toDF("id", "candidates").repartition(4)
+    val out = Enrichment.resolveLive(probe, "id", "candidates", client)
+    assert(out.filter("matched_priority IS NOT NULL").count() == 100)
+    assert(opens.value == 4 && closes.value == 4,
+      s"opens=${opens.value} closes=${closes.value}")
+  }
+
   test("q15/q16 plans resolve every probe row exactly once") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(CandidateJoin.q15CandidateJoin(spark, sf).count() == n)
