@@ -69,7 +69,10 @@ object Bench {
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
-        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\r\n\t]", " ") + "\""
+        // escape backslash/quote, then blank ALL control chars (<0x20) —
+        // a \b or \f in an exception message must not break the parse
+        // on exactly the failure path this reporting exists for
+        "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""

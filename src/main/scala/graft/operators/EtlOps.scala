@@ -71,6 +71,14 @@ object EtlOps {
     * Single shuffle on the key; at scale this is the standard
     * dedup-before-merge shape (and the `foreachBatch` MERGE body in a
     * Delta/Iceberg environment).
+    *
+    * Skew caveat: `row_number` over a key window sends EVERY row of a key
+    * to one reducer — a single user with 10⁸ events lands one partition.
+    * When "newest" is expressible as a lexicographic max (the upsert
+    * case), use [[latestByKeyAgg]] instead, which reduces map-side and is
+    * immune to hot keys. This window form remains for arbitrary mixed
+    * asc/desc orderings; `Skew.saltedAggregate` covers hand-salted
+    * two-phase shapes for other aggregates.
     */
   def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame =
     df.withColumn("__rn",
@@ -78,6 +86,29 @@ object EtlOps {
           Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
       .filter(col("__rn") === 1)
       .drop("__rn")
+
+  /** Skew-immune [[latestByKey]] for "newest wins" orderings: the winner
+    * per key is `max(struct(versionCols…, payload…))` — struct comparison
+    * is lexicographic, so the row with the greatest version tuple wins,
+    * and an ordinary hash aggregate gets map-side partial aggregation: a
+    * hot key reduces to one candidate row per map task before the
+    * shuffle, so no reducer ever sees a whole key's rows (the fix the
+    * window form can't have).
+    *
+    * Deterministic when `versionCols` is a per-key unique tuple (the
+    * upsert contract — e.g. (ts, event_id)); version columns must be
+    * non-null (nulls sort first in struct comparison and would demote a
+    * row). Trailing payload fields only break version ties.
+    */
+  def latestByKeyAgg(df: DataFrame, keys: Seq[String],
+      versionCols: Seq[String]): DataFrame = {
+    val payload = df.columns.filterNot(keys.contains)
+    val packed = versionCols ++ payload.filterNot(versionCols.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max(struct(packed.map(col): _*)).as("__latest"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__latest.$c").as(c)): _*)
+  }
 
   /** S6/S7 — `INSERT OR IGNORE` as a dataflow op: incoming rows whose key
     * is absent from `existing` (left-anti join, broadcast when small).
@@ -199,8 +230,7 @@ object EtlOps {
     */
   def q12UpsertLatest(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    latestByKey(e, Seq("user_id", "event_type"),
-      Seq(col("ts_ns").desc, col("event_id").desc))
+    latestByKeyAgg(e, Seq("user_id", "event_type"), Seq("ts_ns", "event_id"))
       .select(col("user_id"), col("event_type"), col("event_id"),
         col("value"), unix_micros(col("ts")).as("ts_us"))
       .orderBy("user_id", "event_type")

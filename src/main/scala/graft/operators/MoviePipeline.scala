@@ -49,10 +49,13 @@ object MoviePipeline {
         lit(null).cast("int").as("runtime_mins"),
         lit(null).cast("double").as("imdb_rating"),
         // `created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP` (reference
-        // schema.sql:14): load-time audit stamp. current_timestamp() is
-        // query-constant in Spark, so one load gets one stamp — same
-        // semantics as SQLite stamping each row of the batch INSERT.
-        current_timestamp().as("created_at"))
+        // schema.sql:14): load-time audit stamp. Stamped with a
+        // driver-side literal captured when the load plan is BUILT —
+        // current_timestamp() is only constant per query execution, so an
+        // uncached plan would re-stamp on every action; a literal gives
+        // one load one stamp regardless of caching.
+        lit(new java.sql.Timestamp(System.currentTimeMillis()))
+          .as("created_at"))
 
   def loadRatings(spark: SparkSession, csvPath: String): DataFrame =
     CsvTables.read(spark, csvPath, ratingsCsvSchema)

@@ -108,6 +108,13 @@ object Multimodal {
   /** Replays [[decodeStub]] + [[withMediaColumns]] in SQL: per-character
     * code points modulo [[FeatureDim]], bucket-counted and normalized by
     * payload length — byte-identical to the kernel on an ASCII corpus.
+    *
+    * ASCII dependency (enforced, not assumed): the Spark kernel iterates
+    * UTF-8 BYTES of the payload while this SQL iterates CHARACTERS of the
+    * text — identical only while every char is one byte. A non-ASCII
+    * corpus would hash-mismatch with no hint why, so
+    * `SimilaritySpec` asserts the documents fixture is pure ASCII and
+    * names this oracle in its failure message.
     */
   val q28OracleSql: String = {
     val fcols = (0 until FeatureDim).map { k =>

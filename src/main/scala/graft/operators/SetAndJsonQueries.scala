@@ -72,6 +72,15 @@ object SetAndJsonQueries {
     * per-customer order sequence, running spend, and inter-order delta.
     * One shuffle on the partition key; rows stay sorted within partitions
     * for all three frames.
+    *
+    * Hot-key story: running sequences are irreducibly per-key — every row
+    * of a customer must meet in order, so a customer with 10⁸ rows owns
+    * one task and no salt can fix that without changing the answer
+    * (contrast `EtlOps.latestByKeyAgg`, where the reduction commutes and
+    * the window is avoidable). The honest mitigations are upstream: bound
+    * rows-per-key at ingest, or restate the metric per (key, time-bucket)
+    * so the window key is composite. Here o_custkey is ~uniform
+    * (TPC-H-shaped), so the plain window is the right plan.
     */
   def q37WindowAnalytics(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)

@@ -1,7 +1,6 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
 import graft.operators.EtlOps
 
 /** The reference's load-phase sink semantics (SURVEY.md §2.1 S5–S10) as
@@ -37,7 +36,9 @@ object Sinks {
       case Some(existing) => existing.unionByName(updates)
       case None => updates
     }
-    val latest = EtlOps.latestByKey(merged, keys, versionCols.map(col(_).desc))
+    // Aggregate (map-side-reducing) form: hot keys never concentrate on
+    // one reducer, and replayed/duplicate updates collapse identically.
+    val latest = EtlOps.latestByKeyAgg(merged, keys, versionCols)
     // Overwrite of the path we just read: materialize via a staging dir +
     // atomic-ish swap (a self-overwrite would delete its own input mid-scan).
     val tmp = path + "__stage"

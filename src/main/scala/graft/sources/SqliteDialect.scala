@@ -28,6 +28,14 @@ object SqliteDialect {
   /** Run a multi-statement SQLite script (split on `;`, like the
     * reference's runner `etl.py:304`), translating each statement.
     * Statements that are only comments/whitespace are skipped.
+    *
+    * Supported surface: reference-shaped scripts — no `;` inside string
+    * literals or comments (the split is positional, mirroring the
+    * reference runner's own limitation), and no GROUP_CONCAT nested
+    * inside another GROUP_CONCAT's argument list (the rewriter recurses
+    * on the text after a call, not within its arguments). The
+    * reference's `queries.sql` satisfies both; a general SQLite dialect
+    * layer would need a full lexer here, which this deliberately is not.
     */
   def runScript(spark: SparkSession, script: String): Seq[(String, DataFrame)] =
     script.split(";").map(_.trim).filter(stmtHasSql).toSeq

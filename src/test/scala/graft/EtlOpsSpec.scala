@@ -39,6 +39,31 @@ class EtlOpsSpec extends SparkSpec {
     assert(out == Set((1, "new"), (2, "only")))
   }
 
+  test("latestByKeyAgg equals the window form, including on a hot key") {
+    // skewed fixture: key 1 holds 10k of 10.2k rows — the shape that
+    // pins a row_number window to one reducer; the aggregate form must
+    // return identical winners while reducing map-side
+    val skewed = spark.range(10000)
+      .selectExpr("1 AS k", "id AS ver", "concat('p', id) AS v")
+      .unionAll(spark.range(200)
+        .selectExpr("CAST(2 + id % 50 AS BIGINT) AS k", "id AS ver",
+          "concat('q', id) AS v"))
+      .repartition(8)
+    val win = EtlOps.latestByKey(skewed, Seq("k"),
+        Seq($"ver".desc, $"v".desc))
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().toSet
+    val agg = EtlOps.latestByKeyAgg(skewed, Seq("k"), Seq("ver", "v"))
+      .select("k", "ver", "v").as[(Long, Long, String)].collect().toSet
+    assert(agg == win)
+    assert(agg.exists { case (k, ver, _) => k == 1L && ver == 9999L })
+    // the aggregate plan must partially reduce BEFORE the key shuffle
+    // (struct max runs as SortAggregate; the map-side partial_max is what
+    // makes it hot-key-immune) and must not contain a window at all
+    val plan = EtlOps.latestByKeyAgg(skewed, Seq("k"), Seq("ver", "v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max") && !plan.contains("Window"), plan)
+  }
+
   test("upsertByKey parquet round-trip is last-write-wins and idempotent") {
     val dir = Files.createTempDirectory("graft_upsert").toString + "/t"
     val v1 = Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "ver", "v")

@@ -62,6 +62,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("documents corpus is pure ASCII (q28 oracle byte==char dependency)") {
+    // q28's Spark kernel iterates UTF-8 bytes; its DuckDB oracle iterates
+    // characters. They agree only while every char is one byte, so a
+    // non-ASCII doc would fail the driver's hash compare with no hint
+    // why — fail HERE instead, by name.
+    import org.apache.spark.sql.functions._
+    val nonAscii = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(length(col("text")) =!= octet_length(col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII document(s): q28OracleSql's char-wise replay " +
+        "no longer matches the byte-wise kernel — make the oracle " +
+        "byte-wise or re-encode the corpus")
+  }
+
   test("frameSample emits n fixed-width windows") {
     val frames = Multimodal.frameSample(
       Multimodal.withMediaColumns(spark.read.parquet(s"$sf/documents.parquet")),
