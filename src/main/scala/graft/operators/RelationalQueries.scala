@@ -27,11 +27,17 @@ object RelationalQueries {
   def q1TopRated(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"))
-      .groupBy(c("c_custkey").as("custkey"), c("c_name").as("name"))
-      .agg(
-        round2(avg(o("o_totalprice"))).as("avg_price"),
+    // Aggregate the fact to the join key FIRST (avg ≡ sum/count,
+    // map-side partials), then broadcast-join the customer dim onto one
+    // row per customer: the join never carries individual orders and the
+    // top-1 is a TakeOrdered over customers, not orders.
+    val oagg = o.groupBy(o("o_custkey"))
+      .agg(sum(o("o_totalprice")).as("price_sum"),
         count(o("o_totalprice")).as("order_count"))
+    c.join(oagg, c("c_custkey") === oagg("o_custkey"))
+      .select(c("c_custkey").as("custkey"), c("c_name").as("name"),
+        round2(col("price_sum") / col("order_count")).as("avg_price"),
+        col("order_count"))
       .orderBy(desc("avg_price"), desc("order_count"), asc("custkey"))
       .limit(1)
   }
@@ -51,25 +57,32 @@ object RelationalQueries {
     * count (A4, `queries.sql:22`).
     *
     * Scale: region/nation/customer are all dimension-side — Catalyst
-    * broadcasts them, so the fact table never shuffles for the join; the
-    * single shuffle is the 25-group hash aggregate. `countDistinct` plans
-    * as Expand + two-phase agg (exact, per the reference); at true 100 TB
-    * scale an `approx_count_distinct` variant would be the opt-in.
+    * broadcasts them, so the fact table never shuffles for the join. The
+    * fact is PRE-AGGREGATED per customer before the join (map-side
+    * partials), which (a) shrinks the join input to one row per ordering
+    * customer and (b) turns the exact distinct-customer count into a
+    * plain `count(*)` — the naive `countDistinct` would plan an Expand
+    * that doubles the joined fact through the 25-group aggregate. Same
+    * answer; at true 100 TB scale an `approx_count_distinct` variant
+    * remains the opt-in for distinct counts that don't pre-group away.
     */
   def q2TopGenres(spark: SparkSession, dir: String): DataFrame = {
     val r = Tables.region(spark, dir)
     val n = Tables.nation(spark, dir)
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
+    val oagg = o.groupBy(o("o_custkey"))
+      .agg(sum(o("o_totalprice")).as("price_sum"),
+        count(o("o_totalprice")).as("n_orders"))
     r.join(n, r("r_regionkey") === n("n_regionkey"))
       .join(c, n("n_nationkey") === c("c_nationkey"))
-      .join(o, c("c_custkey") === o("o_custkey"))
+      .join(oagg, c("c_custkey") === oagg("o_custkey"))
       .groupBy(n("n_nationkey").as("nationkey"), n("n_name").as("nation"),
         r("r_name").as("region"))
       .agg(
-        round2(avg(o("o_totalprice"))).as("avg_price"),
-        countDistinct(c("c_custkey")).as("customer_count"),
-        count(o("o_totalprice")).as("order_count"))
+        round2(sum(col("price_sum")) / sum(col("n_orders"))).as("avg_price"),
+        count(lit(1)).as("customer_count"),
+        sum(col("n_orders")).as("order_count"))
       .orderBy(desc("avg_price"), desc("order_count"), asc("nation"))
       .limit(5)
   }
@@ -129,20 +142,30 @@ object RelationalQueries {
     * intended integer semantic — identical output for 4-digit years.
     *
     * Scale: orders⋈lineitem is the one genuinely large join in this family
-    * — both sides big, equi-key `orderkey` → sort-merge or shuffled hash;
-    * the year-group aggregate then reduces to a handful of rows, and the
-    * final sort is trivial. AQE can coalesce the post-join partitions.
+    * — both sides big, equi-key `orderkey`. The fact side is PRE-AGGREGATED
+    * to its join key before the join (sum/count per orderkey, map-side
+    * partials): the join then carries one row per order instead of one per
+    * line, and `order_count` becomes a plain `count(*)` — the naive form's
+    * `countDistinct` would otherwise plan an Expand that DOUBLES the joined
+    * fact rows through the year aggregate. Same answer (avg = Σsum/Σcount;
+    * per-column null counts preserved), half the rows shuffled, no Expand —
+    * the difference between "works at sf0.1" and "works at 100 TB".
     */
   def q4ByYear(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     val l = Tables.lineitem(spark, dir)
+    val lagg = l.groupBy(l("l_orderkey"))
+      .agg(
+        sum(l("l_extendedprice")).as("price_sum"),
+        count(l("l_extendedprice")).as("n_price"),
+        count(l("l_quantity")).as("n_qty"))
     o.filter(o("o_orderdate").isNotNull)
-      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .join(lagg, o("o_orderkey") === lagg("l_orderkey"))
       .groupBy(year(o("o_orderdate")).as("order_year"))
       .agg(
-        round2(avg(l("l_extendedprice"))).as("avg_price"),
-        countDistinct(o("o_orderkey")).as("order_count"),
-        count(l("l_quantity")).as("line_count"))
+        round2(sum(col("price_sum")) / sum(col("n_price"))).as("avg_price"),
+        count(lit(1)).as("order_count"),
+        sum(col("n_qty")).as("line_count"))
       .orderBy(desc("order_year"))
   }
 
