@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps.{round6, round6Sql}
+
+/** The end-to-end corpus-curation funnel — what a training-data pipeline
+  * actually runs over 100 TB of raw documents: per-document quality
+  * signals (token count, n-gram repetition), language id, and the
+  * dedup-keeper assignment, composed into one `selected` verdict per
+  * document. Each signal is an operator this library already ships
+  * (q24/q26, q38, q25, q40); q41 is their composition into the decision a
+  * user consumes, with the full funnel — including the connected-
+  * components keeper step — replayed in one DuckDB oracle.
+  *
+  * Scale shape: the signal columns are codegen'd expressions over one
+  * document scan; the only non-trivial cost is the keeper step (shared
+  * with q40). At 100 TB you materialize keepers once and join them to as
+  * many signal passes as curation needs — mirrored here by reusing
+  * `Dedup.q40DedupKeepers` as the keeper source rather than re-deriving.
+  */
+object Curation {
+
+  /** Selection thresholds. Deliberately plain values (not tuned to the
+    * synthetic corpus): docs must be their cluster's keeper, predicted
+    * English, 5–5000 whitespace tokens, and ≤ 0.5 shingle repetition.
+    */
+  private val MinTokens = 5
+  private val MaxTokens = 5000
+  private val MaxRepetition = 0.5
+
+  /** q41 — per-document curation verdict: every document appears with its
+    * signals and a boolean `selected`; the kept corpus is
+    * `WHERE selected`. Emitting the full ledger (rather than only
+    * survivors) is the auditable shape — rejected docs carry the signal
+    * that rejected them.
+    */
+  def q41CorpusSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val toks = split(col("text"), "\\s+")
+    val totalSh = greatest(size(toks) - 2, lit(0))
+    val distinctSh = size(Dedup.shingles3(toks))
+    val repetition = round6(when(totalSh > 0,
+      lit(1.0) - distinctSh.cast("double") / totalSh).otherwise(0.0))
+    val signals = d.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      repetition.as("repetition_ratio"),
+      TextAnalysis.langPred(col("text")).as("pred_lang"))
+    val keepers = Dedup.q40DedupKeepers(spark, dir)
+    signals.join(keepers, "doc_id")
+      .withColumn("selected",
+        col("is_keeper") && col("pred_lang") === "en" &&
+          col("n_tokens").between(MinTokens, MaxTokens) &&
+          col("repetition_ratio") <= MaxRepetition)
+      .select("doc_id", "n_tokens", "repetition_ratio", "pred_lang",
+        "keeper_id", "is_keeper", "selected")
+      .orderBy("doc_id")
+  }
+
+  /** One statement replaying the whole funnel: the keeper CTE chain
+    * (shared with q40 — the two cannot drift) joined to the signal
+    * expressions (shared fragments with q25/q38).
+    */
+  val q41OracleSql: String = {
+    val ratio = round6Sql(
+      "1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / greatest(len(tl) - 2, 1)")
+    s"""WITH RECURSIVE ${Dedup.keeperCtes}, sig AS (
+      |  SELECT doc_id,
+      |         len(string_split_regex(text, '\\s+')) AS n_tokens,
+      |         CASE WHEN len(tl) - 2 > 0
+      |              THEN $ratio
+      |              ELSE 0.0 END AS repetition_ratio,
+      |         ${TextAnalysis.langPredSql} AS pred_lang
+      |  FROM (
+      |    SELECT doc_id, text, string_split_regex(text, '\\s+') AS tl,
+      |           CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN []
+      |                ELSE list_transform(generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
+      |                       i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+      |                            string_split_regex(text, '\\s+')[i+1] || ' ' ||
+      |                            string_split_regex(text, '\\s+')[i+2]) END AS shl
+      |    FROM documents
+      |  )
+      |)
+      |SELECT s.doc_id, s.n_tokens, s.repetition_ratio, s.pred_lang,
+      |       k.keeper_id, k.is_keeper,
+      |       (k.is_keeper AND s.pred_lang = 'en'
+      |        AND s.n_tokens BETWEEN $MinTokens AND $MaxTokens
+      |        AND s.repetition_ratio <= $MaxRepetition) AS selected
+      |FROM sig s JOIN keepers k ON s.doc_id = k.doc_id
+      |ORDER BY s.doc_id""".stripMargin
+  }
+}

@@ -558,9 +558,12 @@ object Dedup {
     * roots + the shared [[jaccardCtes]] pair chain); keeper = min
     * reachable id. Cluster enumeration is O(size²) rows per cluster —
     * fine at oracle scale, which is the point of the Spark operator.
+    * Exposed as a CTE chain (ending in `keepers(doc_id, keeper_id,
+    * is_keeper)`) so `Curation.q41OracleSql` can reuse it verbatim; must
+    * appear under `WITH RECURSIVE`.
     */
-  val q40OracleSql: String =
-    s"""WITH RECURSIVE $jaccardCtes, hashes AS (
+  val keeperCtes: String =
+    s"""$jaccardCtes, hashes AS (
       |  SELECT doc_id, md5(text) AS h FROM documents
       |), roots AS (
       |  SELECT h, MIN(doc_id) AS root FROM hashes GROUP BY 1
@@ -578,7 +581,12 @@ object Dedup {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT reach.v, e.dst FROM reach JOIN edges e ON e.src = reach.r
-      |)
-      |SELECT v AS doc_id, MIN(r) AS keeper_id, MIN(r) = v AS is_keeper
-      |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+      |), keepers AS (
+      |  SELECT v AS doc_id, MIN(r) AS keeper_id, MIN(r) = v AS is_keeper
+      |  FROM reach GROUP BY v
+      |)""".stripMargin
+
+  val q40OracleSql: String =
+    s"""WITH RECURSIVE $keeperCtes
+      |SELECT doc_id, keeper_id, is_keeper FROM keepers ORDER BY doc_id""".stripMargin
 }

@@ -64,6 +64,39 @@ object TextAnalysis {
     "es" -> "\\b(el|la|los|las|de|y|es|que)\\b",
     "fr" -> "\\b(le|la|les|et|est|que|une)\\b")
 
+  /** Per-language stopword-hit scores for `text`, profile order. Shared
+    * by q25 and `Curation.q41CorpusSelect`.
+    */
+  def langScores(text: Column): Seq[Column] =
+    LangProfiles.map { case (_, re) =>
+      size(regexp_extract_all(lower(text), lit(re)))
+    }
+
+  /** Stopword-profile argmax with the deterministic tie order
+    * (en > de > es > fr).
+    */
+  def langPred(text: Column): Column = {
+    val Seq(en, de, es, fr) = langScores(text)
+    when(en >= de && en >= es && en >= fr, "en")
+      .when(de >= es && de >= fr, "de")
+      .when(es >= fr, "es")
+      .otherwise("fr")
+  }
+
+  /** DuckDB fragments mirroring [[langScores]]/[[langPred]] over a
+    * column named `text`.
+    */
+  val langScoreSqls: Seq[String] = LangProfiles.map { case (_, re) =>
+    s"len(regexp_extract_all(lower(text), '$re'))"
+  }
+  val langPredSql: String = {
+    val Seq(en, de, es, fr) = langScoreSqls
+    s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       |            WHEN $de >= $es AND $de >= $fr THEN 'de'
+       |            WHEN $es >= $fr THEN 'es'
+       |            ELSE 'fr' END""".stripMargin
+  }
+
   /** q25 — language identification by stopword-profile argmax with a
     * deterministic tie order (en > de > es > fr). The corpus text is
     * synthetic English-ish regardless of its `lang` label, so the value
@@ -72,33 +105,19 @@ object TextAnalysis {
     */
   def q25LangId(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val scores = LangProfiles.map { case (l, re) =>
-      l -> size(regexp_extract_all(lower(col("text")), lit(re)))
-    }
-    val Seq(en, de, es, fr) = scores.map(_._2)
-    val pred = when(en >= de && en >= es && en >= fr, "en")
-      .when(de >= es && de >= fr, "de")
-      .when(es >= fr, "es")
-      .otherwise("fr")
+    val Seq(en, de, es, fr) = langScores(col("text"))
     d.select(col("doc_id"),
         en.as("score_en"), de.as("score_de"),
         es.as("score_es"), fr.as("score_fr"),
-        pred.as("pred_lang"), col("lang").as("labeled_lang"))
+        langPred(col("text")).as("pred_lang"), col("lang").as("labeled_lang"))
       .orderBy("doc_id")
   }
 
   val q25OracleSql: String = {
-    def s(re: String) = s"len(regexp_extract_all(lower(text), '$re'))"
-    val en = s("\\b(the|and|of|to|in|is|that|it)\\b")
-    val de = s("\\b(der|die|das|und|ist|nicht|ein)\\b")
-    val es = s("\\b(el|la|los|las|de|y|es|que)\\b")
-    val fr = s("\\b(le|la|les|et|est|que|une)\\b")
+    val Seq(en, de, es, fr) = langScoreSqls
     s"""SELECT doc_id,
       |       $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
-      |       CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
-      |            WHEN $de >= $es AND $de >= $fr THEN 'de'
-      |            WHEN $es >= $fr THEN 'es'
-      |            ELSE 'fr' END AS pred_lang,
+      |       $langPredSql AS pred_lang,
       |       lang AS labeled_lang
       |FROM documents ORDER BY doc_id""".stripMargin
   }

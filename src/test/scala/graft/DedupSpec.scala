@@ -78,6 +78,24 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("q41 curation verdict is consistent with its own signals") {
+    val rows = graft.operators.Curation.q41CorpusSelect(spark, sf).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    val selected = rows.filter(_.getAs[Boolean]("selected"))
+    assert(selected.nonEmpty, "funnel selected nothing — thresholds broken")
+    // selected implies every gate; non-keepers are never selected
+    selected.foreach { r =>
+      assert(r.getAs[Boolean]("is_keeper"))
+      assert(r.getAs[String]("pred_lang") == "en")
+      val n = r.getAs[Int]("n_tokens")
+      assert(n >= 5 && n <= 5000)
+      assert(r.getAs[Double]("repetition_ratio") <= 0.5)
+    }
+    assert(rows.filter(r => !r.getAs[Boolean]("is_keeper"))
+      .forall(!_.getAs[Boolean]("selected")))
+  }
+
   test("q17 exact-dedup groups partition the corpus") {
     val rows = Dedup.q17DedupExact(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
