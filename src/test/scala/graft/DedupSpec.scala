@@ -78,6 +78,32 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 9L))
   }
 
+  test("connectedComponents matches union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(20)
+      val edges = Seq.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side min-union-find oracle: pointing the larger root at the
+      // smaller keeps every root the component minimum
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val got = Dedup.connectedComponents(
+          (0L until n.toLong).toDF("v"), edges.toDF("src", "dst"))
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+      assert(got == expected)
+    }
+  }
+
   test("q41 curation verdict is consistent with its own signals") {
     val rows = graft.operators.Curation.q41CorpusSelect(spark, sf).collect()
     assert(rows.length ==
