@@ -118,15 +118,24 @@ object Dedup {
 
   /** Drop rows of `df` whose (bucket-key) group has more than
     * [[MaxBucketPop]] members: one hash-aggregate over the bucket index,
-    * then an equi-join on the same keys (same shuffle key as the candidate
-    * join that follows → no extra exchange under AQE).
+    * then an equi-join on the same keys.
+    *
+    * The input is MATERIALIZED first and the capped result materialized
+    * again: the bucket index sits above the expensive signature
+    * aggregation and below a self-join, so its subtree is otherwise
+    * evaluated three times (cap aggregate + both join sides) — Catalyst's
+    * exchange reuse does not collapse the differently-aliased copies
+    * (verified on the executed plan). `localCheckpoint` is the local-mode
+    * stand-in; on a cluster this is `persist(DISK_ONLY)`/checkpoint of a
+    * signature table you would keep anyway.
     */
   private def capBuckets(df: DataFrame, keys: String*): DataFrame = {
-    val keep = df.groupBy(keys.map(col): _*)
+    val index = df.localCheckpoint()
+    val keep = index.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("pop"))
       .filter(col("pop") <= MaxBucketPop)
       .select(keys.map(col): _*)
-    df.join(keep, keys)
+    index.join(keep, keys).localCheckpoint()
   }
 
   /** q18 — MinHash LSH near-dup pairs: band-bucket equi-join generates
@@ -355,13 +364,15 @@ object Dedup {
     * DuckDB-expressible → full oracle.
     */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val raw = shingleIndex(Tables.documents(spark, dir))
-    // DF cap: one hash-aggregate over the index, then an equi-join to keep
-    // only sub-cap shingles. Both sides shuffle on `sh`, which the pair
-    // join below reuses (same key → no extra exchange under AQE).
+    // Materialized once: the raw index feeds the df-cap aggregate and the
+    // capped index below, which itself feeds per-doc counts and BOTH pair
+    // join sides — without materialization the shingle explode re-runs
+    // four times (see capBuckets for the same pattern and the cluster
+    // equivalent).
+    val raw = shingleIndex(Tables.documents(spark, dir)).localCheckpoint()
     val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= MaxShingleDf).select("sh")
-    val idx = raw.join(keep, "sh")
+    val idx = raw.join(keep, "sh").localCheckpoint()
     val counts = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
