@@ -160,6 +160,19 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming exact dedup by event id: an at-least-once upstream
+    * re-delivers rows; this keeps the first arrival of each `idCol` and
+    * drops re-deliveries arriving within the watermark allowance — with
+    * BOUNDED state, because `dropDuplicatesWithinWatermark` evicts ids
+    * once the watermark passes them (a plain `dropDuplicates` on a stream
+    * would grow its id set forever). The streaming face of
+    * `Dedup.q17DedupExact`'s hash-dedup stance.
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+      allowance: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", allowance)
+      .dropDuplicatesWithinWatermark(idCol)
+
   // ---- driver-contract batch entries ----
 
   /** q29 — tumbling-window aggregation over the static events table. */

@@ -116,6 +116,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows == Set((1L, "view", 3L, 7.0), (2L, "buy", 2L, 2.0)))
   }
 
+  test("dedupStream drops re-delivered ids within the watermark, state bounded") {
+    val input = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.dedupStream(input.toDF(), "event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+
+    input.addData(ev(1, 10, 1, "view", 1.0), ev(2, 11, 1, "view", 2.0))
+    q.processAllAvailable()
+    // re-delivery of event 1 (same id) inside the allowance -> dropped,
+    // while the genuinely new event 3 passes
+    input.addData(ev(1, 10, 1, "view", 1.0), ev(3, 12, 1, "view", 3.0))
+    q.processAllAvailable(); q.stop()
+
+    val ids = spark.table("dedup_out").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("upsert sink restarted from its checkpoint is idempotent under re-delivery") {
     // foreachBatch is at-least-once: after a crash/restart the last
     // uncommitted batch replays, and an at-least-once upstream may
