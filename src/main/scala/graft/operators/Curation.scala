@@ -91,4 +91,46 @@ object Curation {
       |FROM sig s JOIN keepers k ON s.doc_id = k.doc_id
       |ORDER BY s.doc_id""".stripMargin
   }
+
+  /** Split fractions in bucket points (of 100): [0,80) train,
+    * [80,90) val, [90,100) test.
+    */
+  private val TrainUpper = 80
+  private val ValUpper = 90
+
+  /** q42 — deterministic train/val/test assignment: bucket =
+    * cross-engine [[graft.functions.PolyHash]] of the doc id, mod 100.
+    * Hash-based (NOT RNG `sample()`): the assignment is a pure function
+    * of the row, so it is reproducible across runs, engines, partition
+    * layouts, and corpus growth — adding documents never reshuffles
+    * existing ones between splits, which RNG sampling cannot promise.
+    * Pure map over the scan, no shuffle but the presentation sort.
+    * Stratified variants compose by salting the hash input with the
+    * stratum key.
+    */
+  def q42SampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hash = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          col("doc_id").cast("string"))))
+    val bucket = pmod(hash, lit(100L)).cast("int")
+    d.select(
+        col("doc_id"),
+        bucket.as("bucket"),
+        when(bucket < TrainUpper, "train")
+          .when(bucket < ValUpper, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val q42OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
+    s"""SELECT doc_id,
+      |       CAST($ph % 100 AS INTEGER) AS bucket,
+      |       CASE WHEN $ph % 100 < $TrainUpper THEN 'train'
+      |            WHEN $ph % 100 < $ValUpper THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
 }

@@ -122,6 +122,24 @@ class DedupSpec extends SparkSpec {
       .forall(!_.getAs[Boolean]("selected")))
   }
 
+  test("q42 split assignment is deterministic, total, and near the fractions") {
+    val a = graft.operators.Curation.q42SampleSplit(spark, sf).collect()
+    val b = graft.operators.Curation.q42SampleSplit(spark, sf).collect()
+    assert(a.sameElements(b))
+    val n = a.length.toDouble
+    assert(n == spark.read.parquet(s"$sf/documents.parquet").count())
+    val frac = a.groupBy(_.getAs[String]("split")).view.mapValues(_.length / n).toMap
+    // hash buckets of a small corpus wobble; generous tolerance
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.8) < 0.08, frac.toString)
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06, frac.toString)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06, frac.toString)
+    a.foreach { r =>
+      val bkt = r.getAs[Int]("bucket")
+      val expected = if (bkt < 80) "train" else if (bkt < 90) "val" else "test"
+      assert(r.getAs[String]("split") == expected)
+    }
+  }
+
   test("q17 exact-dedup groups partition the corpus") {
     val rows = Dedup.q17DedupExact(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
