@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{RelationalQueries, TextAnalysis}
+
+/** Guards on PHYSICAL plan properties the 100 TB design depends on —
+  * regressions here don't change answers at test scale, they change
+  * whether the plan survives a 1000-executor cluster: column pruning at
+  * the scan, filter pushdown into parquet, dimension broadcasts instead
+  * of fact shuffles, and top-k via TakeOrderedAndProject instead of a
+  * full sort.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("narrow text queries prune the documents scan to (doc_id, text)") {
+    val p = plan(TextAnalysis.q24TextStats(spark, sf))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      readSchema)
+    // the documents table carries lang/source/payload columns the query
+    // must NOT read
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      readSchema)
+  }
+
+  test("comparison filters push down into the parquet scan") {
+    val p = plan(spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") > 100).select("doc_id"))
+    val pushed = p.linesIterator
+      .find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("GreaterThan"), pushed)
+  }
+
+  test("baseline join queries broadcast the dimension side") {
+    for (q <- Seq(RelationalQueries.q1TopRated _,
+        RelationalQueries.q2TopGenres _, RelationalQueries.q3GroupConcat _)) {
+      val p = plan(q(spark, sf))
+      assert(p.contains("BroadcastHashJoin"), p.take(400))
+      assert(!p.contains("SortMergeJoin"),
+        "dimension join fell back to a fact shuffle:\n" + p.take(400))
+    }
+  }
+
+  test("top-k queries plan TakeOrderedAndProject, not a full sort") {
+    for (q <- Seq(RelationalQueries.q1TopRated _,
+        RelationalQueries.q2TopGenres _, RelationalQueries.q3GroupConcat _)) {
+      assert(plan(q(spark, sf)).contains("TakeOrderedAndProject"))
+    }
+  }
+
+  test("whole-stage codegen covers the text-analysis expression pipeline") {
+    // AQE's pre-execution wrapper hides codegen nodes; plan without it
+    // for this structural check only
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = TextAnalysis.q24TextStats(spark, sf)
+        .queryExecution.executedPlan
+      val spans = phys.collect { case w: WholeStageCodegenExec => w }
+      assert(spans.nonEmpty, phys.toString.take(500))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
