@@ -133,4 +133,34 @@ object Curation {
       |            ELSE 'test' END AS split
       |FROM documents ORDER BY doc_id""".stripMargin
   }
+
+  /** q43 — the curation yield report: per (split, selected) document and
+    * token counts — the rollup a pipeline emits when a curation run
+    * finishes ("how much survived, and is the kept token mass balanced
+    * across splits"). Composes the q41 verdict ledger with the q42 split
+    * assignment; the aggregate itself is a handful of groups.
+    */
+  def q43CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    q41CorpusSelect(spark, dir)
+      .join(q42SampleSplit(spark, dir).select("doc_id", "split"), "doc_id")
+      .groupBy("split", "selected")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("split", "selected")
+
+  /** The q41 funnel chain + the q42 split expression, rolled up. */
+  val q43OracleSql: String = {
+    val verdict = q41OracleSql.linesIterator
+      .takeWhile(!_.startsWith("ORDER BY")).mkString("\n")
+    val ph = graft.functions.PolyHash.sql("CAST(v.doc_id AS VARCHAR)")
+    s"""WITH v AS (
+      |$verdict
+      |)
+      |SELECT CASE WHEN $ph % 100 < $TrainUpper THEN 'train'
+      |            WHEN $ph % 100 < $ValUpper THEN 'val'
+      |            ELSE 'test' END AS split,
+      |       v.selected,
+      |       COUNT(*) AS n_docs,
+      |       SUM(v.n_tokens) AS total_tokens
+      |FROM v GROUP BY 1, 2 ORDER BY split, selected""".stripMargin
+  }
 }

@@ -140,6 +140,17 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("q43 yield report totals reconcile with the verdict ledger") {
+    val report = graft.operators.Curation.q43CorpusStats(spark, sf).collect()
+    val ledger = graft.operators.Curation.q41CorpusSelect(spark, sf).collect()
+    assert(report.map(_.getAs[Long]("n_docs")).sum == ledger.length)
+    val selectedDocs = ledger.count(_.getAs[Boolean]("selected"))
+    assert(report.filter(_.getAs[Boolean]("selected"))
+      .map(_.getAs[Long]("n_docs")).sum == selectedDocs)
+    assert(report.map(_.getAs[String]("split")).toSet
+      .subsetOf(Set("train", "val", "test")))
+  }
+
   test("q17 exact-dedup groups partition the corpus") {
     val rows = Dedup.q17DedupExact(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
