@@ -173,6 +173,81 @@ object StreamingOps {
     events.withWatermark("ts", allowance)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream interval join: pair each right-side event
+    * with left-side events of the same key whose event time falls in
+    * `(right.ts - gap, right.ts)`. BOTH sides carry watermarks and the
+    * join condition bounds event time in both directions — that is what
+    * lets Spark evict buffered rows once the watermark passes, keeping
+    * join state finite on an unbounded stream (an unbounded-time
+    * stream-stream join would buffer forever). Append-mode only, per the
+    * Structured Streaming contract. Batch face: `q44IntervalJoin` runs
+    * the same shape with last-touch attribution on top.
+    *
+    * @param left  candidate antecedents (e.g. views): `ts`, `user_id`, payload
+    * @param right anchor events (e.g. purchases): `ts`, `user_id`, payload
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      gapMinutes: Int, allowance: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", allowance).alias("l")
+    val r = right.withWatermark("ts", allowance).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("l.ts") < col("r.ts") &&
+        col("l.ts") >= col("r.ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+  }
+
+  /** q44 — last-touch attribution over the static events table: for each
+    * purchase, the most recent view by the same user strictly within the
+    * preceding 30 minutes. The interval join is an equi-join on user_id
+    * with a time-range residual (shuffles once on the key); last-touch is
+    * the skew-immune `max(struct(ts, id))` reduction, not a window.
+    * Arithmetic runs in µs (`unix_micros(ts)` ⇔ DuckDB `epoch_us(ts)`) —
+    * NOT the ns longs: DuckDB coerces the parquet ns timestamps to µs at
+    * read, so ns arithmetic diverges in the sub-µs tail (observed
+    * firsthand: gap_ns off by the <1 µs residue).
+    */
+  def q44IntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val gapUs = 30L * 60L * 1000000L
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_ts"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_ts"), col("value"))
+    p.join(v, Seq("user_id"))
+      .filter(col("view_ts") < col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - gapUs)
+      .groupBy(col("purchase_id"), col("user_id"),
+        col("purchase_ts"), col("value"))
+      .agg(max(struct(col("view_ts"), col("view_id"))).as("last_touch"))
+      .select(col("purchase_id"), col("user_id"),
+        col("last_touch.view_id").as("attributed_view_id"),
+        (col("purchase_ts") - col("last_touch.view_ts")).as("gap_us"),
+        col("value"))
+      .orderBy("purchase_id")
+  }
+
+  val q44OracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts
+      |  FROM events WHERE event_type = 'view'
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_ts, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), j AS (
+      |  SELECT p.purchase_id, p.user_id, p.purchase_ts, p.value,
+      |         v.view_id, v.view_ts,
+      |         row_number() OVER (PARTITION BY p.purchase_id
+      |           ORDER BY v.view_ts DESC, v.view_id DESC) AS rn
+      |  FROM p JOIN v ON p.user_id = v.user_id
+      |   AND v.view_ts < p.purchase_ts
+      |   AND v.view_ts >= p.purchase_ts - 1800000000
+      |)
+      |SELECT purchase_id, user_id, view_id AS attributed_view_id,
+      |       purchase_ts - view_ts AS gap_us, value
+      |FROM j WHERE rn = 1 ORDER BY purchase_id""".stripMargin
+
   // ---- driver-contract batch entries ----
 
   /** q29 — tumbling-window aggregation over the static events table. */

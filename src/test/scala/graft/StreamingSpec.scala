@@ -134,6 +134,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs events within the gap, same key only") {
+    val views = MemoryStream[StreamEvent](spark)
+    val buys = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.intervalJoinStream(
+        views.toDF().select($"ts", $"user_id", $"event_id".as("view_id")),
+        buys.toDF().select($"ts", $"user_id", $"event_id".as("buy_id")),
+        gapMinutes = 30)
+      .select("view_id", "buy_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+
+    views.addData(ev(1, 10, 1, "view", 0), ev(2, 50, 1, "view", 0),
+      ev(3, 55, 2, "view", 0))
+    buys.addData(ev(10, 60, 1, "purchase", 0), ev(11, 200, 2, "purchase", 0))
+    q.processAllAvailable(); q.stop()
+
+    val pairs = spark.table("ij_out").as[(Long, Long)].collect().toSet
+    // buy 10 (min 60, user 1): view 2 (min 50) in window; view 1 (min 10) is
+    // outside the 30-min gap. buy 11 (min 200, user 2): view 3 too old.
+    assert(pairs == Set((2L, 10L)))
+  }
+
   test("upsert sink restarted from its checkpoint is idempotent under re-delivery") {
     // foreachBatch is at-least-once: after a crash/restart the last
     // uncommitted batch replays, and an at-least-once upstream may
