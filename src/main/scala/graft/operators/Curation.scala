@@ -147,6 +147,52 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
       .orderBy("split", "selected")
 
+  /** Per-stratum document cap. */
+  private val MaxPerStratum = 50
+
+  /** q46 — stratified downsampling: keep at most [[MaxPerStratum]]
+    * documents per stratum (here the `lang` label), chosen by hash rank —
+    * deterministic like q42 (pure function of the row, stable under
+    * corpus growth within the kept set's hash range), unlike RNG
+    * `sampleBy`. The every-crawl-pipeline op: cap documents per
+    * domain/source so no stratum dominates the training mix.
+    *
+    * Scale shape: rank-within-stratum is a per-key ordered window, so a
+    * giant stratum owns one task. Because the hash is uniform, at real
+    * scale you first prefilter `hash < (c·K/N_stratum)·P` using per-
+    * stratum counts (one cheap aggregate) and only rank the ~c·K
+    * survivors — the window then runs on K-sized groups regardless of
+    * stratum size. At oracle scale the direct window is the clearer
+    * plan and the semantics are identical.
+    */
+  def q46StratifiedCap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hash = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          col("doc_id").cast("string"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("__h").asc, col("doc_id").asc)
+    d.select(col("doc_id"), col("lang"), hash.as("__h"))
+      .withColumn("stratum_rank", row_number().over(w))
+      .filter(col("stratum_rank") <= MaxPerStratum)
+      .select("doc_id", "lang", "stratum_rank")
+      .orderBy("lang", "stratum_rank")
+  }
+
+  val q46OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH ranked AS (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY $ph ASC, doc_id ASC) AS stratum_rank
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, stratum_rank
+      |FROM ranked WHERE stratum_rank <= $MaxPerStratum
+      |ORDER BY lang, stratum_rank""".stripMargin
+  }
+
   /** The q41 funnel chain + the q42 split expression, rolled up. */
   val q43OracleSql: String = {
     val verdict = q41OracleSql.linesIterator

@@ -151,6 +151,19 @@ class DedupSpec extends SparkSpec {
       .subsetOf(Set("train", "val", "test")))
   }
 
+  test("q46 stratified cap keeps at most K per stratum, deterministically") {
+    val a = graft.operators.Curation.q46StratifiedCap(spark, sf).collect()
+    val b = graft.operators.Curation.q46StratifiedCap(spark, sf).collect()
+    assert(a.sameElements(b))
+    val perLang = a.groupBy(_.getAs[String]("lang"))
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, rows) =>
+      assert(rows.length <= 50, s"$lang over cap: ${rows.length}")
+      val ranks = rows.map(_.getAs[Int]("stratum_rank")).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"$lang ranks not dense: $ranks")
+    }
+  }
+
   test("q17 exact-dedup groups partition the corpus") {
     val rows = Dedup.q17DedupExact(spark, sf).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum
