@@ -193,7 +193,11 @@ object Curation {
       |ORDER BY lang, stratum_rank""".stripMargin
   }
 
-  /** The q41 funnel chain + the q42 split expression, rolled up. */
+  /** The q41 funnel chain + the q42 split expression, rolled up.
+    * `SUM` over an integer is HUGEINT in DuckDB (int128) — pandas renders
+    * that as float64, which hash-mismatches Spark's int64 even when the
+    * values are equal, so the sum is cast back to BIGINT explicitly.
+    */
   val q43OracleSql: String = {
     val verdict = q41OracleSql.linesIterator
       .takeWhile(!_.startsWith("ORDER BY")).mkString("\n")
@@ -206,7 +210,7 @@ object Curation {
       |            ELSE 'test' END AS split,
       |       v.selected,
       |       COUNT(*) AS n_docs,
-      |       SUM(v.n_tokens) AS total_tokens
+      |       CAST(SUM(v.n_tokens) AS BIGINT) AS total_tokens
       |FROM v GROUP BY 1, 2 ORDER BY split, selected""".stripMargin
   }
 }

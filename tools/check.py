@@ -38,6 +38,23 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            rel = con.sql(sql)
+            # The real driver loads results via pandas, where DuckDB's
+            # HUGEINT (e.g. SUM over any integer type) becomes float64 and
+            # hash-mismatches Spark's int64 even on equal values. fetchall()
+            # hides that (HUGEINT -> Python int), so flag it structurally.
+            lossy = [
+                c
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if lossy:
+                print(
+                    f"FAIL {name}: oracle cols {lossy} are HUGEINT "
+                    "(pandas renders as float64; CAST to BIGINT in the oracle)"
+                )
+                n_fail += 1
+                continue
             odf = con.execute(sql).fetchall()
             ocols = [d[0] for d in con.description]
             sdf = con.execute(
