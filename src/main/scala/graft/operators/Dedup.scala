@@ -117,25 +117,22 @@ object Dedup {
   private val MaxBucketPop = 64
 
   /** Drop rows of `df` whose (bucket-key) group has more than
-    * [[MaxBucketPop]] members: one hash-aggregate over the bucket index,
-    * then an equi-join on the same keys.
-    *
-    * The input is MATERIALIZED first and the capped result materialized
-    * again: the bucket index sits above the expensive signature
-    * aggregation and below a self-join, so its subtree is otherwise
-    * evaluated three times (cap aggregate + both join sides) — Catalyst's
-    * exchange reuse does not collapse the differently-aliased copies
-    * (verified on the executed plan). `localCheckpoint` is the local-mode
-    * stand-in; on a cluster this is `persist(DISK_ONLY)`/checkpoint of a
-    * signature table you would keep anyway.
+    * [[MaxBucketPop]] members: a window count partitioned by the bucket
+    * keys, not a separate aggregate + equi-join. One shuffle computes the
+    * population AND leaves the index hash-partitioned by the bucket keys
+    * — the partitioning the downstream self-join requires, so Catalyst's
+    * exchange reuse serves both join sides from the single shuffle
+    * (verified on the executed plan: the second side is a
+    * `ReusedExchange`). An earlier shape localCheckpoint'ed the index
+    * twice; the checkpoint write/read jobs cost more than the subtree
+    * evaluation they saved.
     */
   private def capBuckets(df: DataFrame, keys: String*): DataFrame = {
-    val index = df.localCheckpoint()
-    val keep = index.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("pop"))
-      .filter(col("pop") <= MaxBucketPop)
-      .select(keys.map(col): _*)
-    index.join(keep, keys).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    df.withColumn("__pop", count(lit(1)).over(w))
+      .filter(col("__pop") <= MaxBucketPop)
+      .drop("__pop")
   }
 
   /** q18 — MinHash LSH near-dup pairs: band-bucket equi-join generates
@@ -364,15 +361,20 @@ object Dedup {
     * DuckDB-expressible → full oracle.
     */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Materialized once: the raw index feeds the df-cap aggregate and the
-    // capped index below, which itself feeds per-doc counts and BOTH pair
-    // join sides — without materialization the shingle explode re-runs
-    // four times (see capBuckets for the same pattern and the cluster
-    // equivalent).
-    val raw = shingleIndex(Tables.documents(spark, dir)).localCheckpoint()
-    val keep = raw.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxShingleDf).select("sh")
-    val idx = raw.join(keep, "sh").localCheckpoint()
+    // The df cap is a window count partitioned by shingle, not a separate
+    // aggregate + equi-join: one shuffle by `sh` computes the cap AND
+    // leaves the index hash-partitioned by `sh`, which is exactly the
+    // partitioning the pair self-join needs — Catalyst reuses the
+    // exchange for both join sides (verified on the plan), so the whole
+    // chain is one job with no materialization barriers. (An earlier
+    // shape localCheckpoint'ed the raw index twice to avoid subtree
+    // re-evaluation; the checkpoint write/read jobs cost more than the
+    // explode they saved.)
+    val dfw = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val idx = shingleIndex(Tables.documents(spark, dir))
+      .withColumn("df", count(lit(1)).over(dfw))
+      .filter(col("df") <= MaxShingleDf)
+      .select("doc_id", "sh")
     val counts = idx.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = idx.as("x").join(idx.as("y"), col("x.sh") === col("y.sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
@@ -512,7 +514,15 @@ object Dedup {
       .union(edges.select(col("dst").as("v"), col("src").as("n")))
       .distinct()
       .localCheckpoint()
-    var labels = vertices.select(col("v"), col("v").as("label"))
+    // Only non-isolated vertices take part in propagation: in a dedup
+    // graph the overwhelming majority of documents are singletons, so
+    // iterating their self-labels would make every round's join scale
+    // with the CORPUS instead of with the duplicate surface (the thing
+    // that matters at 100 TB — the label table here is bounded by the
+    // capped pair output, orders of magnitude below the document count).
+    // Isolated vertices rejoin as their own keeper after the fixpoint.
+    var labels = sym.select("v").distinct()
+      .select(col("v"), col("v").as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
@@ -523,10 +533,13 @@ object Dedup {
       val nbrMin = sym
         .join(labels.select(col("v").as("n"), col("label").as("nl")), "n")
         .groupBy("v").agg(min("nl").as("nmin"))
+      // Lazy checkpoint: the labelSum action below materializes it, so
+      // each round costs ONE job, not an eager-checkpoint job plus the
+      // convergence aggregate.
       val next = labels.join(nbrMin, Seq("v"), "left")
         .select(col("v"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -537,7 +550,8 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the bound; raise maxIter or switch to " +
         "large-star/small-star contraction")
-    labels
+    vertices.join(labels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label"))
   }
 
   /** q40 — per-document keeper assignment, the shape a training-data

@@ -1,0 +1,34 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch main: time named SparkEntry queries (args: sfDir name...).
+  * Not part of the driver contract.
+  */
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q20_ngram_jaccard", "q40_dedup_keepers")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm the JVM/codegen once on the smallest scale
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").collect()
+    }
+    names.foreach { n =>
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, sfDir).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[timeq] $n%-24s median=${times.sorted.apply(1)}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
