@@ -108,29 +108,46 @@ object Curation {
     * Stratified variants compose by salting the hash input with the
     * stratum key.
     */
-  def q42SampleSplit(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+  /** The q42 bucket assignment of an id column: cross-engine PolyHash of
+    * the id, mod 100. Exposed so downstream operators (decontamination,
+    * incremental dedup) consume the SAME split a user's q42 run produced.
+    */
+  def bucketOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val hash = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PolyHash(
-        org.apache.spark.sql.GraftSqlBridge.expression(
-          col("doc_id").cast("string"))))
-    val bucket = pmod(hash, lit(100L)).cast("int")
-    d.select(
-        col("doc_id"),
-        bucket.as("bucket"),
-        when(bucket < TrainUpper, "train")
-          .when(bucket < ValUpper, "val")
-          .otherwise("test").as("split"))
-      .orderBy("doc_id")
+        org.apache.spark.sql.GraftSqlBridge.expression(id.cast("string"))))
+    pmod(hash, lit(100L)).cast("int")
   }
+
+  /** The q42 split label of an id column (train/val/test). */
+  def splitOf(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = bucketOf(id)
+    when(bucket < TrainUpper, "train")
+      .when(bucket < ValUpper, "val")
+      .otherwise("test")
+  }
+
+  /** DuckDB fragment computing [[splitOf]] over SQL expression `id`. */
+  def splitSqlOf(id: String): String = {
+    val ph = graft.functions.PolyHash.sql(s"CAST($id AS VARCHAR)")
+    s"""CASE WHEN $ph % 100 < $TrainUpper THEN 'train'
+       |            WHEN $ph % 100 < $ValUpper THEN 'val'
+       |            ELSE 'test' END""".stripMargin
+  }
+
+  def q42SampleSplit(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        bucketOf(col("doc_id")).as("bucket"),
+        splitOf(col("doc_id")).as("split"))
+      .orderBy("doc_id")
 
   val q42OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id,
       |       CAST($ph % 100 AS INTEGER) AS bucket,
-      |       CASE WHEN $ph % 100 < $TrainUpper THEN 'train'
-      |            WHEN $ph % 100 < $ValUpper THEN 'val'
-      |            ELSE 'test' END AS split
+      |       ${splitSqlOf("doc_id")} AS split
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 

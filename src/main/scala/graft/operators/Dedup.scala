@@ -114,7 +114,7 @@ object Dedup {
     * another, colder bucket. The SAME cap is applied in the generated
     * oracle SQL, so the cross-engine hash checks still hold.
     */
-  private val MaxBucketPop = 64
+  private[operators] val MaxBucketPop = 64
 
   /** Drop rows of `df` whose (bucket-key) group has more than
     * [[MaxBucketPop]] members: a window count partitioned by the bucket
@@ -127,7 +127,7 @@ object Dedup {
     * twice; the checkpoint write/read jobs cost more than the subtree
     * evaluation they saved.
     */
-  private def capBuckets(df: DataFrame, keys: String*): DataFrame = {
+  private[operators] def capBuckets(df: DataFrame, keys: String*): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
     df.withColumn("__pop", count(lit(1)).over(w))
@@ -143,19 +143,33 @@ object Dedup {
     * shared affine coefficients are computed identically in DuckDB
     * ([[q18OracleSql]] is generated from the same constants).
     */
-  def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = minhashSignatures(Tables.documents(spark, dir))
+  /** Per-doc LSH band index over the MinHash signature: one row per
+    * (doc_id, band) with `sig` (the full 16-min array) and `bucket` (the
+    * band's signature slice rendered as a string — directly joinable, no
+    * second hash). Shared by [[q18DedupMinhash]] and
+    * `CorpusOps.q50IncrementalDedup`.
+    */
+  private[operators] def bandedSignatures(docs: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(docs)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
       .select("doc_id", "sig")
-
     val rowsPerBand = NumHashes / Bands
-    val banded = sigs.select(col("doc_id"), col("sig"),
+    sigs.select(col("doc_id"), col("sig"),
       posexplode(transform(
         sequence(lit(0), lit(Bands - 1)),
         b => concat_ws("_",
           transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             _.cast("string")))))
         .as(Seq("band", "bucket")))
+  }
+
+  /** Signature agreement fraction between sig arrays `a` and `b`. */
+  private[operators] def estJaccard(a: Column, b: Column): Column =
+    size(filter(zip_with(a, b, (x, y) => x === y), m => m))
+      .cast("double") / NumHashes
+
+  def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val banded = bandedSignatures(Tables.documents(spark, dir))
     val kept = capBuckets(banded, "band", "bucket")
 
     val a = kept.select(col("band"), col("bucket"),
@@ -167,18 +181,19 @@ object Dedup {
       .select("doc_a", "doc_b", "sig_a", "sig_b")
       .dropDuplicates("doc_a", "doc_b")
 
-    cand.withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          m => m)).cast("double") / NumHashes)
+    cand.withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= 0.5)
       .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Generated from the same shingle chain as q20's oracle, the PolyHash
-    * SQL kernel, and [[MinhashCoeffs]].
+  /** CTE chain ending in `sigs(doc_id, h0..h15)` and `bands(doc_id, band,
+    * bucket)` — the oracle counterpart of [[minhashSignatures]] +
+    * [[bandedSignatures]], generated from the PolyHash SQL kernel and
+    * [[MinhashCoeffs]]. Shared by [[q18OracleSql]] and
+    * `CorpusOps.q50OracleSql` so the two cannot drift.
     */
-  val q18OracleSql: String = {
+  private[operators] val minhashCtes: String = {
     val ph = graft.functions.PolyHash.sql("sh")
     val minCols = MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * base + $b) % $MinhashP) AS h$i"
@@ -189,10 +204,7 @@ object Dedup {
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band, $cols AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    val eqTerms = (0 until NumHashes)
-      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
-      .mkString(" + ")
-    s"""WITH toks AS (
+    s"""toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), sh AS (
       |  SELECT doc_id, unnest(list_distinct(
@@ -208,7 +220,20 @@ object Dedup {
       |  FROM hashed GROUP BY doc_id
       |), bands AS (
       |  $bandRows
-      |), bkeep AS (
+      |)""".stripMargin
+  }
+
+  /** Signature-agreement SQL over sig rows aliased `sa`/`sb`. */
+  private[operators] val minhashEqTerms: String = (0 until NumHashes)
+    .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
+  /** Generated from the same shingle chain as q20's oracle, the PolyHash
+    * SQL kernel, and [[MinhashCoeffs]].
+    */
+  val q18OracleSql: String = {
+    val eqTerms = minhashEqTerms
+    s"""WITH $minhashCtes, bkeep AS (
       |  SELECT band, bucket FROM bands
       |  GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucketPop
       |), kept AS (

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Curation}
+
+class CorpusOpsSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select("doc_id", "text").collect()
+    .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+
+  private lazy val split = Curation.q42SampleSplit(spark, sf).collect()
+    .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+
+  private def shingles(text: String, n: Int): Set[String] = {
+    val t = text.split("\\s+")
+    if (t.length < n) Set.empty
+    else t.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  test("q47 contamination flags exactly the train docs sharing an 8-gram with test") {
+    val rows = CorpusOps.q47Decontaminate(spark, sf).collect()
+    val trainIds = split.collect { case (id, "train") => id }.toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == trainIds)
+    val evalShingles = split.collect { case (id, "test") => id }
+      .flatMap(id => shingles(docs(id), 8)).toSet
+    rows.foreach { r =>
+      val expected = shingles(docs(r.getAs[Long]("doc_id")), 8)
+        .count(evalShingles.contains)
+      assert(r.getAs[Long]("n_eval_shingles") == expected)
+      assert(r.getAs[Boolean]("contaminated") == (expected > 0))
+    }
+  }
+
+  test("q48 packs shards by cumulative token offset") {
+    val rows = CorpusOps.q48SequencePack(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      var offset = 0L
+      rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("tok_offset") == offset)
+        assert(r.getAs[Long]("seq_id") == offset / 512)
+        assert(r.getAs[Int]("n_tokens") ==
+          docs(r.getAs[Long]("doc_id")).split("\\s+").length)
+        offset += r.getAs[Int]("n_tokens")
+      }
+    }
+  }
+
+  test("scrubbed redacts emails, urls, and digit runs in order") {
+    import spark.implicits._
+    val in = Seq(
+      "contact bob@example.com or https://ex.com/a?id=1234567 now",
+      "id 123456789 and 12345 stay short",
+      "clean text only").toDF("t")
+    val out = in.select(CorpusOps.scrubbed(col("t")).as("s"))
+      .as[String].collect()
+    assert(out(0) == "contact <EMAIL> or <URL> now")
+    // 9-digit run redacted; 5-digit run kept (below threshold)
+    assert(out(1) == "id <NUM> and 12345 stay short")
+    assert(out(2) == "clean text only")
+  }
+
+  test("q49 counts each redaction class per row") {
+    val rows = CorpusOps.q49PiiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // Customer#NNNNNNNNN -> exactly one digit run, no emails/urls
+      assert(r.getAs[Int]("n_nums") == 1)
+      assert(r.getAs[Int]("n_emails") == 0)
+      assert(r.getAs[Int]("n_urls") == 0)
+      assert(r.getAs[String]("scrubbed") == "Customer#<NUM>")
+    }
+  }
+
+  test("q50 verdicts are consistent with document text") {
+    val rows = CorpusOps.q50IncrementalDedup(spark, sf).collect()
+    val trainIds = split.collect { case (id, "train") => id }.toSet
+    val corpusTexts = trainIds.map(docs)
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      split.collect { case (id, s) if s != "train" => id }.toSet)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      r.getAs[String]("verdict") match {
+        case "exact_dup" =>
+          val m = r.getAs[Long]("match_id")
+          assert(trainIds.contains(m) && docs(m) == docs(id))
+        case "near_dup" =>
+          val m = r.getAs[Long]("match_id")
+          assert(trainIds.contains(m))
+          // minhash agreement >= 0.5 implies substantial shingle overlap
+          val (a, b) = (shingles(docs(id), 3), shingles(docs(m), 3))
+          assert(a.intersect(b).nonEmpty)
+        case "new" =>
+          assert(r.isNullAt(r.fieldIndex("match_id")))
+          assert(!corpusTexts.contains(docs(id)))
+      }
+    }
+  }
+
+  test("q51 reports the true top document frequencies in order") {
+    val rows = CorpusOps.q51BoilerplateNgrams(spark, sf).collect()
+    assert(rows.length == 100)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.zip(dfs.tail).forall { case (a, b) => a >= b })
+    val trueDf = docs.values.toSeq.flatMap(t => shingles(t, 3).toSeq)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { r =>
+      assert(trueDf(r.getAs[String]("sh")) == r.getAs[Long]("df"))
+    }
+    assert(dfs.head == trueDf.values.max)
+  }
+}
