@@ -52,6 +52,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q47 broadcasts the eval shingle set — the corpus side never shuffles to the join") {
+    val p = plan(graft.operators.CorpusOps.q47Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("q49 is map-only: no exchange except the presentation sort") {
+    val p = plan(graft.operators.CorpusOps.q49PiiScrub(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    // exactly the rangepartitioning for the final ORDER BY
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
+
+  test("q51 top-k plans TakeOrderedAndProject, not a full sort") {
+    assert(plan(graft.operators.CorpusOps.q51BoilerplateNgrams(spark, sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
+  test("q20's capped index shuffles once: the pair join reuses the window exchange") {
+    val df = graft.operators.Dedup.q20NgramJaccard(spark, sf)
+    // collect through df's own query execution so AQE finalizes THIS
+    // plan (a sink write executes a separate QueryExecution)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(800))
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
