@@ -317,4 +317,114 @@ object CorpusOps {
       |)
       |SELECT sh, COUNT(*) AS df FROM sh
       |GROUP BY sh ORDER BY df DESC, sh LIMIT $TopNgrams""".stripMargin
+
+  // ---- q52: embedding quantization error ---------------------------------
+
+  /** Quantization level count (int8 storage). */
+  private val QuantLevels = 256
+
+  /** round(x, 9) through decimal — q52's MSE values sit at 1e-7 scale,
+    * where [[graft.functions.VectorOps.round6]] would collapse them to 0.
+    */
+  private def round9(c: Column): Column =
+    round(c.cast(org.apache.spark.sql.types.DecimalType(30, 15)), 9)
+      .cast("double")
+
+  private def round9Sql(expr: String): String =
+    s"CAST(ROUND(CAST($expr AS DECIMAL(30,15)), 9) AS DOUBLE)"
+
+  /** q52 — per-vector scalar-quantization audit: the [min, max] range,
+    * and the mean squared reconstruction error of [[QuantLevels]]-level
+    * (int8) quantization via the native codegen'd
+    * [[graft.functions.QuantizeError]] kernel. The decision table a
+    * pipeline produces before switching embedding storage to int8 —
+    * one map-only scan, no shuffle but the presentation sort.
+    */
+  def q52QuantizeAudit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val mse = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.QuantizeError(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")),
+        QuantLevels))
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        round6(array_min(col("embedding")).cast("double")).as("vmin"),
+        round6(array_max(col("embedding")).cast("double")).as("vmax"),
+        round9(mse).as("mse_q8"))
+      .orderBy("vec_id")
+  }
+
+  val q52OracleSql: String = {
+    // min/max over the float list, widened exactly like the kernel; the
+    // reconstruction expression is written out twice because a lambda
+    // cannot bind an intermediate
+    val recon = "(vmin + floor((x - vmin) / scale + 0.5) * scale)"
+    s"""WITH ranged AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |         CAST(list_min(embedding) AS DOUBLE) AS vmin,
+      |         CAST(list_max(embedding) AS DOUBLE) AS vmax
+      |  FROM embeddings
+      |), scaled AS (
+      |  SELECT vec_id, e, vmin, vmax,
+      |         (vmax - vmin) / ${QuantLevels - 1} AS scale
+      |  FROM ranged
+      |)
+      |SELECT vec_id,
+      |       ${graft.functions.VectorOps.round6Sql("vmin")} AS vmin,
+      |       ${graft.functions.VectorOps.round6Sql("vmax")} AS vmax,
+      |       ${round9Sql(
+             s"""CASE WHEN vmax = vmin THEN 0.0
+      |            ELSE list_sum(list_transform(e,
+      |                   x -> (x - $recon) * (x - $recon))) / len(e) END""")} AS mse_q8
+      |FROM scaled ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- q53: domain mixture weights ---------------------------------------
+
+  /** q53 — mixture rebalancing: per (lang, source) stratum, document and
+    * token mass, the stratum's share of the corpus, and the sampling
+    * weight that flattens the mix toward uniform across strata
+    * (`min(1, target_share / doc_share)` — over-represented strata are
+    * downsampled, under-represented ones kept whole). The knob a
+    * pretraining run turns to set its domain mixture.
+    *
+    * Scale shape: one map-side-partial aggregate to stratum grain
+    * (thousands of rows at most), then totals join back via broadcast —
+    * no global window over the corpus.
+    */
+  def q53MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val strata = Tables.documents(spark, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Dedup.tokens(col("text"))).cast("long")).as("n_tokens"))
+    val totals = strata.agg(
+      sum("n_docs").as("total_docs"), count(lit(1)).as("n_strata"))
+    strata.crossJoin(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        round6(col("n_docs").cast("double") / col("total_docs")).as("doc_share"),
+        round6(least(lit(1.0),
+          (lit(1.0) / col("n_strata")) /
+            (col("n_docs").cast("double") / col("total_docs")))).as("weight"))
+      .orderBy("lang", "source")
+  }
+
+  val q53OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH strata AS (
+      |  SELECT lang, source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+      |         COUNT(*) AS n_strata
+      |  FROM strata
+      |)
+      |SELECT lang, source, n_docs, n_tokens,
+      |       ${round6Sql("CAST(n_docs AS DOUBLE) / total_docs")} AS doc_share,
+      |       ${round6Sql(
+             """LEAST(1.0, (1.0 / n_strata) /
+      |         (CAST(n_docs AS DOUBLE) / total_docs))""")} AS weight
+      |FROM strata, totals ORDER BY lang, source""".stripMargin
+  }
 }

@@ -98,6 +98,45 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q52 quantization error is zero for constant vectors and bounded by the step size") {
+    import spark.implicits._
+    val in = Seq(
+      (1L, Array(0.5f, 0.5f, 0.5f)),
+      (2L, Array(0.0f, 1.0f, 0.25f, 0.75f))).toDF("vec_id", "embedding")
+    val mse = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.QuantizeError(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("embedding")), 256))
+    val out = in.select(col("vec_id"), mse.as("m")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("m")).toMap
+    assert(out(1) == 0.0)
+    // worst-case per-element error is scale/2; scale = 1/255 here
+    val bound = math.pow(1.0 / 255 / 2, 2)
+    assert(out(2) > 0.0 && out(2) <= bound)
+    // and over the real table: every mse within the per-vector bound
+    val rows = CorpusOps.q52QuantizeAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = (r.getAs[Double]("vmax") - r.getAs[Double]("vmin")) / 255
+      assert(r.getAs[Double]("mse_q8") <= scale * scale / 4 + 1e-12)
+    }
+  }
+
+  test("q53 weights flatten the mixture: shares sum to 1, rare strata keep weight 1") {
+    val rows = CorpusOps.q53MixtureWeights(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getAs[Double]("doc_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3)
+    val target = 1.0 / rows.length
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      assert(w > 0.0 && w <= 1.0)
+      val share = r.getAs[Double]("doc_share")
+      if (share <= target) assert(w == 1.0)
+      // downsampled strata land on target mass: share * weight = target
+      else assert(math.abs(share * w - target) < 1e-4)
+    }
+  }
+
   test("q51 reports the true top document frequencies in order") {
     val rows = CorpusOps.q51BoilerplateNgrams(spark, sf).collect()
     assert(rows.length == 100)
