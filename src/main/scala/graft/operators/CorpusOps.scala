@@ -427,4 +427,76 @@ object CorpusOps {
       |         (CAST(n_docs AS DOUBLE) / total_docs))""")} AS weight
       |FROM strata, totals ORDER BY lang, source""".stripMargin
   }
+
+  // ---- q54: duplicated-span fraction -------------------------------------
+
+  /** Span width for duplication analysis: a shared run of this many
+    * contiguous tokens is treated as duplicated text (the exact-substring
+    * dedup granularity of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", scaled to this corpus's ~54-token docs).
+    */
+  private val SpanN = 10
+
+  /** q54 — per-document duplicated-text fraction: the share of a doc's
+    * [[SpanN]]-gram spans that occur in at least one OTHER document. The
+    * doc-level diagnostic behind exact-substring dedup — "how much of
+    * this page is corpus boilerplate" — and the natural follow-up to
+    * q51's corpus-level mining. Uses the positional shingle kernel
+    * ([[graft.functions.NgramShinglesAll]]): repeated spans inside one
+    * doc count once per occurrence, but only CROSS-document repetition
+    * (distinct-doc frequency ≥ 2) marks a span duplicated.
+    *
+    * Scale shape: inverted index + doc-frequency aggregate + one
+    * re-join — the q20 chain without its self-join, so strictly cheaper
+    * than the dedup pass that already runs; no unbounded fan-out
+    * anywhere (the df aggregate reduces before the join).
+    */
+  def q54DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val allSh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramShinglesAll(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          Dedup.tokens(col("text"))), SpanN))
+    val d = Tables.documents(spark, dir)
+    val idx = d.select(col("doc_id"), explode(allSh).as("sh"))
+    val df = idx.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
+    val dup = idx.join(df.filter(col("ndocs") >= 2).select("sh"), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    val totals = d.select(col("doc_id"),
+      greatest(size(Dedup.tokens(col("text"))) - (SpanN - 1), lit(0))
+        .cast("long").as("n_spans"))
+    totals.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        graft.functions.VectorOps.round6(
+          when(col("n_spans") > 0,
+            coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"))
+            .otherwise(0.0)).as("dup_fraction"))
+      .orderBy("doc_id")
+  }
+
+  val q54OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), idx AS (
+      |  SELECT doc_id, unnest(${shingleSqlN(SpanN)}) AS sh FROM toks
+      |), df AS (
+      |  SELECT sh, COUNT(DISTINCT doc_id) AS ndocs FROM idx GROUP BY sh
+      |), dup AS (
+      |  SELECT i.doc_id, COUNT(*) AS n_dup_spans
+      |  FROM idx i JOIN df ON i.sh = df.sh
+      |  WHERE df.ndocs >= 2 GROUP BY 1
+      |), totals AS (
+      |  SELECT doc_id, greatest(len(t) - ${SpanN - 1}, 0) AS n_spans FROM toks
+      |)
+      |SELECT t.doc_id, t.n_spans,
+      |       COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+      |       ${round6Sql(
+             """CASE WHEN t.n_spans > 0
+      |            THEN CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / t.n_spans
+      |            ELSE 0.0 END""")} AS dup_fraction
+      |FROM totals t LEFT JOIN dup d ON t.doc_id = d.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+  }
 }

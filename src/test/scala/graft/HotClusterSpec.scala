@@ -56,6 +56,14 @@ class HotClusterSpec extends SparkSpec {
     }
   }
 
+  test("q54 reports full span duplication for clones, none for distinct docs") {
+    val rows = CorpusOps.q54DupSpans(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Double]("dup_fraction")).toMap
+    (0L until Clones).foreach(id => assert(rows(id) == 1.0))
+    (Clones.toLong until (Clones + 50L)).foreach(id => assert(rows(id) == 0.0))
+  }
+
   test("q50 marks cloned incoming docs as exact duplicates of the corpus") {
     val rows = CorpusOps.q50IncrementalDedup(spark, dir).collect()
     // every incoming (val/test-split) clone must resolve to an exact dup
