@@ -23,5 +23,18 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "ngram_shingles(array<string>, <int literal>)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("ngram_shingles_all",
+      (es: Seq[Expression]) => es match {
+        case Seq(arr, Literal(n: Int, IntegerType)) => NgramShinglesAll(arr, n)
+        case _ => throw new IllegalArgumentException(
+          "ngram_shingles_all(array<string>, <int literal>)")
+      }, "scala_udf")
+    reg.createOrReplaceTempFunction("quantize_error",
+      (es: Seq[Expression]) => es match {
+        case Seq(vec, Literal(levels: Int, IntegerType)) =>
+          QuantizeError(vec, levels)
+        case _ => throw new IllegalArgumentException(
+          "quantize_error(array<float|double>, <int literal>)")
+      }, "scala_udf")
   }
 }
