@@ -210,6 +210,27 @@ object Curation {
       |ORDER BY lang, stratum_rank""".stripMargin
   }
 
+  /** The end of the curation journey: materialize the kept corpus on
+    * disk, partitioned by the q42 split — `split=train/…` directories a
+    * trainer consumes directly, with split predicates pruned at planning
+    * time (`PartitionFilters`) instead of scanning the whole corpus.
+    * Overwrite mode keeps re-runs idempotent (Spark's commit protocol
+    * stages to `_temporary` and swaps on commit). Returns the exported
+    * document count.
+    */
+  def exportCorpus(spark: SparkSession, dir: String, outPath: String): Long = {
+    val kept = q41CorpusSelect(spark, dir)
+      .filter(col("selected")).select("doc_id")
+    val out = Tables.documents(spark, dir)
+      .join(kept, "doc_id")
+      .withColumn("split", splitOf(col("doc_id")))
+    out.write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("split")
+      .parquet(outPath)
+    spark.read.parquet(outPath).count()
+  }
+
   /** The q41 funnel chain + the q42 split expression, rolled up.
     * `SUM` over an integer is HUGEINT in DuckDB (int128) — pandas renders
     * that as float64, which hash-mismatches Spark's int64 even when the
