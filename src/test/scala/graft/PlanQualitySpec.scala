@@ -78,6 +78,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("ReusedExchange"), p.take(800))
   }
 
+  test("q46's per-stratum cap gets map-side WindowGroupLimit before the shuffle") {
+    val df = graft.operators.Curation.q46StratifiedCap(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the Partial limit bounds each partition's contribution to K rows
+    // per stratum BEFORE the exchange — the property that keeps a giant
+    // stratum from shipping its full population to one reducer
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(800))
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
