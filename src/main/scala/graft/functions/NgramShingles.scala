@@ -41,7 +41,10 @@ case class NgramShingles(child: Expression, n: Int)
 }
 
 object NgramShingles {
-  /** Shared kernel for interpreted eval and generated code. */
+  /** Shared kernel for interpreted eval and generated code. A null token
+    * (never produced by `split`, but reachable from hand-built arrays)
+    * renders as the empty string rather than NPE-ing an executor.
+    */
   def compute(toks: ArrayData, n: Int): ArrayData = {
     val m = toks.numElements()
     if (m < n) return new GenericArrayData(Array.empty[Any])
@@ -52,7 +55,7 @@ object NgramShingles {
       var j = 0
       while (j < n) {
         if (j > 0) sb.append(' ')
-        sb.append(toks.getUTF8String(i + j).toString)
+        if (!toks.isNullAt(i + j)) sb.append(toks.getUTF8String(i + j).toString)
         j += 1
       }
       seen.add(UTF8String.fromString(sb.toString))

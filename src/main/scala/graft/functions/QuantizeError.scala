@@ -50,32 +50,40 @@ case class QuantizeError(child: Expression, levels: Int)
 }
 
 object QuantizeError {
-  /** Shared kernel for interpreted eval and generated code. */
+  /** Shared kernel for interpreted eval and generated code. Null elements
+    * are skipped (SQL-aggregate semantics) — `ArrayData.getFloat` on a
+    * null slot would otherwise read garbage bytes silently.
+    */
   def compute(a: ArrayData, isFloat: Boolean, levels: Int): Double = {
     val n = a.numElements()
-    if (n == 0) return 0.0
     def elem(i: Int): Double =
       if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
-    var mn = elem(0)
-    var mx = mn
-    var i = 1
+    var mn = Double.MaxValue
+    var mx = -Double.MaxValue
+    var valid = 0
+    var i = 0
     while (i < n) {
-      val x = elem(i)
-      if (x < mn) mn = x
-      if (x > mx) mx = x
+      if (!a.isNullAt(i)) {
+        val x = elem(i)
+        if (x < mn) mn = x
+        if (x > mx) mx = x
+        valid += 1
+      }
       i += 1
     }
-    if (mx == mn) return 0.0
+    if (valid == 0 || mx == mn) return 0.0
     val scale = (mx - mn) / (levels - 1)
     var sse = 0.0
     i = 0
     while (i < n) {
-      val x = elem(i)
-      val q = math.floor((x - mn) / scale + 0.5)
-      val d = x - (mn + q * scale)
-      sse += d * d
+      if (!a.isNullAt(i)) {
+        val x = elem(i)
+        val q = math.floor((x - mn) / scale + 0.5)
+        val d = x - (mn + q * scale)
+        sse += d * d
+      }
       i += 1
     }
-    sse / n
+    sse / valid
   }
 }

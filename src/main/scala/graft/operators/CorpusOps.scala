@@ -166,21 +166,29 @@ object CorpusOps {
 
   /** q49 — PII scrubbing over the customer dimension (the table in this
     * corpus that actually carries identifier-shaped strings): redacted
-    * text plus per-row counts of each redaction class. Pure codegen'd
-    * regex chain, map-only — no shuffle but the presentation sort.
-    * (The email/URL branches are exercised by `CorpusOpsSpec` on crafted
-    * rows; this synthetic table only populates the digit-run class.)
+    * text plus per-row counts of each redaction class. Every count is
+    * taken on the SAME intermediate its replacement pass sees (emails on
+    * raw, URLs on the email-scrubbed text, digit runs on the
+    * email+URL-scrubbed text), so each count reports exactly the
+    * replacements its pass performed — counting every class on the raw
+    * text would double-report overlapping matches (a digit run inside a
+    * URL counted by both classes).
+    * Pure codegen'd regex chain, map-only — no shuffle but the
+    * presentation sort. (The email/URL branches are exercised by
+    * `CorpusOpsSpec` on crafted rows; this synthetic table only populates
+    * the digit-run class.)
     */
-  def q49PiiScrub(spark: SparkSession, dir: String): DataFrame =
+  def q49PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val afterEmail = regexp_replace(col("c_name"), EmailRe, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlRe, "<URL>")
     Tables.customer(spark, dir)
       .select(col("c_custkey"),
         scrubbed(col("c_name")).as("scrubbed"),
         regexp_count(col("c_name"), lit(EmailRe)).as("n_emails"),
-        regexp_count(col("c_name"), lit(UrlRe)).as("n_urls"),
-        regexp_count(regexp_replace(
-            regexp_replace(col("c_name"), EmailRe, "<EMAIL>"),
-            UrlRe, "<URL>"), lit(NumRe)).as("n_nums"))
+        regexp_count(afterEmail, lit(UrlRe)).as("n_urls"),
+        regexp_count(afterUrl, lit(NumRe)).as("n_nums"))
       .orderBy("c_custkey")
+  }
 
   val q49OracleSql: String =
     s"""SELECT c_custkey,
@@ -189,7 +197,8 @@ object CorpusOps {
       |         '$UrlRe', '<URL>', 'g'),
       |         '$NumRe', '<NUM>', 'g') AS scrubbed,
       |       len(regexp_extract_all(c_name, '$EmailRe')) AS n_emails,
-      |       len(regexp_extract_all(c_name, '$UrlRe')) AS n_urls,
+      |       len(regexp_extract_all(regexp_replace(c_name,
+      |         '$EmailRe', '<EMAIL>', 'g'), '$UrlRe')) AS n_urls,
       |       len(regexp_extract_all(regexp_replace(regexp_replace(c_name,
       |         '$EmailRe', '<EMAIL>', 'g'),
       |         '$UrlRe', '<URL>', 'g'), '$NumRe')) AS n_nums
@@ -373,9 +382,11 @@ object CorpusOps {
       |       ${graft.functions.VectorOps.round6Sql("vmin")} AS vmin,
       |       ${graft.functions.VectorOps.round6Sql("vmax")} AS vmax,
       |       ${round9Sql(
-             s"""CASE WHEN vmax = vmin THEN 0.0
+             // COALESCE: for an empty vector list_min is NULL and the CASE
+             // would yield NULL, where the kernel returns 0.0
+             s"""COALESCE(CASE WHEN vmax = vmin THEN 0.0
       |            ELSE list_sum(list_transform(e,
-      |                   x -> (x - $recon) * (x - $recon))) / len(e) END""")} AS mse_q8
+      |                   x -> (x - $recon) * (x - $recon))) / len(e) END, 0.0)""")} AS mse_q8
       |FROM scaled ORDER BY vec_id""".stripMargin
   }
 

@@ -17,9 +17,14 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the JVM/codegen once on the smallest scale
+    // warm the JVM/codegen once: prefer the sibling smallest scale if the
+    // standard layout is present, else warm on the target dir itself
+    val warmDir = {
+      val std = "/root/testdata/sf0.001"
+      if (new java.io.File(std).isDirectory) std else sfDir
+    }
     names.foreach { n =>
-      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").collect()
+      graft.SparkEntry.queries(n)(spark, warmDir).collect()
     }
     names.foreach { n =>
       val times = (1 to 3).map { _ =>

@@ -66,6 +66,18 @@ class KernelPropsSpec extends SparkSpec {
     }
   }
 
+  test("kernels tolerate null elements instead of reading garbage or NPE-ing") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT quantize_error(array(CAST(0.0 AS FLOAT), NULL, CAST(1.0 AS FLOAT)), 256) AS qe,
+        |       ngram_shingles_all(array('a', NULL, 'c'), 2) AS sh
+        |""".stripMargin).head
+    // null skipped: remaining [0,1] are both exact levels -> error 0
+    assert(r.getDouble(0) == 0.0)
+    // null token renders as empty string, positions preserved
+    assert(r.getSeq[String](1) == Seq("a ", " c"))
+  }
+
   test("the kernels are callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
