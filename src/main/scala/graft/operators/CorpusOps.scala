@@ -88,6 +88,76 @@ object CorpusOps {
       |WHERE d.split = 'train'
       |ORDER BY d.doc_id""".stripMargin
 
+  /** q55 — decontamination STRIP accounting: for every contaminated train
+    * document (q47's verdict), the number of matching spans and how many
+    * tokens span-removal would delete — the "strip, don't drop" option:
+    * a doc sharing one quote with a benchmark keeps its other 95%.
+    * Token i is removed iff some contaminated [[DecontamN]]-gram starts
+    * in (i-[[DecontamN]], i]; overlapping spans are unioned before
+    * counting, via index-set aggregation per doc. The per-doc span lists
+    * are tiny (bounded by q47's match counts), so the interpreted HOF
+    * union here is fine — the corpus-scale work is the same broadcast
+    * semi-join q47 runs.
+    */
+  def q55DecontamStrip(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("split", Curation.splitOf(col("doc_id")))
+    val posSh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramShinglesAll(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          Dedup.tokens(col("text"))), DecontamN))
+    val evalShingles = d.filter(col("split") === "test")
+      .select(explode(posSh).as("sh")).distinct()
+    val hits = d.filter(col("split") === "train")
+      .select(col("doc_id"), posexplode(posSh).as(Seq("start", "sh")))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sort_array(collect_list(col("start"))).as("starts"))
+    val removed = size(array_distinct(flatten(transform(col("starts"),
+      s => sequence(s, s + DecontamN - 1)))))
+    hits
+      .join(d.filter(col("split") === "train")
+        .select(col("doc_id"),
+          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+      .select(col("doc_id"), col("n_spans"),
+        removed.cast("long").as("n_tokens_removed"),
+        graft.functions.VectorOps.round6(
+          removed.cast("double") / col("n_tokens")).as("frac_removed"))
+      .orderBy("doc_id")
+  }
+
+  val q55OracleSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text, ${Curation.splitSqlOf("doc_id")} AS split
+      |  FROM documents
+      |), toks AS (
+      |  SELECT doc_id, split, string_split_regex(text, '\\s+') AS t FROM d
+      |), pos AS (
+      |  -- two same-length unnests in one SELECT zip positionally in DuckDB
+      |  SELECT doc_id, split, len(t) AS n_tokens,
+      |         unnest(${shingleSqlN(DecontamN)}) AS sh,
+      |         unnest(range(1, len(${shingleSqlN(DecontamN)}) + 1)) AS start
+      |  FROM toks
+      |), ev AS (
+      |  SELECT DISTINCT sh FROM pos WHERE split = 'test'
+      |), hits AS (
+      |  SELECT p.doc_id, ANY_VALUE(p.n_tokens) AS n_tokens,
+      |         COUNT(*) AS n_spans,
+      |         list_sort(list(p.start)) AS starts
+      |  FROM pos p JOIN ev ON p.sh = ev.sh
+      |  WHERE p.split = 'train' GROUP BY p.doc_id
+      |)
+      |SELECT doc_id, n_spans,
+      |       CAST(len(list_distinct(flatten(list_transform(starts,
+      |         s -> list_transform(generate_series(0, ${DecontamN - 1}),
+      |                o -> s + o))))) AS BIGINT) AS n_tokens_removed,
+      |       ${graft.functions.VectorOps.round6Sql(
+           s"""CAST(len(list_distinct(flatten(list_transform(starts,
+      |         s -> list_transform(generate_series(0, ${DecontamN - 1}),
+      |                o -> s + o))))) AS DOUBLE) / n_tokens""")} AS frac_removed
+      |FROM hits ORDER BY doc_id""".stripMargin
+
   // ---- q48: sequence packing ---------------------------------------------
 
   /** Token budget per packed training sequence. */

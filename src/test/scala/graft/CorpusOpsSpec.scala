@@ -32,6 +32,25 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q55 strip accounting agrees with q47's contamination verdicts") {
+    val contaminated = CorpusOps.q47Decontaminate(spark, sf).collect()
+      .filter(_.getAs[Boolean]("contaminated"))
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_eval_shingles")).toMap
+    val strip = CorpusOps.q55DecontamStrip(spark, sf).collect()
+    assert(strip.map(_.getAs[Long]("doc_id")).toSet == contaminated.keySet)
+    strip.foreach { r =>
+      val spans = r.getAs[Long]("n_spans")
+      val removed = r.getAs[Long]("n_tokens_removed")
+      // q47 counts distinct contaminated shingles; q55 counts positional
+      // occurrences, so spans >= that count
+      assert(spans >= contaminated(r.getAs[Long]("doc_id")))
+      // union of spans: at least one span's width, at most all disjoint
+      assert(removed >= 8 && removed <= spans * 8)
+      val frac = r.getAs[Double]("frac_removed")
+      assert(frac > 0.0 && frac <= 1.0)
+    }
+  }
+
   test("q48 packs shards by cumulative token offset") {
     val rows = CorpusOps.q48SequencePack(spark, sf).collect()
     assert(rows.length == docs.size)

@@ -64,6 +64,22 @@ class HotClusterSpec extends SparkSpec {
     (Clones.toLong until (Clones + 50L)).foreach(id => assert(rows(id) == 0.0))
   }
 
+  test("connectedComponents fails loudly past the iteration bound on a long chain") {
+    import spark.implicits._
+    // a 12-vertex path has diameter 11 > maxIter 3: propagation must
+    // refuse to return a half-converged labelling
+    val vs = (0L until 12L).toDF("v")
+    val es = (0L until 11L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(vs, es, maxIter = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // and with the bound relaxed the same graph converges to one component
+    val labels = Dedup.connectedComponents(vs, es).collect()
+      .map(_.getAs[Long]("label")).toSet
+    assert(labels == Set(0L))
+  }
+
   test("q50 marks cloned incoming docs as exact duplicates of the corpus") {
     val rows = CorpusOps.q50IncrementalDedup(spark, dir).collect()
     // every incoming (val/test-split) clone must resolve to an exact dup
