@@ -509,6 +509,47 @@ object CorpusOps {
       |FROM strata, totals ORDER BY lang, source""".stripMargin
   }
 
+  /** Resolution of the q56 sampling hash (hash is uniform on [0, 10⁶)). */
+  private val MixResolution = 1000000L
+
+  /** q56 — mixture application: the deterministic downsample that
+    * realizes q53's weights. A document is kept iff
+    * `hash(doc_id ⊕ salt) / 10⁶ < weight(stratum)` — a pure function of
+    * the row (reproducible, growth-stable, and independent of the q42
+    * split hash thanks to the salt), so the kept corpus per stratum
+    * converges to `weight × n_docs` without RNG. Broadcast of the tiny
+    * stratum-weight table; map-only over the corpus scan.
+    */
+  def q56MixtureApply(spark: SparkSession, dir: String): DataFrame = {
+    val weights = q53MixtureWeights(spark, dir)
+      .select("lang", "source", "weight")
+    val hash = pmod(org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          concat(col("doc_id").cast("string"), lit("#mix"))))),
+      lit(MixResolution))
+    Tables.documents(spark, dir)
+      .join(broadcast(weights), Seq("lang", "source"))
+      .withColumn("__h", hash)
+      .filter(col("__h") < col("weight") * MixResolution)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  val q56OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("CAST(d.doc_id AS VARCHAR) || '#mix'")
+    val weightsCte = q53OracleSql.linesIterator
+      .takeWhile(!_.startsWith("FROM strata")).mkString("\n")
+    s"""WITH w AS (
+      |$weightsCte
+      |FROM strata, totals
+      |)
+      |SELECT d.doc_id, d.lang, d.source
+      |FROM documents d JOIN w ON d.lang = w.lang AND d.source = w.source
+      |WHERE $ph % $MixResolution < w.weight * $MixResolution
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---- q54: duplicated-span fraction -------------------------------------
 
   /** Span width for duplication analysis: a shared run of this many

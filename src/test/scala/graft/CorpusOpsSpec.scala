@@ -156,6 +156,32 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q56 realizes q53's weights: per-stratum kept mass tracks the weight") {
+    val weights = CorpusOps.q53MixtureWeights(spark, sf).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Double]("weight"), r.getAs[Long]("n_docs"))).toMap
+    val kept = CorpusOps.q56MixtureApply(spark, sf).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .map { case (k, v) => k -> v.length.toLong }
+    weights.foreach { case (stratum, (w, n)) =>
+      val k = kept.getOrElse(stratum, 0L)
+      assert(k <= n)
+      if (w == 1.0) assert(k == n, s"$stratum: weight 1 must keep everything")
+      // hash-uniform binomial: allow generous slack on tiny strata
+      else {
+        val expectedK = w * n
+        val slack = math.max(4.0, 3 * math.sqrt(expectedK))
+        assert(math.abs(k - expectedK) <= slack,
+          s"$stratum: kept $k of $n at weight $w")
+      }
+    }
+    // deterministic: a second run keeps the identical set
+    val again = CorpusOps.q56MixtureApply(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == CorpusOps.q56MixtureApply(spark, sf).collect()
+      .map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("q51 reports the true top document frequencies in order") {
     val rows = CorpusOps.q51BoilerplateNgrams(spark, sf).collect()
     assert(rows.length == 100)
