@@ -108,18 +108,22 @@ object CorpusOps {
           Dedup.tokens(col("text"))), DecontamN))
     val evalShingles = d.filter(col("split") === "test")
       .select(explode(posSh).as("sh")).distinct()
+    // n_tokens rides along the positional explode (first() per doc), so
+    // the train corpus is scanned and tokenized ONCE — a join back to a
+    // second documents scan would re-run the tokenizer over every train
+    // doc just to fetch a length the first pass already had
     val hits = d.filter(col("split") === "train")
-      .select(col("doc_id"), posexplode(posSh).as(Seq("start", "sh")))
+      .select(col("doc_id"),
+        size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
+        posexplode(posSh).as(Seq("start", "sh")))
       .join(broadcast(evalShingles), "sh")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
+      .agg(first("n_tokens").as("n_tokens"),
+        count(lit(1)).as("n_spans"),
         sort_array(collect_list(col("start"))).as("starts"))
     val removed = size(array_distinct(flatten(transform(col("starts"),
       s => sequence(s, s + DecontamN - 1)))))
     hits
-      .join(d.filter(col("split") === "train")
-        .select(col("doc_id"),
-          size(Dedup.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
       .select(col("doc_id"), col("n_spans"),
         removed.cast("long").as("n_tokens_removed"),
         graft.functions.VectorOps.round6(
@@ -452,11 +456,15 @@ object CorpusOps {
       |       ${graft.functions.VectorOps.round6Sql("vmin")} AS vmin,
       |       ${graft.functions.VectorOps.round6Sql("vmax")} AS vmax,
       |       ${round9Sql(
-             // COALESCE: for an empty vector list_min is NULL and the CASE
-             // would yield NULL, where the kernel returns 0.0
+             // COALESCE: for an empty/all-null vector list_min is NULL and
+             // the CASE would yield NULL, where the kernel returns 0.0.
+             // Denominator counts NON-NULL elements — the kernel skips
+             // null slots, so dividing by len(e) would under-report MSE
+             // on vectors containing nulls.
              s"""COALESCE(CASE WHEN vmax = vmin THEN 0.0
       |            ELSE list_sum(list_transform(e,
-      |                   x -> (x - $recon) * (x - $recon))) / len(e) END, 0.0)""")} AS mse_q8
+      |                   x -> (x - $recon) * (x - $recon)))
+      |                 / len(list_filter(e, x -> x IS NOT NULL)) END, 0.0)""")} AS mse_q8
       |FROM scaled ORDER BY vec_id""".stripMargin
   }
 
@@ -490,9 +498,12 @@ object CorpusOps {
       .orderBy("lang", "source")
   }
 
-  val q53OracleSql: String = {
-    import graft.functions.VectorOps.round6Sql
-    s"""WITH strata AS (
+  /** Shared CTE block (`strata`, `totals`) + the weight expression, used
+    * verbatim by [[q53OracleSql]] and [[q56OracleSql]] so the two cannot
+    * drift (no text surgery on one another's SQL).
+    */
+  private val mixtureCtes: String =
+    s"""strata AS (
       |  SELECT lang, source, COUNT(*) AS n_docs,
       |         CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
       |  FROM documents GROUP BY 1, 2
@@ -500,12 +511,19 @@ object CorpusOps {
       |  SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
       |         COUNT(*) AS n_strata
       |  FROM strata
-      |)
+      |)""".stripMargin
+
+  private val mixtureWeightSql: String =
+    graft.functions.VectorOps.round6Sql(
+      """LEAST(1.0, (1.0 / n_strata) /
+      |         (CAST(n_docs AS DOUBLE) / total_docs))""".stripMargin)
+
+  val q53OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $mixtureCtes
       |SELECT lang, source, n_docs, n_tokens,
       |       ${round6Sql("CAST(n_docs AS DOUBLE) / total_docs")} AS doc_share,
-      |       ${round6Sql(
-             """LEAST(1.0, (1.0 / n_strata) /
-      |         (CAST(n_docs AS DOUBLE) / total_docs))""")} AS weight
+      |       $mixtureWeightSql AS weight
       |FROM strata, totals ORDER BY lang, source""".stripMargin
   }
 
@@ -538,11 +556,9 @@ object CorpusOps {
 
   val q56OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(d.doc_id AS VARCHAR) || '#mix'")
-    val weightsCte = q53OracleSql.linesIterator
-      .takeWhile(!_.startsWith("FROM strata")).mkString("\n")
-    s"""WITH w AS (
-      |$weightsCte
-      |FROM strata, totals
+    s"""WITH $mixtureCtes, w AS (
+      |  SELECT lang, source, $mixtureWeightSql AS weight
+      |  FROM strata, totals
       |)
       |SELECT d.doc_id, d.lang, d.source
       |FROM documents d JOIN w ON d.lang = w.lang AND d.source = w.source

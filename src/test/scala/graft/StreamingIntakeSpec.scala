@@ -52,10 +52,14 @@ class StreamingIntakeSpec extends SparkSpec {
     val landed = spark.read.parquet(out)
     assert(landed.count() == 2, "one row per distinct clean content")
     assert(landed.select("content_hash").distinct().count() == 2)
-    // the first arrival won the dedup, not a re-delivery
+    // an arrival from the FIRST batch won the dedup, not the later
+    // re-delivery (doc 4). Within one micro-batch the survivor between
+    // docs 1 and 2 is not contractual — dropDuplicatesWithinWatermark
+    // keeps whichever row reaches the state store first — so both are
+    // acceptable winners.
     val winner = landed.filter(col("text") === "a clean document with enough tokens")
       .select("doc_id").as[Long].head()
-    assert(winner == 1L)
+    assert(Set(1L, 2L).contains(winner), s"re-delivery $winner won the dedup")
     assert(landed.filter(col("text") === "too short").isEmpty)
   }
 }
