@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{CorpusOps, Curation, Dedup, Similarity, TextAnalysis}
+
+/** Degenerate-input robustness: every corpus operator must return an
+  * empty result on an empty table — not throw from a head() on no rows,
+  * a window over nothing, or a converge-check against an empty label
+  * set. Empty partitions are routine at 100 TB (a fresh source, an
+  * over-partitioned day); an operator that dies on one is not shippable.
+  */
+class EmptyCorpusSpec extends SparkSpec {
+
+  /** sf0.001's schemas with zero rows. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("empty_corpus").toString
+    for (t <- Seq("documents", "embeddings", "customer")) {
+      spark.read.parquet(s"$sf/$t.parquet").limit(0)
+        .write.mode("overwrite").parquet(s"$d/$t.parquet")
+    }
+    d
+  }
+
+  private val ops: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+      org.apache.spark.sql.DataFrame)] = Seq(
+    "q17_dedup_exact" -> (Dedup.q17DedupExact _),
+    "q18_dedup_minhash" -> (Dedup.q18DedupMinhash _),
+    "q19_dedup_simhash" -> (Dedup.q19DedupSimhash _),
+    "q20_ngram_jaccard" -> (Dedup.q20NgramJaccard _),
+    "q22_cosine_topk" -> (Similarity.q22CosineTopK _),
+    "q24_text_stats" -> (TextAnalysis.q24TextStats _),
+    "q40_dedup_keepers" -> (Dedup.q40DedupKeepers _),
+    "q41_corpus_select" -> (Curation.q41CorpusSelect _),
+    "q42_sample_split" -> (Curation.q42SampleSplit _),
+    "q43_corpus_stats" -> (Curation.q43CorpusStats _),
+    "q46_stratified_cap" -> (Curation.q46StratifiedCap _),
+    "q47_decontaminate" -> (CorpusOps.q47Decontaminate _),
+    "q48_sequence_pack" -> (CorpusOps.q48SequencePack _),
+    "q49_pii_scrub" -> (CorpusOps.q49PiiScrub _),
+    "q50_incremental_dedup" -> (CorpusOps.q50IncrementalDedup _),
+    "q51_boilerplate_ngrams" -> (CorpusOps.q51BoilerplateNgrams _),
+    "q52_quantize_audit" -> (CorpusOps.q52QuantizeAudit _),
+    "q53_mixture_weights" -> (CorpusOps.q53MixtureWeights _),
+    "q54_dup_spans" -> (CorpusOps.q54DupSpans _),
+    "q55_decontam_strip" -> (CorpusOps.q55DecontamStrip _),
+    "q56_mixture_apply" -> (CorpusOps.q56MixtureApply _))
+
+  ops.foreach { case (name, fn) =>
+    test(s"$name returns empty on an empty corpus") {
+      assert(fn(spark, dir).count() == 0)
+    }
+  }
+}
