@@ -566,6 +566,44 @@ object CorpusOps {
       |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** q57 — corpus length profile: exact P50/P90/P99 of the per-document
+    * token count, per source, with the t-digest sketch estimate beside
+    * the exact P90 as a bounded check (the q36 stance for percentiles:
+    * the sketch is the 100 TB default — exact percentile sorts every
+    * group's values through one reducer — and the exact column is the
+    * opt-in that the oracle can hash). Spark's `percentile` and DuckDB's
+    * `quantile_cont` both linear-interpolate, so the exact columns match
+    * bit-for-bit through the decimal parity round.
+    */
+  def q57LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val n = size(Dedup.tokens(col("text"))).cast("double")
+    Tables.documents(spark, dir)
+      .select(col("source"), n.as("n_tokens"))
+      .groupBy("source")
+      .agg(
+        round6(expr("percentile(n_tokens, 0.5)")).as("p50"),
+        round6(expr("percentile(n_tokens, 0.9)")).as("p90"),
+        round6(expr("percentile(n_tokens, 0.99)")).as("p99"),
+        percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("p90_approx"))
+      .select(col("source"), col("p50"), col("p90"), col("p99"),
+        (abs(col("p90_approx") - col("p90")) <= col("p90") * 0.1 + 1.0)
+          .as("approx_within_10pct"))
+      .orderBy("source")
+  }
+
+  val q57OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    def q(f: String) =
+      round6Sql(s"quantile_cont(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), $f)")
+    s"""SELECT source,
+      |       ${q("0.5")} AS p50,
+      |       ${q("0.9")} AS p90,
+      |       ${q("0.99")} AS p99,
+      |       TRUE AS approx_within_10pct
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // ---- q54: duplicated-span fraction -------------------------------------
 
   /** Span width for duplication analysis: a shared run of this many

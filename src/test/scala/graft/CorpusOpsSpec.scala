@@ -182,6 +182,27 @@ class CorpusOpsSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("q57 quantiles are ordered, bounded, and match a hand-computed median") {
+    val rows = CorpusOps.q57LengthQuantiles(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+      assert(r.getAs[Boolean]("approx_within_10pct"))
+    }
+    // hand-compute one source's median (linear interpolation)
+    val src = rows.head.getAs[String]("source")
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("source") === src)
+      .collect().map(_.getAs[String]("text").split("\\s+").length.toDouble)
+      .sorted
+    val h = (lens.length - 1) * 0.5
+    val expected = lens(h.toInt) + (h - h.toInt) *
+      (lens(math.min(h.toInt + 1, lens.length - 1)) - lens(h.toInt))
+    assert(math.abs(rows.head.getAs[Double]("p50") - expected) < 1e-6)
+  }
+
   test("q51 reports the true top document frequencies in order") {
     val rows = CorpusOps.q51BoilerplateNgrams(spark, sf).collect()
     assert(rows.length == 100)
