@@ -604,6 +604,58 @@ object CorpusOps {
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** q58 — corpus integrity audit: the referential report a pipeline
+    * runs on a delivered corpus before anything else. One row per check:
+    * documents without an embedding, embeddings without a document,
+    * duplicate ids on either side, and null-text documents. Anti-joins
+    * and key-grouped counts — every check is one shuffle on the id, and
+    * the id sides are each aggregated to key grain before comparison.
+    */
+  def q58IntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+    val docIds = d.select(col("doc_id").as("id"))
+    val vecIds = e.select(col("vec_id").as("id"))
+    // each check is a global aggregate — exactly one row even on empty
+    // input, so a plain select attaches the label
+    def one(check: String, cnt: DataFrame): DataFrame =
+      cnt.select(lit(check).as("check"), col("n").as("violations"))
+    val checks = Seq(
+      one("docs_without_embedding",
+        docIds.join(vecIds, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n"))),
+      one("embeddings_without_doc",
+        vecIds.join(docIds, Seq("id"), "left_anti")
+          .agg(count(lit(1)).as("n"))),
+      one("duplicate_doc_ids",
+        docIds.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("n"))),
+      one("duplicate_vec_ids",
+        vecIds.groupBy("id").agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).agg(count(lit(1)).as("n"))),
+      one("null_text_docs",
+        d.filter(col("text").isNull).agg(count(lit(1)).as("n"))))
+    checks.reduce(_.unionByName(_)).orderBy("check")
+  }
+
+  val q58OracleSql: String =
+    s"""SELECT 'docs_without_embedding' AS check, COUNT(*) AS violations
+      |FROM documents d WHERE NOT EXISTS
+      |  (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+      |UNION ALL
+      |SELECT 'embeddings_without_doc', COUNT(*)
+      |FROM embeddings e WHERE NOT EXISTS
+      |  (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+      |UNION ALL
+      |SELECT 'duplicate_doc_ids', COUNT(*) FROM
+      |  (SELECT doc_id FROM documents GROUP BY 1 HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'duplicate_vec_ids', COUNT(*) FROM
+      |  (SELECT vec_id FROM embeddings GROUP BY 1 HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'null_text_docs', COUNT(*) FROM documents WHERE text IS NULL
+      |ORDER BY 1""".stripMargin
+
   // ---- q54: duplicated-span fraction -------------------------------------
 
   /** Span width for duplication analysis: a shared run of this many

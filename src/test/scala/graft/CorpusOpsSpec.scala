@@ -203,6 +203,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("p50") - expected) < 1e-6)
   }
 
+  test("q58 flags every planted integrity violation and none on the clean corpus") {
+    import spark.implicits._
+    val clean = CorpusOps.q58IntegrityAudit(spark, sf).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violations")).toMap
+    assert(clean.keySet.size == 5)
+    assert(clean("duplicate_doc_ids") == 0 && clean("null_text_docs") == 0)
+
+    val dir = java.nio.file.Files.createTempDirectory("integrity").toString
+    Seq((0L, "a", "en", "s", 1L), (1L, "b", "en", "s", 1L),
+        (1L, "c", "en", "s", 1L), (2L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    Seq((0L, Array(0.1f), 0), (99L, Array(0.2f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val bad = CorpusOps.q58IntegrityAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("check") -> r.getAs[Long]("violations")).toMap
+    assert(bad("docs_without_embedding") == 3) // ids 1, 1, 2
+    assert(bad("embeddings_without_doc") == 1) // vec 99
+    assert(bad("duplicate_doc_ids") == 1)      // id 1
+    assert(bad("duplicate_vec_ids") == 0)
+    assert(bad("null_text_docs") == 1)         // id 2
+  }
+
   test("q51 reports the true top document frequencies in order") {
     val rows = CorpusOps.q51BoilerplateNgrams(spark, sf).collect()
     assert(rows.length == 100)
