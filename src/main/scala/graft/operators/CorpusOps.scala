@@ -587,8 +587,12 @@ object CorpusOps {
         round6(expr("percentile(n_tokens, 0.99)")).as("p99"),
         percentile_approx(col("n_tokens"), lit(0.9), lit(10000)).as("p90_approx"))
       .select(col("source"), col("p50"), col("p90"), col("p99"),
-        (abs(col("p90_approx") - col("p90")) <= col("p90") * 0.1 + 1.0)
-          .as("approx_within_10pct"))
+        // coalesce: a source whose documents all have NULL text has NULL
+        // percentiles, so the comparison is NULL where the oracle's
+        // hard-coded TRUE expects a value — vacuously true, like the
+        // oracle, on degenerate sources
+        coalesce(abs(col("p90_approx") - col("p90")) <= col("p90") * 0.1 + 1.0,
+          lit(true)).as("approx_within_10pct"))
       .orderBy("source")
   }
 

@@ -216,19 +216,24 @@ object Curation {
     * time (`PartitionFilters`) instead of scanning the whole corpus.
     * Overwrite mode keeps re-runs idempotent (Spark's commit protocol
     * stages to `_temporary` and swaps on commit). Returns the exported
-    * document count.
+    * document count, observed on the write itself (`Observation` rides
+    * the job's task metrics) — no second read over the export, and no
+    * schema-inference failure when zero documents survive curation and
+    * the partitioned overwrite writes no data files.
     */
   def exportCorpus(spark: SparkSession, dir: String, outPath: String): Long = {
     val kept = q41CorpusSelect(spark, dir)
       .filter(col("selected")).select("doc_id")
+    val obs = org.apache.spark.sql.Observation("export_corpus")
     val out = Tables.documents(spark, dir)
       .join(kept, "doc_id")
       .withColumn("split", splitOf(col("doc_id")))
+      .observe(obs, count(lit(1)).as("n_docs"))
     out.write
       .mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy("split")
       .parquet(outPath)
-    spark.read.parquet(outPath).count()
+    obs.get("n_docs").asInstanceOf[Long]
   }
 
   /** The q41 funnel chain + the q42 split expression, rolled up.

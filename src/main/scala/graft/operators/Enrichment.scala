@@ -44,8 +44,22 @@ object EnrichmentClient {
     * dictionary the [[CandidateJoin.resolve]] broadcast join would ship.
     * Payload values are rendered as strings (the live path's wire format);
     * `CandidateJoinSpec` proves the two paths agree hit-for-hit.
+    *
+    * Guarded: the collect below is driver-side by design (the dictionary
+    * is broadcast to every executor), so a fact-scale table here is a
+    * silent OOM waiting for a bigger input — same contract as
+    * `EtlOps.dictionaryEncode`'s guard. Fails loudly above `maxRows`;
+    * `limit(n+1).count()` bounds the check itself, so the probe never
+    * scans more than the threshold.
     */
-  def offline(lookup: DataFrame, keyCol: String): EnrichmentClient = {
+  def offline(lookup: DataFrame, keyCol: String,
+      maxRows: Long = 1000000L): EnrichmentClient = {
+    val probed = lookup.limit(maxRows.toInt + 1).count()
+    require(probed <= maxRows,
+      s"EnrichmentClient.offline: lookup exceeds $maxRows rows — " +
+        "this is a dimension-only client (the dictionary is collected to " +
+        "the driver and broadcast); resolve fact-scale lookups with the " +
+        "declarative CandidateJoin.resolve join instead")
     val payloadCols = lookup.columns.filterNot(_ == keyCol)
     val dict: Map[String, Map[String, String]] = lookup.collect().map { r =>
       r.getAs[String](keyCol) ->

@@ -127,7 +127,12 @@ object SetAndJsonQueries {
     */
   def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    o.select("o_orderstatus", "o_custkey").distinct()
+    // NULL keys are dropped BEFORE the distinct: the rewrite counts the
+    // deduplicated pairs with count(*), which would otherwise count a
+    // (status, NULL) row that COUNT(DISTINCT o_custkey) ignores — a
+    // latent off-by-one on any data with null keys.
+    o.select("o_orderstatus", "o_custkey")
+      .filter(col("o_custkey").isNotNull).distinct()
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("exact_customers"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))

@@ -76,6 +76,18 @@ class CandidateJoinSpec extends SparkSpec {
       s"opens=${opens.value} closes=${closes.value}")
   }
 
+  test("offline client refuses a lookup above its dimension bound") {
+    import graft.operators.EnrichmentClient
+    val big = spark.range(11)
+      .selectExpr("CAST(id AS STRING) AS key", "id AS payload")
+    val e = intercept[IllegalArgumentException] {
+      EnrichmentClient.offline(big, "key", maxRows = 10L)
+    }
+    assert(e.getMessage.contains("exceeds 10 rows"))
+    // at the bound it still builds
+    EnrichmentClient.offline(big.limit(10), "key", maxRows = 10L)
+  }
+
   test("q15/q16 plans resolve every probe row exactly once") {
     val n = spark.read.parquet(s"$sf/documents.parquet").count()
     assert(CandidateJoin.q15CandidateJoin(spark, sf).count() == n)

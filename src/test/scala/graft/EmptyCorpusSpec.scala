@@ -42,11 +42,21 @@ class EmptyCorpusSpec extends SparkSpec {
     "q53_mixture_weights" -> (CorpusOps.q53MixtureWeights _),
     "q54_dup_spans" -> (CorpusOps.q54DupSpans _),
     "q55_decontam_strip" -> (CorpusOps.q55DecontamStrip _),
-    "q56_mixture_apply" -> (CorpusOps.q56MixtureApply _))
+    "q56_mixture_apply" -> (CorpusOps.q56MixtureApply _),
+    "q57_length_quantiles" -> (CorpusOps.q57LengthQuantiles _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
       assert(fn(spark, dir).count() == 0)
     }
+  }
+
+  // q58 is a global-aggregate report, not a per-row derivation: its
+  // contract on an empty corpus is the full 5-check ledger with zero
+  // violations everywhere, not an empty frame.
+  test("q58_integrity_audit reports five zero-violation checks on an empty corpus") {
+    val rows = CorpusOps.q58IntegrityAudit(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Long]("violations") == 0L))
   }
 }
