@@ -167,12 +167,25 @@ object CorpusOps {
   /** Token budget per packed training sequence. */
   private val PackBudget = 512
 
-  /** Shard count for packing. At 100 TB one global token order is a
-    * single-task sort; sharding by a hash of the id keeps every window
-    * partition-local while the assignment stays a pure function of the
-    * corpus (adding docs only ever appends within a shard).
+  /** Shard count for packing: the SEMANTIC unit of concatenation order.
+    * Sharding by a hash of the id keeps the assignment a pure function of
+    * the corpus (adding docs only ever appends within a shard). Shards
+    * are NOT the parallelism bound — offsets inside a shard are computed
+    * two-level over [[PackRangeWidth]]-sized id ranges, so no window task
+    * ever owns more than one range regardless of corpus size.
     */
   private val PackShards = 16
+
+  /** Id-range width for the two-level offset computation: documents are
+    * bucketed by `doc_id div width`, so a (shard, range) window cell
+    * holds at most `width` documents NO MATTER how large the corpus is —
+    * the per-task token mass is bounded by construction, where the old
+    * single-window-per-shard form gave each of 16 tasks 1/16th of the
+    * corpus. The range-totals table this leaves behind has
+    * `id_domain / width` rows (tiny triples), so its own per-shard
+    * prefix-sum window is ~10⁶ rows per shard even at 10¹² documents.
+    */
+  private val PackRangeWidth = 1L << 16
 
   /** q48 — sequence packing: documents are concatenated in (shard,
     * doc_id) order and chunked into [[PackBudget]]-token training
@@ -182,19 +195,49 @@ object CorpusOps {
     * concat-then-chunk pretraining layout — the downstream writer slices
     * exactly where `tok_offset % budget` says.
     */
-  def q48SequencePack(spark: SparkSession, dir: String): DataFrame = {
+  def q48SequencePack(spark: SparkSession, dir: String): DataFrame =
+    sequencePack(spark, dir, PackRangeWidth)
+
+  /** Two-level offset computation behind [[q48SequencePack]]. `rng =
+    * doc_id div rangeWidth` is monotone in `doc_id`, so ordering a shard
+    * by (rng, doc_id) IS the shard's doc_id order and the decomposition
+    * below returns bit-identical offsets to a single per-shard running
+    * sum (the oracle keeps that single-window form as the semantic
+    * definition; the cross-engine hash match proves the equivalence):
+    *
+    *  1. per-(shard, rng) token totals — one map-side-partial aggregate;
+    *  2. per-shard running sum OVER THE TOTALS (a `rangeWidth`-fold
+    *     smaller table) → each range's base offset;
+    *  3. per-(shard, rng) partition-local running sum + that base.
+    *
+    * The base join is on (shard, rng) — the exact partitioning the
+    * level-3 window needs anyway, and AQE broadcasts the totals side
+    * whenever it is small. `rangeWidth` is parameterized only for the
+    * equivalence spec; production uses [[PackRangeWidth]].
+    */
+  private[graft] def sequencePack(spark: SparkSession, dir: String,
+      rangeWidth: Long): DataFrame = {
     val d = Tables.documents(spark, dir)
     val shard = pmod(org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(
           col("doc_id").cast("string")))), lit(PackShards.toLong)).cast("int")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("doc_id")
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    d.select(col("doc_id"), shard.as("shard"),
-        size(Dedup.tokens(col("text"))).as("n_tokens"))
+    val sized = d.select(col("doc_id"), shard.as("shard"),
+      size(Dedup.tokens(col("text"))).as("n_tokens"),
+      expr(s"doc_id DIV $rangeWidth").as("rng"))
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val baseW = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("rng").rowsBetween(unbounded, -1)
+    val bases = sized.groupBy("shard", "rng")
+      .agg(sum(col("n_tokens").cast("long")).as("cell_tokens"))
+      .withColumn("base", coalesce(sum("cell_tokens").over(baseW), lit(0L)))
+      .select("shard", "rng", "base")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "rng").orderBy("doc_id").rowsBetween(unbounded, -1)
+    sized.join(bases, Seq("shard", "rng"))
       .withColumn("tok_offset",
-        coalesce(sum(col("n_tokens").cast("long")).over(w), lit(0L)))
+        col("base") +
+          coalesce(sum(col("n_tokens").cast("long")).over(localW), lit(0L)))
       .withColumn("seq_id", floor(col("tok_offset") / PackBudget))
       .select("doc_id", "shard", "n_tokens", "tok_offset", "seq_id")
       .orderBy("doc_id")

@@ -66,6 +66,20 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q48 two-level offsets are range-width-invariant") {
+    // forcing multiple id ranges (width 64 → ~8 ranges at sf0.001) must
+    // reproduce the production-width result row for row: the broadcast
+    // base + partition-local running sum decomposition is exact, not an
+    // approximation — this is what licenses the bounded-cell claim at
+    // 100 TB (no window task ever owns more than `width` documents)
+    val wide = CorpusOps.q48SequencePack(spark, sf).collect().toSeq
+    val narrow = CorpusOps.sequencePack(spark, sf, 64L).collect().toSeq
+    assert(narrow == wide)
+    // degenerate width: every doc its own range — pure base offsets
+    val unit = CorpusOps.sequencePack(spark, sf, 1L).collect().toSeq
+    assert(unit == wide)
+  }
+
   test("scrubbed redacts emails, urls, and digit runs in order") {
     import spark.implicits._
     val in = Seq(

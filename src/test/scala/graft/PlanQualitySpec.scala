@@ -88,6 +88,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(800))
   }
 
+  test("q48's per-doc window partitions by (shard, rng) — no task owns more than a range") {
+    val df = graft.operators.CorpusOps.sequencePack(spark, sf, 64L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the level-3 running sum must be partitioned by BOTH shard and rng:
+    // partitioning by shard alone is the 16-task ceiling this decomposition
+    // removes (each (shard, rng) cell holds at most `width` documents
+    // regardless of corpus size)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(w => w.contains("shard") && w.contains("rng")
+      && w.contains("doc_id")), windows.mkString("\n"))
+    // and the bounded-mass property itself, measured: no window cell
+    // exceeds the range width in documents
+    val maxCell = graft.operators.CorpusOps.sequencePack(spark, sf, 64L)
+      .groupBy(col("shard"), col("doc_id").divide(64).cast("long").as("rng"))
+      .count().agg(max("count")).head.getLong(0)
+    assert(maxCell <= 64L, s"cell holds $maxCell docs")
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
