@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The tokenization seam for every token-mass operator in the library
+  * (token counting, curation yield, sequence packing, mixture weights,
+  * length quantiles). The first thing a real pretraining user swaps in is
+  * their model's tokenizer; this trait makes that one implementation
+  * instead of five operator edits — the same seam pattern as
+  * `EnrichmentClient` (offline default, production implementation plugs
+  * in).
+  *
+  * Implementations return a COLUMN EXPRESSION (`Array<String>`), not a
+  * per-row closure: tokenization stays inside whole-stage codegen and the
+  * operator plans are unchanged by swapping tokenizers. A tokenizer that
+  * genuinely needs external state (a merges file, a sentencepiece model)
+  * still fits — express the vocab as a literal/broadcast inside the
+  * expression, or fall back to a mapPartitions-backed column on the
+  * operator's input before the seam.
+  */
+trait Tokenizer extends Serializable {
+
+  /** Tokens of a text column, as an `Array<String>` expression. */
+  def tokens(text: Column): Column
+
+  /** Token count of a text column. Defaults to `size(tokens(text))`;
+    * override when counting is cheaper than materializing (the common
+    * case for BPE estimators that only need lengths).
+    */
+  def count(text: Column): Column = size(tokens(text))
+}
+
+object Tokenizer {
+
+  /** The library default: whitespace runs delimit tokens. This is the
+    * variant every DuckDB oracle mirrors (`string_split_regex(text,
+    * '\s+')`), so operators run under it stay hash-checkable.
+    */
+  object Whitespace extends Tokenizer {
+    override def tokens(text: Column): Column = split(text, "\\s+")
+  }
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, or punctuation runs
+    * (ASCII-safe; identical semantics in Java regex and RE2). The
+    * pre-merge segmentation step of byte-pair tokenizers — a closer
+    * "what will this cost in tokens" estimate than whitespace, since
+    * punctuation and numbers tokenize separately.
+    */
+  object BpePre extends Tokenizer {
+    private val Re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+    override def tokens(text: Column): Column =
+      regexp_extract_all(text, lit(Re), lit(0))
+  }
+}

@@ -198,6 +198,14 @@ object CorpusOps {
   def q48SequencePack(spark: SparkSession, dir: String): DataFrame =
     sequencePack(spark, dir, PackRangeWidth)
 
+  /** q48 under a pluggable [[graft.functions.Tokenizer]] — offsets in
+    * whatever unit the seam counts (a real packing run uses the model's
+    * own tokenizer so `seq_id` boundaries land exactly on its budget).
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame =
+    sequencePack(spark, dir, PackRangeWidth, tok)
+
   /** Two-level offset computation behind [[q48SequencePack]]. `rng =
     * doc_id div rangeWidth` is monotone in `doc_id`, so ordering a shard
     * by (rng, doc_id) IS the shard's doc_id order and the decomposition
@@ -216,14 +224,16 @@ object CorpusOps {
     * equivalence spec; production uses [[PackRangeWidth]].
     */
   private[graft] def sequencePack(spark: SparkSession, dir: String,
-      rangeWidth: Long): DataFrame = {
+      rangeWidth: Long,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame = {
     val d = Tables.documents(spark, dir)
     val shard = pmod(org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(
           col("doc_id").cast("string")))), lit(PackShards.toLong)).cast("int")
     val sized = d.select(col("doc_id"), shard.as("shard"),
-      size(Dedup.tokens(col("text"))).as("n_tokens"),
+      tok.count(col("text")).as("n_tokens"),
       expr(s"doc_id DIV $rangeWidth").as("rng"))
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val baseW = org.apache.spark.sql.expressions.Window
@@ -524,12 +534,19 @@ object CorpusOps {
     * (thousands of rows at most), then totals join back via broadcast —
     * no global window over the corpus.
     */
-  def q53MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+  def q53MixtureWeights(spark: SparkSession, dir: String): DataFrame =
+    mixtureWeights(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q53 under a pluggable [[graft.functions.Tokenizer]] — stratum token
+    * mass follows the seam; weights are doc-count-based and unchanged.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
     val strata = Tables.documents(spark, dir)
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(Dedup.tokens(col("text"))).cast("long")).as("n_tokens"))
+        sum(tok.count(col("text")).cast("long")).as("n_tokens"))
     val totals = strata.agg(
       sum("n_docs").as("total_docs"), count(lit(1)).as("n_strata"))
     strata.crossJoin(broadcast(totals))
@@ -618,9 +635,16 @@ object CorpusOps {
     * `quantile_cont` both linear-interpolate, so the exact columns match
     * bit-for-bit through the decimal parity round.
     */
-  def q57LengthQuantiles(spark: SparkSession, dir: String): DataFrame = {
+  def q57LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    lengthQuantiles(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q57 under a pluggable [[graft.functions.Tokenizer]] — the length
+    * distribution of whatever the seam counts.
+    */
+  def lengthQuantiles(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
-    val n = size(Dedup.tokens(col("text"))).cast("double")
+    val n = tok.count(col("text")).cast("double")
     Tables.documents(spark, dir)
       .select(col("source"), n.as("n_tokens"))
       .groupBy("source")

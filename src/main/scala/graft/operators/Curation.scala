@@ -36,9 +36,19 @@ object Curation {
     * survivors) is the auditable shape — rejected docs carry the signal
     * that rejected them.
     */
-  def q41CorpusSelect(spark: SparkSession, dir: String): DataFrame = {
+  def q41CorpusSelect(spark: SparkSession, dir: String): DataFrame =
+    corpusSelect(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q41 under a pluggable [[graft.functions.Tokenizer]]: the token
+    * count AND the repetition shingles derive from the seam's tokens, so
+    * a swapped tokenizer moves both signals consistently. The keeper step
+    * is tokenizer-independent (dedup pins whitespace — its hash families
+    * and oracles are defined over it).
+    */
+  def corpusSelect(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val toks = split(col("text"), "\\s+")
+    val toks = tok.tokens(col("text"))
     val totalSh = greatest(size(toks) - 2, lit(0))
     val distinctSh = size(Dedup.shingles3(toks))
     val repetition = round6(when(totalSh > 0,
@@ -158,7 +168,14 @@ object Curation {
     * assignment; the aggregate itself is a handful of groups.
     */
   def q43CorpusStats(spark: SparkSession, dir: String): DataFrame =
-    q41CorpusSelect(spark, dir)
+    corpusStats(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q43 under a pluggable [[graft.functions.Tokenizer]] — the token
+    * mass in the yield report is whatever the seam counts.
+    */
+  def corpusStats(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame =
+    corpusSelect(spark, dir, tok)
       .join(q42SampleSplit(spark, dir).select("doc_id", "split"), "doc_id")
       .groupBy("split", "selected")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))

@@ -22,9 +22,13 @@ object Dedup {
 
   /** Whitespace tokens of the document text (already lower-cased in this
     * corpus; composition with TextNorm.tidyWhitespace is the general
-    * path).
+    * path). Delegates to the [[graft.functions.Tokenizer]] seam's
+    * default — the token-mass operators accept any `Tokenizer`, and the
+    * shingle-based dedup family deliberately pins whitespace (its
+    * oracles and hash families are defined over it).
     */
-  def tokens(text: Column): Column = split(text, "\\s+")
+  def tokens(text: Column): Column =
+    graft.functions.Tokenizer.Whitespace.tokens(text)
 
   /** Distinct 3-token shingles via the native
     * [[graft.functions.NgramShingles]] kernel (the HOF

@@ -123,12 +123,22 @@ object TextAnalysis {
   }
 
   /** q26 — token counting: whitespace tokens vs BPE-ish pre-tokenizer
-    * runs (the "how many tokens will this cost" estimator).
+    * runs (the "how many tokens will this cost" estimator). The oracle
+    * pins both columns; [[tokenCounts]] is the seam-parameterized form.
     */
-  def q26TokenCount(spark: SparkSession, dir: String): DataFrame = {
+  def q26TokenCount(spark: SparkSession, dir: String): DataFrame =
+    tokenCounts(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q26 under a pluggable [[graft.functions.Tokenizer]]: `ws_tokens`
+    * becomes the seam tokenizer's count (column name kept — downstream
+    * consumers and the oracle compare are positional on names), the
+    * BPE-ish estimator stays beside it for comparison.
+    */
+  def tokenCounts(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
-        size(split(col("text"), "\\s+")).as("ws_tokens"),
+        tok.count(col("text")).as("ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
           .as("bpe_tokens"))
       .orderBy("doc_id")

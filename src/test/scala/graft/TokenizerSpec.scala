@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import graft.functions.Tokenizer
+import graft.operators.{CorpusOps, Curation, TextAnalysis}
+
+/** The tokenizer seam contract: every token-mass operator accepts a
+  * custom `Tokenizer`, swapping it changes the counts (so the seam is
+  * real, not decorative), and the default reproduces the whitespace
+  * behavior every oracle pins.
+  */
+class TokenizerSpec extends SparkSpec {
+
+  /** A deliberately different tokenizer: every CHARACTER is a token.
+    * Degenerate on purpose — its counts can't accidentally coincide with
+    * whitespace counts on real text.
+    */
+  private object CharTokens extends Tokenizer {
+    override def tokens(text: Column): Column =
+      filter(split(text, ""), t => t =!= "")
+    override def count(text: Column): Column = length(text)
+  }
+
+  test("default tokenizer reproduces the oracle-pinned whitespace counts") {
+    val default = TextAnalysis.q26TokenCount(spark, sf).collect().toSeq
+    val seam = TextAnalysis.tokenCounts(spark, sf, Tokenizer.Whitespace)
+      .collect().toSeq
+    assert(seam == default)
+  }
+
+  test("q26 counts follow the swapped tokenizer") {
+    val ws = TextAnalysis.q26TokenCount(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("ws_tokens")).toMap
+    val ch = TextAnalysis.tokenCounts(spark, sf, CharTokens).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("ws_tokens")).toMap
+    // char counts exceed whitespace counts on every non-trivial doc
+    assert(ch.keySet == ws.keySet)
+    assert(ws.forall { case (id, n) => n <= 1 || ch(id) > n })
+    // bpe column is independent of the seam tokenizer
+    val bpeDefault = TextAnalysis.q26TokenCount(spark, sf)
+      .select("doc_id", "bpe_tokens").collect().toSeq
+    val bpeSwapped = TextAnalysis.tokenCounts(spark, sf, CharTokens)
+      .select("doc_id", "bpe_tokens").collect().toSeq
+    assert(bpeSwapped == bpeDefault)
+  }
+
+  test("the BpePre tokenizer splits punctuation that whitespace keeps attached") {
+    import spark.implicits._
+    val df = Seq("hello, world! x2").toDF("text")
+    val ws = df.select(Tokenizer.Whitespace.count(col("text"))).head.getInt(0)
+    val bpe = df.select(Tokenizer.BpePre.count(col("text"))).head.getInt(0)
+    assert(ws == 3)
+    assert(bpe == 6, "hello | , | world | ! | x | 2")
+  }
+
+  test("q43 yield report token mass follows the tokenizer") {
+    val default = Curation.q43CorpusStats(spark, sf).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getAs[Long]("total_tokens")).toMap
+    val swapped = Curation.corpusStats(spark, sf, CharTokens).collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getAs[Long]("total_tokens")).toMap
+    // same (split, selected) cells under the default-whitespace keeper/
+    // selection signals... except selection itself also follows the seam
+    // (n_tokens bounds, repetition), so only assert: masses differ and
+    // every swapped mass >= its default where cells coincide
+    assert(swapped.nonEmpty)
+    val common = default.keySet.intersect(swapped.keySet)
+    assert(common.nonEmpty)
+    assert(common.exists(k => swapped(k) != default(k)))
+  }
+
+  test("q48 packing offsets follow the tokenizer") {
+    val default = CorpusOps.q48SequencePack(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset")).toMap
+    val swapped = CorpusOps.packSequences(spark, sf, CharTokens).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset")).toMap
+    assert(swapped.keySet == default.keySet)
+    assert(swapped != default)
+  }
+
+  test("q53 stratum token mass follows the tokenizer, weights do not") {
+    val default = CorpusOps.q53MixtureWeights(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"))).toMap
+    val swapped = CorpusOps.mixtureWeights(spark, sf, CharTokens).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("weight"))).toMap
+    assert(swapped.keySet == default.keySet)
+    assert(swapped.exists { case (k, (n, _)) => n != default(k)._1 })
+    assert(swapped.forall { case (k, (_, w)) => w == default(k)._2 },
+      "weights are doc-count-based and must not move with the tokenizer")
+  }
+
+  test("q57 quantiles follow the tokenizer") {
+    val default = CorpusOps.q57LengthQuantiles(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    val swapped = CorpusOps.lengthQuantiles(spark, sf, CharTokens).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("p50")).toMap
+    assert(swapped.keySet == default.keySet)
+    assert(swapped.exists { case (k, v) => v != default(k) })
+  }
+}
