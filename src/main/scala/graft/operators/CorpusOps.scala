@@ -27,18 +27,47 @@ object CorpusOps {
       graft.functions.NgramShingles(
         org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
 
+  /** Eval-side distinct-shingle count up to which the decontamination
+    * joins hint broadcast. Above it the hint is dropped and the join
+    * falls back to a shuffle: a REAL benchmark suite's shingle set is
+    * tiny and broadcasting it keeps the corpus side shuffle-free, but
+    * nothing in the API stops a caller pointing "eval" at something
+    * corpus-sized (this repo's own stand-in is the q42 test split — ~10%
+    * of the corpus, exactly the case that would OOM the driver at the
+    * scale the docstrings claim). ~5M shingle strings ≈ low hundreds of
+    * MB broadcast — a safe executor/driver envelope.
+    */
+  private val MaxBroadcastShingles = 5000000L
+
+  /** Broadcast-hint `evalShingles` only when it is actually
+    * broadcast-sized. The `count()` is one cheap pre-pass over the EVAL
+    * side alone (an aggregate of the already-distinct set — the corpus
+    * is never touched); at 100 TB that probe is noise next to the scan
+    * it protects the driver from.
+    */
+  private def maybeBroadcast(evalShingles: DataFrame,
+      maxRows: Long): DataFrame =
+    if (evalShingles.count() <= maxRows) broadcast(evalShingles)
+    else evalShingles
+
   /** q47 — train/test decontamination: every TRAIN document (per the q42
     * hash split) with the number of its distinct [[DecontamN]]-gram
     * shingles that also occur in any TEST document, and a `contaminated`
     * verdict. A training pipeline drops (or strips) contaminated docs so
     * the eval set stays out of the training mix.
     *
-    * Scale shape: the eval side of the join is the BENCHMARK set —
-    * orders of magnitude smaller than the corpus — so its distinct
-    * shingle set is broadcast and the train side never shuffles: one
-    * map-side semi-join pass over the corpus, then a per-doc count.
+    * Scale shape: when the eval side is a real benchmark set — orders of
+    * magnitude smaller than the corpus — its distinct shingle set is
+    * broadcast and the train side never shuffles: one map-side semi-join
+    * pass over the corpus, then a per-doc count. An oversized eval set
+    * (checked by [[maybeBroadcast]]) downgrades to a shuffle join
+    * instead of OOMing the driver.
     */
-  def q47Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def q47Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(spark, dir, MaxBroadcastShingles)
+
+  private[graft] def decontaminate(spark: SparkSession, dir: String,
+      maxBroadcast: Long): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
     def shingleRows(df: DataFrame): DataFrame =
@@ -47,7 +76,7 @@ object CorpusOps {
     val evalShingles = shingleRows(d.filter(col("split") === "test"))
       .select("sh").distinct()
     val hits = shingleRows(d.filter(col("split") === "train"))
-      .join(broadcast(evalShingles), "sh")
+      .join(maybeBroadcast(evalShingles, maxBroadcast), "sh")
       // shingles are distinct within a doc, so count(*) = distinct count
       .groupBy("doc_id").agg(count(lit(1)).as("n_eval_shingles"))
     d.filter(col("split") === "train").select("doc_id")
@@ -96,10 +125,15 @@ object CorpusOps {
     * in (i-[[DecontamN]], i]; overlapping spans are unioned before
     * counting, via index-set aggregation per doc. The per-doc span lists
     * are tiny (bounded by q47's match counts), so the interpreted HOF
-    * union here is fine — the corpus-scale work is the same broadcast
-    * semi-join q47 runs.
+    * union here is fine — the corpus-scale work is the same
+    * broadcast-when-small semi-join q47 runs (same [[maybeBroadcast]]
+    * downgrade for an oversized eval side).
     */
-  def q55DecontamStrip(spark: SparkSession, dir: String): DataFrame = {
+  def q55DecontamStrip(spark: SparkSession, dir: String): DataFrame =
+    decontamStrip(spark, dir, MaxBroadcastShingles)
+
+  private[graft] def decontamStrip(spark: SparkSession, dir: String,
+      maxBroadcast: Long): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
     val posSh = org.apache.spark.sql.GraftSqlBridge.column(
@@ -116,7 +150,7 @@ object CorpusOps {
       .select(col("doc_id"),
         size(Dedup.tokens(col("text"))).cast("long").as("n_tokens"),
         posexplode(posSh).as(Seq("start", "sh")))
-      .join(broadcast(evalShingles), "sh")
+      .join(maybeBroadcast(evalShingles, maxBroadcast), "sh")
       .groupBy("doc_id")
       .agg(first("n_tokens").as("n_tokens"),
         count(lit(1)).as("n_spans"),

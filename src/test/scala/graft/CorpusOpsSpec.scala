@@ -66,6 +66,29 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("oversized eval sets downgrade decontamination to a shuffle join") {
+    // threshold 0 simulates an eval suite too big to broadcast: the hint
+    // must be dropped, and the verdicts must be identical to the
+    // broadcast path. autoBroadcast is disabled so the planner can't
+    // re-broadcast from test-scale size stats — exactly the regime where
+    // only the HINT decides, which is what the guard controls (at real
+    // scale, stats exceed the threshold on their own)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val fallback = CorpusOps.decontaminate(spark, sf, 0L)
+      val p = fallback.queryExecution.sparkPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p.take(600))
+      // the hinted path broadcasts even with auto-broadcast off — proof
+      // the split is the guard's decision, not the planner's
+      val hinted = CorpusOps.q47Decontaminate(spark, sf)
+      assert(hinted.queryExecution.sparkPlan.toString
+        .contains("BroadcastHashJoin"))
+      assert(fallback.collect().toSeq == hinted.collect().toSeq)
+      assert(CorpusOps.decontamStrip(spark, sf, 0L).collect().toSeq ==
+        CorpusOps.q55DecontamStrip(spark, sf).collect().toSeq)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("q48 two-level offsets are range-width-invariant") {
     // forcing multiple id ranges (width 64 → ~8 ranges at sf0.001) must
     // reproduce the production-width result row for row: the broadcast
