@@ -521,11 +521,10 @@ object Dedup {
     * does not grow with the iteration count (on a real cluster, swap for
     * `checkpoint` on durable storage). Rounds needed = component
     * diameter — small for dedup cluster graphs, which are dense blobs of
-    * mutual near-dups, not long chains. For adversarial diameters the
-    * published fix is alternating large-star/small-star contraction
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    * which converges in O(log) rounds; plain propagation is the right
-    * trade here. Convergence is detected via the label sum: labels only
+    * mutual near-dups, not long chains. For adversarial diameters use
+    * [[connectedComponentsStar]] (alternating large-star/small-star
+    * contraction, O(log) rounds on a chain); plain propagation is the
+    * right trade here. Convergence is detected via the label sum: labels only
     * ever decrease, so the sum is strictly monotone until fixpoint — one
     * cheap aggregate per round instead of a per-vertex diff join.
     *
@@ -586,9 +585,106 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the bound; raise maxIter or switch to " +
-        "large-star/small-star contraction")
+        "connectedComponentsStar (large-star/small-star contraction)")
     vertices.join(labels, Seq("v"), "left")
       .select(col("v"), coalesce(col("label"), col("v")).as("label"))
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — the opt-in for ADVERSARIAL-DIAMETER graphs.
+    * [[connectedComponents]]' min-label propagation runs one round per
+    * unit of component diameter: right for dedup clusters (dense blobs,
+    * diameter 2–3), hopeless for a 10⁶-long chain. Star contraction
+    * halves long paths every round instead of shaving one hop, so rounds
+    * grow with log(diameter):
+    *
+    *  - large-star: every node points its LARGER neighbors at the
+    *    minimum of its closed neighborhood;
+    *  - small-star: every node points its smaller-or-equal neighbors
+    *    (and itself) at that minimum.
+    *
+    * Each phase is one shuffle (a groupBy-min plus an equi-join back to
+    * the edge list), exactly like a propagation round — the win is the
+    * round COUNT, not the per-round cost. At fixpoint the edge set is a
+    * disjoint union of stars whose centers are the component minima.
+    * Convergence check: canonical edge-set stability — cheap (count,
+    * hash-sum) checksums every round, with an exact `exceptAll` probe
+    * only when the checksums agree (same count + empty difference =
+    * equal set), so the common path stays one aggregate per phase.
+    *
+    * Same contract as [[connectedComponents]]: (v, label) with label =
+    * min vertex id of v's component; isolated vertices label themselves.
+    */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): DataFrame =
+    starContraction(vertices, edges, maxIter)._1
+
+  /** [[connectedComponentsStar]] plus the number of alternation rounds
+    * taken — exposed for the convergence-rate spec (a 10³ chain must
+    * converge in O(log) rounds, where propagation needs O(n)).
+    */
+  private[graft] def starContraction(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 50): (DataFrame, Int) = {
+    // canonical orientation: (u = larger endpoint, v = smaller); self
+    // loops dropped. The alternation preserves this invariant — both
+    // phases only ever point nodes at a MINIMUM of a neighborhood.
+    def canon(e: DataFrame): DataFrame =
+      e.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u").as("c"), least(col("mn"), col("u")).as("m"))
+      canon(sym.join(mins, sym("u") === col("c"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is canonical: v < u on every row
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+        .select(col("u").as("c"), col("m"))
+      val joined = e.join(mins, e("u") === col("c"))
+      canon(joined.select(col("v").as("u"), col("m").as("v"))
+        .union(joined.select(col("u"), col("m").as("v"))))
+    }
+
+    var e = canon(
+      edges.select(col("src").as("u"), col("dst").as("v"))).localCheckpoint()
+    // XOR-fold of row hashes: order-insensitive over the (distinct)
+    // canonical set and immune to ANSI overflow, unlike a sum
+    def checksum(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var prev = checksum(e)
+    var iter = 0
+    var stable = prev._1 == 0L // no edges -> already a (degenerate) fixpoint
+    while (!stable && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val chk = checksum(next)
+      // same count + empty one-way difference = equal sets; the exact
+      // probe runs only on checksum agreement, so steady-state rounds
+      // cost two aggregates, not a join
+      stable = chk == prev && next.exceptAll(e).isEmpty
+      prev = chk
+      e = next
+      iter += 1
+    }
+    require(stable,
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixpoint is a union of stars: every non-center appears as the
+    // larger endpoint pointing at its center; centers (and isolated
+    // vertices) label themselves
+    val labels = e.groupBy("u").agg(min("v").as("label"))
+      .select(col("u").as("v"), col("label"))
+    (vertices.join(labels, Seq("v"), "left")
+      .select(col("v"), coalesce(col("label"), col("v")).as("label")), iter)
   }
 
   /** q40 — per-document keeper assignment, the shape a training-data

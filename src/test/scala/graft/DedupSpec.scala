@@ -104,6 +104,62 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("star contraction labels a 1000-long chain in O(log) rounds") {
+    import spark.implicits._
+    // the adversarial-diameter case: propagation needs ~n rounds on a
+    // chain (its maxIter=50 default would abort here); star contraction
+    // must finish in logarithmic rounds
+    val n = 1000L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("src", "dst")
+    val verts = (0L until n).toDF("v")
+    val (labels, rounds) = Dedup.starContraction(verts, edges)
+    assert(rounds <= 16, s"took $rounds rounds on a ${n}-chain")
+    val got = labels.collect()
+      .map(r => r.getAs[Long]("v") -> r.getAs[Long]("label"))
+    assert(got.length == n)
+    assert(got.forall(_._2 == 0L))
+  }
+
+  test("star contraction matches propagation and union-find on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(20)
+      val edges = Seq.fill(25)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r); r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val verts = (0L until n.toLong).toDF("v")
+      val star = Dedup.connectedComponentsStar(verts, edges.toDF("src", "dst"))
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+      assert(star == expected)
+      val prop = Dedup.connectedComponents(verts, edges.toDF("src", "dst"))
+        .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+      assert(star == prop)
+    }
+  }
+
+  test("star contraction handles empty and self-loop-only edge sets") {
+    import spark.implicits._
+    val verts = Seq(1L, 2L, 3L).toDF("v")
+    val none = Dedup.connectedComponentsStar(verts,
+        Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+    assert(none == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val selfOnly = Dedup.connectedComponentsStar(verts,
+        Seq((2L, 2L)).toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Long]("label")).toMap
+    assert(selfOnly == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("q41 curation verdict is consistent with its own signals") {
     val rows = graft.operators.Curation.q41CorpusSelect(spark, sf).collect()
     assert(rows.length ==
