@@ -808,6 +808,89 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** q59 — exact-substring STRIP: q54 diagnoses cross-document
+    * duplicated spans; this removes them (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better" — the exact-substring
+    * side of that paper, where near-dup dedup keeps one COPY but only
+    * span removal deletes the boilerplate every page carries). A token
+    * is removed iff some [[SpanN]]-gram starting in its window occurs in
+    * ≥ 2 distinct documents; overlapping spans are unioned per doc
+    * (q55's index-set machinery, generalized from eval-contamination to
+    * corpus-internal duplication). Output carries the stripped text
+    * itself (tokenized-rejoined, so whitespace-normalized) — the
+    * downstream corpus a pipeline actually writes.
+    *
+    * Scale shape: q54's inverted-index + df-aggregate chain (no
+    * self-join, no unbounded fan-out) plus one map-side re-join of the
+    * per-doc span sets; the HOF union runs only over docs that HAVE
+    * duplicated spans, on span lists bounded by doc length.
+    */
+  def q59DupStrip(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val posSh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramShinglesAll(
+        org.apache.spark.sql.GraftSqlBridge.expression(toks), SpanN))
+    val d = Tables.documents(spark, dir)
+    val idx = d.select(col("doc_id"), posexplode(posSh).as(Seq("start", "sh")))
+    val df = idx.select("doc_id", "sh").distinct()
+      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
+    val dupStarts = idx
+      .join(df.filter(col("ndocs") >= 2).select("sh"), "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("start"))).as("starts"))
+    val removed = array_distinct(flatten(transform(col("starts"),
+      s => sequence(s, s + SpanN - 1))))
+    d.select(col("doc_id"), toks.as("t"))
+      .join(dupStarts, Seq("doc_id"), "left")
+      .withColumn("removed",
+        when(col("starts").isNotNull, removed)
+          .otherwise(array().cast("array<int>")))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("removed")).cast("long").as("n_tokens_removed"),
+        // NULL text stays NULL (concat_ws would render ""), matching the
+        // oracle's NULL propagation on degenerate sources
+        when(col("t").isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(" ",
+            filter(col("t"), (_, i) => !array_contains(col("removed"), i))))
+          .as("stripped_text"))
+      .orderBy("doc_id")
+  }
+
+  val q59OracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id,
+      |         unnest(${shingleSqlN(SpanN)}) AS sh,
+      |         unnest(range(1, len(${shingleSqlN(SpanN)}) + 1)) AS start
+      |  FROM toks
+      |), df AS (
+      |  SELECT sh, COUNT(DISTINCT doc_id) AS ndocs FROM pos GROUP BY sh
+      |), dup AS (
+      |  SELECT p.doc_id, list_sort(list(p.start)) AS starts
+      |  FROM pos p JOIN df ON p.sh = df.sh
+      |  WHERE df.ndocs >= 2 GROUP BY p.doc_id
+      |), rem AS (
+      |  SELECT toks.doc_id, t,
+      |         list_distinct(flatten(list_transform(COALESCE(d.starts, []),
+      |           s -> list_transform(generate_series(0, ${SpanN - 1}),
+      |                  o -> s + o)))) AS removed
+      |  FROM toks LEFT JOIN dup d ON toks.doc_id = d.doc_id
+      |)
+      |SELECT doc_id,
+      |       CAST(len(t) AS BIGINT) AS n_tokens,
+      |       CAST(len(removed) AS BIGINT) AS n_tokens_removed,
+      |       -- array_to_string on an empty list is NULL (string_agg
+      |       -- semantics); a fully-stripped doc must read '' like
+      |       -- Spark's concat_ws, while NULL text stays NULL
+      |       CASE WHEN t IS NULL THEN NULL
+      |            ELSE COALESCE(array_to_string(list_select(t,
+      |              list_filter(generate_series(1, len(t)),
+      |                i -> NOT list_contains(removed, i))), ' '), '') END
+      |         AS stripped_text
+      |FROM rem ORDER BY doc_id""".stripMargin
+
   val q54OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     s"""WITH toks AS (

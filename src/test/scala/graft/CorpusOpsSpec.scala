@@ -103,6 +103,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(unit == wide)
   }
 
+  test("q59 strips exactly the spans q54 diagnoses") {
+    val diag = CorpusOps.q54DupSpans(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    val rows = CorpusOps.q59DupStrip(spark, sf).collect()
+    assert(rows.length == diag.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val spans = diag(id)
+      val n = r.getAs[Long]("n_tokens")
+      val removed = r.getAs[Long]("n_tokens_removed")
+      val stripped = r.getAs[String]("stripped_text")
+      if (spans == 0) {
+        assert(removed == 0L)
+      } else {
+        // union of `spans` 10-token windows: at least one window wide,
+        // at most all disjoint, never more than the doc
+        assert(removed >= 10 && removed <= math.min(spans * 10, n))
+      }
+      // the stripped text has exactly n - removed tokens
+      val keptTokens = if (stripped.isEmpty) 0 else stripped.split(" ").length
+      assert(keptTokens == n - removed, s"doc $id: $keptTokens vs ${n - removed}")
+    }
+    // the corpus actually exercises the strip path
+    assert(rows.exists(_.getAs[Long]("n_tokens_removed") > 0))
+    assert(rows.exists(_.getAs[Long]("n_tokens_removed") == 0))
+  }
+
   test("scrubbed redacts emails, urls, and digit runs in order") {
     import spark.implicits._
     val in = Seq(

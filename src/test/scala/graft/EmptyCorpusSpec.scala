@@ -43,7 +43,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q54_dup_spans" -> (CorpusOps.q54DupSpans _),
     "q55_decontam_strip" -> (CorpusOps.q55DecontamStrip _),
     "q56_mixture_apply" -> (CorpusOps.q56MixtureApply _),
-    "q57_length_quantiles" -> (CorpusOps.q57LengthQuantiles _))
+    "q57_length_quantiles" -> (CorpusOps.q57LengthQuantiles _),
+    "q59_dup_strip" -> (CorpusOps.q59DupStrip _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
