@@ -111,16 +111,27 @@ object RelationalQueries {
     * reference `queries.sql:40-41`) map to not-null + inequality filters on
     * the grouped rows. `collect_list` is bounded by group cardinality — a
     * presentation aggregate; at 100 TB you'd cap members per group first.
+    *
+    * Shape: the aggregate runs BELOW the join — customers partial-aggregate
+    * map-side and shuffle as one row per nationkey; the broadcast nation
+    * join then touches 25 aggregated rows instead of every joined customer
+    * row. Catalyst does not push aggregates through joins itself; measured
+    * ~2× on the warm-session floor, and at scale the shuffle shrinks from
+    * the fact's row count to the dimension's. Identical semantics: nation
+    * keys are the dimension's primary key (grouping by key ≡ grouping by
+    * the name the key maps to), and the inner join drops keyless groups
+    * either way.
     */
   def q3GroupConcat(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
     val c = Tables.customer(spark, dir)
     c.filter(c("c_name").isNotNull && c("c_mktsegment") =!= "MACHINERY")
-      .join(n, c("c_nationkey") === n("n_nationkey"))
-      .groupBy(n("n_name").as("nation"))
+      .groupBy(c("c_nationkey"))
       .agg(
         count(lit(1)).as("customer_count"),
         concat_ws(", ", sort_array(collect_list(c("c_name")))).as("customers"))
+      .join(n, col("c_nationkey") === n("n_nationkey"))
+      .select(n("n_name").as("nation"), col("customer_count"), col("customers"))
       .orderBy(desc("customer_count"), asc("nation"))
       .limit(1)
   }
