@@ -1,0 +1,260 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+import graft.functions.VectorOps.{round6, round6Sql}
+
+/** Corpus AUDIT rollups — the small-output reports a pipeline runs to
+  * judge a delivered corpus as a whole, complementing the per-document
+  * operators (q17–q59): cross-split contamination surface (q60),
+  * vocabulary coverage (q61), embedding-norm health (q62), and a
+  * per-source quality dashboard (q63). Every query is a
+  * `SparkEntry.queries` entry with a full DuckDB oracle, and every one
+  * reduces to dimension-sized output through map-side-partial aggregates
+  * — no per-document result ships off the cluster.
+  */
+object CorpusAudit {
+
+  // ---- q60: cross-split contamination matrix ------------------------------
+
+  /** q60 — the pairwise contamination surface between the q42 splits:
+    * for each split pair, how many distinct [[CorpusOps.DecontamN]]-gram
+    * shingles they share, beside each split's own shingle vocabulary and
+    * the pair's Jaccard. q47 answers "which TRAIN docs touch TEST"; this
+    * answers the release-gate question "how entangled are the splits at
+    * all" — the number a corpus card reports.
+    *
+    * Scale shape: one (split, shingle) distinct (map-side partial), one
+    * self-equi-join on the shingle — fan-out bounded at 3 rows per
+    * shingle (a shingle appears at most once per split), then a
+    * 3-pair aggregate. The totals join is a 3-row broadcast.
+    */
+  def q60SplitOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .withColumn("split", Curation.splitOf(col("doc_id")))
+    val idx = d.select(col("split"),
+        explode(CorpusOps.shinglesN(Dedup.tokens(col("text")),
+          CorpusOps.DecontamN)).as("sh"))
+      .distinct()
+    val totals = idx.groupBy("split").agg(count(lit(1)).as("n"))
+    val a = idx.select(col("split").as("split_a"), col("sh"))
+    val b = idx.select(col("split").as("split_b"), col("sh"))
+    a.join(b, "sh")
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("shared_shingles"))
+      .join(broadcast(totals.select(col("split").as("split_a"),
+        col("n").as("shingles_a"))), "split_a")
+      .join(broadcast(totals.select(col("split").as("split_b"),
+        col("n").as("shingles_b"))), "split_b")
+      .select(col("split_a"), col("split_b"),
+        col("shingles_a"), col("shingles_b"), col("shared_shingles"),
+        round6(col("shared_shingles").cast("double") /
+          (col("shingles_a") + col("shingles_b") - col("shared_shingles")))
+          .as("jaccard"))
+      .orderBy("split_a", "split_b")
+  }
+
+  val q60OracleSql: String =
+    s"""WITH d AS (
+      |  SELECT doc_id, text, ${Curation.splitSqlOf("doc_id")} AS split
+      |  FROM documents
+      |), toks AS (
+      |  SELECT split, string_split_regex(text, '\\s+') AS t FROM d
+      |), sh AS (
+      |  SELECT DISTINCT split,
+      |         unnest(${CorpusOps.shingleSqlN(CorpusOps.DecontamN)}) AS sh
+      |  FROM toks
+      |), totals AS (
+      |  SELECT split, COUNT(*) AS n FROM sh GROUP BY split
+      |), pairs AS (
+      |  SELECT a.split AS split_a, b.split AS split_b,
+      |         COUNT(*) AS shared_shingles
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.split < b.split
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.split_a, p.split_b, ta.n AS shingles_a, tb.n AS shingles_b,
+      |       p.shared_shingles,
+      |       ${round6Sql("CAST(p.shared_shingles AS DOUBLE) / " +
+           "(ta.n + tb.n - p.shared_shingles)")} AS jaccard
+      |FROM pairs p
+      |JOIN totals ta ON ta.split = p.split_a
+      |JOIN totals tb ON tb.split = p.split_b
+      |ORDER BY split_a, split_b""".stripMargin
+
+  // ---- q61: vocabulary coverage -------------------------------------------
+
+  /** How many head tokens q61 reports. */
+  private val VocabTopK = 100
+
+  /** q61 — vocabulary coverage: the [[VocabTopK]] most frequent tokens
+    * corpus-wide with each token's share of the total token mass and the
+    * cumulative share down the ranking — "how much of the corpus do the
+    * top-K cover", the curve a tokenizer/vocab decision reads.
+    *
+    * Scale shape: token-frequency aggregate with map-side partials, then
+    * `TakeOrderedAndProject` to K rows; the ranking window runs AFTER
+    * the limit, over exactly K rows (one bounded-by-constant partition —
+    * the same stance as q46's capped strata). The total is a one-row
+    * broadcast.
+    */
+  def q61VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("total"))
+    val top = counts.orderBy(desc("n"), asc("token")).limit(VocabTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_n", sum("n").over(w))
+      .select(col("rank"), col("token"), col("n"),
+        round6(col("n").cast("double") / col("total")).as("share"),
+        round6(col("cum_n").cast("double") / col("total")).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  val q61OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |), total AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts
+      |), top AS (
+      |  SELECT token, n FROM counts ORDER BY n DESC, token LIMIT $VocabTopK
+      |)
+      |SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS INTEGER) AS rank,
+      |       token, n,
+      |       ${round6Sql("CAST(n AS DOUBLE) / total")} AS share,
+      |       ${round6Sql(
+           """CAST(SUM(n) OVER (ORDER BY n DESC, token
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         / total""")} AS cum_share
+      |FROM top, total ORDER BY rank""".stripMargin
+
+  // ---- q62: embedding norm audit ------------------------------------------
+
+  /** q62 — embedding-norm health per source: vector count, average /
+    * min / max L2 norm, and the count of zero vectors. The first probe
+    * run on a delivered embedding table — un-normalized or zeroed
+    * vectors are the classic silent corruption after a failed encode.
+    *
+    * Parity: norms are decimal-rounded PER ROW (the established
+    * cross-engine dot-product path), then averaged through an exact
+    * DECIMAL sum — so the aggregate is order-independent and
+    * hash-checkable, not a float-summation race.
+    *
+    * Scale shape: map-only norm over the embeddings scan, broadcast-sized
+    * doc→source join (source rides the documents table), stratum-grain
+    * aggregate with map-side partials.
+    */
+  def q62EmbeddingAudit(spark: SparkSession, dir: String): DataFrame = {
+    val nrm = round6(VectorOps.norm(col("embedding")))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), nrm.as("nrm"))
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    e.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(col("nrm").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+          .as("nrm_sum"),
+        min("nrm").as("min_norm"),
+        max("nrm").as("max_norm"),
+        count(when(col("nrm") === 0.0, 1)).as("n_zero"))
+      .select(col("source"), col("n_vectors"),
+        round6(col("nrm_sum").cast("double") / col("n_vectors")).as("avg_norm"),
+        col("min_norm"), col("max_norm"), col("n_zero"))
+      .orderBy("source")
+  }
+
+  val q62OracleSql: String = {
+    val nrm = round6Sql(
+      "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")
+    s"""WITH e AS (
+      |  SELECT vec_id AS doc_id, $nrm AS nrm FROM embeddings
+      |), j AS (
+      |  SELECT d.source, e.nrm FROM e JOIN documents d ON d.doc_id = e.doc_id
+      |)
+      |SELECT source, COUNT(*) AS n_vectors,
+      |       ${round6Sql(
+           "CAST(SUM(CAST(nrm AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*)")} AS avg_norm,
+      |       MIN(nrm) AS min_norm, MAX(nrm) AS max_norm,
+      |       CAST(COUNT(*) FILTER (WHERE nrm = 0.0) AS BIGINT) AS n_zero
+      |FROM j GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  // ---- q63: per-source quality dashboard ----------------------------------
+
+  /** q63 — the per-source quality dashboard: document count, average
+    * token count, average 3-gram repetition, and the predicted-English
+    * fraction, per source. The rollup of the q24/q25/q38 per-document
+    * signals into the table a curation review actually reads ("which
+    * source is junk before we spend dedup on it").
+    *
+    * Parity: repetition is decimal-rounded per row (q38's expression),
+    * then averaged through an exact DECIMAL sum; token counts and
+    * language votes are integers, exact on both engines.
+    *
+    * Scale shape: codegen'd signal expressions over one scan, map-side
+    * partial aggregate to source grain.
+    */
+  def q63SourceQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    val total = greatest(size(toks) - 2, lit(0))
+    val distinctSh = size(Dedup.shingles3(toks))
+    val rep = round6(when(total > 0,
+      lit(1.0) - distinctSh.cast("double") / total).otherwise(0.0))
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(toks).cast("long").as("n_tokens"),
+        rep.as("rep"),
+        (TextAnalysis.langPred(col("text")) === "en").as("is_en"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tok_sum"),
+        sum(col("rep").cast(org.apache.spark.sql.types.DecimalType(24, 12)))
+          .as("rep_sum"),
+        count(when(col("is_en"), 1)).as("n_en"))
+      .select(col("source"), col("n_docs"),
+        round6(col("tok_sum").cast("double") / col("n_docs")).as("avg_tokens"),
+        round6(col("rep_sum").cast("double") / col("n_docs")).as("avg_repetition"),
+        col("n_en"),
+        round6(col("n_en").cast("double") / col("n_docs")).as("frac_en"))
+      .orderBy("source")
+  }
+
+  val q63OracleSql: String = {
+    val ratio = round6Sql(
+      "1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / greatest(len(tl) - 2, 1)")
+    s"""WITH sig AS (
+      |  SELECT source,
+      |         CAST(len(tl) AS BIGINT) AS n_tokens,
+      |         CASE WHEN len(tl) - 2 > 0 THEN $ratio ELSE 0.0 END AS rep,
+      |         (${TextAnalysis.langPredSql}) = 'en' AS is_en
+      |  FROM (
+      |    SELECT source, text, string_split_regex(text, '\\s+') AS tl,
+      |           CASE WHEN len(string_split_regex(text, '\\s+')) < 3 THEN []
+      |                ELSE list_transform(generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
+      |                       i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+      |                            string_split_regex(text, '\\s+')[i+1] || ' ' ||
+      |                            string_split_regex(text, '\\s+')[i+2]) END AS shl
+      |    FROM documents
+      |  )
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |       ${round6Sql(
+           "CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*)")} AS avg_tokens,
+      |       ${round6Sql(
+           "CAST(SUM(CAST(rep AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*)")} AS avg_repetition,
+      |       CAST(COUNT(*) FILTER (WHERE is_en) AS BIGINT) AS n_en,
+      |       ${round6Sql(
+           "CAST(COUNT(*) FILTER (WHERE is_en) AS DOUBLE) / COUNT(*)")} AS frac_en
+      |FROM sig GROUP BY source ORDER BY source""".stripMargin
+  }
+}

@@ -20,9 +20,9 @@ object CorpusOps {
     * filters): long enough that a match means shared provenance, not
     * shared vocabulary.
     */
-  private val DecontamN = 8
+  private[operators] val DecontamN = 8
 
-  private def shinglesN(toks: Column, n: Int): Column =
+  private[operators] def shinglesN(toks: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShingles(
         org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
@@ -87,7 +87,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  private def shingleSqlN(n: Int): String = {
+  private[operators] def shingleSqlN(n: Int): String = {
     val joined = (1 to n).map(j => s"t[i+${j - 1}]").mkString(" || ' ' || ")
     s"""CASE WHEN len(t) < $n THEN []
        |         ELSE list_transform(generate_series(1, len(t) - ${n - 1}),
@@ -310,9 +310,9 @@ object CorpusOps {
   // Single-escaped here (plain interpolator would eat the backslashes in
   // a raw string this is spliced into); Spark and DuckDB both read these
   // as standard character-class regexes.
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[^\\s]+"
-  private val NumRe = "[0-9]{6,}"
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val UrlRe = "https?://[^\\s]+"
+  private[operators] val NumRe = "[0-9]{6,}"
 
   /** Redact emails, URLs, and 6+-digit runs from a text column (applied
     * in that order — emails and URLs contain digit runs, so they must be

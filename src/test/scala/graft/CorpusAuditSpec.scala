@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusAudit, CorpusOps}
+
+/** Behavioral checks for the corpus-audit rollups (q60–q63) beyond the
+  * DuckDB hash oracles: internal consistency with the per-document
+  * operators they summarize.
+  */
+class CorpusAuditSpec extends SparkSpec {
+
+  test("q60 reports all three split pairs with sane overlap bounds") {
+    val rows = CorpusAudit.q60SplitOverlap(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("test", "train"), ("test", "val"), ("train", "val")))
+    rows.foreach { r =>
+      val (a, b, shared) = (r.getAs[Long]("shingles_a"),
+        r.getAs[Long]("shingles_b"), r.getAs[Long]("shared_shingles"))
+      assert(shared <= math.min(a, b))
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+    }
+    // the synthetic corpus shares vocabulary across splits — overlap must
+    // actually be exercised
+    assert(rows.exists(_.getAs[Long]("shared_shingles") > 0))
+  }
+
+  test("q60 train/test sharing is consistent with q47's verdicts") {
+    // if q47 finds any contaminated train doc, the (test, train) pair
+    // must share at least that many shingles
+    val contaminated = CorpusOps.q47Decontaminate(spark, sf)
+      .agg(sum("n_eval_shingles")).head.getLong(0)
+    val trainTest = CorpusAudit.q60SplitOverlap(spark, sf)
+      .filter(col("split_a") === "test" && col("split_b") === "train")
+      .head.getAs[Long]("shared_shingles")
+    assert((contaminated > 0) == (trainTest > 0))
+  }
+
+  test("q61 ranking is dense, ordered, and cumulative") {
+    val rows = CorpusAudit.q61VocabCoverage(spark, sf).collect()
+    assert(rows.length == 100 ||
+      rows.length == rows.map(_.getAs[String]("token")).distinct.length)
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length))
+    // counts non-increasing down the ranking; cum_share non-decreasing
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (x, y) => x >= y })
+    val cums = rows.map(_.getAs[Double]("cum_share"))
+    assert(cums.zip(cums.tail).forall { case (x, y) => x <= y + 1e-9 })
+    assert(cums.last <= 1.0 + 1e-9)
+    // cum_share of the head is the sum of shares (up to rounding)
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(cums.last - shares.sum) < 1e-4)
+  }
+
+  test("q62 matches a driver-side norm computation per source") {
+    val rows = CorpusAudit.q62EmbeddingAudit(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // total vector count equals the joined table size
+    val joined = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"))
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id"),
+        "doc_id").count()
+    assert(rows.map(_.getAs[Long]("n_vectors")).sum == joined)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("avg_norm") + 1e-6)
+      assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm") + 1e-6)
+      assert(r.getAs[Long]("n_zero") >= 0)
+    }
+  }
+
+  test("q63 aggregates the q24/q25/q38 signals to source grain") {
+    val rows = CorpusAudit.q63SourceQuality(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_tokens") > 0)
+      val rep = r.getAs[Double]("avg_repetition")
+      assert(rep >= 0.0 && rep <= 1.0)
+      val frac = r.getAs[Double]("frac_en")
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(r.getAs[Long]("n_en") <= r.getAs[Long]("n_docs"))
+    }
+    // per-source avg_tokens must agree with a direct computation
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source")
+      .agg(avg(size(split(col("text"), "\\s+"))).as("a"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("a")).toMap
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("avg_tokens") -
+        direct(r.getAs[String]("source"))) < 1e-6)
+    }
+  }
+}

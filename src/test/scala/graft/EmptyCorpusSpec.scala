@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusOps, Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Similarity, TextAnalysis}
 
 /** Degenerate-input robustness: every corpus operator must return an
   * empty result on an empty table — not throw from a head() on no rows,
@@ -44,7 +44,11 @@ class EmptyCorpusSpec extends SparkSpec {
     "q55_decontam_strip" -> (CorpusOps.q55DecontamStrip _),
     "q56_mixture_apply" -> (CorpusOps.q56MixtureApply _),
     "q57_length_quantiles" -> (CorpusOps.q57LengthQuantiles _),
-    "q59_dup_strip" -> (CorpusOps.q59DupStrip _))
+    "q59_dup_strip" -> (CorpusOps.q59DupStrip _),
+    "q60_split_overlap" -> (CorpusAudit.q60SplitOverlap _),
+    "q61_vocab_coverage" -> (CorpusAudit.q61VocabCoverage _),
+    "q62_embedding_audit" -> (CorpusAudit.q62EmbeddingAudit _),
+    "q63_source_quality" -> (CorpusAudit.q63SourceQuality _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
