@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Similarity, TextAnalysis}
+import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Segments, Similarity, TextAnalysis}
 
 /** Degenerate-input robustness: every corpus operator must return an
   * empty result on an empty table — not throw from a head() on no rows,
@@ -48,7 +48,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "q60_split_overlap" -> (CorpusAudit.q60SplitOverlap _),
     "q61_vocab_coverage" -> (CorpusAudit.q61VocabCoverage _),
     "q62_embedding_audit" -> (CorpusAudit.q62EmbeddingAudit _),
-    "q63_source_quality" -> (CorpusAudit.q63SourceQuality _))
+    "q63_source_quality" -> (CorpusAudit.q63SourceQuality _),
+    "q64_chunk_docs" -> (Segments.q64ChunkDocs _),
+    "q65_winnow_pairs" -> (Segments.q65WinnowPairs _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
