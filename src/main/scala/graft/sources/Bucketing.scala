@@ -18,10 +18,12 @@ object Bucketing {
     * merge-join needs no sort either). Drops any prior table AND its
     * leftover warehouse directory first — a fresh metastore with a stale
     * managed-table location otherwise fails CREATE with
-    * [LOCATION_ALREADY_EXISTS].
+    * [LOCATION_ALREADY_EXISTS]. Multi-key bucketing composes: the join
+    * that skips its exchange must use ALL bucket keys.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String,
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
       numBuckets: Int): Unit = {
+    require(keys.nonEmpty, "bucketed write needs at least one key")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
@@ -29,8 +31,8 @@ object Bucketing {
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, key)
-      .sortBy(key)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
   }

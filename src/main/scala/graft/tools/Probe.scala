@@ -44,8 +44,8 @@ object Probe {
     // bucketed co-located join: shuffle-free plan at the library surface
     val ob = graft.Tables.orders(spark, sf)
     val lb = graft.Tables.lineitem(spark, sf).withColumnRenamed("l_orderkey", "o_orderkey")
-    graft.sources.Bucketing.writeBucketed(ob, "probe_orders_b", "o_orderkey", 4)
-    graft.sources.Bucketing.writeBucketed(lb, "probe_lineitem_b", "o_orderkey", 4)
+    graft.sources.Bucketing.writeBucketed(ob, "probe_orders_b", Seq("o_orderkey"), 4)
+    graft.sources.Bucketing.writeBucketed(lb, "probe_lineitem_b", Seq("o_orderkey"), 4)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val bj = graft.sources.Bucketing.table(spark, "probe_orders_b")
       .join(graft.sources.Bucketing.table(spark, "probe_lineitem_b"), "o_orderkey")

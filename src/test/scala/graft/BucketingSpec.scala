@@ -3,26 +3,50 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.sources.Bucketing
 
-/** Bucketed co-located join: same-bucketed tables must join without a
-  * shuffle exchange on either side, and produce the same result as the
-  * plain join.
+/** The bucketed-join contract: two tables bucketed identically on the
+  * join key must join with ZERO exchanges — the shuffle is paid once at
+  * write time, never again. This is the plan property that makes a
+  * daily-joined 100 TB fact table affordable; a regression here silently
+  * reintroduces a full-corpus shuffle per join.
   */
 class BucketingSpec extends SparkSpec {
 
-  test("same-bucketed orders/lineitem join plans without shuffle exchanges") {
-    val o = graft.Tables.orders(spark, sf)
-    val l = graft.Tables.lineitem(spark, sf)
-    Bucketing.writeBucketed(o, "orders_b", "o_orderkey", 4)
-    Bucketing.writeBucketed(
-      l.withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b",
-      "o_orderkey", 4)
+  test("identically bucketed tables join with no exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    Bucketing.writeBucketed(docs, "b_docs", Seq("doc_id"), 8)
+    Bucketing.writeBucketed(embs, "b_embs", Seq("doc_id"), 8)
+    // broadcast off: the join must be exchange-free on its own merits,
+    // not saved by the tables being test-sized
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_docs").join(spark.table("b_embs"), "doc_id")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), "bucketed join still shuffles:\n" + p.take(800))
+      assert(p.contains("SortMergeJoin"), p.take(400))
+      // and it returns the same rows as the plain path
+      assert(joined.count() ==
+        docs.join(embs, "doc_id").count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_docs")
+      spark.sql("DROP TABLE IF EXISTS b_embs")
+    }
+  }
 
-    val joined = Bucketing.table(spark, "orders_b")
-      .join(Bucketing.table(spark, "lineitem_b"), "o_orderkey")
-    val plan = joined.queryExecution.executedPlan.toString
-
-    assert(!plan.contains("Exchange hashpartitioning"), plan.take(800))
-    val expected = o.join(l, o("o_orderkey") === l("l_orderkey")).count()
-    assert(joined.count() == expected)
+  test("a bucketed aggregate on the bucket key skips its exchange too") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source", "text")
+    Bucketing.writeBucketed(docs, "b_docs_agg", Seq("doc_id"), 8)
+    try {
+      val agg = spark.table("b_docs_agg")
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val p = agg.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        "bucket-key aggregate still shuffles:\n" + p.take(800))
+    } finally spark.sql("DROP TABLE IF EXISTS b_docs_agg")
   }
 }
