@@ -20,9 +20,9 @@ object CorpusOps {
     * filters): long enough that a match means shared provenance, not
     * shared vocabulary.
     */
-  private[operators] val DecontamN = 8
+  private[graft] val DecontamN = 8
 
-  private[operators] def shinglesN(toks: Column, n: Int): Column =
+  private[graft] def shinglesN(toks: Column, n: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShingles(
         org.apache.spark.sql.GraftSqlBridge.expression(toks), n))
@@ -87,7 +87,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  private[operators] def shingleSqlN(n: Int): String = {
+  private[graft] def shingleSqlN(n: Int): String = {
     val joined = (1 to n).map(j => s"t[i+${j - 1}]").mkString(" || ' ' || ")
     s"""CASE WHEN len(t) < $n THEN []
        |         ELSE list_transform(generate_series(1, len(t) - ${n - 1}),

@@ -69,4 +69,39 @@ object Sinks {
     val empty = readIfExists(spark, path).forall(_.isEmpty)
     if (empty) df.write.mode(SaveMode.Overwrite).parquet(path)
   }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * `ceil(bytes / targetBytes)` evenly-sized files. THE recurring ops
+    * problem of a long-lived 100 TB corpus — every incremental append
+    * (`insertIfAbsent`, streaming `foreachBatch`) leaves another
+    * micro-batch-sized file, and a million 1 MB files costs more in
+    * footer reads and task scheduling than the data scan itself.
+    *
+    * `repartition` (a shuffle), not `coalesce`: coalesce merges whole
+    * input partitions and inherits their skew, which is the disease
+    * being treated. The compacted copy is staged beside the target and
+    * swapped in by rename — a re-read-and-rewrite swap would let the
+    * scan's small-file coalescing second-guess the computed file count.
+    *
+    * @return (files before, files after)
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(dir).toSeq.filter { f =>
+        f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith(".")
+      }
+    val before = dataFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+    (before.size, dataFiles(p).size)
+  }
 }

@@ -186,6 +186,39 @@ object StreamingOps {
     * @param left  candidate antecedents (e.g. views): `ts`, `user_id`, payload
     * @param right anchor events (e.g. purchases): `ts`, `user_id`, payload
     */
+  /** Streaming decontamination — the q47 verdict at INTAKE time instead
+    * of as a batch sweep: a document stream is flagged against a static
+    * eval-shingle table by a stream-static LEFT SEMI join on the
+    * exploded shingles, deduplicated back to document grain. Stateless
+    * (no watermark needed — semi-join against a static side keeps no
+    * stream state), so it composes with `dedupStream`/`routeCorrupt` in
+    * the intake pipeline: contaminated documents are quarantined the
+    * moment they arrive rather than after the next corpus-wide q47 run.
+    *
+    * Output is at (doc, matched shingle) grain: collapsing to doc grain
+    * on the STREAM would need either a stateful aggregate or a global
+    * `dropDuplicates` (unbounded state). The intended composition is a
+    * `foreachBatch` sink that dedups BATCH-LOCALLY and upserts — doc
+    * grain at the target, zero stream state ([[upsertSink]] is exactly
+    * that sink; `StreamingIntakeSpec` drives the journey).
+    *
+    * @param docs         streaming frame with `idCol` + `textCol`
+    * @param evalShingles static frame with one `sh` column (the distinct
+    *                     [[graft.operators.CorpusOps.DecontamN]]-gram
+    *                     shingles of the eval set — small, so Spark
+    *                     broadcasts it per micro-batch)
+    * @return streaming frame of (idCol, sh) contamination evidence rows
+    */
+  def decontaminateStream(docs: DataFrame, idCol: String, textCol: String,
+      evalShingles: DataFrame): DataFrame = {
+    import graft.operators.{CorpusOps, Dedup}
+    docs.select(col(idCol),
+        explode(CorpusOps.shinglesN(Dedup.tokens(col(textCol)),
+          CorpusOps.DecontamN)).as("sh"))
+      .join(evalShingles, Seq("sh"), "left_semi")
+      .select(col(idCol), col("sh"))
+  }
+
   def intervalJoinStream(left: DataFrame, right: DataFrame,
       gapMinutes: Int, allowance: String = "10 minutes"): DataFrame = {
     val l = left.withWatermark("ts", allowance).alias("l")

@@ -91,6 +91,30 @@ class EtlOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("compact rewrites a fragmented directory into budgeted files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // simulate incremental-append fragmentation: 64 tiny files
+    (1 to 2000).map(i => (i.toLong, s"row $i")).toDF("k", "v")
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files = fs.listStatus(p).count(f => f.isFile &&
+      !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    assert(files == 64)
+    val before = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+    val (b, a) = Sinks.compact(spark, dir) // default 128 MB target -> 1 file
+    assert(b == 64 && a == 1, s"before=$b after=$a")
+    assert(files == 1)
+    // content unchanged
+    val after = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+    assert(after.toSeq == before.toSeq)
+    // a tiny byte budget splits into multiple files instead
+    val (_, many) = Sinks.compact(spark, dir, targetBytes = 8 * 1024)
+    assert(many > 1)
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
   test("SqlScriptRunner splits on ; and renders NULL like the reference") {
     Seq((1, Option("x")), (2, None)).toDF("id", "v")
       .createOrReplaceTempView("script_t")

@@ -62,4 +62,34 @@ class StreamingIntakeSpec extends SparkSpec {
     assert(Set(1L, 2L).contains(winner), s"re-delivery $winner won the dedup")
     assert(landed.filter(col("text") === "too short").isEmpty)
   }
+
+  test("streaming decontamination quarantines eval-overlapping docs at intake") {
+    val input = MemoryStream[RawDoc](spark)
+    // the "benchmark" is one sentence; its 8-gram shingles are the static
+    // side of the stream-static semi-join
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val evalShingles = Seq(evalText).toDF("text")
+      .select(explode(graft.operators.CorpusOps.shinglesN(
+        split(col("text"), "\\s+"), 8)).as("sh"))
+    val flagged = StreamingOps.decontaminateStream(
+      input.toDF(), "doc_id", "text", evalShingles)
+    val q = flagged.writeStream
+      .format("memory").queryName("quarantine")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // contains tokens 2..9 of the eval sentence = one shared 8-gram
+        RawDoc(1, t(1), "prefix beta gamma delta epsilon zeta eta theta iota suffix"),
+        // shares vocabulary but never 8 contiguous tokens
+        RawDoc(2, t(2), "beta alpha delta gamma zeta epsilon theta eta kappa iota"),
+        // disjoint
+        RawDoc(3, t(3), "totally unrelated text with enough tokens to shingle fine"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("quarantine")
+    assert(got.select("doc_id").distinct().as[Long].collect().toSet == Set(1L))
+    // evidence rows carry the matching shingle itself
+    assert(got.select("sh").as[String].collect()
+      .forall(_ == "beta gamma delta epsilon zeta eta theta iota"))
+  }
 }
