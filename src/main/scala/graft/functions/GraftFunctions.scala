@@ -36,5 +36,21 @@ object GraftFunctions {
         case _ => throw new IllegalArgumentException(
           "quantize_error(array<float|double>, <int literal>)")
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("poly_hash",
+      (es: Seq[Expression]) => es match {
+        case Seq(s) => PolyHash(s)
+        case Seq(s, Literal(mult: Int, IntegerType)) => PolyHash(s, mult)
+        case _ => throw new IllegalArgumentException(
+          "poly_hash(string[, <int literal> multiplier])")
+      }, "scala_udf")
+    // aggregate: the analyzer wraps a bare AggregateFunction returned by
+    // a registry builder in its AggregateExpression
+    reg.createOrReplaceTempFunction("simhash_agg",
+      (es: Seq[Expression]) => es match {
+        case Seq(h) => SimhashAgg(h, 62)
+        case Seq(h, Literal(bits: Int, IntegerType)) => SimhashAgg(h, bits)
+        case _ => throw new IllegalArgumentException(
+          "simhash_agg(bigint hash[, <int literal> bits])")
+      }, "scala_udf")
   }
 }

@@ -21,6 +21,29 @@ class CodegenSpec extends SparkSpec {
     wsc.map(w => w.doCodeGen()._2.body).mkString("\n")
   }
 
+  test("every native kernel is callable from the SQL surface") {
+    graft.functions.GraftFunctions.register(spark)
+    spark.read.parquet(s"$sf/documents.parquet")
+      .createOrReplaceTempView("docs_fn")
+    val row = spark.sql(
+      """SELECT poly_hash(text) AS h,
+        |       poly_hash(text, 37) AS h37,
+        |       size(ngram_shingles(split(text, '\\s+'), 3)) AS ns,
+        |       size(ngram_shingles_all(split(text, '\\s+'), 3)) AS nsa,
+        |       strip_diacritics(text) AS sd
+        |FROM docs_fn LIMIT 1""".stripMargin).head
+    assert(row.getLong(0) >= 0 && row.getLong(1) >= 0)
+    assert(row.getInt(2) <= row.getInt(3))
+    // the aggregate registers too: simhash over per-token hashes
+    val agg = spark.sql(
+      """SELECT simhash_agg(poly_hash(tok)) AS sh
+        |FROM (SELECT explode(split(text, '\\s+')) AS tok FROM docs_fn)""".stripMargin)
+      .head
+    assert(!agg.isNullAt(0))
+    // and matches the programmatic SimhashAgg path's type (a long signature)
+    assert(agg.schema("sh").dataType.typeName == "long")
+  }
+
   test("StripDiacritics generates a static kernel call inside codegen") {
     val df = spark.read.parquet(s"$sf/documents.parquet")
       .select(TextNorm.stripDiacritics($"text").as("s"))
