@@ -549,18 +549,25 @@ object Dedup {
     // that matters at 100 TB — the label table here is bounded by the
     // capped pair output, orders of magnitude below the document count).
     // Isolated vertices rejoin as their own keeper after the fixpoint.
-    var labels = sym.select("v").distinct()
-      .select(col("v"), col("v").as("label"))
+    //
+    // Initialization IS round one: with identity labels, the first
+    // round's neighbor-min is just min(v, min(neighbors)) — computable
+    // as one aggregate over the edge list, no join.
+    var labels = sym.select(col("v"), col("n").as("label"))
+      .union(sym.select(col("v"), col("v").as("label")))
+      .groupBy("v").agg(min("label").as("label"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+    // Each round: ship every vertex's label to its neighbors (one join),
+    // then min-reduce the shipped labels TOGETHER with the vertices' own
+    // (union + aggregate). Two exchanges per round — the earlier
+    // join + groupBy + left-join-back shape paid a third.
     def propagate(l: DataFrame): DataFrame = {
-      val nbrMin = sym
+      val nbr = sym
         .join(l.select(col("v").as("n"), col("label").as("nl")), "n")
-        .groupBy("v").agg(min("nl").as("nmin"))
-      l.join(nbrMin, Seq("v"), "left")
-        .select(col("v"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .select(col("v"), col("nl").as("label"))
+      nbr.union(l).groupBy("v").agg(min("label").as("label"))
     }
     // -1 sentinel skips a separate action for the initial sum (real label
     // sums are never negative). Monotonicity makes the sum an exact
