@@ -23,6 +23,40 @@ class ScaleToolsSpec extends SparkSpec {
     assert(pruned.count() == expected && expected > 0)
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    // the runtime half of the skew story (salting is the planned half):
+    // one key owning most of a side must be split by AQE's skew-join
+    // rule, visible as skew=true on the executed SortMergeJoin.
+    // Thresholds are lowered to fire at test scale — production uses the
+    // defaults (256 MB partitions).
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~90% of rows land on key 0; payload pads bytes so the skewed
+      // partition crosses the lowered threshold
+      val left = spark.range(200000)
+        .select(when(col("id") % 10 === 0, col("id") % 100).otherwise(0L).as("k"),
+          concat_ws("-", col("id"), lit("x" * 64)).as("payload"))
+      val right = spark.range(100)
+        .select(col("id").as("k"), col("id").as("dim"))
+      val joined = left.join(right, "k")
+      // act through the df's own query execution so AQE finalizes THIS
+      // plan (a count() or sink write runs a separate QueryExecution)
+      assert(joined.collect().length == 200000)
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + p.take(900))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin equals the plain join exactly") {
     val big = graft.Tables.orders(spark, sf)
     val small = graft.Tables.customer(spark, sf)
