@@ -34,10 +34,15 @@ object CorpusAudit {
   def q60SplitOverlap(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
+    // materialized once: idx feeds the totals aggregate AND both self-
+    // join sides, whose differing aliases defeat exchange reuse — without
+    // the checkpoint the corpus-wide tokenize+shingle+distinct pass runs
+    // three times (the Dedup edge-list pattern)
     val idx = d.select(col("split"),
         explode(CorpusOps.shinglesN(Dedup.tokens(col("text")),
           CorpusOps.DecontamN)).as("sh"))
       .distinct()
+      .localCheckpoint()
     val totals = idx.groupBy("split").agg(count(lit(1)).as("n"))
     val a = idx.select(col("split").as("split_a"), col("sh"))
     val b = idx.select(col("split").as("split_b"), col("sh"))

@@ -394,7 +394,8 @@ object CorpusOps {
 
     val banded = Dedup.bandedSignatures(d)
     val corpusBands = Dedup.capBuckets(
-      banded.join(corpus.select("doc_id"), "doc_id"), "band", "bucket")
+      banded.join(corpus.select("doc_id"), "doc_id"),
+      Dedup.MaxBucketPop, "band", "bucket")
     val incomingBands = banded.join(incoming.select("doc_id"), "doc_id")
     val near = incomingBands
       .join(corpusBands

@@ -120,8 +120,8 @@ object Dedup {
     */
   private[operators] val MaxBucketPop = 64
 
-  /** Drop rows of `df` whose (bucket-key) group has more than
-    * [[MaxBucketPop]] members: a window count partitioned by the bucket
+  /** Drop rows of `df` whose (bucket-key) group has more than `max`
+    * members: a window count partitioned by the bucket
     * keys, not a separate aggregate + equi-join. One shuffle computes the
     * population AND leaves the index hash-partitioned by the bucket keys
     * — the partitioning the downstream self-join requires, so Catalyst's
@@ -129,13 +129,16 @@ object Dedup {
     * (verified on the executed plan: the second side is a
     * `ReusedExchange`). An earlier shape localCheckpoint'ed the index
     * twice; the checkpoint write/read jobs cost more than the subtree
-    * evaluation they saved.
+    * evaluation they saved. The bound is an explicit parameter so each
+    * caller's cap is the SAME constant its oracle interpolates — two
+    * values that must agree by coincidence broke q65's review.
     */
-  private[operators] def capBuckets(df: DataFrame, keys: String*): DataFrame = {
+  private[operators] def capBuckets(df: DataFrame, max: Long,
+      keys: String*): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
     df.withColumn("__pop", count(lit(1)).over(w))
-      .filter(col("__pop") <= MaxBucketPop)
+      .filter(col("__pop") <= max)
       .drop("__pop")
   }
 
@@ -174,7 +177,7 @@ object Dedup {
 
   def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val banded = bandedSignatures(Tables.documents(spark, dir))
-    val kept = capBuckets(banded, "band", "bucket")
+    val kept = capBuckets(banded, MaxBucketPop, "band", "bucket")
 
     val a = kept.select(col("band"), col("bucket"),
       col("doc_id").as("doc_a"), col("sig").as("sig_a"))
@@ -306,7 +309,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
         .as(Seq("chunk", "chunk_val")))
-    val kept = capBuckets(chunked, "chunk", "chunk_val")
+    val kept = capBuckets(chunked, MaxBucketPop, "chunk", "chunk_val")
     val a = kept.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = kept.select(col("chunk"), col("chunk_val"),

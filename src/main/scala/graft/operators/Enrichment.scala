@@ -54,7 +54,10 @@ object EnrichmentClient {
     */
   def offline(lookup: DataFrame, keyCol: String,
       maxRows: Long = 1000000L): EnrichmentClient = {
-    val probed = lookup.limit(maxRows.toInt + 1).count()
+    // clamp before the Int conversion: a caller passing maxRows near or
+    // above 2^31 must not wrap into a negative limit()
+    val probeLimit = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
+    val probed = lookup.limit(probeLimit).count()
     require(probed <= maxRows,
       s"EnrichmentClient.offline: lookup exceeds $maxRows rows — " +
         "this is a dimension-only client (the dictionary is collected to " +

@@ -131,7 +131,7 @@ object Segments {
       .filter(col("start") <= greatest(col("m") - WinnowW, lit(0)))
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
-    val capped = Dedup.capBuckets(fps, "fp")
+    val capped = Dedup.capBuckets(fps, MaxFpDf, "fp")
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val pairs = capped.as("x").join(capped.as("y"), Seq("fp"))
       .filter(col("x.doc_id") < col("y.doc_id"))

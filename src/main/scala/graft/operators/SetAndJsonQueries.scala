@@ -127,18 +127,20 @@ object SetAndJsonQueries {
     */
   def q36ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    // NULL keys are dropped BEFORE the distinct: the rewrite counts the
-    // deduplicated pairs with count(*), which would otherwise count a
-    // (status, NULL) row that COUNT(DISTINCT o_custkey) ignores — a
-    // latent off-by-one on any data with null keys.
-    o.select("o_orderstatus", "o_custkey")
-      .filter(col("o_custkey").isNotNull).distinct()
+    // NULL keys are excluded by the AGGREGATES, not by a row filter: a
+    // pre-filter would also drop a status whose custkeys are ALL null,
+    // where COUNT(DISTINCT) keeps the group with count 0. count(col)
+    // skips the (status, NULL) row the distinct leaves behind, matching
+    // COUNT(DISTINCT o_custkey) exactly; the sketch-check boolean
+    // coalesces to true for the 0-customer group (0/0 is NULL) like the
+    // oracle's constant.
+    o.select("o_orderstatus", "o_custkey").distinct()
       .groupBy(col("o_orderstatus"))
-      .agg(count(lit(1)).as("exact_customers"),
+      .agg(count(col("o_custkey")).as("exact_customers"),
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"))
       .select(col("o_orderstatus"), col("exact_customers"),
-        (abs(col("approx_customers") - col("exact_customers"))
-          .cast("double") / col("exact_customers") <= 0.1)
+        coalesce(abs(col("approx_customers") - col("exact_customers"))
+          .cast("double") / col("exact_customers") <= 0.1, lit(true))
           .as("approx_within_10pct"))
       .orderBy("o_orderstatus")
   }

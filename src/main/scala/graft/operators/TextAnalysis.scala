@@ -13,11 +13,6 @@ import graft.functions.VectorOps.{round6, round6Sql}
   */
 object TextAnalysis {
 
-  /** ASCII-safe BPE-ish pre-tokenizer: letter runs, digit runs, or
-    * punctuation runs (identical semantics in Java regex and RE2).
-    */
-  private val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
-
   private val StopRe = "\\b(the|a|an|of|to|and|in|is)\\b"
 
   /** q24 — per-document quality stats: sizes, token counts, and ratio
@@ -132,15 +127,16 @@ object TextAnalysis {
   /** q26 under a pluggable [[graft.functions.Tokenizer]]: `ws_tokens`
     * becomes the seam tokenizer's count (column name kept — downstream
     * consumers and the oracle compare are positional on names), the
-    * BPE-ish estimator stays beside it for comparison.
+    * BPE-ish estimator stays beside it for comparison. The comparison
+    * column IS the seam's [[graft.functions.Tokenizer.BpePre]] — one
+    * regex definition, not a drifting copy.
     */
   def tokenCounts(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
         tok.count(col("text")).as("ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(BpeTokenRe), lit(0)))
-          .as("bpe_tokens"))
+        graft.functions.Tokenizer.BpePre.count(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
   }
 

@@ -82,26 +82,44 @@ object Sinks {
     * being treated. The compacted copy is staged beside the target and
     * swapped in by rename — a re-read-and-rewrite swap would let the
     * scan's small-file coalescing second-guess the computed file count.
+    * A partitioned layout (`partitionBy` subdirectories) is compacted
+    * PER LEAF, preserving the directory scheme and its pruning.
     *
-    * @return (files before, files after)
+    * NOT concurrent-writer-safe: plain parquet has no transaction log,
+    * so a file appended between the input listing and the swap is lost,
+    * and a crash inside the swap leaves the data staged at
+    * `<path>__compact`. Run it in a maintenance window (the same
+    * contract as every rewrite in this file); under a live writer this
+    * is a Delta/Iceberg `OPTIMIZE` instead.
+    *
+    * @return (files before, files after), summed across leaves
     */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
-      fs.listStatus(dir).toSeq.filter { f =>
-        f.isFile && !f.getPath.getName.startsWith("_") &&
-          !f.getPath.getName.startsWith(".")
-      }
-    val before = dataFiles(p)
+    def isData(f: org.apache.hadoop.fs.FileStatus): Boolean = {
+      val n = f.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+    val entries = fs.listStatus(p).toSeq.filter(isData)
+    val subdirs = entries.filter(_.isDirectory)
+    if (subdirs.nonEmpty) {
+      // partitioned layout: recurse per partition directory so the
+      // scheme (and partition pruning) survives; a flat rewrite would
+      // silently fold the partition column into the data files
+      val results = subdirs.map(d => compact(spark, d.getPath.toString, targetBytes))
+      return (results.map(_._1).sum, results.map(_._2).sum)
+    }
+    val before = entries.filter(_.isFile)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
-    (before.size, dataFiles(p).size)
+    require(fs.delete(p, true), s"compact: could not remove $p for swap")
+    require(fs.rename(tmp, p),
+      s"compact: rename $tmp -> $p failed; data is intact at $tmp")
+    (before.size, fs.listStatus(p).count(f => f.isFile && isData(f)))
   }
 }

@@ -186,6 +186,17 @@ object StreamingOps {
     * @param left  candidate antecedents (e.g. views): `ts`, `user_id`, payload
     * @param right anchor events (e.g. purchases): `ts`, `user_id`, payload
     */
+
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      gapMinutes: Int, allowance: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", allowance).alias("l")
+    val r = right.withWatermark("ts", allowance).alias("r")
+    l.join(r,
+      col("l.user_id") === col("r.user_id") &&
+        col("l.ts") < col("r.ts") &&
+        col("l.ts") >= col("r.ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
+  }
+
   /** Streaming decontamination — the q47 verdict at INTAKE time instead
     * of as a batch sweep: a document stream is flagged against a static
     * eval-shingle table by a stream-static LEFT SEMI join on the
@@ -217,16 +228,6 @@ object StreamingOps {
           CorpusOps.DecontamN)).as("sh"))
       .join(evalShingles, Seq("sh"), "left_semi")
       .select(col(idCol), col("sh"))
-  }
-
-  def intervalJoinStream(left: DataFrame, right: DataFrame,
-      gapMinutes: Int, allowance: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", allowance).alias("l")
-    val r = right.withWatermark("ts", allowance).alias("r")
-    l.join(r,
-      col("l.user_id") === col("r.user_id") &&
-        col("l.ts") < col("r.ts") &&
-        col("l.ts") >= col("r.ts") - expr(s"INTERVAL $gapMinutes MINUTES"))
   }
 
   /** q44 — last-touch attribution over the static events table: for each
