@@ -194,6 +194,59 @@ object CorpusAudit {
       |FROM j GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---- q67: per-source duplication burden ---------------------------------
+
+  /** q67 — q54's duplicated-span diagnosis rolled up to SOURCE grain:
+    * per source, how many of its span positions are cross-document
+    * duplicates, as counts and a rate. The "which feed is boilerplate"
+    * number a crawl review reads next to q63's quality dashboard —
+    * doc-level fractions (q54) say which PAGES are duplicated, this says
+    * which SOURCES are.
+    *
+    * Parity: the rate is a ratio of exact integer sums (one double
+    * division at the end), so no float-summation ordering is involved.
+    * Scale shape: the q54 chain plus one broadcast-sized source join
+    * and a stratum-grain aggregate.
+    */
+  def q67SourceDupBurden(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = CorpusOps.q54DupSpans(spark, dir)
+      .select("doc_id", "n_spans", "n_dup_spans")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    perDoc.join(src, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_spans").as("total_spans"),
+        sum("n_dup_spans").as("dup_spans"),
+        count(when(col("n_dup_spans") > 0, 1)).as("docs_with_dups"))
+      .select(col("source"), col("n_docs"),
+        col("total_spans"), col("dup_spans"), col("docs_with_dups"),
+        round6(when(col("total_spans") > 0,
+          col("dup_spans").cast("double") / col("total_spans"))
+          .otherwise(0.0)).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  val q67OracleSql: String = {
+    // q54's full statement as a subquery (its ORDER BY dropped — the
+    // rollup re-sorts), so the two oracles can never drift
+    val q54Body = CorpusOps.q54OracleSql.linesIterator
+      .takeWhile(!_.startsWith("ORDER BY")).mkString("\n")
+    s"""WITH per_doc AS (
+      |$q54Body
+      |)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |       CAST(SUM(p.n_spans) AS BIGINT) AS total_spans,
+      |       CAST(SUM(p.n_dup_spans) AS BIGINT) AS dup_spans,
+      |       CAST(COUNT(*) FILTER (WHERE p.n_dup_spans > 0) AS BIGINT)
+      |         AS docs_with_dups,
+      |       ${round6Sql(
+           """CASE WHEN SUM(p.n_spans) > 0
+      |            THEN CAST(SUM(p.n_dup_spans) AS DOUBLE) / SUM(p.n_spans)
+      |            ELSE 0.0 END""")} AS dup_rate
+      |FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
+
   // ---- q63: per-source quality dashboard ----------------------------------
 
   /** q63 — the per-source quality dashboard: document count, average

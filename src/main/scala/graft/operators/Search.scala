@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps.{round6, round6Sql}
+
+/** Lexical retrieval — the keyword-search complement of the embedding
+  * similarity family (q22/q23/q35): BM25-style scored top-k over an
+  * inverted term index. What a corpus exploration UI or a hard-negative
+  * mining job runs against the document store.
+  */
+object Search {
+
+  /** The benchmark query terms (a fixed conjunction-free bag; a real
+    * deployment parameterizes [[keywordSearch]]).
+    */
+  private val QueryTerms = Seq("data", "pipeline", "quality")
+
+  /** Result count. */
+  private val TopK = 20
+
+  /** BM25 term-frequency saturation constant (k₁; no length
+    * normalization — the corpus is near-uniform doc length, and dropping
+    * the b-term keeps the score a pure rational function, bit-exact
+    * across engines).
+    */
+  private val K1 = 1.5
+
+  /** q66 — BM25-style keyword search: score =
+    * Σ_terms idf(t) · tf/(tf + k₁) with the rational idf
+    * `(N − df + 0.5)/(df + 0.5)` (Robertson–Sparck Jones without the
+    * log: the log is a monotone reshaping of per-term weights that pure
+    * double arithmetic reproduces bit-for-bit across engines, where
+    * `ln` is only libm-identical by luck — determinism is worth more
+    * here than the classical scale). Top-[[TopK]] by score, doc_id
+    * tie-break.
+    *
+    * Scale shape: the token explode filters to the QUERY'S terms before
+    * anything aggregates — the index scan's output is (docs containing
+    * a term) × (terms), not the corpus vocabulary; tf/df aggregates are
+    * map-side partial; the ranking is `TakeOrderedAndProject`. At real
+    * scale the tf table IS the materialized inverted index and this
+    * query joins it instead of re-deriving it.
+    */
+  def q66KeywordSearch(spark: SparkSession, dir: String): DataFrame =
+    keywordSearch(spark, dir, QueryTerms)
+
+  /** q66 under caller-chosen terms. */
+  def keywordSearch(spark: SparkSession, dir: String,
+      terms: Seq[String]): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_total"))
+    val tf = d.select(col("doc_id"),
+        explode(Dedup.tokens(col("text"))).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        idf * (col("tf").cast("double") / (col("tf") + K1)))
+      .groupBy("doc_id")
+      .agg(round6(sum(col("w"))).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(TopK)
+  }
+
+  val q66OracleSql: String = {
+    val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH terms(token) AS (VALUES $termList),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, t.token, COUNT(*) AS tf
+      |  FROM tok JOIN terms t ON tok.token = t.token
+      |  GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total FROM documents
+      |)
+      |SELECT tf.doc_id,
+      |       ${round6Sql(
+           s"""SUM(((n_total - df + 0.5) / (df + 0.5))
+      |         * (CAST(tf AS DOUBLE) / (tf + $K1)))""")} AS score,
+      |       COUNT(*) AS n_terms_hit
+      |FROM tf JOIN df ON tf.token = df.token, n
+      |GROUP BY tf.doc_id, n_total
+      |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+  }
+}

@@ -68,6 +68,47 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("q66 search hits contain every query term occurrence and rank sanely") {
+    val rows = graft.operators.Search.q66KeywordSearch(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Double]("score") > 0)
+      val hits = r.getAs[Long]("n_terms_hit")
+      assert(hits >= 1 && hits <= 3)
+    }
+    // a doc hitting all three terms must outrank a doc hitting one term
+    // with equal tf saturation — weaker sanity: every returned doc
+    // actually contains at least one query term
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val containing = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("text").rlike("\\b(data|pipeline|quality)\\b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(containing))
+  }
+
+  test("q67 rolls q54's fractions up to source grain consistently") {
+    val perDoc = CorpusOps.q54DupSpans(spark, sf)
+      .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source"),
+        "doc_id")
+      .collect()
+    val expect = perDoc.groupBy(_.getAs[String]("source")).map { case (s, rs) =>
+      s -> (rs.length, rs.map(_.getAs[Long]("n_spans")).sum,
+        rs.map(_.getAs[Long]("n_dup_spans")).sum)
+    }
+    val got = CorpusAudit.q67SourceDupBurden(spark, sf).collect()
+    assert(got.map(_.getAs[String]("source")).toSet == expect.keySet)
+    got.foreach { r =>
+      val (n, spans, dups) = expect(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("total_spans") == spans)
+      assert(r.getAs[Long]("dup_spans") == dups)
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+  }
+
   test("q63 aggregates the q24/q25/q38 signals to source grain") {
     val rows = CorpusAudit.q63SourceQuality(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Segments, Similarity, TextAnalysis}
+import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Search, Segments, Similarity, TextAnalysis}
 
 /** Degenerate-input robustness: every corpus operator must return an
   * empty result on an empty table — not throw from a head() on no rows,
@@ -50,7 +50,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "q62_embedding_audit" -> (CorpusAudit.q62EmbeddingAudit _),
     "q63_source_quality" -> (CorpusAudit.q63SourceQuality _),
     "q64_chunk_docs" -> (Segments.q64ChunkDocs _),
-    "q65_winnow_pairs" -> (Segments.q65WinnowPairs _))
+    "q65_winnow_pairs" -> (Segments.q65WinnowPairs _),
+    "q66_keyword_search" -> (Search.q66KeywordSearch _),
+    "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
