@@ -247,6 +247,36 @@ object CorpusAudit {
       |GROUP BY d.source ORDER BY d.source""".stripMargin
   }
 
+  // ---- q68: length histogram ----------------------------------------------
+
+  /** q68 — per-source doc-length histogram on log₂ buckets (bucket k =
+    * docs with 2^(k−1) ≤ tokens < 2^k; empty docs in bucket 0). The
+    * corpus-card figure q57's quantiles summarize — the histogram shows
+    * the bimodality quantiles hide. Bucket = `length(bin(n))`, an
+    * INTEGER computation identical in both engines, so the oracle needs
+    * no float log parity.
+    *
+    * Scale shape: map + stratum-grain aggregate, nothing else.
+    */
+  def q68LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(Dedup.tokens(col("text")))
+    val bucket = when(n <= 0, lit(0))
+      .otherwise(length(bin(n.cast("long"))))
+    Tables.documents(spark, dir)
+      .select(col("source"), bucket.as("len_bucket"))
+      .groupBy("source", "len_bucket")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "len_bucket")
+  }
+
+  val q68OracleSql: String =
+    """SELECT source,
+      |       CAST(CASE WHEN len(string_split_regex(text, '\s+')) <= 0 THEN 0
+      |            ELSE length(bin(len(string_split_regex(text, '\s+')))) END
+      |         AS INTEGER) AS len_bucket,
+      |       COUNT(*) AS n_docs
+      |FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
+
   // ---- q63: per-source quality dashboard ----------------------------------
 
   /** q63 — the per-source quality dashboard: document count, average

@@ -71,6 +71,66 @@ object Similarity {
       |ORDER BY probe_id, rank""".stripMargin
   }
 
+  /** Negatives returned per probe by [[q69HardNegatives]]. */
+  private val HardNegK = 5
+
+  /** q69 — hard-negative mining: for each probe, the [[HardNegK]] most
+    * cosine-similar vectors that are NOT in the probe's dedup cluster
+    * (q40 keeper assignment). The contrastive-training prep op: a good
+    * hard negative is maximally similar while provably not a duplicate —
+    * mining by similarity alone poisons the loss with false negatives
+    * (near-dups labelled as negatives), which is exactly what the keeper
+    * exclusion removes.
+    *
+    * Scale shape: q22's broadcast-probes × one-corpus-scan score pass,
+    * plus a doc-grain keeper join (the keeper table is materialized once
+    * per corpus in practice, exactly like q41's consumption of it);
+    * per-probe ranking is a window over probe-partitioned rows.
+    */
+  def q69HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Dedup.q40DedupKeepers(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("keeper_id"))
+    val e = Tables.embeddings(spark, dir)
+      .join(keepers, "vec_id")
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"), col("keeper_id"))
+    val p = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        col("nrm").as("pn"), col("keeper_id").as("probe_keeper"))
+    val scored = broadcast(p).crossJoin(e)
+      .filter(col("probe_id") =!= col("vec_id") &&
+        col("probe_keeper") =!= col("keeper_id"))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("embedding")) / (col("pn") * col("nrm"))))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= HardNegK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val q69OracleSql: String = {
+    val cos = VectorOps.round6Sql(VectorOps.cosineSql("p.embedding", "e.embedding"))
+    s"""WITH RECURSIVE ${Dedup.keeperCtes}, scored AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $cos AS cos
+      |  FROM embeddings p
+      |  JOIN keepers kp ON kp.doc_id = p.vec_id
+      |  JOIN embeddings e ON p.vec_id <> e.vec_id
+      |  JOIN keepers ke ON ke.doc_id = e.vec_id
+      |  WHERE p.vec_id < $NumProbes AND kp.keeper_id <> ke.keeper_id
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY probe_id
+      |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT probe_id, rank, neighbor_id, cos
+      |FROM ranked WHERE rank <= $HardNegK
+      |ORDER BY probe_id, rank""".stripMargin
+  }
+
   // ---- LSH ANN -----------------------------------------------------------
 
   // 8 tables × 4-bit sketches: tuned for this corpus, whose nearest

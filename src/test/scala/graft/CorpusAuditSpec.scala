@@ -109,6 +109,38 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("q68 histogram masses sum to the corpus and buckets bound lengths") {
+    val rows = CorpusAudit.q68LengthHistogram(spark, sf).collect()
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // every doc's real length falls in its source's claimed buckets
+    val buckets = rows.groupBy(_.getAs[String]("source"))
+      .view.mapValues(_.map(_.getAs[Int]("len_bucket")).toSet).toMap
+    spark.read.parquet(s"$sf/documents.parquet").collect().foreach { r =>
+      val n = r.getAs[String]("text").split("\\s+").length
+      val expect = java.lang.Long.toBinaryString(n.toLong).length
+      assert(buckets(r.getAs[String]("source")).contains(expect))
+    }
+  }
+
+  test("q69 hard negatives never share the probe's dedup cluster") {
+    val keeper = graft.operators.Dedup.q40DedupKeepers(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("keeper_id")).toMap
+    val rows = graft.operators.Similarity.q69HardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val nb = r.getAs[Long]("neighbor_id")
+      assert(keeper(p) != keeper(nb),
+        s"probe $p got cluster-mate $nb as a negative")
+    }
+    // and each probe's negatives are ranked by non-increasing score
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("q63 aggregates the q24/q25/q38 signals to source grain") {
     val rows = CorpusAudit.q63SourceQuality(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()

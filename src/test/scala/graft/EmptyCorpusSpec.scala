@@ -52,7 +52,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "q64_chunk_docs" -> (Segments.q64ChunkDocs _),
     "q65_winnow_pairs" -> (Segments.q65WinnowPairs _),
     "q66_keyword_search" -> (Search.q66KeywordSearch _),
-    "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _))
+    "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _),
+    "q68_length_histogram" -> (CorpusAudit.q68LengthHistogram _),
+    "q69_hard_negatives" -> (Similarity.q69HardNegatives _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
