@@ -227,12 +227,11 @@ object CorpusAudit {
   }
 
   val q67OracleSql: String = {
-    // q54's full statement as a subquery (its ORDER BY dropped — the
-    // rollup re-sorts), so the two oracles can never drift
-    val q54Body = CorpusOps.q54OracleSql.linesIterator
-      .takeWhile(!_.startsWith("ORDER BY")).mkString("\n")
+    // q54's statement as a subquery (shared via the structural
+    // q54OracleBody val, not a textual scrape), so the two oracles can
+    // never drift
     s"""WITH per_doc AS (
-      |$q54Body
+      |${CorpusOps.q54OracleBody}
       |)
       |SELECT d.source, COUNT(*) AS n_docs,
       |       CAST(SUM(p.n_spans) AS BIGINT) AS total_spans,
@@ -250,17 +249,23 @@ object CorpusAudit {
   // ---- q68: length histogram ----------------------------------------------
 
   /** q68 — per-source doc-length histogram on log₂ buckets (bucket k =
-    * docs with 2^(k−1) ≤ tokens < 2^k; empty docs in bucket 0). The
-    * corpus-card figure q57's quantiles summarize — the histogram shows
-    * the bimodality quantiles hide. Bucket = `length(bin(n))`, an
-    * INTEGER computation identical in both engines, so the oracle needs
-    * no float log parity.
+    * docs with 2^(k−1) ≤ tokens < 2^k; NULL-text docs in bucket 0 —
+    * note an EMPTY string still whitespace-tokenizes to one empty token,
+    * so it lands in bucket 1 like any 1-token doc). The corpus-card
+    * figure q57's quantiles summarize — the histogram shows the
+    * bimodality quantiles hide. Bucket = `length(bin(n))`, an INTEGER
+    * computation identical in both engines, so the oracle needs no
+    * float log parity.
     *
     * Scale shape: map + stratum-grain aggregate, nothing else.
     */
   def q68LengthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val n = size(Dedup.tokens(col("text")))
-    val bucket = when(n <= 0, lit(0))
+    // the explicit isNull arm pins NULL text to bucket 0 on BOTH
+    // engines — without it Spark's size(NULL) sentinel and DuckDB's
+    // NULL-propagating CASE would bucket the q58 violation class
+    // differently
+    val bucket = when(col("text").isNull || n <= 0, lit(0))
       .otherwise(length(bin(n.cast("long"))))
     Tables.documents(spark, dir)
       .select(col("source"), bucket.as("len_bucket"))
@@ -271,7 +276,8 @@ object CorpusAudit {
 
   val q68OracleSql: String =
     """SELECT source,
-      |       CAST(CASE WHEN len(string_split_regex(text, '\s+')) <= 0 THEN 0
+      |       CAST(CASE WHEN text IS NULL THEN 0
+      |            WHEN len(string_split_regex(text, '\s+')) <= 0 THEN 0
       |            ELSE length(bin(len(string_split_regex(text, '\s+')))) END
       |         AS INTEGER) AS len_bucket,
       |       COUNT(*) AS n_docs

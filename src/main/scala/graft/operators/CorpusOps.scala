@@ -892,7 +892,12 @@ object CorpusOps {
       |         AS stripped_text
       |FROM rem ORDER BY doc_id""".stripMargin
 
-  val q54OracleSql: String = {
+  /** q54's statement minus its presentation ORDER BY — reused
+    * STRUCTURALLY by `CorpusAudit.q67OracleSql` (which wraps it as a
+    * subquery); a textual scrape of [[q54OracleSql]] would silently
+    * break on any reformatting.
+    */
+  private[operators] val q54OracleBody: String = {
     import graft.functions.VectorOps.round6Sql
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
@@ -913,7 +918,8 @@ object CorpusOps {
              """CASE WHEN t.n_spans > 0
       |            THEN CAST(COALESCE(d.n_dup_spans, 0) AS DOUBLE) / t.n_spans
       |            ELSE 0.0 END""")} AS dup_fraction
-      |FROM totals t LEFT JOIN dup d ON t.doc_id = d.doc_id
-      |ORDER BY t.doc_id""".stripMargin
+      |FROM totals t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin
   }
+
+  val q54OracleSql: String = s"$q54OracleBody\nORDER BY t.doc_id"
 }

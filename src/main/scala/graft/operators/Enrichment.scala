@@ -54,10 +54,13 @@ object EnrichmentClient {
     */
   def offline(lookup: DataFrame, keyCol: String,
       maxRows: Long = 1000000L): EnrichmentClient = {
-    // clamp before the Int conversion: a caller passing maxRows near or
-    // above 2^31 must not wrap into a negative limit()
-    val probeLimit = math.min(maxRows, Int.MaxValue - 1L).toInt + 1
-    val probed = lookup.limit(probeLimit).count()
+    // the probe rides limit(), which is Int-typed — a threshold at or
+    // above 2^31 cannot be checked, and clamping would let an oversized
+    // table pass silently; refuse loudly instead
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"EnrichmentClient.offline: maxRows must be in (0, 2^31) — got " +
+        s"$maxRows; a dictionary that large should not be collected at all")
+    val probed = lookup.limit(maxRows.toInt + 1).count()
     require(probed <= maxRows,
       s"EnrichmentClient.offline: lookup exceeds $maxRows rows — " +
         "this is a dimension-only client (the dictionary is collected to " +

@@ -31,6 +31,32 @@ object Similarity {
     e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
 
+  /** Cosine of every (probe, vector) pair: broadcast of the small probe
+    * side × one corpus scan, self-pairs dropped, scores decimal-rounded.
+    * Expects `probe_id`/`pv`/`pn` on `p` and `vec_id`/`embedding`/`nrm`
+    * on `e`; extra columns ride along (q69's keeper ids). Shared by
+    * [[q22CosineTopK]] and [[q69HardNegatives]] so the scoring and
+    * rounding can never drift between the baseline and the miner.
+    */
+  private def scoredNeighbors(p: DataFrame, e: DataFrame): DataFrame =
+    broadcast(p).crossJoin(e)
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("embedding")) / (col("pn") * col("nrm"))))
+
+  /** Deterministic per-probe top-k over [[scoredNeighbors]] output:
+    * (rounded score desc, neighbor id asc).
+    */
+  private def rankTop(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        col("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** q22 — exact cosine top-k for the first [[NumProbes]] vectors.
     * Deterministic rank: (rounded score desc, neighbor id asc). Norms are
     * precomputed per side; the corpus scan evaluates one codegen'd dot
@@ -41,17 +67,7 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
     val p = probes(e).withColumn("pn", VectorOps.norm(col("pv")))
-    val scored = broadcast(p).crossJoin(e)
-      .filter(col("probe_id") =!= col("vec_id"))
-      .withColumn("cos", VectorOps.round6(
-        VectorOps.dot(col("pv"), col("embedding")) / (col("pn") * col("nrm"))))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cos"))
-      .orderBy("probe_id", "rank")
+    rankTop(scoredNeighbors(p, e), TopK)
   }
 
   val q22OracleSql: String = {
@@ -97,18 +113,10 @@ object Similarity {
     val p = e.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         col("nrm").as("pn"), col("keeper_id").as("probe_keeper"))
-    val scored = broadcast(p).crossJoin(e)
-      .filter(col("probe_id") =!= col("vec_id") &&
-        col("probe_keeper") =!= col("keeper_id"))
-      .withColumn("cos", VectorOps.round6(
-        VectorOps.dot(col("pv"), col("embedding")) / (col("pn") * col("nrm"))))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= HardNegK)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        col("cos"))
-      .orderBy("probe_id", "rank")
+    rankTop(
+      scoredNeighbors(p, e)
+        .filter(col("probe_keeper") =!= col("keeper_id")),
+      HardNegK)
   }
 
   val q69OracleSql: String = {

@@ -107,14 +107,22 @@ object Sinks {
     if (subdirs.nonEmpty) {
       // partitioned layout: recurse per partition directory so the
       // scheme (and partition pruning) survives; a flat rewrite would
-      // silently fold the partition column into the data files
+      // silently fold the partition column into the data files. Loose
+      // data files BESIDE partition dirs have no well-defined owner —
+      // refuse rather than silently skip them.
+      require(!entries.exists(_.isFile),
+        s"compact: $p mixes data files and partition directories — " +
+          "compact the leaves individually")
       val results = subdirs.map(d => compact(spark, d.getPath.toString, targetBytes))
       return (results.map(_._1).sum, results.map(_._2).sum)
     }
     val before = entries.filter(_.isFile)
     val totalBytes = before.map(_.getLen).sum
     val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compact")
+    // the stage dir is underscore-prefixed: partition discovery ignores
+    // `_*` paths, so a crash mid-swap leaves an invisible sibling, not a
+    // phantom partition whose rows read back duplicated
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent, "_" + p.getName + "__compact")
     spark.read.parquet(path).repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     require(fs.delete(p, true), s"compact: could not remove $p for swap")

@@ -117,7 +117,9 @@ class CorpusAuditSpec extends SparkSpec {
     val buckets = rows.groupBy(_.getAs[String]("source"))
       .view.mapValues(_.map(_.getAs[Int]("len_bucket")).toSet).toMap
     spark.read.parquet(s"$sf/documents.parquet").collect().foreach { r =>
-      val n = r.getAs[String]("text").split("\\s+").length
+      // split limit -1 keeps trailing empty tokens, matching Spark SQL's
+      // split semantics (one-arg String.split drops them)
+      val n = r.getAs[String]("text").split("\\s+", -1).length
       val expect = java.lang.Long.toBinaryString(n.toLong).length
       assert(buckets(r.getAs[String]("source")).contains(expect))
     }
