@@ -73,7 +73,11 @@ object Curation {
     * (shared with q40 — the two cannot drift) joined to the signal
     * expressions (shared fragments with q25/q38).
     */
-  val q41OracleSql: String = {
+  /** q41's statement minus its presentation ORDER BY — reused
+    * STRUCTURALLY by [[q43OracleSql]] (which wraps it as a subquery);
+    * a textual scrape would silently break on reformatting.
+    */
+  private val q41OracleBody: String = {
     val ratio = round6Sql(
       "1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / greatest(len(tl) - 2, 1)")
     s"""WITH RECURSIVE ${Dedup.keeperCtes}, sig AS (
@@ -98,9 +102,10 @@ object Curation {
       |       (k.is_keeper AND s.pred_lang = 'en'
       |        AND s.n_tokens BETWEEN $MinTokens AND $MaxTokens
       |        AND s.repetition_ratio <= $MaxRepetition) AS selected
-      |FROM sig s JOIN keepers k ON s.doc_id = k.doc_id
-      |ORDER BY s.doc_id""".stripMargin
+      |FROM sig s JOIN keepers k ON s.doc_id = k.doc_id""".stripMargin
   }
+
+  val q41OracleSql: String = s"$q41OracleBody\nORDER BY s.doc_id"
 
   /** Split fractions in bucket points (of 100): [0,80) train,
     * [80,90) val, [90,100) test.
@@ -259,11 +264,9 @@ object Curation {
     * values are equal, so the sum is cast back to BIGINT explicitly.
     */
   val q43OracleSql: String = {
-    val verdict = q41OracleSql.linesIterator
-      .takeWhile(!_.startsWith("ORDER BY")).mkString("\n")
     val ph = graft.functions.PolyHash.sql("CAST(v.doc_id AS VARCHAR)")
     s"""WITH v AS (
-      |$verdict
+      |$q41OracleBody
       |)
       |SELECT CASE WHEN $ph % 100 < $TrainUpper THEN 'train'
       |            WHEN $ph % 100 < $ValUpper THEN 'val'

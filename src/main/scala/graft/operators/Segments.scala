@@ -107,7 +107,11 @@ object Segments {
     * bounded by doc length), one shuffle by fingerprint for the df-capped
     * inverted-index self-join — q20's bounded join on a w× smaller index.
     */
-  def q65WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-document winnowed fingerprint set (doc_id, fp) — the selection
+    * step of [[q65WinnowPairs]], exposed for the guarantee property test
+    * (any two docs sharing a run of k+w−1 tokens share a fingerprint).
+    */
+  private[graft] def winnowFingerprints(d: DataFrame): DataFrame = {
     val posSh = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShinglesAll(
         org.apache.spark.sql.GraftSqlBridge.expression(
@@ -115,7 +119,6 @@ object Segments {
     val h = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(col("sh"))))
-    val d = Tables.documents(spark, dir)
     val hashed = d
       .select(col("doc_id"), posexplode(posSh).as(Seq("start", "sh")))
       .select(col("doc_id"), col("start"), h.as("h"))
@@ -125,12 +128,16 @@ object Segments {
       .rowsBetween(0, WinnowW - 1)
     // full windows only (start ≤ m − w); a doc with fewer than w k-grams
     // keeps its single all-hash minimum (start 0 survives the filter)
-    val fps = hashed
+    hashed
       .withColumn("m", count(lit(1)).over(byDoc))
       .withColumn("wmin", min("h").over(winFrame))
       .filter(col("start") <= greatest(col("m") - WinnowW, lit(0)))
       .select(col("doc_id"), col("wmin").as("fp"))
       .distinct()
+  }
+
+  def q65WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fps = winnowFingerprints(Tables.documents(spark, dir))
     val capped = Dedup.capBuckets(fps, MaxFpDf, "fp")
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val pairs = capped.as("x").join(capped.as("y"), Seq("fp"))

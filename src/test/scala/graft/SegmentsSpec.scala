@@ -57,6 +57,36 @@ class SegmentsSpec extends SparkSpec {
     assert(pairs((1L, 2L)) == 1.0)
   }
 
+  test("winnowing guarantee: any shared k+w-1 run yields a shared fingerprint") {
+    import spark.implicits._
+    // Schleimer et al.'s correctness property, tested on random docs
+    // with planted shared runs: two documents sharing >= k+w-1 = 7
+    // contiguous tokens must share at least one selected fingerprint
+    val rnd = new scala.util.Random(23)
+    val docs = scala.collection.mutable.Buffer.empty[(Long, String)]
+    val planted = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    var id = 0L
+    for (trial <- 1 to 8) {
+      val run = Seq.fill(7)(s"r${trial}_${rnd.nextInt(1000)}")
+      def docWithRun(): String = {
+        val pre = Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(5000)}")
+        val post = Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(5000)}")
+        (pre ++ run ++ post).mkString(" ")
+      }
+      docs += ((id, docWithRun())); docs += ((id + 1, docWithRun()))
+      planted += ((id, id + 1))
+      id += 2
+    }
+    val fps = graft.operators.Segments.winnowFingerprints(
+        docs.toSeq.toDF("doc_id", "text"))
+      .collect().groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    planted.foreach { case (a, b) =>
+      assert(fps(a).intersect(fps(b)).nonEmpty,
+        s"docs $a/$b share a 7-token run but no fingerprint")
+    }
+  }
+
   test("q65 pair set is plausible against q20's exact jaccard pairs") {
     // winnowing samples the q20 shingle space: its high-containment pairs
     // on the real corpus must include the exact near-dup pairs q20 finds
