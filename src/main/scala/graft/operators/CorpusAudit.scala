@@ -283,6 +283,36 @@ object CorpusAudit {
       |       COUNT(*) AS n_docs
       |FROM documents GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin
 
+  // ---- q70: dedup cluster-size profile ------------------------------------
+
+  /** q70 — the dedup summary report: for each cluster SIZE, how many
+    * q40 clusters have it and how many documents they hold. The figure
+    * that says whether duplication is a long tail of pairs or a few
+    * massive boilerplate blobs — which decides whether near-dup capping
+    * (q18–q20's bounds) or cluster-keeper dedup (q40) is carrying the
+    * corpus.
+    *
+    * Scale shape: the keeper chain (materialized once per corpus in
+    * practice), then two tiny aggregates — cluster grain, then size
+    * grain.
+    */
+  def q70ClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    Dedup.q40DedupKeepers(spark, dir)
+      .groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("cluster_size").as("n_docs"))
+      .orderBy("cluster_size")
+
+  val q70OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.keeperCtes}, sizes AS (
+      |  SELECT keeper_id, COUNT(*) AS cluster_size
+      |  FROM keepers GROUP BY keeper_id
+      |)
+      |SELECT cluster_size, COUNT(*) AS n_clusters,
+      |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+      |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin
+
   // ---- q63: per-source quality dashboard ----------------------------------
 
   /** q63 — the per-source quality dashboard: document count, average

@@ -143,6 +143,19 @@ class CorpusAuditSpec extends SparkSpec {
     }
   }
 
+  test("q70 cluster profile masses reconcile with the keeper table") {
+    val rows = CorpusAudit.q70ClusterProfile(spark, sf).collect()
+    val keepers = graft.operators.Dedup.q40DedupKeepers(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == keepers.length)
+    assert(rows.map(r =>
+      r.getAs[Long]("n_clusters") * r.getAs[Long]("cluster_size")).sum
+      == keepers.length)
+    assert(rows.map(_.getAs[Long]("n_clusters")).sum ==
+      keepers.map(_.getAs[Long]("keeper_id")).distinct.length)
+    // the synthetic corpus has real duplicate clusters
+    assert(rows.exists(_.getAs[Long]("cluster_size") > 1))
+  }
+
   test("q63 aggregates the q24/q25/q38 signals to source grain") {
     val rows = CorpusAudit.q63SourceQuality(spark, sf).collect()
     val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()

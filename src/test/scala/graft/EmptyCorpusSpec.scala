@@ -54,7 +54,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q66_keyword_search" -> (Search.q66KeywordSearch _),
     "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _),
     "q68_length_histogram" -> (CorpusAudit.q68LengthHistogram _),
-    "q69_hard_negatives" -> (Similarity.q69HardNegatives _))
+    "q69_hard_negatives" -> (Similarity.q69HardNegatives _),
+    "q70_cluster_profile" -> (CorpusAudit.q70ClusterProfile _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
