@@ -107,6 +107,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(maxCell <= 64L, s"cell holds $maxCell docs")
   }
 
+  test("q64 chunking is map-only: no exchange except the presentation sort") {
+    val p = plan(graft.operators.Segments.q64ChunkDocs(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+  }
+
+  test("q66 search ranks via TakeOrderedAndProject, not a full sort") {
+    assert(plan(graft.operators.Search.q66KeywordSearch(spark, sf))
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
