@@ -104,8 +104,13 @@ object Similarity {
     * per-probe ranking is a window over probe-partitioned rows.
     */
   def q69HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    // the keeper chain is the expensive subtree and feeds BOTH the probe
+    // side and the candidate side of the score join; materialize it once
+    // (at scale keepers are a materialized corpus artifact anyway —
+    // q41's stance)
     val keepers = Dedup.q40DedupKeepers(spark, dir)
       .select(col("doc_id").as("vec_id"), col("keeper_id"))
+      .localCheckpoint()
     val e = Tables.embeddings(spark, dir)
       .join(keepers, "vec_id")
       .select(col("vec_id"), col("embedding"),
