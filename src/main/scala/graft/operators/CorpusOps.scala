@@ -392,7 +392,12 @@ object CorpusOps {
         col("doc_id").as("corpus_id")), "h")
       .groupBy("doc_id").agg(min("corpus_id").as("exact_match"))
 
-    val banded = Dedup.bandedSignatures(d)
+    // materialized once: the MinHash signature chain (shingle explode +
+    // 16-way min aggregate + banding) feeds BOTH the corpus and the
+    // incoming side below, and would otherwise run twice over the whole
+    // table — in production these ARE the precomputed signature
+    // artifacts this query's docstring describes
+    val banded = Dedup.bandedSignatures(d).localCheckpoint()
     val corpusBands = Dedup.capBuckets(
       banded.join(corpus.select("doc_id"), "doc_id"),
       Dedup.MaxBucketPop, "band", "bucket")
