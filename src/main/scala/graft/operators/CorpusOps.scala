@@ -40,15 +40,16 @@ object CorpusOps {
   private val MaxBroadcastShingles = 5000000L
 
   /** Broadcast-hint `evalShingles` only when it is actually
-    * broadcast-sized. The `count()` is one cheap pre-pass over the EVAL
-    * side alone (an aggregate of the already-distinct set — the corpus
-    * is never touched); at 100 TB that probe is noise next to the scan
-    * it protects the driver from.
+    * broadcast-sized. The eval set is localCheckpoint'ed FIRST, so the
+    * size probe's evaluation is the same materialization the join then
+    * reads — one pass over the eval side total, not a count pass plus a
+    * re-derivation; the corpus side is never touched either way.
     */
   private def maybeBroadcast(evalShingles: DataFrame,
-      maxRows: Long): DataFrame =
-    if (evalShingles.count() <= maxRows) broadcast(evalShingles)
-    else evalShingles
+      maxRows: Long): DataFrame = {
+    val ev = evalShingles.localCheckpoint()
+    if (ev.count() <= maxRows) broadcast(ev) else ev
+  }
 
   /** q47 — train/test decontamination: every TRAIN document (per the q42
     * hash split) with the number of its distinct [[DecontamN]]-gram
