@@ -381,4 +381,121 @@ object CorpusAudit {
            "CAST(COUNT(*) FILTER (WHERE is_en) AS DOUBLE) / COUNT(*)")} AS frac_en
       |FROM sig GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ---- q71: source × lang rollup ------------------------------------------
+
+  /** q71 — the corpus composition report as a ROLLUP: (source, lang)
+    * cells, per-source subtotals, and the grand total in ONE aggregate
+    * pass, distinguished by `grouping_id` (0 = cell, 1 = source
+    * subtotal, 3 = grand total). The multi-granularity summary a corpus
+    * card leads with — and the GROUPING SETS surface of the SQL layer,
+    * which none of q1–q70 exercised.
+    *
+    * Scale: Spark plans rollup as one Expand (3 rows per input) feeding
+    * one map-side-partial aggregate — output is dimension-sized, and no
+    * second scan per granularity.
+    */
+  def q71RollupReport(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        grouping_id().cast("int").as("gid"))
+      .select(col("source"), col("lang"), col("gid"), col("n_docs"),
+        col("sum_chars"),
+        round6(col("sum_chars").cast("double") / col("n_docs"))
+          .as("avg_chars"))
+      .orderBy(col("gid"), col("source").asc_nulls_first,
+        col("lang").asc_nulls_first)
+
+  val q71OracleSql: String =
+    s"""SELECT source, lang,
+      |       CAST(GROUPING(source, lang) AS INTEGER) AS gid,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |       ${round6Sql("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)")} AS avg_chars
+      |FROM documents
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY gid, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
+  // ---- q77: pairwise source vocabulary overlap ----------------------------
+
+  /** q77 — the source-overlap matrix: for every source pair, shared
+    * vocabulary (distinct-token Jaccard) and token-frequency cosine. The
+    * "are these two crawls secretly the same feed" diagnostic that
+    * decides whether sources get deduped jointly or independently —
+    * q60's split-contamination question asked of the SOURCE dimension,
+    * with a frequency-weighted angle beside the set overlap.
+    *
+    * Parity: dot products and squared norms are exact BIGINT sums
+    * (counts × counts); the only float steps are two correctly-rounded
+    * `sqrt`s and one multiply/divide, identical IEEE-754 on both
+    * engines, then decimal-routed rounding.
+    *
+    * Scale shape: the inverted index (token, source, n) is one map-side
+    * partial aggregate; the per-token self-join fans out to at most
+    * |sources|² rows per token (df is bounded by the source count, the
+    * way q20's df is capped); everything after is |sources|²-sized.
+    * The index is checkpointed once — it feeds the norms aggregate and
+    * both join sides.
+    */
+  def q77SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val idx = Tables.documents(spark, dir)
+      .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val norms = idx.groupBy("source").agg(
+      count(lit(1)).as("vocab"),
+      sum(col("n") * col("n")).as("sumsq"))
+    val a = idx.select(col("source").as("source_a"), col("token"),
+      col("n").as("n_a"))
+    val b = idx.select(col("source").as("source_b"), col("token"),
+      col("n").as("n_b"))
+    a.join(b, "token")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("shared_vocab"),
+        sum(col("n_a") * col("n_b")).as("dot"))
+      .join(broadcast(norms.select(col("source").as("source_a"),
+        col("vocab").as("vocab_a"), col("sumsq").as("sumsq_a"))), "source_a")
+      .join(broadcast(norms.select(col("source").as("source_b"),
+        col("vocab").as("vocab_b"), col("sumsq").as("sumsq_b"))), "source_b")
+      .select(col("source_a"), col("source_b"),
+        col("vocab_a"), col("vocab_b"), col("shared_vocab"),
+        round6(col("shared_vocab").cast("double") /
+          (col("vocab_a") + col("vocab_b") - col("shared_vocab")))
+          .as("jaccard"),
+        round6(col("dot").cast("double") /
+          (sqrt(col("sumsq_a").cast("double")) *
+            sqrt(col("sumsq_b").cast("double")))).as("cosine"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q77OracleSql: String =
+    s"""WITH idx AS (
+      |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, token, COUNT(*) AS n FROM idx GROUP BY 1, 2
+      |), norms AS (
+      |  SELECT source, COUNT(*) AS vocab,
+      |         CAST(SUM(n * n) AS BIGINT) AS sumsq
+      |  FROM counts GROUP BY source
+      |), pairs AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |         COUNT(*) AS shared_vocab,
+      |         CAST(SUM(a.n * b.n) AS BIGINT) AS dot
+      |  FROM counts a JOIN counts b
+      |    ON a.token = b.token AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.source_a, p.source_b,
+      |       na.vocab AS vocab_a, nb.vocab AS vocab_b, p.shared_vocab,
+      |       ${round6Sql("CAST(p.shared_vocab AS DOUBLE) / " +
+           "(na.vocab + nb.vocab - p.shared_vocab)")} AS jaccard,
+      |       ${round6Sql("CAST(p.dot AS DOUBLE) / " +
+           "(sqrt(CAST(na.sumsq AS DOUBLE)) * sqrt(CAST(nb.sumsq AS DOUBLE)))")} AS cosine
+      |FROM pairs p
+      |JOIN norms na ON p.source_a = na.source
+      |JOIN norms nb ON p.source_b = nb.source
+      |ORDER BY source_a, source_b""".stripMargin
 }

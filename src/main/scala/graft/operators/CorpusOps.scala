@@ -928,4 +928,61 @@ object CorpusOps {
   }
 
   val q54OracleSql: String = s"$q54OracleBody\nORDER BY t.doc_id"
+
+  // ---- q76: snapshot diff -------------------------------------------------
+
+  /** q76 — corpus snapshot diff: which documents were added, removed, or
+    * changed between a prior corpus version and the current one (the
+    * audit a pipeline runs before promoting a new snapshot, and the
+    * input to incremental recomputation — only `added`/`changed` docs
+    * need re-scoring/re-dedup, q50-style). Like q50, both snapshots are
+    * derived deterministically from the one test table: the prior
+    * version is missing every 7th document (docs added since), carries a
+    * truncated text for every 11th (docs edited since), and the current
+    * version dropped the `doc_id % 5 == 3` stripe (docs deleted).
+    *
+    * Rows compare by md5 CONTENT HASH, not by text: the full-outer join
+    * ships 32-byte digests per side instead of document bodies, so the
+    * diff's shuffle is id+hash-grain regardless of document size — the
+    * property that makes this runnable as a routine gate at 100 TB.
+    * Unchanged documents (the overwhelming majority) are dropped, so the
+    * output is change-bounded, not corpus-bounded.
+    */
+  def q76SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val prior = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(11)) === 0,
+          substring(col("text"), 1, 10)).otherwise(col("text"))).as("h_prior"))
+    val cur = d.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("h_cur"))
+    prior.join(cur, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_prior").isNull, "added")
+          .when(col("h_cur").isNull, "removed")
+          .when(!(col("h_prior") <=> col("h_cur")), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy("doc_id")
+  }
+
+  val q76OracleSql: String =
+    """WITH prior AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
+      |             ELSE text END) AS h_prior
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |), cur AS (
+      |  SELECT doc_id, md5(text) AS h_cur
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |), diff AS (
+      |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |         CASE WHEN p.doc_id IS NULL THEN 'added'
+      |              WHEN c.doc_id IS NULL THEN 'removed'
+      |              WHEN p.h_prior IS DISTINCT FROM c.h_cur THEN 'changed'
+      |              ELSE 'unchanged' END AS status
+      |  FROM prior p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+      |)
+      |SELECT doc_id, status FROM diff
+      |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
 }

@@ -276,4 +276,56 @@ object Curation {
       |       CAST(SUM(v.n_tokens) AS BIGINT) AS total_tokens
       |FROM v GROUP BY 1, 2 ORDER BY split, selected""".stripMargin
   }
+
+  // ---- q75: token-budget corpus selection ---------------------------------
+
+  /** Per-source token budget for [[q75TokenBudget]]. Fixed per source, so
+    * the SELECTED set stays O(sources × budget ÷ avg-doc-tokens) no
+    * matter how large the input corpus grows — the output is
+    * budget-bounded, not corpus-bounded.
+    */
+  val SourceTokenBudget = 2000L
+
+  /** q75 — greedy token-budget selection: per source, admit documents in
+    * priority order (longest-first here; the ordering column is the
+    * policy seam) while the running token total stays within
+    * [[SourceTokenBudget]]. The standard "fill each source's quota"
+    * curation step between scoring (q41) and mixture weighting (q53).
+    *
+    * Scale: one token-count map pass, then a per-source running-sum
+    * window — same giant-stratum caveat and hash-prefilter escape hatch
+    * as q46 (`WindowGroupLimit` doesn't apply to running sums, so a
+    * pathological single-source corpus routes through a coarse
+    * top-N-by-length prefilter first).
+    */
+  def q75TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  private[graft] def tokenBudget(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        tok.count(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .filter(col("cum_tokens") <= SourceTokenBudget)
+      .orderBy("source", "cum_tokens")
+  }
+
+  val q75OracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= $SourceTokenBudget
+      |ORDER BY source, cum_tokens""".stripMargin
 }

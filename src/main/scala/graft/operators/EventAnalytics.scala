@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps.{round6, round6Sql}
+
+/** Event-log analytics — the product-analytics surface over the `events`
+  * stream table, complementing the windowed aggregations (q29–q31) and
+  * window-function analytics (q37): behavioral pivot (q72), conversion
+  * funnel (q73), rolling daily activity (q74), integer-exact anomaly
+  * flags (q78), and transition-bigram mining (q80).
+  *
+  * Scale posture shared by all five: the event-grain work is always a
+  * single map-side-partial aggregate down to a small grain (user, day, or
+  * type-pair); window functions and joins run on the reduced grain only.
+  * Nothing here ships event-grain rows through more than one shuffle.
+  */
+object EventAnalytics {
+
+  /** Epoch-day of the lossless ns timestamp (integer `div` on both
+    * engines — no timezone/calendar library, and no float division:
+    * ts_ns ≈ 1.7e18 is beyond double's exact-integer range, so `/`
+    * would mis-bucket boundary events). Oracle side buckets from
+    * `epoch_us` (DuckDB truncates the ns parquet type to µs on read);
+    * ns-day and µs-day agree because NsPerDay is a multiple of 1000.
+    */
+  private val NsPerDay = 86400000000000L
+  private def dayOfTsNs = expr(s"ts_ns div $NsPerDay")
+
+  private val EventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  // ---- q72: per-user behavior pivot ---------------------------------------
+
+  /** q72 — the per-user behavior matrix: event counts pivoted to one
+    * column per type. `pivot` WITH an explicit value list compiles to a
+    * single aggregate (PivotFirst) — one shuffle on `user_id` with
+    * map-side partials; omitting the list would trigger a driver-side
+    * distinct-values collect, which is exactly what a 100 TB plan must
+    * not do.
+    */
+  def q72EventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val pivoted = e.groupBy("user_id")
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+    val filled = EventTypes.foldLeft(pivoted)((df, t) =>
+      df.withColumn(t, coalesce(col(t), lit(0L))))
+    filled
+      .withColumn("n_total", EventTypes.map(col).reduce(_ + _))
+      .orderBy("user_id")
+  }
+
+  val q72OracleSql: String =
+    """SELECT user_id,
+      |       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+      |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+      |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+      |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+      |       COUNT(*) AS n_total
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q73: ordered conversion funnel -------------------------------------
+
+  /** q73 — strictly-ordered conversion funnel view → click → purchase:
+    * a user reaches a stage only with an event AFTER their entry into
+    * the previous stage (the cascading-min formulation). Emits one row
+    * per stage with the surviving-user count and the exact total
+    * stage-to-stage lag in µs (ns sums would overflow BIGINT near
+    * sf1-scale user counts; µs keeps headroom ~10³).
+    *
+    * Scale: stage 1 is a filtered map-side-partial min per user (the only
+    * event-grain aggregate); stages 2–3 join event-grain rows against the
+    * already-user-grain previous stage on `user_id` and reduce again —
+    * each stage is one co-partitioned shuffle, never a cross-stage
+    * event×event join.
+    */
+  def q73EventFunnel(spark: SparkSession, dir: String): DataFrame = {
+    // µs precision end-to-end (integer `div`, not `/` — long `/` is
+    // DOUBLE division): DuckDB truncates the parquet ns timestamps to µs
+    // on read, so the oracle-comparable event time IS the µs truncation
+    // (the Tables.events convention); ns-side comparisons would admit
+    // same-µs-later-ns events the oracle can't see.
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_us").as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts_us") > col("t1"))
+      .groupBy("user_id").agg(min("ts_us").as("t2"), min("t1").as("t1"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select("user_id", "t2"), "user_id")
+      .filter(col("ts_us") > col("t2"))
+      .groupBy("user_id").agg(min("ts_us").as("t3"), min("t2").as("t2"))
+    val s1 = v.agg(count(lit(1)).as("n_users"),
+      lit(null).cast("long").as("sum_lag_us"))
+      .select(lit("1_view").as("stage"), col("n_users"), col("sum_lag_us"))
+    val s2 = c.agg(count(lit(1)).as("n_users"),
+      sum(col("t2") - col("t1")).as("sum_lag_us"))
+      .select(lit("2_click").as("stage"), col("n_users"), col("sum_lag_us"))
+    val s3 = p.agg(count(lit(1)).as("n_users"),
+      sum(col("t3") - col("t2")).as("sum_lag_us"))
+      .select(lit("3_purchase").as("stage"), col("n_users"), col("sum_lag_us"))
+    s1.unionAll(s2).unionAll(s3).orderBy("stage")
+  }
+
+  val q73OracleSql: String =
+    """WITH v AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2, MIN(v.t1) AS t1
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+      |  GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3, MIN(c.t2) AS t2
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+      |  GROUP BY e.user_id
+      |)
+      |SELECT '1_view' AS stage, COUNT(*) AS n_users,
+      |       CAST(NULL AS BIGINT) AS sum_lag_us FROM v
+      |UNION ALL
+      |SELECT '2_click', COUNT(*), CAST(SUM(t2 - t1) AS BIGINT) FROM c
+      |UNION ALL
+      |SELECT '3_purchase', COUNT(*), CAST(SUM(t3 - t2) AS BIGINT) FROM p
+      |ORDER BY stage""".stripMargin
+
+  // ---- q74: rolling daily activity ----------------------------------------
+
+  /** Daily event counts per type — the shared day-grain reduction feeding
+    * q74 and q78. ONE map-side-partial aggregate over the event grain;
+    * everything downstream runs on |days|×|types| rows.
+    */
+  private def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(dayOfTsNs.as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** q74 — rolling daily activity per event type: 7-day trailing moving
+    * sum/average (RANGE frame over the integer epoch-day, so calendar
+    * gaps shorten the window rather than silently widening it) and
+    * day-over-day delta. The window runs on the day-grain table — its
+    * sort is |days|×|types| rows regardless of corpus size.
+    */
+  def q74RollingDaily(spark: SparkSession, dir: String): DataFrame = {
+    val w7 = Window.partitionBy("event_type").orderBy("day")
+      .rangeBetween(-6, 0)
+    val w1 = Window.partitionBy("event_type").orderBy("day")
+    dailyCounts(spark, dir)
+      .select(col("day"), col("event_type"), col("n_events"),
+        sum("n_events").over(w7).as("ma7_sum"),
+        count(lit(1)).over(w7).as("ma7_days"),
+        (col("n_events") - lag("n_events", 1).over(w1)).as("delta"))
+      .withColumn("ma7_avg",
+        round6(col("ma7_sum").cast("double") / col("ma7_days")))
+      .orderBy("event_type", "day")
+  }
+
+  val q74OracleSql: String =
+    s"""WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |)
+      |SELECT day, event_type, n_events,
+      |       CAST(SUM(n_events) OVER w7 AS BIGINT) AS ma7_sum,
+      |       COUNT(*) OVER w7 AS ma7_days,
+      |       n_events - LAG(n_events, 1) OVER w1 AS delta,
+      |       ${round6Sql("CAST(SUM(n_events) OVER w7 AS DOUBLE) / COUNT(*) OVER w7")} AS ma7_avg
+      |FROM daily
+      |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |              RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+      |       w1 AS (PARTITION BY event_type ORDER BY day)
+      |ORDER BY event_type, day""".stripMargin
+
+  // ---- q78: integer-exact daily anomaly flags -----------------------------
+
+  /** q78 — days whose count is more than 2σ from that type's mean,
+    * decided ENTIRELY in integer arithmetic: |z| > Z becomes
+    * `(n·D − S)²·(D−1) > Z²·D·(D·Q − S²)` for day-count n, day total D,
+    * sum S, and sum-of-squares Q — no float mean/stddev anywhere, so the
+    * flag is bit-identical on any engine and any aggregation order
+    * (float stddev is the classic cross-engine parity trap).
+    *
+    * BIGINT headroom: the cube-ish term (n·D−S)²·(D−1) stays under 2⁶³
+    * while per-day counts are below ~10⁸ at D=365 — beyond that, route
+    * the same identity through DECIMAL(38,0). Day-grain stats per type
+    * are a broadcast-sized table.
+    */
+  def q78DailyAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ZSq = 4L // Z = 2 sigma
+    val daily = dailyCounts(spark, dir)
+    val stats = daily.groupBy("event_type").agg(
+      count(lit(1)).as("n_days"),
+      sum("n_events").as("s"),
+      sum(col("n_events") * col("n_events")).as("q"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("dev_num", col("n_events") * col("n_days") - col("s"))
+      .filter(col("dev_num") * col("dev_num") * (col("n_days") - 1) >
+        lit(ZSq) * col("n_days") *
+          (col("n_days") * col("q") - col("s") * col("s")))
+      .select(col("day"), col("event_type"), col("n_events"),
+        col("dev_num"), (col("dev_num") > 0).as("is_high"))
+      .orderBy("event_type", "day")
+  }
+
+  val q78OracleSql: String =
+    """WITH daily AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+      |         COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2
+      |), stats AS (
+      |  SELECT event_type, COUNT(*) AS n_days,
+      |         CAST(SUM(n_events) AS BIGINT) AS s,
+      |         CAST(SUM(n_events * n_events) AS BIGINT) AS q
+      |  FROM daily GROUP BY event_type
+      |)
+      |SELECT d.day, d.event_type, d.n_events,
+      |       d.n_events * st.n_days - st.s AS dev_num,
+      |       (d.n_events * st.n_days - st.s) > 0 AS is_high
+      |FROM daily d JOIN stats st ON d.event_type = st.event_type
+      |WHERE (d.n_events * st.n_days - st.s) * (d.n_events * st.n_days - st.s)
+      |        * (st.n_days - 1)
+      |      > 4 * st.n_days * (st.n_days * st.q - st.s * st.s)
+      |ORDER BY d.event_type, d.day""".stripMargin
+
+  // ---- q80: transition-bigram mining --------------------------------------
+
+  /** q80 — top event-type transition bigrams (the empirical Markov
+    * matrix): per user, consecutive event pairs under the total order
+    * (ts_ns, event_id), counted and ranked. The lag window shuffles the
+    * event grain ONCE on `user_id`; the bigram aggregate then reduces to
+    * at most |types|² rows, and the top-k is a `TakeOrderedAndProject`
+    * (no global sort).
+    */
+  def q80TransitionTopK(spark: SparkSession, dir: String): DataFrame = {
+    val TopK = 20
+    val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("event_type").as("next_type"))
+      .withColumn("prev_type", lag("next_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("prev_type"), col("next_type"))
+      .limit(TopK)
+  }
+
+  val q80OracleSql: String =
+    """WITH seq AS (
+      |  SELECT user_id,
+      |         LAG(event_type, 1) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+      |         event_type AS next_type
+      |  FROM events
+      |)
+      |SELECT prev_type, next_type, COUNT(*) AS n_transitions
+      |FROM seq WHERE prev_type IS NOT NULL
+      |GROUP BY prev_type, next_type
+      |ORDER BY n_transitions DESC, prev_type, next_type
+      |LIMIT 20""".stripMargin
+}

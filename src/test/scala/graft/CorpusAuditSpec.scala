@@ -178,4 +178,48 @@ class CorpusAuditSpec extends SparkSpec {
         direct(r.getAs[String]("source"))) < 1e-6)
     }
   }
+
+  test("q71 rollup granularities are mutually consistent") {
+    val rows = CorpusAudit.q71RollupReport(spark, sf).collect()
+    val cells = rows.filter(_.getAs[Int]("gid") == 0)
+    val subtotals = rows.filter(_.getAs[Int]("gid") == 1)
+    val grand = rows.filter(_.getAs[Int]("gid") == 3)
+    assert(grand.length == 1)
+    // the grand total is the sum of cells, and each source subtotal the
+    // sum of its cells — one Expand pass, three consistent granularities
+    assert(grand.head.getAs[Long]("n_docs") ==
+      cells.map(_.getAs[Long]("n_docs")).sum)
+    assert(grand.head.getAs[Long]("sum_chars") ==
+      cells.map(_.getAs[Long]("sum_chars")).sum)
+    subtotals.foreach { st =>
+      val src = st.getAs[String]("source")
+      val mine = cells.filter(_.getAs[String]("source") == src)
+      assert(st.getAs[Long]("n_docs") == mine.map(_.getAs[Long]("n_docs")).sum)
+      assert(st.getAs[Long]("sum_chars") ==
+        mine.map(_.getAs[Long]("sum_chars")).sum)
+    }
+    // no gid=2 rows in a rollup (that granularity belongs to CUBE)
+    assert(!rows.exists(_.getAs[Int]("gid") == 2))
+  }
+
+  test("q77 overlap matrix covers all source pairs with sane bounds") {
+    val rows = CorpusAudit.q77SourceOverlap(spark, sf).collect()
+    val nSources = spark.read.parquet(s"$sf/documents.parquet")
+      .select("source").distinct.count().toInt
+    assert(rows.length == nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      val (va, vb, shared) = (r.getAs[Long]("vocab_a"),
+        r.getAs[Long]("vocab_b"), r.getAs[Long]("shared_vocab"))
+      assert(shared <= math.min(va, vb))
+      val j = r.getAs[Double]("jaccard")
+      val c = r.getAs[Double]("cosine")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(c >= 0.0 && c <= 1.0 + 1e-9)
+      // cosine dominates jaccard on these distributions only if overlap
+      // exists at all; at minimum both are zero together
+      assert((shared == 0) == (j == 0.0))
+    }
+    // the synthetic sources share the same small vocabulary heavily
+    assert(rows.exists(_.getAs[Double]("jaccard") > 0.5))
+  }
 }
