@@ -59,8 +59,16 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     // full warmup pass first (see measurement discipline above); failures
     // surface in the timed pass, which reports them per-query
+    // Checkpoint hygiene: every query invocation builds FRESH
+    // localCheckpoint blocks (prior runs' blocks are dead weight the
+    // session would otherwise pin forever — the round-5 bench measured a
+    // ~12 s drift on storage-heavy queries from exactly that
+    // accumulation), so drain the registry after every materialization.
+    // The drain sits OUTSIDE the timed window: it is session bookkeeping,
+    // not query work, and unpersist(blocking=false) is cheap.
     ordered.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
+      Checkpoints.releaseAll()
     }
     val results = ordered.map { case (name, fn) =>
       val timed =
@@ -68,11 +76,14 @@ object Bench {
           val runs = Seq.fill(3) {
             val t0 = System.nanoTime()
             materialize(fn(spark, sfDir))
-            (System.nanoTime() - t0) / 1e9
+            val dt = (System.nanoTime() - t0) / 1e9
+            Checkpoints.releaseAll()
+            dt
           }
           runs.sorted.apply(1) // median
         } catch {
           case e: Throwable =>
+            Checkpoints.releaseAll() // failed run may have pinned blocks
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             System.err.println(s"[bench] query $name FAILED:")
             e.printStackTrace()

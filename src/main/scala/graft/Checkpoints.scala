@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped lifecycle registry for `localCheckpoint` blocks.
+  *
+  * `Dataset.localCheckpoint` pins its materialized partitions in executor
+  * storage for the lifetime of the SparkSession — there is no automatic
+  * release, and because the checkpoint truncates lineage, an unpersisted
+  * checkpoint CANNOT be recomputed (actions on it fail with "checkpoint
+  * block not found"). So release has a hard ordering constraint: only
+  * after every consumer of the checkpointed frame has run its action.
+  *
+  * This registry gives the library one disciplined shape for that:
+  *
+  *   - Operators take checkpoints through [[checkpoint]] /
+  *     [[checkpointed]] instead of calling `df.localCheckpoint` directly.
+  *     Every checkpoint is recorded here.
+  *   - Iterative operators (connected-components fixpoints) release each
+  *     superseded round's blocks inline via the returned [[Handle]] the
+  *     moment the next round is materialized — peak storage stays at one
+  *     round's working set instead of growing with the iteration count.
+  *   - Entry points that run many queries in one session (`Bench`,
+  *     `Verify`) call [[releaseAll]] after each query's terminal action,
+  *     so no query's pinned blocks survive into the next query's run.
+  *     Without this, an 80-query sweep accumulates every query's
+  *     checkpoint blocks — the round-5 bench measured a ~12 s drift on
+  *     storage-heavy queries from exactly that accumulation.
+  *
+  * Long-lived user sessions get the same lever: call [[releaseAll]] at
+  * any query boundary (after consuming results) to return executor
+  * storage to baseline.
+  */
+object Checkpoints {
+
+  /** Releasable handle over the storage blocks one checkpoint pinned.
+    * Safe to release multiple times; only release after every consumer
+    * of the checkpointed frame has acted (the blocks are unrecoverable).
+    */
+  final class Handle private[Checkpoints] (rdds: Seq[RDD[_]]) {
+    def release(): Unit = rdds.foreach { r =>
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      live.remove(r)
+    }
+  }
+
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
+
+  /** `df.localCheckpoint(eager)`, registered for [[releaseAll]]. */
+  def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
+    checkpointed(df, eager)._1
+
+  /** As [[checkpoint]], plus a [[Handle]] for targeted early release —
+    * the shape iterative fixpoints need to drop round N-1's blocks as
+    * soon as round N is materialized.
+    *
+    * The pinned RDDs are identified by diffing
+    * `sparkContext.getPersistentRDDs` around the checkpoint call (the
+    * checkpointed internal RDD is persisted at mark time for both eager
+    * and lazy checkpoints); the diff is serialized on this object so
+    * concurrent checkpoints cannot claim each other's blocks.
+    */
+  def checkpointed(df: DataFrame, eager: Boolean = true): (DataFrame, Handle) =
+    synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(eager)
+      val fresh = sc.getPersistentRDDs
+        .filterNot { case (id, _) => before.contains(id) }
+        .values.toSeq
+      fresh.foreach(live.add)
+      (cp, new Handle(fresh))
+    }
+
+  /** Unpersist every registered checkpoint's blocks. Call only at a
+    * query boundary — any still-unconsumed frame built over a released
+    * checkpoint will fail on its next action.
+    */
+  def releaseAll(): Unit = {
+    var r = live.poll()
+    while (r != null) {
+      try r.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      r = live.poll()
+    }
+  }
+
+  /** Number of registered, not-yet-released checkpoints (for specs). */
+  def liveCount: Int = live.size
+}

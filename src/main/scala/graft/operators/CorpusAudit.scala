@@ -38,11 +38,11 @@ object CorpusAudit {
     // join sides, whose differing aliases defeat exchange reuse — without
     // the checkpoint the corpus-wide tokenize+shingle+distinct pass runs
     // three times (the Dedup edge-list pattern)
-    val idx = d.select(col("split"),
-        explode(CorpusOps.shinglesN(Dedup.tokens(col("text")),
-          CorpusOps.DecontamN)).as("sh"))
-      .distinct()
-      .localCheckpoint()
+    val idx = graft.Checkpoints.checkpoint(
+      d.select(col("split"),
+          explode(CorpusOps.shinglesN(Dedup.tokens(col("text")),
+            CorpusOps.DecontamN)).as("sh"))
+        .distinct())
     val totals = idx.groupBy("split").agg(count(lit(1)).as("n"))
     val a = idx.select(col("split").as("split_a"), col("sh"))
     val b = idx.select(col("split").as("split_b"), col("sh"))
@@ -439,10 +439,10 @@ object CorpusAudit {
     * both join sides.
     */
   def q77SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val idx = Tables.documents(spark, dir)
-      .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
-      .groupBy("source", "token").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+    val idx = graft.Checkpoints.checkpoint(
+      Tables.documents(spark, dir)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("source", "token").agg(count(lit(1)).as("n")))
     val norms = idx.groupBy("source").agg(
       count(lit(1)).as("vocab"),
       sum(col("n") * col("n")).as("sumsq"))

@@ -47,7 +47,7 @@ object CorpusOps {
     */
   private def maybeBroadcast(evalShingles: DataFrame,
       maxRows: Long): DataFrame = {
-    val ev = evalShingles.localCheckpoint()
+    val ev = graft.Checkpoints.checkpoint(evalShingles)
     if (ev.count() <= maxRows) broadcast(ev) else ev
   }
 
@@ -398,7 +398,7 @@ object CorpusOps {
     // incoming side below, and would otherwise run twice over the whole
     // table — in production these ARE the precomputed signature
     // artifacts this query's docstring describes
-    val banded = Dedup.bandedSignatures(d).localCheckpoint()
+    val banded = graft.Checkpoints.checkpoint(Dedup.bandedSignatures(d))
     val corpusBands = Dedup.capBuckets(
       banded.join(corpus.select("doc_id"), "doc_id"),
       Dedup.MaxBucketPop, "band", "bucket")

@@ -541,10 +541,10 @@ object Dedup {
     // round, and `edges` may carry an arbitrarily expensive upstream plan
     // (q40 feeds it the whole n-gram Jaccard chain) that must not be
     // re-evaluated per iteration.
-    val sym = edges.select(col("src").as("v"), col("dst").as("n"))
-      .union(edges.select(col("dst").as("v"), col("src").as("n")))
-      .distinct()
-      .localCheckpoint()
+    val (sym, symHandle) = graft.Checkpoints.checkpointed(
+      edges.select(col("src").as("v"), col("dst").as("n"))
+        .union(edges.select(col("dst").as("v"), col("src").as("n")))
+        .distinct())
     // Only non-isolated vertices take part in propagation: in a dedup
     // graph the overwhelming majority of documents are singletons, so
     // iterating their self-labels would make every round's join scale
@@ -556,10 +556,10 @@ object Dedup {
     // Initialization IS round one: with identity labels, the first
     // round's neighbor-min is just min(v, min(neighbors)) — computable
     // as one aggregate over the edge list, no join.
-    var labels = sym.select(col("v"), col("n").as("label"))
-      .union(sym.select(col("v"), col("v").as("label")))
-      .groupBy("v").agg(min("label").as("label"))
-      .localCheckpoint()
+    var (labels, labelsHandle) = graft.Checkpoints.checkpointed(
+      sym.select(col("v"), col("n").as("label"))
+        .union(sym.select(col("v"), col("v").as("label")))
+        .groupBy("v").agg(min("label").as("label")))
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
     // Each round: ship every vertex's label to its neighbors (one join),
@@ -584,14 +584,23 @@ object Dedup {
     while (!converged && iter < maxIter) {
       // Lazy checkpoint: the labelSum action below materializes it, so
       // each iteration costs ONE job, not an eager-checkpoint job plus
-      // the convergence aggregate.
-      val next = propagate(labels).localCheckpoint(false)
+      // the convergence aggregate. Round N-1's blocks are released the
+      // moment round N is materialized — peak pinned storage is one
+      // round's label table, not the whole iteration history.
+      val (next, nextHandle) =
+        graft.Checkpoints.checkpointed(propagate(labels), eager = false)
       val s = labelSum(next)
+      labelsHandle.release()
       converged = s == prevSum
       prevSum = s
       labels = next
+      labelsHandle = nextHandle
       iter += 1
     }
+    // The final label table is checkpointed (lineage truncated), so the
+    // symmetrized edge list is no longer reachable from the returned
+    // plan — drop its blocks now rather than at session end.
+    symHandle.release()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds — " +
         "component diameter exceeds the bound; raise maxIter or switch to " +
@@ -663,8 +672,8 @@ object Dedup {
         .union(joined.select(col("u"), col("m").as("v"))))
     }
 
-    var e = canon(
-      edges.select(col("src").as("u"), col("dst").as("v"))).localCheckpoint()
+    var (e, eHandle) = graft.Checkpoints.checkpointed(canon(
+      edges.select(col("src").as("u"), col("dst").as("v"))))
     // XOR-fold of row hashes: order-insensitive over the (distinct)
     // canonical set and immune to ANSI overflow, unlike a sum
     def checksum(d: DataFrame): (Long, Long) = {
@@ -676,14 +685,20 @@ object Dedup {
     var iter = 0
     var stable = prev._1 == 0L // no edges -> already a (degenerate) fixpoint
     while (!stable && iter < maxIter) {
-      val next = smallStar(largeStar(e)).localCheckpoint(false)
+      val (next, nextHandle) =
+        graft.Checkpoints.checkpointed(smallStar(largeStar(e)), eager = false)
       val chk = checksum(next)
       // same count + empty one-way difference = equal sets; the exact
       // probe runs only on checksum agreement, so steady-state rounds
       // cost two aggregates, not a join
       stable = chk == prev && next.exceptAll(e).isEmpty
+      // both probes on the previous edge set have acted — its blocks are
+      // dead; release before advancing so pinned storage stays at one
+      // round's edge list
+      eHandle.release()
       prev = chk
       e = next
+      eHandle = nextHandle
       iter += 1
     }
     require(stable,

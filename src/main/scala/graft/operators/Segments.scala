@@ -141,8 +141,8 @@ object Segments {
     // distinct) feeds both the capped pair join AND the per-doc counts,
     // whose different downstreams defeat exchange reuse — the executed
     // plan otherwise runs the whole chain twice from the scan
-    val fps = winnowFingerprints(Tables.documents(spark, dir))
-      .localCheckpoint()
+    val fps = graft.Checkpoints.checkpoint(
+      winnowFingerprints(Tables.documents(spark, dir)))
     val capped = Dedup.capBuckets(fps, MaxFpDf, "fp")
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val pairs = capped.as("x").join(capped.as("y"), Seq("fp"))

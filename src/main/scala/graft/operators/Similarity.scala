@@ -108,9 +108,9 @@ object Similarity {
     // side and the candidate side of the score join; materialize it once
     // (at scale keepers are a materialized corpus artifact anyway —
     // q41's stance)
-    val keepers = Dedup.q40DedupKeepers(spark, dir)
-      .select(col("doc_id").as("vec_id"), col("keeper_id"))
-      .localCheckpoint()
+    val keepers = graft.Checkpoints.checkpoint(
+      Dedup.q40DedupKeepers(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("keeper_id")))
     val e = Tables.embeddings(spark, dir)
       .join(keepers, "vec_id")
       .select(col("vec_id"), col("embedding"),

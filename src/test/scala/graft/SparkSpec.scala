@@ -1,12 +1,25 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared ScalaTest base: one local SparkSession per suite (lazy, shared JVM
   * via getOrCreate), UTC, small shuffle-partition count for local mode.
+  *
+  * Suites run sequentially in the forked test JVM (`Test / fork := true`
+  * without `testForkedParallel`), all sharing one SparkSession — so each
+  * suite drains the [[Checkpoints]] registry on exit, keeping pinned
+  * localCheckpoint blocks from accumulating across the 30+ suite run.
+  * (Drain is per-suite, not per-test: a suite may legitimately share a
+  * checkpointed frame between its tests.)
   */
-trait SparkSpec extends AnyFunSuite {
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+  override def afterAll(): Unit = {
+    Checkpoints.releaseAll()
+    super.afterAll()
+  }
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
