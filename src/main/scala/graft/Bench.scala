@@ -65,10 +65,12 @@ object Bench {
     // ~12 s drift on storage-heavy queries from exactly that
     // accumulation), so drain the registry after every materialization.
     // The drain sits OUTSIDE the timed window: it is session bookkeeping,
-    // not query work, and unpersist(blocking=false) is cheap.
+    // not query work. It drains BLOCKING so async block removal is
+    // confirmed complete before the next run's t0 — with the async
+    // default, cleanup overlapped the start of the next timed run.
     ordered.foreach { case (_, fn) =>
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
-      Checkpoints.releaseAll()
+      Checkpoints.releaseAll(blocking = true)
     }
     val results = ordered.map { case (name, fn) =>
       val timed =
@@ -77,13 +79,13 @@ object Bench {
             val t0 = System.nanoTime()
             materialize(fn(spark, sfDir))
             val dt = (System.nanoTime() - t0) / 1e9
-            Checkpoints.releaseAll()
+            Checkpoints.releaseAll(blocking = true)
             dt
           }
           runs.sorted.apply(1) // median
         } catch {
           case e: Throwable =>
-            Checkpoints.releaseAll() // failed run may have pinned blocks
+            Checkpoints.releaseAll(blocking = true) // failed run may have pinned blocks
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
             System.err.println(s"[bench] query $name FAILED:")
             e.printStackTrace()

@@ -37,10 +37,16 @@ object Checkpoints {
   /** Releasable handle over the storage blocks one checkpoint pinned.
     * Safe to release multiple times; only release after every consumer
     * of the checkpointed frame has acted (the blocks are unrecoverable).
+    *
+    * `blocking = true` waits for the block manager to confirm removal —
+    * use it when the caller is about to start a timed window (so async
+    * cleanup cannot leak into it); the default stays async because
+    * fixpoint loops release a superseded round every iteration and must
+    * not stall the next round on block-removal round-trips.
     */
   final class Handle private[Checkpoints] (rdds: Seq[RDD[_]]) {
-    def release(): Unit = rdds.foreach { r =>
-      try r.unpersist(blocking = false)
+    def release(blocking: Boolean = false): Unit = rdds.foreach { r =>
+      try r.unpersist(blocking)
       catch { case _: Throwable => () }
       live.remove(r)
     }
@@ -56,32 +62,40 @@ object Checkpoints {
     * the shape iterative fixpoints need to drop round N-1's blocks as
     * soon as round N is materialized.
     *
-    * The pinned RDDs are identified by diffing
-    * `sparkContext.getPersistentRDDs` around the checkpoint call (the
-    * checkpointed internal RDD is persisted at mark time for both eager
-    * and lazy checkpoints); the diff is serialized on this object so
-    * concurrent checkpoints cannot claim each other's blocks.
+    * The pinned RDD is captured DIRECTLY off the returned plan: a
+    * local checkpoint's result is a single `LogicalRDD` leaf whose
+    * `rdd` IS the persisted internal RDD (persist is marked at
+    * checkpoint time for both eager and lazy checkpoints). No global
+    * `getPersistentRDDs` snapshot diff, no lock: concurrent
+    * checkpoints — or any concurrent `.persist()` elsewhere in the
+    * session — cannot be claimed by the wrong handle, and an
+    * eager materialization job never runs under a registry-wide
+    * monitor. (The earlier set-diff approach held this object's lock
+    * for the full materialization job and cost two persistent-RDD map
+    * snapshots per call — measurable per-iteration overhead in the
+    * connected-components fixpoints, which checkpoint every round.)
     */
-  def checkpointed(df: DataFrame, eager: Boolean = true): (DataFrame, Handle) =
-    synchronized {
-      val sc = df.sparkSession.sparkContext
-      val before = sc.getPersistentRDDs.keySet
-      val cp = df.localCheckpoint(eager)
-      val fresh = sc.getPersistentRDDs
-        .filterNot { case (id, _) => before.contains(id) }
-        .values.toSeq
-      fresh.foreach(live.add)
-      (cp, new Handle(fresh))
+  def checkpointed(df: DataFrame, eager: Boolean = true): (DataFrame, Handle) = {
+    // Mark lazily, then materialize outside any lock: Dataset's own
+    // eager path is exactly `internalRdd.count()` after the mark.
+    val cp = df.localCheckpoint(eager = false)
+    val rdds: Seq[RDD[_]] = cp.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+    rdds.foreach(live.add)
+    if (eager) rdds.foreach(_.count())
+    (cp, new Handle(rdds))
+  }
 
   /** Unpersist every registered checkpoint's blocks. Call only at a
     * query boundary — any still-unconsumed frame built over a released
-    * checkpoint will fail on its next action.
+    * checkpoint will fail on its next action. `blocking = true` waits
+    * for confirmed removal (callers about to open a timed window).
     */
-  def releaseAll(): Unit = {
+  def releaseAll(blocking: Boolean = false): Unit = {
     var r = live.poll()
     while (r != null) {
-      try r.unpersist(blocking = false)
+      try r.unpersist(blocking)
       catch { case _: Throwable => () }
       r = live.poll()
     }

@@ -25,12 +25,15 @@ object TimeQ {
     }
     names.foreach { n =>
       graft.SparkEntry.queries(n)(spark, warmDir).collect()
+      graft.Checkpoints.releaseAll(blocking = true)
     }
     names.foreach { n =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(n)(spark, sfDir).collect()
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.Checkpoints.releaseAll(blocking = true)
+        dt
       }
       println(f"[timeq] $n%-24s median=${times.sorted.apply(1)}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
     }
