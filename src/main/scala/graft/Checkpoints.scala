@@ -82,8 +82,27 @@ object Checkpoints {
     val rdds: Seq[RDD[_]] = cp.queryExecution.analyzed.collect {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
-    rdds.foreach(live.add)
-    if (eager) rdds.foreach(_.count())
+    // Plan-shape drift (a Spark version whose localCheckpoint no longer
+    // surfaces a LogicalRDD leaf) must fail loudly: an empty capture
+    // would silently skip materialization AND registration, quietly
+    // reintroducing the storage leak this registry exists to prevent.
+    require(rdds.nonEmpty,
+      "localCheckpoint plan did not expose a LogicalRDD leaf — " +
+        "checkpoint capture cannot register its storage blocks")
+    // Eager checkpoints materialize BEFORE registering: a concurrent
+    // releaseAll() (long-lived sessions call it at query boundaries)
+    // must not unpersist a half-materialized checkpoint whose lineage
+    // is already truncated — that frame would be permanently
+    // unrecoverable. Registration happens even if the count throws
+    // (finally), so a failed materialization's partial blocks are still
+    // released by the next releaseAll instead of leaking. Lazy
+    // checkpoints are materialized by the CALLER's first action, which
+    // the registry cannot order around — lazy users release through the
+    // returned Handle after their own actions, as the fixpoints do.
+    if (eager) {
+      try rdds.foreach(_.count())
+      finally rdds.foreach(live.add)
+    } else rdds.foreach(live.add)
     (cp, new Handle(rdds))
   }
 

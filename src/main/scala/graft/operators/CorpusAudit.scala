@@ -297,7 +297,7 @@ object CorpusAudit {
     * grain.
     */
   def q70ClusterProfile(spark: SparkSession, dir: String): DataFrame =
-    Dedup.q40DedupKeepers(spark, dir)
+    graft.Artifacts.keepers(spark, dir)
       .groupBy("keeper_id").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size")
       .agg(count(lit(1)).as("n_clusters"),

@@ -396,9 +396,15 @@ object CorpusOps {
     // materialized once: the MinHash signature chain (shingle explode +
     // 16-way min aggregate + banding) feeds BOTH the corpus and the
     // incoming side below, and would otherwise run twice over the whole
-    // table — in production these ARE the precomputed signature
-    // artifacts this query's docstring describes
-    val banded = graft.Checkpoints.checkpoint(Dedup.bandedSignatures(d))
+    // table. When the band-index artifact exists ([[graft.Artifacts]])
+    // each side is a parquet re-scan of the precomputed signature table
+    // this query's 100 TB shape describes; inline computation is
+    // checkpointed once per query as before.
+    val banded =
+      if (graft.Artifacts.isMaterialized(spark, dir,
+          graft.Artifacts.MinhashBandsName))
+        graft.Artifacts.minhashBands(spark, dir)
+      else graft.Checkpoints.checkpoint(Dedup.bandedSignatures(d))
     val corpusBands = Dedup.capBuckets(
       banded.join(corpus.select("doc_id"), "doc_id"),
       Dedup.MaxBucketPop, "band", "bucket")

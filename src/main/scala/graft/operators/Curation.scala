@@ -58,7 +58,9 @@ object Curation {
       size(toks).as("n_tokens"),
       repetition.as("repetition_ratio"),
       TextAnalysis.langPred(col("text")).as("pred_lang"))
-    val keepers = Dedup.q40DedupKeepers(spark, dir)
+    // served from the materialized corpus artifact when one exists —
+    // the funnel's only expensive subtree becomes a parquet join
+    val keepers = graft.Artifacts.keepers(spark, dir)
     signals.join(keepers, "doc_id")
       .withColumn("selected",
         col("is_keeper") && col("pred_lang") === "en" &&

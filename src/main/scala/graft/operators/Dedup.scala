@@ -156,7 +156,7 @@ object Dedup {
     * second hash). Shared by [[q18DedupMinhash]] and
     * `CorpusOps.q50IncrementalDedup`.
     */
-  private[operators] def bandedSignatures(docs: DataFrame): DataFrame = {
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
     val sigs = minhashSignatures(docs)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
       .select("doc_id", "sig")
@@ -176,7 +176,7 @@ object Dedup {
       .cast("double") / NumHashes
 
   def q18DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val banded = bandedSignatures(Tables.documents(spark, dir))
+    val banded = graft.Artifacts.minhashBands(spark, dir)
     val kept = capBuckets(banded, MaxBucketPop, "band", "bucket")
 
     val a = kept.select(col("band"), col("bucket"),
@@ -721,7 +721,15 @@ object Dedup {
     * Oracle-checked via a DuckDB recursive CTE enumerating reachability
     * over the same edge set ([[q40OracleSql]]).
     */
-  def q40DedupKeepers(spark: SparkSession, dir: String): DataFrame = {
+  def q40DedupKeepers(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.keepers(spark, dir).orderBy("doc_id")
+
+  /** The q40 keeper assignment WITHOUT its presentation sort — the frame
+    * [[graft.Artifacts]] materializes as the `keepers` corpus artifact
+    * and every keeper consumer (q41/q43/q69/q70) joins on. Columns
+    * `(doc_id, keeper_id, is_keeper)`, one row per document.
+    */
+  private[graft] def keeperAssignment(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val hashed = docs.select(md5(col("text")).as("h"), col("doc_id"))
     val roots = hashed.groupBy("h").agg(min("doc_id").as("root"))
@@ -734,7 +742,6 @@ object Dedup {
         exactEdges.union(nearEdges))
       .select(col("v").as("doc_id"), col("label").as("keeper_id"),
         (col("label") === col("v")).as("is_keeper"))
-      .orderBy("doc_id")
   }
 
   /** Recursive reachability in DuckDB over the SAME edge set (exact-dup

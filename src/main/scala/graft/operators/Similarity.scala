@@ -105,12 +105,15 @@ object Similarity {
     */
   def q69HardNegatives(spark: SparkSession, dir: String): DataFrame = {
     // the keeper chain is the expensive subtree and feeds BOTH the probe
-    // side and the candidate side of the score join; materialize it once
-    // (at scale keepers are a materialized corpus artifact anyway —
-    // q41's stance)
-    val keepers = graft.Checkpoints.checkpoint(
-      Dedup.q40DedupKeepers(spark, dir)
-        .select(col("doc_id").as("vec_id"), col("keeper_id")))
+    // side and the candidate side of the score join. When the keepers
+    // artifact is materialized ([[graft.Artifacts]]) each side is a
+    // cheap parquet re-scan; inline computation is checkpointed once so
+    // the fixpoint never runs twice in one plan.
+    val assignment = graft.Artifacts.keepers(spark, dir)
+    val keepers = (if (graft.Artifacts.isMaterialized(spark, dir,
+        graft.Artifacts.KeepersName)) assignment
+      else graft.Checkpoints.checkpoint(assignment))
+      .select(col("doc_id").as("vec_id"), col("keeper_id"))
     val e = Tables.embeddings(spark, dir)
       .join(keepers, "vec_id")
       .select(col("vec_id"), col("embedding"),

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Similarity}
+
+/** The materialized-artifact contract: every consumer of the keeper /
+  * band-index artifacts returns EXACTLY the rows its inline computation
+  * produces, and artifact mode really does serve the parquet artifact
+  * instead of re-running the connected-components fixpoint.
+  */
+class ArtifactsSpec extends SparkSpec {
+
+  /** Every artifact consumer, by name. All end in a deterministic
+    * (unique-key) ORDER BY, so row-sequence equality is well-defined.
+    */
+  private val consumers: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "q40_dedup_keepers" -> (Dedup.q40DedupKeepers _),
+    "q41_corpus_select" -> (Curation.q41CorpusSelect _),
+    "q43_corpus_stats" -> (Curation.q43CorpusStats _),
+    "q69_hard_negatives" -> (Similarity.q69HardNegatives _),
+    "q70_cluster_profile" -> (CorpusAudit.q70ClusterProfile _),
+    "q18_dedup_minhash" -> (Dedup.q18DedupMinhash _),
+    "q50_incremental_dedup" -> (CorpusOps.q50IncrementalDedup _))
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().toSeq.map(_.toString)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  test("write-once/read-many is row-identical to inline recomputation") {
+    Artifacts.clearRoot()
+    val inline = consumers.map { case (n, f) =>
+      val r = n -> rows(f(spark, sf))
+      Checkpoints.releaseAll()
+      r
+    }
+    val tmp = Files.createTempDirectory("graft-artifacts-spec").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      val counts = Artifacts.materialize(spark, sf)
+      // one keeper row per document; at least one band row per document
+      val nDocs = Tables.documents(spark, sf).count()
+      assert(counts(Artifacts.KeepersName) == nDocs, counts)
+      assert(counts(Artifacts.MinhashBandsName) >= nDocs, counts)
+      assert(Artifacts.isMaterialized(spark, sf, Artifacts.KeepersName))
+      assert(Artifacts.isMaterialized(spark, sf, Artifacts.MinhashBandsName))
+      inline.foreach { case (n, expected) =>
+        val got = rows(consumers.toMap.apply(n)(spark, sf))
+        Checkpoints.releaseAll()
+        assert(got == expected, s"$n drifted between artifact and inline mode")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+    }
+  }
+
+  test("artifact mode serves the parquet artifact, not a fixpoint rerun") {
+    val tmp = Files.createTempDirectory("graft-artifacts-spec2").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      // the curation funnel's physical plan must scan the artifact path;
+      // inline mode (no root) must not reference it
+      val artifactPlan = Curation.q41CorpusSelect(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(artifactPlan.contains(tmp.getName),
+        "q41 plan does not scan the keepers artifact:\n" + artifactPlan.take(800))
+      Artifacts.clearRoot()
+      val inlinePlan = Curation.q41CorpusSelect(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!inlinePlan.contains(tmp.getName))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+    }
+  }
+
+  test("a missing root or uncommitted artifact falls back to inline compute") {
+    Artifacts.clearRoot()
+    assert(!Artifacts.isMaterialized(spark, sf, Artifacts.KeepersName))
+    val tmp = Files.createTempDirectory("graft-artifacts-spec3").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      // root set but nothing materialized: no _SUCCESS marker → inline
+      assert(!Artifacts.isMaterialized(spark, sf, Artifacts.KeepersName))
+      assert(Artifacts.keepers(spark, sf).count() ==
+        Tables.documents(spark, sf).count())
+      Checkpoints.releaseAll()
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+    }
+  }
+}
