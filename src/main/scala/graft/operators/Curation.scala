@@ -288,31 +288,105 @@ object Curation {
     */
   val SourceTokenBudget = 2000L
 
+  /** Width of the `n_tokens` bands [[tokenBudgetBanded]] decomposes the
+    * per-source running sum over. Parameterized only for the
+    * band-invariance spec; production uses this value.
+    */
+  private[graft] val TokenBandWidth = 64L
+
   /** q75 — greedy token-budget selection: per source, admit documents in
     * priority order (longest-first here; the ordering column is the
     * policy seam) while the running token total stays within
     * [[SourceTokenBudget]]. The standard "fill each source's quota"
     * curation step between scoring (q41) and mixture weighting (q53).
     *
-    * Scale: one token-count map pass, then a per-source running-sum
-    * window — same giant-stratum caveat and hash-prefilter escape hatch
-    * as q46 (`WindowGroupLimit` doesn't apply to running sums, so a
-    * pathological single-source corpus routes through a coarse
-    * top-N-by-length prefilter first).
+    * Scale ([[tokenBudgetBanded]]): the semantic definition is one
+    * per-source running-sum window (the oracle keeps that form), but a
+    * single window gives ONE task every document of a source. The
+    * execution plan instead reuses q48's two-level decomposition, over
+    * `n_tokens` bands (monotone in the sort key, so per-band order
+    * concatenated band-descending IS the greedy order):
+    *
+    *  1. a literal-capped rank prefilter per (source, band): an admitted
+    *     document's rank r in its band satisfies
+    *     `cum ≥ r · max(band·width, 1) ≤ budget`, so rank
+    *     ≤ budget + 1 always (and ≤ budget/(band·width) + 1 for bands
+    *     ≥ 1). The literal bound plans a map-side `WindowGroupLimit`,
+    *     so each scan partition ships at most budget+1 rows per
+    *     (source, band) into the one doc-grain shuffle;
+    *  2. per-(source, band) totals + a per-source running sum OVER THE
+    *     TOTALS (band-grain — tiny) ordered band-descending → each
+    *     band's base offset, with bands whose base already exceeds the
+    *     budget dropped before any doc-grain work (band-level early
+    *     cutoff: every document there has cum ≥ base > budget);
+    *  3. per-(source, band) partition-local running sum + base.
+    *
+    * No window task owns a whole source — the widest task owns one
+    * (source, band) slice, rank-capped at budget+1 rows. Equivalence to
+    * the single window holds because pruned rows can never change an
+    * admissible row's cum: admission is a prefix of the greedy order,
+    * caps only remove rows past a point where the running total provably
+    * exceeds the budget, and capped bands leave later bands' understated
+    * bases still above the budget. The band-0 cap assumes every document
+    * costs ≥ 1 token — true for the whitespace default on both engines
+    * (a split yields at least one element); a custom zero-token-capable
+    * tokenizer bounds only bands ≥ 1.
     */
   def q75TokenBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudget(spark, dir, graft.functions.Tokenizer.Whitespace)
 
   private[graft] def tokenBudget(spark: SparkSession, dir: String,
-      tok: graft.functions.Tokenizer): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("source")
-      .orderBy(col("n_tokens").desc, col("doc_id").asc)
-    Tables.documents(spark, dir)
+      tok: graft.functions.Tokenizer): DataFrame =
+    tokenBudgetBanded(spark, dir, TokenBandWidth, tok)
+
+  private[graft] def tokenBudgetBanded(spark: SparkSession, dir: String,
+      bandWidth: Long, tok: graft.functions.Tokenizer): DataFrame = {
+    val budget = SourceTokenBudget
+    // the map-side rewrite (InferWindowGroupLimit) only fires for rank
+    // bounds at or under this threshold (default 1000); the band-0 cap
+    // is budget+1, so lift the threshold to cover it — a per-group
+    // top-(budget+1) heap is exactly the bounded structure we want
+    if (spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold").toLong
+        < budget + 1)
+      spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold",
+        (budget + 1).toString)
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val sized = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         tok.count(col("text")).cast("long").as("n_tokens"))
-      .withColumn("cum_tokens", sum("n_tokens").over(w))
-      .filter(col("cum_tokens") <= SourceTokenBudget)
+      .withColumn("band", floor(col("n_tokens") / bandWidth))
+    // 1. rank prefilter — the LITERAL cap is what plans the map-side
+    // WindowGroupLimit; the tighter per-band cap is a plain row filter
+    // behind it (its bound depends on the band column, which the
+    // group-limit rewrite cannot use)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "band")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val capped = sized
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= lit(budget + 1))
+      .filter(col("band") === 0 ||
+        col("__rk") <= floor(lit(budget) / (col("band") * bandWidth)) + 1)
+      .drop("__rk")
+    // 2. band bases over the capped rows + early cutoff (see docstring
+    // for why capped totals keep excluded bands excluded)
+    val baseW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("band").desc)
+      .rowsBetween(unbounded, -1)
+    val bases = capped.groupBy("source", "band")
+      .agg(sum("n_tokens").as("band_tokens"))
+      .withColumn("base", coalesce(sum("band_tokens").over(baseW), lit(0L)))
+      .filter(col("base") <= budget)
+      .select("source", "band", "base")
+    // 3. partition-local running sum + base
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "band")
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      .rowsBetween(unbounded, 0)
+    capped.join(bases, Seq("source", "band"))
+      .withColumn("cum_tokens", col("base") + sum("n_tokens").over(localW))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
       .orderBy("source", "cum_tokens")
   }
 

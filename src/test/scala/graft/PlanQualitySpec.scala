@@ -107,6 +107,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(maxCell <= 64L, s"cell holds $maxCell docs")
   }
 
+  test("q75's running sums partition by (source, band) behind a map-side rank cap") {
+    val df = graft.operators.Curation.q75TokenBudget(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the literal rank cap must plan a Partial WindowGroupLimit, so each
+    // scan partition ships at most budget+1 rows per (source, band) into
+    // the doc-grain shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(800))
+    // no doc-grain running sum partitioned by source alone: every
+    // windowspecdefinition ordered by (n_tokens, doc_id) — the doc-grain
+    // windows — must carry the band key; the only source-alone window is
+    // the band-grain base offset (ordered by band)
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty)
+    windows.filter(_.contains("doc_id")).foreach { w =>
+      assert(w.contains("band"),
+        "doc-grain window lost the band key:\n" + w)
+    }
+  }
+
   test("q64 chunking is map-only: no exchange except the presentation sort") {
     val p = plan(graft.operators.Segments.q64ChunkDocs(spark, sf))
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq

@@ -28,6 +28,20 @@ class SelectionDiffSpec extends SparkSpec {
     assert(bySource.nonEmpty)
   }
 
+  test("q75 band decomposition is invariant in the band width") {
+    // any width must reproduce the single-window semantics exactly; a
+    // huge width degenerates to one band per source (the plain window),
+    // width 1 puts every distinct length in its own band
+    val ws = graft.functions.Tokenizer.Whitespace
+    val expected = Curation
+      .tokenBudgetBanded(spark, sf, 1000000L, ws).collect().map(_.toString).toSeq
+    for (width <- Seq(1L, 7L, Curation.TokenBandWidth, 517L)) {
+      val got = Curation.tokenBudgetBanded(spark, sf, width, ws)
+        .collect().map(_.toString).toSeq
+      assert(got == expected, s"width $width drifted")
+    }
+  }
+
   test("q75 custom tokenizer changes token counts through the seam") {
     // the synthetic corpus is letters+single-spaces only, so BpePre
     // coincides with whitespace here — use a tokenizer that provably
