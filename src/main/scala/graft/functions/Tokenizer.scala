@@ -52,4 +52,32 @@ object Tokenizer {
     override def tokens(text: Column): Column =
       regexp_extract_all(text, lit(Re), lit(0))
   }
+
+  /** Real byte-pair encoding against a merges table ([[BpeEncode]], the
+    * published GPT-2-style greedy rank-ordered algorithm): [[BpePre]]'s
+    * pre-token runs, each decomposed to code points and re-merged by
+    * rank until no adjacent pair is in the table. A production user
+    * constructs this from their model's merges file
+    * (`Bpe(lines.map(l => (a, b)))`); [[BpeFixture]] is the
+    * deterministic in-repo vocabulary the specs pin.
+    */
+  final case class Bpe(merges: Seq[(String, String)]) extends Tokenizer {
+    override def tokens(text: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        BpeEncode(org.apache.spark.sql.GraftSqlBridge.expression(text), merges))
+  }
+
+  /** Fixture merges table: high-frequency English digraph/trigraph
+    * merges in a fixed priority order — small enough to reason about in
+    * specs, real enough that common words ("the", "and", "her") merge
+    * to single tokens while rare words stay multi-token.
+    */
+  val FixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "o" -> "u", "a" -> "t",
+    "e" -> "n", "o" -> "r", "s" -> "t", "a" -> "r", "e" -> "s",
+    "h" -> "er", "in" -> "g", "and" -> "s", "1" -> "0", "2" -> "0")
+
+  /** [[Bpe]] over [[FixtureMerges]]. */
+  val BpeFixture: Bpe = Bpe(FixtureMerges)
 }

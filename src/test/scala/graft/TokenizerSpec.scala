@@ -54,6 +54,63 @@ class TokenizerSpec extends SparkSpec {
     assert(bpe == 6, "hello | , | world | ! | x | 2")
   }
 
+  test("BPE merges by table rank: known words, cascaded and repeated merges") {
+    import spark.implicits._
+    val got = Seq("the", "and", "mother", "her", "2020", "ath")
+      .toDF("text")
+      .select(Tokenizer.BpeFixture.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("the"), // t+h → th, th+e → the (rank cascade)
+      List("and"), // a+n, an+d
+      List("m", "o", "the", "r"), // partial merges leave subwords
+      List("her"), // e+r, then h+er — merge into a MERGED right symbol
+      List("20", "20"), // one round merges ALL occurrences of 2+0
+      List("a", "th"))) // rank priority: t+h (0) beats a+t (9) at the same pass
+  }
+
+  test("BPE round-trips: token concatenation reproduces the pre-token text") {
+    val d = Tables.documents(spark, sf)
+    val mismatches = d.select(
+        concat_ws("", Tokenizer.BpeFixture.tokens(col("text"))).as("bpe"),
+        concat_ws("", Tokenizer.BpePre.tokens(col("text"))).as("pre"))
+      .filter(col("bpe") =!= col("pre")).count()
+    assert(mismatches == 0L)
+    // and on adversarial text: punctuation, digits, surrogate pairs
+    import spark.implicits._
+    val hard = Seq("a-b_c 12034 😀x!!", "", "   ", "thether")
+      .toDF("text")
+      .select(
+        concat_ws("", Tokenizer.BpeFixture.tokens(col("text"))).as("bpe"),
+        concat_ws("", Tokenizer.BpePre.tokens(col("text"))).as("pre"))
+      .collect()
+    hard.foreach(r => assert(r.getString(0) == r.getString(1), r))
+  }
+
+  test("BPE stays inside whole-stage codegen") {
+    val df = Tables.documents(spark, sf)
+      .select(size(Tokenizer.BpeFixture.tokens(col("text"))).as("n"))
+      .filter(col("n") >= 0)
+    df.collect()
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.nonEmpty, "no WholeStageCodegen stage found:\n" +
+      df.queryExecution.executedPlan.toString.take(600))
+    // the bpe projection itself sits inside the codegen span (its parent
+    // is the codegen'd Project, not an interpreted fallback)
+    assert(wsc.exists(_.toString.contains("bpe_encode")))
+  }
+
+  test("q48 packing follows the real BPE tokenizer through the seam") {
+    val ws = CorpusOps.q48SequencePack(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset")).toMap
+    val bpe = CorpusOps.packSequences(spark, sf, Tokenizer.BpeFixture).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("tok_offset")).toMap
+    assert(bpe.keySet == ws.keySet)
+    assert(bpe != ws, "BPE offsets must differ from whitespace offsets")
+  }
+
   test("q43 yield report token mass follows the tokenizer") {
     val default = Curation.q43CorpusStats(spark, sf).collect()
       .map(r => (r.getString(0), r.getBoolean(1)) -> r.getAs[Long]("total_tokens")).toMap
