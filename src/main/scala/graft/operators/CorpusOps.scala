@@ -385,21 +385,34 @@ object CorpusOps {
   def q50IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
-    val corpus = d.filter(col("split") === "train")
-    val incoming = d.filter(col("split") =!= "train")
+    dedupVerdictsAgainst(spark, dir,
+      d.filter(col("split") === "train").select("doc_id"),
+      d.filter(col("split") =!= "train").select("doc_id"))
+      .orderBy("doc_id")
+  }
 
-    val exact = incoming.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(corpus.select(md5(col("text")).as("h"),
-        col("doc_id").as("corpus_id")), "h")
+  /** The incremental-dedup verdict core shared by q50 and q81: each
+    * `incoming` document checked against the standing `corpus` —
+    * exact duplicates by content hash, near-duplicates by shared MinHash
+    * band bucket verified at signature agreement ≥ 0.5, verdict
+    * precedence exact > near > new, match_id = smallest matching corpus
+    * doc. Both sides are ID FRAMES; extra columns on `incoming` (e.g.
+    * q81's diff status) pass through to the output.
+    *
+    * The signature chain is materialized once: read from the band-index
+    * artifact when one exists ([[graft.Artifacts]] — the precomputed
+    * signature table this op's 100 TB shape describes), else computed
+    * inline and checkpointed so it never runs twice in one plan.
+    */
+  private def dedupVerdictsAgainst(spark: SparkSession, dir: String,
+      corpus: DataFrame, incoming: DataFrame): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    val exact = hashes.join(incoming.select("doc_id"), "doc_id")
+      .join(hashes.join(corpus.select("doc_id"), "doc_id")
+          .select(col("h"), col("doc_id").as("corpus_id")), "h")
       .groupBy("doc_id").agg(min("corpus_id").as("exact_match"))
 
-    // materialized once: the MinHash signature chain (shingle explode +
-    // 16-way min aggregate + banding) feeds BOTH the corpus and the
-    // incoming side below, and would otherwise run twice over the whole
-    // table. When the band-index artifact exists ([[graft.Artifacts]])
-    // each side is a parquet re-scan of the precomputed signature table
-    // this query's 100 TB shape describes; inline computation is
-    // checkpointed once per query as before.
     val banded =
       if (graft.Artifacts.isMaterialized(spark, dir,
           graft.Artifacts.MinhashBandsName))
@@ -417,15 +430,14 @@ object CorpusOps {
       .filter(Dedup.estJaccard(col("sig"), col("corpus_sig")) >= 0.5)
       .groupBy("doc_id").agg(min("corpus_id").as("near_match"))
 
-    incoming.select("doc_id")
+    incoming
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
-      .select(col("doc_id"),
+      .select(incoming.columns.map(col) :+
         when(col("exact_match").isNotNull, "exact_dup")
           .when(col("near_match").isNotNull, "near_dup")
-          .otherwise("new").as("verdict"),
-        coalesce(col("exact_match"), col("near_match")).as("match_id"))
-      .orderBy("doc_id")
+          .otherwise("new").as("verdict") :+
+        coalesce(col("exact_match"), col("near_match")).as("match_id"): _*)
   }
 
   val q50OracleSql: String = {
@@ -970,6 +982,78 @@ object CorpusOps {
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
       .orderBy("doc_id")
+  }
+
+  /** q81 — incremental refresh: the q76 → q50 composition run as ONE
+    * library op. The snapshot diff names the documents that need work
+    * (`added`/`changed` — change-bounded, not corpus-bounded); exactly
+    * those are dedup-verdicted against the standing corpus (the current
+    * snapshot minus the incoming set) through [[dedupVerdictsAgainst]],
+    * reusing the band-index artifact when materialized. This is the
+    * promote-a-new-snapshot gate at 100 TB: diff cost is id+hash-grain,
+    * re-processing cost scales with the CHANGE SET, and nothing
+    * unchanged is rescanned past the diff.
+    */
+  def q81IncrementalRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val current = Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(5)) =!= 3)
+    val incoming = q76SnapshotDiff(spark, dir)
+      .filter(col("status").isin("added", "changed"))
+      .select("doc_id", "status")
+    val corpus = current.select("doc_id")
+      .join(incoming.select("doc_id"), Seq("doc_id"), "left_anti")
+    dedupVerdictsAgainst(spark, dir, corpus, incoming)
+      .orderBy("doc_id")
+  }
+
+  val q81OracleSql: String = {
+    val eq = Dedup.minhashEqTerms
+    s"""WITH ${Dedup.minhashCtes}, inc AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN 'added' ELSE 'changed' END AS status
+      |  FROM documents
+      |  WHERE doc_id % 5 <> 3
+      |    AND (doc_id % 7 = 0
+      |         OR (doc_id % 11 = 0 AND md5(substr(text, 1, 10)) <> md5(text)))
+      |), corpus AS (
+      |  SELECT d.doc_id FROM documents d
+      |  WHERE d.doc_id % 5 <> 3
+      |    AND d.doc_id NOT IN (SELECT doc_id FROM inc)
+      |), hashes AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |), exact AS (
+      |  SELECT i.doc_id, MIN(ch.doc_id) AS exact_match
+      |  FROM inc i
+      |  JOIN hashes ih ON ih.doc_id = i.doc_id
+      |  JOIN hashes ch ON ch.h = ih.h
+      |  JOIN corpus c ON c.doc_id = ch.doc_id
+      |  GROUP BY 1
+      |), cbands AS (
+      |  SELECT b.* FROM bands b JOIN corpus c ON b.doc_id = c.doc_id
+      |), ckept AS (
+      |  SELECT * FROM (
+      |    SELECT b.*, COUNT(*) OVER (PARTITION BY band, bucket) AS pop
+      |    FROM cbands b
+      |  ) WHERE pop <= ${Dedup.MaxBucketPop}
+      |), near AS (
+      |  SELECT ib.doc_id, MIN(cb.doc_id) AS near_match
+      |  FROM bands ib
+      |  JOIN inc i ON ib.doc_id = i.doc_id
+      |  JOIN ckept cb ON cb.band = ib.band AND cb.bucket = ib.bucket
+      |  JOIN sigs sa ON sa.doc_id = ib.doc_id
+      |  JOIN sigs sb ON sb.doc_id = cb.doc_id
+      |  WHERE ($eq) / 16.0 >= 0.5
+      |  GROUP BY 1
+      |)
+      |SELECT i.doc_id, i.status,
+      |       CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+      |            WHEN n.near_match IS NOT NULL THEN 'near_dup'
+      |            ELSE 'new' END AS verdict,
+      |       COALESCE(e.exact_match, n.near_match) AS match_id
+      |FROM inc i
+      |LEFT JOIN exact e ON e.doc_id = i.doc_id
+      |LEFT JOIN near n ON n.doc_id = i.doc_id
+      |ORDER BY i.doc_id""".stripMargin
   }
 
   val q76OracleSql: String =

@@ -83,9 +83,17 @@ object EventAnalytics {
     // on read, so the oracle-comparable event time IS the µs truncation
     // (the Tables.events convention); ns-side comparisons would admit
     // same-µs-later-ns events the oracle can't see.
-    val e = Tables.events(spark, dir)
+    funnelStages(Tables.events(spark, dir)
       .select(col("user_id"), col("event_type"),
-        expr("ts_ns div 1000").as("ts_us"))
+        expr("ts_ns div 1000").as("ts_us")))
+  }
+
+  /** q73's funnel over any `(user_id, event_type, ts_us)` frame — shared
+    * with the streaming dual's equivalence spec
+    * (`StreamingOps.funnelStream` replays the same events through
+    * per-user state and must land on these exact stage rows).
+    */
+  private[graft] def funnelStages(e: DataFrame): DataFrame = {
     val v = e.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("ts_us").as("t1"))
     val c = e.filter(col("event_type") === "click")
@@ -241,16 +249,24 @@ object EventAnalytics {
     */
   def q80TransitionTopK(spark: SparkSession, dir: String): DataFrame = {
     val TopK = 20
+    transitionPairs(Tables.events(spark, dir))
+      .orderBy(col("n_transitions").desc, col("prev_type"), col("next_type"))
+      .limit(TopK)
+  }
+
+  /** q80's bigram counts (pre-top-k) over any `(user_id, ts_ns,
+    * event_id, event_type)` frame — shared with the streaming dual's
+    * equivalence spec (`StreamingOps.transitionsStream` must emit
+    * exactly these pairs).
+    */
+  private[graft] def transitionPairs(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
-    Tables.events(spark, dir)
-      .select(col("user_id"), col("ts_ns"), col("event_id"),
+    e.select(col("user_id"), col("ts_ns"), col("event_id"),
         col("event_type").as("next_type"))
       .withColumn("prev_type", lag("next_type", 1).over(w))
       .filter(col("prev_type").isNotNull)
       .groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n_transitions"))
-      .orderBy(col("n_transitions").desc, col("prev_type"), col("next_type"))
-      .limit(TopK)
   }
 
   val q80OracleSql: String =

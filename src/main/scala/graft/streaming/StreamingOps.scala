@@ -24,6 +24,24 @@ case class LatestUpdate(user_id: Long, event_type: String, event_id: Long,
 /** Open-session state for [[StreamingOps.sessionize]]. */
 case class OpenSession(startUs: Long, lastUs: Long, n: Int, sum: Double)
 
+/** Per-user last-event state for [[StreamingOps.transitionsStream]]. */
+case class LastSeen(tsUs: Long, eventId: Long, eventType: String)
+
+/** One observed event-type transition emitted by
+  * [[StreamingOps.transitionsStream]].
+  */
+case class Transition(prev_type: String, next_type: String)
+
+/** Per-user funnel progress for [[StreamingOps.funnelStream]]: first
+  * view time, first click strictly after it, first purchase strictly
+  * after that (µs).
+  */
+case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+/** Update row emitted by [[StreamingOps.funnelStream]]. */
+case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
+  t3: Option[Long])
+
 /** Closed session emitted by [[StreamingOps.sessionize]]. */
 case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   n_events: Int, sum_value: Double)
@@ -136,6 +154,72 @@ object StreamingOps {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** q80's streaming dual — the empirical transition matrix mined from a
+    * LIVE event stream: per-user `flatMapGroupsWithState` holds the last
+    * seen event (one tiny record per user — the same O(users) state
+    * bound as any per-user streaming aggregate) and emits one
+    * [[Transition]] per consecutive pair; the caller counts them with an
+    * ordinary streaming aggregate (or `foreachBatch` into the batch
+    * rollup). Events are re-sorted by (ts, event_id) WITHIN each
+    * micro-batch, so intra-batch disorder is absorbed; like any
+    * last-value chaining (CDC ordering, session stitching), the
+    * cross-batch contract is per-user event-time-ordered delivery — the
+    * equivalence spec replays exactly that, and `EventAnalytics
+    * .transitionPairs` is the shared batch definition it must match.
+    */
+  def transitionsStream(events: Dataset[StreamEvent]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, Transition](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, batch, state) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[Transition]
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(l.eventType, e.event_type))
+            last = Some(LastSeen(e.ts.getTime * 1000L, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** q73's streaming dual — the view→click→purchase funnel advanced
+    * incrementally: per-user `mapGroupsWithState` carries
+    * [[FunnelState]] (three optional µs timestamps) and emits the user's
+    * current progress each micro-batch; the LAST update per user is the
+    * user's funnel row, and `EventAnalytics.funnelStages`' rollup over
+    * those rows equals the batch q73 result (the equivalence spec
+    * replays it). Under in-order per-user delivery the incremental
+    * first-qualifying-event updates coincide with the batch min-based
+    * definitions (the first view IS the min view time, etc.); intra-
+    * batch disorder is absorbed by sorting each batch, and the state is
+    * one constant-size record per user.
+    */
+  def funnelStream(events: Dataset[StreamEvent]): Dataset[FunnelUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val tsUs = e.ts.getTime * 1000L
+            e.event_type match {
+              case "view" if s.t1.isEmpty =>
+                s = s.copy(t1 = Some(tsUs))
+              case "click" if s.t1.exists(tsUs > _) && s.t2.isEmpty =>
+                s = s.copy(t2 = Some(tsUs))
+              case "purchase" if s.t2.exists(tsUs > _) && s.t3.isEmpty =>
+                s = s.copy(t3 = Some(tsUs))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          FunnelUpdate(uid, s.t1, s.t2, s.t3)
       }
   }
 

@@ -78,6 +78,27 @@ class SelectionDiffSpec extends SparkSpec {
       byStatus.values.map(_.size).sum)
   }
 
+  test("q81 re-processes exactly the diff's added/changed documents") {
+    val diffIds = CorpusOps.q76SnapshotDiff(spark, sf)
+      .filter(col("status").isin("added", "changed"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val out = CorpusOps.q81IncrementalRefresh(spark, sf).collect()
+    Checkpoints.releaseAll()
+    // change-bounded: one verdict per diff doc, nothing else re-processed
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == diffIds.keySet)
+    assert(out.length == diffIds.size)
+    out.foreach { r =>
+      assert(r.getAs[String]("status") == diffIds(r.getAs[Long]("doc_id")))
+      val verdict = r.getAs[String]("verdict")
+      assert(Set("exact_dup", "near_dup", "new")(verdict))
+      // a matched verdict names a corpus doc, which is never an incoming doc
+      if (verdict != "new") {
+        val m = r.getAs[Long]("match_id")
+        assert(!diffIds.contains(m), s"match_id $m is itself incoming")
+      }
+    }
+  }
+
   test("q79 finds known lev-1 adjective pairs and respects the threshold") {
     val rows = FuzzyJoin.q79FuzzyMatch(spark, sf).collect()
     assert(rows.nonEmpty)

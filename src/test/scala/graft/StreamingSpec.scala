@@ -55,6 +55,75 @@ class StreamingSpec extends SparkSpec {
       s"late row leaked into ${hour0.mkString(",")}")
   }
 
+  test("q80 streaming dual: replayed transitions equal the batch bigram counts") {
+    val input = MemoryStream[StreamEvent](spark)
+    // three users, interleaved types, replayed across THREE micro-batches
+    // in per-user event-time order (the documented delivery contract);
+    // intra-batch rows deliberately out of order (the op re-sorts)
+    val b1 = Seq(ev(2, 11, 1, "click", 0), ev(1, 10, 1, "view", 0),
+      ev(5, 10, 2, "view", 0))
+    val b2 = Seq(ev(3, 12, 1, "purchase", 0), ev(6, 30, 2, "click", 0),
+      ev(8, 5, 3, "view", 0))
+    val b3 = Seq(ev(4, 40, 1, "view", 0), ev(7, 31, 2, "click", 0),
+      ev(9, 50, 3, "purchase", 0))
+    val q = StreamingOps.transitionsStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trans_out").start()
+    Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.table("trans_out")
+      .groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("prev_type", "next_type").collect().toSeq
+    val batchFrame = (b1 ++ b2 ++ b3).toDF()
+      .select(col("user_id"), expr("CAST(ts AS LONG) * 1000000000").as("ts_ns"),
+        col("event_id"), col("event_type"))
+    val batch = graft.operators.EventAnalytics.transitionPairs(batchFrame)
+      .orderBy("prev_type", "next_type").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("q73 streaming dual: final funnel states roll up to the batch stage rows") {
+    val input = MemoryStream[StreamEvent](spark)
+    // user 1 completes the funnel; user 2 stalls at click; user 3 clicks
+    // BEFORE viewing (must not advance); user 4 only purchases (no stage)
+    val b1 = Seq(ev(1, 10, 1, "view", 0), ev(2, 12, 1, "click", 0),
+      ev(10, 9, 3, "click", 0), ev(20, 8, 4, "purchase", 0))
+    val b2 = Seq(ev(3, 20, 1, "purchase", 0), ev(11, 15, 2, "view", 0),
+      ev(12, 18, 3, "view", 0))
+    val b3 = Seq(ev(13, 25, 2, "click", 0), ev(14, 30, 3, "click", 0))
+    val q = StreamingOps.funnelStream(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_out").start()
+    Seq(b1, b2, b3).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+
+    // last update per user = that user's final funnel row
+    val finals = spark.table("funnel_out")
+      .as[graft.streaming.FunnelUpdate].collect()
+      .zipWithIndex.groupBy(_._1.user_id)
+      .map { case (_, us) => us.maxBy(_._2)._1 }.toSeq
+    val streamedStages = Seq(
+      ("1_view", finals.count(_.t1.nonEmpty).toLong,
+        None: Option[Long]),
+      ("2_click", finals.count(_.t2.nonEmpty).toLong,
+        Some(finals.flatMap(f => f.t2.zip(f.t1).map { case (a, b) => a - b }).sum)),
+      ("3_purchase", finals.count(_.t3.nonEmpty).toLong,
+        Some(finals.flatMap(f => f.t3.zip(f.t2).map { case (a, b) => a - b }).sum)))
+    val batch = graft.operators.EventAnalytics.funnelStages(
+        (b1 ++ b2 ++ b3).toDF()
+          .select(col("user_id"), col("event_type"),
+            expr("CAST(ts AS LONG) * 1000000").as("ts_us")))
+      .orderBy("stage").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(streamedStages == batch)
+    // and the crafted edge cases landed as designed
+    assert(finals.find(_.user_id == 3).exists(f => f.t1.nonEmpty && f.t2.nonEmpty))
+    assert(finals.find(_.user_id == 4).exists(f => f.t1.isEmpty && f.t3.isEmpty))
+  }
+
   test("mapGroupsWithState keeps the newest event per key across batches") {
     val input = MemoryStream[StreamEvent](spark)
     val q = StreamingOps.latestPerKey(input.toDS())
