@@ -56,7 +56,7 @@ object Bench {
     df.write.format("noop").mode("overwrite").save()
 
   private final case class Timed(runs: Seq[Double],
-      metrics: BenchMetricsListener#Snapshot) {
+      metrics: BenchMetricsListener.Snapshot) {
     def median: Double = runs.sorted.apply(runs.size / 2)
   }
 

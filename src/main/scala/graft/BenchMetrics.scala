@@ -56,9 +56,6 @@ final class BenchMetricsListener extends SparkListener {
     peak.accumulateAndGet(cur, (a: Long, b: Long) => math.max(a, b))
   }
 
-  final case class Snapshot(shuffleRead: Long, shuffleWrite: Long,
-      gcMs: Long, spillBytes: Long, peakStorage: Long)
-
   /** Zero the per-window counters; the storage watermark restarts from
     * the CURRENT live-block total (not zero — blocks the previous
     * window leaked would otherwise vanish from the next one's peak).
@@ -68,6 +65,12 @@ final class BenchMetricsListener extends SparkListener {
     peak.set(stored.get)
   }
 
-  def snapshot(): Snapshot = Snapshot(shuffleRead.get, shuffleWrite.get,
-    gcMs.get, spill.get, peak.get)
+  def snapshot(): BenchMetricsListener.Snapshot =
+    BenchMetricsListener.Snapshot(shuffleRead.get, shuffleWrite.get,
+      gcMs.get, spill.get, peak.get)
+}
+
+object BenchMetricsListener {
+  final case class Snapshot(shuffleRead: Long, shuffleWrite: Long,
+      gcMs: Long, spillBytes: Long, peakStorage: Long)
 }

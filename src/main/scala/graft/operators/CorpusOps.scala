@@ -433,7 +433,7 @@ object CorpusOps {
     incoming
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
-      .select(incoming.columns.map(col) :+
+      .select(incoming.columns.toIndexedSeq.map(col) :+
         when(col("exact_match").isNotNull, "exact_dup")
           .when(col("near_match").isNotNull, "near_dup")
           .otherwise("new").as("verdict") :+
