@@ -3,8 +3,8 @@ package graft
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd}
-import org.apache.spark.storage.BlockId
+import org.apache.spark.scheduler.{SparkListener, SparkListenerBlockUpdated, SparkListenerTaskEnd, SparkListenerUnpersistRDD}
+import org.apache.spark.storage.{BlockId, RDDBlockId}
 
 /** Per-query resource accounting for `Bench` — the instrumentation that
   * lets a reader of `bench_out.json` tell a plan regression from
@@ -54,6 +54,24 @@ final class BenchMetricsListener extends SparkListener {
       else Option(blocks.remove(u.blockId)).getOrElse(0L)
     val cur = stored.addAndGet(sz - prev)
     peak.accumulateAndGet(cur, (a: Long, b: Long) => math.max(a, b))
+  }
+
+  // RDD unpersist does NOT emit per-block updates — it posts one
+  // unpersist event; without this the running total only ever grows and
+  // every release (the Checkpoints lifecycle this field exists to watch)
+  // would be invisible
+  override def onUnpersistRDD(e: SparkListenerUnpersistRDD): Unit = {
+    val it = blocks.entrySet().iterator()
+    var freed = 0L
+    while (it.hasNext) {
+      val entry = it.next()
+      entry.getKey match {
+        case RDDBlockId(rddId, _) if rddId == e.rddId =>
+          freed += entry.getValue; it.remove()
+        case _ => ()
+      }
+    }
+    if (freed != 0L) stored.addAndGet(-freed)
   }
 
   /** Zero the per-window counters; the storage watermark restarts from

@@ -55,7 +55,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _),
     "q68_length_histogram" -> (CorpusAudit.q68LengthHistogram _),
     "q69_hard_negatives" -> (Similarity.q69HardNegatives _),
-    "q70_cluster_profile" -> (CorpusAudit.q70ClusterProfile _))
+    "q70_cluster_profile" -> (CorpusAudit.q70ClusterProfile _),
+    "q75_token_budget" -> (Curation.q75TokenBudget _),
+    "q76_snapshot_diff" -> (CorpusOps.q76SnapshotDiff _),
+    "q81_incremental_refresh" -> (CorpusOps.q81IncrementalRefresh _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
