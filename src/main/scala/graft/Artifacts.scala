@@ -116,6 +116,12 @@ object Artifacts {
         .parquet(artifactPath(corpusDir, name).get)
       name -> obs.get("n").asInstanceOf[Long]
     }
+    // Builds run SERIALLY on purpose: a concurrent variant (two threads,
+    // FIFO scheduling) measured 18.2 s against 11.6 s serial at sf0.1 —
+    // the corpus-wide shingle scans of the two builds contend for the
+    // same cores and the keeper fixpoint's many small label jobs starve
+    // behind the band build's wide stages, a net loss over letting each
+    // build keep the cluster to itself.
     val out = Map(
       write(KeepersName, operators.Dedup.keeperAssignment(spark, corpusDir)),
       write(MinhashBandsName,
