@@ -3,7 +3,10 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Scratch main: time named SparkEntry queries (args: sfDir name...).
-  * Not part of the driver contract.
+  * Not part of the driver contract. `SPARK_GRAFT_TIMEQ_ARTIFACTS=1`
+  * materializes the corpus artifacts first (build time printed) and
+  * times queries in artifact mode — the Bench posture; default stays
+  * inline so both modes are one env var apart for adjudication.
   */
 object TimeQ {
   def main(args: Array[String]): Unit = {
@@ -17,6 +20,14 @@ object TimeQ {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("SPARK_GRAFT_TIMEQ_ARTIFACTS")) {
+      if (graft.Artifacts.root.isEmpty)
+        graft.Artifacts.setRoot(
+          java.nio.file.Files.createTempDirectory("graft-timeq-artifacts").toString)
+      val t0 = System.nanoTime()
+      graft.Artifacts.materialize(spark, sfDir)
+      println(f"[timeq] artifact_build          ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
     // warm the JVM/codegen once: prefer the sibling smallest scale if the
     // standard layout is present, else warm on the target dir itself
     val warmDir = {
