@@ -44,7 +44,7 @@ object CandidateJoin {
     val hits = exploded.join(broadcast(lookup),
       exploded("__cand") === lookup(keyCol))
     val packed = struct(
-      col("__priority") +: payloadCols.map(col): _*)
+      col("__priority") +: payloadCols.toIndexedSeq.map(col): _*)
     val best = hits.groupBy(col(idCol))
       .agg(min(packed).as("__best"))
       .select((col(idCol) +: col("__best.__priority") +:

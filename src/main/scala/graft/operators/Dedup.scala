@@ -561,7 +561,7 @@ object Dedup {
         .union(sym.select(col("v"), col("v").as("label")))
         .groupBy("v").agg(min("label").as("label")))
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("label"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum("label"), lit(0L))).head().getLong(0)
     // Each round: ship every vertex's label to its neighbors (one join),
     // then min-reduce the shipped labels TOGETHER with the vertices' own
     // (union + aggregate). Two exchanges per round — the earlier
@@ -678,7 +678,7 @@ object Dedup {
     // canonical set and immune to ANSI overflow, unlike a sum
     def checksum(d: DataFrame): (Long, Long) = {
       val r = d.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1))
     }
     var prev = checksum(e)

@@ -106,7 +106,7 @@ object EtlOps {
     val packed = versionCols ++ payload.filterNot(versionCols.contains)
     df.groupBy(keys.map(col): _*)
       .agg(max(struct(packed.map(col): _*)).as("__latest"))
-      .select(df.columns.map(c =>
+      .select(df.columns.toIndexedSeq.map(c =>
         if (keys.contains(c)) col(c) else col(s"__latest.$c").as(c)): _*)
   }
 
@@ -135,7 +135,7 @@ object EtlOps {
   def enforceCheck(df: DataFrame, constraint: Column, message: String): DataFrame = {
     val guard = when(constraint, lit(true))
       .otherwise(raise_error(concat(lit(s"CHECK violated: $message; row="),
-        to_json(struct(df.columns.map(col): _*)))))
+        to_json(struct(df.columns.toIndexedSeq.map(col): _*)))))
     df.withColumn("__check", guard).drop("__check")
   }
 

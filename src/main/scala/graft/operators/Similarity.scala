@@ -172,7 +172,7 @@ object Similarity {
     */
   private def bucketExpr(vec: Column, table: Int): Column =
     (0 until BitsPerTable).map { j =>
-      val plane = array(hyperplanes(table)(j).map(lit): _*)
+      val plane = array(hyperplanes(table)(j).toIndexedSeq.map(lit): _*)
       when(VectorOps.dot(vec, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
