@@ -37,6 +37,7 @@ object Artifacts {
   /** Artifact names — parquet directory names under `root/<corpus-key>`. */
   val KeepersName = "keepers"
   val MinhashBandsName = "minhash_bands"
+  val DupSpansName = "dup_spans"
 
   @volatile private var rootOpt: Option[String] =
     sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR")
@@ -98,6 +99,14 @@ object Artifacts {
     readOrCompute(spark, corpusDir, MinhashBandsName)(
       operators.Dedup.bandedSignatures(Tables.documents(spark, corpusDir)))
 
+  /** The duplicated-span dictionary `(sh)` — every 10-gram span occurring
+    * in ≥ 2 distinct documents; the duplicate table exact-substring
+    * diagnose/strip/rollup passes (q54/q59/q67) join against.
+    */
+  def dupSpans(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, DupSpansName)(
+      operators.CorpusOps.dupSpanSet(spark, corpusDir))
+
   /** Compute and commit every artifact for `corpusDir` under the
     * configured root (requires one — artifacts are never written
     * implicitly). Overwrite semantics: Spark's commit protocol stages to
@@ -125,7 +134,8 @@ object Artifacts {
     val out = Map(
       write(KeepersName, operators.Dedup.keeperAssignment(spark, corpusDir)),
       write(MinhashBandsName,
-        operators.Dedup.bandedSignatures(Tables.documents(spark, corpusDir))))
+        operators.Dedup.bandedSignatures(Tables.documents(spark, corpusDir))),
+      write(DupSpansName, operators.CorpusOps.dupSpanSet(spark, corpusDir)))
     // the keeper build's fixpoint rounds leave no pinned blocks behind,
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session

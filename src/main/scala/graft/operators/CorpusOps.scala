@@ -809,6 +809,25 @@ object CorpusOps {
     * than the dedup pass that already runs; no unbounded fan-out
     * anywhere (the df aggregate reduces before the join).
     */
+  /** The duplicated-span dictionary behind q54/q59/q67: every [[SpanN]]-
+    * gram span occurring in ≥ 2 distinct documents. This is the third
+    * materialized corpus artifact ([[graft.Artifacts]]): exact-substring
+    * work at scale builds the duplicate table ONCE per snapshot (Lee et
+    * al.'s shape) and every diagnose/strip/rollup pass joins against it.
+    */
+  private[graft] def dupSpanSet(spark: SparkSession, dir: String): DataFrame = {
+    val allSh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramShinglesAll(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          Dedup.tokens(col("text"))), SpanN))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(allSh).as("sh"))
+      .distinct()
+      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("sh")
+  }
+
   def q54DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val allSh = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShinglesAll(
@@ -816,9 +835,7 @@ object CorpusOps {
           Dedup.tokens(col("text"))), SpanN))
     val d = Tables.documents(spark, dir)
     val idx = d.select(col("doc_id"), explode(allSh).as("sh"))
-    val df = idx.select("doc_id", "sh").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
-    val dup = idx.join(df.filter(col("ndocs") >= 2).select("sh"), "sh")
+    val dup = idx.join(graft.Artifacts.dupSpans(spark, dir), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
     val totals = d.select(col("doc_id"),
       greatest(size(Dedup.tokens(col("text"))) - (SpanN - 1), lit(0))
@@ -857,10 +874,8 @@ object CorpusOps {
         org.apache.spark.sql.GraftSqlBridge.expression(toks), SpanN))
     val d = Tables.documents(spark, dir)
     val idx = d.select(col("doc_id"), posexplode(posSh).as(Seq("start", "sh")))
-    val df = idx.select("doc_id", "sh").distinct()
-      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
     val dupStarts = idx
-      .join(df.filter(col("ndocs") >= 2).select("sh"), "sh")
+      .join(graft.Artifacts.dupSpans(spark, dir), "sh")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(col("start"))).as("starts"))
     val removed = array_distinct(flatten(transform(col("starts"),

@@ -22,7 +22,10 @@ class ArtifactsSpec extends SparkSpec {
     "q69_hard_negatives" -> (Similarity.q69HardNegatives _),
     "q70_cluster_profile" -> (CorpusAudit.q70ClusterProfile _),
     "q18_dedup_minhash" -> (Dedup.q18DedupMinhash _),
-    "q50_incremental_dedup" -> (CorpusOps.q50IncrementalDedup _))
+    "q50_incremental_dedup" -> (CorpusOps.q50IncrementalDedup _),
+    "q54_dup_spans" -> (CorpusOps.q54DupSpans _),
+    "q59_dup_strip" -> (CorpusOps.q59DupStrip _),
+    "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)
