@@ -70,6 +70,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+      // q75's band-0 rank cap is SourceTokenBudget+1 (2001); the map-side
+      // WindowGroupLimit rewrite only fires at or under this threshold
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "2048")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -169,5 +172,12 @@ object Bench {
     println(line)
     Files.write(Paths.get("bench_out.json"), (line + "\n").getBytes(StandardCharsets.UTF_8))
     spark.stop()
+    // LAST stdout line, marker-prefixed: the driver's result-extraction
+    // regex failed twice against the bare JSON amid executor log noise
+    // (BENCH_r07/r08 `parsed: null`); a fixed prefix on a dedicated final
+    // line makes the parse trivial. Printed after spark.stop() so no
+    // late executor output can follow it.
+    println(s"BENCH_JSON: $line")
+    System.out.flush()
   }
 }

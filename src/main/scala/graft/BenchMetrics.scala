@@ -16,7 +16,9 @@ import org.apache.spark.storage.{BlockId, RDDBlockId}
   *     not code.
   *   - peak storage bytes: pinned-block pressure (localCheckpoint
   *     lifecycle), tracked exactly from block-update events — a running
-  *     sum over live block sizes, high-watermarked per query.
+  *     sum over live RDD block sizes, high-watermarked per query.
+  *     Broadcast blocks are excluded (their removal posts no event, so
+  *     they could only ever accumulate — see onBlockUpdated).
   *   - GC ms + spill bytes: the noise signals themselves.
   *
   * Metrics are accumulated from listener events (delivered async — the
@@ -46,14 +48,23 @@ final class BenchMetricsListener extends SparkListener {
     }
   }
 
+  // RDD blocks ONLY: broadcast blocks post a block-updated event when
+  // stored but none when the ContextCleaner removes them, so counting
+  // them would ratchet `stored` upward across a long sweep and inflate
+  // later queries' peaks. The field exists to watch the pinned
+  // localCheckpoint lifecycle (RDD blocks, released via onUnpersistRDD),
+  // so broadcast footprint is deliberately out of scope rather than
+  // wrongly accumulated.
   override def onBlockUpdated(e: SparkListenerBlockUpdated): Unit = {
     val u = e.blockUpdatedInfo
-    val sz = if (u.storageLevel.isValid) u.memSize + u.diskSize else 0L
-    val prev =
-      if (sz > 0L) Option(blocks.put(u.blockId, sz)).getOrElse(0L)
-      else Option(blocks.remove(u.blockId)).getOrElse(0L)
-    val cur = stored.addAndGet(sz - prev)
-    peak.accumulateAndGet(cur, (a: Long, b: Long) => math.max(a, b))
+    if (u.blockId.isInstanceOf[RDDBlockId]) {
+      val sz = if (u.storageLevel.isValid) u.memSize + u.diskSize else 0L
+      val prev =
+        if (sz > 0L) Option(blocks.put(u.blockId, sz)).getOrElse(0L)
+        else Option(blocks.remove(u.blockId)).getOrElse(0L)
+      val cur = stored.addAndGet(sz - prev)
+      peak.accumulateAndGet(cur, (a: Long, b: Long) => math.max(a, b))
+    }
   }
 
   // RDD unpersist does NOT emit per-block updates — it posts one

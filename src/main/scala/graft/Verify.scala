@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // q75's band-0 rank cap is SourceTokenBudget+1 (2001); the map-side
+      // WindowGroupLimit rewrite only fires at or under this threshold
+      .config("spark.sql.optimizer.windowGroupLimitThreshold", "2048")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -29,6 +29,17 @@ trait Tokenizer extends Serializable {
     * case for BPE estimators that only need lengths).
     */
   def count(text: Column): Column = size(tokens(text))
+
+  /** Whether this tokenizer can return ZERO tokens for some input.
+    * Token-mass operators whose pruning math assumes every document
+    * costs at least one token (`Curation.tokenBudgetBanded`'s band-0
+    * rank cap) consult this to route zero-token rows around the capped
+    * path instead of silently dropping them. Defaults to `true` — the
+    * safe assumption for an unknown implementation; tokenizers with a
+    * provable ≥ 1 floor (whitespace `split` always yields at least one
+    * element) override to `false` and keep the lean single-branch plan.
+    */
+  def zeroTokenCapable: Boolean = true
 }
 
 object Tokenizer {
@@ -39,6 +50,8 @@ object Tokenizer {
     */
   object Whitespace extends Tokenizer {
     override def tokens(text: Column): Column = split(text, "\\s+")
+    // split() yields at least one element for any non-null input
+    override def zeroTokenCapable: Boolean = false
   }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, or punctuation runs

@@ -342,18 +342,28 @@ object Curation {
   private[graft] def tokenBudgetBanded(spark: SparkSession, dir: String,
       bandWidth: Long, tok: graft.functions.Tokenizer): DataFrame = {
     val budget = SourceTokenBudget
-    // the map-side rewrite (InferWindowGroupLimit) only fires for rank
-    // bounds at or under this threshold (default 1000); the band-0 cap
-    // is budget+1, so lift the threshold to cover it — a per-group
-    // top-(budget+1) heap is exactly the bounded structure we want
-    if (spark.conf.get("spark.sql.optimizer.windowGroupLimitThreshold").toLong
-        < budget + 1)
-      spark.conf.set("spark.sql.optimizer.windowGroupLimitThreshold",
-        (budget + 1).toString)
+    // The map-side rewrite (InferWindowGroupLimit) only fires for rank
+    // bounds at or under spark.sql.optimizer.windowGroupLimitThreshold
+    // (default 1000); the band-0 cap is budget+1, so the session configs
+    // that care about this plan (Verify/Bench/SparkSpec) pin the
+    // threshold above it. Correctness never depends on the rewrite — an
+    // un-pinned session just plans a full window instead of the bounded
+    // per-group heap — and a query builder must not mutate shared
+    // session conf as a planning side effect (`PlanQualitySpec` guards
+    // the rewrite where it matters).
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
-    val sized = Tables.documents(spark, dir)
+    val all = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         tok.count(col("text")).cast("long").as("n_tokens"))
+    // The band-0 rank cap below assumes every admitted row advances the
+    // running sum by ≥ 1 token; a zero-token-capable tokenizer breaks
+    // that (unbounded zero-cost rows can all be admissible past any
+    // rank), so its zero-token rows are routed AROUND the capped path:
+    // they sort after every positive row in the greedy order, so each
+    // one's running total is the source's full positive token mass —
+    // admitted iff that total fits the budget.
+    val sized = (if (tok.zeroTokenCapable) all.filter(col("n_tokens") > 0)
+                 else all)
       .withColumn("band", floor(col("n_tokens") / bandWidth))
     // 1. rank prefilter — the LITERAL cap is what plans the map-side
     // WindowGroupLimit; the tighter per-band cap is a plain row filter
@@ -383,11 +393,25 @@ object Curation {
       .partitionBy("source", "band")
       .orderBy(col("n_tokens").desc, col("doc_id").asc)
       .rowsBetween(unbounded, 0)
-    capped.join(bases, Seq("source", "band"))
+    val positives = capped.join(bases, Seq("source", "band"))
       .withColumn("cum_tokens", col("base") + sum("n_tokens").over(localW))
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
-      .orderBy("source", "cum_tokens")
+    val admitted =
+      if (!tok.zeroTokenCapable) positives
+      else {
+        // zero-token rows: cum = the source's full positive token mass
+        // (they follow every positive row in the n_tokens-desc order and
+        // add nothing), admitted iff that mass is within budget
+        val totals = all.groupBy("source")
+          .agg(sum("n_tokens").as("cum_tokens"))
+        positives.unionByName(
+          all.filter(col("n_tokens") === 0)
+            .join(totals, "source")
+            .filter(col("cum_tokens") <= budget)
+            .select("doc_id", "source", "n_tokens", "cum_tokens"))
+      }
+    admitted.orderBy("source", "cum_tokens")
   }
 
   val q75OracleSql: String =

@@ -7,9 +7,13 @@ import graft.Tables
 import graft.functions.Parity.round2
 import graft.sources.Sinks
 
-/** Event row for typed stateful streaming (ms-precision timestamps are
-  * sufficient for the streaming paths; the batch/oracle paths keep the
-  * lossless ns long from `Tables.events`).
+/** Event row for typed stateful streaming. `ts` round-trips Spark's µs
+  * TimestampType losslessly (`java.sql.Timestamp` carries nanos); every
+  * stateful operator below derives its ordering/state keys via
+  * [[StreamingOps.micros]], NOT `getTime` — `getTime` is ms-grain, and
+  * the batch duals these operators must match (q73/q80) order at full µs
+  * grain, so two events under 1 ms apart would otherwise tie and gate
+  * wrongly.
   */
 case class StreamEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
   event_type: String, value: Double)
@@ -63,6 +67,15 @@ case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   */
 object StreamingOps {
 
+  /** Lossless µs since epoch of a JDBC timestamp (Spark's own
+    * TimestampType conversion). `ts.getTime * 1000` drops the sub-ms
+    * digits `Tables.events` timestamps carry (timestamp_micros grain) —
+    * that truncation made the streaming duals' sort keys and funnel
+    * gates ms-grain while their batch twins compare at µs grain.
+    */
+  private def micros(ts: java.sql.Timestamp): Long =
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(ts)
+
   /** Tumbling 1-hour windows per event type. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -105,7 +118,7 @@ object StreamingOps {
       .mapGroupsWithState[LatestState, LatestUpdate](GroupStateTimeout.NoTimeout) {
         case ((uid, etype), batch, state) =>
           val incoming = batch.map(e =>
-            LatestState(e.event_id, e.ts.getTime * 1000L, e.value))
+            LatestState(e.event_id, micros(e.ts), e.value))
           val newest = (state.getOption.iterator ++ incoming)
             .maxBy(s => (s.tsUs, s.event_id))
           state.update(newest)
@@ -133,7 +146,7 @@ object StreamingOps {
             state.remove()
             Iterator.single(ClosedSession(uid, s.startUs, s.lastUs, s.n, s.sum))
           } else {
-            val sorted = batch.map(e => (e.ts.getTime * 1000L, e.value))
+            val sorted = batch.map(e => (micros(e.ts), e.value))
               .toSeq.sortBy(_._1)
             var open = state.getOption
             val closed = Seq.newBuilder[ClosedSession]
@@ -176,12 +189,12 @@ object StreamingOps {
       .flatMapGroupsWithState[LastSeen, Transition](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (_, batch, state) =>
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = batch.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val out = Seq.newBuilder[Transition]
           var last = state.getOption
           sorted.foreach { e =>
             last.foreach(l => out += Transition(l.eventType, e.event_type))
-            last = Some(LastSeen(e.ts.getTime * 1000L, e.event_id, e.event_type))
+            last = Some(LastSeen(micros(e.ts), e.event_id, e.event_type))
           }
           last.foreach(state.update)
           out.result().iterator
@@ -206,8 +219,8 @@ object StreamingOps {
       .mapGroupsWithState[FunnelState, FunnelUpdate](GroupStateTimeout.NoTimeout) {
         case (uid, batch, state) =>
           var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val tsUs = e.ts.getTime * 1000L
+          batch.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val tsUs = micros(e.ts)
             e.event_type match {
               case "view" if s.t1.isEmpty =>
                 s = s.copy(t1 = Some(tsUs))

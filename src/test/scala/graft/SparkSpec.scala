@@ -25,6 +25,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // q75's band-0 rank cap is SourceTokenBudget+1 (2001); the map-side
+    // WindowGroupLimit rewrite only fires at or under this threshold
+    .config("spark.sql.optimizer.windowGroupLimitThreshold", "2048")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 

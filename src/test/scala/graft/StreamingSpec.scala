@@ -225,6 +225,57 @@ class StreamingSpec extends SparkSpec {
     assert(pairs == Set((2L, 10L)))
   }
 
+  test("stateful duals order at µs grain: sub-ms events neither tie nor reorder") {
+    // Three events inside 1.5 ms, with event_ids arranged so an ms-grain
+    // sort key (ts.getTime) ties the first two and then orders them
+    // BACKWARDS by id: the view (id 9) precedes the click (id 1) by only
+    // 500 µs. The batch twins (q73/q80) compare at full µs grain, so the
+    // duals must too — this pins the lossless-µs conversion.
+    def tsOfUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    val base = 60L * 1000000L
+    val events = Seq(
+      StreamEvent(9, tsOfUs(base + 200), 1, "view", 0.0),
+      StreamEvent(1, tsOfUs(base + 700), 1, "click", 0.0), // same ms as the view
+      StreamEvent(2, tsOfUs(base + 1700), 1, "purchase", 0.0))
+
+    val tIn = MemoryStream[StreamEvent](spark)
+    val tq = StreamingOps.transitionsStream(tIn.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("subms_trans").start()
+    tIn.addData(events); tq.processAllAvailable(); tq.stop()
+    val trans = spark.table("subms_trans")
+      .as[graft.streaming.Transition].collect().toSeq
+    assert(trans == Seq(graft.streaming.Transition("view", "click"),
+      graft.streaming.Transition("click", "purchase")),
+      s"ms-grain tie reordered the pairs: $trans")
+
+    val fIn = MemoryStream[StreamEvent](spark)
+    val fq = StreamingOps.funnelStream(fIn.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("subms_funnel").start()
+    fIn.addData(events); fq.processAllAvailable(); fq.stop()
+    val fin = spark.table("subms_funnel")
+      .as[graft.streaming.FunnelUpdate].collect().last
+    // strict t1 < t2 gating at µs grain: the click 500 µs after the view
+    // advances the funnel (ms grain would see equal stamps and stall),
+    // and the emitted stamps carry the sub-ms digits
+    assert(fin == graft.streaming.FunnelUpdate(1,
+      Some(base + 200), Some(base + 700), Some(base + 1700)))
+    // and the rollup equals the batch q73 over the same µs values
+    val batch = graft.operators.EventAnalytics.funnelStages(
+        events.toDF().select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us")))
+      .orderBy("stage").collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(batch == Seq(("1_view", 1L, None), ("2_click", 1L, Some(500L)),
+      ("3_purchase", 1L, Some(1000L))))
+  }
+
   test("upsert sink restarted from its checkpoint is idempotent under re-delivery") {
     // foreachBatch is at-least-once: after a crash/restart the last
     // uncommitted batch replays, and an at-least-once upstream may
