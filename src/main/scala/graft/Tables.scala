@@ -23,6 +23,15 @@ object Tables {
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Drop cached handles for `sfDir` — required after an IN-PLACE rewrite
+    * of a table under it (the cached DataFrame pins the file listing from
+    * read time; Spark's own posture is `REFRESH TABLE` in that case).
+    * Immutable snapshot dirs — the 100 TB norm, and what
+    * `Artifacts.corpusFingerprint` keys on — never need this.
+    */
+  def invalidate(sfDir: String): Unit =
+    cache.keySet().removeIf(_._2 == sfDir)
+
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")

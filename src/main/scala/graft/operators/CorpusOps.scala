@@ -815,18 +815,35 @@ object CorpusOps {
     * work at scale builds the duplicate table ONCE per snapshot (Lee et
     * al.'s shape) and every diagnose/strip/rollup pass joins against it.
     */
-  private[graft] def dupSpanSet(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def dupSpanSet(spark: SparkSession, dir: String): DataFrame =
+    dupSpansFromCounts(spanCounts(Tables.documents(spark, dir)))
+
+  /** Distinct-document frequency of every [[SpanN]]-gram span —
+    * `(sh, ndocs)`. The `span_counts` corpus artifact
+    * ([[graft.Artifacts]]): [[dupSpanSet]] is its `ndocs >= 2` slice,
+    * and keeping the counts (not just the ≥ 2 survivors) is what makes
+    * the dictionary maintainable from a snapshot diff — add/remove
+    * deltas adjust `ndocs`, where the filtered set alone could never
+    * decrement.
+    */
+  private[graft] def spanCounts(docs: DataFrame): DataFrame =
+    spanRows(docs).groupBy("sh").agg(count(lit(1)).as("ndocs"))
+
+  /** Distinct `(doc_id, sh)` span membership rows — the unit the
+    * incremental span-count deltas add and subtract.
+    */
+  private[graft] def spanRows(docs: DataFrame): DataFrame = {
     val allSh = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShinglesAll(
         org.apache.spark.sql.GraftSqlBridge.expression(
           Dedup.tokens(col("text"))), SpanN))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(allSh).as("sh"))
+    docs.select(col("doc_id"), explode(allSh).as("sh"))
       .distinct()
-      .groupBy("sh").agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") >= 2)
-      .select("sh")
   }
+
+  /** The duplicated-span dictionary derived from a [[spanCounts]] frame. */
+  private[graft] def dupSpansFromCounts(counts: DataFrame): DataFrame =
+    counts.filter(col("ndocs") >= 2).select("sh")
 
   def q54DupSpans(spark: SparkSession, dir: String): DataFrame = {
     val allSh = org.apache.spark.sql.GraftSqlBridge.column(

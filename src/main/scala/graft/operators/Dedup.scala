@@ -40,8 +40,12 @@ object Dedup {
       graft.functions.NgramShingles(
         org.apache.spark.sql.GraftSqlBridge.expression(toks), 3))
 
-  /** (doc_id, shingle) inverted-index rows. */
-  private def shingleIndex(docs: DataFrame): DataFrame =
+  /** (doc_id, shingle) inverted-index rows — distinct 3-shingles per
+    * document. This frame IS the `ngram_postings` corpus artifact
+    * ([[graft.Artifacts]]): the standing index that incremental artifact
+    * maintenance updates per-document and rebuilds edges from.
+    */
+  private[graft] def shingleIndex(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       explode(shingles3(tokens(col("text")))).as("sh"))
 
@@ -385,14 +389,22 @@ object Dedup {
     * applied in [[q20OracleSql]], so the cross-engine hash check still
     * holds.
     */
-  private val MaxShingleDf = 64
+  private[graft] val MaxShingleDf = 64
 
   /** q20 — 3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join over
     * the DF-capped shingle universe (pairs share ≥1 surviving shingle;
     * intersection counted per pair, union by inclusion–exclusion).
     * DuckDB-expressible → full oracle.
     */
-  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(shingleIndex(Tables.documents(spark, dir)))
+      .orderBy("doc_a", "doc_b")
+
+  /** q20's pair chain over a given (doc_id, sh) postings frame (the
+    * whole-corpus [[shingleIndex]] inline; the `ngram_postings` artifact
+    * in materialized/incremental mode). Unordered — callers sort.
+    */
+  private[graft] def jaccardPairs(postings: DataFrame): DataFrame = {
     // The df cap is a window count partitioned by shingle, not a separate
     // aggregate + equi-join: one shuffle by `sh` computes the cap AND
     // leaves the index hash-partitioned by `sh`, which is exactly the
@@ -403,7 +415,7 @@ object Dedup {
     // re-evaluation; the checkpoint write/read jobs cost more than the
     // explode they saved.)
     val dfw = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    val idx = shingleIndex(Tables.documents(spark, dir))
+    val idx = postings
       .withColumn("df", count(lit(1)).over(dfw))
       .filter(col("df") <= MaxShingleDf)
       .select("doc_id", "sh")
@@ -421,7 +433,6 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Shared CTE chain computing q20's capped-universe Jaccard pairs
@@ -738,14 +749,24 @@ object Dedup {
     * and every keeper consumer (q41/q43/q69/q70) joins on. Columns
     * `(doc_id, keeper_id, is_keeper)`, one row per document.
     */
-  private[graft] def keeperAssignment(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  private[graft] def keeperAssignment(spark: SparkSession, dir: String): DataFrame =
+    keeperAssignmentFrom(Tables.documents(spark, dir),
+      shingleIndex(Tables.documents(spark, dir)))
+
+  /** [[keeperAssignment]] parameterized by the postings frame the near
+    * edges derive from — inline [[shingleIndex]] for the plain path, the
+    * committed `ngram_postings` artifact when `Artifacts.materialize`
+    * builds keepers (the shingle scan then runs once per snapshot, not
+    * once per artifact).
+    */
+  private[graft] def keeperAssignmentFrom(docs: DataFrame,
+      postings: DataFrame): DataFrame = {
     val hashed = docs.select(md5(col("text")).as("h"), col("doc_id"))
     val roots = hashed.groupBy("h").agg(min("doc_id").as("root"))
     val exactEdges = hashed.join(roots, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("src"), col("doc_id").as("dst"))
-    val nearEdges = q20NgramJaccard(spark, dir)
+    val nearEdges = jaccardPairs(postings)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     connectedComponents(docs.select(col("doc_id").as("v")),
         exactEdges.union(nearEdges))

@@ -84,6 +84,87 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("a corpus mutated after materialize is NOT served the stale artifact") {
+    // the round-8 layer's one weak spot: read-through trusted any
+    // committed artifact forever. Version paths are keyed by the corpus
+    // fingerprint, so a post-materialize mutation makes the stale
+    // version unresolvable — reads recompute inline (or throw, strict).
+    val tmpRoot = Files.createTempDirectory("graft-artifacts-stale").toFile
+    val corpus = Files.createTempDirectory("graft-corpus-stale").toString
+    try {
+      import org.apache.spark.sql.functions.col
+      // corpus v1: the even-id slice; materialize against it
+      val src = Tables.documents(spark, sf)
+      val v1 = src.filter(col("doc_id") % 2 === 0)
+      val n1 = v1.count()
+      v1.write.parquet(s"$corpus/documents.parquet")
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      val counts1 = Artifacts.materialize(spark, corpus)
+      assert(counts1(Artifacts.KeepersName) == n1)
+      assert(Artifacts.isMaterialized(spark, corpus, Artifacts.KeepersName))
+      val fp1 = Artifacts.corpusFingerprint(spark, corpus)
+
+      // corpus v2: drop half the docs IN PLACE (same path, new files)
+      val v2 = src.filter(col("doc_id") % 4 === 0)
+      val n2 = v2.count()
+      assert(n2 < n1)
+      v2.write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus) // in-place rewrite: REFRESH TABLE semantics
+      val fp2 = Artifacts.corpusFingerprint(spark, corpus)
+      assert(fp1 != fp2, "fingerprint must change when the corpus does")
+      assert(!Artifacts.isMaterialized(spark, corpus, Artifacts.KeepersName),
+        "stale artifact still resolves as materialized")
+      // read-through must reflect corpus v2, not v1's committed artifact
+      assert(Artifacts.keepers(spark, corpus).count() == n2)
+      Checkpoints.releaseAll()
+
+      // strict posture: stale + unmaterialized = loud failure
+      Artifacts.setStrict(true)
+      val e = intercept[IllegalStateException] {
+        Artifacts.keepers(spark, corpus).count()
+      }
+      assert(e.getMessage.contains("STALE"))
+      Artifacts.setStrict(false)
+
+      // re-materializing against v2 heals read-through and prunes v1
+      Artifacts.materialize(spark, corpus)
+      assert(Artifacts.isMaterialized(spark, corpus, Artifacts.KeepersName))
+      assert(Artifacts.keepers(spark, corpus).count() == n2)
+      val versions = new java.io.File(tmpRoot,
+        tmpRoot.listFiles().head.getName + "/" + Artifacts.KeepersName)
+        .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+      assert(versions == Seq(s"fp=$fp2"), s"stale version not pruned: $versions")
+    } finally {
+      Artifacts.clearRoot()
+      Artifacts.setStrict(false)
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("materialize is idempotent per corpus fingerprint (load-once guard)") {
+    val tmp = Files.createTempDirectory("graft-artifacts-idem").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      val first = Artifacts.materialize(spark, sf)
+      // second call must skip every build: the committed part files are
+      // the SAME files (a rewrite would commit fresh task-UUID names)
+      def partFiles(): Map[String, Set[String]] = Artifacts.AllNames.map { n =>
+        val dir = new java.io.File(tmp, tmp.listFiles().head.getName + "/" + n)
+        n -> dir.listFiles().filter(_.isDirectory).flatMap(_.listFiles())
+          .map(f => f.getName + ":" + f.lastModified()).toSet
+      }.toMap
+      val before = partFiles()
+      val second = Artifacts.materialize(spark, sf)
+      assert(second == first, "skip path must report the same counts")
+      assert(partFiles() == before, "idempotent call must not rewrite artifacts")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+    }
+  }
+
   test("a missing root or uncommitted artifact falls back to inline compute") {
     Artifacts.clearRoot()
     assert(!Artifacts.isMaterialized(spark, sf, Artifacts.KeepersName))
