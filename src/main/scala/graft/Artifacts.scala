@@ -307,4 +307,140 @@ object Artifacts {
     Checkpoints.releaseAll()
     Map(postings, counts, spans, bands, keepers)
   }
+
+  /** Outcome of [[materializeIncremental]]: which path ran, the committed
+    * row counts, the diff profile, and the keeper re-run's actual size
+    * (the change-boundedness evidence — `ccVertices` is how many
+    * documents the connected-components re-run touched, vs the whole
+    * corpus for a full rebuild).
+    */
+  final case class IncrementalResult(mode: String, counts: Map[String, Long],
+    added: Long, changed: Long, removed: Long,
+    affectedComponents: Long, ccVertices: Long)
+
+  /** Maintain `newDir`'s artifacts FROM `oldDir`'s, driven by the
+    * snapshot diff — the promote-a-new-snapshot path at 100 TB, where
+    * re-deriving corpus artifacts from scratch (the most expensive
+    * computation in the system) would make every snapshot cost
+    * corpus-bounded work no matter how small the change:
+    *
+    *  - diff at id+md5 grain (the one corpus-grain scan, same cost class
+    *    as q76 — document bodies never ship);
+    *  - posting index and band index: retract removed/changed docs' rows
+    *    from the old artifact, append rows computed from added/changed
+    *    docs only;
+    *  - span counts: ± distinct-doc deltas from the changed docs' old
+    *    and new texts (keeping COUNTS, not just the ≥ 2 survivors, is
+    *    what makes decrement possible); the dup-span dictionary is its
+    *    filter;
+    *  - keepers: connected components re-run ONLY over old components
+    *    the diff can have touched ([[operators.Dedup.incrementalKeepers]]
+    *    — the closure argument for exactness lives there).
+    *
+    * Every product is hash-identical to a full rebuild against `newDir`
+    * (`IncrementalArtifactsSpec`). Falls back to [[materialize]] when
+    * `oldDir`'s artifacts are missing/stale (mode `full_missing_old`) or
+    * the change set exceeds `maxChangeFraction` of the new corpus (mode
+    * `full_large_diff` — past that point the "incremental" work,
+    * dominated by the touched components, stops being cheaper than a
+    * clean rebuild). Idempotent like [[materialize]]: already committed
+    * for `newDir`'s current fingerprint → mode `skip`.
+    *
+    * The delta scans read old/new document text filtered to the diff ids
+    * — change-bounded compute; a production corpus laid out
+    * sorted/bucketed by doc_id also prunes the I/O to the touched
+    * row groups.
+    */
+  def materializeIncremental(spark: SparkSession, oldDir: String,
+      newDir: String, maxChangeFraction: Double = 0.2): IncrementalResult = {
+    import org.apache.spark.sql.functions._
+    require(rootOpt.nonEmpty,
+      "Artifacts.materializeIncremental needs a root — setRoot(...) or " +
+        "SPARK_GRAFT_ARTIFACTS_DIR")
+    val fpNew = corpusFingerprint(spark, newDir)
+    def pathOf(dir: String, fp: String, name: String): String =
+      versionPath(dir, name, fp).get
+    if (AllNames.forall(n => isCommitted(spark, versionPath(newDir, n, fpNew))))
+      return IncrementalResult("skip",
+        AllNames.map(n => n -> committedCount(spark, pathOf(newDir, fpNew, n)))
+          .toMap, 0, 0, 0, 0, 0)
+
+    val fpOld = corpusFingerprint(spark, oldDir)
+    if (!AllNames.forall(n => isCommitted(spark, versionPath(oldDir, n, fpOld))))
+      return IncrementalResult("full_missing_old",
+        materialize(spark, newDir), -1, -1, -1, -1, -1)
+
+    val docsNew = Tables.documents(spark, newDir)
+    val hashedNew = Checkpoints.checkpoint(
+      docsNew.select(col("doc_id"), md5(col("text")).as("h")))
+    val diff = Checkpoints.checkpoint(
+      Tables.documents(spark, oldDir)
+        .select(col("doc_id"), md5(col("text")).as("h_old"))
+        .join(hashedNew.select(col("doc_id"), col("h").as("h_new")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("h_old"), col("h_new"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(!(col("h_old") <=> col("h_new")), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged"))
+    val nNew = hashedNew.count()
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nAdd, nChg, nRem) = (byStatus.getOrElse("added", 0L),
+      byStatus.getOrElse("changed", 0L), byStatus.getOrElse("removed", 0L))
+    if (nNew == 0 || nAdd + nChg + nRem > maxChangeFraction * nNew) {
+      Checkpoints.releaseAll()
+      return IncrementalResult("full_large_diff", materialize(spark, newDir),
+        nAdd, nChg, nRem, -1, -1)
+    }
+
+    val dNew = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+    val dGone = diff.filter(col("status").isin("removed", "changed"))
+      .select("doc_id")
+    val docsChangedNew = docsNew.join(dNew, Seq("doc_id"), "left_semi")
+
+    // posting index first — the keeper maintenance reads it back
+    val postOld = spark.read.parquet(pathOf(oldDir, fpOld, NgramPostingsName))
+    val postings = write(spark, newDir, fpNew, NgramPostingsName,
+      postOld.join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.Dedup.shingleIndex(docsChangedNew)))
+    val postNew = spark.read.parquet(pathOf(newDir, fpNew, NgramPostingsName))
+
+    // span counts by ± distinct-doc deltas, dictionary derived from them
+    val docsGoneOld = Tables.documents(spark, oldDir)
+      .join(dGone, Seq("doc_id"), "left_semi")
+    val neg = operators.CorpusOps.spanRows(docsGoneOld)
+      .groupBy("sh").agg(count(lit(1)).as("neg"))
+    val pos = operators.CorpusOps.spanRows(docsChangedNew)
+      .groupBy("sh").agg(count(lit(1)).as("pos"))
+    val counts = write(spark, newDir, fpNew, SpanCountsName,
+      spark.read.parquet(pathOf(oldDir, fpOld, SpanCountsName))
+        .join(neg, Seq("sh"), "full_outer")
+        .join(pos, Seq("sh"), "full_outer")
+        .select(col("sh"), (coalesce(col("ndocs"), lit(0L))
+          - coalesce(col("neg"), lit(0L))
+          + coalesce(col("pos"), lit(0L))).as("ndocs"))
+        .filter(col("ndocs") > 0))
+    val spans = write(spark, newDir, fpNew, DupSpansName,
+      operators.CorpusOps.dupSpansFromCounts(
+        spark.read.parquet(pathOf(newDir, fpNew, SpanCountsName))))
+
+    // band index: per-doc rows — retract and append
+    val bands = write(spark, newDir, fpNew, MinhashBandsName,
+      spark.read.parquet(pathOf(oldDir, fpOld, MinhashBandsName))
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.Dedup.bandedSignatures(docsChangedNew)))
+
+    // keepers: component-bounded CC re-run
+    val (keepersNew, nAffected, nVerts) = operators.Dedup.incrementalKeepers(
+      spark.read.parquet(pathOf(oldDir, fpOld, KeepersName)),
+      hashedNew, diff, postOld, postNew)
+    val keepers = write(spark, newDir, fpNew, KeepersName, keepersNew)
+    Checkpoints.releaseAll()
+    IncrementalResult("incremental",
+      Map(postings, counts, spans, bands, keepers),
+      nAdd, nChg, nRem, nAffected, nVerts)
+  }
 }

@@ -774,6 +774,157 @@ object Dedup {
         (col("label") === col("v")).as("is_keeper"))
   }
 
+  /** Incremental keeper maintenance: re-run connected components ONLY on
+    * the old components the snapshot diff can have touched, and carry
+    * every other component's keeper rows over verbatim. This is what
+    * makes the most expensive artifact change-bounded instead of
+    * corpus-bounded per snapshot ([[graft.Artifacts.materializeIncremental]]).
+    *
+    * == Why the result is EXACTLY the full rebuild (the closure argument) ==
+    *
+    * Let D = added ∪ changed ∪ removed (the diff). Every candidate-graph
+    * edge that differs between the old corpus A and the new corpus B has
+    * both endpoints inside the SEED set computed here:
+    *
+    *  - exact edges (same-md5 groups rooted at the group min): an edge
+    *    delta means a group's membership changed, i.e. some D doc's old
+    *    or new hash is involved — every B doc holding a touched hash is
+    *    seeded (`exactTouched`); a REMOVED member's group mates were in
+    *    its old component already (they were connected), so marking D
+    *    marks them.
+    *  - near edges (capped-universe n-gram Jaccard ≥ 0.5): a pair's
+    *    verdict is a function of (n_inter, n_a, n_b) over shingles with
+    *    global df ≤ [[MaxShingleDf]]. Those inputs change only when (a)
+    *    an endpoint's text changed — it is in D; (b) a shingle's
+    *    cap status flipped — only D docs change any shingle's df, the
+    *    flip is detected from the posting-index df deltas, and every B
+    *    doc CONTAINING a flipped shingle is seeded (`flippedDocs`; its
+    *    n_sh and all its pairs' n_inter may change); unchanged docs have
+    *    identical postings in A and B, so postings_B finds them all.
+    *    A pair that LOSES its edge was an A-edge, so both endpoints
+    *    shared an old component that D/flipped marking reaches; a pair
+    *    that GAINS an edge in B shares a capped-in-B shingle with a doc
+    *    whose behavior changed (D-new or flipped), and every B doc
+    *    sharing a capped-in-B shingle with such a doc is seeded
+    *    (`partners`).
+    *
+    * M = (members of old components containing a seed, still present in
+    * B) ∪ added docs. Every changed edge is internal to M, and every
+    * A-edge or B-edge incident to M stays inside M (edges that exist in
+    * both corpora connect docs of one old component). So B's component
+    * structure outside M is exactly A's — those keeper rows carry over —
+    * and CC over the induced subgraph on M, with B's edges re-derived
+    * from the maintained posting index and B's hashes, yields the same
+    * min-label components a full rebuild would.
+    *
+    * Cost shape: everything here is ARTIFACT-bounded (posting-index
+    * scans, semi-joins, df aggregates) or CHANGE-bounded (the CC re-run
+    * over M); the only corpus-grain work is the id+md5 scan the caller's
+    * diff already paid for. No document text is re-shingled except the
+    * added/changed docs themselves (done once by the posting-index
+    * maintenance, upstream of this call).
+    *
+    * @param keepersOld  old keeper artifact `(doc_id, keeper_id, is_keeper)`
+    * @param hashedNew   `(doc_id, h)` — md5 of every new-corpus doc
+    * @param diff        `(doc_id, h_old, h_new, status)`, unchanged rows dropped
+    * @param postingsOld old `ngram_postings` artifact `(doc_id, sh)`
+    * @param postingsNew NEW `ngram_postings` artifact (already maintained)
+    * @return (new keeper frame, affected component count, CC vertex count)
+    */
+  private[graft] def incrementalKeepers(keepersOld: DataFrame,
+      hashedNew: DataFrame, diff: DataFrame, postingsOld: DataFrame,
+      postingsNew: DataFrame): (DataFrame, Long, Long) = {
+    val dAll = diff.select("doc_id")
+    val dNew = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+
+    // shingles whose df can have changed = shingles of D docs (old or new
+    // postings); df is unchanged for every other shingle by definition
+    val candSh = postingsOld.join(dAll, Seq("doc_id"), "left_semi")
+      .select("sh")
+      .union(postingsNew.join(dNew, Seq("doc_id"), "left_semi").select("sh"))
+      .distinct()
+    def dfOver(post: DataFrame, as: String): DataFrame =
+      post.join(candSh, Seq("sh"), "left_semi")
+        .groupBy("sh").agg(count(lit(1)).as(as))
+    val flipped = dfOver(postingsOld, "df_a")
+      .join(dfOver(postingsNew, "df_b"), Seq("sh"), "full_outer")
+      .select(col("sh"), coalesce(col("df_a"), lit(0L)).as("a"),
+        coalesce(col("df_b"), lit(0L)).as("b"))
+      .filter((col("a") <= MaxShingleDf) =!= (col("b") <= MaxShingleDf))
+      .select("sh")
+    val flippedDocs = postingsNew.join(flipped, Seq("sh"), "left_semi")
+      .select("doc_id")
+
+    // docs whose pair-generation behavior changed, and everyone who can
+    // have gained an edge with them in B (shared capped-in-B shingle)
+    val core = dNew.union(flippedDocs).distinct()
+    val coreSh = postingsNew.join(core, Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+    val coreShCapped = coreSh.join(
+      postingsNew.join(coreSh, Seq("sh"), "left_semi")
+        .groupBy("sh").agg(count(lit(1)).as("dfg"))
+        .filter(col("dfg") <= MaxShingleDf),
+      Seq("sh"), "left_semi")
+    val partners = postingsNew.join(coreShCapped, Seq("sh"), "left_semi")
+      .select("doc_id")
+
+    val touchedH = diff.select(col("h_new").as("h"))
+      .union(diff.select(col("h_old").as("h")))
+      .filter(col("h").isNotNull).distinct()
+    val exactTouched = hashedNew.join(touchedH, Seq("h"), "left_semi")
+      .select("doc_id")
+
+    val seeds = dAll.union(exactTouched).union(flippedDocs).union(partners)
+      .distinct()
+    val affected = graft.Checkpoints.checkpoint(
+      keepersOld.join(seeds, Seq("doc_id"), "left_semi")
+        .select("keeper_id").distinct())
+    val m = graft.Checkpoints.checkpoint(
+      keepersOld.join(affected, Seq("keeper_id"), "left_semi")
+        .select("doc_id")
+        .join(hashedNew.select("doc_id"), Seq("doc_id"), "left_semi")
+        .union(diff.filter(col("status") === "added").select("doc_id"))
+        .distinct())
+
+    // B's edges restricted to M, re-derived without any text rescans:
+    // exact edges from the (id, md5) frame, near edges from the
+    // maintained posting index with GLOBAL (corpus-wide) df caps
+    val hashedM = hashedNew.join(m, Seq("doc_id"), "left_semi")
+    val roots = hashedM.groupBy("h").agg(min("doc_id").as("root"))
+    val exactEdges = hashedM.join(roots, "h")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("root").as("src"), col("doc_id").as("dst"))
+    val postM = postingsNew.join(m, Seq("doc_id"), "left_semi")
+    val dfM = postingsNew
+      .join(postM.select("sh").distinct(), Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("dfg"))
+    val idxM = postM.join(dfM.filter(col("dfg") <= MaxShingleDf).select("sh"),
+      Seq("sh"), "left_semi")
+    val nSh = idxM.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val nearEdges = idxM.as("x").join(idxM.as("y"), col("x.sh") === col("y.sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(nSh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(nSh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .filter(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")) >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+    val relabeled = connectedComponents(m.select(col("doc_id").as("v")),
+        exactEdges.union(nearEdges))
+      .select(col("v").as("doc_id"), col("label").as("keeper_id"),
+        (col("label") === col("v")).as("is_keeper"))
+    val keepersNew = keepersOld
+      .join(affected, Seq("keeper_id"), "left_anti")
+      .select("doc_id", "keeper_id", "is_keeper")
+      .unionByName(relabeled)
+    (keepersNew, affected.count(), m.count())
+  }
+
   /** Recursive reachability in DuckDB over the SAME edge set (exact-dup
     * roots + the shared [[jaccardCtes]] pair chain); keeper = min
     * reachable id. Cluster enumeration is O(size²) rows per cluster —

@@ -1,0 +1,241 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusOps, Dedup}
+
+/** The incremental-maintenance contract (`Artifacts.materializeIncremental`):
+  * artifacts maintained from a snapshot diff are HASH-IDENTICAL to a full
+  * rebuild against the new corpus, the keeper re-run is change-bounded
+  * (component-bounded CC, not corpus-bounded), and the fallback paths
+  * trigger when incrementality would be unsound or uneconomic.
+  */
+class IncrementalArtifactsSpec extends SparkSpec {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
+  /** Full inline rebuild of every artifact frame against a corpus dir. */
+  private def fullRebuild(dir: String): Map[String, Seq[String]] = {
+    val docs = Tables.documents(spark, dir)
+    val out = Map(
+      Artifacts.NgramPostingsName -> rows(Dedup.shingleIndex(docs)),
+      Artifacts.SpanCountsName -> rows(CorpusOps.spanCounts(docs)),
+      Artifacts.DupSpansName -> rows(CorpusOps.dupSpanSet(spark, dir)),
+      Artifacts.MinhashBandsName -> rows(Dedup.bandedSignatures(docs)),
+      Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)))
+    Checkpoints.releaseAll()
+    out
+  }
+
+  private def artifactRows(dir: String): Map[String, Seq[String]] = {
+    val fp = Artifacts.corpusFingerprint(spark, dir)
+    Artifacts.AllNames.map { n =>
+      assert(Artifacts.isMaterialized(spark, dir, n), s"$n not committed")
+      n -> rows(spark.read.parquet(
+        s"${Artifacts.root.get}/${keyOf(dir)}/$n/fp=$fp"))
+    }.toMap
+  }
+
+  private def keyOf(dir: String): String = {
+    // mirror of Artifacts.corpusKey (private): resolve via the filesystem
+    val root = new java.io.File(Artifacts.root.get)
+    val sanitized = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    root.listFiles().map(_.getName).find(_.startsWith(sanitized + "-"))
+      .getOrElse(fail(s"no artifact tree for $dir under $root"))
+  }
+
+  test("incremental maintenance is hash-identical to a full rebuild") {
+    val tmpRoot = Files.createTempDirectory("graft-incr-root").toFile
+    val base = Files.createTempDirectory("graft-incr-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val src = Tables.documents(spark, sf)
+      src.write.parquet(s"$oldDir/documents.parquet")
+      // new snapshot: remove the %25==3 stripe, truncate the %33==7
+      // stripe, add exact copies (%100==1, exact-dup edges to their
+      // sources) and near copies (%100==51, two appended tokens keep
+      // 3-gram jaccard >= 0.5) under shifted ids
+      val kept = src.filter(pmod(col("doc_id"), lit(25)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(33)) === 7, substring(col("text"), 1, 60))
+            .otherwise(col("text")))
+      val addedExact = src.filter(pmod(col("doc_id"), lit(100)) === 1)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      val addedNear = src.filter(pmod(col("doc_id"), lit(100)) === 51)
+        .withColumn("doc_id", col("doc_id") + 100000)
+        .withColumn("text", concat(col("text"), lit(" zq zq")))
+      kept.unionByName(addedExact).unionByName(addedNear)
+        .write.parquet(s"$newDir/documents.parquet")
+
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, oldDir)
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert(res.added > 0 && res.changed > 0 && res.removed > 0, res)
+
+      val expected = fullRebuild(newDir)
+      val got = artifactRows(newDir)
+      Artifacts.AllNames.foreach { n =>
+        assert(got(n) == expected(n), s"$n drifted from the full rebuild")
+      }
+
+      // the CC re-run must not be the whole corpus. (At THIS toy scale
+      // the partner expansion is proportionally large — a df<=64 shingle
+      // reaches 13% of a 500-doc corpus, vs a vanishing fraction of a
+      // real one — so the tight boundedness assertion lives in the
+      // controlled-sharing test below.)
+      val nNew = Tables.documents(spark, newDir).count()
+      assert(res.ccVertices > 0 && res.ccVertices < nNew,
+        s"CC re-ran over ${res.ccVertices} of $nNew docs")
+      assert(res.affectedComponents > 0)
+
+      // idempotent: second call skips (same fingerprint, already committed)
+      val again = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(again.mode == "skip" && again.counts == res.counts, again)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("a df-cap flip between unchanged docs is caught (closure seeds)") {
+    // Adversarial case for the seed closure: 70 docs share both leading
+    // 3-shingles, so their df (70) exceeds MaxShingleDf and the old
+    // corpus has NO near edges — everyone is a singleton. The new
+    // snapshot only REMOVES six docs, dropping those shingles' df to 64
+    // (under the cap): every surviving pair now shares 2 of its 3
+    // shingles (jaccard 0.5) and the 64 UNCHANGED docs collapse into one
+    // component. No changed doc participates in any new edge — only the
+    // flipped-shingle seeding can find these docs.
+    val tmpRoot = Files.createTempDirectory("graft-flip-root").toFile
+    val base = Files.createTempDirectory("graft-flip-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      import spark.implicits._
+      val docs = (1 to 70).map(i => (i.toLong, s"aaa bbb ccc ddd unique$i"))
+        .toDF("doc_id", "text")
+      docs.write.parquet(s"$oldDir/documents.parquet")
+      docs.filter(col("doc_id") <= 64)
+        .write.parquet(s"$newDir/documents.parquet")
+
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, oldDir)
+      // old corpus: all singletons (the shared shingles are capped out)
+      val oldKeepers = spark.read.parquet(
+        s"${Artifacts.root.get}/${keyOf(oldDir)}/${Artifacts.KeepersName}/" +
+          s"fp=${Artifacts.corpusFingerprint(spark, oldDir)}")
+      assert(oldKeepers.filter(col("is_keeper")).count() == 70L)
+
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert(res.added == 0 && res.changed == 0 && res.removed == 6, res)
+      // the flip pulled all 64 unchanged docs into the re-run
+      assert(res.ccVertices == 64L, res)
+
+      val got = artifactRows(newDir)
+      val expected = fullRebuild(newDir)
+      Artifacts.AllNames.foreach { n =>
+        assert(got(n) == expected(n), s"$n drifted from the full rebuild")
+      }
+      // and the re-run actually merged them: one 64-doc component
+      val keepers = spark.read.parquet(
+        s"${Artifacts.root.get}/${keyOf(newDir)}/${Artifacts.KeepersName}/" +
+          s"fp=${Artifacts.corpusFingerprint(spark, newDir)}")
+      assert(keepers.filter(col("is_keeper")).count() == 1L)
+      assert(keepers.filter(col("keeper_id") === 1L).count() == 64L)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("the keeper re-run is change-bounded when shingles don't fan out") {
+    // controlled sharing: every doc's shingles are unique to it, so
+    // seeds cannot expand past the diff itself — the CC re-run must
+    // touch EXACTLY the added/changed docs (removed docs are no longer
+    // vertices), and affected components = changed ∪ removed.
+    val tmpRoot = Files.createTempDirectory("graft-cb-root").toFile
+    val base = Files.createTempDirectory("graft-cb-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      import spark.implicits._
+      val docs = (1 to 1000).map(i =>
+        (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")).toDF("doc_id", "text")
+      docs.write.parquet(s"$oldDir/documents.parquet")
+      val changed = Set(10L, 20L, 30L, 40L, 50L)
+      val removed = Set(7L, 77L, 777L)
+      docs.filter(!col("doc_id").isin(removed.toSeq: _*))
+        .withColumn("text",
+          when(col("doc_id").isin(changed.toSeq: _*),
+            concat(col("text"), lit(" xtra"))).otherwise(col("text")))
+        .unionByName(Seq((5001L, "n1 n2 n3 n4 n5 n6"),
+          (5002L, "m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text"))
+        .write.parquet(s"$newDir/documents.parquet")
+
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, oldDir)
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert((res.added, res.changed, res.removed) == (2L, 5L, 3L), res)
+      assert(res.ccVertices == 7L, s"re-ran ${res.ccVertices} docs, expected 7")
+      assert(res.affectedComponents == 8L, res)
+      // and the maintained keepers still equal the full rebuild
+      assert(artifactRows(newDir)(Artifacts.KeepersName) ==
+        fullRebuild(newDir)(Artifacts.KeepersName))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("fallback paths: missing old artifacts and oversized diffs rebuild fully") {
+    val tmpRoot = Files.createTempDirectory("graft-fb-root").toFile
+    val base = Files.createTempDirectory("graft-fb-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val src = Tables.documents(spark, sf)
+      src.filter(col("doc_id") % 2 === 0).write.parquet(s"$oldDir/documents.parquet")
+      src.filter(col("doc_id") % 3 === 0).write.parquet(s"$newDir/documents.parquet")
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+
+      // old never materialized → full rebuild of new
+      val r1 = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(r1.mode == "full_missing_old", r1)
+      assert(Artifacts.isMaterialized(spark, newDir, Artifacts.KeepersName))
+
+      // old materialized, but the diff is most of the corpus → full
+      Artifacts.materialize(spark, oldDir)
+      val strictFrac = Artifacts.materializeIncremental(spark, oldDir, newDir,
+        maxChangeFraction = 0.0001)
+      // newDir already committed for its fingerprint → skip beats fallback
+      assert(strictFrac.mode == "skip", strictFrac)
+      // force a re-decision by pointing at a fresh copy of new
+      val newDir2 = s"$base/new2"
+      src.filter(col("doc_id") % 3 === 0).write.parquet(s"$newDir2/documents.parquet")
+      val r2 = Artifacts.materializeIncremental(spark, oldDir, newDir2,
+        maxChangeFraction = 0.0001)
+      assert(r2.mode == "full_large_diff", r2)
+      assert(r2.added > 0 && r2.removed > 0)
+      assert(Artifacts.isMaterialized(spark, newDir2, Artifacts.KeepersName))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+}
