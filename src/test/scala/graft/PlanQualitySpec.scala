@@ -157,6 +157,52 @@ class PlanQualitySpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("artifact mode: keeper consumers read the parquet artifact, no CC fixpoint, one documents scan") {
+    // ArtifactsSpec proves artifact reads are row-identical to inline;
+    // this guards the PLAN: a future edit could quietly re-inline the
+    // connected-components fixpoint while staying hash-equal, and only
+    // the plan shows it. With a materialized root, q41/q69's plans must
+    // (a) scan the keepers artifact path, (b) contain NO aggregate over
+    // the label-propagation shape (the fixpoint runs eagerly via
+    // localCheckpoint — its LogicalRDD leaves would appear as scans of
+    // ExistingRDD), and (c) scan the documents table at most once.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planguard").toFile
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+          "q41" -> (graft.operators.Curation.q41CorpusSelect _),
+          "q69" -> (graft.operators.Similarity.q69HardNegatives _))) {
+        val df = q(spark, sf)
+        df.collect()
+        // an executed AQE plan prints final AND initial sections — keep
+        // only the final one or every scan counts twice
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        Checkpoints.releaseAll()
+        // Location paths are truncated in the plan string, so match the
+        // artifact ROOT (unique temp dir), not the artifact name
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        assert(!p.contains("ExistingRDD"),
+          s"$name plan contains a checkpointed fixpoint leaf — CC ran inline:\n" +
+            p.take(600))
+        val docScans = p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains("documents"))
+        assert(docScans <= 1,
+          s"$name artifact-mode plan scans documents $docScans times")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
