@@ -83,7 +83,14 @@ object TextNorm {
     * the reference's order-preserving membership checks; the final tidy
     * pass runs after dedup exactly as the reference does (`etl.py:111`).
     */
-  def titleCandidates(title: Column): Column = {
+  def titleCandidates(title: Column): Column =
+    GraftSqlBridge.column(TitleCandidates(GraftSqlBridge.expression(title)))
+
+  /** [[titleCandidates]] as the Column composition the fused kernel must
+    * match — kept as the spec-side reference implementation
+    * (`CodegenSpec` pins kernel ≡ composition over the corpus).
+    */
+  private[graft] def titleCandidatesComposed(title: Column): Column = {
     val base = baseClean(title)
     val four = array(
       moveTrailingArticle(base),
@@ -102,6 +109,10 @@ object TextNorm {
     * remove_diacritics ∘ tidy_whitespace, the stored-title normal form.
     */
   def fullTitleClean(c: Column): Column =
+    GraftSqlBridge.column(FullTitleClean(GraftSqlBridge.expression(c)))
+
+  /** [[fullTitleClean]] as the Column composition (spec reference). */
+  private[graft] def fullTitleCleanComposed(c: Column): Column =
     tidyWhitespace(stripDiacritics(
       removeParentheticalAlternates(moveTrailingArticle(baseClean(c)))))
 

@@ -63,4 +63,33 @@ class CodegenSpec extends SparkSpec {
       .select(Dedup.shingles3(Dedup.tokens($"text")).as("sh"))
     assert(generatedCode(df).contains("graft.functions.NgramShingles.compute"))
   }
+
+  test("fused title kernels generate static calls inside codegen") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(TextNorm.titleCandidates($"text").as("c"),
+        TextNorm.fullTitleClean($"text").as("f"))
+    val code = generatedCode(df)
+    assert(code.contains("graft.functions.TitleKernels.candidates"))
+    assert(code.contains("graft.functions.TitleKernels.fullClean"))
+  }
+
+  test("fused title kernels equal the Column compositions over the corpus") {
+    // the kernels replaced the composition in q5/q6/q16's hot path; this
+    // pins them row-identical over every synthetic title decoration (the
+    // 9,742-real-title golden in TitleCleanExhaustiveSpec pins
+    // fullTitleClean against the reference's own outputs)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val title = concat(substring($"text", 1, 40),
+      when($"doc_id" % 3 === 0, lit(", The"))
+        .when($"doc_id" % 3 === 1, lit(" (a.k.a. alias)"))
+        .otherwise(lit("")),
+      lit(" ("), (lit(1970) + $"doc_id" % 50).cast("string"), lit(")"))
+    val drift = d.select($"doc_id",
+        TextNorm.titleCandidates(title).as("k_cands"),
+        TextNorm.titleCandidatesComposed(title).as("c_cands"),
+        TextNorm.fullTitleClean(title).as("k_full"),
+        TextNorm.fullTitleCleanComposed(title).as("c_full"))
+      .filter(!($"k_cands" <=> $"c_cands") || !($"k_full" <=> $"c_full"))
+    assert(drift.isEmpty, drift.head(3).mkString("\n"))
+  }
 }
