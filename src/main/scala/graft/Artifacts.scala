@@ -295,12 +295,15 @@ object Artifacts {
     // behind the band build's wide stages, a net loss over letting each
     // build keep the cluster to itself.
     val postings = build(NgramPostingsName)(operators.Dedup.shingleIndex(docs))
+    def committedPostings: DataFrame =
+      spark.read.parquet(versionPath(corpusDir, NgramPostingsName, fp).get)
     val counts = build(SpanCountsName)(operators.CorpusOps.spanCounts(docs))
     val spans = build(DupSpansName)(operators.CorpusOps.dupSpansFromCounts(
       spark.read.parquet(versionPath(corpusDir, SpanCountsName, fp).get)))
-    val bands = build(MinhashBandsName)(operators.Dedup.bandedSignatures(docs))
-    val keepers = build(KeepersName)(operators.Dedup.keeperAssignmentFrom(docs,
-      spark.read.parquet(versionPath(corpusDir, NgramPostingsName, fp).get)))
+    val bands = build(MinhashBandsName)(
+      operators.Dedup.bandedSignaturesFrom(committedPostings))
+    val keepers = build(KeepersName)(
+      operators.Dedup.keeperAssignmentFrom(docs, committedPostings))
     // the keeper build's fixpoint rounds leave no pinned blocks behind,
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session

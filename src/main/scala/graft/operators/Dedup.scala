@@ -101,8 +101,16 @@ object Dedup {
   /** Per-doc MinHash signature: groupBy(doc) of k column-wise mins — pure
     * hash-aggregate with map-side partials, one shuffle.
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val hashed = shingleIndex(docs).select(col("doc_id") +: minhashFns: _*)
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    minhashSignaturesFrom(shingleIndex(docs))
+
+  /** [[minhashSignatures]] over a given (doc_id, sh) postings frame —
+    * the committed `ngram_postings` artifact in `Artifacts.materialize`,
+    * so the band build reuses the one shingle scan the posting build
+    * already paid for instead of re-tokenizing the corpus.
+    */
+  private[graft] def minhashSignaturesFrom(postings: DataFrame): DataFrame = {
+    val hashed = postings.select(col("doc_id") +: minhashFns: _*)
     hashed.groupBy("doc_id")
       .agg(min(col("h0")).as("h0"),
         (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
@@ -160,8 +168,14 @@ object Dedup {
     * second hash). Shared by [[q18DedupMinhash]] and
     * `CorpusOps.q50IncrementalDedup`.
     */
-  private[graft] def bandedSignatures(docs: DataFrame): DataFrame = {
-    val sigs = minhashSignatures(docs)
+  private[graft] def bandedSignatures(docs: DataFrame): DataFrame =
+    bandedSignaturesFrom(shingleIndex(docs))
+
+  /** [[bandedSignatures]] over a given postings frame (see
+    * [[minhashSignaturesFrom]]).
+    */
+  private[graft] def bandedSignaturesFrom(postings: DataFrame): DataFrame = {
+    val sigs = minhashSignaturesFrom(postings)
       .withColumn("sig", array((0 until NumHashes).map(i => col(s"h$i")): _*))
       .select("doc_id", "sig")
     val rowsPerBand = NumHashes / Bands
