@@ -120,6 +120,36 @@ object Artifacts {
     * them either.
     */
   def corpusFingerprint(spark: SparkSession, corpusDir: String): String = {
+    val now = System.currentTimeMillis()
+    val cached = fpCache.get(corpusDir)
+    if (cached != null && now - cached._2 < FpTtlMs) cached._1
+    else {
+      val fp = computeFingerprint(spark, corpusDir)
+      fpCache.put(corpusDir, (fp, now))
+      fp
+    }
+  }
+
+  /** Memoization for [[corpusFingerprint]]: read-through resolution runs
+    * once per artifact per query, and each resolution is a recursive LIST
+    * of the documents tree — at production file counts a nontrivial
+    * metadata tax multiplied across artifacts and consumers. A short TTL
+    * bounds the window in which an UN-announced in-place corpus rewrite
+    * could be served against the previous listing; an announced one
+    * (`Tables.invalidate` — already required for Spark's own file-index
+    * cache) invalidates this cache too, immediately. Immutable snapshot
+    * dirs — the 100 TB norm — are unaffected either way.
+    */
+  private val FpTtlMs = 10000L
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Drop the memoized fingerprint for `corpusDir` (called by
+    * `Tables.invalidate`, and before prune-time re-resolution).
+    */
+  def invalidateFingerprint(corpusDir: String): Unit = fpCache.remove(corpusDir)
+
+  private def computeFingerprint(spark: SparkSession, corpusDir: String): String = {
     val docs = new Path(s"$corpusDir/documents.parquet")
     val fs = docs.getFileSystem(spark.sessionState.newHadoopConf())
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -244,19 +274,27 @@ object Artifacts {
     name -> obs.get("n").asInstanceOf[Long]
   }
 
-  /** Drop committed versions of `name` whose fingerprint is not `keep`.
-    * Runs after the fresh version commits, so a reader always has
-    * either the old committed tree (before the prune) or the new one —
-    * never a half-written directory.
+  /** Drop committed versions of `name` whose fingerprint is neither
+    * `keep` nor the corpus's CURRENT fingerprint, re-resolved (cache
+    * bypassed) at prune time. Runs after the fresh version commits, so a
+    * reader always has either the old committed tree (before the prune)
+    * or the new one — never a half-written directory. The current-fp
+    * guard covers concurrent rebuild+rebuild: two writers materializing
+    * against different corpus states cannot delete each other's freshly
+    * committed version when it matches the corpus as it now stands — the
+    * loser's own version may linger (harmless: its fingerprint no longer
+    * resolves) until the next prune or [[gc]].
     */
   private def pruneStale(spark: SparkSession, corpusDir: String, name: String,
       keep: String): Unit =
     rootOpt.foreach { r =>
+      val liveFps = Set(keep, computeFingerprint(spark, corpusDir))
       val dir = new Path(s"$r/${corpusKey(corpusDir)}/$name")
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       if (fs.exists(dir))
         fs.listStatus(dir).foreach { st =>
-          if (st.isDirectory && st.getPath.getName != s"fp=$keep")
+          if (st.isDirectory &&
+              !liveFps.contains(st.getPath.getName.stripPrefix("fp=")))
             fs.delete(st.getPath, true)
         }
     }
@@ -363,6 +401,16 @@ object Artifacts {
     val fpNew = corpusFingerprint(spark, newDir)
     def pathOf(dir: String, fp: String, name: String): String =
       versionPath(dir, name, fp).get
+    // Same committed-skip guard as materialize's build: a retry after a
+    // partial failure (postings committed, a later artifact crashed) must
+    // NOT Overwrite-rewrite an already-committed fp= directory — that
+    // would delete its _SUCCESS mid-rewrite under a same-corpus reader
+    // and redo committed work.
+    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
+      val p = pathOf(newDir, fpNew, name)
+      if (isCommitted(spark, Some(p))) name -> committedCount(spark, p)
+      else write(spark, newDir, fpNew, name, compute)
+    }
     if (AllNames.forall(n => isCommitted(spark, versionPath(newDir, n, fpNew))))
       return IncrementalResult("skip",
         AllNames.map(n => n -> committedCount(spark, pathOf(newDir, fpNew, n)))
@@ -376,17 +424,14 @@ object Artifacts {
     val docsNew = Tables.documents(spark, newDir)
     val hashedNew = Checkpoints.checkpoint(
       docsNew.select(col("doc_id"), md5(col("text")).as("h")))
+    // the SHARED diff core (operators.CorpusOps.snapshotDiff) — the same
+    // definition q76/q81 expose to users, so the diff audited and the
+    // diff acted on cannot drift
     val diff = Checkpoints.checkpoint(
-      Tables.documents(spark, oldDir)
-        .select(col("doc_id"), md5(col("text")).as("h_old"))
-        .join(hashedNew.select(col("doc_id"), col("h").as("h_new")),
-          Seq("doc_id"), "full_outer")
-        .select(col("doc_id"), col("h_old"), col("h_new"),
-          when(col("h_old").isNull, "added")
-            .when(col("h_new").isNull, "removed")
-            .when(!(col("h_old") <=> col("h_new")), "changed")
-            .otherwise("unchanged").as("status"))
-        .filter(col("status") =!= "unchanged"))
+      operators.CorpusOps.snapshotDiff(
+        Tables.documents(spark, oldDir)
+          .select(col("doc_id"), md5(col("text")).as("h")),
+        hashedNew))
     val nNew = hashedNew.count()
     val byStatus = diff.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -406,7 +451,7 @@ object Artifacts {
 
     // posting index first — the keeper maintenance reads it back
     val postOld = spark.read.parquet(pathOf(oldDir, fpOld, NgramPostingsName))
-    val postings = write(spark, newDir, fpNew, NgramPostingsName,
+    val postings = buildInc(NgramPostingsName)(
       postOld.join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Dedup.shingleIndex(docsChangedNew)))
     val postNew = spark.read.parquet(pathOf(newDir, fpNew, NgramPostingsName))
@@ -418,7 +463,7 @@ object Artifacts {
       .groupBy("sh").agg(count(lit(1)).as("neg"))
     val pos = operators.CorpusOps.spanRows(docsChangedNew)
       .groupBy("sh").agg(count(lit(1)).as("pos"))
-    val counts = write(spark, newDir, fpNew, SpanCountsName,
+    val counts = buildInc(SpanCountsName)(
       spark.read.parquet(pathOf(oldDir, fpOld, SpanCountsName))
         .join(neg, Seq("sh"), "full_outer")
         .join(pos, Seq("sh"), "full_outer")
@@ -426,12 +471,12 @@ object Artifacts {
           - coalesce(col("neg"), lit(0L))
           + coalesce(col("pos"), lit(0L))).as("ndocs"))
         .filter(col("ndocs") > 0))
-    val spans = write(spark, newDir, fpNew, DupSpansName,
+    val spans = buildInc(DupSpansName)(
       operators.CorpusOps.dupSpansFromCounts(
         spark.read.parquet(pathOf(newDir, fpNew, SpanCountsName))))
 
     // band index: per-doc rows — retract and append
-    val bands = write(spark, newDir, fpNew, MinhashBandsName,
+    val bands = buildInc(MinhashBandsName)(
       spark.read.parquet(pathOf(oldDir, fpOld, MinhashBandsName))
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Dedup.bandedSignatures(docsChangedNew)))
@@ -440,7 +485,7 @@ object Artifacts {
     val (keepersNew, nAffected, nVerts) = operators.Dedup.incrementalKeepers(
       spark.read.parquet(pathOf(oldDir, fpOld, KeepersName)),
       hashedNew, diff, postOld, postNew)
-    val keepers = write(spark, newDir, fpNew, KeepersName, keepersNew)
+    val keepers = buildInc(KeepersName)(keepersNew)
     Checkpoints.releaseAll()
     IncrementalResult("incremental",
       Map(postings, counts, spans, bands, keepers),

@@ -29,8 +29,12 @@ object Tables {
     * Immutable snapshot dirs — the 100 TB norm, and what
     * `Artifacts.corpusFingerprint` keys on — never need this.
     */
-  def invalidate(sfDir: String): Unit =
+  def invalidate(sfDir: String): Unit = {
     cache.keySet().removeIf(_._2 == sfDir)
+    // the artifact layer memoizes the corpus fingerprint per dir; an
+    // in-place rewrite invalidates that listing too
+    Artifacts.invalidateFingerprint(sfDir)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

@@ -1003,17 +1003,40 @@ object CorpusOps {
     val prior = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
       .select(col("doc_id"),
         md5(when(pmod(col("doc_id"), lit(11)) === 0,
-          substring(col("text"), 1, 10)).otherwise(col("text"))).as("h_prior"))
+          substring(col("text"), 1, 10)).otherwise(col("text"))).as("h"))
     val cur = d.filter(pmod(col("doc_id"), lit(5)) =!= 3)
-      .select(col("doc_id"), md5(col("text")).as("h_cur"))
-    prior.join(cur, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("h_prior").isNull, "added")
-          .when(col("h_cur").isNull, "removed")
-          .when(!(col("h_prior") <=> col("h_cur")), "changed")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+    snapshotDiff(prior, cur)
+      .select("doc_id", "status")
+      .orderBy("doc_id")
+  }
+
+  /** The snapshot-diff CORE shared by [[q76SnapshotDiff]],
+    * [[q81IncrementalRefresh]] (via q76), and
+    * `Artifacts.materializeIncremental` — ONE definition, so the diff a
+    * user audits (q76) can never drift from the diff the artifact
+    * maintenance acts on. Inputs are `(doc_id, h)` digest frames (bodies
+    * never ship); output is `(doc_id, h_old, h_new, status)` with
+    * unchanged rows dropped.
+    *
+    * `added`/`removed` classify by full-outer-join ROW PRESENCE (explicit
+    * existence markers), not by digest nullability: a document with NULL
+    * text present in both snapshots has a NULL digest on BOTH sides and
+    * must classify as unchanged — hash-nullability classification would
+    * mislabel it `added` and its old artifact rows would never retract.
+    */
+  def snapshotDiff(prior: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prior.select(col("doc_id"), col("h").as("h_old"),
+      lit(true).as("__in_old"))
+    val c = cur.select(col("doc_id"), col("h").as("h_new"),
+      lit(true).as("__in_new"))
+    p.join(c, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("h_old"), col("h_new"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(!(col("h_old") <=> col("h_new")), "changed")
           .otherwise("unchanged").as("status"))
       .filter(col("status") =!= "unchanged")
-      .orderBy("doc_id")
   }
 
   /** q81 — incremental refresh: the q76 → q50 composition run as ONE

@@ -352,9 +352,17 @@ object Curation {
     // session conf as a planning side effect (`PlanQualitySpec` guards
     // the rewrite where it matters).
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
-    val all = Tables.documents(spark, dir)
+    val raw = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         tok.count(col("text")).cast("long").as("n_tokens"))
+    // On the zero-token route, NULL n_tokens (null text) coalesces to 0
+    // so those rows ride the zero path instead of falling between the
+    // `> 0` and `=== 0` filters (both reject null) and silently
+    // disappearing from the ledger. The non-zero-capable route keeps the
+    // raw column — its oracle-pinned value semantics include the NULL.
+    val all = if (tok.zeroTokenCapable)
+      raw.withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+    else raw
     // The band-0 rank cap below assumes every admitted row advances the
     // running sum by ≥ 1 token; a zero-token-capable tokenizer breaks
     // that (unbounded zero-cost rows can all be admissible past any
