@@ -71,10 +71,38 @@ object Artifacts {
   val NgramPostingsName = "ngram_postings"
   val SpanCountsName = "span_counts"
 
+  /** Per-document token counts, keyed by TOKENIZER ID as well as corpus
+    * fingerprint (`token_counts_<tokId>/fp=<fp>`): at 100 TB,
+    * tokenization is the single most repeated map cost in the system —
+    * q26/q41/q43/q48/q53/q57/q75 each evaluate `tok.count(text)` over a
+    * full documents scan — and a real model tokenizer (BPE over a merges
+    * table) makes that scan compute-bound. The counts are per-doc state
+    * exactly like the posting index is shingle-keyed state: built once
+    * per (snapshot, tokenizer), maintained incrementally by
+    * retract/append. The tokenizer id in the path is what makes a seam
+    * swap safe — another tokenizer's counts can never resolve.
+    */
+  val TokenCountsPrefix = "token_counts_"
+
+  def tokenCountsName(tok: functions.Tokenizer): String =
+    TokenCountsPrefix + tok.id.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The tokenizers whose count artifacts [[materialize]] builds and
+    * [[materializeIncremental]] maintains by default — the library
+    * default seam (whitespace) and the BPE-ish estimator q26 reports
+    * beside it. A production pipeline materializes its model tokenizer's
+    * counts with [[materializeTokenCounts]]; artifacts for tokenizers
+    * outside this list are NOT maintained by the incremental path — they
+    * simply stop resolving after a snapshot change (stale-safe by
+    * construction) until rematerialized.
+    */
+  val DefaultTokenizers: Seq[functions.Tokenizer] =
+    Seq(functions.Tokenizer.Whitespace, functions.Tokenizer.BpePre)
+
   /** Every artifact [[materialize]] commits, in build order. */
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
-      KeepersName)
+      KeepersName) ++ DefaultTokenizers.map(tokenCountsName)
 
   @volatile private var rootOpt: Option[String] =
     sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR")
@@ -197,26 +225,37 @@ object Artifacts {
 
   private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** The committed artifact for the corpus's CURRENT fingerprint, if one
+    * resolves — `None` under no root, never-materialized, or stale (with
+    * the stale case warned once, or thrown under [[setStrict]]). The
+    * Option shape (vs [[readOrCompute]]) exists for consumers whose
+    * inline form is a COLUMN over a scan they make anyway: wrapping such
+    * a consumer in a computed DataFrame would cost a self-join in inline
+    * mode, so they branch — artifact resolves → join it; else keep the
+    * exact inline plan.
+    */
+  private def readIfCurrent(spark: SparkSession, corpusDir: String,
+      name: String): Option[DataFrame] =
+    rootOpt.flatMap { _ =>
+      val fp = corpusFingerprint(spark, corpusDir)
+      val p = versionPath(corpusDir, name, fp).get
+      if (isCommitted(spark, Some(p))) Some(spark.read.parquet(p))
+      else {
+        if (anyVersionCommitted(spark, corpusDir, name)) {
+          val msg = s"[artifacts] $name for $corpusDir is STALE: committed " +
+            s"version(s) exist but none matches current fingerprint $fp — " +
+            "re-run Artifacts.materialize after corpus changes"
+          if (strict) throw new IllegalStateException(msg)
+          if (warned.add(s"$corpusDir/$name/$fp")) System.err.println(
+            s"$msg; falling back to inline computation")
+        }
+        None
+      }
+    }
+
   private def readOrCompute(spark: SparkSession, corpusDir: String,
       name: String)(compute: => DataFrame): DataFrame =
-    rootOpt match {
-      case Some(_) =>
-        val fp = corpusFingerprint(spark, corpusDir)
-        val p = versionPath(corpusDir, name, fp).get
-        if (isCommitted(spark, Some(p))) spark.read.parquet(p)
-        else {
-          if (anyVersionCommitted(spark, corpusDir, name)) {
-            val msg = s"[artifacts] $name for $corpusDir is STALE: committed " +
-              s"version(s) exist but none matches current fingerprint $fp — " +
-              "re-run Artifacts.materialize after corpus changes"
-            if (strict) throw new IllegalStateException(msg)
-            if (warned.add(s"$corpusDir/$name/$fp")) System.err.println(
-              s"$msg; falling back to inline computation")
-          }
-          compute
-        }
-      case None => compute
-    }
+    readIfCurrent(spark, corpusDir, name).getOrElse(compute)
 
   /** The q40 dedup-keeper assignment `(doc_id, keeper_id, is_keeper)`,
     * one row per document — read from the materialized artifact when
@@ -258,6 +297,42 @@ object Artifacts {
   private[graft] def spanCounts(spark: SparkSession, corpusDir: String): DataFrame =
     readOrCompute(spark, corpusDir, SpanCountsName)(
       operators.CorpusOps.spanCounts(Tables.documents(spark, corpusDir)))
+
+  /** The per-document token counts `(doc_id, n_tokens)` for `tok`, IF a
+    * version committed for the corpus's current fingerprint resolves
+    * (Option shape — see [[readIfCurrent]]: token-count consumers fall
+    * back to the count as a column over their own scan, not to a
+    * standalone recompute). The column's value and type are exactly
+    * `tok.count(text)`'s, nulls included, so a consumer substituting the
+    * artifact for the expression is bit-identical.
+    */
+  def tokenCounts(spark: SparkSession, corpusDir: String,
+      tok: functions.Tokenizer): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, tokenCountsName(tok))
+
+  /** The inline form of the token-count artifact. */
+  def tokenCountsFrame(docs: DataFrame, tok: functions.Tokenizer): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    docs.select(col("doc_id"), tok.count(col("text")).as("n_tokens"))
+  }
+
+  /** Build and commit the token-count artifact for ONE tokenizer (the
+    * entry point for a production tokenizer outside [[DefaultTokenizers]]).
+    * Idempotent per (corpus fingerprint, tokenizer id) like
+    * [[materialize]]. Returns the committed row count.
+    */
+  def materializeTokenCounts(spark: SparkSession, corpusDir: String,
+      tok: functions.Tokenizer): Long = {
+    require(rootOpt.nonEmpty,
+      "Artifacts.materializeTokenCounts needs a root — setRoot(...) or " +
+        "SPARK_GRAFT_ARTIFACTS_DIR")
+    val fp = corpusFingerprint(spark, corpusDir)
+    val name = tokenCountsName(tok)
+    val p = versionPath(corpusDir, name, fp).get
+    if (isCommitted(spark, Some(p))) committedCount(spark, p)
+    else write(spark, corpusDir, fp, name,
+      tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
+  }
 
   /** Write one artifact version and report its row count (observed on the
     * write itself), then prune versions for other (stale) fingerprints.
@@ -342,11 +417,15 @@ object Artifacts {
       operators.Dedup.bandedSignaturesFrom(committedPostings))
     val keepers = build(KeepersName)(
       operators.Dedup.keeperAssignmentFrom(docs, committedPostings))
+    // token counts last: cheap map-only scans, one per default tokenizer
+    val tokCounts = DefaultTokenizers.map { tok =>
+      build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
+    }
     // the keeper build's fixpoint rounds leave no pinned blocks behind,
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session
     Checkpoints.releaseAll()
-    Map(postings, counts, spans, bands, keepers)
+    (Seq(postings, counts, spans, bands, keepers) ++ tokCounts).toMap
   }
 
   /** Outcome of [[materializeIncremental]]: which path ran, the committed
@@ -486,9 +565,19 @@ object Artifacts {
       spark.read.parquet(pathOf(oldDir, fpOld, KeepersName)),
       hashedNew, diff, postOld, postNew)
     val keepers = buildInc(KeepersName)(keepersNew)
+
+    // token counts: per-doc rows — retract and append, per default
+    // tokenizer (the same shape as the band index)
+    val tokCounts = DefaultTokenizers.map { tok =>
+      val name = tokenCountsName(tok)
+      buildInc(name)(
+        spark.read.parquet(pathOf(oldDir, fpOld, name))
+          .join(dGone, Seq("doc_id"), "left_anti")
+          .unionByName(tokenCountsFrame(docsChangedNew, tok)))
+    }
     Checkpoints.releaseAll()
     IncrementalResult("incremental",
-      Map(postings, counts, spans, bands, keepers),
+      (Seq(postings, counts, spans, bands, keepers) ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

@@ -30,6 +30,19 @@ trait Tokenizer extends Serializable {
     */
   def count(text: Column): Column = size(tokens(text))
 
+  /** Stable identifier keying tokenizer-derived corpus state — the
+    * token-count artifact commits under a path containing this id, so
+    * one tokenizer's standing counts can never be served to another.
+    * The default derives from the concrete class name (stable across
+    * sessions for a named implementation); production tokenizers should
+    * override with an explicit VERSIONED id (e.g. "llama3_bpe_v1") —
+    * any change to counting semantics must change the id, or stale
+    * counts would keep resolving.
+    */
+  def id: String =
+    getClass.getName.replaceAll("[^A-Za-z0-9]+", "_")
+      .stripPrefix("_").stripSuffix("_")
+
   /** Whether this tokenizer can return ZERO tokens for some input.
     * Token-mass operators whose pruning math assumes every document
     * costs at least one token (`Curation.tokenBudgetBanded`'s band-0
@@ -50,6 +63,7 @@ object Tokenizer {
     */
   object Whitespace extends Tokenizer {
     override def tokens(text: Column): Column = split(text, "\\s+")
+    override def id: String = "ws"
     // split() yields at least one element for any non-null input
     override def zeroTokenCapable: Boolean = false
   }
@@ -64,6 +78,7 @@ object Tokenizer {
     private val Re = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
     override def tokens(text: Column): Column =
       regexp_extract_all(text, lit(Re), lit(0))
+    override def id: String = "bpe_pre"
   }
 
   /** Real byte-pair encoding against a merges table ([[BpeEncode]], the
@@ -78,6 +93,13 @@ object Tokenizer {
     override def tokens(text: Column): Column =
       org.apache.spark.sql.GraftSqlBridge.column(
         BpeEncode(org.apache.spark.sql.GraftSqlBridge.expression(text), merges))
+    // id digests the merges table: two Bpe instances count identically
+    // iff their merges match, and a changed vocabulary changes the id
+    override val id: String = "bpe_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(merges.map(m => m._1 + " " + m._2).mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
   }
 
   /** Fixture merges table: high-frequency English digraph/trigraph

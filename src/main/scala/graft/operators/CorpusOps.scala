@@ -262,13 +262,18 @@ object CorpusOps {
       rangeWidth: Long,
       tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
       : DataFrame = {
-    val d = Tables.documents(spark, dir)
     val shard = pmod(org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(
           col("doc_id").cast("string")))), lit(PackShards.toLong)).cast("int")
-    val sized = d.select(col("doc_id"), shard.as("shard"),
-      tok.count(col("text")).as("n_tokens"),
+    // every input column derives from (doc_id, n_tokens), so when the
+    // token-count artifact resolves this operator runs ENTIRELY off the
+    // standing state — zero documents scan
+    val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tok.count(col("text")).as("n_tokens")))
+    val sized = counts.select(col("doc_id"), shard.as("shard"),
+      col("n_tokens"),
       expr(s"doc_id DIV $rangeWidth").as("rng"))
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val baseW = org.apache.spark.sql.expressions.Window
@@ -602,10 +607,20 @@ object CorpusOps {
   def mixtureWeights(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
-    val strata = Tables.documents(spark, dir)
+    // artifact mode scans only (doc_id, lang, source) — token mass joins
+    // in from the standing counts at doc grain, then aggregates away
+    val docTokens = graft.Artifacts.tokenCounts(spark, dir, tok) match {
+      case Some(tc) => Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source")
+        .join(tc, "doc_id")
+      case None => Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          tok.count(col("text")).as("n_tokens"))
+    }
+    val strata = docTokens
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(tok.count(col("text")).cast("long")).as("n_tokens"))
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
     val totals = strata.agg(
       sum("n_docs").as("total_docs"), count(lit(1)).as("n_strata"))
     strata.crossJoin(broadcast(totals))
@@ -703,9 +718,16 @@ object CorpusOps {
   def lengthQuantiles(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
-    val n = tok.count(col("text")).cast("double")
-    Tables.documents(spark, dir)
-      .select(col("source"), n.as("n_tokens"))
+    val sized = graft.Artifacts.tokenCounts(spark, dir, tok) match {
+      case Some(tc) => Tables.documents(spark, dir)
+        .select("doc_id", "source")
+        .join(tc, "doc_id")
+        .select(col("source"), col("n_tokens").cast("double").as("n_tokens"))
+      case None => Tables.documents(spark, dir)
+        .select(col("source"),
+          tok.count(col("text")).cast("double").as("n_tokens"))
+    }
+    sized
       .groupBy("source")
       .agg(
         round6(expr("percentile(n_tokens, 0.5)")).as("p50"),

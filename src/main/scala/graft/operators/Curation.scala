@@ -53,11 +53,23 @@ object Curation {
     val distinctSh = size(Dedup.shingles3(toks))
     val repetition = round6(when(totalSh > 0,
       lit(1.0) - distinctSh.cast("double") / totalSh).otherwise(0.0))
-    val signals = d.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      repetition.as("repetition_ratio"),
-      TextAnalysis.langPred(col("text")).as("pred_lang"))
+    // n_tokens reads through the token-count artifact when one resolves
+    // (the repetition/lang signals still scan text, so at THIS query's
+    // shape the win is the tokenizer's count cost, not the scan — a real
+    // BPE seam makes that the dominant term); inline mode keeps the
+    // single-pass column form
+    val signals = graft.Artifacts.tokenCounts(spark, dir, tok) match {
+      case Some(tc) => d.select(
+          col("doc_id"),
+          repetition.as("repetition_ratio"),
+          TextAnalysis.langPred(col("text")).as("pred_lang"))
+        .join(tc, "doc_id")
+      case None => d.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        repetition.as("repetition_ratio"),
+        TextAnalysis.langPred(col("text")).as("pred_lang"))
+    }
     // served from the materialized corpus artifact when one exists —
     // the funnel's only expensive subtree becomes a parquet join
     val keepers = graft.Artifacts.keepers(spark, dir)
@@ -352,9 +364,19 @@ object Curation {
     // session conf as a planning side effect (`PlanQualitySpec` guards
     // the rewrite where it matters).
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
-    val raw = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"),
-        tok.count(col("text")).cast("long").as("n_tokens"))
+    // token mass from the standing artifact when one resolves: the scan
+    // side then reads only (doc_id, source) — no text bytes, no
+    // tokenizer evaluation
+    val raw = graft.Artifacts.tokenCounts(spark, dir, tok) match {
+      case Some(tc) => Tables.documents(spark, dir)
+        .select("doc_id", "source")
+        .join(tc, "doc_id")
+        .select(col("doc_id"), col("source"),
+          col("n_tokens").cast("long").as("n_tokens"))
+      case None => Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          tok.count(col("text")).cast("long").as("n_tokens"))
+    }
     // On the zero-token route, NULL n_tokens (null text) coalesces to 0
     // so those rows ride the zero path instead of falling between the
     // `> 0` and `=== 0` filters (both reject null) and silently

@@ -133,11 +133,23 @@ object TextAnalysis {
     */
   def tokenCounts(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    d.select(col("doc_id"),
-        tok.count(col("text")).as("ws_tokens"),
-        graft.functions.Tokenizer.BpePre.count(col("text")).as("bpe_tokens"))
-      .orderBy("doc_id")
+    val bpe = graft.functions.Tokenizer.BpePre
+    // artifact mode: both count columns are standing per-doc state — the
+    // document TEXT is never scanned, let alone tokenized twice
+    (graft.Artifacts.tokenCounts(spark, dir, tok),
+      graft.Artifacts.tokenCounts(spark, dir, bpe)) match {
+      case (Some(tc), Some(bc)) =>
+        tc.select(col("doc_id"), col("n_tokens").as("ws_tokens"))
+          .join(bc.select(col("doc_id"), col("n_tokens").as("bpe_tokens")),
+            "doc_id")
+          .orderBy("doc_id")
+      case _ =>
+        val d = Tables.documents(spark, dir)
+        d.select(col("doc_id"),
+            tok.count(col("text")).as("ws_tokens"),
+            bpe.count(col("text")).as("bpe_tokens"))
+          .orderBy("doc_id")
+    }
   }
 
   val q26OracleSql: String =

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Similarity}
+import graft.operators.{CorpusAudit, CorpusOps, Curation, Dedup, Similarity, TextAnalysis}
 
 /** The materialized-artifact contract: every consumer of the keeper /
   * band-index artifacts returns EXACTLY the rows its inline computation
@@ -25,7 +25,13 @@ class ArtifactsSpec extends SparkSpec {
     "q50_incremental_dedup" -> (CorpusOps.q50IncrementalDedup _),
     "q54_dup_spans" -> (CorpusOps.q54DupSpans _),
     "q59_dup_strip" -> (CorpusOps.q59DupStrip _),
-    "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _))
+    "q67_source_dup_burden" -> (CorpusAudit.q67SourceDupBurden _),
+    // token-count artifact consumers
+    "q26_token_count" -> (TextAnalysis.q26TokenCount _),
+    "q48_sequence_pack" -> (CorpusOps.q48SequencePack _),
+    "q53_mixture_weights" -> (CorpusOps.q53MixtureWeights _),
+    "q57_length_quantiles" -> (CorpusOps.q57LengthQuantiles _),
+    "q75_token_budget" -> (Curation.q75TokenBudget _))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)
@@ -162,6 +168,68 @@ class ArtifactsSpec extends SparkSpec {
     } finally {
       Artifacts.clearRoot()
       deleteRecursively(tmp)
+    }
+  }
+
+  test("token counts are tokenizer-keyed: a swapped tokenizer never reads another's artifact") {
+    import org.apache.spark.sql.functions.col
+    val ws = graft.functions.Tokenizer.Whitespace
+    val bpe = graft.functions.Tokenizer.BpePre
+    val fixture = graft.functions.Tokenizer.BpeFixture
+    // inline references, computed with NO root configured
+    Artifacts.clearRoot()
+    val docs = Tables.documents(spark, sf)
+    def inline(t: graft.functions.Tokenizer): Seq[String] =
+      rows(Artifacts.tokenCountsFrame(docs, t).orderBy("doc_id"))
+    val inlineQ26Fixture = rows(operators.TextAnalysis.tokenCounts(spark, sf, fixture))
+    val inlineQ48Fixture = rows(operators.CorpusOps.packSequences(spark, sf, fixture))
+    val tmp = Files.createTempDirectory("graft-artifacts-tok").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      val counts = Artifacts.materialize(spark, sf)
+      // both default tokenizers committed, each ≡ its inline form
+      Seq(ws, bpe).foreach { t =>
+        val name = Artifacts.tokenCountsName(t)
+        assert(counts.contains(name), counts)
+        val art = Artifacts.tokenCounts(spark, sf, t)
+        assert(art.isDefined, s"$name not served")
+        assert(rows(art.get.orderBy("doc_id")) == inline(t),
+          s"$name drifted from inline")
+      }
+      // a NON-materialized tokenizer must not resolve — the id is in the
+      // path, so ws counts can never masquerade as fixture counts
+      assert(fixture.id != ws.id && fixture.id != bpe.id)
+      assert(Artifacts.tokenCounts(spark, sf, fixture).isEmpty,
+        "unmaterialized tokenizer resolved an artifact")
+      // consumers under the swapped tokenizer fall back inline and match
+      assert(rows(operators.CorpusOps.packSequences(spark, sf, fixture)) ==
+        inlineQ48Fixture)
+      // materializing the swapped tokenizer's counts flips its consumers
+      // to artifact mode with identical rows
+      Artifacts.materializeTokenCounts(spark, sf, fixture)
+      val art = Artifacts.tokenCounts(spark, sf, fixture)
+      assert(art.isDefined)
+      assert(rows(art.get.orderBy("doc_id")) == inline(fixture))
+      assert(rows(operators.TextAnalysis.tokenCounts(spark, sf, fixture)) ==
+        inlineQ26Fixture)
+      assert(rows(operators.CorpusOps.packSequences(spark, sf, fixture)) ==
+        inlineQ48Fixture)
+      // and the artifact-mode q48 plan runs off the standing state —
+      // ZERO documents scans (every input column derives from the
+      // token-count artifact)
+      val df = operators.CorpusOps.packSequences(spark, sf, fixture)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains(tmp.getName), "q48 plan does not read the artifact root")
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0,
+        s"artifact-mode q48 still scans documents $docScans times")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
     }
   }
 

@@ -30,7 +30,9 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.SpanCountsName -> rows(CorpusOps.spanCounts(docs)),
       Artifacts.DupSpansName -> rows(CorpusOps.dupSpanSet(spark, dir)),
       Artifacts.MinhashBandsName -> rows(Dedup.bandedSignatures(docs)),
-      Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)))
+      Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir))) ++
+      Artifacts.DefaultTokenizers.map(t =>
+        Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t)))
     Checkpoints.releaseAll()
     out
   }

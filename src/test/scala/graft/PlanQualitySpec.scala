@@ -203,6 +203,50 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: token-count consumers read standing counts, not the text") {
+    // q48's inputs all derive from (doc_id, n_tokens): in artifact mode
+    // its plan must contain NO documents scan at all. q26 reads two
+    // count artifacts — same property. q75 still scans (doc_id, source)
+    // but its scan must not read the text column (pruned schema).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tokguard").toFile
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+          "q48" -> (graft.operators.CorpusOps.q48SequencePack _),
+          "q26" -> (TextAnalysis.q26TokenCount _))) {
+        val df = q(spark, sf)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        val docScans = p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains("documents"))
+        assert(docScans == 0,
+          s"$name artifact-mode plan still scans documents $docScans times")
+      }
+      val q75 = graft.operators.Curation.q75TokenBudget(spark, sf)
+      q75.collect()
+      val p75 = q75.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p75.contains(tmp.getName))
+      val textScans = p75.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans == 0,
+        "q75 artifact-mode scan still reads the text column")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
