@@ -71,6 +71,21 @@ object Artifacts {
   val NgramPostingsName = "ngram_postings"
   val SpanCountsName = "span_counts"
 
+  /** Per-document distinct 8-gram shingles `(doc_id, sh)` — the decontam
+    * family's index (q47/q55/q60 each re-derived it inline per query;
+    * q60 was among the most expensive queries for exactly that reason).
+    * Same artifact pattern as the 3-gram postings, different n.
+    */
+  val Shingles8Name = "shingles8"
+
+  /** Per-(source, token) frequency index `(source, token, n)` — q77's
+    * join input; q61's corpus-wide counts re-aggregate from it.
+    * Maintained incrementally by ± count deltas (a re-aggregation over
+    * old ∪ −gone ∪ +new, which is null-key-safe where a full-outer join
+    * on a nullable source column would not be).
+    */
+  val TokenFreqName = "token_freq"
+
   /** Per-document token counts, keyed by TOKENIZER ID as well as corpus
     * fingerprint (`token_counts_<tokId>/fp=<fp>`): at 100 TB,
     * tokenization is the single most repeated map cost in the system —
@@ -102,7 +117,8 @@ object Artifacts {
   /** Every artifact [[materialize]] commits, in build order. */
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
-      KeepersName) ++ DefaultTokenizers.map(tokenCountsName)
+      KeepersName, Shingles8Name, TokenFreqName) ++
+      DefaultTokenizers.map(tokenCountsName)
 
   @volatile private var rootOpt: Option[String] =
     sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR")
@@ -298,6 +314,24 @@ object Artifacts {
     readOrCompute(spark, corpusDir, SpanCountsName)(
       operators.CorpusOps.spanCounts(Tables.documents(spark, corpusDir)))
 
+  /** The per-document distinct 8-gram shingle rows `(doc_id, sh)` — read
+    * from the materialized artifact when fresh, else computed inline
+    * (tokenize + shingle kernel over the documents scan). Consumers
+    * treat this as a standalone subtree, so the DataFrame shape (not
+    * Option) is right here.
+    */
+  def shingles8(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, Shingles8Name)(
+      operators.CorpusOps.docShingles8(Tables.documents(spark, corpusDir)))
+
+  /** The `(source, token, n)` frequency index, IF a version committed for
+    * the corpus's current fingerprint resolves (Option shape — the
+    * inline fallback wants a checkpoint the artifact read does not,
+    * so the consumer decides).
+    */
+  def tokenFreq(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, TokenFreqName)
+
   /** The per-document token counts `(doc_id, n_tokens)` for `tok`, IF a
     * version committed for the corpus's current fingerprint resolves
     * (Option shape — see [[readIfCurrent]]: token-count consumers fall
@@ -417,6 +451,8 @@ object Artifacts {
       operators.Dedup.bandedSignaturesFrom(committedPostings))
     val keepers = build(KeepersName)(
       operators.Dedup.keeperAssignmentFrom(docs, committedPostings))
+    val sh8 = build(Shingles8Name)(operators.CorpusOps.docShingles8(docs))
+    val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -425,7 +461,8 @@ object Artifacts {
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session
     Checkpoints.releaseAll()
-    (Seq(postings, counts, spans, bands, keepers) ++ tokCounts).toMap
+    (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq) ++
+      tokCounts).toMap
   }
 
   /** Outcome of [[materializeIncremental]]: which path ran, the committed
@@ -566,6 +603,23 @@ object Artifacts {
       hashedNew, diff, postOld, postNew)
     val keepers = buildInc(KeepersName)(keepersNew)
 
+    // 8-gram shingles: per-doc rows — retract and append
+    val sh8 = buildInc(Shingles8Name)(
+      spark.read.parquet(pathOf(oldDir, fpOld, Shingles8Name))
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.CorpusOps.docShingles8(docsChangedNew)))
+
+    // token-frequency index: ± count deltas re-aggregated (union-based,
+    // not a full-outer join — a nullable source column would break join
+    // matching on null keys, where groupBy groups them correctly)
+    val tokFreq = buildInc(TokenFreqName)(
+      spark.read.parquet(pathOf(oldDir, fpOld, TokenFreqName))
+        .unionByName(operators.CorpusOps.tokenFreqRows(docsGoneOld)
+          .select(col("source"), col("token"), (-col("n")).as("n")))
+        .unionByName(operators.CorpusOps.tokenFreqRows(docsChangedNew))
+        .groupBy("source", "token").agg(sum("n").as("n"))
+        .filter(col("n") > 0))
+
     // token counts: per-doc rows — retract and append, per default
     // tokenizer (the same shape as the band index)
     val tokCounts = DefaultTokenizers.map { tok =>
@@ -577,7 +631,8 @@ object Artifacts {
     }
     Checkpoints.releaseAll()
     IncrementalResult("incremental",
-      (Seq(postings, counts, spans, bands, keepers) ++ tokCounts).toMap,
+      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq) ++
+        tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

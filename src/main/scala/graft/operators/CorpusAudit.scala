@@ -32,17 +32,22 @@ object CorpusAudit {
     * 3-pair aggregate. The totals join is a 3-row broadcast.
     */
   def q60SplitOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // idx feeds the totals aggregate AND both self-join sides. Inline
+    // mode pins it with a checkpoint — without one the corpus-wide
+    // tokenize+shingle+distinct pass runs three times (the Dedup
+    // edge-list pattern). Artifact mode reads the standing shingles8
+    // rows instead (split is a pure function of doc_id) and deliberately
+    // does NOT checkpoint: re-scanning the columnar artifact under each
+    // consumer's partial aggregate is cheaper at scale than pinning a
+    // corpus-sized distinct set in executor storage.
+    val shingleRows = graft.Artifacts.shingles8(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
-    // materialized once: idx feeds the totals aggregate AND both self-
-    // join sides, whose differing aliases defeat exchange reuse — without
-    // the checkpoint the corpus-wide tokenize+shingle+distinct pass runs
-    // three times (the Dedup edge-list pattern)
-    val idx = graft.Checkpoints.checkpoint(
-      d.select(col("split"),
-          explode(CorpusOps.shinglesN(Dedup.tokens(col("text")),
-            CorpusOps.DecontamN)).as("sh"))
-        .distinct())
+      .select(col("split"), col("sh"))
+      .distinct()
+    val idx =
+      if (graft.Artifacts.isMaterialized(spark, dir, graft.Artifacts.Shingles8Name))
+        shingleRows
+      else graft.Checkpoints.checkpoint(shingleRows)
     val totals = idx.groupBy("split").agg(count(lit(1)).as("n"))
     val a = idx.select(col("split").as("split_a"), col("sh"))
     val b = idx.select(col("split").as("split_b"), col("sh"))
@@ -106,9 +111,16 @@ object CorpusAudit {
     * broadcast.
     */
   def q61VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .select(explode(Dedup.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n"))
+    // corpus-wide token counts re-aggregate from the standing
+    // (source, token, n) artifact when one resolves — the source
+    // dimension sums away exactly (every document row carries its
+    // source value, null included, so the re-aggregation loses nothing)
+    val counts = graft.Artifacts.tokenFreq(spark, dir) match {
+      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
+      case None => Tables.documents(spark, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }
     val total = counts.agg(sum("n").as("total"))
     val top = counts.orderBy(desc("n"), asc("token")).limit(VocabTopK)
     val w = org.apache.spark.sql.expressions.Window
@@ -439,10 +451,12 @@ object CorpusAudit {
     * both join sides.
     */
   def q77SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val idx = graft.Checkpoints.checkpoint(
-      Tables.documents(spark, dir)
-        .select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("source", "token").agg(count(lit(1)).as("n")))
+    // the (source, token, n) index is a standing artifact when one
+    // resolves (a parquet read feeds all three consumers — no checkpoint
+    // needed); inline mode derives and pins it as before
+    val idx = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(
+        CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
     val norms = idx.groupBy("source").agg(
       count(lit(1)).as("vocab"),
       sum(col("n") * col("n")).as("sumsq"))

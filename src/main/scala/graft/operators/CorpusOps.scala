@@ -39,6 +39,23 @@ object CorpusOps {
     */
   private val MaxBroadcastShingles = 5000000L
 
+  /** Per-document DISTINCT [[DecontamN]]-gram shingle rows `(doc_id, sh)`
+    * — the inline form of the `shingles8` corpus artifact. The decontam
+    * family (q47/q55/q60) each re-derived this index per query; it is
+    * per-doc state like the 3-gram postings, one level up in n.
+    */
+  private[graft] def docShingles8(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shinglesN(Dedup.tokens(col("text")), DecontamN)).as("sh"))
+
+  /** Per-(source, token) frequency index `(source, token, n)` — the
+    * inline form of the `token_freq` corpus artifact (q77's join input;
+    * q61's corpus-wide counts re-aggregate from it).
+    */
+  private[graft] def tokenFreqRows(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("n"))
+
   /** Broadcast-hint `evalShingles` only when it is actually
     * broadcast-sized. The eval set is localCheckpoint'ed FIRST, so the
     * size probe's evaluation is the same materialization the join then
@@ -71,12 +88,17 @@ object CorpusOps {
       maxBroadcast: Long): DataFrame = {
     val d = Tables.documents(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
-    def shingleRows(df: DataFrame): DataFrame =
-      df.select(col("doc_id"),
-        explode(shinglesN(Dedup.tokens(col("text")), DecontamN)).as("sh"))
-    val evalShingles = shingleRows(d.filter(col("split") === "test"))
+    // per-doc shingle rows from the standing artifact when one resolves
+    // (no tokenize, no shingle kernel); the split label is a pure
+    // function of doc_id, so it attaches to the artifact rows directly —
+    // and in inline mode Catalyst pushes the split filters below the
+    // shingle explode (predicates referencing only non-generated
+    // columns), keeping the pre-artifact plan
+    val sh = graft.Artifacts.shingles8(spark, dir)
+      .withColumn("split", Curation.splitOf(col("doc_id")))
+    val evalShingles = sh.filter(col("split") === "test")
       .select("sh").distinct()
-    val hits = shingleRows(d.filter(col("split") === "train"))
+    val hits = sh.filter(col("split") === "train")
       .join(maybeBroadcast(evalShingles, maxBroadcast), "sh")
       // shingles are distinct within a doc, so count(*) = distinct count
       .groupBy("doc_id").agg(count(lit(1)).as("n_eval_shingles"))
@@ -141,8 +163,14 @@ object CorpusOps {
       graft.functions.NgramShinglesAll(
         org.apache.spark.sql.GraftSqlBridge.expression(
           Dedup.tokens(col("text"))), DecontamN))
-    val evalShingles = d.filter(col("split") === "test")
-      .select(explode(posSh).as("sh")).distinct()
+    // eval side from the standing artifact (the positional variant above
+    // differs only in keeping duplicates/order, so its distinct set is
+    // the artifact's row set); the train side needs POSITIONS and keeps
+    // the inline positional kernel
+    val evalShingles = graft.Artifacts.shingles8(spark, dir)
+      .withColumn("split", Curation.splitOf(col("doc_id")))
+      .filter(col("split") === "test")
+      .select("sh").distinct()
     // n_tokens rides along the positional explode (first() per doc), so
     // the train corpus is scanned and tokenized ONCE — a join back to a
     // second documents scan would re-run the tokenizer over every train

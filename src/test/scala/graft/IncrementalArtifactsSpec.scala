@@ -30,7 +30,9 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.SpanCountsName -> rows(CorpusOps.spanCounts(docs)),
       Artifacts.DupSpansName -> rows(CorpusOps.dupSpanSet(spark, dir)),
       Artifacts.MinhashBandsName -> rows(Dedup.bandedSignatures(docs)),
-      Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir))) ++
+      Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)),
+      Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
+      Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t)))
     Checkpoints.releaseAll()
@@ -126,6 +128,7 @@ class IncrementalArtifactsSpec extends SparkSpec {
       import spark.implicits._
       val docs = (1 to 70).map(i => (i.toLong, s"aaa bbb ccc ddd unique$i"))
         .toDF("doc_id", "text")
+        .withColumn("source", lit("s")) // token_freq artifact needs it
       docs.write.parquet(s"$oldDir/documents.parquet")
       docs.filter(col("doc_id") <= 64)
         .write.parquet(s"$newDir/documents.parquet")
@@ -175,6 +178,7 @@ class IncrementalArtifactsSpec extends SparkSpec {
       import spark.implicits._
       val docs = (1 to 1000).map(i =>
         (i.toLong, s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")).toDF("doc_id", "text")
+        .withColumn("source", lit("s")) // token_freq artifact needs it
       docs.write.parquet(s"$oldDir/documents.parquet")
       val changed = Set(10L, 20L, 30L, 40L, 50L)
       val removed = Set(7L, 77L, 777L)
@@ -183,7 +187,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
           when(col("doc_id").isin(changed.toSeq: _*),
             concat(col("text"), lit(" xtra"))).otherwise(col("text")))
         .unionByName(Seq((5001L, "n1 n2 n3 n4 n5 n6"),
-          (5002L, "m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text"))
+          (5002L, "m1 m2 m3 m4 m5 m6")).toDF("doc_id", "text")
+          .withColumn("source", lit("s")))
         .write.parquet(s"$newDir/documents.parquet")
 
       Artifacts.setRoot(tmpRoot.getAbsolutePath)

@@ -247,6 +247,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: decontam/overlap family reads the standing indexes") {
+    // q60 and q77 derive ENTIRELY from the shingles8 / token_freq
+    // artifacts (split and source ride the index rows) — zero documents
+    // scans; q47 keeps one pruned scan for the train id ledger but its
+    // shingle sides must come from the artifact.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-declguard").toFile
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    def docScans(p: String): Int = p.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents"))
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      for ((name, q, maxScans) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, Int)](
+          ("q60", graft.operators.CorpusAudit.q60SplitOverlap _, 0),
+          ("q77", graft.operators.CorpusAudit.q77SourceOverlap _, 0),
+          ("q47", graft.operators.CorpusOps.q47Decontaminate _, 1))) {
+        val p = finalPlan(q(spark, sf))
+        Checkpoints.releaseAll()
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        assert(docScans(p) <= maxScans,
+          s"$name artifact-mode plan scans documents ${docScans(p)} times (max $maxScans)")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
