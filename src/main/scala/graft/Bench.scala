@@ -39,6 +39,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the build cost is reported transparently as `artifact_build_sec`.
   *     `SPARK_GRAFT_NO_ARTIFACTS=1` opts out (every query then rebuilds
   *     its expensive subtrees inline, the pre-round-8 posture).
+  *   - Noise defense: a fixed data-independent calibration probe runs
+  *     (median-of-3) right after warmup and again after the sweep;
+  *     `calibration_first_sec`/`calibration_last_sec`/`calibration_drift`
+  *     ride in the JSON with a `noisy` flag at >2× drift, and
+  *     `total_min`/`queries_min` report the least load-contaminated
+  *     observation beside the median — a loaded machine is adjudicable
+  *     from the artifact alone (round 9's official numbers were ~40%
+  *     machine noise, provable only by shuffle-byte forensics).
   *   - Per-query resource fields ride next to the timings: all three raw
   *     run times (`runs`), plus shuffle read/write bytes, peak storage
   *     bytes, GC ms, and spill bytes from the MEDIAN run
@@ -58,6 +66,26 @@ object Bench {
   private final case class Timed(runs: Seq[Double],
       metrics: BenchMetricsListener.Snapshot) {
     def median: Double = runs.sorted.apply(runs.size / 2)
+    def min: Double = runs.min
+  }
+
+  /** Fixed CPU-bound calibration probe: the same data-independent work
+    * every call (a wide range-sum through codegen), so its timing moves
+    * ONLY with machine load. Median of 3. Run after warmup and again
+    * after the timed sweep: their ratio is the in-run load drift, and
+    * the absolute numbers let a cross-round reader normalize — round 9's
+    * official bench was ~40% machine noise and only byte-level shuffle
+    * forensics could prove it; these fields make the artifact
+    * self-adjudicating.
+    */
+  private def calibrate(spark: SparkSession, parallelism: Int): Double = {
+    val runs = Seq.fill(3) {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1, parallelism)
+        .selectExpr("sum(id % 2654435761)").collect() // mod keeps the ANSI sum in long range
+      (System.nanoTime() - t0) / 1e9
+    }
+    runs.sorted.apply(1)
   }
 
   def main(args: Array[String]): Unit = {
@@ -114,6 +142,10 @@ object Bench {
       try materialize(fn(spark, sfDir)) catch { case _: Throwable => () }
       Checkpoints.releaseAll(blocking = true)
     }
+    // calibration probe AFTER warmup (JIT settled), before any timing —
+    // and again after the sweep; see calibrate()
+    calibrate(spark, cpus.toInt) // untimed probe warmup
+    val calFirst = calibrate(spark, cpus.toInt)
     val results: Seq[(String, Either[String, Timed])] =
       ordered.map { case (name, fn) =>
         val timed =
@@ -143,6 +175,8 @@ object Bench {
           }
         name -> timed
       }
+    val calLast = calibrate(spark, cpus.toInt)
+    val calDrift = calLast / calFirst
     def numMap(f: Timed => String): String = results.collect {
       case (k, Right(t)) => "\"" + k + "\":" + f(t)
     }.mkString("{", ",", "}")
@@ -151,6 +185,10 @@ object Bench {
       case (k, Left(_)) => "\"" + k + "\":-1.0"
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, Right(t)) => t.median }.sum
+    // min-of-3 beside the median: the min is the least load-contaminated
+    // observation of the same full work, so median/min spread quantifies
+    // in-sweep noise per query without any rerun
+    val totalMin = results.collect { case (_, Right(t)) => t.min }.sum
     val errJson =
       if (errors.isEmpty) ""
       else errors.map { case (k, v) =>
@@ -161,6 +199,12 @@ object Bench {
       }.mkString(",\"errors\":{", ",", "}")
     val extras =
       s""","artifact_build_sec":$artifactSec""" +
+        s""","total_min":$totalMin""" +
+        s""","queries_min":${numMap(_.min.toString)}""" +
+        s""","calibration_first_sec":$calFirst""" +
+        s""","calibration_last_sec":$calLast""" +
+        s""","calibration_drift":$calDrift""" +
+        s""","noisy":${calDrift > 2.0 || calDrift < 0.5}""" +
         s""","runs":${numMap(_.runs.mkString("[", ",", "]"))}""" +
         s""","shuffle_read_bytes":${numMap(_.metrics.shuffleRead.toString)}""" +
         s""","shuffle_write_bytes":${numMap(_.metrics.shuffleWrite.toString)}""" +

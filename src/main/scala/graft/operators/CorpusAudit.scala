@@ -26,39 +26,47 @@ object CorpusAudit {
     * answers the release-gate question "how entangled are the splits at
     * all" — the number a corpus card reports.
     *
-    * Scale shape: one (split, shingle) distinct (map-side partial), one
-    * self-equi-join on the shingle — fan-out bounded at 3 rows per
-    * shingle (a shingle appears at most once per split), then a
-    * 3-pair aggregate. The totals join is a 3-row broadcast.
+    * Scale shape: ONE shuffle — per-shingle membership flags (which of
+    * the three splits contain it) via groupBy(sh) with max-flags (no
+    * pre-distinct needed: max absorbs duplicate docs), then a scalar
+    * aggregate over the flag products gives every pairwise intersection
+    * and every per-split total in a single row. No shingle-keyed
+    * self-join, no pinned distinct set — the corpus-scale state flows
+    * through exactly once, from the standing shingles8 artifact when one
+    * resolves (split is a pure function of doc_id) or the inline
+    * tokenize+shingle pass otherwise.
     */
   def q60SplitOverlap(spark: SparkSession, dir: String): DataFrame = {
-    // idx feeds the totals aggregate AND both self-join sides. Inline
-    // mode pins it with a checkpoint — without one the corpus-wide
-    // tokenize+shingle+distinct pass runs three times (the Dedup
-    // edge-list pattern). Artifact mode reads the standing shingles8
-    // rows instead (split is a pure function of doc_id) and deliberately
-    // does NOT checkpoint: re-scanning the columnar artifact under each
-    // consumer's partial aggregate is cheaper at scale than pinning a
-    // corpus-sized distinct set in executor storage.
-    val shingleRows = graft.Artifacts.shingles8(spark, dir)
+    val sh = graft.Artifacts.shingles8(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
-      .select(col("split"), col("sh"))
-      .distinct()
-    val idx =
-      if (graft.Artifacts.isMaterialized(spark, dir, graft.Artifacts.Shingles8Name))
-        shingleRows
-      else graft.Checkpoints.checkpoint(shingleRows)
-    val totals = idx.groupBy("split").agg(count(lit(1)).as("n"))
-    val a = idx.select(col("split").as("split_a"), col("sh"))
-    val b = idx.select(col("split").as("split_b"), col("sh"))
-    a.join(b, "sh")
-      .filter(col("split_a") < col("split_b"))
-      .groupBy("split_a", "split_b")
-      .agg(count(lit(1)).as("shared_shingles"))
-      .join(broadcast(totals.select(col("split").as("split_a"),
-        col("n").as("shingles_a"))), "split_a")
-      .join(broadcast(totals.select(col("split").as("split_b"),
-        col("n").as("shingles_b"))), "split_b")
+    def flag(s: String) =
+      max(when(col("split") === s, 1L).otherwise(0L)).as(s"in_$s")
+    val flags = sh.groupBy("sh")
+      .agg(flag("train"), flag("val"), flag("test"))
+    val totals = flags.agg(
+      sum("in_train").as("n_train"), sum("in_val").as("n_val"),
+      sum("in_test").as("n_test"),
+      sum(col("in_test") * col("in_train")).as("s_test_train"),
+      sum(col("in_test") * col("in_val")).as("s_test_val"),
+      sum(col("in_train") * col("in_val")).as("s_train_val"))
+    // the three pair rows explode out of the ONE aggregate row (a union
+    // of three selects would re-run the corpus-wide aggregation per
+    // branch); lexicographic pair order (test < train < val) matches the
+    // old self-join's split_a < split_b convention
+    def pair(a: String, b: String, na: String, nb: String, s: String) =
+      struct(lit(a).as("split_a"), lit(b).as("split_b"),
+        col(na).as("shingles_a"), col(nb).as("shingles_b"),
+        col(s).as("shared_shingles"))
+    totals
+      .select(explode(array(
+        pair("test", "train", "n_test", "n_train", "s_test_train"),
+        pair("test", "val", "n_test", "n_val", "s_test_val"),
+        pair("train", "val", "n_train", "n_val", "s_train_val"))).as("p"))
+      .select("p.*")
+      // the old inner self-join emitted a pair only when it shared at
+      // least one shingle; empty-split pairs (and the empty corpus,
+      // where the sums are NULL) drop the same way
+      .filter(col("shared_shingles") > 0)
       .select(col("split_a"), col("split_b"),
         col("shingles_a"), col("shingles_b"), col("shared_shingles"),
         round6(col("shared_shingles").cast("double") /
