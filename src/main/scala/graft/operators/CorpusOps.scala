@@ -1111,6 +1111,48 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** The diff-driven re-verdict over REAL snapshot directories (q81's
+    * shape generalized from its single-table demo): documents
+    * added/changed between `oldDir` and `newDir` are dedup-verdicted
+    * against the standing corpus (the new snapshot minus the incoming
+    * set). Runs off `newDir`'s band-index artifact when one is
+    * materialized, inline otherwise — the composed [[refreshSnapshot]]
+    * maintains that artifact first, so its verdict pass always reads
+    * standing state.
+    */
+  def refreshVerdicts(spark: SparkSession, oldDir: String,
+      newDir: String): DataFrame = {
+    val incoming = snapshotDiff(
+        Tables.documents(spark, oldDir)
+          .select(col("doc_id"), md5(col("text")).as("h")),
+        Tables.documents(spark, newDir)
+          .select(col("doc_id"), md5(col("text")).as("h")))
+      .filter(col("status").isin("added", "changed"))
+      .select("doc_id", "status")
+    val corpus = Tables.documents(spark, newDir).select("doc_id")
+      .join(incoming.select("doc_id"), Seq("doc_id"), "left_anti")
+    dedupVerdictsAgainst(spark, newDir, corpus, incoming)
+      .orderBy("doc_id")
+  }
+
+  /** The promote-a-new-snapshot operation, END-TO-END: maintain
+    * `newDir`'s corpus artifacts from the snapshot diff
+    * (`Artifacts.materializeIncremental`), then re-verdict exactly the
+    * changed documents against the standing corpus through the artifacts
+    * the same call just maintained. One entry point, so a caller can no
+    * longer run the verdict against stale (or missing) artifacts by
+    * doing the two steps in the wrong order — the failure mode the
+    * separate APIs left open. Requires an artifact root; cost is
+    * diff-bounded on both legs.
+    */
+  def refreshSnapshot(spark: SparkSession, oldDir: String, newDir: String,
+      maxChangeFraction: Double = 0.2)
+      : (graft.Artifacts.IncrementalResult, DataFrame) = {
+    val maintained = graft.Artifacts.materializeIncremental(
+      spark, oldDir, newDir, maxChangeFraction)
+    (maintained, refreshVerdicts(spark, oldDir, newDir))
+  }
+
   val q81OracleSql: String = {
     val eq = Dedup.minhashEqTerms
     s"""WITH ${Dedup.minhashCtes}, inc AS (

@@ -209,6 +209,67 @@ class IncrementalArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("composed refresh: two snapshot hops ≡ the from-scratch path") {
+    // refreshSnapshot = maintain artifacts + re-verdict, one call. Drive
+    // v1 → v2 → v3 through the composed entry point and pin BOTH legs:
+    // artifacts after each hop hash-equal a full rebuild, and the
+    // verdict frame hash-equals the same verdict computed with NO
+    // artifacts at all (inline, no root).
+    val tmpRoot = Files.createTempDirectory("graft-refresh-root").toFile
+    val base = Files.createTempDirectory("graft-refresh-corpus").toString
+    val dirs = Seq(s"$base/v1", s"$base/v2", s"$base/v3")
+    try {
+      val src = Tables.documents(spark, sf)
+      // v1: the even-id slice; v2: drop %10==2, truncate %12==4, add
+      // copies under shifted ids; v3: drop %14==6 from v2's membership,
+      // append two fresh docs
+      src.filter(col("doc_id") % 2 === 0)
+        .write.parquet(s"${dirs(0)}/documents.parquet")
+      src.filter(col("doc_id") % 2 === 0 && col("doc_id") % 10 =!= 2)
+        .withColumn("text",
+          when(col("doc_id") % 12 === 4, substring(col("text"), 1, 50))
+            .otherwise(col("text")))
+        .unionByName(src.filter(col("doc_id") % 100 === 2)
+          .withColumn("doc_id", col("doc_id") + 200000))
+        .write.parquet(s"${dirs(1)}/documents.parquet")
+      spark.read.parquet(s"${dirs(1)}/documents.parquet")
+        .filter(col("doc_id") % 14 =!= 6)
+        .unionByName(src.filter(col("doc_id") % 100 === 3)
+          .withColumn("doc_id", col("doc_id") + 300000))
+        .write.parquet(s"${dirs(2)}/documents.parquet")
+
+      // inline references (no root): verdicts computed with zero
+      // artifact help
+      Artifacts.clearRoot()
+      val inlineVerdicts = Seq(
+        rows(CorpusOps.refreshVerdicts(spark, dirs(0), dirs(1))),
+        rows(CorpusOps.refreshVerdicts(spark, dirs(1), dirs(2))))
+      Checkpoints.releaseAll()
+
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, dirs(0))
+      val (r1, v1) = CorpusOps.refreshSnapshot(spark, dirs(0), dirs(1),
+        maxChangeFraction = 0.6)
+      assert(r1.mode == "incremental", r1)
+      assert(rows(v1) == inlineVerdicts(0), "hop-1 verdicts drifted")
+      val (r2, v2) = CorpusOps.refreshSnapshot(spark, dirs(1), dirs(2),
+        maxChangeFraction = 0.6)
+      assert(r2.mode == "incremental", r2)
+      assert(rows(v2) == inlineVerdicts(1), "hop-2 verdicts drifted")
+      // artifacts after the second hop ≡ full rebuild of v3
+      val expected = fullRebuild(dirs(2))
+      val got = artifactRows(dirs(2))
+      Artifacts.AllNames.foreach { n =>
+        assert(got(n) == expected(n), s"$n drifted after two composed hops")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("fallback paths: missing old artifacts and oversized diffs rebuild fully") {
     val tmpRoot = Files.createTempDirectory("graft-fb-root").toFile
     val base = Files.createTempDirectory("graft-fb-corpus").toString
