@@ -257,6 +257,43 @@ object StreamingOps {
       .start()
   }
 
+  /** Streaming ingest that keeps the corpus AND its standing artifacts
+    * fresh in one sink: per micro-batch, append the batch's documents to
+    * `corpusDir` (idempotently — `Sinks.insertIfAbsent` on `doc_id`, so
+    * an at-least-once replay appends nothing) and carry every corpus
+    * artifact across the append (`Artifacts.maintainAppended` — the same
+    * retract/append maintenance the snapshot path uses, specialized to
+    * the append-only diff). This closes the continuous-ingest loop: the
+    * band index q50 joins against, the keeper assignment curation reads,
+    * the token counts the budget operators consume — all stay current
+    * batch over batch, instead of going stale until the next
+    * corpus-wide materialize.
+    *
+    * Batches must carry unique `doc_id`s within themselves (compose with
+    * [[dedupStream]] upstream); cross-batch re-deliveries are dropped by
+    * both the corpus append and the artifact maintenance under the same
+    * first-write-wins rule, so the two can never diverge. Pair with a
+    * `checkpointLocation` for restart-safety — a replayed batch is a
+    * no-op on both legs.
+    *
+    * @param docs streaming frame with the documents schema (`doc_id`,
+    *             `text`, `source`, ... — whatever the corpus carries)
+    */
+  def artifactMaintainingIntake(docs: DataFrame, spark: SparkSession,
+      corpusDir: String, checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val fpOld = graft.Artifacts.corpusFingerprint(spark, corpusDir)
+        Sinks.insertIfAbsent(spark, s"$corpusDir/documents.parquet",
+          batch.toDF(), Seq("doc_id"))
+        graft.Artifacts.maintainAppended(spark, corpusDir, fpOld, batch.toDF())
+        ()
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Streaming exact dedup by event id: an at-least-once upstream
     * re-delivers rows; this keeps the first arrival of each `idCol` and
     * drops re-deliveries arriving within the watermark allowance — with

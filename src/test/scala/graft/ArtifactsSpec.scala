@@ -233,6 +233,35 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("gc sweeps orphaned corpus keys and leaves live ones untouched") {
+    import org.apache.spark.sql.functions.col
+    val tmpRoot = Files.createTempDirectory("graft-gc-root").toFile
+    val base = Files.createTempDirectory("graft-gc-corpus").toString
+    val (live, dead) = (s"$base/live", s"$base/dead")
+    try {
+      val src = Tables.documents(spark, sf)
+      src.filter(col("doc_id") % 2 === 0).write.parquet(s"$live/documents.parquet")
+      src.filter(col("doc_id") % 2 === 1).write.parquet(s"$dead/documents.parquet")
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, live)
+      Artifacts.materialize(spark, dead)
+      assert(tmpRoot.listFiles().count(_.isDirectory) == 2)
+      // the dead corpus is decommissioned: its key goes, live's stays
+      val removed = Artifacts.gc(spark, Seq(live))
+      assert(removed.size == 1, removed)
+      assert(tmpRoot.listFiles().count(_.isDirectory) == 1)
+      assert(Artifacts.isMaterialized(spark, live, Artifacts.KeepersName),
+        "gc touched a live corpus key")
+      // idempotent: nothing left to sweep
+      assert(Artifacts.gc(spark, Seq(live)).isEmpty)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a missing root or uncommitted artifact falls back to inline compute") {
     Artifacts.clearRoot()
     assert(!Artifacts.isMaterialized(spark, sf, Artifacts.KeepersName))

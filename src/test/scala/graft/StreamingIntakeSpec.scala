@@ -16,10 +16,93 @@ import graft.streaming.StreamingOps
   */
 case class RawDoc(doc_id: Long, ts: Timestamp, text: String)
 
+case class IngestDoc(doc_id: Long, text: String, source: String)
+
 class StreamingIntakeSpec extends SparkSpec {
   import spark.implicits._
 
   private def t(s: Int) = Timestamp.valueOf(f"2024-01-01 00:00:$s%02d")
+
+  test("continuous intake maintains artifacts ≡ a cold materialize of the final corpus") {
+    // artifactMaintainingIntake closes the ingest loop: each micro-batch
+    // appends documents idempotently AND carries every standing artifact
+    // across the append. After three batches — including an exact
+    // duplicate and a cross-batch re-delivery — the live artifacts must
+    // hash-equal a from-scratch materialize of the final corpus.
+    val liveRoot = Files.createTempDirectory("graft-intake-live").toFile
+    val coldRoot = Files.createTempDirectory("graft-intake-cold").toFile
+    val corpus = Files.createTempDirectory("graft-intake-corpus").toString + "/c"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def deleteRecursively(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+      f.delete()
+    }
+    def artifactRows(root: java.io.File): Map[String, Seq[String]] = {
+      val key = root.listFiles().map(_.getName)
+        .find(_.startsWith(corpus.replaceAll("[^A-Za-z0-9._-]", "_") + "-"))
+        .getOrElse(fail(s"no artifact tree under $root"))
+      val fp = Artifacts.corpusFingerprint(spark, corpus)
+      Artifacts.AllNames.map { n =>
+        assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
+        n -> rows(spark.read.parquet(s"$root/$key/$n/fp=$fp"))
+      }.toMap
+    }
+    val input = MemoryStream[IngestDoc](spark)
+    try {
+      Artifacts.setRoot(liveRoot.getAbsolutePath)
+      val q = StreamingOps.artifactMaintainingIntake(
+        input.toDF(), spark, corpus)
+      try {
+        // batch 1: bootstrap (empty corpus → full materialize fallback)
+        input.addData(
+          IngestDoc(1L, "alpha beta gamma delta epsilon zeta", "s1"),
+          IngestDoc(2L, "one two three four five six", "s1"))
+        q.processAllAvailable()
+        // batch 2: append path, incl. an exact duplicate of doc 1
+        input.addData(
+          IngestDoc(3L, "alpha beta gamma delta epsilon zeta", "s2"),
+          IngestDoc(4L, "seven eight nine ten eleven twelve", "s2"))
+        q.processAllAvailable()
+        // batch 3: a re-delivery of doc 2 (different text — first write
+        // wins on BOTH legs) plus a genuinely new doc
+        input.addData(
+          IngestDoc(2L, "redelivered text that must be ignored", "s1"),
+          IngestDoc(5L, "one two three four five six seven", "s3"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      Tables.invalidate(corpus)
+      val landed = spark.read.parquet(s"$corpus/documents.parquet")
+      assert(landed.count() == 5)
+      assert(landed.filter(col("doc_id") === 2L).select("text")
+        .head.getString(0) == "one two three four five six",
+        "re-delivered doc 2 must keep its first text")
+
+      val live = artifactRows(liveRoot)
+      // the duplicate pair collapsed into one component
+      val keepers = spark.read.parquet(
+        s"$liveRoot/${liveRoot.listFiles().head.getName}/${Artifacts.KeepersName}/" +
+          s"fp=${Artifacts.corpusFingerprint(spark, corpus)}")
+      assert(keepers.filter(col("doc_id") === 3L && !col("is_keeper"))
+        .count() == 1L, "exact duplicate doc 3 must not be a keeper")
+
+      // cold rebuild into a separate root — every artifact hash-equal
+      Artifacts.setRoot(coldRoot.getAbsolutePath)
+      Artifacts.materialize(spark, corpus)
+      val cold = artifactRows(coldRoot)
+      Artifacts.AllNames.foreach { n =>
+        assert(live(n) == cold(n),
+          s"$n drifted between continuous intake and cold materialize")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(liveRoot)
+      deleteRecursively(coldRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
 
   test("crawl stream lands deduped, quality-gated, exactly once") {
     val input = MemoryStream[RawDoc](spark)
