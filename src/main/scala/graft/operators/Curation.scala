@@ -53,23 +53,18 @@ object Curation {
     val distinctSh = size(Dedup.shingles3(toks))
     val repetition = round6(when(totalSh > 0,
       lit(1.0) - distinctSh.cast("double") / totalSh).otherwise(0.0))
-    // n_tokens reads through the token-count artifact when one resolves
-    // (the repetition/lang signals still scan text, so at THIS query's
-    // shape the win is the tokenizer's count cost, not the scan — a real
-    // BPE seam makes that the dominant term); inline mode keeps the
-    // single-pass column form
-    val signals = graft.Artifacts.tokenCounts(spark, dir, tok) match {
-      case Some(tc) => d.select(
-          col("doc_id"),
-          repetition.as("repetition_ratio"),
-          TextAnalysis.langPred(col("text")).as("pred_lang"))
-        .join(tc, "doc_id")
-      case None => d.select(
-        col("doc_id"),
-        size(toks).as("n_tokens"),
-        repetition.as("repetition_ratio"),
-        TextAnalysis.langPred(col("text")).as("pred_lang"))
-    }
+    // n_tokens deliberately does NOT read the token-count artifact here:
+    // the repetition signal materializes tok.tokens over the text in the
+    // same projection regardless, so the count is a size() on an
+    // already-built array — joining the artifact would add a doc-grain
+    // shuffle to save nothing. The artifact serves the count-ONLY
+    // consumers (q26/q48/q53/q57/q75), where it removes the tokenizer
+    // evaluation or the text scan entirely.
+    val signals = d.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      repetition.as("repetition_ratio"),
+      TextAnalysis.langPred(col("text")).as("pred_lang"))
     // served from the materialized corpus artifact when one exists —
     // the funnel's only expensive subtree becomes a parquet join
     val keepers = graft.Artifacts.keepers(spark, dir)
