@@ -86,6 +86,19 @@ object Artifacts {
     */
   val TokenFreqName = "token_freq"
 
+  /** Per-document content digests `(doc_id, h)` (md5 of text) — the
+    * id+hash frame every snapshot diff and exact-dup verdict starts
+    * from. Standing state pays twice: the OLD side of
+    * [[materializeIncremental]]'s diff reads the artifact instead of
+    * re-hashing the old corpus's text, and the append path
+    * ([[maintainAppended]]) needs NO corpus text scan at all (old
+    * hashes + batch hashes). The diff's own freshly computed new-side
+    * hashes commit as the new snapshot's artifact — maintenance gets it
+    * for free. The incremental-dedup verdict core (q50/q81) reads it
+    * for the exact-dup side the same way it reads the band index.
+    */
+  val DocHashesName = "doc_hashes"
+
   /** Per-document token counts, keyed by TOKENIZER ID as well as corpus
     * fingerprint (`token_counts_<tokId>/fp=<fp>`): at 100 TB,
     * tokenization is the single most repeated map cost in the system —
@@ -117,7 +130,7 @@ object Artifacts {
   /** Every artifact [[materialize]] commits, in build order. */
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
-      KeepersName, Shingles8Name, TokenFreqName) ++
+      KeepersName, Shingles8Name, TokenFreqName, DocHashesName) ++
       DefaultTokenizers.map(tokenCountsName)
 
   @volatile private var rootOpt: Option[String] =
@@ -332,6 +345,19 @@ object Artifacts {
   def tokenFreq(spark: SparkSession, corpusDir: String): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, TokenFreqName)
 
+  /** The per-document digest frame `(doc_id, h)` — artifact when fresh,
+    * else computed from the documents scan.
+    */
+  def docHashes(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, DocHashesName)(
+      docHashesFrame(Tables.documents(spark, corpusDir)))
+
+  /** The inline form of the digest artifact. */
+  def docHashesFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, md5}
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+  }
+
   /** The per-document token counts `(doc_id, n_tokens)` for `tok`, IF a
     * version committed for the corpus's current fingerprint resolves
     * (Option shape — see [[readIfCurrent]]: token-count consumers fall
@@ -453,6 +479,7 @@ object Artifacts {
       operators.Dedup.keeperAssignmentFrom(docs, committedPostings))
     val sh8 = build(Shingles8Name)(operators.CorpusOps.docShingles8(docs))
     val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
+    val hashes = build(DocHashesName)(docHashesFrame(docs))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -461,7 +488,7 @@ object Artifacts {
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session
     Checkpoints.releaseAll()
-    (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq) ++
+    (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
       tokCounts).toMap
   }
 
@@ -521,8 +548,9 @@ object Artifacts {
     * bounded CC as the snapshot path (batch docs as an all-`added`
     * diff, including the df-cap-flip seeding — an append can push a
     * shingle's df OVER the cap and sever edges between unchanged docs).
-    * The one corpus-grain input is the id+md5 frame the keeper exactness
-    * argument needs — the same cost class as the snapshot diff.
+    * Even the id+md5 frame the keeper exactness argument needs comes
+    * from standing state (the digest artifact + batch hashes), so
+    * per-batch cost is batch-bounded — no corpus-grain scan anywhere.
     *
     * Rows whose `doc_id` already exists are treated as at-least-once
     * re-deliveries and ignored (first write wins — the intake sink's
@@ -583,9 +611,14 @@ object Artifacts {
       spark.read.parquet(pathOf(fpOld, MinhashBandsName))
         .unionByName(operators.Dedup.bandedSignatures(fresh)))
 
+    // the keeper exactness argument needs the full id+md5 frame — served
+    // ENTIRELY from standing state (old digest artifact + batch hashes),
+    // so the append path scans no corpus text at all: per-batch cost is
+    // batch-bounded, not corpus-bounded
     val hashedNew = Checkpoints.checkpoint(
-      Tables.documents(spark, corpusDir)
-        .select(col("doc_id"), md5(col("text")).as("h")))
+      spark.read.parquet(pathOf(fpOld, DocHashesName))
+        .unionByName(docHashesFrame(fresh)))
+    val hashes = buildInc(DocHashesName)(hashedNew)
     val diff = fresh.select(col("doc_id"),
       lit(null).cast("string").as("h_old"),
       md5(col("text")).as("h_new"),
@@ -610,7 +643,7 @@ object Artifacts {
     Checkpoints.releaseAll()
     AllNames.foreach(n => pruneStale(spark, corpusDir, n, fpNew))
     IncrementalResult("append",
-      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq) ++
+      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
         tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
@@ -693,11 +726,13 @@ object Artifacts {
       docsNew.select(col("doc_id"), md5(col("text")).as("h")))
     // the SHARED diff core (operators.CorpusOps.snapshotDiff) — the same
     // definition q76/q81 expose to users, so the diff audited and the
-    // diff acted on cannot drift
+    // diff acted on cannot drift. The OLD side reads the committed
+    // digest artifact (the AllNames gate above guarantees it), so the
+    // old corpus's TEXT is never re-hashed — the diff's corpus-grain
+    // input is one new-side scan plus an id+hash artifact read.
     val diff = Checkpoints.checkpoint(
       operators.CorpusOps.snapshotDiff(
-        Tables.documents(spark, oldDir)
-          .select(col("doc_id"), md5(col("text")).as("h")),
+        spark.read.parquet(pathOf(oldDir, fpOld, DocHashesName)),
         hashedNew))
     val nNew = hashedNew.count()
     val byStatus = diff.groupBy("status").count().collect()
@@ -770,6 +805,10 @@ object Artifacts {
         .groupBy("source", "token").agg(sum("n").as("n"))
         .filter(col("n") > 0))
 
+    // digest artifact: the diff's own new-side hashes, already computed
+    // and checkpointed — committing them is free maintenance
+    val hashes = buildInc(DocHashesName)(hashedNew)
+
     // token counts: per-doc rows — retract and append, per default
     // tokenizer (the same shape as the band index)
     val tokCounts = DefaultTokenizers.map { tok =>
@@ -781,7 +820,7 @@ object Artifacts {
     }
     Checkpoints.releaseAll()
     IncrementalResult("incremental",
-      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq) ++
+      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
         tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }

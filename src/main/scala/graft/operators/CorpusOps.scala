@@ -440,7 +440,9 @@ object CorpusOps {
   private def dedupVerdictsAgainst(spark: SparkSession, dir: String,
       corpus: DataFrame, incoming: DataFrame): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val hashes = d.select(col("doc_id"), md5(col("text")).as("h"))
+    // the exact-dup side runs off the standing digest artifact when one
+    // is materialized (readOrCompute falls back to hashing the scan)
+    val hashes = graft.Artifacts.docHashes(spark, dir)
     val exact = hashes.join(incoming.select("doc_id"), "doc_id")
       .join(hashes.join(corpus.select("doc_id"), "doc_id")
           .select(col("h"), col("doc_id").as("corpus_id")), "h")

@@ -32,7 +32,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.MinhashBandsName -> rows(Dedup.bandedSignatures(docs)),
       Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)),
       Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
-      Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs))) ++
+      Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs)),
+      Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t)))
     Checkpoints.releaseAll()
