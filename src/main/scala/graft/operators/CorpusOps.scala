@@ -1124,11 +1124,12 @@ object CorpusOps {
     */
   def refreshVerdicts(spark: SparkSession, oldDir: String,
       newDir: String): DataFrame = {
+    // both diff sides come from the standing digest artifacts when
+    // materialized (after refreshSnapshot's maintenance leg, both are),
+    // so the verdict leg re-hashes no text on either side
     val incoming = snapshotDiff(
-        Tables.documents(spark, oldDir)
-          .select(col("doc_id"), md5(col("text")).as("h")),
-        Tables.documents(spark, newDir)
-          .select(col("doc_id"), md5(col("text")).as("h")))
+        graft.Artifacts.docHashes(spark, oldDir),
+        graft.Artifacts.docHashes(spark, newDir))
       .filter(col("status").isin("added", "changed"))
       .select("doc_id", "status")
     val corpus = Tables.documents(spark, newDir).select("doc_id")
