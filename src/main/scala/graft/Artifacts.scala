@@ -451,14 +451,28 @@ object Artifacts {
     * postings — so the corpus-wide shingle scans run once per snapshot
     * instead of once per artifact.
     */
+  /** Wall-clock seconds per artifact of the most recent [[materialize]]
+    * call that built anything (skipped builds record 0) — the honest
+    * breakdown behind Bench's `artifact_build_sec`, so a build-cost
+    * regression is attributable to a specific artifact from the bench
+    * JSON alone.
+    */
+  @volatile var lastBuildSeconds: Map[String, Double] = Map.empty
+
   def materialize(spark: SparkSession, corpusDir: String): Map[String, Long] = {
     require(rootOpt.nonEmpty,
       "Artifacts.materialize needs a root — setRoot(...) or SPARK_GRAFT_ARTIFACTS_DIR")
     val fp = corpusFingerprint(spark, corpusDir)
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def build(name: String)(compute: => DataFrame): (String, Long) = {
       val p = versionPath(corpusDir, name, fp).get
-      if (isCommitted(spark, Some(p))) name -> committedCount(spark, p)
-      else write(spark, corpusDir, fp, name, compute)
+      if (isCommitted(spark, Some(p))) { timings(name) = 0.0; name -> committedCount(spark, p) }
+      else {
+        val t0 = System.nanoTime()
+        val out = write(spark, corpusDir, fp, name, compute)
+        timings(name) = (System.nanoTime() - t0) / 1e9
+        out
+      }
     }
     val docs = Tables.documents(spark, corpusDir)
     // Builds run SERIALLY on purpose: a concurrent variant (two threads,
@@ -488,6 +502,7 @@ object Artifacts {
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session
     Checkpoints.releaseAll()
+    lastBuildSeconds = timings.toMap
     (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
       tokCounts).toMap
   }

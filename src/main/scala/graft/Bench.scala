@@ -197,8 +197,12 @@ object Bench {
         // on exactly the failure path this reporting exists for
         "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"").replaceAll("[\\x00-\\x1f]", " ") + "\""
       }.mkString(",\"errors\":{", ",", "}")
+    val buildBreakdown = Artifacts.lastBuildSeconds.map { case (k, v) =>
+      "\"" + k + "\":" + v
+    }.mkString("{", ",", "}")
     val extras =
       s""","artifact_build_sec":$artifactSec""" +
+        s""","artifact_build_breakdown":$buildBreakdown""" +
         s""","total_min":$totalMin""" +
         s""","queries_min":${numMap(_.min.toString)}""" +
         s""","calibration_first_sec":$calFirst""" +

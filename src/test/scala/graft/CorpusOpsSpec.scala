@@ -291,6 +291,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad("null_text_docs") == 1)         // id 2
   }
 
+  test("snapshotDiff classifies by row presence, not digest nullability") {
+    // a null-text document (null digest) present in BOTH snapshots must
+    // classify unchanged — hash-nullability classification would label
+    // it 'added' and its artifact rows would never retract
+    import spark.implicits._
+    val prior = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (4L, Option("gone"))).toDF("doc_id", "h")
+    val cur = Seq((1L, Option("x")), (2L, Option.empty[String]),
+      (3L, Option.empty[String]), (5L, Option("y")))
+      .toDF("doc_id", "h")
+    val got = CorpusOps.snapshotDiff(prior, cur)
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(3L -> "added", 5L -> "added", 4L -> "removed"),
+      s"got $got")
+    // null -> value and value -> null are both 'changed' (null-safe <=>)
+    val chg = CorpusOps.snapshotDiff(
+        Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("doc_id", "h"),
+        Seq((1L, Option.empty[String]), (2L, Option("y"))).toDF("doc_id", "h"))
+      .select("doc_id", "status").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(chg == Map(1L -> "changed", 2L -> "changed"), s"got $chg")
+  }
+
   test("q51 reports the true top document frequencies in order") {
     val rows = CorpusOps.q51BoilerplateNgrams(spark, sf).collect()
     assert(rows.length == 100)
