@@ -157,17 +157,25 @@ object Artifacts {
   /** One artifact tree per corpus directory. The sanitized segment keeps
     * paths readable; the appended path digest keeps DISTINCT corpus dirs
     * from colliding after sanitization (`/data/sf0.1` and `/data_sf0.1`
-    * both sanitize to `_data_sf0.1`).
+    * both sanitize to `_data_sf0.1`). Trailing slashes are normalized
+    * away BEFORE keying: `/data/c` and `/data/c/` are the same corpus,
+    * and an exact-string key would let a [[gc]] keep-list written with a
+    * trailing slash delete a live corpus's whole tree.
     */
-  private def corpusKey(corpusDir: String): String =
-    corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md5Hex(corpusDir).take(8)
+  private def corpusKey(corpusDir: String): String = {
+    val norm = {
+      val stripped = corpusDir.replaceAll("/+$", "")
+      if (stripped.isEmpty) "/" else stripped
+    }
+    norm.replaceAll("[^A-Za-z0-9._-]", "_") + "-" + md5Hex(norm).take(8)
+  }
 
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   /** Metadata fingerprint of the corpus state the artifacts derive from.
-    * All five artifacts are functions of the `documents` table alone, so
+    * Every artifact is a function of the `documents` table alone, so
     * the fingerprint covers `<corpusDir>/documents.parquet`: every file's
     * (relative path, length, mtime), sorted, digested. Metadata-only by
     * design — one LIST per read-through resolution, no data scan — which
@@ -390,48 +398,75 @@ object Artifacts {
     val name = tokenCountsName(tok)
     val p = versionPath(corpusDir, name, fp).get
     if (isCommitted(spark, Some(p))) committedCount(spark, p)
-    else write(spark, corpusDir, fp, name,
-      tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
+    else {
+      val n = write(spark, corpusDir, fp, name,
+        tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
+      pruneSweep(spark, corpusDir, Seq(name), fp)
+      n
+    }
   }
 
   /** Write one artifact version and report its row count (observed on the
     * write itself), then prune versions for other (stale) fingerprints.
     */
+  /** Write one artifact version and report its row count (observed on
+    * the write itself). NEVER prunes — stale-version cleanup is an
+    * end-of-call sweep in each maintenance entry point
+    * ([[pruneSweep]]), both so maintenance that READS old versions under
+    * the same corpus key cannot delete its own inputs mid-plan, and so
+    * the current-fingerprint re-resolution (a recursive LIST of the
+    * documents tree) happens once per call instead of once per artifact.
+    */
   private def write(spark: SparkSession, corpusDir: String, fp: String,
-      name: String, df: DataFrame, prune: Boolean = true): (String, Long) = {
+      name: String, df: DataFrame): (String, Long) = {
     val p = versionPath(corpusDir, name, fp).get
     val obs = org.apache.spark.sql.Observation(s"artifact_${name}_$fp")
     df.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("n"))
       .write.mode(SaveMode.Overwrite)
       .parquet(p)
-    if (prune) pruneStale(spark, corpusDir, name, fp)
     name -> obs.get("n").asInstanceOf[Long]
   }
 
-  /** Drop committed versions of `name` whose fingerprint is neither
-    * `keep` nor the corpus's CURRENT fingerprint, re-resolved (cache
-    * bypassed) at prune time. Runs after the fresh version commits, so a
-    * reader always has either the old committed tree (before the prune)
-    * or the new one — never a half-written directory. The current-fp
-    * guard covers concurrent rebuild+rebuild: two writers materializing
+  /** End-of-call stale-version sweep: for each artifact name, drop
+    * committed versions whose fingerprint is neither `keep` nor the
+    * corpus's CURRENT fingerprint — re-resolved ONCE per sweep, cache
+    * bypassed (one recursive LIST per maintenance call, not one per
+    * artifact). Runs only after every fresh version of the call has
+    * committed, so a reader always has either the old committed tree or
+    * the new one — never a half-written directory. The current-fp guard
+    * covers concurrent rebuild+rebuild: two writers materializing
     * against different corpus states cannot delete each other's freshly
     * committed version when it matches the corpus as it now stands — the
     * loser's own version may linger (harmless: its fingerprint no longer
-    * resolves) until the next prune or [[gc]].
+    * resolves) until the next sweep or [[gc]].
+    *
+    * `graceMs > 0` additionally keeps any version directory modified
+    * within the window — the continuous-ingest posture
+    * ([[maintainAppended]]): a reader that resolved the previous
+    * fingerprint through the [[FpTtlMs]] cache may still be scanning it
+    * when the next batch commits, so recent versions survive one grace
+    * window instead of being deleted under the scan. (Arbitrarily long
+    * reader scans under a live writer need a table format's snapshot
+    * isolation — the same contract as `Sinks.compact`.)
     */
-  private def pruneStale(spark: SparkSession, corpusDir: String, name: String,
-      keep: String): Unit =
+  private def pruneSweep(spark: SparkSession, corpusDir: String,
+      names: Seq[String], keep: String, graceMs: Long = 0L): Unit =
     rootOpt.foreach { r =>
       val liveFps = Set(keep, computeFingerprint(spark, corpusDir))
-      val dir = new Path(s"$r/${corpusKey(corpusDir)}/$name")
-      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(dir))
-        fs.listStatus(dir).foreach { st =>
-          if (st.isDirectory &&
-              !liveFps.contains(st.getPath.getName.stripPrefix("fp=")))
-            fs.delete(st.getPath, true)
-        }
+      val cutoff = System.currentTimeMillis() - graceMs
+      val conf = spark.sessionState.newHadoopConf()
+      names.foreach { name =>
+        val dir = new Path(s"$r/${corpusKey(corpusDir)}/$name")
+        val fs = dir.getFileSystem(conf)
+        if (fs.exists(dir))
+          fs.listStatus(dir).foreach { st =>
+            if (st.isDirectory &&
+                !liveFps.contains(st.getPath.getName.stripPrefix("fp=")) &&
+                (graceMs == 0L || st.getModificationTime < cutoff))
+              fs.delete(st.getPath, true)
+          }
+      }
     }
 
   private def committedCount(spark: SparkSession, path: String): Long =
@@ -503,6 +538,7 @@ object Artifacts {
     // so a materialize call is storage-neutral for the session
     Checkpoints.releaseAll()
     lastBuildSeconds = timings.toMap
+    pruneSweep(spark, corpusDir, AllNames, fp)
     (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
       tokCounts).toMap
   }
@@ -530,7 +566,7 @@ object Artifacts {
 
   /** Sweep artifact trees for corpora no longer in service: every
     * corpus-key directory under the root whose key is not derived from
-    * one of `keepCorpusDirs` is removed recursively. [[pruneStale]]
+    * one of `keepCorpusDirs` is removed recursively. [[pruneSweep]]
     * cleans stale VERSIONS within one live corpus key; keys for deleted
     * corpora (and the lingering losers of concurrent-rebuild races)
     * otherwise accumulate under the root forever. Returns the removed
@@ -546,6 +582,13 @@ object Artifacts {
         .filter(st => st.isDirectory && !keep.contains(st.getPath.getName))
         .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     }
+
+  /** Grace window for [[maintainAppended]]'s prune sweep: previous-
+    * fingerprint versions younger than this survive one more batch, so
+    * a reader whose fingerprint resolution was up to [[FpTtlMs]] stale
+    * is not deleted out from under its scan by continuous ingest.
+    */
+  val AppendPruneGraceMs: Long = 60000L
 
   /** Append-only incremental maintenance for CONTINUOUS INGEST: carry
     * every artifact of `corpusDir` from the pre-append fingerprint
@@ -568,13 +611,20 @@ object Artifacts {
     * per-batch cost is batch-bounded — no corpus-grain scan anywhere.
     *
     * Rows whose `doc_id` already exists are treated as at-least-once
-    * re-deliveries and ignored (first write wins — the intake sink's
-    * `insertIfAbsent` corpus append applies the same rule, keeping
+    * re-deliveries and ignored (first write wins — the intake sink
+    * applies the same rule from the SAME checkpointed frame, keeping
     * corpus and artifacts in lockstep). Batches must carry unique ids
     * WITHIN themselves (compose with `dedupStream` upstream).
     * Idempotent per fingerprint like [[materialize]]; falls back to a
     * full [[materialize]] when `fpOld`'s artifacts are missing (e.g. the
     * bootstrap batch against an empty corpus).
+    *
+    * "Batch-bounded" above describes the COMPUTE; the commit itself
+    * rewrites each artifact whole (plain parquet's copy-on-write
+    * versioning — a table format turns each build into a transactional
+    * append). The end-of-call prune keeps a [[AppendPruneGraceMs]] grace
+    * window so a reader that resolved the previous fingerprint through
+    * the TTL cache is not un-filed mid-scan by the next batch.
     */
   def maintainAppended(spark: SparkSession, corpusDir: String, fpOld: String,
       batch: DataFrame): IncrementalResult = {
@@ -586,15 +636,10 @@ object Artifacts {
     val fpNew = corpusFingerprint(spark, corpusDir)
     def pathOf(fp: String, name: String): String =
       versionPath(corpusDir, name, fp).get
-    // prune DEFERRED to the end: maintenance reads the fpOld versions
-    // under the SAME corpus key it writes — an eager per-write prune
-    // would delete fpOld postings while the keeper re-run still has a
-    // lazy scan over them (the two-directory snapshot path never has
-    // this hazard: old and new live under different corpus keys)
     def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
       val p = pathOf(fpNew, name)
       if (isCommitted(spark, Some(p))) name -> committedCount(spark, p)
-      else write(spark, corpusDir, fpNew, name, compute, prune = false)
+      else write(spark, corpusDir, fpNew, name, compute)
     }
     if (AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fpNew))))
       return IncrementalResult("skip",
@@ -656,7 +701,7 @@ object Artifacts {
           .unionByName(tokenCountsFrame(fresh, tok)))
     }
     Checkpoints.releaseAll()
-    AllNames.foreach(n => pruneStale(spark, corpusDir, n, fpNew))
+    pruneSweep(spark, corpusDir, AllNames, fpNew, graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
         tokCounts).toMap,
@@ -834,6 +879,7 @@ object Artifacts {
           .unionByName(tokenCountsFrame(docsChangedNew, tok)))
     }
     Checkpoints.releaseAll()
+    pruneSweep(spark, newDir, AllNames, fpNew)
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
         tokCounts).toMap,

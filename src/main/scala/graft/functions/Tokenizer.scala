@@ -34,14 +34,23 @@ trait Tokenizer extends Serializable {
     * token-count artifact commits under a path containing this id, so
     * one tokenizer's standing counts can never be served to another.
     * The default derives from the concrete class name (stable across
-    * sessions for a named implementation); production tokenizers should
-    * override with an explicit VERSIONED id (e.g. "llama3_bpe_v1") —
-    * any change to counting semantics must change the id, or stale
-    * counts would keep resolving.
+    * sessions for a NAMED implementation) and refuses anonymous
+    * classes/lambdas outright: `$$anon$N` names are compiler-ordered,
+    * so after a refactor a DIFFERENT tokenizer could inherit the same
+    * id and silently resolve the other's committed counts — exactly the
+    * cross-tokenizer leak the id exists to prevent. Production
+    * tokenizers should override with an explicit VERSIONED id (e.g.
+    * "llama3_bpe_v1") — any change to counting semantics must change
+    * the id, or stale counts would keep resolving.
     */
-  def id: String =
-    getClass.getName.replaceAll("[^A-Za-z0-9]+", "_")
-      .stripPrefix("_").stripSuffix("_")
+  def id: String = {
+    val n = getClass.getName
+    require(!n.contains("$$anon") && !n.contains("$Lambda"),
+      "anonymous Tokenizer implementations must override id with a " +
+        "stable identifier (class-name-derived ids are compiler-ordered " +
+        "for anonymous classes and can collide across refactors)")
+    n.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_").stripSuffix("_")
+  }
 
   /** Whether this tokenizer can return ZERO tokens for some input.
     * Token-mass operators whose pruning math assumes every document

@@ -36,10 +36,6 @@ class ArtifactsSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
 
   test("write-once/read-many is row-identical to inline recomputation") {
     Artifacts.clearRoot()

@@ -17,10 +17,6 @@ class IncrementalArtifactsSpec extends SparkSpec {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete()
-  }
 
   /** Full inline rebuild of every artifact frame against a corpus dir. */
   private def fullRebuild(dir: String): Map[String, Seq[String]] = {

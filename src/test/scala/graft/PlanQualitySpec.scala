@@ -168,10 +168,6 @@ class PlanQualitySpec extends SparkSpec {
     // localCheckpoint — its LogicalRDD leaves would appear as scans of
     // ExistingRDD), and (c) scan the documents table at most once.
     val tmp = java.nio.file.Files.createTempDirectory("graft-planguard").toFile
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-      f.delete()
-    }
     try {
       Artifacts.setRoot(tmp.getAbsolutePath)
       Artifacts.materialize(spark, sf)
@@ -210,10 +206,6 @@ class PlanQualitySpec extends SparkSpec {
     // count artifacts — same property. q75 still scans (doc_id, source)
     // but its scan must not read the text column (pruned schema).
     val tmp = java.nio.file.Files.createTempDirectory("graft-tokguard").toFile
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-      f.delete()
-    }
     try {
       Artifacts.setRoot(tmp.getAbsolutePath)
       Artifacts.materialize(spark, sf)
@@ -254,10 +246,6 @@ class PlanQualitySpec extends SparkSpec {
     // scans; q47 keeps one pruned scan for the train id ledger but its
     // shingle sides must come from the artifact.
     val tmp = java.nio.file.Files.createTempDirectory("graft-declguard").toFile
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-      f.delete()
-    }
     def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
       df.collect()
       df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)

@@ -34,10 +34,6 @@ class StreamingIntakeSpec extends SparkSpec {
     val corpus = Files.createTempDirectory("graft-intake-corpus").toString + "/c"
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    def deleteRecursively(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-      f.delete()
-    }
     def artifactRows(root: java.io.File): Map[String, Seq[String]] = {
       val key = root.listFiles().map(_.getName)
         .find(_.startsWith(corpus.replaceAll("[^A-Za-z0-9._-]", "_") + "-"))
