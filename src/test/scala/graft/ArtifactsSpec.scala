@@ -242,6 +242,10 @@ class ArtifactsSpec extends SparkSpec {
       Artifacts.materialize(spark, live)
       Artifacts.materialize(spark, dead)
       assert(tmpRoot.listFiles().count(_.isDirectory) == 2)
+      // a keep-list path differing only by a trailing slash must key to
+      // the SAME corpus — an exact-string key would delete the live tree
+      assert(Artifacts.gc(spark, Seq(live + "/", dead)).isEmpty,
+        "trailing-slash keep-list deleted a live corpus key")
       // the dead corpus is decommissioned: its key goes, live's stays
       val removed = Artifacts.gc(spark, Seq(live))
       assert(removed.size == 1, removed)

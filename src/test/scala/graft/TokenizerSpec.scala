@@ -22,6 +22,28 @@ class TokenizerSpec extends SparkSpec {
     override def count(text: Column): Column = length(text)
   }
 
+  test("tokenizer ids: stable for named impls, refused for anonymous ones") {
+    // ids key the token-count artifact path; the three shipped ids are
+    // load-bearing (committed artifacts resolve by them across sessions)
+    assert(Tokenizer.Whitespace.id == "ws")
+    assert(Tokenizer.BpePre.id == "bpe_pre")
+    assert(Tokenizer.BpeFixture.id.startsWith("bpe_") &&
+      Tokenizer.BpeFixture.id.length == 16)
+    // different merges ⇒ different id (a changed vocabulary must never
+    // resolve the old vocabulary's counts)
+    assert(Tokenizer.Bpe(Tokenizer.FixtureMerges.tail).id !=
+      Tokenizer.BpeFixture.id)
+    // a named object keeps the class-derived default
+    assert(CharTokens.id.contains("CharTokens"))
+    // anonymous classes get compiler-ordered $$anon names that can
+    // collide across refactors — the default id refuses them
+    val anon = new Tokenizer {
+      override def tokens(text: Column): Column = split(text, ",")
+    }
+    val e = intercept[IllegalArgumentException](anon.id)
+    assert(e.getMessage.contains("anonymous"))
+  }
+
   test("default tokenizer reproduces the oracle-pinned whitespace counts") {
     val default = TextAnalysis.q26TokenCount(spark, sf).collect().toSeq
     val seam = TextAnalysis.tokenCounts(spark, sf, Tokenizer.Whitespace)
