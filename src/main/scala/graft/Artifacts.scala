@@ -406,9 +406,6 @@ object Artifacts {
     }
   }
 
-  /** Write one artifact version and report its row count (observed on the
-    * write itself), then prune versions for other (stale) fingerprints.
-    */
   /** Write one artifact version and report its row count (observed on
     * the write itself). NEVER prunes — stale-version cleanup is an
     * end-of-call sweep in each maintenance entry point
@@ -472,6 +469,14 @@ object Artifacts {
   private def committedCount(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
+  /** Wall-clock seconds per artifact of the most recent [[materialize]]
+    * call that built anything (skipped builds record 0) — the honest
+    * breakdown behind Bench's `artifact_build_sec`, so a build-cost
+    * regression is attributable to a specific artifact from the bench
+    * JSON alone.
+    */
+  @volatile var lastBuildSeconds: Map[String, Double] = Map.empty
+
   /** Compute and commit every artifact for `corpusDir` under the
     * configured root (requires one — artifacts are never written
     * implicitly), keyed by the corpus's current fingerprint. IDEMPOTENT:
@@ -486,14 +491,6 @@ object Artifacts {
     * postings — so the corpus-wide shingle scans run once per snapshot
     * instead of once per artifact.
     */
-  /** Wall-clock seconds per artifact of the most recent [[materialize]]
-    * call that built anything (skipped builds record 0) — the honest
-    * breakdown behind Bench's `artifact_build_sec`, so a build-cost
-    * regression is attributable to a specific artifact from the bench
-    * JSON alone.
-    */
-  @volatile var lastBuildSeconds: Map[String, Double] = Map.empty
-
   def materialize(spark: SparkSession, corpusDir: String): Map[String, Long] = {
     require(rootOpt.nonEmpty,
       "Artifacts.materialize needs a root — setRoot(...) or SPARK_GRAFT_ARTIFACTS_DIR")
@@ -607,8 +604,9 @@ object Artifacts {
     * diff, including the df-cap-flip seeding — an append can push a
     * shingle's df OVER the cap and sever edges between unchanged docs).
     * Even the id+md5 frame the keeper exactness argument needs comes
-    * from standing state (the digest artifact + batch hashes), so
-    * per-batch cost is batch-bounded — no corpus-grain scan anywhere.
+    * from standing state (the digest artifact + batch hashes), so the
+    * documents table is never scanned — the corpus-grain inputs are the
+    * standing artifacts themselves.
     *
     * Rows whose `doc_id` already exists are treated as at-least-once
     * re-deliveries and ignored (first write wins — the intake sink
