@@ -242,6 +242,14 @@ object Artifacts {
     isCommitted(spark,
       versionPath(corpusDir, name, corpusFingerprint(spark, corpusDir)))
 
+  /** True iff EVERY artifact in [[AllNames]] is committed for the
+    * corpus's current fingerprint — metadata-only (marker existence
+    * checks), the cheap probe the intake sink uses to detect a prior
+    * run that crashed between its corpus append and its maintenance.
+    */
+  def isFullyMaterialized(spark: SparkSession, corpusDir: String): Boolean =
+    AllNames.forall(n => isMaterialized(spark, corpusDir, n))
+
   private def isCommitted(spark: SparkSession, path: Option[String]): Boolean =
     path.exists { p =>
       val marker = new Path(s"$p/_SUCCESS")
@@ -401,7 +409,7 @@ object Artifacts {
     else {
       val n = write(spark, corpusDir, fp, name,
         tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
-      pruneSweep(spark, corpusDir, Seq(name), fp)
+      pruneSweep(spark, corpusDir, Seq(name), Set(fp))
       n
     }
   }
@@ -448,9 +456,9 @@ object Artifacts {
     * isolation — the same contract as `Sinks.compact`.)
     */
   private def pruneSweep(spark: SparkSession, corpusDir: String,
-      names: Seq[String], keep: String, graceMs: Long = 0L): Unit =
+      names: Seq[String], keep: Set[String], graceMs: Long = 0L): Unit =
     rootOpt.foreach { r =>
-      val liveFps = Set(keep, computeFingerprint(spark, corpusDir))
+      val liveFps = keep + computeFingerprint(spark, corpusDir)
       val cutoff = System.currentTimeMillis() - graceMs
       val conf = spark.sessionState.newHadoopConf()
       names.foreach { name =>
@@ -475,7 +483,10 @@ object Artifacts {
     * regression is attributable to a specific artifact from the bench
     * JSON alone.
     */
-  @volatile var lastBuildSeconds: Map[String, Double] = Map.empty
+  private val lastBuild =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+
+  def lastBuildSeconds: Map[String, Double] = lastBuild.get()
 
   /** Compute and commit every artifact for `corpusDir` under the
     * configured root (requires one — artifacts are never written
@@ -491,7 +502,7 @@ object Artifacts {
     * postings — so the corpus-wide shingle scans run once per snapshot
     * instead of once per artifact.
     */
-  def materialize(spark: SparkSession, corpusDir: String): Map[String, Long] = {
+  def materialize(spark: SparkSession, corpusDir: String): Map[String, Long] = Checkpoints.scoped {
     require(rootOpt.nonEmpty,
       "Artifacts.materialize needs a root — setRoot(...) or SPARK_GRAFT_ARTIFACTS_DIR")
     val fp = corpusFingerprint(spark, corpusDir)
@@ -533,9 +544,11 @@ object Artifacts {
     // the keeper build's fixpoint rounds leave no pinned blocks behind,
     // but its symmetrized-edge/label checkpoints were registered — drain
     // so a materialize call is storage-neutral for the session
-    Checkpoints.releaseAll()
-    lastBuildSeconds = timings.toMap
-    pruneSweep(spark, corpusDir, AllNames, fp)
+    // only a call that actually built something updates the breakdown —
+    // an all-skipped call must not replace the timings behind Bench's
+    // artifact_build_breakdown with zeros
+    if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
+    pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
       tokCounts).toMap
   }
@@ -625,7 +638,7 @@ object Artifacts {
     * the TTL cache is not un-filed mid-scan by the next batch.
     */
   def maintainAppended(spark: SparkSession, corpusDir: String, fpOld: String,
-      batch: DataFrame): IncrementalResult = {
+      batch: DataFrame, prefiltered: Boolean = false): IncrementalResult = Checkpoints.scoped {
     import org.apache.spark.sql.functions._
     require(rootOpt.nonEmpty,
       "Artifacts.maintainAppended needs a root — setRoot(...) or " +
@@ -643,15 +656,45 @@ object Artifacts {
       return IncrementalResult("skip",
         AllNames.map(n => n -> committedCount(spark, pathOf(fpNew, n))).toMap,
         0, 0, 0, 0, 0)
-    if (!AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fpOld))))
+    val missingOld = AllNames.filterNot(n =>
+      isCommitted(spark, versionPath(corpusDir, n, fpOld)))
+    if (missingOld.nonEmpty) {
+      if (missingOld.size < AllNames.size) System.err.println(
+        s"[artifacts] full rebuild: old snapshot missing ${missingOld.mkString(", ")} " +
+          "— a newly added artifact type triggers this once per corpus after an upgrade")
       return IncrementalResult("full_missing_old",
         materialize(spark, corpusDir), -1, -1, -1, -1, -1)
+    }
 
     val oldKeepers = spark.read.parquet(pathOf(fpOld, KeepersName))
-    val fresh = Checkpoints.checkpoint(
-      batch.dropDuplicates("doc_id")
-        .join(oldKeepers.select("doc_id"), Seq("doc_id"), "left_anti"))
+    // `prefiltered` = the caller already deduped and anti-joined the
+    // batch against the corpus from ONE checkpointed frame (the intake
+    // sink's invariant) — re-running both here would re-shuffle the
+    // batch and scan the keeper artifact a second time per micro-batch
+    val fresh =
+      if (prefiltered) batch
+      else Checkpoints.checkpoint(
+        batch.dropDuplicates("doc_id")
+          .join(oldKeepers.select("doc_id"), Seq("doc_id"), "left_anti"))
     val nAdd = fresh.count()
+
+    // Coverage invariant: the corpus must be EXACTLY the old snapshot
+    // plus this batch. If another writer appended (or rewrote) files in
+    // the window since `fpOld` was resolved, folding only this batch
+    // would commit artifacts that RESOLVE as current while missing
+    // documents — wrong results with no staleness signal. The check is
+    // two empty-schema counts (parquet row-group metadata, no column
+    // data); on mismatch, rebuild from the corpus as it actually is.
+    val oldCount = spark.read.parquet(pathOf(fpOld, DocHashesName)).count()
+    val corpusCount = Tables.documents(spark, corpusDir).count()
+    if (oldCount + nAdd != corpusCount) {
+      System.err.println(s"[artifacts] maintainAppended: corpus has " +
+        s"$corpusCount docs but old snapshot ($oldCount) + batch ($nAdd) " +
+        "do not account for them — another writer touched the corpus; " +
+        "rebuilding fully")
+      return IncrementalResult("full_unexpected_delta",
+        materialize(spark, corpusDir), nAdd, -1, -1, -1, -1)
+    }
 
     val postOld = spark.read.parquet(pathOf(fpOld, NgramPostingsName))
     val postings = buildInc(NgramPostingsName)(
@@ -698,8 +741,13 @@ object Artifacts {
         spark.read.parquet(pathOf(fpOld, name))
           .unionByName(tokenCountsFrame(fresh, tok)))
     }
-    Checkpoints.releaseAll()
-    pruneSweep(spark, corpusDir, AllNames, fpNew, graceMs = AppendPruneGraceMs)
+    // fpOld stays in the keep set for ONE more generation: a reader that
+    // resolved it through the TTL cache just before this batch landed
+    // can still be scanning it (an mtime grace alone fails when batch
+    // intervals exceed the grace — the version dirs are old in wall
+    // time the moment they become stale)
+    pruneSweep(spark, corpusDir, AllNames, Set(fpNew, fpOld),
+      graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
         tokCounts).toMap,
@@ -751,7 +799,7 @@ object Artifacts {
     * files and row groups (spec-measured, not just claimed).
     */
   def materializeIncremental(spark: SparkSession, oldDir: String,
-      newDir: String, maxChangeFraction: Double = 0.2): IncrementalResult = {
+      newDir: String, maxChangeFraction: Double = 0.2): IncrementalResult = Checkpoints.scoped {
     import org.apache.spark.sql.functions._
     require(rootOpt.nonEmpty,
       "Artifacts.materializeIncremental needs a root — setRoot(...) or " +
@@ -775,9 +823,15 @@ object Artifacts {
           .toMap, 0, 0, 0, 0, 0)
 
     val fpOld = corpusFingerprint(spark, oldDir)
-    if (!AllNames.forall(n => isCommitted(spark, versionPath(oldDir, n, fpOld))))
+    val missingOld = AllNames.filterNot(n =>
+      isCommitted(spark, versionPath(oldDir, n, fpOld)))
+    if (missingOld.nonEmpty) {
+      if (missingOld.size < AllNames.size) System.err.println(
+        s"[artifacts] full rebuild: old snapshot missing ${missingOld.mkString(", ")} " +
+          "— a newly added artifact type triggers this once per corpus after an upgrade")
       return IncrementalResult("full_missing_old",
         materialize(spark, newDir), -1, -1, -1, -1, -1)
+    }
 
     val docsNew = Tables.documents(spark, newDir)
     val hashedNew = Checkpoints.checkpoint(
@@ -797,11 +851,9 @@ object Artifacts {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val (nAdd, nChg, nRem) = (byStatus.getOrElse("added", 0L),
       byStatus.getOrElse("changed", 0L), byStatus.getOrElse("removed", 0L))
-    if (nNew == 0 || nAdd + nChg + nRem > maxChangeFraction * nNew) {
-      Checkpoints.releaseAll()
+    if (nNew == 0 || nAdd + nChg + nRem > maxChangeFraction * nNew)
       return IncrementalResult("full_large_diff", materialize(spark, newDir),
         nAdd, nChg, nRem, -1, -1)
-    }
 
     val dNew = diff.filter(col("status").isin("added", "changed"))
       .select("doc_id")
@@ -876,8 +928,7 @@ object Artifacts {
           .join(dGone, Seq("doc_id"), "left_anti")
           .unionByName(tokenCountsFrame(docsChangedNew, tok)))
     }
-    Checkpoints.releaseAll()
-    pruneSweep(spark, newDir, AllNames, fpNew)
+    pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
         tokCounts).toMap,

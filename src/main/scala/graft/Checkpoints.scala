@@ -54,6 +54,31 @@ object Checkpoints {
 
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]()
 
+  private val scopes =
+    new ThreadLocal[List[scala.collection.mutable.ArrayBuffer[Handle]]] {
+      override def initialValue(): List[scala.collection.mutable.ArrayBuffer[Handle]] = Nil
+    }
+
+  /** Run `body`, then release ONLY the checkpoints the current thread
+    * registered inside it — the composition-safe cleanup for LIBRARY
+    * code that can run concurrently with foreground queries.
+    * [[releaseAll]] is a session-wide query-boundary lever; called from
+    * a subroutine (artifact maintenance on a streaming micro-batch
+    * thread) it would unpersist a concurrent query's still-live
+    * checkpoint blocks, which lineage truncation makes unrecoverable.
+    * Scopes nest (inner scopes release first); handles released early
+    * inside the scope (fixpoint rounds) release again harmlessly.
+    */
+  def scoped[T](body: => T): T = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Handle]
+    scopes.set(buf :: scopes.get())
+    try body
+    finally {
+      scopes.set(scopes.get().tail)
+      buf.foreach(_.release())
+    }
+  }
+
   /** `df.localCheckpoint(eager)`, registered for [[releaseAll]]. */
   def checkpoint(df: DataFrame, eager: Boolean = true): DataFrame =
     checkpointed(df, eager)._1
@@ -103,7 +128,9 @@ object Checkpoints {
       try rdds.foreach(_.count())
       finally rdds.foreach(live.add)
     } else rdds.foreach(live.add)
-    (cp, new Handle(rdds))
+    val handle = new Handle(rdds)
+    scopes.get().headOption.foreach(_ += handle)
+    (cp, handle)
   }
 
   /** Unpersist every registered checkpoint's blocks. Call only at a

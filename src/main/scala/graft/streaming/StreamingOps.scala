@@ -300,27 +300,36 @@ object StreamingOps {
     val writer = docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val fpOld = graft.Artifacts.corpusFingerprint(spark, corpusDir)
-        // ONE materialized frame feeds both legs: dedup-within-batch and
-        // the anti-join against the corpus run once, pinned by the
-        // checkpoint, so the rows the corpus append lands are bit-
-        // identical to the rows the artifact maintenance folds in (two
-        // independent dropDuplicates evaluations could pick different
-        // winners for a duplicated id and silently diverge the legs)
-        val fresh = graft.Checkpoints.checkpoint(existing() match {
-          case Some(ex) => batch.toDF().dropDuplicates("doc_id")
-            .join(ex.select("doc_id"), Seq("doc_id"), "left_anti")
-          case None => batch.toDF().dropDuplicates("doc_id")
-        })
-        if (fresh.isEmpty) {
-          // fully re-delivered (or empty) batch: leave the corpus files
-          // AND the fingerprint untouched — a replayed batch is a
-          // genuine no-op, not a full artifact rewrite
-          graft.Checkpoints.releaseAll()
-        } else {
-          fresh.write.mode(SaveMode.Append).parquet(docsPath)
-          graft.Tables.invalidate(corpusDir)
-          graft.Artifacts.maintainAppended(spark, corpusDir, fpOld, fresh)
+        graft.Checkpoints.scoped {
+          val fpOld = graft.Artifacts.corpusFingerprint(spark, corpusDir)
+          // ONE materialized frame feeds both legs: dedup-within-batch and
+          // the anti-join against the corpus run once, pinned by the
+          // checkpoint, so the rows the corpus append lands are bit-
+          // identical to the rows the artifact maintenance folds in (two
+          // independent dropDuplicates evaluations could pick different
+          // winners for a duplicated id and silently diverge the legs) —
+          // maintainAppended trusts it via `prefiltered`
+          val fresh = graft.Checkpoints.checkpoint(existing() match {
+            case Some(ex) => batch.toDF().dropDuplicates("doc_id")
+              .join(ex.select("doc_id"), Seq("doc_id"), "left_anti")
+            case None => batch.toDF().dropDuplicates("doc_id")
+          })
+          if (fresh.isEmpty) {
+            // fully re-delivered (or empty) batch: normally a genuine
+            // no-op — EXCEPT when a prior run crashed between its corpus
+            // append and its maintenance. Then the replayed rows are
+            // already in the corpus (fresh is empty) but the artifacts
+            // still key to the pre-crash fingerprint; detect and
+            // self-heal instead of leaving them stale forever.
+            if (!graft.Artifacts.isFullyMaterialized(spark, corpusDir))
+              graft.Artifacts.maintainAppended(spark, corpusDir, fpOld,
+                batch.toDF().dropDuplicates("doc_id"))
+          } else {
+            fresh.write.mode(SaveMode.Append).parquet(docsPath)
+            graft.Tables.invalidate(corpusDir)
+            graft.Artifacts.maintainAppended(spark, corpusDir, fpOld, fresh,
+              prefiltered = true)
+          }
         }
         ()
       }
