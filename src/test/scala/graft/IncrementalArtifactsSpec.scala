@@ -327,6 +327,49 @@ class IncrementalArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("maintainAppended detects an unaccounted external append and rebuilds") {
+    // another writer lands files between fpOld resolution and
+    // maintenance: folding only the batch would commit artifacts that
+    // RESOLVE as current while missing the external docs. The coverage
+    // invariant (old count + batch count == corpus count) must catch it
+    // and rebuild from the corpus as it actually is.
+    import spark.implicits._
+    val tmpRoot = Files.createTempDirectory("graft-delta-root").toFile
+    val corpus = Files.createTempDirectory("graft-delta-corpus").toString + "/c"
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      (1 to 20).map(i => (i.toLong, s"base doc $i words here", "s"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$corpus/documents.parquet")
+      Artifacts.materialize(spark, corpus)
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      // the batch this maintenance knows about...
+      val batch = Seq((21L, "batch doc twenty one", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      // ...and an EXTERNAL append it does not
+      Seq((99L, "external doc this maintenance never saw", "x"))
+        .toDF("doc_id", "text", "source")
+        .write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      val res = Artifacts.maintainAppended(spark, corpus, fpOld, batch)
+      assert(res.mode == "full_unexpected_delta", res)
+      // the rebuild covered the external doc too
+      assert(Artifacts.isFullyMaterialized(spark, corpus))
+      val fp = Artifacts.corpusFingerprint(spark, corpus)
+      val key = tmpRoot.listFiles().head.getName
+      val hashes = spark.read.parquet(
+        s"$tmpRoot/$key/${Artifacts.DocHashesName}/fp=$fp")
+      assert(hashes.count() == 22)
+      assert(hashes.filter(col("doc_id") === 99L).count() == 1)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("fallback paths: missing old artifacts and oversized diffs rebuild fully") {
     val tmpRoot = Files.createTempDirectory("graft-fb-root").toFile
     val base = Files.createTempDirectory("graft-fb-corpus").toString

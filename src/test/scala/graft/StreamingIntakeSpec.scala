@@ -100,6 +100,64 @@ class StreamingIntakeSpec extends SparkSpec {
     }
   }
 
+  test("intake self-heals artifacts after a crash between append and maintenance") {
+    // simulate the torn state: rows landed in the corpus (the append
+    // committed) but the process died before maintainAppended ran —
+    // artifacts still key to the pre-append fingerprint. Replaying the
+    // same batch through the sink must detect the gap and re-run
+    // maintenance instead of treating the re-delivery as a no-op.
+    import spark.implicits._
+    val liveRoot = Files.createTempDirectory("graft-heal-live").toFile
+    val coldRoot = Files.createTempDirectory("graft-heal-cold").toFile
+    val corpus = Files.createTempDirectory("graft-heal-corpus").toString + "/c"
+    val input = MemoryStream[IngestDoc](spark)
+    try {
+      Artifacts.setRoot(liveRoot.getAbsolutePath)
+      val q = StreamingOps.artifactMaintainingIntake(input.toDF(), spark, corpus)
+      try {
+        input.addData(
+          IngestDoc(1L, "alpha beta gamma delta epsilon", "s1"),
+          IngestDoc(2L, "one two three four five", "s1"))
+        q.processAllAvailable()
+        assert(Artifacts.isFullyMaterialized(spark, corpus))
+        // "crash": batch 2's rows land in the corpus with NO maintenance
+        Seq((3L, "six seven eight nine ten", "s2"))
+          .toDF("doc_id", "text", "source")
+          .write.mode("append").parquet(s"$corpus/documents.parquet")
+        Tables.invalidate(corpus)
+        assert(!Artifacts.isFullyMaterialized(spark, corpus),
+          "artifacts unexpectedly current after the torn append")
+        // restart replays the batch: rows already present → fresh empty
+        // → the sink's self-heal leg must re-materialize
+        input.addData(IngestDoc(3L, "six seven eight nine ten", "s2"))
+        q.processAllAvailable()
+        assert(Artifacts.isFullyMaterialized(spark, corpus),
+          "self-heal did not restore artifact currency")
+      } finally q.stop()
+      // healed artifacts ≡ cold rebuild of the final corpus
+      def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.collect().map(_.toString).sorted.toSeq
+      val fp = Artifacts.corpusFingerprint(spark, corpus)
+      val key = liveRoot.listFiles().head.getName
+      val live = Artifacts.AllNames.map(n =>
+        n -> rows(spark.read.parquet(s"$liveRoot/$key/$n/fp=$fp"))).toMap
+      Artifacts.setRoot(coldRoot.getAbsolutePath)
+      Artifacts.materialize(spark, corpus)
+      val coldKey = coldRoot.listFiles().head.getName
+      Artifacts.AllNames.foreach { n =>
+        assert(live(n) == rows(
+          spark.read.parquet(s"$coldRoot/$coldKey/$n/fp=$fp")),
+          s"$n drifted after self-heal")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(liveRoot)
+      deleteRecursively(coldRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("crawl stream lands deduped, quality-gated, exactly once") {
     val input = MemoryStream[RawDoc](spark)
     val out = Files.createTempDirectory("intake").toString + "/corpus"
