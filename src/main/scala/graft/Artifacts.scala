@@ -553,6 +553,55 @@ object Artifacts {
       tokCounts).toMap
   }
 
+  /** The inline frame for one artifact name against a corpus dir — the
+    * name-indexed form of what [[materialize]] builds, used by the
+    * upgrade BACKFILL: when an old snapshot is missing only SOME
+    * artifacts (the artifact set widened in a newer library version),
+    * the incremental paths build exactly those against the old corpus
+    * instead of demoting the whole refresh to a corpus-bounded rebuild
+    * of the new one. Each frame is computed independently (keepers
+    * re-derive their own postings, the dictionary its own counts) —
+    * marginally more compute than materialize's scan-sharing, on a
+    * one-time backfill of typically cheap artifacts.
+    */
+  private def inlineFrame(spark: SparkSession, corpusDir: String,
+      name: String): DataFrame = {
+    lazy val docs = Tables.documents(spark, corpusDir)
+    name match {
+      case NgramPostingsName => operators.Dedup.shingleIndex(docs)
+      case SpanCountsName => operators.CorpusOps.spanCounts(docs)
+      case DupSpansName => operators.CorpusOps.dupSpanSet(spark, corpusDir)
+      case MinhashBandsName => operators.Dedup.bandedSignatures(docs)
+      case KeepersName => operators.Dedup.keeperAssignment(spark, corpusDir)
+      case Shingles8Name => operators.CorpusOps.docShingles8(docs)
+      case TokenFreqName => operators.CorpusOps.tokenFreqRows(docs)
+      case DocHashesName => docHashesFrame(docs)
+      case tc if tc.startsWith(TokenCountsPrefix) =>
+        DefaultTokenizers.find(t => tokenCountsName(t) == tc)
+          .map(t => tokenCountsFrame(docs, t))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no default tokenizer for artifact $tc"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown artifact $other")
+    }
+  }
+
+  /** Backfill `names` for `corpusDir` at fingerprint `fp` (which must
+    * still match the corpus — the caller checked). Returns true when
+    * the backfill is the right move: some but not all artifacts were
+    * missing, and all are committed afterwards.
+    */
+  private def backfillOld(spark: SparkSession, corpusDir: String, fp: String,
+      names: Seq[String]): Boolean = {
+    if (names.isEmpty || names.size == AllNames.size) return false
+    System.err.println(s"[artifacts] backfilling ${names.mkString(", ")} " +
+      s"for $corpusDir (artifact set widened since this snapshot was " +
+      "materialized)")
+    names.foreach(n => write(spark, corpusDir, fp, n,
+      inlineFrame(spark, corpusDir, n)))
+    AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fp)))
+  }
+
   /** The diff-bounded document scan: semi-join `docs` to the diff ids,
     * with the ids' min/max range ALSO pushed into the parquet scan as a
     * `doc_id BETWEEN` filter. The semi-join alone is correct but prunes
@@ -825,13 +874,16 @@ object Artifacts {
     val fpOld = corpusFingerprint(spark, oldDir)
     val missingOld = AllNames.filterNot(n =>
       isCommitted(spark, versionPath(oldDir, n, fpOld)))
-    if (missingOld.nonEmpty) {
-      if (missingOld.size < AllNames.size) System.err.println(
-        s"[artifacts] full rebuild: old snapshot missing ${missingOld.mkString(", ")} " +
-          "— a newly added artifact type triggers this once per corpus after an upgrade")
+    // A partially missing old set usually means the artifact set widened
+    // since the old snapshot was materialized (library upgrade): BACKFILL
+    // exactly the missing artifacts against the old corpus — it still
+    // matches fpOld, so this is sound — instead of demoting the refresh
+    // to a corpus-bounded rebuild of the NEW snapshot. (maintainAppended
+    // cannot do this: its corpus has already advanced past fpOld.)
+    if (missingOld.nonEmpty &&
+        !backfillOld(spark, oldDir, fpOld, missingOld))
       return IncrementalResult("full_missing_old",
         materialize(spark, newDir), -1, -1, -1, -1, -1)
-    }
 
     val docsNew = Tables.documents(spark, newDir)
     val hashedNew = Checkpoints.checkpoint(

@@ -327,6 +327,48 @@ class IncrementalArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("a widened artifact set backfills the old snapshot instead of a full rebuild") {
+    // simulate a pre-upgrade artifact tree: materialize the old
+    // snapshot, then delete two artifacts a newer library version would
+    // have added. The refresh must backfill exactly those against the
+    // OLD corpus and stay on the incremental path — not demote to a
+    // corpus-bounded rebuild of the new snapshot.
+    val tmpRoot = Files.createTempDirectory("graft-backfill-root").toFile
+    val base = Files.createTempDirectory("graft-backfill-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val src = Tables.documents(spark, sf)
+      src.filter(col("doc_id") % 2 === 0).write.parquet(s"$oldDir/documents.parquet")
+      src.filter(col("doc_id") % 2 === 0 && col("doc_id") % 20 =!= 4)
+        .write.parquet(s"$newDir/documents.parquet")
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, oldDir)
+      val fpOld = Artifacts.corpusFingerprint(spark, oldDir)
+      for (n <- Seq(Artifacts.DocHashesName,
+          Artifacts.tokenCountsName(graft.functions.Tokenizer.Whitespace)))
+        deleteRecursively(new java.io.File(
+          s"$tmpRoot/${keyOf(oldDir)}/$n/fp=$fpOld"))
+      assert(!Artifacts.isFullyMaterialized(spark, oldDir))
+
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental",
+        s"refresh fell back to ${res.mode} instead of backfilling")
+      // the backfill restored the old snapshot's full set...
+      assert(Artifacts.isFullyMaterialized(spark, oldDir))
+      // ...and the maintained new artifacts still equal a full rebuild
+      val expected = fullRebuild(newDir)
+      val got = artifactRows(newDir)
+      Artifacts.AllNames.foreach { n =>
+        assert(got(n) == expected(n), s"$n drifted after backfill")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("maintainAppended detects an unaccounted external append and rebuilds") {
     // another writer lands files between fpOld resolution and
     // maintenance: folding only the batch would commit artifacts that
