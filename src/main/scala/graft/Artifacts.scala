@@ -61,6 +61,19 @@ object Artifacts {
   val MinhashBandsName = "minhash_bands"
   val DupSpansName = "dup_spans"
 
+  /** The near-dup pair table `(doc_a, doc_b, n_inter, jaccard)` — q20's
+    * capped-universe 3-gram Jaccard ≥ 0.5 verdicts, which is ALSO the
+    * keeper build's near-edge set. Materializing it standalone means
+    * (a) q20 itself reads it instead of re-running the inverted-index
+    * self-join — the single most expensive derivation in the artifact
+    * family — and (b) the keeper build and its incremental maintenance
+    * consume edges by artifact read: the keeper re-run's seed set
+    * becomes the pair-table DELTA (old XOR new), and the posting-index
+    * df-flip machinery runs once, inside the pair maintenance, instead
+    * of inside every keeper re-run.
+    */
+  val DupPairsName = "dup_pairs"
+
   /** Internal index artifacts: not consumed by queries directly, but the
     * standing state that makes artifact maintenance change-bounded
     * ([[materializeIncremental]]) — the n-gram posting index is what new
@@ -127,10 +140,14 @@ object Artifacts {
   val DefaultTokenizers: Seq[functions.Tokenizer] =
     Seq(functions.Tokenizer.Whitespace, functions.Tokenizer.BpePre)
 
-  /** Every artifact [[materialize]] commits, in build order. */
+  /** Every artifact [[materialize]] commits, in build order (the digest
+    * and pair artifacts commit BEFORE keepers — the keeper build reads
+    * them back as its edge sources).
+    */
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
-      KeepersName, Shingles8Name, TokenFreqName, DocHashesName) ++
+      DocHashesName, DupPairsName, KeepersName, Shingles8Name,
+      TokenFreqName) ++
       DefaultTokenizers.map(tokenCountsName)
 
   @volatile private var rootOpt: Option[String] =
@@ -329,6 +346,17 @@ object Artifacts {
     readOrCompute(spark, corpusDir, DupSpansName)(
       operators.CorpusOps.dupSpanSet(spark, corpusDir))
 
+  /** The near-dup pair table `(doc_a, doc_b, n_inter, jaccard)` — q20's
+    * verdicts and the keeper build's near-edge set (see
+    * [[DupPairsName]]) — read from the materialized artifact when fresh,
+    * else computed inline (shingle index + capped inverted-index
+    * self-join over the whole corpus).
+    */
+  def dupPairs(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, DupPairsName)(
+      operators.Dedup.jaccardPairs(
+        operators.Dedup.shingleIndex(Tables.documents(spark, corpusDir))))
+
   /** The 3-shingle posting index `(doc_id, sh)` (internal — see
     * [[NgramPostingsName]]).
     */
@@ -524,19 +552,26 @@ object Artifacts {
     // same cores and the keeper fixpoint's many small label jobs starve
     // behind the band build's wide stages, a net loss over letting each
     // build keep the cluster to itself.
+    def committed(name: String): DataFrame =
+      spark.read.parquet(versionPath(corpusDir, name, fp).get)
     val postings = build(NgramPostingsName)(operators.Dedup.shingleIndex(docs))
-    def committedPostings: DataFrame =
-      spark.read.parquet(versionPath(corpusDir, NgramPostingsName, fp).get)
     val counts = build(SpanCountsName)(operators.CorpusOps.spanCounts(docs))
     val spans = build(DupSpansName)(operators.CorpusOps.dupSpansFromCounts(
-      spark.read.parquet(versionPath(corpusDir, SpanCountsName, fp).get)))
+      committed(SpanCountsName)))
     val bands = build(MinhashBandsName)(
-      operators.Dedup.bandedSignaturesFrom(committedPostings))
+      operators.Dedup.bandedSignaturesFrom(committed(NgramPostingsName)))
+    // digest and pair artifacts BEFORE keepers: the keeper build reads
+    // both back as its edge sources, so the text-hash scan and the pair
+    // self-join each run once per snapshot no matter how many artifacts
+    // (or queries) consume them
+    val hashes = build(DocHashesName)(docHashesFrame(docs))
+    val pairs = build(DupPairsName)(
+      operators.Dedup.jaccardPairs(committed(NgramPostingsName)))
     val keepers = build(KeepersName)(
-      operators.Dedup.keeperAssignmentFrom(docs, committedPostings))
+      operators.Dedup.keeperAssignmentFromParts(docs.select("doc_id"),
+        committed(DocHashesName), committed(DupPairsName)))
     val sh8 = build(Shingles8Name)(operators.CorpusOps.docShingles8(docs))
     val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
-    val hashes = build(DocHashesName)(docHashesFrame(docs))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -549,8 +584,8 @@ object Artifacts {
     // artifact_build_breakdown with zeros
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
-    (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
-      tokCounts).toMap
+    (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
+      tokFreq) ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -571,6 +606,8 @@ object Artifacts {
       case NgramPostingsName => operators.Dedup.shingleIndex(docs)
       case SpanCountsName => operators.CorpusOps.spanCounts(docs)
       case DupSpansName => operators.CorpusOps.dupSpanSet(spark, corpusDir)
+      case DupPairsName =>
+        operators.Dedup.jaccardPairs(operators.Dedup.shingleIndex(docs))
       case MinhashBandsName => operators.Dedup.bandedSignatures(docs)
       case KeepersName => operators.Dedup.keeperAssignment(spark, corpusDir)
       case Shingles8Name => operators.CorpusOps.docShingles8(docs)
@@ -661,10 +698,11 @@ object Artifacts {
     * Append-only is a strictly easier diff: nothing is removed or
     * changed, so no old-corpus text is ever scanned — per-doc artifacts
     * extend by rows computed from the BATCH alone, count artifacts by
-    * positive deltas, and the keeper re-run is the same component-
-    * bounded CC as the snapshot path (batch docs as an all-`added`
-    * diff, including the df-cap-flip seeding — an append can push a
-    * shingle's df OVER the cap and sever edges between unchanged docs).
+    * positive deltas, and the pair-table/keeper maintenance is the same
+    * change-bounded path as the snapshot promotion (batch docs as an
+    * all-`added` diff, including the df-cap-flip handling — an append
+    * can push a shingle's df OVER the cap and sever pairs between
+    * unchanged docs).
     * Even the id+md5 frame the keeper exactness argument needs comes
     * from standing state (the digest artifact + batch hashes), so the
     * documents table is never scanned — the corpus-grain inputs are the
@@ -773,8 +811,17 @@ object Artifacts {
       lit(null).cast("string").as("h_old"),
       md5(col("text")).as("h_new"),
       lit("added").as("status"))
+    // pair table before keepers: the batch is an all-`added` diff, and
+    // the pair maintenance owns the df-cap-flip handling (an append can
+    // push a shingle's df OVER the cap and sever pairs between
+    // unchanged docs); the keeper re-run then seeds from the pair delta
+    val pairsOld = spark.read.parquet(pathOf(fpOld, DupPairsName))
+    val pairs = buildInc(DupPairsName)(
+      operators.Dedup.incrementalJaccardPairs(pairsOld, diff, postOld,
+        postNew))
+    val pairsNew = spark.read.parquet(pathOf(fpNew, DupPairsName))
     val (keepersNew, nAffected, nVerts) = operators.Dedup.incrementalKeepers(
-      oldKeepers, hashedNew, diff, postOld, postNew)
+      oldKeepers, hashedNew, diff, pairsOld, pairsNew)
     val keepers = buildInc(KeepersName)(keepersNew)
 
     val sh8 = buildInc(Shingles8Name)(
@@ -798,8 +845,8 @@ object Artifacts {
     pruneSweep(spark, corpusDir, AllNames, Set(fpNew, fpOld),
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
-      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
-        tokCounts).toMap,
+      (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
+        tokFreq) ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -913,7 +960,7 @@ object Artifacts {
       .select("doc_id")
     val docsChangedNew = prunedDeltaScan(docsNew, dNew)
 
-    // posting index first — the keeper maintenance reads it back
+    // posting index first — the pair maintenance reads it back
     val postOld = spark.read.parquet(pathOf(oldDir, fpOld, NgramPostingsName))
     val postings = buildInc(NgramPostingsName)(
       postOld.join(dGone, Seq("doc_id"), "left_anti")
@@ -944,10 +991,19 @@ object Artifacts {
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Dedup.bandedSignatures(docsChangedNew)))
 
+    // pair table: change-bounded recompute of the pairs incident to
+    // touched docs (owns the df-cap-flip detection); the keeper re-run
+    // below seeds from its old-vs-new delta
+    val pairsOld = spark.read.parquet(pathOf(oldDir, fpOld, DupPairsName))
+    val pairs = buildInc(DupPairsName)(
+      operators.Dedup.incrementalJaccardPairs(pairsOld, diff, postOld,
+        postNew))
+    val pairsNew = spark.read.parquet(pathOf(newDir, fpNew, DupPairsName))
+
     // keepers: component-bounded CC re-run
     val (keepersNew, nAffected, nVerts) = operators.Dedup.incrementalKeepers(
       spark.read.parquet(pathOf(oldDir, fpOld, KeepersName)),
-      hashedNew, diff, postOld, postNew)
+      hashedNew, diff, pairsOld, pairsNew)
     val keepers = buildInc(KeepersName)(keepersNew)
 
     // 8-gram shingles: per-doc rows — retract and append
@@ -982,8 +1038,8 @@ object Artifacts {
     }
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
-      (Seq(postings, counts, spans, bands, keepers, sh8, tokFreq, hashes) ++
-        tokCounts).toMap,
+      (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
+        tokFreq) ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

@@ -408,10 +408,14 @@ object Dedup {
   /** q20 — 3-gram Jaccard pairs ≥ 0.5 via inverted-index self-join over
     * the DF-capped shingle universe (pairs share ≥1 surviving shingle;
     * intersection counted per pair, union by inclusion–exclusion).
-    * DuckDB-expressible → full oracle.
+    * DuckDB-expressible → full oracle. Served from the `dup_pairs`
+    * corpus artifact when one is committed for the corpus's current
+    * fingerprint — the pair table is also the keeper build's near-edge
+    * input, so materialized mode derives the whole chain once per
+    * snapshot, not once per consumer.
     */
   def q20NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairs(shingleIndex(Tables.documents(spark, dir)))
+    graft.Artifacts.dupPairs(spark, dir)
       .orderBy("doc_a", "doc_b")
 
   /** q20's pair chain over a given (doc_id, sh) postings frame (the
@@ -768,24 +772,154 @@ object Dedup {
       shingleIndex(Tables.documents(spark, dir)))
 
   /** [[keeperAssignment]] parameterized by the postings frame the near
-    * edges derive from — inline [[shingleIndex]] for the plain path, the
-    * committed `ngram_postings` artifact when `Artifacts.materialize`
-    * builds keepers (the shingle scan then runs once per snapshot, not
-    * once per artifact).
+    * edges derive from — inline [[shingleIndex]] for the plain path.
+    * (`Artifacts.materialize` instead builds keepers through
+    * [[keeperAssignmentFromParts]] against the committed digest and
+    * pair artifacts, so the shingle scan and the pair self-join run
+    * once per snapshot, not once per artifact.)
     */
   private[graft] def keeperAssignmentFrom(docs: DataFrame,
-      postings: DataFrame): DataFrame = {
-    val hashed = docs.select(md5(col("text")).as("h"), col("doc_id"))
+      postings: DataFrame): DataFrame =
+    keeperAssignmentFromParts(docs,
+      docs.select(col("doc_id"), md5(col("text")).as("h")),
+      jaccardPairs(postings))
+
+  /** The keeper assignment from its three already-derived parts: the
+    * vertex set (any frame with a `doc_id` column), the per-document
+    * digest frame `(doc_id, h)` (exact-dup edges = same-md5 groups
+    * rooted at the group min), and the near-dup pair table
+    * `(doc_a, doc_b, …)` (q20's capped-universe Jaccard ≥ 0.5 verdicts).
+    * In materialized mode every part is a committed corpus artifact
+    * (`doc_hashes`, `dup_pairs`), so the keeper build proper is just
+    * the connected-components fixpoint over artifact-read edges — no
+    * text hashing and no pair self-join.
+    */
+  private[graft] def keeperAssignmentFromParts(vertices: DataFrame,
+      hashed: DataFrame, pairs: DataFrame): DataFrame = {
     val roots = hashed.groupBy("h").agg(min("doc_id").as("root"))
     val exactEdges = hashed.join(roots, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("src"), col("doc_id").as("dst"))
-    val nearEdges = jaccardPairs(postings)
+    val nearEdges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    connectedComponents(docs.select(col("doc_id").as("v")),
+    connectedComponents(vertices.select(col("doc_id").as("v")),
         exactEdges.union(nearEdges))
       .select(col("v").as("doc_id"), col("label").as("keeper_id"),
         (col("label") === col("v")).as("is_keeper"))
+  }
+
+  /** Change-bounded maintenance of the `dup_pairs` artifact (q20's pair
+    * table) from a snapshot diff and the old/new posting indexes.
+    *
+    * == Why the result is EXACTLY the full recompute ==
+    *
+    * A pair's verdict and score are a function of (n_inter, n_a, n_b)
+    * over the GLOBALLY df-capped shingle universe. Between old corpus A
+    * and new corpus B:
+    *
+    *  - n_a changes only when doc a's text changed (a ∈ D_new) or one of
+    *    a's shingles flipped cap status;
+    *  - n_inter(a,b) changes only when an endpoint's text changed or a
+    *    SHARED shingle flipped — and a shared shingle is a shingle of
+    *    both endpoints.
+    *
+    * Only D docs change any shingle's df, so flipped shingles are
+    * detectable from df deltas over the D docs' shingles alone
+    * (`candSh`), and every in-B document containing a flipped shingle
+    * is in `flippedDocs`. Hence every pair whose row can differ between
+    * A and B has an endpoint in `touchedAll` = D ∪ flippedDocs: the old
+    * artifact's rows with no endpoint there carry over verbatim, and the
+    * pairs incident to the in-B touched docs are recomputed from the
+    * maintained posting index with global df caps. New pairs can only
+    * appear incident to touched docs for the same reason (both sides'
+    * inputs were otherwise unchanged), so the recompute also catches
+    * every appearing pair.
+    *
+    * Cost shape: artifact-bounded semi-joins and df aggregates over the
+    * posting index, plus a self-join restricted to the touched docs'
+    * capped shingles — change-bounded, never a corpus-wide re-shingle.
+    */
+  private[graft] def incrementalJaccardPairs(pairsOld: DataFrame,
+      diff: DataFrame, postingsOld: DataFrame,
+      postingsNew: DataFrame): DataFrame = {
+    val dAll = diff.select("doc_id")
+    val dNew = diff.filter(col("status").isin("added", "changed"))
+      .select("doc_id")
+
+    // shingles whose global df can have changed = shingles of D docs
+    // (old or new postings); every other shingle's df is unchanged
+    val candSh = postingsOld.join(dAll, Seq("doc_id"), "left_semi")
+      .select("sh")
+      .union(postingsNew.join(dNew, Seq("doc_id"), "left_semi").select("sh"))
+      .distinct()
+    def dfOver(post: DataFrame, as: String): DataFrame =
+      post.join(candSh, Seq("sh"), "left_semi")
+        .groupBy("sh").agg(count(lit(1)).as(as))
+    val flipped = dfOver(postingsOld, "df_a")
+      .join(dfOver(postingsNew, "df_b"), Seq("sh"), "full_outer")
+      .select(col("sh"), coalesce(col("df_a"), lit(0L)).as("a"),
+        coalesce(col("df_b"), lit(0L)).as("b"))
+      .filter((col("a") <= MaxShingleDf) =!= (col("b") <= MaxShingleDf))
+      .select("sh")
+    val flippedDocs = postingsNew.join(flipped, Seq("sh"), "left_semi")
+      .select("doc_id")
+
+    // in-B docs whose pair rows must be recomputed, and the retract set
+    // (which additionally covers removed/changed docs' old rows)
+    val touched = graft.Checkpoints.checkpoint(
+      dNew.union(flippedDocs).distinct())
+    val touchedAll = dAll.union(touched).distinct()
+
+    val kept = pairsOld
+      .join(touchedAll.withColumnRenamed("doc_id", "doc_a"),
+        Seq("doc_a"), "left_anti")
+      .join(touchedAll.withColumnRenamed("doc_id", "doc_b"),
+        Seq("doc_b"), "left_anti")
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+
+    // recompute pairs incident to touched docs: index restricted to the
+    // touched docs' shingles that survive the GLOBAL df cap (shared
+    // shingles of such pairs are shingles of the touched endpoint, so
+    // the restriction loses nothing)
+    val shT = postingsNew.join(touched, Seq("doc_id"), "left_semi")
+      .select("sh").distinct()
+    val cappedShT = postingsNew.join(shT, Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("dfg"))
+      .filter(col("dfg") <= MaxShingleDf).select("sh")
+    val idxT = postingsNew.join(cappedShT, Seq("sh"), "left_semi")
+    val flagged = idxT
+      .join(touched.withColumn("t", lit(1)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sh"), col("t").isNotNull.as("is_t"))
+    val rawPairs = flagged.as("x").join(flagged.as("y"),
+        col("x.sh") === col("y.sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.is_t") || col("y.is_t"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+
+    // per-doc capped-universe sizes for every doc a recomputed pair can
+    // involve — their FULL postings, capped with global df
+    val involved = idxT.select("doc_id").distinct()
+    val shI = postingsNew.join(involved, Seq("doc_id"), "left_semi")
+    val cappedI = postingsNew
+      .join(shI.select("sh").distinct(), Seq("sh"), "left_semi")
+      .groupBy("sh").agg(count(lit(1)).as("dfg"))
+      .filter(col("dfg") <= MaxShingleDf).select("sh")
+    val nSh = shI.join(cappedI, Seq("sh"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+
+    val recomputed = rawPairs
+      .join(nSh.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), "doc_a")
+      .join(nSh.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_inter", "jaccard")
+
+    kept.unionByName(recomputed)
   }
 
   /** Incremental keeper maintenance: re-run connected components ONLY on
@@ -806,82 +940,45 @@ object Dedup {
     *    seeded (`exactTouched`); a REMOVED member's group mates were in
     *    its old component already (they were connected), so marking D
     *    marks them.
-    *  - near edges (capped-universe n-gram Jaccard ≥ 0.5): a pair's
-    *    verdict is a function of (n_inter, n_a, n_b) over shingles with
-    *    global df ≤ [[MaxShingleDf]]. Those inputs change only when (a)
-    *    an endpoint's text changed — it is in D; (b) a shingle's
-    *    cap status flipped — only D docs change any shingle's df, the
-    *    flip is detected from the posting-index df deltas, and every B
-    *    doc CONTAINING a flipped shingle is seeded (`flippedDocs`; its
-    *    n_sh and all its pairs' n_inter may change); unchanged docs have
-    *    identical postings in A and B, so postings_B finds them all.
-    *    A pair that LOSES its edge was an A-edge, so both endpoints
-    *    shared an old component that D/flipped marking reaches; a pair
-    *    that GAINS an edge in B shares a capped-in-B shingle with a doc
-    *    whose behavior changed (D-new or flipped), and every B doc
-    *    sharing a capped-in-B shingle with such a doc is seeded
-    *    (`partners`).
+    *  - near edges: the edge set IS the maintained `dup_pairs` artifact
+    *    (q20's capped-universe Jaccard ≥ 0.5 pair table — exactness of
+    *    its maintenance is [[incrementalJaccardPairs]]'s closure
+    *    argument), so the near-edge DELTA is directly computable: pairs
+    *    present in exactly one of the old and new artifacts. Both
+    *    endpoints of every delta edge are seeded (`nearTouched`) — a
+    *    pair present in both with a different SCORE connects the same
+    *    component either way, so existence is the right grain here.
     *
     * M = (members of old components containing a seed, still present in
     * B) ∪ added docs. Every changed edge is internal to M, and every
-    * A-edge or B-edge incident to M stays inside M (edges that exist in
-    * both corpora connect docs of one old component). So B's component
+    * A-edge or B-edge incident to M stays inside M: an edge present in
+    * both corpora connects docs of one old component, so one endpoint
+    * in M (its component affected) puts the other there too; a B-only
+    * or A-only edge has both endpoints seeded. So B's component
     * structure outside M is exactly A's — those keeper rows carry over —
-    * and CC over the induced subgraph on M, with B's edges re-derived
-    * from the maintained posting index and B's hashes, yields the same
-    * min-label components a full rebuild would.
+    * and CC over the induced subgraph on M, with exact edges re-derived
+    * from B's hashes and near edges READ from the new pair artifact,
+    * yields the same min-label components a full rebuild would.
     *
-    * Cost shape: everything here is ARTIFACT-bounded (posting-index
-    * scans, semi-joins, df aggregates) or CHANGE-bounded (the CC re-run
+    * Cost shape: everything here is ARTIFACT-bounded (pair-table
+    * anti-joins, digest semi-joins) or CHANGE-bounded (the CC re-run
     * over M); the only corpus-grain work is the id+md5 scan the caller's
-    * diff already paid for. No document text is re-shingled except the
-    * added/changed docs themselves (done once by the posting-index
-    * maintenance, upstream of this call).
+    * diff already paid for. The heavy posting-index machinery (df-flip
+    * detection, partner expansion, the pair self-join) lives in the
+    * pair-artifact maintenance, upstream of this call — the keeper
+    * re-run no longer touches postings at all.
     *
     * @param keepersOld  old keeper artifact `(doc_id, keeper_id, is_keeper)`
     * @param hashedNew   `(doc_id, h)` — md5 of every new-corpus doc
     * @param diff        `(doc_id, h_old, h_new, status)`, unchanged rows dropped
-    * @param postingsOld old `ngram_postings` artifact `(doc_id, sh)`
-    * @param postingsNew NEW `ngram_postings` artifact (already maintained)
+    * @param pairsOld    old `dup_pairs` artifact `(doc_a, doc_b, n_inter, jaccard)`
+    * @param pairsNew    NEW `dup_pairs` artifact (already maintained)
     * @return (new keeper frame, affected component count, CC vertex count)
     */
   private[graft] def incrementalKeepers(keepersOld: DataFrame,
-      hashedNew: DataFrame, diff: DataFrame, postingsOld: DataFrame,
-      postingsNew: DataFrame): (DataFrame, Long, Long) = {
+      hashedNew: DataFrame, diff: DataFrame, pairsOld: DataFrame,
+      pairsNew: DataFrame): (DataFrame, Long, Long) = {
     val dAll = diff.select("doc_id")
-    val dNew = diff.filter(col("status").isin("added", "changed"))
-      .select("doc_id")
-
-    // shingles whose df can have changed = shingles of D docs (old or new
-    // postings); df is unchanged for every other shingle by definition
-    val candSh = postingsOld.join(dAll, Seq("doc_id"), "left_semi")
-      .select("sh")
-      .union(postingsNew.join(dNew, Seq("doc_id"), "left_semi").select("sh"))
-      .distinct()
-    def dfOver(post: DataFrame, as: String): DataFrame =
-      post.join(candSh, Seq("sh"), "left_semi")
-        .groupBy("sh").agg(count(lit(1)).as(as))
-    val flipped = dfOver(postingsOld, "df_a")
-      .join(dfOver(postingsNew, "df_b"), Seq("sh"), "full_outer")
-      .select(col("sh"), coalesce(col("df_a"), lit(0L)).as("a"),
-        coalesce(col("df_b"), lit(0L)).as("b"))
-      .filter((col("a") <= MaxShingleDf) =!= (col("b") <= MaxShingleDf))
-      .select("sh")
-    val flippedDocs = postingsNew.join(flipped, Seq("sh"), "left_semi")
-      .select("doc_id")
-
-    // docs whose pair-generation behavior changed, and everyone who can
-    // have gained an edge with them in B (shared capped-in-B shingle)
-    val core = dNew.union(flippedDocs).distinct()
-    val coreSh = postingsNew.join(core, Seq("doc_id"), "left_semi")
-      .select("sh").distinct()
-    val coreShCapped = coreSh.join(
-      postingsNew.join(coreSh, Seq("sh"), "left_semi")
-        .groupBy("sh").agg(count(lit(1)).as("dfg"))
-        .filter(col("dfg") <= MaxShingleDf),
-      Seq("sh"), "left_semi")
-    val partners = postingsNew.join(coreShCapped, Seq("sh"), "left_semi")
-      .select("doc_id")
 
     val touchedH = diff.select(col("h_new").as("h"))
       .union(diff.select(col("h_old").as("h")))
@@ -889,8 +986,15 @@ object Dedup {
     val exactTouched = hashedNew.join(touchedH, Seq("h"), "left_semi")
       .select("doc_id")
 
-    val seeds = dAll.union(exactTouched).union(flippedDocs).union(partners)
-      .distinct()
+    // near-edge delta endpoints: pairs present in exactly one artifact
+    val eOld = pairsOld.select("doc_a", "doc_b")
+    val eNew = pairsNew.select("doc_a", "doc_b")
+    val changedPairs = eOld.join(eNew, Seq("doc_a", "doc_b"), "left_anti")
+      .union(eNew.join(eOld, Seq("doc_a", "doc_b"), "left_anti"))
+    val nearTouched = changedPairs.select(col("doc_a").as("doc_id"))
+      .union(changedPairs.select(col("doc_b").as("doc_id")))
+
+    val seeds = dAll.union(exactTouched).union(nearTouched).distinct()
     val affected = graft.Checkpoints.checkpoint(
       keepersOld.join(seeds, Seq("doc_id"), "left_semi")
         .select("keeper_id").distinct())
@@ -901,31 +1005,16 @@ object Dedup {
         .union(diff.filter(col("status") === "added").select("doc_id"))
         .distinct())
 
-    // B's edges restricted to M, re-derived without any text rescans:
-    // exact edges from the (id, md5) frame, near edges from the
-    // maintained posting index with GLOBAL (corpus-wide) df caps
+    // B's edges restricted to M: exact edges from the (id, md5) frame,
+    // near edges read straight from the maintained pair artifact
     val hashedM = hashedNew.join(m, Seq("doc_id"), "left_semi")
     val roots = hashedM.groupBy("h").agg(min("doc_id").as("root"))
     val exactEdges = hashedM.join(roots, "h")
       .filter(col("doc_id") =!= col("root"))
       .select(col("root").as("src"), col("doc_id").as("dst"))
-    val postM = postingsNew.join(m, Seq("doc_id"), "left_semi")
-    val dfM = postingsNew
-      .join(postM.select("sh").distinct(), Seq("sh"), "left_semi")
-      .groupBy("sh").agg(count(lit(1)).as("dfg"))
-    val idxM = postM.join(dfM.filter(col("dfg") <= MaxShingleDf).select("sh"),
-      Seq("sh"), "left_semi")
-    val nSh = idxM.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val nearEdges = idxM.as("x").join(idxM.as("y"), col("x.sh") === col("y.sh"))
-      .filter(col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-      .join(nSh.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(nSh.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), "doc_b")
-      .filter(col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")) >= 0.5)
+    val nearEdges = pairsNew
+      .join(m.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_semi")
+      .join(m.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"), "left_semi")
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
     val relabeled = connectedComponents(m.select(col("doc_id").as("v")),

@@ -25,6 +25,7 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.NgramPostingsName -> rows(Dedup.shingleIndex(docs)),
       Artifacts.SpanCountsName -> rows(CorpusOps.spanCounts(docs)),
       Artifacts.DupSpansName -> rows(CorpusOps.dupSpanSet(spark, dir)),
+      Artifacts.DupPairsName -> rows(Dedup.jaccardPairs(Dedup.shingleIndex(docs))),
       Artifacts.MinhashBandsName -> rows(Dedup.bandedSignatures(docs)),
       Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)),
       Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
