@@ -38,6 +38,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `fp=` directories are pruned after commit; a reader that resolved one
   * of those was reading against a corpus state that no longer exists.)
   *
+  * == Layout: per-doc artifacts are SEGMENTED ==
+  *
+  * The per-document and per-pair artifacts store their data as a pool
+  * of write-once parquet segments; a committed version is a MANIFEST of
+  * segment references (+ per-segment key ranges), so incremental
+  * maintenance carries untouched segments by reference and its WRITE
+  * cost tracks the change, not the artifact — the table-format idea
+  * (Iceberg/Delta manifests), scoped to exactly what versioned
+  * artifacts need. See the segment-layout notes above [[segmentKeysOf]]
+  * for the full contract (commit protocol, compaction, sweep).
+  *
   * Contract: every read path returns EXACTLY the frame the inline
   * computation produces (`ArtifactsSpec` proves hash-equality), so
   * consumers are oblivious — [[keepers]]/[[minhashBands]]/[[dupSpans]]
@@ -301,7 +312,8 @@ object Artifacts {
     rootOpt.flatMap { _ =>
       val fp = corpusFingerprint(spark, corpusDir)
       val p = versionPath(corpusDir, name, fp).get
-      if (isCommitted(spark, Some(p))) Some(spark.read.parquet(p))
+      if (isCommitted(spark, Some(p)))
+        Some(readVersion(spark, corpusDir, name, p))
       else {
         if (anyVersionCommitted(spark, corpusDir, name)) {
           val msg = s"[artifacts] $name for $corpusDir is STALE: committed " +
@@ -433,7 +445,7 @@ object Artifacts {
     val fp = corpusFingerprint(spark, corpusDir)
     val name = tokenCountsName(tok)
     val p = versionPath(corpusDir, name, fp).get
-    if (isCommitted(spark, Some(p))) committedCount(spark, p)
+    if (isCommitted(spark, Some(p))) committedCount(spark, corpusDir, name, p)
     else {
       val n = write(spark, corpusDir, fp, name,
         tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
@@ -453,12 +465,20 @@ object Artifacts {
   private def write(spark: SparkSession, corpusDir: String, fp: String,
       name: String, df: DataFrame): (String, Long) = {
     val p = versionPath(corpusDir, name, fp).get
-    val obs = org.apache.spark.sql.Observation(s"artifact_${name}_$fp")
-    df.observe(obs, org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("n"))
-      .write.mode(SaveMode.Overwrite)
-      .parquet(p)
-    name -> obs.get("n").asInstanceOf[Long]
+    val keys = segmentKeys(name)
+    if (keys.nonEmpty) {
+      // segmented layout: one fresh segment + a manifest commit
+      val seg = writeSegment(spark, corpusDir, name, df, keys)
+      writeManifest(spark, p, Seq(seg))
+      name -> seg.rows
+    } else {
+      val obs = org.apache.spark.sql.Observation(s"artifact_${name}_$fp")
+      df.observe(obs, org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(p)
+      name -> obs.get("n").asInstanceOf[Long]
+    }
   }
 
   /** End-of-call stale-version sweep: for each artifact name, drop
@@ -492,18 +512,348 @@ object Artifacts {
       names.foreach { name =>
         val dir = new Path(s"$r/${corpusKey(corpusDir)}/$name")
         val fs = dir.getFileSystem(conf)
-        if (fs.exists(dir))
+        if (fs.exists(dir)) {
+          // pass 1: stale version (fp=) directories
           fs.listStatus(dir).foreach { st =>
-            if (st.isDirectory &&
+            if (st.isDirectory && st.getPath.getName.startsWith("fp=") &&
                 !liveFps.contains(st.getPath.getName.stripPrefix("fp=")) &&
                 (graceMs == 0L || st.getModificationTime < cutoff))
               fs.delete(st.getPath, true)
           }
+          // pass 2: segments no surviving manifest references — stale
+          // versions' exclusive segments, compaction leftovers, and
+          // orphans of crashed runs. Referenced-ness is resolved AFTER
+          // pass 1, so a version kept by grace keeps its segments too;
+          // the grace cutoff also applies here (compaction touches
+          // de-referenced segments' mtime so the window counts from
+          // de-reference, protecting readers on the old file list).
+          val segDir = new Path(dir, "seg")
+          if (fs.exists(segDir)) {
+            val referenced: Set[String] = fs.listStatus(dir)
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith("fp="))
+              .flatMap(st =>
+                readManifestAt(spark, st.getPath.toString).getOrElse(Seq.empty))
+              .map(_.rel.stripPrefix("seg/")).toSet
+            fs.listStatus(segDir).foreach { st =>
+              if (st.isDirectory && !referenced.contains(st.getPath.getName) &&
+                  (graceMs == 0L || st.getModificationTime < cutoff))
+                fs.delete(st.getPath, true)
+            }
+          }
+        }
       }
     }
 
-  private def committedCount(spark: SparkSession, path: String): Long =
-    spark.read.parquet(path).count()
+  // ==== segment + manifest layout ==========================================
+  //
+  // Per-document and per-pair artifacts are stored as a pool of
+  // write-once parquet SEGMENTS under `<name>/seg/<uuid>`, with each
+  // committed `fp=` version holding only a `_MANIFEST` (segment
+  // relative path, row count, min/max range per prune key) + `_SUCCESS`.
+  // This is what makes maintenance I/O change-bounded, not just the
+  // compute: a maintained version CARRIES untouched segments by
+  // reference, REWRITES only the segments whose key ranges contain
+  // retracted ids, and APPENDS one delta segment — the append path
+  // writes batch-bounded bytes per micro-batch where the plain layout
+  // re-encoded every artifact whole. Aggregated artifacts (span counts,
+  // token frequencies, the span dictionary) keep the plain layout: their
+  // maintenance is a re-aggregation whose output is artifact-sized, and
+  // a delta-segment scheme would push a merge onto every read.
+  //
+  // Commit protocol is unchanged (`_SUCCESS` gates readers; a version
+  // directory is never rewritten once committed). Orphan segments from a
+  // crashed run are never referenced by any manifest and are swept by
+  // [[pruneSweep]]'s unreferenced-segment pass. [[compactSegments]]
+  // bounds segment sprawl under continuous ingest by consolidating the
+  // CURRENT version's segments and atomically replacing its manifest —
+  // the one in-place manifest update in the system; de-referenced
+  // segments get their mtime touched so the prune grace counts from
+  // de-reference, not creation, and readers mid-scan keep their files.
+
+  /** Prune/retract key columns per artifact: per-doc artifacts retract
+    * by `doc_id`; the pair table by EITHER endpoint. Empty = plain
+    * (non-segmented) layout.
+    */
+  private[graft] def segmentKeysOf(name: String): Seq[String] =
+    segmentKeys(name)
+
+  private def segmentKeys(name: String): Seq[String] = name match {
+    case DupPairsName => Seq("doc_a", "doc_b")
+    case NgramPostingsName | Shingles8Name | DocHashesName | KeepersName |
+         MinhashBandsName => Seq("doc_id")
+    case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
+    case _ => Seq.empty
+  }
+
+  /** One manifest line: segment path relative to `<name>/`, its row
+    * count, and an inclusive (lo, hi) long range per [[segmentKeys]]
+    * column ((1, 0) = empty/unknown, matches nothing).
+    */
+  private final case class SegEntry(rel: String, rows: Long,
+      ranges: Seq[(Long, Long)])
+
+  private val ManifestFile = "_MANIFEST"
+
+  private def artifactDir(corpusDir: String, name: String): String =
+    s"${rootOpt.get}/${corpusKey(corpusDir)}/$name"
+
+  private def hadoopFs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Write `entries` as `fpDir/_MANIFEST` and commit with `_SUCCESS`.
+    * `replace = true` is the compaction path: the manifest is swapped
+    * via temp-file + rename (atomic on HDFS/local), and [[readVersion]]
+    * absorbs the delete+rename window with a short retry.
+    */
+  private def writeManifest(spark: SparkSession, fpDir: String,
+      entries: Seq[SegEntry], replace: Boolean = false): Unit = {
+    val dir = new Path(fpDir)
+    val fs = hadoopFs(spark, dir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s"$ManifestFile.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      val sb = new StringBuilder("graft-manifest\tv1\n")
+      entries.foreach { e =>
+        sb.append(e.rel).append('\t').append(e.rows)
+        e.ranges.foreach { case (lo, hi) =>
+          sb.append('\t').append(lo).append('\t').append(hi)
+        }
+        sb.append('\n')
+      }
+      out.write(sb.toString.getBytes("UTF-8"))
+    } finally out.close()
+    val dst = new Path(dir, ManifestFile)
+    if (replace && fs.exists(dst)) fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"manifest rename failed for $fpDir")
+    if (!replace) fs.create(new Path(dir, "_SUCCESS"), true).close()
+  }
+
+  private def readManifestAt(spark: SparkSession,
+      fpDir: String): Option[Seq[SegEntry]] = {
+    val p = new Path(fpDir, ManifestFile)
+    val fs = hadoopFs(spark, p)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val lines = text.linesIterator.toSeq
+      require(lines.headOption.exists(_.startsWith("graft-manifest")),
+        s"unrecognized manifest header in $fpDir")
+      Some(lines.drop(1).filter(_.nonEmpty).map { l =>
+        val f = l.split('\t')
+        SegEntry(f(0), f(1).toLong,
+          f.drop(2).grouped(2).map(r => (r(0).toLong, r(1).toLong)).toSeq)
+      })
+    }
+  }
+
+  /** [[readManifestAt]] with a short retry for the compaction swap
+    * window (manifest momentarily absent between delete and rename).
+    */
+  private def readManifest(spark: SparkSession,
+      fpDir: String): Option[Seq[SegEntry]] = {
+    var attempt = 0
+    while (attempt < 3) {
+      readManifestAt(spark, fpDir) match {
+        case some @ Some(_) => return some
+        case None if segmentedCommit(spark, fpDir) =>
+          Thread.sleep(50); attempt += 1
+        case None => return None
+      }
+    }
+    readManifestAt(spark, fpDir)
+  }
+
+  /** A committed fp dir with no parquet data files must be a segmented
+    * commit whose manifest is mid-swap (or torn) — plain commits always
+    * contain part files.
+    */
+  private def segmentedCommit(spark: SparkSession, fpDir: String): Boolean = {
+    val dir = new Path(fpDir)
+    val fs = hadoopFs(spark, dir)
+    fs.exists(new Path(dir, "_SUCCESS")) &&
+      !fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Write one segment for `name` and observe its row count and per-key
+    * ranges on the write itself (no second scan).
+    */
+  private def writeSegment(spark: SparkSession, corpusDir: String,
+      name: String, df: DataFrame, keys: Seq[String]): SegEntry = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val rel = "seg/" + java.util.UUID.randomUUID().toString
+    val abs = s"${artifactDir(corpusDir, name)}/$rel"
+    val obs = org.apache.spark.sql.Observation(s"seg_$rel")
+    val aggs = count(lit(1)).as("n") +: keys.flatMap(k => Seq(
+      min(col(k)).cast("long").as(s"lo_$k"),
+      max(col(k)).cast("long").as(s"hi_$k")))
+    df.observe(obs, aggs.head, aggs.tail: _*)
+      .write.mode(SaveMode.Overwrite).parquet(abs)
+    val got = obs.get
+    val n = got("n").asInstanceOf[Long]
+    val ranges = keys.map { k =>
+      (Option(got(s"lo_$k")), Option(got(s"hi_$k"))) match {
+        case (Some(lo: Long), Some(hi: Long)) => (lo, hi)
+        case _ => (1L, 0L)
+      }
+    }
+    SegEntry(rel, n, ranges)
+  }
+
+  /** The committed frame at `fpDir` — segment-manifest aware, with the
+    * plain parquet directory as the pre-manifest fallback.
+    */
+  private def readVersion(spark: SparkSession, corpusDir: String,
+      name: String, fpDir: String): DataFrame =
+    readManifest(spark, fpDir) match {
+      case Some(segs) =>
+        val base = artifactDir(corpusDir, name)
+        spark.read.parquet(segs.map(s => s"$base/${s.rel}"): _*)
+      case None => spark.read.parquet(fpDir)
+    }
+
+  /** The committed frame for the corpus's CURRENT fingerprint, resolved
+    * layout-aware (manifest or plain) — the audit/test surface for
+    * reading an artifact version directly by name.
+    */
+  private[graft] def readCommitted(spark: SparkSession, corpusDir: String,
+      name: String): DataFrame = {
+    val fp = corpusFingerprint(spark, corpusDir)
+    val p = versionPath(corpusDir, name, fp).getOrElse(
+      throw new IllegalStateException("Artifacts.readCommitted needs a root"))
+    require(isCommitted(spark, Some(p)),
+      s"$name not committed for $corpusDir at fingerprint $fp")
+    readVersion(spark, corpusDir, name, p)
+  }
+
+  /** Raw byte copy of a carried segment into another corpus tree (the
+    * cross-directory snapshot promotion: no decode, no shuffle, no
+    * re-encode — and on a real object store, a server-side copy).
+    */
+  private def copySegment(spark: SparkSession, fromBase: String,
+      toBase: String, e: SegEntry): Unit = {
+    val src = new Path(s"$fromBase/${e.rel}")
+    val dst = new Path(s"$toBase/${e.rel}")
+    val fs = hadoopFs(spark, src)
+    if (!fs.exists(dst)) {
+      fs.mkdirs(dst.getParent)
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+          spark.sessionState.newHadoopConf()))
+        throw new java.io.IOException(s"segment copy failed: $src -> $dst")
+    }
+  }
+
+  /** Change-bounded segmented commit of `name` at `fpNew` under
+    * `newCorpusDir`, maintained from the committed version at `fpOld`
+    * under `oldCorpusDir`:
+    *
+    *  - segments whose key ranges cannot contain any retract id are
+    *    CARRIED — by reference in the same corpus tree, by raw byte
+    *    copy across trees;
+    *  - candidate segments (range overlap, detected by a broadcast
+    *    range join of the retract ids against the manifest's ranges —
+    *    metadata-only w.r.t. the artifact) are read back, anti-joined
+    *    per key, and folded with `append` into ONE fresh segment.
+    *
+    * Returns None when the old version predates the manifest layout
+    * (plain parquet) — the caller falls back to a whole-frame write,
+    * which upgrades the artifact to segmented on this commit.
+    */
+  private def commitSegmented(spark: SparkSession, oldCorpusDir: String,
+      fpOld: String, newCorpusDir: String, fpNew: String, name: String,
+      retract: Option[DataFrame], append: DataFrame): Option[(String, Long)] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val keys = segmentKeys(name)
+    require(keys.nonEmpty, s"$name is not a segmented artifact")
+    val newP = versionPath(newCorpusDir, name, fpNew).get
+    if (isCommitted(spark, Some(newP)))
+      return Some(name -> committedCount(spark, newCorpusDir, name, newP))
+    val oldP = versionPath(oldCorpusDir, name, fpOld).get
+    readManifest(spark, oldP).map { oldSegs =>
+      val oldBase = artifactDir(oldCorpusDir, name)
+      val newBase = artifactDir(newCorpusDir, name)
+      val hit: Set[Int] = retract match {
+        case None => Set.empty
+        case Some(r) =>
+          val sp = spark; import sp.implicits._
+          val segDf = oldSegs.zipWithIndex.map { case (e, i) =>
+            def rg(j: Int) = e.ranges.lift(j).getOrElse((1L, 0L))
+            (i, rg(0)._1, rg(0)._2, rg(1)._1, rg(1)._2)
+          }.toDF("idx", "lo0", "hi0", "lo1", "hi1")
+          r.select(col(r.columns.head).as("rid"))
+            .join(broadcast(segDf),
+              col("rid").between(col("lo0"), col("hi0")) ||
+                col("rid").between(col("lo1"), col("hi1")))
+            .select("idx").distinct().collect().map(_.getInt(0)).toSet
+      }
+      val (cand, carried) = oldSegs.zipWithIndex.partition(s => hit(s._2))
+      val rewritten = if (cand.isEmpty) None else Some {
+        val df0 = spark.read.parquet(cand.map(s => s"$oldBase/${s._1.rel}"): _*)
+        // a USING-column anti-join moves the key column to the front —
+        // restore the artifact's column order before the segment write
+        keys.foldLeft(df0) { (d, k) =>
+          d.join(retract.get.select(col(retract.get.columns.head).as(k)),
+            Seq(k), "left_anti")
+        }.select(df0.columns.map(col): _*)
+      }
+      val fresh = writeSegment(spark, newCorpusDir, name,
+        rewritten.map(_.unionByName(append)).getOrElse(append), keys)
+      val carriedOut = carried.map(_._1)
+      if (oldBase != newBase)
+        carriedOut.foreach(copySegment(spark, oldBase, newBase, _))
+      writeManifest(spark, newP, carriedOut :+ fresh)
+      name -> (carriedOut.map(_.rows).sum + fresh.rows)
+    }
+  }
+
+  /** Segment-count ceiling before [[maintainAppended]] auto-compacts an
+    * artifact (settable for tests/tuning). Continuous ingest adds a
+    * segment per artifact per batch; unbounded, every read would list
+    * and open ever more files — the same reason real table formats
+    * compact. 64 segments ≈ an hour of minute-grain batches.
+    */
+  @volatile var compactSegmentThreshold: Int = 64
+
+  /** Consolidate the CURRENT version's segments of `name` into one and
+    * atomically replace its manifest (same fingerprint — compaction
+    * changes the layout, not the contents). De-referenced segments have
+    * their mtime touched so the prune grace counts from de-reference
+    * and a reader mid-scan on the old file list keeps its files for a
+    * full grace window. Returns true when a compaction ran.
+    */
+  def compactSegments(spark: SparkSession, corpusDir: String,
+      name: String, minSegments: Int = 2): Boolean = {
+    val fp = corpusFingerprint(spark, corpusDir)
+    val p = versionPath(corpusDir, name, fp)
+      .getOrElse(return false)
+    if (!isCommitted(spark, Some(p))) return false
+    readManifest(spark, p) match {
+      case Some(segs) if segs.size >= minSegments && segs.size > 1 =>
+        val base = artifactDir(corpusDir, name)
+        val df = spark.read.parquet(segs.map(s => s"$base/${s.rel}"): _*)
+        val fresh = writeSegment(spark, corpusDir, name, df,
+          segmentKeys(name))
+        writeManifest(spark, p, Seq(fresh), replace = true)
+        val now = System.currentTimeMillis()
+        val fs = hadoopFs(spark, new Path(base))
+        segs.foreach { s =>
+          val sp = new Path(s"$base/${s.rel}")
+          if (fs.exists(sp)) fs.setTimes(sp, now, -1)
+        }
+        true
+      case _ => false
+    }
+  }
+
+  private def committedCount(spark: SparkSession, corpusDir: String,
+      name: String, path: String): Long =
+    readManifest(spark, path) match {
+      case Some(segs) => segs.map(_.rows).sum
+      case None => spark.read.parquet(path).count()
+    }
 
   /** Wall-clock seconds per artifact of the most recent [[materialize]]
     * call that built anything (skipped builds record 0) — the honest
@@ -537,7 +887,7 @@ object Artifacts {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def build(name: String)(compute: => DataFrame): (String, Long) = {
       val p = versionPath(corpusDir, name, fp).get
-      if (isCommitted(spark, Some(p))) { timings(name) = 0.0; name -> committedCount(spark, p) }
+      if (isCommitted(spark, Some(p))) { timings(name) = 0.0; name -> committedCount(spark, corpusDir, name, p) }
       else {
         val t0 = System.nanoTime()
         val out = write(spark, corpusDir, fp, name, compute)
@@ -553,7 +903,7 @@ object Artifacts {
     // behind the band build's wide stages, a net loss over letting each
     // build keep the cluster to itself.
     def committed(name: String): DataFrame =
-      spark.read.parquet(versionPath(corpusDir, name, fp).get)
+      readVersion(spark, corpusDir, name, versionPath(corpusDir, name, fp).get)
     val postings = build(NgramPostingsName)(operators.Dedup.shingleIndex(docs))
     val counts = build(SpanCountsName)(operators.CorpusOps.spanCounts(docs))
     val spans = build(DupSpansName)(operators.CorpusOps.dupSpansFromCounts(
@@ -717,12 +1067,18 @@ object Artifacts {
     * full [[materialize]] when `fpOld`'s artifacts are missing (e.g. the
     * bootstrap batch against an empty corpus).
     *
-    * "Batch-bounded" above describes the COMPUTE; the commit itself
-    * rewrites each artifact whole (plain parquet's copy-on-write
-    * versioning — a table format turns each build into a transactional
-    * append). The end-of-call prune keeps a [[AppendPruneGraceMs]] grace
-    * window so a reader that resolved the previous fingerprint through
-    * the TTL cache is not un-filed mid-scan by the next batch.
+    * "Batch-bounded" covers the WRITE side too: segmented artifacts
+    * commit a manifest that carries the previous segments by reference
+    * plus one batch segment (see the segment-layout notes above) —
+    * only the aggregated artifacts (span counts, token frequencies,
+    * span dictionary) still re-encode whole per batch, which bounds
+    * the per-batch write cost by the span-count table, not the sum of
+    * all standing indexes. [[compactSegments]] runs automatically past
+    * [[compactSegmentThreshold]] so file counts stay bounded under
+    * continuous ingest. The end-of-call prune keeps a
+    * [[AppendPruneGraceMs]] grace window so a reader that resolved the
+    * previous fingerprint through the TTL cache is not un-filed
+    * mid-scan by the next batch.
     */
   def maintainAppended(spark: SparkSession, corpusDir: String, fpOld: String,
       batch: DataFrame, prefiltered: Boolean = false): IncrementalResult = Checkpoints.scoped {
@@ -734,14 +1090,31 @@ object Artifacts {
     val fpNew = corpusFingerprint(spark, corpusDir)
     def pathOf(fp: String, name: String): String =
       versionPath(corpusDir, name, fp).get
+    def readOld(name: String): DataFrame =
+      readVersion(spark, corpusDir, name, pathOf(fpOld, name))
+    def readNew(name: String): DataFrame =
+      readVersion(spark, corpusDir, name, pathOf(fpNew, name))
     def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
       val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p))) name -> committedCount(spark, p)
+      if (isCommitted(spark, Some(p)))
+        name -> committedCount(spark, corpusDir, name, p)
       else write(spark, corpusDir, fpNew, name, compute)
+    }
+    // segmented commit: carry untouched segments by reference, write the
+    // batch/delta rows as one fresh segment; `whole` is the plain-layout
+    // upgrade fallback (old version predates the manifest layout)
+    def buildSegInc(name: String, retract: Option[DataFrame],
+        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
+      val p = pathOf(fpNew, name)
+      if (isCommitted(spark, Some(p)))
+        name -> committedCount(spark, corpusDir, name, p)
+      else commitSegmented(spark, corpusDir, fpOld, corpusDir, fpNew, name,
+        retract, append).getOrElse(write(spark, corpusDir, fpNew, name, whole))
     }
     if (AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fpNew))))
       return IncrementalResult("skip",
-        AllNames.map(n => n -> committedCount(spark, pathOf(fpNew, n))).toMap,
+        AllNames.map(n =>
+          n -> committedCount(spark, corpusDir, n, pathOf(fpNew, n))).toMap,
         0, 0, 0, 0, 0)
     val missingOld = AllNames.filterNot(n =>
       isCommitted(spark, versionPath(corpusDir, n, fpOld)))
@@ -753,7 +1126,7 @@ object Artifacts {
         materialize(spark, corpusDir), -1, -1, -1, -1, -1)
     }
 
-    val oldKeepers = spark.read.parquet(pathOf(fpOld, KeepersName))
+    val oldKeepers = readOld(KeepersName)
     // `prefiltered` = the caller already deduped and anti-joined the
     // batch against the corpus from ONE checkpointed frame (the intake
     // sink's invariant) — re-running both here would re-shuffle the
@@ -772,7 +1145,8 @@ object Artifacts {
     // documents — wrong results with no staleness signal. The check is
     // two empty-schema counts (parquet row-group metadata, no column
     // data); on mismatch, rebuild from the corpus as it actually is.
-    val oldCount = spark.read.parquet(pathOf(fpOld, DocHashesName)).count()
+    val oldCount = committedCount(spark, corpusDir, DocHashesName,
+      pathOf(fpOld, DocHashesName))
     val corpusCount = Tables.documents(spark, corpusDir).count()
     if (oldCount + nAdd != corpusCount) {
       System.err.println(s"[artifacts] maintainAppended: corpus has " +
@@ -783,20 +1157,21 @@ object Artifacts {
         materialize(spark, corpusDir), nAdd, -1, -1, -1, -1)
     }
 
-    val postOld = spark.read.parquet(pathOf(fpOld, NgramPostingsName))
-    val postings = buildInc(NgramPostingsName)(
+    val postOld = readOld(NgramPostingsName)
+    val postings = buildSegInc(NgramPostingsName, None,
+      operators.Dedup.shingleIndex(fresh))(
       postOld.unionByName(operators.Dedup.shingleIndex(fresh)))
-    val postNew = spark.read.parquet(pathOf(fpNew, NgramPostingsName))
+    val postNew = readNew(NgramPostingsName)
     val counts = buildInc(SpanCountsName)(
-      spark.read.parquet(pathOf(fpOld, SpanCountsName))
+      readOld(SpanCountsName)
         .unionByName(operators.CorpusOps.spanRows(fresh)
           .groupBy("sh").agg(count(lit(1)).as("ndocs")))
         .groupBy("sh").agg(sum("ndocs").as("ndocs")))
     val spans = buildInc(DupSpansName)(
-      operators.CorpusOps.dupSpansFromCounts(
-        spark.read.parquet(pathOf(fpNew, SpanCountsName))))
-    val bands = buildInc(MinhashBandsName)(
-      spark.read.parquet(pathOf(fpOld, MinhashBandsName))
+      operators.CorpusOps.dupSpansFromCounts(readNew(SpanCountsName)))
+    val bands = buildSegInc(MinhashBandsName, None,
+      operators.Dedup.bandedSignatures(fresh))(
+      readOld(MinhashBandsName)
         .unionByName(operators.Dedup.bandedSignatures(fresh)))
 
     // the keeper exactness argument needs the full id+md5 frame — served
@@ -804,9 +1179,9 @@ object Artifacts {
     // so the append path scans no corpus text at all: per-batch cost is
     // batch-bounded, not corpus-bounded
     val hashedNew = Checkpoints.checkpoint(
-      spark.read.parquet(pathOf(fpOld, DocHashesName))
-        .unionByName(docHashesFrame(fresh)))
-    val hashes = buildInc(DocHashesName)(hashedNew)
+      readOld(DocHashesName).unionByName(docHashesFrame(fresh)))
+    val hashes = buildSegInc(DocHashesName, None,
+      docHashesFrame(fresh))(hashedNew)
     val diff = fresh.select(col("doc_id"),
       lit(null).cast("string").as("h_old"),
       md5(col("text")).as("h_new"),
@@ -815,27 +1190,39 @@ object Artifacts {
     // the pair maintenance owns the df-cap-flip handling (an append can
     // push a shingle's df OVER the cap and sever pairs between
     // unchanged docs); the keeper re-run then seeds from the pair delta
-    val pairsOld = spark.read.parquet(pathOf(fpOld, DupPairsName))
-    val pairs = buildInc(DupPairsName)(
-      operators.Dedup.incrementalJaccardPairs(pairsOld, diff, postOld,
-        postNew))
-    val pairsNew = spark.read.parquet(pathOf(fpNew, DupPairsName))
-    val (keepersNew, nAffected, nVerts) = operators.Dedup.incrementalKeepers(
+    val pairsOld = readOld(DupPairsName)
+    val incPairs = operators.Dedup.incrementalJaccardPairs(
+      pairsOld, diff, postOld, postNew)
+    val pairs = buildSegInc(DupPairsName, Some(incPairs.retractIds),
+      incPairs.recomputed)(incPairs.full)
+    val pairsNew = readNew(DupPairsName)
+    val incK = operators.Dedup.incrementalKeepers(
       oldKeepers, hashedNew, diff, pairsOld, pairsNew)
-    val keepers = buildInc(KeepersName)(keepersNew)
+    val keepers = buildSegInc(KeepersName, Some(incK.retractIds),
+      incK.relabeled)(incK.full)
+    val (nAffected, nVerts) = (incK.affectedComponents, incK.ccVertices)
 
-    val sh8 = buildInc(Shingles8Name)(
-      spark.read.parquet(pathOf(fpOld, Shingles8Name))
+    val sh8 = buildSegInc(Shingles8Name, None,
+      operators.CorpusOps.docShingles8(fresh))(
+      readOld(Shingles8Name)
         .unionByName(operators.CorpusOps.docShingles8(fresh)))
     val tokFreq = buildInc(TokenFreqName)(
-      spark.read.parquet(pathOf(fpOld, TokenFreqName))
+      readOld(TokenFreqName)
         .unionByName(operators.CorpusOps.tokenFreqRows(fresh))
         .groupBy("source", "token").agg(sum("n").as("n")))
     val tokCounts = DefaultTokenizers.map { tok =>
       val name = tokenCountsName(tok)
-      buildInc(name)(
-        spark.read.parquet(pathOf(fpOld, name))
-          .unionByName(tokenCountsFrame(fresh, tok)))
+      buildSegInc(name, None, tokenCountsFrame(fresh, tok))(
+        readOld(name).unionByName(tokenCountsFrame(fresh, tok)))
+    }
+    // bound segment sprawl: a batch per artifact per interval would
+    // otherwise grow every read's file list without limit
+    AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
+      readManifestAt(spark, pathOf(fpNew, n)) match {
+        case Some(segs) if segs.size > compactSegmentThreshold =>
+          compactSegments(spark, corpusDir, n)
+        case _ => ()
+      }
     }
     // fpOld stays in the keep set for ONE more generation: a reader that
     // resolved it through the TTL cache just before this batch landed
@@ -910,15 +1297,33 @@ object Artifacts {
     // and redo committed work.
     def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
       val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p))) name -> committedCount(spark, p)
+      if (isCommitted(spark, Some(p)))
+        name -> committedCount(spark, newDir, name, p)
       else write(spark, newDir, fpNew, name, compute)
     }
     if (AllNames.forall(n => isCommitted(spark, versionPath(newDir, n, fpNew))))
       return IncrementalResult("skip",
-        AllNames.map(n => n -> committedCount(spark, pathOf(newDir, fpNew, n)))
+        AllNames.map(n =>
+          n -> committedCount(spark, newDir, n, pathOf(newDir, fpNew, n)))
           .toMap, 0, 0, 0, 0, 0)
 
     val fpOld = corpusFingerprint(spark, oldDir)
+    def readOldA(name: String): DataFrame =
+      readVersion(spark, oldDir, name, pathOf(oldDir, fpOld, name))
+    def readNewA(name: String): DataFrame =
+      readVersion(spark, newDir, name, pathOf(newDir, fpNew, name))
+    // segmented commit across corpus trees: untouched segments are
+    // carried by raw byte copy (no decode/shuffle/re-encode — the
+    // promotion's I/O is a copy, its COMPUTE stays change-bounded);
+    // `whole` is the plain-layout upgrade fallback
+    def buildSegInc(name: String, retract: Option[DataFrame],
+        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
+      val p = pathOf(newDir, fpNew, name)
+      if (isCommitted(spark, Some(p)))
+        name -> committedCount(spark, newDir, name, p)
+      else commitSegmented(spark, oldDir, fpOld, newDir, fpNew, name,
+        retract, append).getOrElse(write(spark, newDir, fpNew, name, whole))
+    }
     val missingOld = AllNames.filterNot(n =>
       isCommitted(spark, versionPath(oldDir, n, fpOld)))
     // A partially missing old set usually means the artifact set widened
@@ -942,9 +1347,7 @@ object Artifacts {
     // old corpus's TEXT is never re-hashed — the diff's corpus-grain
     // input is one new-side scan plus an id+hash artifact read.
     val diff = Checkpoints.checkpoint(
-      operators.CorpusOps.snapshotDiff(
-        spark.read.parquet(pathOf(oldDir, fpOld, DocHashesName)),
-        hashedNew))
+      operators.CorpusOps.snapshotDiff(readOldA(DocHashesName), hashedNew))
     val nNew = hashedNew.count()
     val byStatus = diff.groupBy("status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -961,11 +1364,12 @@ object Artifacts {
     val docsChangedNew = prunedDeltaScan(docsNew, dNew)
 
     // posting index first — the pair maintenance reads it back
-    val postOld = spark.read.parquet(pathOf(oldDir, fpOld, NgramPostingsName))
-    val postings = buildInc(NgramPostingsName)(
+    val postOld = readOldA(NgramPostingsName)
+    val postings = buildSegInc(NgramPostingsName, Some(dGone),
+      operators.Dedup.shingleIndex(docsChangedNew))(
       postOld.join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Dedup.shingleIndex(docsChangedNew)))
-    val postNew = spark.read.parquet(pathOf(newDir, fpNew, NgramPostingsName))
+    val postNew = readNewA(NgramPostingsName)
 
     // span counts by ± distinct-doc deltas, dictionary derived from them
     val docsGoneOld = prunedDeltaScan(Tables.documents(spark, oldDir), dGone)
@@ -974,7 +1378,7 @@ object Artifacts {
     val pos = operators.CorpusOps.spanRows(docsChangedNew)
       .groupBy("sh").agg(count(lit(1)).as("pos"))
     val counts = buildInc(SpanCountsName)(
-      spark.read.parquet(pathOf(oldDir, fpOld, SpanCountsName))
+      readOldA(SpanCountsName)
         .join(neg, Seq("sh"), "full_outer")
         .join(pos, Seq("sh"), "full_outer")
         .select(col("sh"), (coalesce(col("ndocs"), lit(0L))
@@ -982,33 +1386,36 @@ object Artifacts {
           + coalesce(col("pos"), lit(0L))).as("ndocs"))
         .filter(col("ndocs") > 0))
     val spans = buildInc(DupSpansName)(
-      operators.CorpusOps.dupSpansFromCounts(
-        spark.read.parquet(pathOf(newDir, fpNew, SpanCountsName))))
+      operators.CorpusOps.dupSpansFromCounts(readNewA(SpanCountsName)))
 
     // band index: per-doc rows — retract and append
-    val bands = buildInc(MinhashBandsName)(
-      spark.read.parquet(pathOf(oldDir, fpOld, MinhashBandsName))
+    val bands = buildSegInc(MinhashBandsName, Some(dGone),
+      operators.Dedup.bandedSignatures(docsChangedNew))(
+      readOldA(MinhashBandsName)
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Dedup.bandedSignatures(docsChangedNew)))
 
     // pair table: change-bounded recompute of the pairs incident to
     // touched docs (owns the df-cap-flip detection); the keeper re-run
     // below seeds from its old-vs-new delta
-    val pairsOld = spark.read.parquet(pathOf(oldDir, fpOld, DupPairsName))
-    val pairs = buildInc(DupPairsName)(
-      operators.Dedup.incrementalJaccardPairs(pairsOld, diff, postOld,
-        postNew))
-    val pairsNew = spark.read.parquet(pathOf(newDir, fpNew, DupPairsName))
+    val pairsOld = readOldA(DupPairsName)
+    val incPairs = operators.Dedup.incrementalJaccardPairs(
+      pairsOld, diff, postOld, postNew)
+    val pairs = buildSegInc(DupPairsName, Some(incPairs.retractIds),
+      incPairs.recomputed)(incPairs.full)
+    val pairsNew = readNewA(DupPairsName)
 
     // keepers: component-bounded CC re-run
-    val (keepersNew, nAffected, nVerts) = operators.Dedup.incrementalKeepers(
-      spark.read.parquet(pathOf(oldDir, fpOld, KeepersName)),
-      hashedNew, diff, pairsOld, pairsNew)
-    val keepers = buildInc(KeepersName)(keepersNew)
+    val incK = operators.Dedup.incrementalKeepers(
+      readOldA(KeepersName), hashedNew, diff, pairsOld, pairsNew)
+    val keepers = buildSegInc(KeepersName, Some(incK.retractIds),
+      incK.relabeled)(incK.full)
+    val (nAffected, nVerts) = (incK.affectedComponents, incK.ccVertices)
 
     // 8-gram shingles: per-doc rows — retract and append
-    val sh8 = buildInc(Shingles8Name)(
-      spark.read.parquet(pathOf(oldDir, fpOld, Shingles8Name))
+    val sh8 = buildSegInc(Shingles8Name, Some(dGone),
+      operators.CorpusOps.docShingles8(docsChangedNew))(
+      readOldA(Shingles8Name)
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.CorpusOps.docShingles8(docsChangedNew)))
 
@@ -1016,23 +1423,26 @@ object Artifacts {
     // not a full-outer join — a nullable source column would break join
     // matching on null keys, where groupBy groups them correctly)
     val tokFreq = buildInc(TokenFreqName)(
-      spark.read.parquet(pathOf(oldDir, fpOld, TokenFreqName))
+      readOldA(TokenFreqName)
         .unionByName(operators.CorpusOps.tokenFreqRows(docsGoneOld)
           .select(col("source"), col("token"), (-col("n")).as("n")))
         .unionByName(operators.CorpusOps.tokenFreqRows(docsChangedNew))
         .groupBy("source", "token").agg(sum("n").as("n"))
         .filter(col("n") > 0))
 
-    // digest artifact: the diff's own new-side hashes, already computed
-    // and checkpointed — committing them is free maintenance
-    val hashes = buildInc(DocHashesName)(hashedNew)
+    // digest artifact: retract the gone docs' rows, append the diff's
+    // own new-side hashes for added/changed docs — already computed and
+    // checkpointed, so committing them is free maintenance
+    val hashes = buildSegInc(DocHashesName, Some(dGone),
+      hashedNew.join(dNew, Seq("doc_id"), "left_semi"))(hashedNew)
 
     // token counts: per-doc rows — retract and append, per default
     // tokenizer (the same shape as the band index)
     val tokCounts = DefaultTokenizers.map { tok =>
       val name = tokenCountsName(tok)
-      buildInc(name)(
-        spark.read.parquet(pathOf(oldDir, fpOld, name))
+      buildSegInc(name, Some(dGone),
+        tokenCountsFrame(docsChangedNew, tok))(
+        readOldA(name)
           .join(dGone, Seq("doc_id"), "left_anti")
           .unionByName(tokenCountsFrame(docsChangedNew, tok)))
     }

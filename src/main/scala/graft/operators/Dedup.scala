@@ -838,10 +838,19 @@ object Dedup {
     * Cost shape: artifact-bounded semi-joins and df aggregates over the
     * posting index, plus a self-join restricted to the touched docs'
     * capped shingles — change-bounded, never a corpus-wide re-shingle.
+    *
+    * Returns the three frames a segmented artifact commit consumes:
+    * `retractIds` (drop every old row with an endpoint in it),
+    * `recomputed` (the fresh rows), and `full` (the complete new pair
+    * table — the whole-frame fallback for plain-layout versions). All
+    * lazy; only the branch the caller executes is computed.
     */
+  private[graft] final case class IncPairs(full: DataFrame,
+      retractIds: DataFrame, recomputed: DataFrame)
+
   private[graft] def incrementalJaccardPairs(pairsOld: DataFrame,
       diff: DataFrame, postingsOld: DataFrame,
-      postingsNew: DataFrame): DataFrame = {
+      postingsNew: DataFrame): IncPairs = {
     val dAll = diff.select("doc_id")
     val dNew = diff.filter(col("status").isin("added", "changed"))
       .select("doc_id")
@@ -865,10 +874,13 @@ object Dedup {
       .select("doc_id")
 
     // in-B docs whose pair rows must be recomputed, and the retract set
-    // (which additionally covers removed/changed docs' old rows)
+    // (which additionally covers removed/changed docs' old rows) —
+    // checkpointed: the retract set drives both the segment-candidate
+    // probe and the anti-joins of the segmented commit
     val touched = graft.Checkpoints.checkpoint(
       dNew.union(flippedDocs).distinct())
-    val touchedAll = dAll.union(touched).distinct()
+    val touchedAll = graft.Checkpoints.checkpoint(
+      dAll.union(touched).distinct())
 
     val kept = pairsOld
       .join(touchedAll.withColumnRenamed("doc_id", "doc_a"),
@@ -919,7 +931,7 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "n_inter", "jaccard")
 
-    kept.unionByName(recomputed)
+    IncPairs(kept.unionByName(recomputed), touchedAll, recomputed)
   }
 
   /** Incremental keeper maintenance: re-run connected components ONLY on
@@ -973,11 +985,14 @@ object Dedup {
     * @param diff        `(doc_id, h_old, h_new, status)`, unchanged rows dropped
     * @param pairsOld    old `dup_pairs` artifact `(doc_a, doc_b, n_inter, jaccard)`
     * @param pairsNew    NEW `dup_pairs` artifact (already maintained)
-    * @return (new keeper frame, affected component count, CC vertex count)
     */
+  private[graft] final case class IncKeepers(full: DataFrame,
+      retractIds: DataFrame, relabeled: DataFrame,
+      affectedComponents: Long, ccVertices: Long)
+
   private[graft] def incrementalKeepers(keepersOld: DataFrame,
       hashedNew: DataFrame, diff: DataFrame, pairsOld: DataFrame,
-      pairsNew: DataFrame): (DataFrame, Long, Long) = {
+      pairsNew: DataFrame): IncKeepers = {
     val dAll = diff.select("doc_id")
 
     val touchedH = diff.select(col("h_new").as("h"))
@@ -1025,7 +1040,12 @@ object Dedup {
       .join(affected, Seq("keeper_id"), "left_anti")
       .select("doc_id", "keeper_id", "is_keeper")
       .unionByName(relabeled)
-    (keepersNew, affected.count(), m.count())
+    // every old row of an affected component, by doc_id — the segmented
+    // commit's retract set (≡ the anti-join on keeper_id above)
+    val retractIds = keepersOld
+      .join(affected, Seq("keeper_id"), "left_semi")
+      .select("doc_id")
+    IncKeepers(keepersNew, retractIds, relabeled, affected.count(), m.count())
   }
 
   /** Recursive reachability in DuckDB over the SAME edge set (exact-dup

@@ -277,13 +277,15 @@ object StreamingOps {
     * batch short-circuits before touching any file, so it changes
     * neither the corpus fingerprint nor the artifacts.
     *
-    * I/O shape, honestly: the maintenance COMPUTE is batch-bounded (no
-    * corpus text scan — see `maintainAppended`), but each maintained
-    * artifact is rewritten whole per batch: plain parquet has no
-    * transactional append, so versioning is copy-on-write. On a table
-    * format (Delta/Iceberg) each `buildInc` becomes a transactional
-    * append/MERGE and the write side is batch-bounded too; size batch
-    * intervals accordingly when running on plain parquet.
+    * I/O shape: both the maintenance COMPUTE (no corpus text scan — see
+    * `maintainAppended`) and the WRITE are batch-bounded for the
+    * segmented artifacts — each batch commits a manifest referencing
+    * the standing segments plus one batch segment, with automatic
+    * compaction bounding file counts (`Artifacts.compactSegments`).
+    * Only the aggregated artifacts (span counts, token frequencies,
+    * span dictionary) re-encode whole per batch — on a table format
+    * (Delta/Iceberg) those too become transactional MERGEs; size batch
+    * intervals for them when span-count tables are large.
     *
     * @param docs streaming frame with the documents schema (`doc_id`,
     *             `text`, `source`, ... — whatever the corpus carries)

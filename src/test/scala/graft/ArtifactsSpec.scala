@@ -132,10 +132,20 @@ class ArtifactsSpec extends SparkSpec {
       Artifacts.materialize(spark, corpus)
       assert(Artifacts.isMaterialized(spark, corpus, Artifacts.KeepersName))
       assert(Artifacts.keepers(spark, corpus).count() == n2)
-      val versions = new java.io.File(tmpRoot,
+      val keeperDir = new java.io.File(tmpRoot,
         tmpRoot.listFiles().head.getName + "/" + Artifacts.KeepersName)
+      val versions = keeperDir
         .listFiles().filter(_.isDirectory).map(_.getName).toSeq
+        .filter(_.startsWith("fp="))
       assert(versions == Seq(s"fp=$fp2"), s"stale version not pruned: $versions")
+      // and v1's now-unreferenced segments are swept with their version
+      val liveSegs = new java.io.File(keeperDir, "seg")
+        .listFiles().filter(_.isDirectory).map(_.getName).toSet
+      val referenced = scala.io.Source.fromFile(
+        new java.io.File(keeperDir, s"fp=$fp2/_MANIFEST"))
+        .getLines().drop(1).map(_.split('\t')(0).stripPrefix("seg/")).toSet
+      assert(liveSegs == referenced,
+        s"unreferenced segments not swept: ${liveSegs -- referenced}")
     } finally {
       Artifacts.clearRoot()
       Artifacts.setStrict(false)

@@ -38,11 +38,9 @@ class IncrementalArtifactsSpec extends SparkSpec {
   }
 
   private def artifactRows(dir: String): Map[String, Seq[String]] = {
-    val fp = Artifacts.corpusFingerprint(spark, dir)
     Artifacts.AllNames.map { n =>
       assert(Artifacts.isMaterialized(spark, dir, n), s"$n not committed")
-      n -> rows(spark.read.parquet(
-        s"${Artifacts.root.get}/${keyOf(dir)}/$n/fp=$fp"))
+      n -> rows(Artifacts.readCommitted(spark, dir, n))
     }.toMap
   }
 
@@ -134,9 +132,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.setRoot(tmpRoot.getAbsolutePath)
       Artifacts.materialize(spark, oldDir)
       // old corpus: all singletons (the shared shingles are capped out)
-      val oldKeepers = spark.read.parquet(
-        s"${Artifacts.root.get}/${keyOf(oldDir)}/${Artifacts.KeepersName}/" +
-          s"fp=${Artifacts.corpusFingerprint(spark, oldDir)}")
+      val oldKeepers = Artifacts.readCommitted(spark, oldDir,
+        Artifacts.KeepersName)
       assert(oldKeepers.filter(col("is_keeper")).count() == 70L)
 
       val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
@@ -151,9 +148,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
         assert(got(n) == expected(n), s"$n drifted from the full rebuild")
       }
       // and the re-run actually merged them: one 64-doc component
-      val keepers = spark.read.parquet(
-        s"${Artifacts.root.get}/${keyOf(newDir)}/${Artifacts.KeepersName}/" +
-          s"fp=${Artifacts.corpusFingerprint(spark, newDir)}")
+      val keepers = Artifacts.readCommitted(spark, newDir,
+        Artifacts.KeepersName)
       assert(keepers.filter(col("is_keeper")).count() == 1L)
       assert(keepers.filter(col("keeper_id") === 1L).count() == 64L)
     } finally {
@@ -399,10 +395,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
       assert(res.mode == "full_unexpected_delta", res)
       // the rebuild covered the external doc too
       assert(Artifacts.isFullyMaterialized(spark, corpus))
-      val fp = Artifacts.corpusFingerprint(spark, corpus)
-      val key = tmpRoot.listFiles().head.getName
-      val hashes = spark.read.parquet(
-        s"$tmpRoot/$key/${Artifacts.DocHashesName}/fp=$fp")
+      val hashes = Artifacts.readCommitted(spark, corpus,
+        Artifacts.DocHashesName)
       assert(hashes.count() == 22)
       assert(hashes.filter(col("doc_id") === 99L).count() == 1)
     } finally {

@@ -1,0 +1,246 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The segment+manifest artifact layout's I/O contract: maintenance
+  * CARRIES untouched segments (by reference in the same corpus tree, by
+  * raw byte copy across trees), REWRITES only the segments whose key
+  * ranges contain retracted ids, and APPENDS the batch/delta rows as one
+  * fresh segment — so the bytes a maintenance call writes track the
+  * change, not the artifact. (`IncrementalArtifactsSpec` and
+  * `StreamingIntakeSpec` pin the row-level equality of the same paths;
+  * this suite pins the LAYOUT those rows land in.)
+  */
+class SegmentedArtifactsSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** (segment dir name → data-file names + mtimes) for one artifact. */
+  private def segFiles(root: java.io.File, name: String): Map[String, Set[String]] = {
+    val key = root.listFiles().head.getName
+    val seg = new java.io.File(root, s"$key/$name/seg")
+    Option(seg.listFiles()).getOrElse(Array.empty).filter(_.isDirectory)
+      .map { d =>
+        d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => f.getName + ":" + f.lastModified()).toSet
+      }.toMap
+  }
+
+  private def manifestRels(root: java.io.File, name: String,
+      fp: String): Seq[String] = {
+    val key = root.listFiles().head.getName
+    val mf = new java.io.File(root, s"$key/$name/fp=$fp/_MANIFEST")
+    val src = scala.io.Source.fromFile(mf)
+    try src.getLines().drop(1).filter(_.nonEmpty)
+      .map(_.split('\t')(0)).toList
+    finally src.close()
+  }
+
+  private def writeCorpus(dir: String, lo: Int, hi: Int): Unit = {
+    val sp = spark; import sp.implicits._
+    (lo to hi).map(i => (i.toLong, s"body of document $i with words w$i x$i y$i z$i", "s"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("append").parquet(s"$dir/documents.parquet")
+  }
+
+  test("append maintenance carries old segments by reference and adds one") {
+    val tmpRoot = Files.createTempDirectory("graft-seg-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg-corpus").toString + "/c"
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 100)
+      Artifacts.materialize(spark, corpus)
+      val before = Artifacts.AllNames.filter(n => Artifacts.segmentKeysOf(n).nonEmpty)
+        .map(n => n -> segFiles(tmpRoot, n)).toMap
+
+      // a batch of brand-new docs with disjoint text: no shared shingle,
+      // no exact dup, no cap flip — every artifact's retract set is
+      // empty, so maintenance must write ONLY the batch segment
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (101 to 110)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i ss$i tt$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      val res = Artifacts.maintainAppended(spark, corpus, fpOld, batch)
+      assert(res.mode == "append", res)
+
+      val fpNew = Artifacts.corpusFingerprint(spark, corpus)
+      before.foreach { case (n, old) =>
+        val now = segFiles(tmpRoot, n)
+        old.foreach { case (segName, files) =>
+          assert(now.get(segName).contains(files),
+            s"$n segment $segName was rewritten by an append (files/mtimes changed)")
+        }
+        assert(now.size == old.size + 1,
+          s"$n: expected exactly one new segment, " +
+            s"got ${now.size - old.size} (${now.keySet -- old.keySet})")
+        // and the new manifest references old + new
+        val rels = manifestRels(tmpRoot, n, fpNew).map(_.stripPrefix("seg/"))
+        assert(rels.toSet == now.keySet, s"$n manifest out of sync with pool")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("snapshot promotion rewrites only range-hit segments, copies the rest raw") {
+    val tmpRoot = Files.createTempDirectory("graft-seg2-root").toFile
+    val base = Files.createTempDirectory("graft-seg2-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(oldDir, 1, 100)
+      Artifacts.materialize(spark, oldDir)
+      // second segment [101, 110] via the append path
+      val fp0 = Artifacts.corpusFingerprint(spark, oldDir)
+      val sp = spark; import sp.implicits._
+      val batch = (101 to 110)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i ss$i tt$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$oldDir/documents.parquet")
+      Tables.invalidate(oldDir)
+      assert(Artifacts.maintainAppended(spark, oldDir, fp0, batch).mode == "append")
+      val fpOld = Artifacts.corpusFingerprint(spark, oldDir)
+      val postingsSegs = manifestRels(tmpRoot, Artifacts.NgramPostingsName, fpOld)
+      assert(postingsSegs.size == 2)
+      // the base segment covers [1,100]; identify it as the one carried
+      val docsOld = spark.read.parquet(s"$oldDir/documents.parquet")
+
+      // new snapshot: remove two docs from the APPENDED range only
+      docsOld.filter(!col("doc_id").isin(105L, 107L))
+        .write.parquet(s"$newDir/documents.parquet")
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert(res.removed == 2 && res.added == 0 && res.changed == 0, res)
+
+      val fpNew = Artifacts.corpusFingerprint(spark, newDir)
+      // the new tree is a SECOND corpus key under the same root
+      val keys = tmpRoot.listFiles().map(_.getName)
+      assert(keys.length == 2, keys.toSeq)
+      def relsIn(keyDir: String, fp: String): Seq[String] = {
+        val mf = new java.io.File(tmpRoot,
+          s"$keyDir/${Artifacts.NgramPostingsName}/fp=$fp/_MANIFEST")
+        val src = scala.io.Source.fromFile(mf)
+        try src.getLines().drop(1).filter(_.nonEmpty).map(_.split('\t')(0)).toList
+        finally src.close()
+      }
+      val oldKey = keys.find(k => new java.io.File(tmpRoot,
+        s"$k/${Artifacts.NgramPostingsName}/fp=$fpOld").exists()).get
+      val newKey = keys.find(_ != oldKey).get
+      val newRels = relsIn(newKey, fpNew)
+      // the [1,100] segment is carried VERBATIM (same relative name,
+      // copied bytes); the [101,110] segment was range-hit and replaced
+      // by one fresh segment
+      val carried = newRels.toSet intersect relsIn(oldKey, fpOld).toSet
+      assert(carried.size == 1,
+        s"expected exactly the untouched base segment carried, got $carried")
+      assert(newRels.size == 2, s"carried + one fresh, got $newRels")
+      // and the maintained artifact still equals the inline rebuild
+      val docsNew = Tables.documents(spark, newDir)
+      assert(rows(Artifacts.readCommitted(spark, newDir, Artifacts.NgramPostingsName))
+        == rows(operators.Dedup.shingleIndex(docsNew)))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("compaction consolidates segments under the same fingerprint, grace-safe") {
+    val tmpRoot = Files.createTempDirectory("graft-seg3-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg3-corpus").toString + "/c"
+    val oldThreshold = Artifacts.compactSegmentThreshold
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 50)
+      Artifacts.materialize(spark, corpus)
+      val inlineBefore = rows(Artifacts.readCommitted(spark, corpus,
+        Artifacts.DocHashesName))
+
+      // force auto-compaction on the very next batch
+      Artifacts.compactSegmentThreshold = 1
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (51 to 60)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(Artifacts.maintainAppended(spark, corpus, fpOld, batch).mode == "append")
+
+      val fpNew = Artifacts.corpusFingerprint(spark, corpus)
+      Artifacts.AllNames.filter(n => Artifacts.segmentKeysOf(n).nonEmpty)
+        .foreach { n =>
+          val rels = manifestRels(tmpRoot, n, fpNew)
+          assert(rels.size == 1, s"$n not compacted: $rels")
+        }
+      // contents unchanged (old rows + batch rows), fingerprint-served
+      val after = rows(Artifacts.readCommitted(spark, corpus,
+        Artifacts.DocHashesName))
+      assert(after.size == inlineBefore.size + 10)
+      // de-referenced segments survive the in-call sweep (grace window —
+      // a reader that listed the pre-compaction manifest keeps its files)
+      Artifacts.AllNames.filter(n => Artifacts.segmentKeysOf(n).nonEmpty)
+        .foreach { n =>
+          val live = segFiles(tmpRoot, n)
+          assert(live.size >= 2,
+            s"$n: de-referenced segments were swept inside the grace window")
+        }
+    } finally {
+      Artifacts.compactSegmentThreshold = oldThreshold
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("a plain-layout (pre-upgrade) old version upgrades to segmented on refresh") {
+    val tmpRoot = Files.createTempDirectory("graft-seg4-root").toFile
+    val base = Files.createTempDirectory("graft-seg4-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(oldDir, 1, 60)
+      Artifacts.materialize(spark, oldDir)
+      val fpOld = Artifacts.corpusFingerprint(spark, oldDir)
+      // downgrade ONE artifact to the plain layout a pre-segment build
+      // would have committed: parquet files directly in the fp dir
+      val key = tmpRoot.listFiles().head.getName
+      val name = Artifacts.MinhashBandsName
+      val fpDir = new java.io.File(tmpRoot, s"$key/$name/fp=$fpOld")
+      val plainTmp = new java.io.File(tmpRoot, "plain-tmp")
+      Artifacts.readCommitted(spark, oldDir, name)
+        .write.parquet(plainTmp.getAbsolutePath)
+      deleteRecursively(fpDir)
+      assert(plainTmp.renameTo(fpDir), "plain-layout downgrade rename failed")
+      assert(Artifacts.isMaterialized(spark, oldDir, name))
+
+      val docsOld = spark.read.parquet(s"$oldDir/documents.parquet")
+      docsOld.filter(col("doc_id") =!= 7L)
+        .write.parquet(s"$newDir/documents.parquet")
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      // the new version is segmented (manifest committed) and correct
+      val fpNew = Artifacts.corpusFingerprint(spark, newDir)
+      assert(manifestRels(tmpRoot, name, fpNew).nonEmpty)
+      val docsNew = Tables.documents(spark, newDir)
+      assert(rows(Artifacts.readCommitted(spark, newDir, name))
+        == rows(operators.Dedup.bandedSignatures(docsNew)))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+}

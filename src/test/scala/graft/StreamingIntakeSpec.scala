@@ -35,14 +35,14 @@ class StreamingIntakeSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
     def artifactRows(root: java.io.File): Map[String, Seq[String]] = {
-      val key = root.listFiles().map(_.getName)
-        .find(_.startsWith(corpus.replaceAll("[^A-Za-z0-9._-]", "_") + "-"))
-        .getOrElse(fail(s"no artifact tree under $root"))
-      val fp = Artifacts.corpusFingerprint(spark, corpus)
-      Artifacts.AllNames.map { n =>
+      // point the session at THIS root for the read (live vs cold)
+      val prev = Artifacts.root
+      Artifacts.setRoot(root.getAbsolutePath)
+      try Artifacts.AllNames.map { n =>
         assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
-        n -> rows(spark.read.parquet(s"$root/$key/$n/fp=$fp"))
+        n -> rows(Artifacts.readCommitted(spark, corpus, n))
       }.toMap
+      finally prev.foreach(Artifacts.setRoot)
     }
     val input = MemoryStream[IngestDoc](spark)
     try {
@@ -77,9 +77,8 @@ class StreamingIntakeSpec extends SparkSpec {
 
       val live = artifactRows(liveRoot)
       // the duplicate pair collapsed into one component
-      val keepers = spark.read.parquet(
-        s"$liveRoot/${liveRoot.listFiles().head.getName}/${Artifacts.KeepersName}/" +
-          s"fp=${Artifacts.corpusFingerprint(spark, corpus)}")
+      val keepers = Artifacts.readCommitted(spark, corpus,
+        Artifacts.KeepersName)
       assert(keepers.filter(col("doc_id") === 3L && !col("is_keeper"))
         .count() == 1L, "exact duplicate doc 3 must not be a keeper")
 
@@ -137,16 +136,12 @@ class StreamingIntakeSpec extends SparkSpec {
       // healed artifacts ≡ cold rebuild of the final corpus
       def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
         df.collect().map(_.toString).sorted.toSeq
-      val fp = Artifacts.corpusFingerprint(spark, corpus)
-      val key = liveRoot.listFiles().head.getName
       val live = Artifacts.AllNames.map(n =>
-        n -> rows(spark.read.parquet(s"$liveRoot/$key/$n/fp=$fp"))).toMap
+        n -> rows(Artifacts.readCommitted(spark, corpus, n))).toMap
       Artifacts.setRoot(coldRoot.getAbsolutePath)
       Artifacts.materialize(spark, corpus)
-      val coldKey = coldRoot.listFiles().head.getName
       Artifacts.AllNames.foreach { n =>
-        assert(live(n) == rows(
-          spark.read.parquet(s"$coldRoot/$coldKey/$n/fp=$fp")),
+        assert(live(n) == rows(Artifacts.readCommitted(spark, corpus, n)),
           s"$n drifted after self-heal")
       }
     } finally {
