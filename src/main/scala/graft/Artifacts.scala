@@ -280,8 +280,17 @@ object Artifacts {
 
   private def isCommitted(spark: SparkSession, path: Option[String]): Boolean =
     path.exists { p =>
-      val marker = new Path(s"$p/_SUCCESS")
-      marker.getFileSystem(spark.sessionState.newHadoopConf()).exists(marker)
+      val dir = new Path(p)
+      val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+      // _SUCCESS alone is not enough: a version must also carry its data
+      // (a manifest or parquet files). A marker with neither — e.g. a
+      // compaction swap that died on a filesystem without atomic
+      // overwrite-rename — must read as NOT committed, so maintenance
+      // rebuilds it instead of skipping a permanently unreadable version.
+      fs.exists(new Path(dir, "_SUCCESS")) && {
+        fs.exists(new Path(dir, ManifestFile)) ||
+          fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+      }
     }
 
   /** Whether ANY committed version of the artifact exists under the
@@ -521,23 +530,67 @@ object Artifacts {
               fs.delete(st.getPath, true)
           }
           // pass 2: segments no surviving manifest references — stale
-          // versions' exclusive segments, compaction leftovers, and
-          // orphans of crashed runs. Referenced-ness is resolved AFTER
-          // pass 1, so a version kept by grace keeps its segments too;
-          // the grace cutoff also applies here (compaction touches
-          // de-referenced segments' mtime so the window counts from
-          // de-reference, protecting readers on the old file list).
+          // versions' exclusive segments, compaction leftovers, crashed
+          // runs' orphans and half-copies. Referenced-ness is resolved
+          // AFTER pass 1, so a version kept by grace keeps its segments
+          // too. Unreferenced segments always get at least
+          // [[SegmentSweepGraceMs]] (independent of the caller's
+          // `graceMs`): a concurrent build's segments exist BEFORE its
+          // manifest does, and an instant sweep would delete them out
+          // from under the commit. De-reference time is tracked by
+          // `.retired` marker FILES (compaction writes them), not
+          // mtime-touching — `FileSystem.setTimes` is a silent no-op on
+          // object stores, markers are portable creation events.
           val segDir = new Path(dir, "seg")
           if (fs.exists(segDir)) {
-            val referenced: Set[String] = fs.listStatus(dir)
+            // Fail-safe resolution: a committed version whose manifest
+            // cannot be read right now (mid-swap on a non-atomic FS, or
+            // torn) makes referenced-ness UNRESOLVABLE — skip this
+            // artifact's segment sweep rather than treat it as empty.
+            val refs: Seq[Option[Seq[String]]] = fs.listStatus(dir).toSeq
               .filter(st => st.isDirectory && st.getPath.getName.startsWith("fp="))
-              .flatMap(st =>
-                readManifestAt(spark, st.getPath.toString).getOrElse(Seq.empty))
-              .map(_.rel.stripPrefix("seg/")).toSet
-            fs.listStatus(segDir).foreach { st =>
-              if (st.isDirectory && !referenced.contains(st.getPath.getName) &&
-                  (graceMs == 0L || st.getModificationTime < cutoff))
-                fs.delete(st.getPath, true)
+              .map { st =>
+                val p = st.getPath.toString
+                scala.util.Try(readManifestAt(spark, p)).toOption.flatten match {
+                  case Some(entries) => Some(entries.map(_.rel))
+                  case None =>
+                    val hasParquet = scala.util.Try(fs.listStatus(st.getPath)
+                      .exists(_.getPath.getName.endsWith(".parquet")))
+                      .getOrElse(false)
+                    val committed = fs.exists(new Path(st.getPath, "_SUCCESS"))
+                    // plain-layout or uncommitted version: zero segment
+                    // refs by construction; committed-but-unreadable:
+                    // unresolvable
+                    if (hasParquet || !committed) Some(Seq.empty) else None
+                }
+              }
+            if (refs.forall(_.isDefined)) {
+              val referenced = refs.flatten.flatten
+                .map(_.stripPrefix("seg/")).toSet
+              val segCutoff =
+                System.currentTimeMillis() - math.max(graceMs, SegmentSweepGraceMs)
+              val entries = fs.listStatus(segDir)
+              val markers = entries
+                .filter(st => !st.isDirectory &&
+                  st.getPath.getName.endsWith(".retired"))
+                .map(st => st.getPath.getName.stripSuffix(".retired") ->
+                  st.getModificationTime).toMap
+              val dirNames = entries.filter(_.isDirectory)
+                .map(_.getPath.getName).toSet
+              entries.foreach { st =>
+                val n = st.getPath.getName
+                if (st.isDirectory && !referenced.contains(n)) {
+                  val deref = math.max(st.getModificationTime,
+                    markers.getOrElse(n, 0L))
+                  if (deref < segCutoff) {
+                    fs.delete(st.getPath, true)
+                    fs.delete(new Path(segDir, s"$n.retired"), false)
+                  }
+                } else if (!st.isDirectory && n.endsWith(".retired") &&
+                    !dirNames.contains(n.stripSuffix(".retired")) &&
+                    st.getModificationTime < segCutoff)
+                  fs.delete(st.getPath, false) // orphan marker
+              }
             }
           }
         }
@@ -601,9 +654,13 @@ object Artifacts {
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
   /** Write `entries` as `fpDir/_MANIFEST` and commit with `_SUCCESS`.
-    * `replace = true` is the compaction path: the manifest is swapped
-    * via temp-file + rename (atomic on HDFS/local), and [[readVersion]]
-    * absorbs the delete+rename window with a short retry.
+    * The manifest lands via temp-file + OVERWRITE rename
+    * (`FileContext.rename(OVERWRITE)` — atomic on HDFS/local), so the
+    * compaction swap (`replace = true`) has no window with the manifest
+    * absent, and a retry over a crashed commit's leftover manifest
+    * cannot wedge on rename-onto-existing semantics. Filesystems
+    * without FileContext support fall back to delete + rename —
+    * [[readVersion]] absorbs that (rare) window with a short retry.
     */
   private def writeManifest(spark: SparkSession, fpDir: String,
       entries: Seq[SegEntry], replace: Boolean = false): Unit = {
@@ -624,9 +681,16 @@ object Artifacts {
       out.write(sb.toString.getBytes("UTF-8"))
     } finally out.close()
     val dst = new Path(dir, ManifestFile)
-    if (replace && fs.exists(dst)) fs.delete(dst, false)
-    if (!fs.rename(tmp, dst))
-      throw new java.io.IOException(s"manifest rename failed for $fpDir")
+    try
+      org.apache.hadoop.fs.FileContext.getFileContext(dst.toUri,
+          spark.sessionState.newHadoopConf())
+        .rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dst)) fs.delete(dst, false)
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"manifest rename failed for $fpDir")
+    }
     if (!replace) fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
@@ -738,11 +802,25 @@ object Artifacts {
     val src = new Path(s"$fromBase/${e.rel}")
     val dst = new Path(s"$toBase/${e.rel}")
     val fs = hadoopFs(spark, src)
+    // `dst` is only ever CREATED by the rename below, so its existence
+    // proves a complete copy (this promotion's retry, or an earlier
+    // promotion that carried the same segment). A crash mid-copy leaves
+    // only a `.copytmp` directory — never a partial `dst` a manifest
+    // could reference — and the sweep clears such orphans.
     if (!fs.exists(dst)) {
+      val tmp = new Path(dst.getParent, dst.getName + ".copytmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
       fs.mkdirs(dst.getParent)
-      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false,
           spark.sessionState.newHadoopConf()))
         throw new java.io.IOException(s"segment copy failed: $src -> $dst")
+      if (!fs.rename(tmp, dst)) {
+        // lost a benign race with a concurrent promotion of the same
+        // segment — fine iff the winner's copy is in place
+        if (!fs.exists(dst))
+          throw new java.io.IOException(s"segment rename failed: $src -> $dst")
+        fs.delete(tmp, true)
+      }
     }
   }
 
@@ -817,12 +895,23 @@ object Artifacts {
     */
   @volatile var compactSegmentThreshold: Int = 64
 
+  /** Minimum age before an UNREFERENCED segment may be swept — always
+    * in force for the segment pass regardless of the caller's fp-dir
+    * grace, because segments legitimately exist before the manifest
+    * that will reference them (a build in flight) and after the one
+    * that did (a reader mid-scan on a compacted-away file list).
+    * Mutable only so specs can drop it to observe an immediate sweep.
+    */
+  @volatile var SegmentSweepGraceMs: Long = 60000L
+
   /** Consolidate the CURRENT version's segments of `name` into one and
     * atomically replace its manifest (same fingerprint — compaction
-    * changes the layout, not the contents). De-referenced segments have
-    * their mtime touched so the prune grace counts from de-reference
-    * and a reader mid-scan on the old file list keeps its files for a
-    * full grace window. Returns true when a compaction ran.
+    * changes the layout, not the contents). De-referenced segments get
+    * a `.retired` marker file whose creation time is the de-reference
+    * instant — the sweep keeps them for [[SegmentSweepGraceMs]] past
+    * it, so a reader mid-scan on the old file list keeps its files.
+    * (A marker, not an mtime touch: `FileSystem.setTimes` silently does
+    * nothing on object stores.) Returns true when a compaction ran.
     */
   def compactSegments(spark: SparkSession, corpusDir: String,
       name: String, minSegments: Int = 2): Boolean = {
@@ -837,11 +926,9 @@ object Artifacts {
         val fresh = writeSegment(spark, corpusDir, name, df,
           segmentKeys(name))
         writeManifest(spark, p, Seq(fresh), replace = true)
-        val now = System.currentTimeMillis()
         val fs = hadoopFs(spark, new Path(base))
         segs.foreach { s =>
-          val sp = new Path(s"$base/${s.rel}")
-          if (fs.exists(sp)) fs.setTimes(sp, now, -1)
+          fs.create(new Path(s"$base/${s.rel}.retired"), true).close()
         }
         true
       case _ => false
@@ -1197,7 +1284,7 @@ object Artifacts {
       incPairs.recomputed)(incPairs.full)
     val pairsNew = readNew(DupPairsName)
     val incK = operators.Dedup.incrementalKeepers(
-      oldKeepers, hashedNew, diff, pairsOld, pairsNew)
+      oldKeepers, hashedNew, diff, pairsOld, pairsNew, incPairs)
     val keepers = buildSegInc(KeepersName, Some(incK.retractIds),
       incK.relabeled)(incK.full)
     val (nAffected, nVerts) = (incK.affectedComponents, incK.ccVertices)
@@ -1407,7 +1494,7 @@ object Artifacts {
 
     // keepers: component-bounded CC re-run
     val incK = operators.Dedup.incrementalKeepers(
-      readOldA(KeepersName), hashedNew, diff, pairsOld, pairsNew)
+      readOldA(KeepersName), hashedNew, diff, pairsOld, pairsNew, incPairs)
     val keepers = buildSegInc(KeepersName, Some(incK.retractIds),
       incK.relabeled)(incK.full)
     val (nAffected, nVerts) = (incK.affectedComponents, incK.ccVertices)

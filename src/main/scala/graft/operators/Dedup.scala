@@ -955,11 +955,16 @@ object Dedup {
     *  - near edges: the edge set IS the maintained `dup_pairs` artifact
     *    (q20's capped-universe Jaccard ≥ 0.5 pair table — exactness of
     *    its maintenance is [[incrementalJaccardPairs]]'s closure
-    *    argument), so the near-edge DELTA is directly computable: pairs
-    *    present in exactly one of the old and new artifacts. Both
-    *    endpoints of every delta edge are seeded (`nearTouched`) — a
-    *    pair present in both with a different SCORE connects the same
-    *    component either way, so existence is the right grain here.
+    *    argument), so the near-edge DELTA — pairs present in exactly
+    *    one of the old and new artifacts — is computable from the
+    *    maintenance's own CHANGE-BOUNDED frames: every differing pair
+    *    has an endpoint in the retract set, so old-side candidates are
+    *    the retracted old pairs and new-side candidates the recomputed
+    *    pairs, and the XOR of those two bounded frames is exactly the
+    *    global delta (no full-table anti-join). Both endpoints of every
+    *    delta edge are seeded (`nearTouched`) — a pair present in both
+    *    with a different SCORE connects the same component either way,
+    *    so existence is the right grain here.
     *
     * M = (members of old components containing a seed, still present in
     * B) ∪ added docs. Every changed edge is internal to M, and every
@@ -985,6 +990,8 @@ object Dedup {
     * @param diff        `(doc_id, h_old, h_new, status)`, unchanged rows dropped
     * @param pairsOld    old `dup_pairs` artifact `(doc_a, doc_b, n_inter, jaccard)`
     * @param pairsNew    NEW `dup_pairs` artifact (already maintained)
+    * @param incPairs    the pair maintenance's own frames ([[IncPairs]])
+    *                    — the change-bounded delta inputs
     */
   private[graft] final case class IncKeepers(full: DataFrame,
       retractIds: DataFrame, relabeled: DataFrame,
@@ -992,7 +999,7 @@ object Dedup {
 
   private[graft] def incrementalKeepers(keepersOld: DataFrame,
       hashedNew: DataFrame, diff: DataFrame, pairsOld: DataFrame,
-      pairsNew: DataFrame): IncKeepers = {
+      pairsNew: DataFrame, incPairs: IncPairs): IncKeepers = {
     val dAll = diff.select("doc_id")
 
     val touchedH = diff.select(col("h_new").as("h"))
@@ -1001,9 +1008,20 @@ object Dedup {
     val exactTouched = hashedNew.join(touchedH, Seq("h"), "left_semi")
       .select("doc_id")
 
-    // near-edge delta endpoints: pairs present in exactly one artifact
-    val eOld = pairsOld.select("doc_a", "doc_b")
-    val eNew = pairsNew.select("doc_a", "doc_b")
+    // near-edge delta endpoints via the maintenance's retract set (see
+    // the closure argument above): candidates on EACH side are the pairs
+    // with a retracted/touched endpoint — semi-joins against the small
+    // checkpointed id set, on both committed artifacts — and the XOR of
+    // the two candidate sets is the exact set of pairs present in
+    // exactly one artifact. (The new side semi-join equals the
+    // maintenance's `recomputed` frame by construction, read back from
+    // the committed artifact instead of re-evaluating its plan.)
+    val rid = incPairs.retractIds
+    def sideOf(pairs: DataFrame, k: String): DataFrame =
+      pairs.join(rid.select(col(rid.columns.head).as(k)), Seq(k), "left_semi")
+        .select("doc_a", "doc_b")
+    val eOld = sideOf(pairsOld, "doc_a").union(sideOf(pairsOld, "doc_b"))
+    val eNew = sideOf(pairsNew, "doc_a").union(sideOf(pairsNew, "doc_b"))
     val changedPairs = eOld.join(eNew, Seq("doc_a", "doc_b"), "left_anti")
       .union(eNew.join(eOld, Seq("doc_a", "doc_b"), "left_anti"))
     val nearTouched = changedPairs.select(col("doc_a").as("doc_id"))

@@ -3,11 +3,14 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scratch profiler for the keepers artifact build: times each phase
-  * (exact edges, jaccard pairs, CC fixpoint, parquet write) in
-  * isolation against the committed postings artifact, mirroring what
-  * `Artifacts.materialize` does for the `keepers` build. Not part of
-  * the driver contract.
+/** Scratch profiler for the INLINE keeper chain: times each phase
+  * (exact edges, jaccard pairs, CC fixpoint, parquet write) of
+  * `Dedup.keeperAssignmentFrom` in isolation. NOTE that
+  * `Artifacts.materialize` no longer runs this chain — it builds
+  * keepers from the committed digest + pair artifacts
+  * (`keeperAssignmentFromParts`) and pays only the CC fixpoint; the
+  * pair self-join profiled here now lives in the `dup_pairs` build.
+  * Not part of the driver contract.
   */
 object ProbeKeepers {
   def main(args: Array[String]): Unit = {

@@ -128,7 +128,10 @@ class ArtifactsSpec extends SparkSpec {
       assert(e.getMessage.contains("STALE"))
       Artifacts.setStrict(false)
 
-      // re-materializing against v2 heals read-through and prunes v1
+      // re-materializing against v2 heals read-through and prunes v1.
+      // Drop the segment-sweep minimum grace so the sweep is observable
+      // in-test (production keeps 60 s for in-flight builds/readers).
+      Artifacts.SegmentSweepGraceMs = 0L
       Artifacts.materialize(spark, corpus)
       assert(Artifacts.isMaterialized(spark, corpus, Artifacts.KeepersName))
       assert(Artifacts.keepers(spark, corpus).count() == n2)
@@ -149,6 +152,7 @@ class ArtifactsSpec extends SparkSpec {
     } finally {
       Artifacts.clearRoot()
       Artifacts.setStrict(false)
+      Artifacts.SegmentSweepGraceMs = 60000L
       deleteRecursively(tmpRoot)
       deleteRecursively(new java.io.File(corpus))
       Checkpoints.releaseAll()

@@ -31,8 +31,12 @@ class SegmentedArtifactsSpec extends SparkSpec {
 
   private def manifestRels(root: java.io.File, name: String,
       fp: String): Seq[String] = {
-    val key = root.listFiles().head.getName
-    val mf = new java.io.File(root, s"$key/$name/fp=$fp/_MANIFEST")
+    // the root may hold several corpus keys (e.g. an old and a new
+    // snapshot) — locate the one that committed this fingerprint
+    val mf = root.listFiles().filter(_.isDirectory)
+      .map(k => new java.io.File(k, s"$name/fp=$fp/_MANIFEST"))
+      .find(_.isFile)
+      .getOrElse(sys.error(s"no committed manifest for $name fp=$fp under $root"))
     val src = scala.io.Source.fromFile(mf)
     try src.getLines().drop(1).filter(_.nonEmpty)
       .map(_.split('\t')(0)).toList
