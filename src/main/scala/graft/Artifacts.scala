@@ -268,7 +268,7 @@ object Artifacts {
     */
   def isMaterialized(spark: SparkSession, corpusDir: String, name: String): Boolean =
     isCommitted(spark,
-      versionPath(corpusDir, name, corpusFingerprint(spark, corpusDir)))
+      versionPath(corpusDir, name, corpusFingerprint(spark, corpusDir)), name)
 
   /** True iff EVERY artifact in [[AllNames]] is committed for the
     * corpus's current fingerprint — metadata-only (marker existence
@@ -278,19 +278,35 @@ object Artifacts {
   def isFullyMaterialized(spark: SparkSession, corpusDir: String): Boolean =
     AllNames.forall(n => isMaterialized(spark, corpusDir, n))
 
-  private def isCommitted(spark: SparkSession, path: Option[String]): Boolean =
+  private def isCommitted(spark: SparkSession, path: Option[String],
+      name: String): Boolean =
     path.exists { p =>
       val dir = new Path(p)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
-      // _SUCCESS alone is not enough: a version must also carry its data
-      // (a manifest or parquet files). A marker with neither — e.g. a
-      // compaction swap that died on a filesystem without atomic
-      // overwrite-rename — must read as NOT committed, so maintenance
-      // rebuilds it instead of skipping a permanently unreadable version.
-      fs.exists(new Path(dir, "_SUCCESS")) && {
-        fs.exists(new Path(dir, ManifestFile)) ||
-          fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
-      }
+      fs.exists(new Path(dir, "_SUCCESS")) && (
+        // Plain-layout artifacts (aggregate-grain, no segment keys)
+        // commit through Spark's committer, which writes _SUCCESS after
+        // the data — the marker alone proves the version carries its
+        // files, keeping this the cheap metadata-only probe the intake
+        // sink polls per micro-batch (no directory LIST).
+        segmentKeys(name).isEmpty || {
+          // Segmented: _SUCCESS alone is not enough — the version must
+          // also carry a manifest (or plain parquet files, the
+          // pre-segment layout of an old version). A missing manifest
+          // may be the delete+rename fallback's momentary swap window
+          // on a filesystem without FileContext — retry briefly (the
+          // same absorption as [[readManifest]]) before declaring the
+          // version wedged, so maintenance rebuilds a permanently
+          // unreadable version instead of skipping it.
+          def present(): Boolean = fs.exists(new Path(dir, ManifestFile)) ||
+            fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+          var attempt = 0
+          var ok = present()
+          while (!ok && attempt < 3) {
+            Thread.sleep(50); ok = present(); attempt += 1
+          }
+          ok
+        })
     }
 
   /** Whether ANY committed version of the artifact exists under the
@@ -321,7 +337,7 @@ object Artifacts {
     rootOpt.flatMap { _ =>
       val fp = corpusFingerprint(spark, corpusDir)
       val p = versionPath(corpusDir, name, fp).get
-      if (isCommitted(spark, Some(p)))
+      if (isCommitted(spark, Some(p), name))
         Some(readVersion(spark, corpusDir, name, p))
       else {
         if (anyVersionCommitted(spark, corpusDir, name)) {
@@ -454,7 +470,7 @@ object Artifacts {
     val fp = corpusFingerprint(spark, corpusDir)
     val name = tokenCountsName(tok)
     val p = versionPath(corpusDir, name, fp).get
-    if (isCommitted(spark, Some(p))) committedCount(spark, corpusDir, name, p)
+    if (isCommitted(spark, Some(p), name)) committedCount(spark, corpusDir, name, p)
     else {
       val n = write(spark, corpusDir, fp, name,
         tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
@@ -476,8 +492,13 @@ object Artifacts {
     val p = versionPath(corpusDir, name, fp).get
     val keys = segmentKeys(name)
     if (keys.nonEmpty) {
-      // segmented layout: one fresh segment + a manifest commit
-      val seg = writeSegment(spark, corpusDir, name, df, keys)
+      // segmented layout: one fresh segment + a manifest commit. The
+      // provisional manifest goes first so a concurrent sweep sees the
+      // in-flight segment as referenced however long the write takes.
+      val rel = newSegRel()
+      clearStaleCommit(spark, p)
+      writeManifest(spark, p, Seq(provisionalEntry(rel, keys)), commit = false)
+      val seg = writeSegment(spark, corpusDir, name, df, keys, rel)
       writeManifest(spark, p, Seq(seg))
       name -> seg.rows
     } else {
@@ -554,14 +575,15 @@ object Artifacts {
                 scala.util.Try(readManifestAt(spark, p)).toOption.flatten match {
                   case Some(entries) => Some(entries.map(_.rel))
                   case None =>
-                    val hasParquet = scala.util.Try(fs.listStatus(st.getPath)
-                      .exists(_.getPath.getName.endsWith(".parquet")))
-                      .getOrElse(false)
-                    val committed = fs.exists(new Path(st.getPath, "_SUCCESS"))
-                    // plain-layout or uncommitted version: zero segment
-                    // refs by construction; committed-but-unreadable:
-                    // unresolvable
-                    if (hasParquet || !committed) Some(Seq.empty) else None
+                    // No manifest. A committed version with no plain
+                    // parquet either ([[segmentedCommit]]) must HAVE one
+                    // — mid-swap or torn — so referenced-ness is
+                    // unresolvable; anything else (plain layout,
+                    // uncommitted dir) has zero segment refs by
+                    // construction. Errors probing → unresolvable.
+                    if (scala.util.Try(segmentedCommit(spark, p))
+                        .getOrElse(true)) None
+                    else Some(Seq.empty)
                 }
               }
             if (refs.forall(_.isDefined)) {
@@ -653,17 +675,25 @@ object Artifacts {
   private def hadoopFs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  /** Write `entries` as `fpDir/_MANIFEST` and commit with `_SUCCESS`.
+  /** Write `entries` as `fpDir/_MANIFEST`; `commit = true` additionally
+    * marks the version committed with `_SUCCESS`. `commit = false` is
+    * BOTH the compaction swap (the version is already committed — only
+    * the manifest changes) and the PROVISIONAL manifest the data-moving
+    * commit paths write before their segment writes/copies start: an
+    * uncommitted manifest is invisible to readers (no `_SUCCESS`) but
+    * IS read by [[pruneSweep]]'s reference resolution, which is what
+    * keeps in-flight segments referenced for the whole data-movement
+    * phase instead of relying on [[SegmentSweepGraceMs]] to outlast it.
     * The manifest lands via temp-file + OVERWRITE rename
     * (`FileContext.rename(OVERWRITE)` — atomic on HDFS/local), so the
-    * compaction swap (`replace = true`) has no window with the manifest
-    * absent, and a retry over a crashed commit's leftover manifest
-    * cannot wedge on rename-onto-existing semantics. Filesystems
-    * without FileContext support fall back to delete + rename —
-    * [[readVersion]] absorbs that (rare) window with a short retry.
+    * compaction swap has no window with the manifest absent, and a
+    * retry over a crashed commit's leftover manifest cannot wedge on
+    * rename-onto-existing semantics. Filesystems without FileContext
+    * support fall back to delete + rename — [[readVersion]] and
+    * [[isCommitted]] absorb that (rare) window with a short retry.
     */
   private def writeManifest(spark: SparkSession, fpDir: String,
-      entries: Seq[SegEntry], replace: Boolean = false): Unit = {
+      entries: Seq[SegEntry], commit: Boolean = true): Unit = {
     val dir = new Path(fpDir)
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(dir)
@@ -691,7 +721,7 @@ object Artifacts {
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"manifest rename failed for $fpDir")
     }
-    if (!replace) fs.create(new Path(dir, "_SUCCESS"), true).close()
+    if (commit) fs.create(new Path(dir, "_SUCCESS"), true).close()
   }
 
   private def readManifestAt(spark: SparkSession,
@@ -742,13 +772,39 @@ object Artifacts {
       !fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
   }
 
+  private def newSegRel(): String =
+    "seg/" + java.util.UUID.randomUUID().toString
+
+  /** Remove a stale `_SUCCESS` left by a wedged commit (marker with no
+    * data) before a rebuild writes its provisional manifest — otherwise
+    * marker + provisional manifest would read as a committed version
+    * whose fresh segment does not exist yet. Callers hold the
+    * not-committed verdict from [[isCommitted]]; a LIVE version is
+    * never passed here.
+    */
+  private def clearStaleCommit(spark: SparkSession, fpDir: String): Unit = {
+    val marker = new Path(fpDir, "_SUCCESS")
+    val fs = hadoopFs(spark, marker)
+    if (fs.exists(marker)) fs.delete(marker, false)
+  }
+
+  /** A manifest entry for a segment that does not exist yet — the
+    * provisional form the commit paths register BEFORE data movement so
+    * the sweep's reference resolution protects the in-flight write
+    * (rows/ranges unknown: (1, 0) matches nothing).
+    */
+  private def provisionalEntry(rel: String, keys: Seq[String]): SegEntry =
+    SegEntry(rel, 0L, keys.map(_ => (1L, 0L)))
+
   /** Write one segment for `name` and observe its row count and per-key
-    * ranges on the write itself (no second scan).
+    * ranges on the write itself (no second scan). `rel` is caller-chosen
+    * so commit paths can reference the segment in a provisional
+    * manifest before this write starts.
     */
   private def writeSegment(spark: SparkSession, corpusDir: String,
-      name: String, df: DataFrame, keys: Seq[String]): SegEntry = {
+      name: String, df: DataFrame, keys: Seq[String],
+      rel: String = newSegRel()): SegEntry = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
-    val rel = "seg/" + java.util.UUID.randomUUID().toString
     val abs = s"${artifactDir(corpusDir, name)}/$rel"
     val obs = org.apache.spark.sql.Observation(s"seg_$rel")
     val aggs = count(lit(1)).as("n") +: keys.flatMap(k => Seq(
@@ -788,7 +844,7 @@ object Artifacts {
     val fp = corpusFingerprint(spark, corpusDir)
     val p = versionPath(corpusDir, name, fp).getOrElse(
       throw new IllegalStateException("Artifacts.readCommitted needs a root"))
-    require(isCommitted(spark, Some(p)),
+    require(isCommitted(spark, Some(p), name),
       s"$name not committed for $corpusDir at fingerprint $fp")
     readVersion(spark, corpusDir, name, p)
   }
@@ -806,10 +862,14 @@ object Artifacts {
     // proves a complete copy (this promotion's retry, or an earlier
     // promotion that carried the same segment). A crash mid-copy leaves
     // only a `.copytmp` directory — never a partial `dst` a manifest
-    // could reference — and the sweep clears such orphans.
+    // could reference — and the sweep clears such orphans. The tmp name
+    // carries a per-attempt nonce: two concurrent promotions of the
+    // same segment must not copy into (or pre-delete) each other's
+    // in-progress tmp, or the loser could rename a gutted directory
+    // into `dst`.
     if (!fs.exists(dst)) {
-      val tmp = new Path(dst.getParent, dst.getName + ".copytmp")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      val tmp = new Path(dst.getParent,
+        dst.getName + ".copytmp-" + java.util.UUID.randomUUID())
       fs.mkdirs(dst.getParent)
       if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false,
           spark.sessionState.newHadoopConf()))
@@ -847,7 +907,7 @@ object Artifacts {
     val keys = segmentKeys(name)
     require(keys.nonEmpty, s"$name is not a segmented artifact")
     val newP = versionPath(newCorpusDir, name, fpNew).get
-    if (isCommitted(spark, Some(newP)))
+    if (isCommitted(spark, Some(newP), name))
       return Some(name -> committedCount(spark, newCorpusDir, name, newP))
     val oldP = versionPath(oldCorpusDir, name, fpOld).get
     readManifest(spark, oldP).map { oldSegs =>
@@ -877,9 +937,18 @@ object Artifacts {
             Seq(k), "left_anti")
         }.select(df0.columns.map(col): _*)
       }
-      val fresh = writeSegment(spark, newCorpusDir, name,
-        rewritten.map(_.unionByName(append)).getOrElse(append), keys)
       val carriedOut = carried.map(_._1)
+      // Provisional manifest BEFORE any data movement: the carried
+      // copies and the fresh segment are referenced (and so
+      // sweep-protected) for the entire phase — a promotion whose
+      // copies outlast [[SegmentSweepGraceMs]] must not lose its early
+      // segments to a concurrent sweep before the commit lands.
+      val freshRel = newSegRel()
+      clearStaleCommit(spark, newP)
+      writeManifest(spark, newP,
+        carriedOut :+ provisionalEntry(freshRel, keys), commit = false)
+      val fresh = writeSegment(spark, newCorpusDir, name,
+        rewritten.map(_.unionByName(append)).getOrElse(append), keys, freshRel)
       if (oldBase != newBase)
         carriedOut.foreach(copySegment(spark, oldBase, newBase, _))
       writeManifest(spark, newP, carriedOut :+ fresh)
@@ -918,14 +987,14 @@ object Artifacts {
     val fp = corpusFingerprint(spark, corpusDir)
     val p = versionPath(corpusDir, name, fp)
       .getOrElse(return false)
-    if (!isCommitted(spark, Some(p))) return false
+    if (!isCommitted(spark, Some(p), name)) return false
     readManifest(spark, p) match {
       case Some(segs) if segs.size >= minSegments && segs.size > 1 =>
         val base = artifactDir(corpusDir, name)
         val df = spark.read.parquet(segs.map(s => s"$base/${s.rel}"): _*)
         val fresh = writeSegment(spark, corpusDir, name, df,
           segmentKeys(name))
-        writeManifest(spark, p, Seq(fresh), replace = true)
+        writeManifest(spark, p, Seq(fresh), commit = false)
         val fs = hadoopFs(spark, new Path(base))
         segs.foreach { s =>
           fs.create(new Path(s"$base/${s.rel}.retired"), true).close()
@@ -974,7 +1043,7 @@ object Artifacts {
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def build(name: String)(compute: => DataFrame): (String, Long) = {
       val p = versionPath(corpusDir, name, fp).get
-      if (isCommitted(spark, Some(p))) { timings(name) = 0.0; name -> committedCount(spark, corpusDir, name, p) }
+      if (isCommitted(spark, Some(p), name)) { timings(name) = 0.0; name -> committedCount(spark, corpusDir, name, p) }
       else {
         val t0 = System.nanoTime()
         val out = write(spark, corpusDir, fp, name, compute)
@@ -1073,7 +1142,7 @@ object Artifacts {
       "materialized)")
     names.foreach(n => write(spark, corpusDir, fp, n,
       inlineFrame(spark, corpusDir, n)))
-    AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fp)))
+    AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fp), n))
   }
 
   /** The diff-bounded document scan: semi-join `docs` to the diff ids,
@@ -1183,7 +1252,7 @@ object Artifacts {
       readVersion(spark, corpusDir, name, pathOf(fpNew, name))
     def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
       val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p)))
+      if (isCommitted(spark, Some(p), name))
         name -> committedCount(spark, corpusDir, name, p)
       else write(spark, corpusDir, fpNew, name, compute)
     }
@@ -1193,18 +1262,18 @@ object Artifacts {
     def buildSegInc(name: String, retract: Option[DataFrame],
         append: => DataFrame)(whole: => DataFrame): (String, Long) = {
       val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p)))
+      if (isCommitted(spark, Some(p), name))
         name -> committedCount(spark, corpusDir, name, p)
       else commitSegmented(spark, corpusDir, fpOld, corpusDir, fpNew, name,
         retract, append).getOrElse(write(spark, corpusDir, fpNew, name, whole))
     }
-    if (AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fpNew))))
+    if (AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fpNew), n)))
       return IncrementalResult("skip",
         AllNames.map(n =>
           n -> committedCount(spark, corpusDir, n, pathOf(fpNew, n))).toMap,
         0, 0, 0, 0, 0)
     val missingOld = AllNames.filterNot(n =>
-      isCommitted(spark, versionPath(corpusDir, n, fpOld)))
+      isCommitted(spark, versionPath(corpusDir, n, fpOld), n))
     if (missingOld.nonEmpty) {
       if (missingOld.size < AllNames.size) System.err.println(
         s"[artifacts] full rebuild: old snapshot missing ${missingOld.mkString(", ")} " +
@@ -1384,11 +1453,11 @@ object Artifacts {
     // and redo committed work.
     def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
       val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p)))
+      if (isCommitted(spark, Some(p), name))
         name -> committedCount(spark, newDir, name, p)
       else write(spark, newDir, fpNew, name, compute)
     }
-    if (AllNames.forall(n => isCommitted(spark, versionPath(newDir, n, fpNew))))
+    if (AllNames.forall(n => isCommitted(spark, versionPath(newDir, n, fpNew), n)))
       return IncrementalResult("skip",
         AllNames.map(n =>
           n -> committedCount(spark, newDir, n, pathOf(newDir, fpNew, n)))
@@ -1406,13 +1475,13 @@ object Artifacts {
     def buildSegInc(name: String, retract: Option[DataFrame],
         append: => DataFrame)(whole: => DataFrame): (String, Long) = {
       val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p)))
+      if (isCommitted(spark, Some(p), name))
         name -> committedCount(spark, newDir, name, p)
       else commitSegmented(spark, oldDir, fpOld, newDir, fpNew, name,
         retract, append).getOrElse(write(spark, newDir, fpNew, name, whole))
     }
     val missingOld = AllNames.filterNot(n =>
-      isCommitted(spark, versionPath(oldDir, n, fpOld)))
+      isCommitted(spark, versionPath(oldDir, n, fpOld), n))
     // A partially missing old set usually means the artifact set widened
     // since the old snapshot was materialized (library upgrade): BACKFILL
     // exactly the missing artifacts against the old corpus — it still

@@ -1017,11 +1017,17 @@ object Dedup {
     // maintenance's `recomputed` frame by construction, read back from
     // the committed artifact instead of re-evaluating its plan.)
     val rid = incPairs.retractIds
+    // distinct: a pair with BOTH endpoints retracted appears in both
+    // semi-joins — without it the XOR and seed frames double such rows
+    // (the common case: a recomputed pair usually has both endpoints
+    // touched)
     def sideOf(pairs: DataFrame, k: String): DataFrame =
       pairs.join(rid.select(col(rid.columns.head).as(k)), Seq(k), "left_semi")
         .select("doc_a", "doc_b")
     val eOld = sideOf(pairsOld, "doc_a").union(sideOf(pairsOld, "doc_b"))
+      .distinct()
     val eNew = sideOf(pairsNew, "doc_a").union(sideOf(pairsNew, "doc_b"))
+      .distinct()
     val changedPairs = eOld.join(eNew, Seq("doc_a", "doc_b"), "left_anti")
       .union(eNew.join(eOld, Seq("doc_a", "doc_b"), "left_anti"))
     val nearTouched = changedPairs.select(col("doc_a").as("doc_id"))

@@ -93,6 +93,7 @@ class ArtifactsSpec extends SparkSpec {
     // version unresolvable — reads recompute inline (or throw, strict).
     val tmpRoot = Files.createTempDirectory("graft-artifacts-stale").toFile
     val corpus = Files.createTempDirectory("graft-corpus-stale").toString
+    val oldGrace = Artifacts.SegmentSweepGraceMs
     try {
       import org.apache.spark.sql.functions.col
       // corpus v1: the even-id slice; materialize against it
@@ -152,7 +153,7 @@ class ArtifactsSpec extends SparkSpec {
     } finally {
       Artifacts.clearRoot()
       Artifacts.setStrict(false)
-      Artifacts.SegmentSweepGraceMs = 60000L
+      Artifacts.SegmentSweepGraceMs = oldGrace
       deleteRecursively(tmpRoot)
       deleteRecursively(new java.io.File(corpus))
       Checkpoints.releaseAll()

@@ -208,6 +208,62 @@ class SegmentedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("past the grace, the sweep clears retired segments, their markers, and copy leftovers") {
+    val tmpRoot = Files.createTempDirectory("graft-seg5-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg5-corpus").toString + "/c"
+    val oldThreshold = Artifacts.compactSegmentThreshold
+    val oldGrace = Artifacts.SegmentSweepGraceMs
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 50)
+      Artifacts.materialize(spark, corpus)
+
+      // compaction de-references the original segments via .retired markers
+      Artifacts.compactSegmentThreshold = 1
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (51 to 60)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(Artifacts.maintainAppended(spark, corpus, fpOld, batch).mode == "append")
+
+      val name = Artifacts.DocHashesName
+      val key = tmpRoot.listFiles().head.getName
+      val segDir = new java.io.File(tmpRoot, s"$key/$name/seg")
+      def entries() = Option(segDir.listFiles()).getOrElse(Array.empty)
+      assert(entries().exists(_.getName.endsWith(".retired")),
+        "compaction left no de-reference markers")
+      // plant the crash leftovers the sweep must also clear: an orphan
+      // marker whose segment is already gone, and a dead mid-copy tmp
+      new java.io.File(segDir, "gone-segment.retired").createNewFile()
+      val deadCopy = new java.io.File(segDir, "dead.copytmp-0000")
+      deadCopy.mkdir()
+      new java.io.File(deadCopy, "part-0.parquet").createNewFile()
+
+      // within the grace everything survives the end-of-call sweep
+      Artifacts.materialize(spark, corpus) // all-committed: skip + sweep
+      assert(entries().exists(_.getName.endsWith(".retired")))
+      assert(deadCopy.exists())
+
+      // past the grace: only the live manifest's segments remain
+      Artifacts.SegmentSweepGraceMs = 0L
+      Artifacts.materialize(spark, corpus)
+      val fpNew = Artifacts.corpusFingerprint(spark, corpus)
+      val live = manifestRels(tmpRoot, name, fpNew).map(_.stripPrefix("seg/")).toSet
+      assert(entries().map(_.getName).toSet == live,
+        s"sweep left ${entries().map(_.getName).toSet -- live}")
+    } finally {
+      Artifacts.compactSegmentThreshold = oldThreshold
+      Artifacts.SegmentSweepGraceMs = oldGrace
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a plain-layout (pre-upgrade) old version upgrades to segmented on refresh") {
     val tmpRoot = Files.createTempDirectory("graft-seg4-root").toFile
     val base = Files.createTempDirectory("graft-seg4-corpus").toString
