@@ -630,10 +630,13 @@ object Artifacts {
   // reference, REWRITES only the segments whose key ranges contain
   // retracted ids, and APPENDS one delta segment — the append path
   // writes batch-bounded bytes per micro-batch where the plain layout
-  // re-encoded every artifact whole. Aggregated artifacts (span counts,
-  // token frequencies, the span dictionary) keep the plain layout: their
-  // maintenance is a re-aggregation whose output is artifact-sized, and
-  // a delta-segment scheme would push a merge onto every read.
+  // re-encoded every artifact whole. Aggregate-grain artifacts (span
+  // counts, token frequencies) are segmented too, as ADDITIVE deltas
+  // ([[additiveSpec]]): maintenance appends a ± count-delta segment and
+  // readers re-aggregate until compaction folds the deltas into the
+  // base — so no maintenance path rewrites corpus-bounded bytes. Only
+  // the span DICTIONARY stays plain: it is a filter of the counts view,
+  // derived whole, and typically small.
   //
   // Commit protocol is unchanged (`_SUCCESS` gates readers; a version
   // directory is never rewritten once committed). Orphan segments from a
@@ -642,8 +645,8 @@ object Artifacts {
   // bounds segment sprawl under continuous ingest by consolidating the
   // CURRENT version's segments and atomically replacing its manifest —
   // the one in-place manifest update in the system; de-referenced
-  // segments get their mtime touched so the prune grace counts from
-  // de-reference, not creation, and readers mid-scan keep their files.
+  // segments get a `.retired` marker whose creation time starts the
+  // prune grace, so readers mid-scan keep their files.
 
   /** Prune/retract key columns per artifact: per-doc artifacts retract
     * by `doc_id`; the pair table by EITHER endpoint. Empty = plain
@@ -657,8 +660,29 @@ object Artifacts {
     case NgramPostingsName | Shingles8Name | DocHashesName | KeepersName |
          MinhashBandsName => Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
+    case SpanCountsName => Seq("sh")
+    case TokenFreqName => Seq("source", "token")
     case _ => Seq.empty
   }
+
+  /** ADDITIVE segmented artifacts: aggregate-grain frames maintained as
+    * base + ± count-delta segments — (grouping keys, count column). A
+    * maintenance call appends ONE delta segment (positive counts for an
+    * appended batch, ± differences for a promoted snapshot) instead of
+    * rewriting the corpus-grain aggregate, which was the last
+    * corpus-bounded WRITE in the maintenance paths. Readers re-aggregate
+    * (sum per key, drop ≤ 0 — a fully-retracted key) when more than one
+    * segment is live; compaction folds the deltas back into one base
+    * segment, bounding read amplification the way any LSM does. These
+    * artifacts never retract by key range, so their segments are
+    * write-once like every other segment.
+    */
+  private def additiveSpec(name: String): Option[(Seq[String], String)] =
+    name match {
+      case SpanCountsName => Some((Seq("sh"), "ndocs"))
+      case TokenFreqName => Some((Seq("source", "token"), "n"))
+      case _ => None
+    }
 
   /** One manifest line: segment path relative to `<name>/`, its row
     * count, and an inclusive (lo, hi) long range per [[segmentKeys]]
@@ -790,11 +814,22 @@ object Artifacts {
 
   /** A manifest entry for a segment that does not exist yet — the
     * provisional form the commit paths register BEFORE data movement so
-    * the sweep's reference resolution protects the in-flight write
-    * (rows/ranges unknown: (1, 0) matches nothing).
+    * the sweep's reference resolution protects the in-flight write.
+    * `rows = -1` is the sentinel that marks it: every DATA consumer of a
+    * manifest reads only [[realSegs]] (rows ≥ 0), so a provisional entry
+    * in a LIVE manifest — compaction pre-registers its in-flight segment
+    * there, and a crashed compaction leaves that entry behind — is
+    * invisible to reads and counts, while the sweep (which consumes rels,
+    * not rows) still treats the segment as referenced.
     */
   private def provisionalEntry(rel: String, keys: Seq[String]): SegEntry =
-    SegEntry(rel, 0L, keys.map(_ => (1L, 0L)))
+    SegEntry(rel, -1L, keys.map(_ => (1L, 0L)))
+
+  /** The data-carrying entries of a manifest: committed segments only,
+    * provisional (in-flight, `rows = -1`) entries dropped.
+    */
+  private def realSegs(segs: Seq[SegEntry]): Seq[SegEntry] =
+    segs.filter(_.rows >= 0L)
 
   /** Write one segment for `name` and observe its row count and per-key
     * ranges on the write itself (no second scan). `rel` is caller-chosen
@@ -805,9 +840,21 @@ object Artifacts {
       name: String, df: DataFrame, keys: Seq[String],
       rel: String = newSegRel()): SegEntry = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val abs = s"${artifactDir(corpusDir, name)}/$rel"
     val obs = org.apache.spark.sql.Observation(s"seg_$rel")
-    val aggs = count(lit(1)).as("n") +: keys.flatMap(k => Seq(
+    // Ranges are observed ONLY for integral-typed keys. A string key's
+    // `cast(min(k) as long)` fails under ANSI inside the CollectMetrics
+    // evaluation and Spark drops the whole metrics event SILENTLY —
+    // obs.get then blocks forever (reproduced on 4.1.2: the write
+    // succeeds, no exception surfaces). String-keyed artifacts (the
+    // additive aggregates) never retract by range, so (1, 0) "unknown"
+    // is their correct manifest entry anyway.
+    val rangeable = keys.filter(k => df.schema(k).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }).toSet
+    val aggs = count(lit(1)).as("n") +: keys.filter(rangeable).flatMap(k => Seq(
       min(col(k)).cast("long").as(s"lo_$k"),
       max(col(k)).cast("long").as(s"hi_$k")))
     df.observe(obs, aggs.head, aggs.tail: _*)
@@ -815,7 +862,8 @@ object Artifacts {
     val got = obs.get
     val n = got("n").asInstanceOf[Long]
     val ranges = keys.map { k =>
-      (Option(got(s"lo_$k")), Option(got(s"hi_$k"))) match {
+      if (!rangeable(k)) (1L, 0L)
+      else (Option(got(s"lo_$k")), Option(got(s"hi_$k"))) match {
         case (Some(lo: Long), Some(hi: Long)) => (lo, hi)
         case _ => (1L, 0L)
       }
@@ -831,7 +879,22 @@ object Artifacts {
     readManifest(spark, fpDir) match {
       case Some(segs) =>
         val base = artifactDir(corpusDir, name)
-        spark.read.parquet(segs.map(s => s"$base/${s.rel}"): _*)
+        // committed manifests always carry ≥1 real segment; provisional
+        // entries (a live manifest during — or left by a crash of — a
+        // compaction) reference a segment that may not exist yet
+        val real = realSegs(segs)
+        val df = spark.read.parquet(real.map(s => s"$base/${s.rel}"): _*)
+        additiveSpec(name) match {
+          // a single segment is always fully aggregated by construction
+          // (full build and compaction both write the folded frame) —
+          // skip the shuffle on the common compacted shape
+          case Some((keys, cnt)) if real.size > 1 =>
+            import org.apache.spark.sql.functions.{col, sum}
+            df.groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+              .filter(col(cnt) > 0)
+              .select((keys :+ cnt).map(col): _*)
+          case _ => df
+        }
       case None => spark.read.parquet(fpDir)
     }
 
@@ -906,11 +969,20 @@ object Artifacts {
     import org.apache.spark.sql.functions.{broadcast, col}
     val keys = segmentKeys(name)
     require(keys.nonEmpty, s"$name is not a segmented artifact")
+    // additive artifacts retract by appending NEGATIVE deltas — their
+    // segments are never rewritten, so range-based retraction (whose hit
+    // test assumes long-ordered keys) must never run over them
+    require(retract.isEmpty || additiveSpec(name).isEmpty,
+      s"$name is additive: retract by negative delta, not by key range")
     val newP = versionPath(newCorpusDir, name, fpNew).get
     if (isCommitted(spark, Some(newP), name))
       return Some(name -> committedCount(spark, newCorpusDir, name, newP))
     val oldP = versionPath(oldCorpusDir, name, fpOld).get
-    readManifest(spark, oldP).map { oldSegs =>
+    // realSegs: a crashed compaction can leave a provisional entry in the
+    // old version's live manifest — carrying it forward would commit a
+    // reference to a segment that never existed (and copySegment would
+    // fail on the missing source)
+    readManifest(spark, oldP).map(realSegs).map { oldSegs =>
       val oldBase = artifactDir(oldCorpusDir, name)
       val newBase = artifactDir(newCorpusDir, name)
       val hit: Set[Int] = retract match {
@@ -988,12 +1060,35 @@ object Artifacts {
     val p = versionPath(corpusDir, name, fp)
       .getOrElse(return false)
     if (!isCommitted(spark, Some(p), name)) return false
-    readManifest(spark, p) match {
+    readManifest(spark, p).map(realSegs) match {
       case Some(segs) if segs.size >= minSegments && segs.size > 1 =>
         val base = artifactDir(corpusDir, name)
-        val df = spark.read.parquet(segs.map(s => s"$base/${s.rel}"): _*)
-        val fresh = writeSegment(spark, corpusDir, name, df,
-          segmentKeys(name))
+        val keys = segmentKeys(name)
+        // Pre-register the in-flight consolidated segment in the LIVE
+        // manifest as a provisional entry: the rewrite of a large
+        // artifact can outlast [[SegmentSweepGraceMs]], and without a
+        // manifest reference a concurrent maintenance call's sweep could
+        // delete the segment mid-write. Readers are unaffected — the
+        // provisional entry is rows = -1, which every data consumer
+        // filters out — and the swap below replaces it atomically. A
+        // crash here leaves the provisional entry dangling in the live
+        // manifest: reads/counts skip it, and the next compaction or
+        // maintenance drops it ([[realSegs]] everywhere data moves).
+        val freshRel = newSegRel()
+        writeManifest(spark, p, segs :+ provisionalEntry(freshRel, keys),
+          commit = false)
+        val df0 = spark.read.parquet(segs.map(s => s"$base/${s.rel}"): _*)
+        // additive artifacts: compaction is where the ± delta segments
+        // fold back into one base — aggregate, drop retracted keys
+        val df = additiveSpec(name) match {
+          case Some((aKeys, cnt)) =>
+            import org.apache.spark.sql.functions.{col, sum}
+            df0.groupBy(aKeys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+              .filter(col(cnt) > 0)
+              .select((aKeys :+ cnt).map(col): _*)
+          case None => df0
+        }
+        val fresh = writeSegment(spark, corpusDir, name, df, keys, freshRel)
         writeManifest(spark, p, Seq(fresh), commit = false)
         val fs = hadoopFs(spark, new Path(base))
         segs.foreach { s =>
@@ -1007,7 +1102,7 @@ object Artifacts {
   private def committedCount(spark: SparkSession, corpusDir: String,
       name: String, path: String): Long =
     readManifest(spark, path) match {
-      case Some(segs) => segs.map(_.rows).sum
+      case Some(segs) => realSegs(segs).map(_.rows).sum
       case None => spark.read.parquet(path).count()
     }
 
@@ -1318,10 +1413,12 @@ object Artifacts {
       operators.Dedup.shingleIndex(fresh))(
       postOld.unionByName(operators.Dedup.shingleIndex(fresh)))
     val postNew = readNew(NgramPostingsName)
-    val counts = buildInc(SpanCountsName)(
+    // additive: the batch's own counts land as ONE delta segment — the
+    // old corpus-grain aggregate is carried by reference, not rewritten
+    val counts = buildSegInc(SpanCountsName, None,
+      operators.CorpusOps.spanCounts(fresh))(
       readOld(SpanCountsName)
-        .unionByName(operators.CorpusOps.spanRows(fresh)
-          .groupBy("sh").agg(count(lit(1)).as("ndocs")))
+        .unionByName(operators.CorpusOps.spanCounts(fresh))
         .groupBy("sh").agg(sum("ndocs").as("ndocs")))
     val spans = buildInc(DupSpansName)(
       operators.CorpusOps.dupSpansFromCounts(readNew(SpanCountsName)))
@@ -1362,7 +1459,8 @@ object Artifacts {
       operators.CorpusOps.docShingles8(fresh))(
       readOld(Shingles8Name)
         .unionByName(operators.CorpusOps.docShingles8(fresh)))
-    val tokFreq = buildInc(TokenFreqName)(
+    val tokFreq = buildSegInc(TokenFreqName, None,
+      operators.CorpusOps.tokenFreqRows(fresh))(
       readOld(TokenFreqName)
         .unionByName(operators.CorpusOps.tokenFreqRows(fresh))
         .groupBy("source", "token").agg(sum("n").as("n")))
@@ -1374,7 +1472,7 @@ object Artifacts {
     // bound segment sprawl: a batch per artifact per interval would
     // otherwise grow every read's file list without limit
     AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
-      readManifestAt(spark, pathOf(fpNew, n)) match {
+      readManifestAt(spark, pathOf(fpNew, n)).map(realSegs) match {
         case Some(segs) if segs.size > compactSegmentThreshold =>
           compactSegments(spark, corpusDir, n)
         case _ => ()
@@ -1527,19 +1625,22 @@ object Artifacts {
         .unionByName(operators.Dedup.shingleIndex(docsChangedNew)))
     val postNew = readNewA(NgramPostingsName)
 
-    // span counts by ± distinct-doc deltas, dictionary derived from them
+    // span counts by ± distinct-doc deltas, dictionary derived from them.
+    // Additive layout: the ± differences land as ONE delta segment beside
+    // the carried base — the corpus-grain aggregate is never rewritten
     val docsGoneOld = prunedDeltaScan(Tables.documents(spark, oldDir), dGone)
     val neg = operators.CorpusOps.spanRows(docsGoneOld)
       .groupBy("sh").agg(count(lit(1)).as("neg"))
     val pos = operators.CorpusOps.spanRows(docsChangedNew)
       .groupBy("sh").agg(count(lit(1)).as("pos"))
-    val counts = buildInc(SpanCountsName)(
+    val spanDelta = neg.join(pos, Seq("sh"), "full_outer")
+      .select(col("sh"), (coalesce(col("pos"), lit(0L))
+        - coalesce(col("neg"), lit(0L))).as("ndocs"))
+      .filter(col("ndocs") =!= 0)
+    val counts = buildSegInc(SpanCountsName, None, spanDelta)(
       readOldA(SpanCountsName)
-        .join(neg, Seq("sh"), "full_outer")
-        .join(pos, Seq("sh"), "full_outer")
-        .select(col("sh"), (coalesce(col("ndocs"), lit(0L))
-          - coalesce(col("neg"), lit(0L))
-          + coalesce(col("pos"), lit(0L))).as("ndocs"))
+        .unionByName(spanDelta)
+        .groupBy("sh").agg(sum("ndocs").as("ndocs"))
         .filter(col("ndocs") > 0))
     val spans = buildInc(DupSpansName)(
       operators.CorpusOps.dupSpansFromCounts(readNewA(SpanCountsName)))
@@ -1575,14 +1676,18 @@ object Artifacts {
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.CorpusOps.docShingles8(docsChangedNew)))
 
-    // token-frequency index: ± count deltas re-aggregated (union-based,
-    // not a full-outer join — a nullable source column would break join
-    // matching on null keys, where groupBy groups them correctly)
-    val tokFreq = buildInc(TokenFreqName)(
+    // token-frequency index: ± count deltas as one additive segment
+    // (union-based delta, not a full-outer join — a nullable source
+    // column would break join matching on null keys, where groupBy
+    // groups them correctly)
+    val tokDelta = operators.CorpusOps.tokenFreqRows(docsGoneOld)
+      .select(col("source"), col("token"), (-col("n")).as("n"))
+      .unionByName(operators.CorpusOps.tokenFreqRows(docsChangedNew))
+      .groupBy("source", "token").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0)
+    val tokFreq = buildSegInc(TokenFreqName, None, tokDelta)(
       readOldA(TokenFreqName)
-        .unionByName(operators.CorpusOps.tokenFreqRows(docsGoneOld)
-          .select(col("source"), col("token"), (-col("n")).as("n")))
-        .unionByName(operators.CorpusOps.tokenFreqRows(docsChangedNew))
+        .unionByName(tokDelta)
         .groupBy("source", "token").agg(sum("n").as("n"))
         .filter(col("n") > 0))
 

@@ -264,6 +264,105 @@ class SegmentedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("additive artifacts: deltas append, reads aggregate, compaction folds") {
+    val tmpRoot = Files.createTempDirectory("graft-seg7-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg7-corpus").toString + "/c"
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 60)
+      Artifacts.materialize(spark, corpus)
+
+      // the batch REUSES existing texts under new ids: its span/token
+      // deltas hit keys the base segment already carries, so a correct
+      // read MUST merge across segments, not just concatenate them
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (61 to 70)
+        .map(i => (i.toLong, s"body of document ${i - 60} with words w${i - 60} x${i - 60} y${i - 60} z${i - 60}", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(Artifacts.maintainAppended(spark, corpus, fpOld, batch).mode == "append")
+
+      val docs = Tables.documents(spark, corpus)
+      val fpNew = Artifacts.corpusFingerprint(spark, corpus)
+      for ((name, inline) <- Seq(
+          Artifacts.SpanCountsName -> operators.CorpusOps.spanCounts(docs),
+          Artifacts.TokenFreqName -> operators.CorpusOps.tokenFreqRows(docs))) {
+        assert(manifestRels(tmpRoot, name, fpNew).size == 2,
+          s"$name should hold base + one delta segment")
+        assert(rows(Artifacts.readCommitted(spark, corpus, name)) == rows(inline),
+          s"$name aggregated view drifted from inline recomputation")
+        // compaction folds the deltas into one base; the view is unchanged
+        assert(Artifacts.compactSegments(spark, corpus, name))
+        assert(manifestRels(tmpRoot, name, fpNew).size == 1)
+        assert(rows(Artifacts.readCommitted(spark, corpus, name)) == rows(inline),
+          s"$name view changed across compaction")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("a dangling provisional entry is sweep-protected, invisible to reads, dropped by maintenance") {
+    val tmpRoot = Files.createTempDirectory("graft-seg6-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg6-corpus").toString + "/c"
+    val oldGrace = Artifacts.SegmentSweepGraceMs
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 40)
+      val c1 = Artifacts.materialize(spark, corpus)
+      val name = Artifacts.DocHashesName
+      val fp = Artifacts.corpusFingerprint(spark, corpus)
+      val key = tmpRoot.listFiles().head.getName
+
+      // forge a crashed compaction: the LIVE manifest carries a
+      // provisional (rows = -1) entry for an in-flight segment the crash
+      // cut off mid-write
+      val inflight = new java.io.File(tmpRoot, s"$key/$name/seg/inflight-compaction")
+      inflight.mkdirs()
+      val mf = new java.io.File(tmpRoot, s"$key/$name/fp=$fp/_MANIFEST")
+      val body = { val s = scala.io.Source.fromFile(mf); try s.mkString finally s.close() }
+      java.nio.file.Files.write(mf.toPath,
+        (body + "seg/inflight-compaction\t-1\t1\t0\n").getBytes("UTF-8"))
+      // the raw rewrite invalidates Hadoop LocalFileSystem's checksum
+      // sidecar — drop it so reads see the forged content, not a CRC error
+      new java.io.File(mf.getParentFile, "._MANIFEST.crc").delete()
+
+      // reads and counts skip the provisional entry; the referenced (but
+      // data-less) in-flight segment survives even an instant sweep
+      Artifacts.SegmentSweepGraceMs = 0L
+      assert(Artifacts.readCommitted(spark, corpus, name).count() == c1(name))
+      val c2 = Artifacts.materialize(spark, corpus) // all-committed: skip + sweep
+      assert(c2(name) == c1(name), s"provisional entry leaked into count: $c2")
+      assert(inflight.exists(), "sweep deleted a manifest-referenced in-flight segment")
+
+      // maintenance carries only real segments: the dangling reference
+      // does not propagate into the next version's manifest
+      val sp = spark; import sp.implicits._
+      val batch = (41 to 50)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i ss$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      val res = Artifacts.maintainAppended(spark, corpus, fp, batch)
+      assert(res.mode == "append", res)
+      assert(res.counts(name) == c1(name) + 10, res.counts(name))
+      val fpNew = Artifacts.corpusFingerprint(spark, corpus)
+      assert(!manifestRels(tmpRoot, name, fpNew).contains("seg/inflight-compaction"),
+        "dangling provisional entry carried into the new manifest")
+    } finally {
+      Artifacts.SegmentSweepGraceMs = oldGrace
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a plain-layout (pre-upgrade) old version upgrades to segmented on refresh") {
     val tmpRoot = Files.createTempDirectory("graft-seg4-root").toFile
     val base = Files.createTempDirectory("graft-seg4-corpus").toString
