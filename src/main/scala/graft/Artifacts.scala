@@ -284,20 +284,22 @@ object Artifacts {
       val dir = new Path(p)
       val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
       fs.exists(new Path(dir, "_SUCCESS")) && (
-        // Plain-layout artifacts (aggregate-grain, no segment keys)
-        // commit through Spark's committer, which writes _SUCCESS after
-        // the data — the marker alone proves the version carries its
-        // files, keeping this the cheap metadata-only probe the intake
-        // sink polls per micro-batch (no directory LIST).
-        segmentKeys(name).isEmpty || {
-          // Segmented: _SUCCESS alone is not enough — the version must
-          // also carry a manifest (or plain parquet files, the
-          // pre-segment layout of an old version). A missing manifest
-          // may be the delete+rename fallback's momentary swap window
-          // on a filesystem without FileContext — retry briefly (the
-          // same absorption as [[readManifest]]) before declaring the
-          // version wedged, so maintenance rebuilds a permanently
-          // unreadable version instead of skipping it.
+        // _SUCCESS alone is never enough: a version must also carry its
+        // data (a manifest, or parquet files for the plain layout). A
+        // marker with neither — a crash between a sweep's partial delete
+        // and its directory removal, or a wedged commit — must read as
+        // NOT committed, so maintenance rebuilds a permanently
+        // unreadable version instead of skipping it forever. One
+        // listStatus per probe is the price; the intake sink's per-batch
+        // polls pay ~a dozen metadata calls, noise beside the batch.
+        if (segmentKeys(name).isEmpty)
+          fs.exists(new Path(dir, ManifestFile)) ||
+            fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
+        else {
+          // Segmented: a missing manifest may be the delete+rename
+          // fallback's momentary swap window on a filesystem without
+          // FileContext — retry briefly (the same absorption as
+          // [[readManifest]]) before declaring the version wedged.
           def present(): Boolean = fs.exists(new Path(dir, ManifestFile)) ||
             fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet"))
           var attempt = 0
@@ -496,7 +498,8 @@ object Artifacts {
       // provisional manifest goes first so a concurrent sweep sees the
       // in-flight segment as referenced however long the write takes.
       val rel = newSegRel()
-      clearStaleCommit(spark, p)
+      if (!clearStaleCommit(spark, p, name))
+        return name -> committedCount(spark, corpusDir, name, p)
       writeManifest(spark, p, Seq(provisionalEntry(rel, keys)), commit = false)
       val seg = writeSegment(spark, corpusDir, name, df, keys, rel)
       writeManifest(spark, p, Seq(seg))
@@ -601,7 +604,21 @@ object Artifacts {
                 .map(_.getPath.getName).toSet
               entries.foreach { st =>
                 val n = st.getPath.getName
-                if (st.isDirectory && !referenced.contains(n)) {
+                // an in-flight promotion copies into `X.copytmp-<nonce>`
+                // BEFORE `X` exists: the tmp is live exactly while its
+                // base is manifest-referenced (the provisional entry)
+                // and the destination has not landed — a copy can
+                // outlast any fixed grace. Once `X` exists (or is
+                // de-referenced), leftover tmps are crash garbage.
+                val tmpBase = {
+                  val i = n.indexOf(".copytmp-")
+                  if (i >= 0) Some(n.substring(0, i)) else None
+                }
+                val live = tmpBase match {
+                  case Some(b) => referenced.contains(b) && !dirNames.contains(b)
+                  case None => referenced.contains(n)
+                }
+                if (st.isDirectory && !live) {
                   val deref = math.max(st.getModificationTime,
                     markers.getOrElse(n, 0L))
                   if (deref < segCutoff) {
@@ -802,14 +819,27 @@ object Artifacts {
   /** Remove a stale `_SUCCESS` left by a wedged commit (marker with no
     * data) before a rebuild writes its provisional manifest — otherwise
     * marker + provisional manifest would read as a committed version
-    * whose fresh segment does not exist yet. Callers hold the
-    * not-committed verdict from [[isCommitted]]; a LIVE version is
-    * never passed here.
+    * whose fresh segment does not exist yet.
+    *
+    * Callers hold a not-committed verdict from [[isCommitted]], but that
+    * verdict may be STALE: a concurrent writer building the same
+    * fingerprint can have committed since. Clearing then would destroy a
+    * live version (marker deleted, its manifest about to be replaced by
+    * a provisional one), so the verdict is re-probed here, immediately
+    * before the destructive step — returns false ("don't build") when
+    * the version turns out to be committed, and the caller serves the
+    * concurrent writer's result. The residual probe-to-delete window is
+    * milliseconds; same-fingerprint writers also produce identical
+    * content by construction, so even that residue only costs a
+    * transient uncommitted read, never wrong data.
     */
-  private def clearStaleCommit(spark: SparkSession, fpDir: String): Unit = {
+  private def clearStaleCommit(spark: SparkSession, fpDir: String,
+      name: String): Boolean = {
+    if (isCommitted(spark, Some(fpDir), name)) return false
     val marker = new Path(fpDir, "_SUCCESS")
     val fs = hadoopFs(spark, marker)
     if (fs.exists(marker)) fs.delete(marker, false)
+    true
   }
 
   /** A manifest entry for a segment that does not exist yet — the
@@ -1016,15 +1046,18 @@ object Artifacts {
       // copies outlast [[SegmentSweepGraceMs]] must not lose its early
       // segments to a concurrent sweep before the commit lands.
       val freshRel = newSegRel()
-      clearStaleCommit(spark, newP)
-      writeManifest(spark, newP,
-        carriedOut :+ provisionalEntry(freshRel, keys), commit = false)
-      val fresh = writeSegment(spark, newCorpusDir, name,
-        rewritten.map(_.unionByName(append)).getOrElse(append), keys, freshRel)
-      if (oldBase != newBase)
-        carriedOut.foreach(copySegment(spark, oldBase, newBase, _))
-      writeManifest(spark, newP, carriedOut :+ fresh)
-      name -> (carriedOut.map(_.rows).sum + fresh.rows)
+      if (!clearStaleCommit(spark, newP, name))
+        name -> committedCount(spark, newCorpusDir, name, newP)
+      else {
+        writeManifest(spark, newP,
+          carriedOut :+ provisionalEntry(freshRel, keys), commit = false)
+        val fresh = writeSegment(spark, newCorpusDir, name,
+          rewritten.map(_.unionByName(append)).getOrElse(append), keys, freshRel)
+        if (oldBase != newBase)
+          carriedOut.foreach(copySegment(spark, oldBase, newBase, _))
+        writeManifest(spark, newP, carriedOut :+ fresh)
+        name -> (carriedOut.map(_.rows).sum + fresh.rows)
+      }
     }
   }
 
@@ -1321,10 +1354,10 @@ object Artifacts {
     * "Batch-bounded" covers the WRITE side too: segmented artifacts
     * commit a manifest that carries the previous segments by reference
     * plus one batch segment (see the segment-layout notes above) —
-    * only the aggregated artifacts (span counts, token frequencies,
-    * span dictionary) still re-encode whole per batch, which bounds
-    * the per-batch write cost by the span-count table, not the sum of
-    * all standing indexes. [[compactSegments]] runs automatically past
+    * including the aggregate-grain span counts and token frequencies,
+    * which append the batch's own counts as an additive delta segment.
+    * Only the span DICTIONARY (a small filter of the counts view)
+    * re-derives whole per batch. [[compactSegments]] runs automatically past
     * [[compactSegmentThreshold]] so file counts stay bounded under
     * continuous ingest. The end-of-call prune keeps a
     * [[AppendPruneGraceMs]] grace window so a reader that resolved the
@@ -1496,6 +1529,14 @@ object Artifacts {
     * (the change-boundedness evidence — `ccVertices` is how many
     * documents the connected-components re-run touched, vs the whole
     * corpus for a full rebuild).
+    *
+    * `counts` are PHYSICAL rows on disk (the manifest's segment-row
+    * sum). For the additive artifacts (span counts, token frequencies)
+    * that is an overcount of the logical view — a delta row overlapping
+    * a base key adds to the sum but merges on read — and it shrinks when
+    * compaction folds the segments. The logical row count is a
+    * corpus-bounded aggregation, deliberately not paid here; read the
+    * artifact if the logical count matters.
     */
   final case class IncrementalResult(mode: String, counts: Map[String, Long],
     added: Long, changed: Long, removed: Long,

@@ -278,14 +278,14 @@ object StreamingOps {
     * neither the corpus fingerprint nor the artifacts.
     *
     * I/O shape: both the maintenance COMPUTE (no corpus text scan — see
-    * `maintainAppended`) and the WRITE are batch-bounded for the
-    * segmented artifacts — each batch commits a manifest referencing
-    * the standing segments plus one batch segment, with automatic
-    * compaction bounding file counts (`Artifacts.compactSegments`).
-    * Only the aggregated artifacts (span counts, token frequencies,
-    * span dictionary) re-encode whole per batch — on a table format
-    * (Delta/Iceberg) those too become transactional MERGEs; size batch
-    * intervals for them when span-count tables are large.
+    * `maintainAppended`) and the WRITE are batch-bounded — each batch
+    * commits a manifest referencing the standing segments plus one
+    * batch segment (the aggregate-grain span counts and token
+    * frequencies append their batch's counts as an additive delta
+    * segment), with automatic compaction bounding file counts and
+    * folding the deltas (`Artifacts.compactSegments`). Only the span
+    * dictionary, a small filter of the counts view, re-derives whole
+    * per batch.
     *
     * @param docs streaming frame with the documents schema (`doc_id`,
     *             `text`, `source`, ... — whatever the corpus carries)

@@ -182,6 +182,36 @@ class ArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("a marker with no data reads as not committed and rebuilds") {
+    // a crash between a sweep's partial delete and its directory removal
+    // can leave _SUCCESS with no data files — that version must rebuild,
+    // not wedge every subsequent read on an unreadable directory
+    val tmp = Files.createTempDirectory("graft-artifacts-wedge").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      val first = Artifacts.materialize(spark, sf)
+      val name = Artifacts.DupSpansName // plain (non-segmented) layout
+      val fp = Artifacts.corpusFingerprint(spark, sf)
+      val fpDir = new java.io.File(tmp,
+        s"${tmp.listFiles().head.getName}/$name/fp=$fp")
+      fpDir.listFiles().filter(_.getName != "_SUCCESS").foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory) x.listFiles().foreach(rm); x.delete()
+        }
+        rm(f)
+      }
+      assert(!Artifacts.isMaterialized(spark, sf, name),
+        "marker-only version must not read as committed")
+      val again = Artifacts.materialize(spark, sf)
+      assert(again(name) == first(name), "rebuild must restore the artifact")
+      assert(rows(Artifacts.readCommitted(spark, sf, name)).nonEmpty)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("token counts are tokenizer-keyed: a swapped tokenizer never reads another's artifact") {
     import org.apache.spark.sql.functions.col
     val ws = graft.functions.Tokenizer.Whitespace

@@ -321,24 +321,32 @@ class SegmentedArtifactsSpec extends SparkSpec {
 
       // forge a crashed compaction: the LIVE manifest carries a
       // provisional (rows = -1) entry for an in-flight segment the crash
-      // cut off mid-write
+      // cut off mid-write — plus a second provisional whose promotion
+      // was still COPYING (only its .copytmp-<nonce> dir exists)
       val inflight = new java.io.File(tmpRoot, s"$key/$name/seg/inflight-compaction")
       inflight.mkdirs()
+      val liveCopy = new java.io.File(tmpRoot,
+        s"$key/$name/seg/inflight-copy.copytmp-live")
+      liveCopy.mkdirs()
+      new java.io.File(liveCopy, "part-0.parquet").createNewFile()
       val mf = new java.io.File(tmpRoot, s"$key/$name/fp=$fp/_MANIFEST")
       val body = { val s = scala.io.Source.fromFile(mf); try s.mkString finally s.close() }
       java.nio.file.Files.write(mf.toPath,
-        (body + "seg/inflight-compaction\t-1\t1\t0\n").getBytes("UTF-8"))
+        (body + "seg/inflight-compaction\t-1\t1\t0\n"
+          + "seg/inflight-copy\t-1\t1\t0\n").getBytes("UTF-8"))
       // the raw rewrite invalidates Hadoop LocalFileSystem's checksum
       // sidecar — drop it so reads see the forged content, not a CRC error
       new java.io.File(mf.getParentFile, "._MANIFEST.crc").delete()
 
-      // reads and counts skip the provisional entry; the referenced (but
-      // data-less) in-flight segment survives even an instant sweep
+      // reads and counts skip the provisional entries; the referenced
+      // (but data-less) in-flight segment AND the mid-copy tmp of a
+      // referenced, not-yet-landed segment survive even an instant sweep
       Artifacts.SegmentSweepGraceMs = 0L
       assert(Artifacts.readCommitted(spark, corpus, name).count() == c1(name))
       val c2 = Artifacts.materialize(spark, corpus) // all-committed: skip + sweep
       assert(c2(name) == c1(name), s"provisional entry leaked into count: $c2")
       assert(inflight.exists(), "sweep deleted a manifest-referenced in-flight segment")
+      assert(liveCopy.exists(), "sweep deleted a live promotion's mid-copy tmp dir")
 
       // maintenance carries only real segments: the dangling reference
       // does not propagate into the next version's manifest
