@@ -1313,6 +1313,70 @@ object Artifacts {
         .map { st => fs.delete(st.getPath, true); st.getPath.getName }
     }
 
+  /** One artifact's operational state, from [[status]] — metadata only.
+    *
+    * `layout` is `plain` / `segmented` / `additive`; `segments` and
+    * `provisional` count the CURRENT version's manifest entries (0 for
+    * plain; a nonzero `provisional` on a committed version is crash
+    * residue from an interrupted compaction — harmless, dropped by the
+    * next maintenance); `physicalRows` is the manifest's segment-row sum
+    * (an overcount of the additive artifacts' logical view, see
+    * [[IncrementalResult]]; `-1` for a committed plain version, whose
+    * row count would need a read this probe deliberately never does);
+    * `staleVersions` counts committed versions
+    * for OTHER fingerprints still awaiting a sweep; `segmentPoolDirs`
+    * counts every directory under `seg/` (referenced or not — a large
+    * gap vs `segments` means retired/orphaned segments pending sweep).
+    */
+  final case class ArtifactStatus(name: String, layout: String,
+    committed: Boolean, segments: Int, provisional: Int,
+    physicalRows: Long, staleVersions: Int, segmentPoolDirs: Int)
+
+  /** Metadata-only health probe of every artifact under `corpusDir`'s
+    * key: what an operator checks before trusting a snapshot's standing
+    * indexes (all committed for the CURRENT fingerprint?), and what
+    * maintenance monitoring alerts on (segment sprawl nearing
+    * [[compactSegmentThreshold]], stale versions accumulating, crash
+    * residue). Costs one corpus-fingerprint resolution plus a directory
+    * LIST per artifact — no data reads, safe to poll.
+    */
+  def status(spark: SparkSession, corpusDir: String): Seq[ArtifactStatus] = {
+    require(rootOpt.nonEmpty,
+      "Artifacts.status needs a root — setRoot(...) or SPARK_GRAFT_ARTIFACTS_DIR")
+    val fp = corpusFingerprint(spark, corpusDir)
+    val conf = spark.sessionState.newHadoopConf()
+    AllNames.map { name =>
+      val layout =
+        if (additiveSpec(name).nonEmpty) "additive"
+        else if (segmentKeys(name).nonEmpty) "segmented"
+        else "plain"
+      val p = versionPath(corpusDir, name, fp).get
+      val committed = isCommitted(spark, Some(p), name)
+      val entries =
+        if (committed) readManifestAt(spark, p) else None
+      val real = realSegs(entries.getOrElse(Seq.empty))
+      val rows =
+        if (!committed) 0L
+        else if (entries.isEmpty) -1L // plain layout: no manifest
+        else real.map(_.rows).sum
+      val dir = new Path(artifactDir(corpusDir, name))
+      val fs = dir.getFileSystem(conf)
+      val stale =
+        if (!fs.exists(dir)) 0
+        else fs.listStatus(dir).count { st =>
+          st.isDirectory && st.getPath.getName.startsWith("fp=") &&
+            st.getPath.getName != s"fp=$fp" &&
+            fs.exists(new Path(st.getPath, "_SUCCESS"))
+        }
+      val segDir = new Path(dir, "seg")
+      val pool =
+        if (!fs.exists(segDir)) 0
+        else fs.listStatus(segDir).count(_.isDirectory)
+      ArtifactStatus(name, layout, committed, real.size,
+        entries.map(_.size - real.size).getOrElse(0), rows, stale, pool)
+    }
+  }
+
   /** Grace window for [[maintainAppended]]'s prune sweep: previous-
     * fingerprint versions younger than this survive one more batch, so
     * a reader whose fingerprint resolution was up to [[FpTtlMs]] stale

@@ -371,6 +371,65 @@ class SegmentedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("status surfaces commit state, layouts, segment counts, and crash residue") {
+    val tmpRoot = Files.createTempDirectory("graft-seg8-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg8-corpus").toString + "/c"
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 40)
+      Artifacts.materialize(spark, corpus)
+      val st1 = Artifacts.status(spark, corpus).map(s => s.name -> s).toMap
+      assert(st1.size == Artifacts.AllNames.size)
+      assert(st1.values.forall(_.committed), st1.values.filterNot(_.committed))
+      assert(st1.values.forall(_.staleVersions == 0))
+      assert(st1.values.forall(_.provisional == 0))
+      assert(st1(Artifacts.DocHashesName).layout == "segmented")
+      assert(st1(Artifacts.SpanCountsName).layout == "additive")
+      assert(st1(Artifacts.DupSpansName).layout == "plain")
+      assert(st1(Artifacts.DocHashesName).segments == 1)
+      assert(st1(Artifacts.DocHashesName).physicalRows == 40)
+      assert(st1(Artifacts.DupSpansName).physicalRows == -1L) // metadata-only probe
+      assert(st1(Artifacts.DupSpansName).segments == 0)
+
+      // append: segmented artifacts gain one delta segment; the previous
+      // version survives one generation and reads as stale
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (41 to 50)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i ss$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(Artifacts.maintainAppended(spark, corpus, fpOld, batch).mode == "append")
+      val st2 = Artifacts.status(spark, corpus).map(s => s.name -> s).toMap
+      assert(st2(Artifacts.DocHashesName).segments == 2)
+      assert(st2(Artifacts.DocHashesName).physicalRows == 50)
+      assert(st2(Artifacts.DocHashesName).staleVersions == 1)
+      assert(st2(Artifacts.SpanCountsName).segments == 2)
+      assert(st2(Artifacts.DocHashesName).segmentPoolDirs >= 2)
+
+      // crash residue: a provisional entry in the live manifest is
+      // reported, not hidden
+      val name = Artifacts.DocHashesName
+      val fp = Artifacts.corpusFingerprint(spark, corpus)
+      val key = tmpRoot.listFiles().head.getName
+      val mf = new java.io.File(tmpRoot, s"$key/$name/fp=$fp/_MANIFEST")
+      val body = { val s = scala.io.Source.fromFile(mf); try s.mkString finally s.close() }
+      java.nio.file.Files.write(mf.toPath,
+        (body + "seg/crashed-compaction\t-1\t1\t0\n").getBytes("UTF-8"))
+      new java.io.File(mf.getParentFile, "._MANIFEST.crc").delete()
+      val st3 = Artifacts.status(spark, corpus).map(s => s.name -> s).toMap
+      assert(st3(name).provisional == 1)
+      assert(st3(name).segments == 2)
+      assert(st3(name).physicalRows == 50)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a plain-layout (pre-upgrade) old version upgrades to segmented on refresh") {
     val tmpRoot = Files.createTempDirectory("graft-seg4-root").toFile
     val base = Files.createTempDirectory("graft-seg4-corpus").toString
