@@ -701,6 +701,19 @@ object Artifacts {
       case _ => None
     }
 
+  /** THE additive merge: sum the count per key, drop keys whose total
+    * retracted to ≤ 0, restore column order. Single definition shared by
+    * the read view and the compaction fold — they must never diverge
+    * (a compacted base read plain must equal the multi-segment view).
+    */
+  private def foldAdditive(df: DataFrame, keys: Seq[String],
+      cnt: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, sum}
+    df.groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
+      .filter(col(cnt) > 0)
+      .select((keys :+ cnt).map(col): _*)
+  }
+
   /** One manifest line: segment path relative to `<name>/`, its row
     * count, and an inclusive (lo, hi) long range per [[segmentKeys]]
     * column ((1, 0) = empty/unknown, matches nothing).
@@ -738,11 +751,14 @@ object Artifacts {
     val dir = new Path(fpDir)
     val fs = hadoopFs(spark, dir)
     fs.mkdirs(dir)
+    // every manifest write — provisional, final, and the compaction
+    // swap — carries other writers' in-flight entries forward
+    val all = withForeignProvisionals(spark, fpDir, entries)
     val tmp = new Path(dir, s"$ManifestFile.tmp")
     val out = fs.create(tmp, true)
     try {
       val sb = new StringBuilder("graft-manifest\tv1\n")
-      entries.foreach { e =>
+      all.foreach { e =>
         sb.append(e.rel).append('\t').append(e.rows)
         e.ranges.foreach { case (lo, hi) =>
           sb.append('\t').append(lo).append('\t').append(hi)
@@ -861,6 +877,27 @@ object Artifacts {
   private def realSegs(segs: Seq[SegEntry]): Seq[SegEntry] =
     segs.filter(_.rows >= 0L)
 
+  /** Carry ANOTHER writer's in-flight provisional entries through this
+    * manifest write, so concurrent same-fingerprint writers (the intake
+    * sink beside a manual materialize is the realistic pair) do not
+    * de-reference each other's in-flight segments — an unreferenced
+    * segment write that outlasts [[SegmentSweepGraceMs]] is sweepable
+    * mid-write. Data consumers filter the carried entries like any
+    * provisional; the next maintenance write drops ones whose writer
+    * crashed. BEST-EFFORT: the read-modify-write has no lock, so two
+    * simultaneous manifest writes can still lose an entry — the loser
+    * falls back to the mtime grace, the pre-provisional status quo —
+    * but the common interleaving (writes separated by more than a
+    * manifest-write latency) is fully protected.
+    */
+  private def withForeignProvisionals(spark: SparkSession, fpDir: String,
+      entries: Seq[SegEntry]): Seq[SegEntry] = {
+    val own = entries.map(_.rel).toSet
+    entries ++ scala.util.Try(readManifestAt(spark, fpDir)).toOption.flatten
+      .getOrElse(Seq.empty)
+      .filter(e => e.rows < 0L && !own(e.rel))
+  }
+
   /** Write one segment for `name` and observe its row count and per-key
     * ranges on the write itself (no second scan). `rel` is caller-chosen
     * so commit paths can reference the segment in a provisional
@@ -919,10 +956,7 @@ object Artifacts {
           // (full build and compaction both write the folded frame) —
           // skip the shuffle on the common compacted shape
           case Some((keys, cnt)) if real.size > 1 =>
-            import org.apache.spark.sql.functions.{col, sum}
-            df.groupBy(keys.map(col): _*).agg(sum(col(cnt)).as(cnt))
-              .filter(col(cnt) > 0)
-              .select((keys :+ cnt).map(col): _*)
+            foldAdditive(df, keys, cnt)
           case _ => df
         }
       case None => spark.read.parquet(fpDir)
@@ -1114,19 +1148,24 @@ object Artifacts {
         // additive artifacts: compaction is where the ± delta segments
         // fold back into one base — aggregate, drop retracted keys
         val df = additiveSpec(name) match {
-          case Some((aKeys, cnt)) =>
-            import org.apache.spark.sql.functions.{col, sum}
-            df0.groupBy(aKeys.map(col): _*).agg(sum(col(cnt)).as(cnt))
-              .filter(col(cnt) > 0)
-              .select((aKeys :+ cnt).map(col): _*)
+          case Some((aKeys, cnt)) => foldAdditive(df0, aKeys, cnt)
           case None => df0
         }
         val fresh = writeSegment(spark, corpusDir, name, df, keys, freshRel)
-        writeManifest(spark, p, Seq(fresh), commit = false)
+        // .retired markers BEFORE the swap: if they followed it, a crash
+        // (or a pause) between swap and markers would leave the old
+        // segments unreferenced with no marker — their grace would count
+        // from creation mtime, long past, and a concurrent sweep could
+        // delete them instantly under a reader mid-scan on the pre-swap
+        // file list. Marker-then-swap only starts the grace a moment
+        // early; the segments stay referenced (so unsweepable) until the
+        // swap lands, and a crash between markers and swap retries
+        // cleanly (markers are overwrite-created).
         val fs = hadoopFs(spark, new Path(base))
         segs.foreach { s =>
           fs.create(new Path(s"$base/${s.rel}.retired"), true).close()
         }
+        writeManifest(spark, p, Seq(fresh), commit = false)
         true
       case _ => false
     }
@@ -1352,8 +1391,14 @@ object Artifacts {
         else "plain"
       val p = versionPath(corpusDir, name, fp).get
       val committed = isCommitted(spark, Some(p), name)
+      // the retrying read absorbs a concurrent compaction's swap window,
+      // and Try keeps the probe non-throwing under any exists-then-open
+      // race — a segmented version whose manifest is momentarily
+      // unreadable reports the plain shape (-1 rows, 0 segments), which
+      // the layout field lets a monitor tell apart
       val entries =
-        if (committed) readManifestAt(spark, p) else None
+        if (committed) scala.util.Try(readManifest(spark, p)).toOption.flatten
+        else None
       val real = realSegs(entries.getOrElse(Seq.empty))
       val rows =
         if (!committed) 0L

@@ -371,6 +371,57 @@ class SegmentedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("a foreign in-flight entry rides through another writer's manifest writes") {
+    val tmpRoot = Files.createTempDirectory("graft-seg9-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg9-corpus").toString + "/c"
+    val oldGrace = Artifacts.SegmentSweepGraceMs
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 50)
+      Artifacts.materialize(spark, corpus)
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (51 to 60)
+        .map(i => (i.toLong, s"fresh addition $i qq$i rr$i ss$i", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(Artifacts.maintainAppended(spark, corpus, fpOld, batch).mode == "append")
+
+      // writer A is mid-segment-write: its provisional entry sits in the
+      // live manifest, its segment dir exists but carries no data yet
+      val name = Artifacts.DocHashesName
+      val fp = Artifacts.corpusFingerprint(spark, corpus)
+      val key = tmpRoot.listFiles().head.getName
+      val foreign = new java.io.File(tmpRoot, s"$key/$name/seg/foreign-inflight")
+      foreign.mkdirs()
+      val mf = new java.io.File(tmpRoot, s"$key/$name/fp=$fp/_MANIFEST")
+      val body = { val s = scala.io.Source.fromFile(mf); try s.mkString finally s.close() }
+      java.nio.file.Files.write(mf.toPath,
+        (body + "seg/foreign-inflight\t-1\t1\t0\n").getBytes("UTF-8"))
+      new java.io.File(mf.getParentFile, "._MANIFEST.crc").delete()
+
+      // writer B compacts: both its provisional write and its swap must
+      // carry A's entry — and the instant sweep must keep A's dir
+      Artifacts.SegmentSweepGraceMs = 0L
+      assert(Artifacts.compactSegments(spark, corpus, name))
+      val rels = manifestRels(tmpRoot, name, fp)
+      assert(rels.contains("seg/foreign-inflight"),
+        s"foreign in-flight entry dropped by the compaction swap: $rels")
+      assert(rels.size == 2, rels) // B's consolidated base + A's in-flight
+      assert(Artifacts.readCommitted(spark, corpus, name).count() == 60)
+      Artifacts.materialize(spark, corpus) // all-committed: skip + sweep
+      assert(foreign.exists(),
+        "sweep deleted a foreign writer's manifest-referenced in-flight segment")
+    } finally {
+      Artifacts.SegmentSweepGraceMs = oldGrace
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("status surfaces commit state, layouts, segment counts, and crash residue") {
     val tmpRoot = Files.createTempDirectory("graft-seg8-root").toFile
     val corpus = Files.createTempDirectory("graft-seg8-corpus").toString + "/c"
