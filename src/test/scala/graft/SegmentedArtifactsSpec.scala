@@ -371,6 +371,46 @@ class SegmentedArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("additive read plans: multi-segment aggregates, compacted reads scan plain") {
+    val tmpRoot = Files.createTempDirectory("graft-seg10-root").toFile
+    val corpus = Files.createTempDirectory("graft-seg10-corpus").toString + "/c"
+    try {
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      writeCorpus(corpus, 1, 40)
+      Artifacts.materialize(spark, corpus)
+      def plan(name: String): String =
+        Artifacts.readCommitted(spark, corpus, name)
+          .queryExecution.optimizedPlan.toString
+      val name = Artifacts.SpanCountsName
+      // a fresh build commits ONE folded segment — the read must be a
+      // plain scan, no aggregation shuffle on the common compacted shape
+      assert(!plan(name).contains("Aggregate"),
+        "single-segment additive read should not re-aggregate:\n" + plan(name))
+
+      val fpOld = Artifacts.corpusFingerprint(spark, corpus)
+      val sp = spark; import sp.implicits._
+      val batch = (41 to 50)
+        .map(i => (i.toLong, s"body of document ${i - 40} with words w${i - 40} x${i - 40} y${i - 40} z${i - 40}", "s"))
+        .toDF("doc_id", "text", "source")
+      batch.write.mode("append").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(Artifacts.maintainAppended(spark, corpus, fpOld, batch).mode == "append")
+      // base + delta: the view must merge (an aggregation is REQUIRED
+      // for correctness here — the batch reuses base texts)
+      assert(plan(name).contains("Aggregate"),
+        "multi-segment additive read must merge:\n" + plan(name))
+
+      assert(Artifacts.compactSegments(spark, corpus, name))
+      assert(!plan(name).contains("Aggregate"),
+        "compacted additive read should fold back to a plain scan:\n" + plan(name))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a foreign in-flight entry rides through another writer's manifest writes") {
     val tmpRoot = Files.createTempDirectory("graft-seg9-root").toFile
     val corpus = Files.createTempDirectory("graft-seg9-corpus").toString + "/c"
