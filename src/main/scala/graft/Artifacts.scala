@@ -1115,9 +1115,10 @@ object Artifacts {
   /** Consolidate the CURRENT version's segments of `name` into one and
     * atomically replace its manifest (same fingerprint — compaction
     * changes the layout, not the contents). De-referenced segments get
-    * a `.retired` marker file whose creation time is the de-reference
-    * instant — the sweep keeps them for [[SegmentSweepGraceMs]] past
-    * it, so a reader mid-scan on the old file list keeps its files.
+    * a `.retired` marker file created just BEFORE the swap (so a crash
+    * can never leave them de-referenced and unmarked) — the sweep keeps
+    * them for [[SegmentSweepGraceMs]] past the marker, so a reader
+    * mid-scan on the old file list keeps its files.
     * (A marker, not an mtime touch: `FileSystem.setTimes` silently does
     * nothing on object stores.) Returns true when a compaction ran.
     */
