@@ -108,6 +108,50 @@ class IncrementalArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("an empty additive delta (a spanless doc removed) stays hash-identical") {
+    // Removing a doc with fewer than SpanN tokens produces an EMPTY span
+    // delta: the additive path must commit an empty delta segment (null
+    // observed range metrics — the delivered-null Observation path) and
+    // the multi-segment read must still equal a full rebuild. The token
+    // delta is pure retraction: the removed doc's tokens sum to <= 0 and
+    // must vanish from the view.
+    val tmpRoot = Files.createTempDirectory("graft-empty-root").toFile
+    val base = Files.createTempDirectory("graft-empty-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val sp = spark; import sp.implicits._
+      val docs = (1 to 40).map(i => (i.toLong,
+        s"alpha beta gamma delta epsilon zeta eta theta iota kappa lam$i mu$i",
+        "s")) :+ ((99L, "tiny doc", "s"))
+      docs.toDF("doc_id", "text", "source")
+        .write.parquet(s"$oldDir/documents.parquet")
+      spark.read.parquet(s"$oldDir/documents.parquet")
+        .filter(col("doc_id") =!= 99)
+        .write.parquet(s"$newDir/documents.parquet")
+
+      Artifacts.setRoot(tmpRoot.getAbsolutePath)
+      Artifacts.materialize(spark, oldDir)
+      val res = Artifacts.materializeIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert(res.removed == 1 && res.added == 0 && res.changed == 0, res)
+
+      val expected = fullRebuild(newDir)
+      val got = artifactRows(newDir)
+      Artifacts.AllNames.foreach { n =>
+        assert(got(n) == expected(n), s"$n drifted from the full rebuild")
+      }
+      // the retracted-to-zero tokens are really gone from the view
+      val tf = Artifacts.readCommitted(spark, newDir, Artifacts.TokenFreqName)
+      assert(tf.filter(col("token").isin("tiny", "doc")).count() == 0,
+        "fully retracted token keys must drop from the additive view")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmpRoot)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a df-cap flip between unchanged docs is caught (closure seeds)") {
     // Adversarial case for the seed closure: 70 docs share both leading
     // 3-shingles, so their df (70) exceeds MaxShingleDf and the old
