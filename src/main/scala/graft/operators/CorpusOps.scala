@@ -339,6 +339,118 @@ object CorpusOps {
       |FROM sized ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q84: token-balanced shard manifest --------------------------------
+
+  /** Output shard count for the training-export manifest. */
+  private val ExportShards = 16
+
+  /** q84 — token-balanced export sharding: documents in global doc_id
+    * order are cut into [[ExportShards]] contiguous shards of ≈ equal
+    * TOKEN mass (boundaries at multiples of `ceil(total/shards)` over
+    * the exclusive running token sum), and the manifest reports each
+    * shard's document count, token mass, and id range. This is the
+    * writer-facing complement of q48: packing balances SEQUENCES inside
+    * a shard, this balances the SHARDS a distributed trainer reads —
+    * hash sharding (q42/q48-style) balances document COUNTS, which under
+    * heavy-tailed document lengths leaves token-starved and token-heavy
+    * shards; cutting on the token cumsum bounds every shard's deviation
+    * from target by one document's tokens (pinned in `ShardManifestSpec`).
+    *
+    * Contiguous-by-id on purpose: shard files stay range-prunable by
+    * doc_id — a reader of shard k opens one id range, not a hash-scatter
+    * of the whole corpus. (The cut points depend on the corpus total, so
+    * re-sharding after an append re-cuts; a pipeline wanting
+    * append-stable assignment at the cost of token balance uses q42/q48
+    * hash sharding instead — the two are complementary.) A downstream
+    * writer is one `partitionBy("shard_id")` of the doc-grain assignment.
+    */
+  def q84ShardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifest(spark, dir, PackRangeWidth)
+
+  /** Two-level global-cumsum form behind [[q84ShardManifest]] — q48's
+    * decomposition with a GLOBAL ordering instead of per-hash-shard:
+    * per-id-range token totals (map-side partial agg), one running sum
+    * over the totals table (`id_domain / rangeWidth` rows — the only
+    * single-task window, ~10⁶ rows at 10¹¹ documents; widen `rangeWidth`
+    * or add a third level mechanically if that table itself outgrows a
+    * task), then a partition-local running sum per range. The shard
+    * target is `ceil(total/shards)` computed from the same tiny totals
+    * table (an unbounded window over it, not a second corpus pass).
+    * `rangeWidth` is parameterized only for the equivalence spec.
+    */
+  private[graft] def shardManifest(spark: SparkSession, dir: String,
+      rangeWidth: Long,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame = {
+    // derives entirely from (doc_id, n_tokens) — artifact mode runs off
+    // the standing token counts with zero documents scan; the inline
+    // fallback checkpoints the tiny count frame so the range-totals
+    // aggregate and the doc-grain join share ONE tokenizing scan
+    // (plan-guarded in PlanQualitySpec)
+    val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
+      graft.Checkpoints.checkpoint(Tables.documents(spark, dir)
+        .select(col("doc_id"), tok.count(col("text")).as("n_tokens"))))
+    val sized = counts.select(col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      expr(s"doc_id DIV $rangeWidth").as("rng"))
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val following = org.apache.spark.sql.expressions.Window.unboundedFollowing
+    val baseW = org.apache.spark.sql.expressions.Window
+      .orderBy("rng").rowsBetween(unbounded, -1)
+    val totalW = org.apache.spark.sql.expressions.Window
+      .orderBy("rng").rowsBetween(unbounded, following)
+    val bases = sized.groupBy("rng")
+      .agg(sum("n_tokens").as("cell_tokens"))
+      .withColumn("base", coalesce(sum("cell_tokens").over(baseW), lit(0L)))
+      .withColumn("total", sum("cell_tokens").over(totalW))
+      .select("rng", "base", "total")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("rng").orderBy("doc_id").rowsBetween(unbounded, -1)
+    sized.join(bases, "rng")
+      .withColumn("cum_before",
+        col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .withColumn("target",
+        greatest(expr(s"(total + ${ExportShards - 1}) DIV $ExportShards"),
+          lit(1L)))
+      .withColumn("shard_id", expr("CAST(cum_before DIV target AS INT)"))
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
+
+  /** Single-window semantic form (the definition the two-level plan must
+    * reproduce; the cross-engine hash match proves the equivalence).
+    * Integer boundary math throughout — the one double division
+    * (`FLOOR(CAST … AS DOUBLE)`) is exact for any realistic token total
+    * (quotients are ≥ 1/total away from integers, double rounding error
+    * is ~2⁻⁵² — q48 establishes the same argument).
+    */
+  val q84OracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cum_before,
+      |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(FLOOR(CAST(cum_before AS DOUBLE) /
+      |           GREATEST(CAST(FLOOR(CAST(total + ${ExportShards - 1} AS DOUBLE)
+      |             / $ExportShards) AS BIGINT), 1)) AS INTEGER) AS shard_id
+      |  FROM c
+      |)
+      |SELECT shard_id, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   // ---- q49: PII scrubbing ------------------------------------------------
 
   // Single-escaped here (plain interpolator would eat the backslashes in

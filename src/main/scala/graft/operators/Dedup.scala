@@ -495,15 +495,17 @@ object Dedup {
 
   /** Hard ceiling on the corpus size [[q21EmbeddingNearDup]] will
     * cross-join. The brute-force path exists as oracle-checkable ground
-    * truth for the scalable ANN paths (`Similarity.q23AnnLsh`,
-    * `Similarity.q35IvfAnn`); pointing it at a production-sized table
-    * must fail loudly at plan-build time, not silently run O(n²).
+    * truth for the scalable ANN paths (`Similarity.q82AnnNearDupPairs`
+    * for pair enumeration, `Similarity.q23AnnLsh`/`q35IvfAnn` for probe
+    * search); pointing it at a production-sized table must fail loudly
+    * at plan-build time, not silently run O(n²).
     */
   private val MaxBruteForceVectors = 20000L
 
   /** q21 — embedding near-dup pairs: brute-force cosine ≥ 0.4 with the
     * deterministic decimal-rounded score (the oracle ground truth;
-    * `Similarity.q23AnnLsh` is the bucketed scale path).
+    * `Similarity.q82AnnNearDupPairs` is the bucketed scale path — same
+    * threshold, same rounding, subset-by-construction).
     *
     * Guarded: refuses corpora larger than [[MaxBruteForceVectors]]. The
     * guard's `count()` on a parquet source is satisfied from row-group
@@ -514,8 +516,9 @@ object Dedup {
     val nVecs = Tables.embeddings(spark, dir).count()
     require(nVecs <= MaxBruteForceVectors,
       s"q21 brute-force cosine is O(n²) and capped at $MaxBruteForceVectors " +
-        s"vectors (got $nVecs); use the ANN paths q23_ann_lsh / q35_ivf_ann " +
-        "at scale — q21 exists only as small-corpus oracle ground truth")
+        s"vectors (got $nVecs); use q82_ann_neardup (bucketed pair " +
+        "enumeration) or q23_ann_lsh / q35_ivf_ann (probe search) at scale " +
+        "— q21 exists only as small-corpus oracle ground truth")
     // Norms are precomputed once per vector (not once per pair): the pair
     // scan then evaluates a single codegen'd dot product per candidate.
     val e = Tables.embeddings(spark, dir)

@@ -162,26 +162,38 @@ object Similarity {
   /** Deterministic random hyperplanes (seeded java.util.Random — the
     * algorithm is specified, so signatures are stable across JVMs).
     */
-  private lazy val hyperplanes: Array[Array[Array[Double]]] = {
-    val rnd = new java.util.Random(20260812L)
-    Array.fill(Tables_, BitsPerTable, Dim)(rnd.nextGaussian())
+  private lazy val hyperplanes: Array[Array[Array[Double]]] =
+    makePlanes(20260812L, Tables_, BitsPerTable)
+
+  private def makePlanes(seed: Long, tables: Int,
+      bits: Int): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, Dim)(rnd.nextGaussian())
   }
 
-  /** Sign-sketch bucket id for one hash table, as a Column over the
-    * embedding: bit j = [v · r_j > 0], packed into an int.
+  /** Sign-sketch bucket id for one hash table of `planes`, as a Column
+    * over the embedding: bit j = [v · r_j > 0], packed into an int.
     */
-  private def bucketExpr(vec: Column, table: Int): Column =
-    (0 until BitsPerTable).map { j =>
-      val plane = array(hyperplanes(table)(j).toIndexedSeq.map(lit): _*)
+  private def bucketExpr(vec: Column, planes: Array[Array[Array[Double]]],
+      table: Int): Column =
+    planes(table).indices.map { j =>
+      val plane = array(planes(table)(j).toIndexedSeq.map(lit): _*)
       when(VectorOps.dot(vec, plane) > 0.0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** (id, table, bucket) index rows under `planes` — one row per vector
+    * per hash table.
+    */
+  private def lshIndexWith(e: DataFrame, idCol: String, vecCol: String,
+      planes: Array[Array[Array[Double]]]): DataFrame =
+    e.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(array(planes.indices.map(t =>
+          bucketExpr(col(vecCol), planes, t)): _*)).as(Seq("table", "bucket")))
+      .select("id", "table", "bucket")
+
   /** (id, table, bucket) index rows — one row per vector per hash table. */
   def lshIndex(e: DataFrame, idCol: String, vecCol: String): DataFrame =
-    e.select(col(idCol).as("id"), col(vecCol).as("v"),
-        posexplode(array((0 until Tables_).map(t =>
-          bucketExpr(col(vecCol), t)): _*)).as(Seq("table", "bucket")))
-      .select("id", "table", "bucket")
+    lshIndexWith(e, idCol, vecCol, hyperplanes)
 
   /** q35 — IVF-style ANN: cells come from the existing `label` column
     * (standing in for a trained coarse quantizer), cell centroids from
@@ -345,5 +357,127 @@ object Similarity {
       |SELECT probe_id, rank, neighbor_id, cos
       |FROM ranked WHERE rank <= $TopK
       |ORDER BY probe_id, rank""".stripMargin
+  }
+
+  // ---- q82: LSH-bucketed near-dup pairs (the q21 scale path) -------------
+
+  /** LSH configuration for the NEAR-DUP pair enumeration, tuned opposite
+    * [[q23AnnLsh]]'s probe search: near-dup wants the CANDIDATE SET
+    * small relative to n² (it self-joins the whole corpus, not a probe
+    * set), so more bits per table prune buckets harder; recall is
+    * recovered with tables. 6 bits → 64 buckets/table keeps expected
+    * bucket population n/64; 8 tables give ≈0.41 recall at cos 0.4 on
+    * THIS corpus's random unclustered embeddings — the worst case for
+    * sign-LSH (P[bit agrees] = 1 − θ/π ≈ 0.63 at 66°). A production
+    * near-dup corpus (true duplicates at cos ≥ 0.9, p ≈ 0.9) gets
+    * ≥0.95 recall from the same shape with 12–16 bits; the constants
+    * are the tuning knob, the plan shape is the point.
+    */
+  private val NearDupTables = 8
+  private val NearDupBits = 6
+  private lazy val nearDupPlanes: Array[Array[Array[Double]]] =
+    makePlanes(20260813L, NearDupTables, NearDupBits)
+
+  /** Skew guard: a bucket more populous than this is skipped entirely
+    * (its pairs are not enumerated). At 100 TB a degenerate bucket — all
+    * zero vectors, a spammed template embedding — would otherwise own an
+    * O(pop²) pair blow-up inside one task. Capping bounds every bucket's
+    * pair count at cap²/2 by construction; the oracle mirrors the cap so
+    * the skip is part of the checked semantics, not a silent truncation.
+    */
+  private val NearDupBucketCap = 256L
+
+  /** Cosine threshold shared with `Dedup.q21EmbeddingNearDup` — q82's
+    * output is provably a subset of q21's (same scoring, same rounding;
+    * pinned in `SimilaritySpec`).
+    */
+  private val NearDupCos = 0.4
+
+  /** q82 — embedding near-dup pairs at scale: candidates are pairs
+    * sharing an LSH bucket in ≥1 table, exact cosine confirms. This is
+    * the production path that retires `Dedup.q21EmbeddingNearDup`'s
+    * hard-capped O(n²) cross join: every corpus-wide operation here is
+    * a bucket equi-join (shuffle on (table, bucket)), never all-pairs,
+    * and every bucket's fan-out is bounded by [[NearDupBucketCap]].
+    *
+    * Deterministic and fully oracle-checked — the hyperplanes are fixed
+    * constants, so the candidate set (and thus the output) is a pure
+    * function of the corpus; [[q82OracleSql]] is generated from the SAME
+    * constants. Recall vs q21 ground truth is additionally measured in
+    * `SimilaritySpec`.
+    *
+    * 100 TB shape: one scan computes all [[NearDupTables]] bucket ids
+    * per vector (map-only, codegen'd dots against literal planes); the
+    * self-join shuffles the (id, table, bucket) index — 8 small rows per
+    * vector, NOT the embeddings — and only candidate pairs (bounded per
+    * bucket) rendezvous with their vectors for the exact-cosine confirm.
+    */
+  def q82AnnNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val idx = lshIndexWith(e, "vec_id", "embedding", nearDupPlanes)
+    // bucket census is tiny (tables × 2^bits rows) → broadcast the
+    // keep-list; over-cap buckets drop out before any pair is formed
+    val ok = idx.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("pop"))
+      .filter(col("pop") <= NearDupBucketCap)
+      .select("table", "bucket")
+    val kept = idx.join(broadcast(ok), Seq("table", "bucket"))
+    val cand = kept.select(col("table"), col("bucket"), col("id").as("id_a"))
+      .join(kept.select(col("table"), col("bucket"), col("id").as("id_b")),
+        Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val withNorm = e.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    cand
+      .join(withNorm.select(col("vec_id").as("id_a"),
+        col("embedding").as("va"), col("nrm").as("na")), "id_a")
+      .join(withNorm.select(col("vec_id").as("id_b"),
+        col("embedding").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("va"), col("vb")) / (col("na") * col("nb"))))
+      .filter(col("cos") >= NearDupCos)
+      .select("id_a", "id_b", "cos")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Generated from [[nearDupPlanes]] — bucket ids, the population cap,
+    * and the cosine confirm all from the same constants as the Spark
+    * plan, so the two engines enumerate the identical candidate set.
+    */
+  val q82OracleSql: String = {
+    def bucketSql(t: Int): String =
+      (0 until NearDupBits).map { j =>
+        val plane = nearDupPlanes(t)(j).mkString("[", ", ", "]")
+        s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $plane) > 0.0 " +
+          s"THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketRows = (0 until NearDupTables).map(t =>
+      s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    val cos = graft.functions.VectorOps.round6Sql(
+      graft.functions.VectorOps.cosineSql("p.embedding", "e.embedding"))
+    s"""WITH buckets AS (
+      |  $bucketRows
+      |), ok AS (
+      |  SELECT tbl, bucket FROM buckets
+      |  GROUP BY tbl, bucket HAVING COUNT(*) <= $NearDupBucketCap
+      |), kept AS (
+      |  SELECT b.vec_id, b.tbl, b.bucket
+      |  FROM buckets b JOIN ok USING (tbl, bucket)
+      |), cand AS (
+      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM kept a JOIN kept b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |), scored AS (
+      |  SELECT c.id_a, c.id_b, $cos AS cos
+      |  FROM cand c
+      |  JOIN embeddings p ON p.vec_id = c.id_a
+      |  JOIN embeddings e ON e.vec_id = c.id_b
+      |)
+      |SELECT id_a, id_b, cos
+      |FROM scored WHERE cos >= $NearDupCos
+      |ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -225,4 +225,90 @@ object TextAnalysis {
       |SELECT fp.doc_id, fp.fingerprint, g.keeper_id, g.n_docs
       |FROM fp JOIN g USING (fingerprint)
       |ORDER BY fp.doc_id""".stripMargin
+
+  // ---- q83: linear quality-classifier inference --------------------------
+
+  /** The classifier's vocabulary weights in integer TENTHS — a trained
+    * linear model's non-zero coefficients (here a fixed literal
+    * stand-in: function words and prose markers vote keep,
+    * boilerplate/spam markers vote cull, the working shape of a
+    * fastText-style quality filter). Integer-scaled on purpose: the
+    * per-document weight sum is then EXACT and order-free in both
+    * engines — no float-summation-order ulp drift can reach the rounded
+    * score. Both the Spark map literal and the oracle CASE are generated
+    * from THIS sequence, so the two engines score from one definition; a
+    * real deployment swaps the Seq for quantized coefficients loaded at
+    * plan-build time, nothing else changes.
+    */
+  private[operators] val QualityWeightTenths: Seq[(String, Int)] = Seq(
+    "the" -> 9, "a" -> 6, "an" -> 6, "of" -> 7, "to" -> 5,
+    "and" -> 7, "in" -> 5, "is" -> 6, "was" -> 5, "it" -> 4,
+    "that" -> 5, "with" -> 4, "for" -> 3, "on" -> 3, "as" -> 3,
+    "are" -> 4, "this" -> 3, "be" -> 3, "by" -> 3, "at" -> 2,
+    "from" -> 2, "or" -> 2, "not" -> 2, "but" -> 3, "which" -> 4,
+    "click" -> -20, "subscribe" -> -20, "free" -> -10, "buy" -> -15,
+    "sale" -> -15, "discount" -> -18, "winner" -> -15, "prize" -> -18,
+    "casino" -> -25, "viagra" -> -30, "http" -> -8, "https" -> -8,
+    "www" -> -10, "cookie" -> -12, "javascript" -> -15, "login" -> -12,
+    "password" -> -15, "menu" -> -10, "copyright" -> -12, "terms" -> -8)
+
+  /** Intercept of the linear model, in the same tenths scale. */
+  private val QualityBiasTenths = -2
+
+  /** q83 — quality-classifier inference: per-document score =
+    * (bias + Σ weight(token)) / 10 / n_tokens over lowercased whitespace
+    * tokens (each OCCURRENCE votes — bag-of-words, not set-of-words),
+    * label = keep iff score ≥ 0. The length normalization makes the
+    * score a per-token average, so long documents aren't kept merely
+    * for containing many function words. The fold accumulates exact
+    * integers; floating point enters only in the final scale-and-divide
+    * — one identical expression per engine, so the rounded score is
+    * bitwise reproducible.
+    *
+    * 100 TB shape: a single map-only pass — the weights live in a
+    * literal map and the per-document sum is a codegen'd array fold
+    * (`aggregate` over the token array), so there is NO explode, NO
+    * join, and NO shuffle besides the presentation sort. This is the
+    * shape a trained linear filter (fastText / CCNet-style) runs at:
+    * classifier inference must cost one scan, nothing else.
+    */
+  def q83QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val weights = typedLit(QualityWeightTenths.toMap)
+    val toks = split(lower(col("text")), "\\s+")
+    val wSum = aggregate(toks, lit(0L),
+      (acc, t) => acc + coalesce(element_at(weights, t), lit(0)).cast("long"))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        round6((wSum + lit(QualityBiasTenths)).cast("double") / 10.0 /
+          size(toks)).as("quality_score"))
+      .withColumn("quality_label",
+        when(col("quality_score") >= 0.0, "keep").otherwise("cull"))
+      .orderBy("doc_id")
+  }
+
+  /** Generated from [[QualityWeightTenths]]: the per-token weight lookup
+    * as a CASE chain inside a list transform; the sum is over exact
+    * integers, mirroring the Spark fold.
+    */
+  val q83OracleSql: String = {
+    val cases = QualityWeightTenths
+      .map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
+    val toks = s"string_split_regex(lower(text), '\\s+')"
+    s"""WITH scored AS (
+      |  SELECT doc_id,
+      |         len($toks) AS n_tokens,
+      |         ${round6Sql(
+             s"""CAST(list_sum(list_transform($toks,
+      |            t -> CASE t $cases ELSE 0 END)) + $QualityBiasTenths AS DOUBLE)
+      |          / 10.0 / len($toks)""")} AS quality_score
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_tokens, quality_score,
+      |       CASE WHEN quality_score >= 0.0 THEN 'keep' ELSE 'cull' END
+      |         AS quality_label
+      |FROM scored
+      |ORDER BY doc_id""".stripMargin
+  }
 }

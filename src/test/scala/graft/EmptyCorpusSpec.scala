@@ -58,7 +58,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q70_cluster_profile" -> (CorpusAudit.q70ClusterProfile _),
     "q75_token_budget" -> (Curation.q75TokenBudget _),
     "q76_snapshot_diff" -> (CorpusOps.q76SnapshotDiff _),
-    "q81_incremental_refresh" -> (CorpusOps.q81IncrementalRefresh _))
+    "q81_incremental_refresh" -> (CorpusOps.q81IncrementalRefresh _),
+    "q82_ann_neardup" -> (Similarity.q82AnnNearDupPairs _),
+    "q83_quality_classifier" -> (TextAnalysis.q83QualityClassifier _),
+    "q84_shard_manifest" -> (CorpusOps.q84ShardManifest _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

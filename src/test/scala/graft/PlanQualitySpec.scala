@@ -273,6 +273,39 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q82 near-dup candidates come from equi-joins — never a pairwise product") {
+    val p = plan(graft.operators.Similarity.q82AnnNearDupPairs(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q83 classifier inference is map-only: no exchange except the presentation sort") {
+    val p = plan(graft.operators.TextAnalysis.q83QualityClassifier(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+    val readSchema = p.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("lang"), readSchema)
+  }
+
+  test("q84's per-doc window partitions by rng — no task owns more than a range") {
+    val p = plan(graft.operators.CorpusOps.q84ShardManifest(spark, sf))
+    // the only global (un-partitioned) windows run over the tiny
+    // range-totals table; the doc-grain running sum must partition by rng
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    val docGrain = windows.filter(_.contains("doc_id"))
+    assert(docGrain.nonEmpty, windows.mkString("\n"))
+    docGrain.foreach(w => assert(w.contains("rng"),
+      s"doc-grain window lost its rng partitioning:\n$w"))
+    val scans = p.split("== Initial Plan ==")(0).linesIterator
+      .count(l => l.contains("FileScan parquet") && l.contains("documents"))
+    Checkpoints.releaseAll()
+    assert(scans <= 1,
+      s"q84 scans the documents table $scans times — single-pass shape lost")
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only

@@ -88,4 +88,49 @@ class SimilaritySpec extends SparkSpec {
       assert(fs.forall(_.length <= 16))
     }
   }
+
+  test("q82 is a subset of the q21 ground truth with identical scores") {
+    val exact = graft.operators.Dedup.q21EmbeddingNearDup(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val ann = Similarity.q82AnnNearDupPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("cos")).toMap
+    ann.foreach { case (pair, cos) =>
+      assert(exact.contains(pair), s"q82 pair $pair not in q21 ground truth")
+      assert(exact(pair) == cos, s"score drift at $pair: ${exact(pair)} vs $cos")
+    }
+    val recall = if (exact.isEmpty) 1.0
+      else ann.size.toDouble / exact.size
+    info(s"q82 near-dup recall = $recall (${ann.size}/${exact.size} pairs)")
+    // random unclustered embeddings at cos≈0.4 are sign-LSH's worst
+    // case (see the NearDup* scaladoc) — the floor pins the configured
+    // trade, production corpora with true near-dups sit far higher
+    assert(recall >= 0.15, s"recall $recall")
+  }
+
+  test("q82's bucket population cap drops degenerate buckets entirely") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q82cap").toFile
+    try {
+      def corpus(n: Int): String = {
+        val d = new java.io.File(dir, s"n$n"); d.mkdirs()
+        // identical vectors: every pair is an exact duplicate (cos 1.0)
+        // and all of them land in the same bucket of every table
+        (0 until n).map(i => (i.toLong, Array.fill(64)(0.5f), 0))
+          .toDF("vec_id", "embedding", "label")
+          .write.mode("overwrite").parquet(s"${d.getPath}/embeddings.parquet")
+        d.getPath
+      }
+      val small = Similarity.q82AnnNearDupPairs(spark, corpus(10)).collect()
+      assert(small.length == 10 * 9 / 2, s"${small.length} pairs")
+      assert(small.forall(_.getAs[Double]("cos") == 1.0))
+      // 300 > NearDupBucketCap=256: the one bucket every vector shares is
+      // over cap in every table, so NO pairs are enumerated — the skew
+      // guard is part of the semantics, not a truncation
+      val capped = Similarity.q82AnnNearDupPairs(spark, corpus(300)).collect()
+      assert(capped.isEmpty,
+        s"over-cap bucket still produced ${capped.length} pairs")
+    } finally deleteRecursively(dir)
+  }
 }
