@@ -228,6 +228,44 @@ object Curation {
       .orderBy("lang", "stratum_rank")
   }
 
+  /** q85 — cluster-safe (leakage-proof) train/val/test assignment:
+    * every document inherits the split of its dedup cluster's KEEPER,
+    * so a near-duplicate pair can never straddle train and test. The
+    * doc-grain q42 hash split is growth-stable but cluster-blind: two
+    * near-identical documents hash independently, and with ~20% of the
+    * corpus outside train, roughly one in three duplicated clusters
+    * leaks a member across the eval boundary — exactly the
+    * contamination q47/q60 then have to measure. Assigning by
+    * `splitOf(keeper_id)` removes that channel by construction while
+    * keeping every q42 property (deterministic, engine-portable,
+    * stable under growth — a NEW member joining an existing cluster
+    * lands in the cluster's split instead of reshuffling anything).
+    * `moved` marks documents whose naive doc-grain split differs —
+    * the audit column for "how much did cluster-safety relocate".
+    *
+    * Scale shape: one read of the keeper artifact (the CC fixpoint is
+    * built once per snapshot by `Artifacts.materialize`, not here) and
+    * two codegen'd hash expressions — a map over keepers plus the
+    * presentation sort. The oracle replays the full keeper derivation
+    * (q40's recursive CTEs) and both hash splits from the same
+    * constants.
+    */
+  def q85ClusterSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.keepers(spark, dir)
+      .select(
+        col("doc_id"),
+        col("keeper_id"),
+        splitOf(col("keeper_id")).as("split"),
+        (splitOf(col("keeper_id")) =!= splitOf(col("doc_id"))).as("moved"))
+      .orderBy("doc_id")
+
+  val q85OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.keeperCtes}
+      |SELECT doc_id, keeper_id,
+      |       ${splitSqlOf("keeper_id")} AS split,
+      |       (${splitSqlOf("keeper_id")}) <> (${splitSqlOf("doc_id")}) AS moved
+      |FROM keepers ORDER BY doc_id""".stripMargin
+
   val q46OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""WITH ranked AS (

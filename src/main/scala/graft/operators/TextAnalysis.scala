@@ -288,6 +288,107 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- q86: corpus-LM unigram surprisal ----------------------------------
+
+  /** Rarity-table broadcast cap for [[q86UnigramSurprisal]] — the vocab
+    * frame is (token, rarity), one row per distinct corpus token. A
+    * model-tokenizer vocab is 10⁴–10⁶ rows and always broadcasts; raw
+    * whitespace tokens over a 100 TB web crawl can exceed this (URLs,
+    * typos, numbers), in which case the join downgrades to a shuffle on
+    * the token instead of OOMing the driver — the q47 posture.
+    */
+  private val MaxBroadcastVocab = 2000000L
+
+  /** q86 — unigram-LM surprisal scoring, with the corpus itself as the
+    * language model (the CCNet working point, one model class down:
+    * CCNet ranks documents by LM perplexity to pick the fluent third of
+    * a crawl; the unigram degeneration of that score needs only token
+    * frequencies, which this engine already maintains as the
+    * `token_freq` artifact). Per token, rarity = the INTEGER log₂ of
+    * (corpus token total ÷ token count) — `length(bin(total DIV n))` =
+    * ⌊log₂ q⌋ + 1, the q68 trick: integer division plus a binary-digit
+    * count, reproducible bit-for-bit in any engine, where a float
+    * `ln()` is only ever libm-identical by luck. Per document, the
+    * surprisal is the EXACT integer sum of its occurrences' rarities
+    * (order-free — no float summation drift can reach the hash), and
+    * `mean_rarity` divides once at the end. High mean = rare-token
+    * soup (gibberish, codes, spam); low mean = common-token prose; a
+    * pipeline thresholds it beside q83's trained weights as the
+    * no-training-required fluency filter.
+    *
+    * Scale shape: token counts re-aggregate from the standing
+    * (source, token, n) artifact when one resolves — the scoring pass
+    * is then the ONLY documents scan: explode → (broadcast) rarity
+    * join → per-doc partial-agg sum. The rarity table is checkpointed
+    * once, counted, and broadcast only under [[MaxBroadcastVocab]]
+    * ([[maybeBroadcastRarity]]); inline mode pays one extra scan to
+    * derive the counts, exactly what the artifact retires.
+    */
+  def q86UnigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    unigramSurprisal(spark, dir, MaxBroadcastVocab)
+
+  private def maybeBroadcastRarity(rarity: DataFrame,
+      maxRows: Long): DataFrame = {
+    val r = graft.Checkpoints.checkpoint(rarity)
+    if (r.count() <= maxRows) broadcast(r) else r
+  }
+
+  private[graft] def unigramSurprisal(spark: SparkSession, dir: String,
+      maxBroadcast: Long): DataFrame = {
+    val counts = graft.Artifacts.tokenFreq(spark, dir) match {
+      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
+      case None => Tables.documents(spark, dir)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }
+    val total = counts.agg(sum("n").as("total"))
+    val rarity = maybeBroadcastRarity(
+      counts.crossJoin(broadcast(total))
+        .select(col("token"),
+          length(bin(expr("total DIV n"))).as("rarity")),
+      maxBroadcast)
+    val per = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .join(rarity, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("rarity").as("surprisal"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"),
+        round6(col("surprisal").cast("double") / col("n_tokens"))
+          .as("mean_rarity"))
+      .orderBy("doc_id")
+  }
+
+  /** The same counts, division, and binary-digit rarity as the plan;
+    * token-less documents carry zero sums and a NULL mean in both
+    * engines.
+    */
+  val q86OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |), tot AS (
+      |  SELECT SUM(n) AS total FROM counts
+      |), rar AS (
+      |  SELECT token, length(bin(total // n)) AS rarity FROM counts, tot
+      |), per AS (
+      |  SELECT t.doc_id, COUNT(*) AS n_tokens,
+      |         CAST(SUM(r.rarity) AS BIGINT) AS surprisal
+      |  FROM tok t JOIN rar r USING (token) GROUP BY t.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(p.n_tokens, 0) AS n_tokens,
+      |       COALESCE(p.surprisal, 0) AS surprisal,
+      |       ${round6Sql("CAST(p.surprisal AS DOUBLE) / p.n_tokens")}
+      |         AS mean_rarity
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Generated from [[QualityWeightTenths]]: the per-token weight lookup
     * as a CASE chain inside a list transform; the sum is over exact
     * integers, mirroring the Spark fold.
