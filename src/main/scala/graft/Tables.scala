@@ -43,20 +43,39 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it as a raw
-    * nanosecond long (`spark.sql.legacy.parquet.nanosAsLong`) and expose
-    * BOTH forms: `ts` as a µs-truncated TimestampType for event-time ops
-    * (windows, watermarks) and `ts_ns` as the lossless long for total
-    * ordering (upsert version ordering must match the oracle's
-    * ns-precision sort). Oracle-side convention: compare timestamps via `epoch_us(ts)`
-    * and order via raw `ts` (ns) ⇔ Spark `ts_ns`.
+  /** `events.ts` arrives in one of two physical encodings depending on
+    * the generator vintage, and this adapter normalizes BOTH to the same
+    * logical pair: `ts` as a TimestampType for event-time ops (windows,
+    * watermarks) and `ts_ns` as an epoch-nanosecond long for total
+    * ordering (upsert version ordering must match the oracle's sort at
+    * full stored precision).
+    *
+    *  - parquet `TIMESTAMP(NANOS)`: Spark's reader rejects it outright
+    *    ([PARQUET_TYPE_ILLEGAL]), so it is read as a raw ns long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`) and `ts` is the
+    *    µs-truncated derivation;
+    *  - parquet `timestamp[us]` (read as TIMESTAMP_NTZ or LTZ): `ts` is
+    *    the column itself cast to session-local TimestampType and
+    *    `ts_ns` = `unix_micros(ts) * 1000` — lossless, since the stored
+    *    precision is µs.
+    *
+    * Oracle-side convention either way: compare timestamps via
+    * `epoch_us(ts)` and order via raw `ts` ⇔ Spark `ts_ns` (DuckDB reads
+    * both encodings as a native timestamp, so the oracle SQL is
+    * vintage-independent).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = table(s, d, "events")
+    val normalized = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
+    normalized
       .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

@@ -390,8 +390,13 @@ object CorpusOps {
     val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
       graft.Checkpoints.checkpoint(Tables.documents(spark, dir)
         .select(col("doc_id"), tok.count(col("text")).as("n_tokens"))))
+    // NULL-text documents count as 0 tokens (coalesced HERE, at the
+    // consumption point, so the artifact and inline paths stay
+    // hash-identical); without the guard a legacy size(NULL) = -1 would
+    // shift every downstream cumsum — and thus every shard boundary —
+    // by one per null document. The oracle mirrors the COALESCE.
     val sized = counts.select(col("doc_id"),
-      col("n_tokens").cast("long").as("n_tokens"),
+      coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"),
       expr(s"doc_id DIV $rangeWidth").as("rng"))
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val following = org.apache.spark.sql.expressions.Window.unboundedFollowing
@@ -430,7 +435,8 @@ object CorpusOps {
     */
   val q84OracleSql: String =
     s"""WITH t AS (
-      |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+      |  SELECT doc_id,
+      |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens
       |  FROM documents
       |), c AS (
       |  SELECT doc_id, n_tokens,

@@ -237,9 +237,13 @@ object Curation {
     * leaks a member across the eval boundary — exactly the
     * contamination q47/q60 then have to measure. Assigning by
     * `splitOf(keeper_id)` removes that channel by construction while
-    * keeping every q42 property (deterministic, engine-portable,
-    * stable under growth — a NEW member joining an existing cluster
-    * lands in the cluster's split instead of reshuffling anything).
+    * staying deterministic and engine-portable like q42. Growth
+    * stability is cluster-grain, not absolute: a new member joining ONE
+    * existing cluster lands in that cluster's split without moving
+    * anyone, but a new BRIDGE document that merges two clusters changes
+    * the min-id keeper for one side and relocates that side's members —
+    * inherent to any cluster-grain assignment, since the merged cluster
+    * must end up in a single split.
     * `moved` marks documents whose naive doc-grain split differs —
     * the audit column for "how much did cluster-safety relocate".
     *

@@ -378,12 +378,17 @@ object Similarity {
   private lazy val nearDupPlanes: Array[Array[Array[Double]]] =
     makePlanes(20260813L, NearDupTables, NearDupBits)
 
-  /** Skew guard: a bucket more populous than this is skipped entirely
-    * (its pairs are not enumerated). At 100 TB a degenerate bucket — all
-    * zero vectors, a spammed template embedding — would otherwise own an
-    * O(pop²) pair blow-up inside one task. Capping bounds every bucket's
-    * pair count at cap²/2 by construction; the oracle mirrors the cap so
-    * the skip is part of the checked semantics, not a silent truncation.
+  /** Skew guard: a bucket more populous than this degrades from the full
+    * pop·(pop−1)/2 pair enumeration to a STAR JOIN against the bucket's
+    * min-id representative (pop−1 pairs). At 100 TB a degenerate bucket —
+    * all zero vectors, a spammed template embedding — would otherwise own
+    * an O(pop²) pair blow-up inside one task; dropping it outright would
+    * be worse, since the densest bucket is exactly the primary dedup
+    * target (a template embedded 10⁵ times MUST yield edges or every copy
+    * survives dedup). The star keeps each member connected to one hub —
+    * enough for connected-component keeper election — at O(pop) cost. The
+    * oracle mirrors the same degradation, so the cap is part of the
+    * checked semantics, not a silent truncation.
     */
   private val NearDupBucketCap = 256L
 
@@ -398,7 +403,8 @@ object Similarity {
     * the production path that retires `Dedup.q21EmbeddingNearDup`'s
     * hard-capped O(n²) cross join: every corpus-wide operation here is
     * a bucket equi-join (shuffle on (table, bucket)), never all-pairs,
-    * and every bucket's fan-out is bounded by [[NearDupBucketCap]].
+    * and every bucket's pair fan-out is bounded: pop²/2 under
+    * [[NearDupBucketCap]], pop−1 (min-id star) above it.
     *
     * Deterministic and fully oracle-checked — the hyperplanes are fixed
     * constants, so the candidate set (and thus the output) is a pure
@@ -415,18 +421,28 @@ object Similarity {
   def q82AnnNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val idx = lshIndexWith(e, "vec_id", "embedding", nearDupPlanes)
-    // bucket census is tiny (tables × 2^bits rows) → broadcast the
-    // keep-list; over-cap buckets drop out before any pair is formed
-    val ok = idx.groupBy("table", "bucket")
-      .agg(count(lit(1)).as("pop"))
-      .filter(col("pop") <= NearDupBucketCap)
+    // bucket census is tiny (tables × 2^bits rows) → broadcast it both
+    // ways: under-cap buckets enumerate all pairs; over-cap buckets
+    // degrade to a star against their min-id representative, so the
+    // densest (most-duplicated) buckets still contribute dedup edges
+    val census = idx.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("pop"), min("id").as("rep"))
+    val ok = census.filter(col("pop") <= NearDupBucketCap)
       .select("table", "bucket")
+    val over = census.filter(col("pop") > NearDupBucketCap)
+      .select("table", "bucket", "rep")
     val kept = idx.join(broadcast(ok), Seq("table", "bucket"))
-    val cand = kept.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val fullPairs = kept
+      .select(col("table"), col("bucket"), col("id").as("id_a"))
       .join(kept.select(col("table"), col("bucket"), col("id").as("id_b")),
         Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
+    // rep is the bucket MIN, so (rep, member) is already (lo, hi)-ordered
+    val starPairs = idx.join(broadcast(over), Seq("table", "bucket"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    val cand = fullPairs.unionByName(starPairs)
       .dropDuplicates("id_a", "id_b")
     val withNorm = e.select(col("vec_id"), col("embedding"),
       VectorOps.norm(col("embedding")).as("nrm"))
@@ -460,16 +476,22 @@ object Similarity {
       graft.functions.VectorOps.cosineSql("p.embedding", "e.embedding"))
     s"""WITH buckets AS (
       |  $bucketRows
-      |), ok AS (
-      |  SELECT tbl, bucket FROM buckets
-      |  GROUP BY tbl, bucket HAVING COUNT(*) <= $NearDupBucketCap
+      |), census AS (
+      |  SELECT tbl, bucket, COUNT(*) AS pop, MIN(vec_id) AS rep
+      |  FROM buckets GROUP BY tbl, bucket
       |), kept AS (
       |  SELECT b.vec_id, b.tbl, b.bucket
-      |  FROM buckets b JOIN ok USING (tbl, bucket)
+      |  FROM buckets b JOIN census c USING (tbl, bucket)
+      |  WHERE c.pop <= $NearDupBucketCap
       |), cand AS (
-      |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |  FROM kept a JOIN kept b
-      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |  SELECT DISTINCT id_a, id_b FROM (
+      |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |    FROM kept a JOIN kept b
+      |      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |    UNION ALL
+      |    SELECT c.rep AS id_a, b.vec_id AS id_b
+      |    FROM buckets b JOIN census c USING (tbl, bucket)
+      |    WHERE c.pop > $NearDupBucketCap AND b.vec_id <> c.rep)
       |), scored AS (
       |  SELECT c.id_a, c.id_b, $cos AS cos
       |  FROM cand c

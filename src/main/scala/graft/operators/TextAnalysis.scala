@@ -275,14 +275,18 @@ object TextAnalysis {
   def q83QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val weights = typedLit(QualityWeightTenths.toMap)
     val toks = split(lower(col("text")), "\\s+")
+    // NULL text → NULL count/score (never legacy size()'s -1), matching
+    // the oracle's NULL-propagating len(); the label CASE then falls
+    // through to "cull" in both engines
+    val nTok = when(col("text").isNotNull, size(toks))
     val wSum = aggregate(toks, lit(0L),
       (acc, t) => acc + coalesce(element_at(weights, t), lit(0)).cast("long"))
     Tables.documents(spark, dir)
       .select(
         col("doc_id"),
-        size(toks).as("n_tokens"),
+        nTok.as("n_tokens"),
         round6((wSum + lit(QualityBiasTenths)).cast("double") / 10.0 /
-          size(toks)).as("quality_score"))
+          nTok).as("quality_score"))
       .withColumn("quality_label",
         when(col("quality_score") >= 0.0, "keep").otherwise("cull"))
       .orderBy("doc_id")

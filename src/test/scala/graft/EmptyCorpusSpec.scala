@@ -61,7 +61,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "q81_incremental_refresh" -> (CorpusOps.q81IncrementalRefresh _),
     "q82_ann_neardup" -> (Similarity.q82AnnNearDupPairs _),
     "q83_quality_classifier" -> (TextAnalysis.q83QualityClassifier _),
-    "q84_shard_manifest" -> (CorpusOps.q84ShardManifest _))
+    "q84_shard_manifest" -> (CorpusOps.q84ShardManifest _),
+    "q85_cluster_safe_split" -> (Curation.q85ClusterSafeSplit _),
+    "q86_unigram_surprisal" -> (TextAnalysis.q86UnigramSurprisal _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

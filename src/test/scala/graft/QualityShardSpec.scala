@@ -34,6 +34,31 @@ class QualityShardSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("q83/q84 treat NULL-text documents as in-domain input") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nulltext").toFile
+    try {
+      // doc 2 has NULL text — the q86 posture: null text is in-domain
+      Seq((1L, Option("the cat sat"), "en", "web", 11L),
+        (2L, Option.empty[String], "en", "web", 0L),
+        (3L, Option("plain words only"), "en", "web", 16L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      // q83: NULL text → NULL count and score (not -1), label "cull"
+      val cls = TextAnalysis.q83QualityClassifier(spark, dir.getPath)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      assert(cls(2L).isNullAt(cls(2L).fieldIndex("n_tokens")))
+      assert(cls(2L).isNullAt(cls(2L).fieldIndex("quality_score")))
+      assert(cls(2L).getAs[String]("quality_label") == "cull")
+      assert(cls(1L).getAs[Int]("n_tokens") == 3)
+      // q84: NULL text costs 0 tokens — the doc is still sharded and the
+      // cumsum (shard boundaries) is NOT shifted by a legacy -1
+      val shards = CorpusOps.q84ShardManifest(spark, dir.getPath).collect()
+      assert(shards.map(_.getAs[Long]("n_docs")).sum == 3)
+      assert(shards.map(_.getAs[Long]("shard_tokens")).sum == 6)
+    } finally deleteRecursively(dir)
+  }
+
   test("q83 tokens match the whitespace tokenizer; label follows score sign") {
     val cls = TextAnalysis.q83QualityClassifier(spark, sf)
     val joined = cls.join(

@@ -109,7 +109,7 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.15, s"recall $recall")
   }
 
-  test("q82's bucket population cap drops degenerate buckets entirely") {
+  test("q82's bucket cap degrades degenerate buckets to a min-id star") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-q82cap").toFile
     try {
@@ -126,11 +126,18 @@ class SimilaritySpec extends SparkSpec {
       assert(small.length == 10 * 9 / 2, s"${small.length} pairs")
       assert(small.forall(_.getAs[Double]("cos") == 1.0))
       // 300 > NearDupBucketCap=256: the one bucket every vector shares is
-      // over cap in every table, so NO pairs are enumerated — the skew
-      // guard is part of the semantics, not a truncation
+      // over cap in every table, so the quadratic enumeration degrades to
+      // a star against the min-id representative — exactly n−1 pairs, all
+      // anchored at id 0, so the most-duplicated cluster still yields the
+      // edges a downstream keeper election needs (every member connects
+      // to the hub) at O(n) instead of O(n²) cost
       val capped = Similarity.q82AnnNearDupPairs(spark, corpus(300)).collect()
-      assert(capped.isEmpty,
-        s"over-cap bucket still produced ${capped.length} pairs")
+      assert(capped.length == 299,
+        s"expected the 299-edge star, got ${capped.length} pairs")
+      assert(capped.forall(_.getAs[Long]("id_a") == 0L),
+        "star pairs must anchor at the bucket's min id")
+      assert(capped.map(_.getAs[Long]("id_b")).toSet == (1L to 299L).toSet)
+      assert(capped.forall(_.getAs[Double]("cos") == 1.0))
     } finally deleteRecursively(dir)
   }
 }
