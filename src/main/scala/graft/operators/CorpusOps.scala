@@ -755,20 +755,7 @@ object CorpusOps {
   def mixtureWeights(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
-    // artifact mode scans only (doc_id, lang, source) — token mass joins
-    // in from the standing counts at doc grain, then aggregates away
-    val docTokens = graft.Artifacts.tokenCounts(spark, dir, tok) match {
-      case Some(tc) => Tables.documents(spark, dir)
-        .select("doc_id", "lang", "source")
-        .join(tc, "doc_id")
-      case None => Tables.documents(spark, dir)
-        .select(col("lang"), col("source"),
-          tok.count(col("text")).as("n_tokens"))
-    }
-    val strata = docTokens
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens").cast("long")).as("n_tokens"))
+    val strata = stratumTokenMass(spark, dir, tok)
     val totals = strata.agg(
       sum("n_docs").as("total_docs"), count(lit(1)).as("n_strata"))
     strata.crossJoin(broadcast(totals))
@@ -778,6 +765,27 @@ object CorpusOps {
           (lit(1.0) / col("n_strata")) /
             (col("n_docs").cast("double") / col("total_docs")))).as("weight"))
       .orderBy("lang", "source")
+  }
+
+  /** The (lang, source)-stratum doc and token census behind q53 and q89
+    * — one definition so the two mixture operators cannot drift. Artifact
+    * mode scans only (doc_id, lang, source); token mass joins in from the
+    * standing counts at doc grain, then aggregates away.
+    */
+  private def stratumTokenMass(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
+    val docTokens = graft.Artifacts.tokenCounts(spark, dir, tok) match {
+      case Some(tc) => Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source")
+        .join(tc, "doc_id")
+      case None => Tables.documents(spark, dir)
+        .select(col("lang"), col("source"),
+          tok.count(col("text")).as("n_tokens"))
+    }
+    docTokens
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
   }
 
   /** Shared CTE block (`strata`, `totals`) + the weight expression, used
@@ -807,6 +815,79 @@ object CorpusOps {
       |       ${round6Sql("CAST(n_docs AS DOUBLE) / total_docs")} AS doc_share,
       |       $mixtureWeightSql AS weight
       |FROM strata, totals ORDER BY lang, source""".stripMargin
+  }
+
+  // ---- q89: temperature-scaled mixture -----------------------------------
+
+  /** q89 — temperature-scaled source mixture: sampling weights
+    * w_i ∝ p_i^α over the (lang, source) strata, where p_i is the
+    * stratum's TOKEN share and α = 1/2 — the multilingual-pretraining
+    * standard (the α-temperature multinomial of the XLM-R /
+    * mC4 lineage). α < 1 flattens the mixture smoothly: head strata are
+    * down-sampled, tail strata up-sampled, but — unlike q53's hard
+    * uniform-floor weights — the ordering is preserved and nothing is
+    * clipped, so the knob trades head dominance against tail repetition
+    * continuously. `boost` = w_i / p_i is the realized per-stratum
+    * up/down-sampling factor (what a q56-style applier would multiply
+    * by).
+    *
+    * α is fixed at 1/2 so the power is `sqrt` — IEEE-correctly-rounded
+    * in both engines, where a general `pow(x, α)` is only ever
+    * libm-identical by luck (the same reproducibility posture as the
+    * q86 integer-log rarity); other temperatures need a pow-parity seam,
+    * not a constant edit. Everything before the final round6 is either
+    * exact integer mass, a single exact division, or sqrt; the one
+    * order-sensitive float reduction (Σ√p over strata) runs over a
+    * stratum-count-sized frame, keeping accumulated error orders of
+    * magnitude under the round6 grain.
+    *
+    * Scale shape: q53's — map-side partial agg to stratum grain
+    * (thousands of rows at most), two broadcast scalar joins, no global
+    * window and no second corpus pass; artifact mode retires the
+    * tokenizing scan entirely.
+    */
+  def q89TemperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixture(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q89 under a pluggable [[graft.functions.Tokenizer]]. */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val strata = stratumTokenMass(spark, dir, tok)
+    val totals = strata.agg(sum("n_tokens").as("total_tokens"))
+    val scaled = strata.crossJoin(broadcast(totals))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("s", sqrt(col("token_share")))
+    val z = scaled.agg(sum("s").as("z"))
+    scaled.crossJoin(broadcast(z))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        round6(col("token_share")).as("token_share"),
+        round6(col("s") / col("z")).as("temp_weight"),
+        round6((col("s") / col("z")) / col("token_share")).as("boost"))
+      .orderBy("lang", "source")
+  }
+
+  /** Reuses [[mixtureCtes]]' strata census; share, sqrt, and the two
+    * normalized ratios mirror the plan expression-for-expression.
+    */
+  val q89OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $mixtureCtes, tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM strata
+      |), scaled AS (
+      |  SELECT lang, source, n_tokens,
+      |         CAST(n_tokens AS DOUBLE) / total_tokens AS token_share,
+      |         sqrt(CAST(n_tokens AS DOUBLE) / total_tokens) AS s
+      |  FROM strata, tot
+      |), z AS (
+      |  SELECT SUM(s) AS z FROM scaled
+      |)
+      |SELECT lang, source, n_tokens,
+      |       ${round6Sql("token_share")} AS token_share,
+      |       ${round6Sql("s / z")} AS temp_weight,
+      |       ${round6Sql("(s / z) / token_share")} AS boost
+      |FROM scaled, z ORDER BY lang, source""".stripMargin
   }
 
   /** Resolution of the q56 sampling hash (hash is uniform on [0, 10⁶)). */

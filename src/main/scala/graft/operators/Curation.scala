@@ -270,6 +270,72 @@ object Curation {
       |       (${splitSqlOf("keeper_id")}) <> (${splitSqlOf("doc_id")}) AS moved
       |FROM keepers ORDER BY doc_id""".stripMargin
 
+  // ---- q88: takedown cascade ---------------------------------------------
+
+  /** Deterministic stand-in for a rights-holder takedown list in the q88
+    * oracle fixture — production calls [[takedownCascade]] with the real
+    * seed frame.
+    */
+  private val TakedownSeedModulus = 101L
+
+  /** q88 — takedown cascade: expand a removal request through the dedup
+    * clusters, because deleting only the named documents leaves their
+    * near-duplicates serving the same content. The compliance op every
+    * production corpus eventually runs (rights-holder takedowns, user
+    * opt-outs, court orders): the unit of removal is the CONTENT, not
+    * the row, and the dedup cluster is this engine's content identity.
+    * Output is the full removal closure — every member of every cluster
+    * containing ≥1 seed — with `is_seed` distinguishing named documents
+    * from cluster-mates swept in by the cascade (the audit column a
+    * takedown report needs: "you asked for 5, policy removed 13").
+    *
+    * Scale shape: one read of the keeper artifact and one seed-predicate
+    * scan; the hit-cluster set (distinct keeper ids touching a seed) is
+    * takedown-list-sized — tiny — so its join back against keepers
+    * broadcasts. No corpus text is scanned, and in production (seed ids
+    * handed in directly) the documents scan disappears too. The
+    * downstream delete composes with FK cascade (q39) and incremental
+    * artifact maintenance (the removal is an ordinary corpus diff).
+    */
+  def q88TakedownCascade(spark: SparkSession, dir: String): DataFrame =
+    takedownCascade(spark, dir,
+      Tables.documents(spark, dir)
+        .filter(col("doc_id") % TakedownSeedModulus === 0)
+        .select("doc_id"))
+
+  /** The production entry point: `seeds` is the takedown list (one
+    * `doc_id` column).
+    */
+  def takedownCascade(spark: SparkSession, dir: String,
+      seeds: DataFrame): DataFrame = {
+    val keepers = graft.Artifacts.keepers(spark, dir)
+      .select("doc_id", "keeper_id")
+    val hitClusters = keepers.join(seeds, "doc_id")
+      .select("keeper_id").distinct()
+    keepers.join(broadcast(hitClusters), "keeper_id")
+      .join(seeds.withColumn("__seed", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keeper_id"),
+        coalesce(col("__seed"), lit(false)).as("is_seed"))
+      .orderBy("doc_id")
+  }
+
+  /** Replays the q40 keeper derivation, the seed predicate, and the
+    * cluster expansion from the same constants as the plan.
+    */
+  val q88OracleSql: String =
+    s"""WITH RECURSIVE ${Dedup.keeperCtes},
+      |seeds AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % $TakedownSeedModulus = 0
+      |), hit AS (
+      |  SELECT DISTINCT k.keeper_id
+      |  FROM keepers k JOIN seeds s ON k.doc_id = s.doc_id
+      |)
+      |SELECT k.doc_id, k.keeper_id, (s.doc_id IS NOT NULL) AS is_seed
+      |FROM keepers k
+      |JOIN hit USING (keeper_id)
+      |LEFT JOIN seeds s ON s.doc_id = k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   val q46OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""WITH ranked AS (

@@ -416,4 +416,99 @@ object TextAnalysis {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
   }
+
+  // ---- q87: bigram-LM surprisal ------------------------------------------
+
+  /** q87 — bigram-LM surprisal: [[q86UnigramSurprisal]] one model class
+    * up, the CCNet direction. Fluency is CONDITIONAL, not marginal —
+    * "the the the" is all common tokens (low unigram surprisal) but
+    * improbable transitions; only a conditional model sees that. Per
+    * adjacent pair (w1, w2), rarity = ⌊log₂(c(w1·) ÷ c(w1,w2))⌋ + 1 =
+    * `length(bin(c1 DIV c12))` — the binary-digit count of the inverse
+    * conditional frequency P(w2|w1), where c(w1·) counts bigrams
+    * STARTING with w1, so the ratio is exact integer division and the
+    * rarity reproduces bit-for-bit in any engine (the q86/q68 trick; a
+    * float `ln()` is only ever libm-identical by luck). Per document the
+    * surprisal is the exact integer sum over its bigram occurrences
+    * (order-free — no float drift can reach the hash); `mean_rarity`
+    * divides once at the end. Documents with fewer than two tokens have
+    * no bigrams: zero sums and a NULL mean, NULL text included — the
+    * q86 posture.
+    *
+    * Scale shape: identical to q86 with the vocabulary one power up —
+    * explode → count → rarity join → per-doc partial-agg sum. The
+    * bigram table is the broadcast pressure point (|V|² worst case,
+    * Zipf-bounded in practice): under [[MaxBroadcastVocab]] distinct
+    * bigrams the rarity frame broadcasts, past it the join downgrades
+    * to a shuffle on (w1, w2) instead of OOMing the driver. The
+    * production path is a standing bigram_freq artifact maintained
+    * exactly like token_freq — same (source, key, n) additive segment
+    * layout with the pair as the key — which retires the counting scan.
+    */
+  def q87BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
+    bigramSurprisal(spark, dir, MaxBroadcastVocab)
+
+  private[graft] def bigramSurprisal(spark: SparkSession, dir: String,
+      maxBroadcast: Long): DataFrame = {
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
+      // sequence(1, size-1) would run DESCENDING for empty/1-token docs
+      // (Spark generates start>stop downward) — guard to NULL so explode
+      // drops bigram-less documents here and the left join restores them
+      .select(col("doc_id"),
+        explode(when(size(col("t")) >= 2, expr(
+          "transform(sequence(1, size(t) - 1)," +
+            " i -> struct(t[i - 1] AS w1, t[i] AS w2))"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val firsts = counts.groupBy("w1").agg(sum("n").as("n1"))
+    val rarity = maybeBroadcastRarity(
+      counts.join(firsts, "w1")
+        .select(col("w1"), col("w2"),
+          length(bin(expr("n1 DIV n"))).as("rarity")),
+      maxBroadcast)
+    val per = bigrams.join(rarity, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("rarity").as("surprisal"))
+    Tables.documents(spark, dir).select("doc_id")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("surprisal"), lit(0L)).as("surprisal"),
+        round6(col("surprisal").cast("double") / col("n_bigrams"))
+          .as("mean_rarity"))
+      .orderBy("doc_id")
+  }
+
+  /** Same pair derivation, integer division, and binary-digit rarity as
+    * the plan; DuckDB lists are 1-based, so position i ∈ [2, len] reads
+    * the pair (t[i−1], t[i]), and `generate_series(2, len)` is empty for
+    * short docs and NULL (zero rows) for NULL text.
+    */
+  val q87OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, t, unnest(generate_series(2, len(t))) AS i FROM tok
+      |), big AS (
+      |  SELECT doc_id, t[i - 1] AS w1, t[i] AS w2 FROM pos
+      |), counts AS (
+      |  SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY w1, w2
+      |), firsts AS (
+      |  SELECT w1, CAST(SUM(n) AS BIGINT) AS n1 FROM counts GROUP BY w1
+      |), rar AS (
+      |  SELECT c.w1, c.w2, length(bin(f.n1 // c.n)) AS rarity
+      |  FROM counts c JOIN firsts f USING (w1)
+      |), per AS (
+      |  SELECT b.doc_id, COUNT(*) AS n_bigrams,
+      |         CAST(SUM(r.rarity) AS BIGINT) AS surprisal
+      |  FROM big b JOIN rar r USING (w1, w2) GROUP BY b.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(p.surprisal, 0) AS surprisal,
+      |       ${round6Sql("CAST(p.surprisal AS DOUBLE) / p.n_bigrams")}
+      |         AS mean_rarity
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -63,7 +63,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q83_quality_classifier" -> (TextAnalysis.q83QualityClassifier _),
     "q84_shard_manifest" -> (CorpusOps.q84ShardManifest _),
     "q85_cluster_safe_split" -> (Curation.q85ClusterSafeSplit _),
-    "q86_unigram_surprisal" -> (TextAnalysis.q86UnigramSurprisal _))
+    "q86_unigram_surprisal" -> (TextAnalysis.q86UnigramSurprisal _),
+    "q87_bigram_surprisal" -> (TextAnalysis.q87BigramSurprisal _),
+    "q88_takedown_cascade" -> (Curation.q88TakedownCascade _),
+    "q89_temperature_mixture" -> (CorpusOps.q89TemperatureMixture _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

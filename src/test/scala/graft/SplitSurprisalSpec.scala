@@ -78,6 +78,62 @@ class SplitSurprisalSpec extends SparkSpec {
     } finally deleteRecursively(dir)
   }
 
+  test("q87 conditional-rarity math on a hand-computed fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q87").toFile
+    try {
+      // doc 1 bigrams: (a,b) (b,a) (a,b) (b,c) → c(a,b)=2 c(b,a)=1 c(b,c)=1
+      // firsts: c(a·)=2, c(b·)=2
+      // rarity(a,b) = len(bin(2 div 2)) = 1
+      // rarity(b,a) = rarity(b,c) = len(bin(2 div 1)) = 2
+      // doc 1 surprisal = 1 + 2 + 1 + 2 = 6, mean 1.5
+      writeDocs(dir, Seq(1L -> "a b a b c", 2L -> "x", 3L -> null))
+      val out = TextAnalysis.q87BigramSurprisal(spark, dir.getPath)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("surprisal"),
+            Option(r.getAs[java.lang.Double]("mean_rarity"))))).toMap
+      assert(out(1L) == ((4L, 6L, Some(1.5))))
+      assert(out(2L) == ((0L, 0L, None)),
+        "a one-token doc has no bigrams: zero sums, NULL mean")
+      assert(out(3L) == ((0L, 0L, None)),
+        "NULL text has no bigrams: zero sums, NULL mean")
+    } finally deleteRecursively(dir)
+  }
+
+  test("q87 shuffle-join fallback equals the broadcast path") {
+    val broad = TextAnalysis.q87BigramSurprisal(spark, sf).collect().toSeq
+    val shuffled = TextAnalysis.bigramSurprisal(spark, sf, 0L)
+      .collect().toSeq
+    assert(broad == shuffled,
+      "bigram-vocab broadcast gate changed q87's result")
+  }
+
+  test("q87 penalizes improbable transitions that q86 cannot see") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q87r").toFile
+    try {
+      // Both docs use only the corpus's most common tokens, so their
+      // UNIGRAM surprisal profiles are identical — but doc 2's
+      // transitions never occur elsewhere. Background docs 3-6 pin the
+      // common bigrams (the,cat)(cat,sat)…; doc 2 scrambles the order.
+      writeDocs(dir, Seq(
+        1L -> "the cat sat on the mat",
+        2L -> "the the cat cat sat sat",
+        3L -> "the cat sat on the mat",
+        4L -> "the cat sat on the mat",
+        5L -> "the cat sat on the mat",
+        6L -> "the cat sat on the mat"))
+      val uni = TextAnalysis.q86UnigramSurprisal(spark, dir.getPath)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[java.lang.Double]("mean_rarity")).toMap
+      val bi = TextAnalysis.q87BigramSurprisal(spark, dir.getPath)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[java.lang.Double]("mean_rarity")).toMap
+      assert(bi(2L) > bi(1L),
+        s"bigram model must flag the scrambled doc: ${bi(2L)} vs ${bi(1L)}")
+      assert(math.abs(uni(2L) - uni(1L)) < 0.3,
+        s"unigram profiles should be nearly equal (${uni(1L)} vs ${uni(2L)})")
+    } finally deleteRecursively(dir)
+  }
+
   test("q86 shuffle-join fallback equals the broadcast path") {
     val broad = TextAnalysis.q86UnigramSurprisal(spark, sf).collect().toSeq
     val shuffled = TextAnalysis.unigramSurprisal(spark, sf, 0L)
