@@ -110,6 +110,13 @@ object Artifacts {
     */
   val TokenFreqName = "token_freq"
 
+  /** Per-(source, bigram) frequency index `(source, w1, w2, n)` — q87's
+    * counting input, token_freq one model class up. Same additive
+    * ±count-delta maintenance (the re-aggregation form is null-key-safe
+    * for the pair columns exactly as it is for the token column).
+    */
+  val BigramFreqName = "bigram_freq"
+
   /** Per-document content digests `(doc_id, h)` (md5 of text) — the
     * id+hash frame every snapshot diff and exact-dup verdict starts
     * from. Standing state pays twice: the OLD side of
@@ -158,7 +165,7 @@ object Artifacts {
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
-      TokenFreqName) ++
+      TokenFreqName, BigramFreqName) ++
       DefaultTokenizers.map(tokenCountsName)
 
   @volatile private var rootOpt: Option[String] =
@@ -428,6 +435,13 @@ object Artifacts {
   def tokenFreq(spark: SparkSession, corpusDir: String): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, TokenFreqName)
 
+  /** The standing `(source, w1, w2, n)` bigram frequencies when the
+    * corpus's current fingerprint resolves (same Option shape as
+    * [[tokenFreq]]).
+    */
+  def bigramFreq(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, BigramFreqName)
+
   /** The per-document digest frame `(doc_id, h)` — artifact when fresh,
     * else computed from the documents scan.
     */
@@ -679,6 +693,7 @@ object Artifacts {
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
     case SpanCountsName => Seq("sh")
     case TokenFreqName => Seq("source", "token")
+    case BigramFreqName => Seq("source", "w1", "w2")
     case _ => Seq.empty
   }
 
@@ -698,6 +713,7 @@ object Artifacts {
     name match {
       case SpanCountsName => Some((Seq("sh"), "ndocs"))
       case TokenFreqName => Some((Seq("source", "token"), "n"))
+      case BigramFreqName => Some((Seq("source", "w1", "w2"), "n"))
       case _ => None
     }
 
@@ -1246,6 +1262,8 @@ object Artifacts {
         committed(DocHashesName), committed(DupPairsName)))
     val sh8 = build(Shingles8Name)(operators.CorpusOps.docShingles8(docs))
     val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
+    val bgFreq = build(BigramFreqName)(
+      operators.CorpusOps.bigramFreqRows(docs))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -1259,7 +1277,7 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      tokFreq) ++ tokCounts).toMap
+      tokFreq, bgFreq) ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -1286,6 +1304,7 @@ object Artifacts {
       case KeepersName => operators.Dedup.keeperAssignment(spark, corpusDir)
       case Shingles8Name => operators.CorpusOps.docShingles8(docs)
       case TokenFreqName => operators.CorpusOps.tokenFreqRows(docs)
+      case BigramFreqName => operators.CorpusOps.bigramFreqRows(docs)
       case DocHashesName => docHashesFrame(docs)
       case tc if tc.startsWith(TokenCountsPrefix) =>
         DefaultTokenizers.find(t => tokenCountsName(t) == tc)
@@ -1607,6 +1626,11 @@ object Artifacts {
       readOld(TokenFreqName)
         .unionByName(operators.CorpusOps.tokenFreqRows(fresh))
         .groupBy("source", "token").agg(sum("n").as("n")))
+    val bgFreq = buildSegInc(BigramFreqName, None,
+      operators.CorpusOps.bigramFreqRows(fresh))(
+      readOld(BigramFreqName)
+        .unionByName(operators.CorpusOps.bigramFreqRows(fresh))
+        .groupBy("source", "w1", "w2").agg(sum("n").as("n")))
     val tokCounts = DefaultTokenizers.map { tok =>
       val name = tokenCountsName(tok)
       buildSegInc(name, None, tokenCountsFrame(fresh, tok))(
@@ -1630,7 +1654,7 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq) ++ tokCounts).toMap,
+        tokFreq, bgFreq) ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -1842,6 +1866,18 @@ object Artifacts {
         .groupBy("source", "token").agg(sum("n").as("n"))
         .filter(col("n") > 0))
 
+    // bigram-frequency index: the same ± additive delta at pair grain
+    val bgDelta = operators.CorpusOps.bigramFreqRows(docsGoneOld)
+      .select(col("source"), col("w1"), col("w2"), (-col("n")).as("n"))
+      .unionByName(operators.CorpusOps.bigramFreqRows(docsChangedNew))
+      .groupBy("source", "w1", "w2").agg(sum("n").as("n"))
+      .filter(col("n") =!= 0)
+    val bgFreq = buildSegInc(BigramFreqName, None, bgDelta)(
+      readOldA(BigramFreqName)
+        .unionByName(bgDelta)
+        .groupBy("source", "w1", "w2").agg(sum("n").as("n"))
+        .filter(col("n") > 0))
+
     // digest artifact: retract the gone docs' rows, append the diff's
     // own new-side hashes for added/changed docs — already computed and
     // checkpointed, so committing them is free maintenance
@@ -1861,7 +1897,7 @@ object Artifacts {
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq) ++ tokCounts).toMap,
+        tokFreq, bgFreq) ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

@@ -56,6 +56,15 @@ object CorpusOps {
     docs.select(col("source"), explode(Dedup.tokens(col("text"))).as("token"))
       .groupBy("source", "token").agg(count(lit(1)).as("n"))
 
+  /** Per-source bigram frequencies `(source, w1, w2, n)` — the inline
+    * form of the `bigram_freq` corpus artifact (q87's counting input).
+    * Pair derivation shared with q87's scoring pass via
+    * [[TextAnalysis.bigramsOf]].
+    */
+  private[graft] def bigramFreqRows(docs: DataFrame): DataFrame =
+    TextAnalysis.bigramsOf(docs, Seq("source"))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("n"))
+
   /** Broadcast-hint `evalShingles` only when it is actually
     * broadcast-sized. The eval set is localCheckpoint'ed FIRST, so the
     * size probe's evaluation is the same materialization the join then

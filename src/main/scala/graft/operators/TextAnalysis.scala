@@ -440,27 +440,43 @@ object TextAnalysis {
     * bigram table is the broadcast pressure point (|V|² worst case,
     * Zipf-bounded in practice): under [[MaxBroadcastVocab]] distinct
     * bigrams the rarity frame broadcasts, past it the join downgrades
-    * to a shuffle on (w1, w2) instead of OOMing the driver. The
-    * production path is a standing bigram_freq artifact maintained
-    * exactly like token_freq — same (source, key, n) additive segment
-    * layout with the pair as the key — which retires the counting scan.
+    * to a shuffle on (w1, w2) instead of OOMing the driver. When the
+    * standing `bigram_freq` artifact resolves (built by
+    * `Artifacts.materialize`, ±delta-maintained like token_freq), the
+    * counting scan is retired and the scoring pass is the only
+    * documents read.
     */
+  /** Adjacent-token pairs of `docs`, keeping `keep`'s columns beside
+    * (w1, w2) — the ONE bigram derivation behind q87's per-doc pass and
+    * the `bigram_freq` artifact rows, so the standing counts can never
+    * drift from the scoring pass's pairing.
+    */
+  private[graft] def bigramsOf(docs: DataFrame,
+      keep: Seq[String]): DataFrame = {
+    val k = keep.map(col)
+    docs
+      .select(k :+ Dedup.tokens(col("text")).as("t"): _*)
+      // sequence(1, size-1) would run DESCENDING for empty/1-token docs
+      // (Spark generates start>stop downward) — guard to NULL so explode
+      // drops bigram-less documents here and callers restore them
+      .select(k :+ explode(when(size(col("t")) >= 2, expr(
+        "transform(sequence(1, size(t) - 1)," +
+          " i -> struct(t[i - 1] AS w1, t[i] AS w2))"))).as("bg"): _*)
+      .select(k :+ col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
+  }
+
   def q87BigramSurprisal(spark: SparkSession, dir: String): DataFrame =
     bigramSurprisal(spark, dir, MaxBroadcastVocab)
 
   private[graft] def bigramSurprisal(spark: SparkSession, dir: String,
       maxBroadcast: Long): DataFrame = {
-    val bigrams = Tables.documents(spark, dir)
-      .select(col("doc_id"), Dedup.tokens(col("text")).as("t"))
-      // sequence(1, size-1) would run DESCENDING for empty/1-token docs
-      // (Spark generates start>stop downward) — guard to NULL so explode
-      // drops bigram-less documents here and the left join restores them
-      .select(col("doc_id"),
-        explode(when(size(col("t")) >= 2, expr(
-          "transform(sequence(1, size(t) - 1)," +
-            " i -> struct(t[i - 1] AS w1, t[i] AS w2))"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val counts = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val bigrams = bigramsOf(Tables.documents(spark, dir), Seq("doc_id"))
+    // artifact mode retires the counting scan: the standing
+    // (source, w1, w2, n) frequencies re-aggregate to pair grain
+    val counts = graft.Artifacts.bigramFreq(spark, dir) match {
+      case Some(bf) => bf.groupBy("w1", "w2").agg(sum("n").as("n"))
+      case None => bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    }
     val firsts = counts.groupBy("w1").agg(sum("n").as("n1"))
     val rarity = maybeBroadcastRarity(
       counts.join(firsts, "w1")

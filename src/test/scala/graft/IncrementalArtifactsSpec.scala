@@ -30,6 +30,7 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)),
       Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
       Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs)),
+      Artifacts.BigramFreqName -> rows(CorpusOps.bigramFreqRows(docs)),
       Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t)))

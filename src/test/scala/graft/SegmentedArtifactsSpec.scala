@@ -288,7 +288,8 @@ class SegmentedArtifactsSpec extends SparkSpec {
       val fpNew = Artifacts.corpusFingerprint(spark, corpus)
       for ((name, inline) <- Seq(
           Artifacts.SpanCountsName -> operators.CorpusOps.spanCounts(docs),
-          Artifacts.TokenFreqName -> operators.CorpusOps.tokenFreqRows(docs))) {
+          Artifacts.TokenFreqName -> operators.CorpusOps.tokenFreqRows(docs),
+          Artifacts.BigramFreqName -> operators.CorpusOps.bigramFreqRows(docs))) {
         assert(manifestRels(tmpRoot, name, fpNew).size == 2,
           s"$name should hold base + one delta segment")
         assert(rows(Artifacts.readCommitted(spark, corpus, name)) == rows(inline),

@@ -142,6 +142,26 @@ class SplitSurprisalSpec extends SparkSpec {
       "vocab-broadcast gate changed q86's result")
   }
 
+  test("q87 reads the bigram_freq artifact when materialized") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q87a").toFile
+    val root = java.nio.file.Files.createTempDirectory("graft-q87ar").toFile
+    try {
+      writeDocs(dir, Seq(1L -> "x y z x y", 2L -> "x y q", 3L -> "y y w"))
+      val inline = TextAnalysis.q87BigramSurprisal(spark, dir.getPath)
+        .collect().toSeq
+      Artifacts.setRoot(root.getPath)
+      try {
+        Artifacts.materialize(spark, dir.getPath)
+        assert(Artifacts.bigramFreq(spark, dir.getPath).nonEmpty,
+          "bigram_freq artifact did not resolve after materialize")
+        val artifact = TextAnalysis.q87BigramSurprisal(spark, dir.getPath)
+          .collect().toSeq
+        assert(artifact == inline,
+          "artifact-mode q87 diverged from inline")
+      } finally Artifacts.clearRoot()
+    } finally { deleteRecursively(dir); deleteRecursively(root) }
+  }
+
   test("q86 reads the token_freq artifact when materialized") {
     val dir = java.nio.file.Files.createTempDirectory("graft-q86a").toFile
     val root = java.nio.file.Files.createTempDirectory("graft-q86r").toFile
