@@ -304,16 +304,20 @@ object Curation {
         .select("doc_id"))
 
   /** The production entry point: `seeds` is the takedown list (one
-    * `doc_id` column).
+    * `doc_id` column). It is consumed twice (cluster hit-set and the
+    * `is_seed` flag), so it materializes once up front — takedown lists
+    * are tiny, and the checkpoint keeps a predicate-derived list from
+    * re-scanning its source per consumer.
     */
   def takedownCascade(spark: SparkSession, dir: String,
       seeds: DataFrame): DataFrame = {
+    val s = graft.Checkpoints.checkpoint(seeds)
     val keepers = graft.Artifacts.keepers(spark, dir)
       .select("doc_id", "keeper_id")
-    val hitClusters = keepers.join(seeds, "doc_id")
+    val hitClusters = keepers.join(s, "doc_id")
       .select("keeper_id").distinct()
     keepers.join(broadcast(hitClusters), "keeper_id")
-      .join(seeds.withColumn("__seed", lit(true)), Seq("doc_id"), "left")
+      .join(s.withColumn("__seed", lit(true)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("keeper_id"),
         coalesce(col("__seed"), lit(false)).as("is_seed"))
       .orderBy("doc_id")

@@ -306,6 +306,40 @@ class PlanQualitySpec extends SparkSpec {
       s"q84 scans the documents table $scans times — single-pass shape lost")
   }
 
+  test("artifact mode: q88/q89 never scan document text") {
+    // q88 reads keepers from the artifact plus a doc_id-pruned seed
+    // scan; q89 joins the standing token counts against a
+    // (doc_id, lang, source) projection — in both, the text column
+    // must never reach a documents FileScan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tkmixg").toFile
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+          ("q88", graft.operators.Curation.q88TakedownCascade _),
+          ("q89", graft.operators.CorpusOps.q89TemperatureMixture _))) {
+        val p = finalPlan(q(spark, sf))
+        Checkpoints.releaseAll()
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        val docLines = p.linesIterator.filter(l =>
+          l.contains("FileScan parquet") && l.contains("documents")).toSeq
+        assert(docLines.size <= 1,
+          s"$name artifact-mode plan scans documents ${docLines.size} times")
+        docLines.foreach(l => assert(!l.contains("text"),
+          s"$name reads document text in artifact mode:\n$l"))
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
