@@ -520,4 +520,80 @@ object CorpusAudit {
       |JOIN norms na ON p.source_a = na.source
       |JOIN norms nb ON p.source_b = nb.source
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ---- q90: per-source distribution divergence ----------------------------
+
+  /** q90 — per-source unigram-distribution divergence from the corpus
+    * mix: the q86 integer-rarity quantization of KL(source ∥ corpus).
+    * Per (source, token), `gap` = corpus rarity − source rarity (each a
+    * ⌊log₂⌋+1 binary-digit count, so the whole sum is exact integer
+    * arithmetic — bit-reproducible in any engine, the q86/q68 posture);
+    * the source's divergence is Σ n·gap over its tokens and
+    * `mean_divergence` divides by its token mass once at the end. High
+    * mean = the source's vocabulary usage is far from the corpus mix
+    * (code beside prose, another language, spam beside curated text) —
+    * the distributional out-of-family alarm a curation dashboard
+    * watches per delivery, complementing q63's per-source QUALITY
+    * aggregates (which see length and rating signals, not vocabulary).
+    * Quantization note: real KL is ≥ 0; the integer-log form can dip
+    * slightly negative per token, so a stratum at ≈0 reads "in-family",
+    * large positive reads "out-of-family".
+    *
+    * Scale shape: derives ENTIRELY from the standing (source, token, n)
+    * frequency index — zero documents scans in artifact mode (q61/q77's
+    * posture); inline mode pays the one tokenizing scan the artifact
+    * retires, checkpointed so the three aggregation grains (per-source,
+    * per-token, corpus total) share it. Every aggregate is map-side
+    * partial to source- or vocab-sized frames; the one real shuffle is
+    * the per-token join, on the token key.
+    */
+  def q90SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.Checkpoints.checkpoint(
+      graft.Artifacts.tokenFreq(spark, dir).getOrElse(
+        CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
+    val srcTot = tf.groupBy("source").agg(sum("n").as("src_total"))
+    val corpus = tf.groupBy("token").agg(sum("n").as("nc"))
+    val corpusTot = corpus.agg(sum("nc").as("corpus_total"))
+    tf.join(broadcast(srcTot), "source")
+      .join(corpus, "token")
+      .crossJoin(broadcast(corpusTot))
+      .withColumn("gap",
+        length(bin(expr("corpus_total DIV nc"))) -
+          length(bin(expr("src_total DIV n"))))
+      .groupBy("source")
+      .agg(
+        max("src_total").as("src_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("n") * col("gap")).as("divergence"))
+      .withColumn("mean_divergence",
+        round6(col("divergence").cast("double") / col("src_tokens")))
+      .orderBy("source")
+  }
+
+  /** The same census, integer rarities, and gap sum as the plan. */
+  val q90OracleSql: String =
+    s"""WITH tf AS (
+      |  SELECT source, token, COUNT(*) AS n
+      |  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+      |        FROM documents)
+      |  GROUP BY source, token
+      |), st AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS src_total FROM tf GROUP BY source
+      |), ct AS (
+      |  SELECT token, CAST(SUM(n) AS BIGINT) AS nc FROM tf GROUP BY token
+      |), tot AS (
+      |  SELECT CAST(SUM(nc) AS BIGINT) AS corpus_total FROM ct
+      |), g AS (
+      |  SELECT tf.source, tf.n, st.src_total,
+      |         length(bin(corpus_total // nc)) -
+      |           length(bin(src_total // n)) AS gap
+      |  FROM tf JOIN st USING (source) JOIN ct USING (token), tot
+      |)
+      |SELECT source,
+      |       MAX(src_total) AS src_tokens,
+      |       COUNT(*) AS distinct_tokens,
+      |       CAST(SUM(n * gap) AS BIGINT) AS divergence,
+      |       ${round6Sql("CAST(SUM(n * gap) AS DOUBLE) / MAX(src_total)")}
+      |         AS mean_divergence
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
 }

@@ -272,24 +272,34 @@ object TextAnalysis {
     * shape a trained linear filter (fastText / CCNet-style) runs at:
     * classifier inference must cost one scan, nothing else.
     */
-  def q83QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  def q83QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    scoredQuality(Tables.documents(spark, dir), "text")
+      .select("doc_id", "n_tokens", "quality_score", "quality_label")
+      .orderBy("doc_id")
+
+  /** The q83 scoring kernel over ANY frame with a text column — appends
+    * `n_tokens`, `quality_score`, `quality_label`. One definition for
+    * the batch query and the streaming intake gate
+    * (`StreamingOps.qualityGateStream`), so the filter a crawl passes at
+    * ingest can never drift from the sweep a batch audit runs later.
+    * Map-only column expressions throughout — no state, no shuffle —
+    * which is what makes it legal on an unbounded stream as-is.
+    * NULL text → NULL count/score (never legacy size()'s -1), matching
+    * the oracle's NULL-propagating len(); the label CASE then falls
+    * through to "cull" in both engines.
+    */
+  private[graft] def scoredQuality(df: DataFrame, textCol: String): DataFrame = {
     val weights = typedLit(QualityWeightTenths.toMap)
-    val toks = split(lower(col("text")), "\\s+")
-    // NULL text → NULL count/score (never legacy size()'s -1), matching
-    // the oracle's NULL-propagating len(); the label CASE then falls
-    // through to "cull" in both engines
-    val nTok = when(col("text").isNotNull, size(toks))
+    val toks = split(lower(col(textCol)), "\\s+")
+    val nTok = when(col(textCol).isNotNull, size(toks))
     val wSum = aggregate(toks, lit(0L),
       (acc, t) => acc + coalesce(element_at(weights, t), lit(0)).cast("long"))
-    Tables.documents(spark, dir)
-      .select(
-        col("doc_id"),
-        nTok.as("n_tokens"),
-        round6((wSum + lit(QualityBiasTenths)).cast("double") / 10.0 /
-          nTok).as("quality_score"))
+    df
+      .withColumn("n_tokens", nTok)
+      .withColumn("quality_score",
+        round6((wSum + lit(QualityBiasTenths)).cast("double") / 10.0 / nTok))
       .withColumn("quality_label",
         when(col("quality_score") >= 0.0, "keep").otherwise("cull"))
-      .orderBy("doc_id")
   }
 
   // ---- q86: corpus-LM unigram surprisal ----------------------------------

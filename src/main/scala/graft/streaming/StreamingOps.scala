@@ -409,6 +409,18 @@ object StreamingOps {
       .select(col(idCol), col("sh"))
   }
 
+  /** q83's linear quality classifier at INTAKE time: score and label
+    * every arriving document with the SAME kernel the batch query runs
+    * (`TextAnalysis.scoredQuality` — shared definition, so the gate a
+    * crawl passes at ingest cannot drift from a later batch audit).
+    * Stateless map-only expressions — no watermark, no stream state —
+    * so it chains with [[dedupStream]]/[[decontaminateStream]] in the
+    * intake pipeline; a caller keeps the stream unfiltered (labels as
+    * audit columns) or drops culls at the sink.
+    */
+  def qualityGateStream(docs: DataFrame, textCol: String): DataFrame =
+    graft.operators.TextAnalysis.scoredQuality(docs, textCol)
+
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the
     * preceding 30 minutes. The interval join is an equi-join on user_id

@@ -202,6 +202,50 @@ class CorpusAuditSpec extends SparkSpec {
     assert(!rows.exists(_.getAs[Int]("gid") == 2))
   }
 
+  test("q90 divergence math on a hand-computed two-source fixture") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q90").toFile
+    try {
+      // src A: a×3 b×1 (total 4); src B: c×2 a×1 b×1 (total 4)
+      // corpus: a:4 b:2 c:2 (total 8)
+      // corpus rarities: a=len(bin(2))=2, b=len(bin(4))=3, c=3
+      // A rarities: a=len(bin(4 div 3=1))=1, b=len(bin(4))=3
+      //   → divergence_A = 3·(2−1) + 1·(3−3) = 3, mean 0.75
+      // B rarities: c=len(bin(2))=2, a=len(bin(4))=3, b=3
+      //   → divergence_B = 2·(3−2) + 1·(2−3) + 1·0 = 1, mean 0.25
+      Seq((1L, "a a a b", "en", "A", 7L), (2L, "c c a b", "en", "B", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      val out = CorpusAudit.q90SourceDivergence(spark, dir.getPath)
+        .collect().map(r => r.getAs[String]("source") ->
+          ((r.getAs[Long]("src_tokens"), r.getAs[Long]("distinct_tokens"),
+            r.getAs[Long]("divergence"),
+            r.getAs[Double]("mean_divergence")))).toMap
+      assert(out("A") == ((4L, 2L, 3L, 0.75)))
+      assert(out("B") == ((4L, 3L, 1L, 0.25)))
+    } finally { deleteRecursively(dir); Checkpoints.releaseAll() }
+  }
+
+  test("q90 reads the token_freq artifact when materialized") {
+    // (the checkpoint in q90 hides its input from the final executed
+    // plan in BOTH modes, so a zero-documents-scan plan assertion would
+    // be vacuous here — resolution + equality is the meaningful check)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q90a").toFile
+    try {
+      val inline = CorpusAudit.q90SourceDivergence(spark, sf).collect().toSeq
+      Checkpoints.releaseAll()
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      try {
+        Artifacts.materialize(spark, sf)
+        assert(Artifacts.tokenFreq(spark, sf).nonEmpty,
+          "token_freq artifact did not resolve after materialize")
+        assert(CorpusAudit.q90SourceDivergence(spark, sf).collect().toSeq
+            == inline,
+          "artifact-mode q90 diverged from inline")
+      } finally Artifacts.clearRoot()
+    } finally { deleteRecursively(tmp); Checkpoints.releaseAll() }
+  }
+
   test("q77 overlap matrix covers all source pairs with sane bounds") {
     val rows = CorpusAudit.q77SourceOverlap(spark, sf).collect()
     val nSources = spark.read.parquet(s"$sf/documents.parquet")

@@ -66,7 +66,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q86_unigram_surprisal" -> (TextAnalysis.q86UnigramSurprisal _),
     "q87_bigram_surprisal" -> (TextAnalysis.q87BigramSurprisal _),
     "q88_takedown_cascade" -> (Curation.q88TakedownCascade _),
-    "q89_temperature_mixture" -> (CorpusOps.q89TemperatureMixture _))
+    "q89_temperature_mixture" -> (CorpusOps.q89TemperatureMixture _),
+    "q90_source_divergence" -> (CorpusAudit.q90SourceDivergence _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -195,6 +195,40 @@ class StreamingIntakeSpec extends SparkSpec {
     assert(landed.filter(col("text") === "too short").isEmpty)
   }
 
+  test("streaming quality gate scores identically to batch q83 and culls at intake") {
+    val input = MemoryStream[RawDoc](spark)
+    val scored = StreamingOps.qualityGateStream(input.toDF(), "text")
+    val q = scored.writeStream
+      .format("memory").queryName("quality_gate")
+      .outputMode("append").start()
+    val texts = Seq(
+      1L -> "the cat sat on the mat",
+      2L -> "click here to buy cheap viagra now",
+      3L -> "plain words only")
+    try {
+      input.addData(texts.map { case (id, tx) => RawDoc(id, t(id.toInt), tx) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("quality_gate")
+      .select("doc_id", "n_tokens", "quality_score", "quality_label")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+    // the batch query over the same rows — identical kernel, identical result
+    val dir = Files.createTempDirectory("graft-qgate").toFile
+    try {
+      texts.map { case (id, tx) => (id, tx, "en", "web", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/documents.parquet")
+      val batch = graft.operators.TextAnalysis
+        .q83QualityClassifier(spark, dir.getPath)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.tail).toMap
+      assert(streamed == batch,
+        "streaming gate diverged from the batch classifier")
+    } finally deleteRecursively(dir)
+    // the spam doc is the one culled
+    assert(streamed(2L).last == "cull")
+    assert(streamed(1L).last == "keep")
+  }
+
   test("streaming decontamination quarantines eval-overlapping docs at intake") {
     val input = MemoryStream[RawDoc](spark)
     // the "benchmark" is one sentence; its 8-gram shingles are the static
