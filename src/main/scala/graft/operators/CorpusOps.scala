@@ -309,8 +309,11 @@ object CorpusOps {
     val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
       Tables.documents(spark, dir)
         .select(col("doc_id"), tok.count(col("text")).as("n_tokens")))
+    // NULL-text docs cost 0 tokens (the q84 posture — coalesced at the
+    // consumption point so artifact and inline paths stay identical, and
+    // a legacy size(NULL) = -1 can never shift the running offsets)
     val sized = counts.select(col("doc_id"), shard.as("shard"),
-      col("n_tokens"),
+      coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"),
       expr(s"doc_id DIV $rangeWidth").as("rng"))
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val baseW = org.apache.spark.sql.expressions.Window
@@ -335,7 +338,7 @@ object CorpusOps {
     s"""WITH sized AS (
       |  SELECT doc_id,
       |         CAST($ph % $PackShards AS INTEGER) AS shard,
-      |         len(string_split_regex(text, '\\s+')) AS n_tokens
+      |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens
       |  FROM documents
       |)
       |SELECT doc_id, shard, n_tokens,
@@ -344,6 +347,101 @@ object CorpusOps {
       |         AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,
       |       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
       |         ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |         AND 1 PRECEDING), 0) AS DOUBLE) / $PackBudget) AS BIGINT) AS seq_id
+      |FROM sized ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q91: epoch-shuffled sequence packing -------------------------------
+
+  /** Order-key domain for the epoch shuffle (the q56 hash resolution). */
+  private val EpochHashDomain = 1000000L
+
+  /** Hash-range width of q91's second level (the [[PackRangeWidth]]
+    * analogue over the epoch-hash domain instead of the id domain).
+    */
+  private val EpochRangeWidth = 4096L
+
+  /** The epoch whose shuffle q91's fixed query entry realizes. */
+  private val PackEpoch = 1
+
+  /** q91 — EPOCH-SHUFFLED sequence packing: q48 with the within-shard
+    * order replaced by a salted hash of the doc id. Packing in doc_id
+    * order trains on documents in crawl/ingest order — adjacent ids are
+    * temporally and topically correlated, which is exactly the gradient
+    * correlation a shuffle exists to break — and a real run re-shuffles
+    * every EPOCH. The order key `eh = hash(doc_id ⊕ epoch)` gives each
+    * epoch its own deterministic, engine-portable permutation: same
+    * epoch → bit-identical pack order on any engine (resumable mid-epoch
+    * from nothing but the epoch number), next epoch → a fresh
+    * permutation, no RNG state anywhere.
+    *
+    * Scale shape: q48's two-level decomposition transplanted onto the
+    * hash domain — `rng = eh DIV` [[EpochRangeWidth]] is monotone in the
+    * (eh, doc_id) order, so per-(shard, rng) totals + a tiny per-shard
+    * running sum + a partition-local window reproduce the single-window
+    * semantics with no task owning more than one hash range (the oracle
+    * keeps the single-window form as the definition; the hash match
+    * proves equivalence). Derives from (doc_id, n_tokens), so the
+    * token-count artifact retires the documents scan entirely.
+    */
+  def q91EpochPack(spark: SparkSession, dir: String): DataFrame =
+    epochPack(spark, dir, EpochRangeWidth, PackEpoch)
+
+  private[graft] def epochPack(spark: SparkSession, dir: String,
+      rangeWidth: Long, epoch: Int,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame = {
+    def hashOf(e: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PolyHash(
+          org.apache.spark.sql.GraftSqlBridge.expression(e)))
+    val shard = pmod(hashOf(col("doc_id").cast("string")),
+      lit(PackShards.toLong)).cast("int")
+    val eh = pmod(hashOf(concat(col("doc_id").cast("string"),
+      lit(s"#epoch$epoch"))), lit(EpochHashDomain))
+    val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tok.count(col("text")).as("n_tokens")))
+    val sized = counts.select(col("doc_id"), shard.as("shard"),
+      eh.as("eh"),
+      coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
+      .withColumn("rng", expr(s"eh DIV $rangeWidth"))
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val baseW = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("rng").rowsBetween(unbounded, -1)
+    val bases = sized.groupBy("shard", "rng")
+      .agg(sum("n_tokens").as("cell_tokens"))
+      .withColumn("base", coalesce(sum("cell_tokens").over(baseW), lit(0L)))
+      .select("shard", "rng", "base")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard", "rng").orderBy(col("eh"), col("doc_id"))
+      .rowsBetween(unbounded, -1)
+    sized.join(bases, Seq("shard", "rng"))
+      .withColumn("tok_offset",
+        col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .withColumn("seq_id", floor(col("tok_offset") / PackBudget))
+      .select("doc_id", "shard", "eh", "n_tokens", "tok_offset", "seq_id")
+      .orderBy("doc_id")
+  }
+
+  /** Single-window semantic definition over the same two hashes. */
+  val q91OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
+    val phE = graft.functions.PolyHash.sql(
+      s"(CAST(doc_id AS VARCHAR) || '#epoch$PackEpoch')")
+    s"""WITH sized AS (
+      |  SELECT doc_id,
+      |         CAST($ph % $PackShards AS INTEGER) AS shard,
+      |         CAST($phE % $EpochHashDomain AS BIGINT) AS eh,
+      |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens
+      |  FROM documents
+      |)
+      |SELECT doc_id, shard, eh, n_tokens,
+      |       CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+      |         ORDER BY eh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+      |         AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset,
+      |       CAST(FLOOR(CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+      |         ORDER BY eh, doc_id ROWS BETWEEN UNBOUNDED PRECEDING
       |         AND 1 PRECEDING), 0) AS DOUBLE) / $PackBudget) AS BIGINT) AS seq_id
       |FROM sized ORDER BY doc_id""".stripMargin
   }

@@ -59,11 +59,46 @@ class CorpusOpsSpec extends SparkSpec {
       rs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
         assert(r.getAs[Long]("tok_offset") == offset)
         assert(r.getAs[Long]("seq_id") == offset / 512)
-        assert(r.getAs[Int]("n_tokens") ==
+        assert(r.getAs[Long]("n_tokens") ==
           docs(r.getAs[Long]("doc_id")).split("\\s+").length)
-        offset += r.getAs[Int]("n_tokens")
+        offset += r.getAs[Long]("n_tokens")
       }
     }
+  }
+
+  test("q91 offsets follow the per-epoch (eh, doc_id) order and conserve mass") {
+    val rows = CorpusOps.q91EpochPack(spark, sf).collect()
+    assert(rows.length == docs.size)
+    rows.groupBy(_.getAs[Int]("shard")).foreach { case (_, rs) =>
+      var offset = 0L
+      rs.sortBy(r => (r.getAs[Long]("eh"), r.getAs[Long]("doc_id")))
+        .foreach { r =>
+          assert(r.getAs[Long]("tok_offset") == offset)
+          assert(r.getAs[Long]("seq_id") == offset / 512)
+          offset += r.getAs[Long]("n_tokens")
+        }
+    }
+    // the shuffle is real: in the biggest shard, the epoch order is not
+    // the id order
+    val biggest = rows.groupBy(_.getAs[Int]("shard")).values.maxBy(_.length)
+    val byEh = biggest
+      .sortBy(r => (r.getAs[Long]("eh"), r.getAs[Long]("doc_id")))
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(byEh != byEh.sorted, "epoch permutation degenerated to id order")
+  }
+
+  test("q91 epochs are deterministic, width-invariant, distinct permutations") {
+    val e1 = CorpusOps.epochPack(spark, sf, 4096L, 1).collect().toSeq
+    // two-level decomposition over the hash domain is exact at any width
+    assert(CorpusOps.epochPack(spark, sf, 7L, 1).collect().toSeq == e1)
+    val e2 = CorpusOps.epochPack(spark, sf, 4096L, 2).collect().toSeq
+    assert(e1 != e2, "epoch salt must change the permutation")
+    // shard token mass is epoch-independent (the shuffle moves order,
+    // not membership)
+    def mass(rs: Seq[org.apache.spark.sql.Row]): Map[Int, Long] =
+      rs.groupBy(_.getAs[Int]("shard"))
+        .map { case (s, g) => s -> g.map(_.getAs[Long]("n_tokens")).sum }
+    assert(mass(e1) == mass(e2))
   }
 
   test("oversized eval sets downgrade decontamination to a shuffle join") {

@@ -67,7 +67,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q87_bigram_surprisal" -> (TextAnalysis.q87BigramSurprisal _),
     "q88_takedown_cascade" -> (Curation.q88TakedownCascade _),
     "q89_temperature_mixture" -> (CorpusOps.q89TemperatureMixture _),
-    "q90_source_divergence" -> (CorpusAudit.q90SourceDivergence _))
+    "q90_source_divergence" -> (CorpusAudit.q90SourceDivergence _),
+    "q91_epoch_pack" -> (CorpusOps.q91EpochPack _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
