@@ -54,14 +54,19 @@ object Tables {
     *    ([PARQUET_TYPE_ILLEGAL]), so it is read as a raw ns long
     *    (`spark.sql.legacy.parquet.nanosAsLong`) and `ts` is the
     *    µs-truncated derivation;
-    *  - parquet `timestamp[us]` (read as TIMESTAMP_NTZ or LTZ): `ts` is
-    *    the column itself cast to session-local TimestampType and
-    *    `ts_ns` = `unix_micros(ts) * 1000` — lossless, since the stored
-    *    precision is µs.
+    *  - parquet `timestamp[us]`, not UTC-adjusted (read as
+    *    TIMESTAMP_NTZ): the stored wall clock IS the epoch reading —
+    *    `ts_ns` measures it against the NTZ epoch with `timestampdiff`,
+    *    which is SESSION-TIMEZONE-FREE, where a cast-then-unix_micros
+    *    would shift by the session offset (DuckDB's `epoch_us` over the
+    *    same naive timestamp applies no zone either — the two must
+    *    agree in any session);
+    *  - parquet `timestamp[us]`, UTC-adjusted (read as TimestampType):
+    *    already an instant; `unix_micros` is zone-free on instants.
     *
     * Oracle-side convention either way: compare timestamps via
     * `epoch_us(ts)` and order via raw `ts` ⇔ Spark `ts_ns` (DuckDB reads
-    * both encodings as a native timestamp, so the oracle SQL is
+    * every encoding as a native timestamp, so the oracle SQL is
     * vintage-independent).
     */
   def events(s: SparkSession, d: String): DataFrame = {
@@ -71,9 +76,12 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumnRenamed("ts", "ts_ns")
           .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts_ns", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
       case _ =>
-        raw.withColumn("ts", col("ts").cast("timestamp"))
-          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+        raw.withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
     }
     normalized
       .select("event_id", "ts", "ts_ns", "user_id", "event_type", "value", "props")

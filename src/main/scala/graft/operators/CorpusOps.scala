@@ -295,40 +295,65 @@ object CorpusOps {
     * whenever it is small. `rangeWidth` is parameterized only for the
     * equivalence spec; production uses [[PackRangeWidth]].
     */
-  private[graft] def sequencePack(spark: SparkSession, dir: String,
-      rangeWidth: Long,
-      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
-      : DataFrame = {
-    val shard = pmod(org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.PolyHash(
-        org.apache.spark.sql.GraftSqlBridge.expression(
-          col("doc_id").cast("string")))), lit(PackShards.toLong)).cast("int")
-    // every input column derives from (doc_id, n_tokens), so when the
-    // token-count artifact resolves this operator runs ENTIRELY off the
-    // standing state — zero documents scan
-    val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), tok.count(col("text")).as("n_tokens")))
-    // NULL-text docs cost 0 tokens (the q84 posture — coalesced at the
-    // consumption point so artifact and inline paths stay identical, and
-    // a legacy size(NULL) = -1 can never shift the running offsets)
-    val sized = counts.select(col("doc_id"), shard.as("shard"),
-      coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"),
-      expr(s"doc_id DIV $rangeWidth").as("rng"))
+  /** The (doc_id, n_tokens) frame every packing/sharding operator
+    * consumes: the token-count artifact when it resolves (zero documents
+    * scan), else ONE checkpointed tokenizing scan — the count frame
+    * always feeds both a range-grain aggregate and a doc-grain window
+    * probe, whose exchange shapes differ, so without the checkpoint the
+    * corpus would tokenize twice per query.
+    */
+  private def packCounts(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame =
+    graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
+      graft.Checkpoints.checkpoint(Tables.documents(spark, dir)
+        .select(col("doc_id"), tok.count(col("text")).as("n_tokens"))))
+
+  /** The shared two-level offset kernel behind q48 and q91: `sized` is
+    * (doc_id, shard, rng, n_tokens [, order columns…]) where `rng` must
+    * be monotone non-decreasing along the per-shard `orderCols` order —
+    * that monotonicity is exactly what licenses decomposing the
+    * single-window running sum into per-(shard, rng) totals + a tiny
+    * per-shard base sum + a partition-local window (the oracles keep the
+    * single-window form as the definition; the hash matches prove the
+    * equivalence). One definition, so an offset-math fix can never land
+    * in one packing order and miss the other.
+    */
+  private def packOffsets(sized: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val baseW = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("rng").rowsBetween(unbounded, -1)
     val bases = sized.groupBy("shard", "rng")
-      .agg(sum(col("n_tokens").cast("long")).as("cell_tokens"))
+      .agg(sum("n_tokens").as("cell_tokens"))
       .withColumn("base", coalesce(sum("cell_tokens").over(baseW), lit(0L)))
       .select("shard", "rng", "base")
     val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard", "rng").orderBy("doc_id").rowsBetween(unbounded, -1)
+      .partitionBy("shard", "rng").orderBy(orderCols: _*)
+      .rowsBetween(unbounded, -1)
     sized.join(bases, Seq("shard", "rng"))
       .withColumn("tok_offset",
-        col("base") +
-          coalesce(sum(col("n_tokens").cast("long")).over(localW), lit(0L)))
+        col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
       .withColumn("seq_id", floor(col("tok_offset") / PackBudget))
+  }
+
+  private def shardOf(id: org.apache.spark.sql.Column) =
+    pmod(org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(id.cast("string")))),
+      lit(PackShards.toLong)).cast("int")
+
+  private[graft] def sequencePack(spark: SparkSession, dir: String,
+      rangeWidth: Long,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame = {
+    // NULL-text docs cost 0 tokens (the q84 posture — coalesced at the
+    // consumption point so artifact and inline paths stay identical, and
+    // a legacy size(NULL) = -1 can never shift the running offsets)
+    val sized = packCounts(spark, dir, tok)
+      .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"),
+        expr(s"doc_id DIV $rangeWidth").as("rng"))
+    packOffsets(sized, Seq(col("doc_id")))
       .select("doc_id", "shard", "n_tokens", "tok_offset", "seq_id")
       .orderBy("doc_id")
   }
@@ -391,35 +416,17 @@ object CorpusOps {
       rangeWidth: Long, epoch: Int,
       tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
       : DataFrame = {
-    def hashOf(e: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.GraftSqlBridge.column(
-        graft.functions.PolyHash(
-          org.apache.spark.sql.GraftSqlBridge.expression(e)))
-    val shard = pmod(hashOf(col("doc_id").cast("string")),
-      lit(PackShards.toLong)).cast("int")
-    val eh = pmod(hashOf(concat(col("doc_id").cast("string"),
-      lit(s"#epoch$epoch"))), lit(EpochHashDomain))
-    val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), tok.count(col("text")).as("n_tokens")))
-    val sized = counts.select(col("doc_id"), shard.as("shard"),
-      eh.as("eh"),
-      coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
+    val eh = pmod(org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          concat(col("doc_id").cast("string"), lit(s"#epoch$epoch"))))),
+      lit(EpochHashDomain))
+    val sized = packCounts(spark, dir, tok)
+      .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+        eh.as("eh"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
       .withColumn("rng", expr(s"eh DIV $rangeWidth"))
-    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
-    val baseW = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard").orderBy("rng").rowsBetween(unbounded, -1)
-    val bases = sized.groupBy("shard", "rng")
-      .agg(sum("n_tokens").as("cell_tokens"))
-      .withColumn("base", coalesce(sum("cell_tokens").over(baseW), lit(0L)))
-      .select("shard", "rng", "base")
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("shard", "rng").orderBy(col("eh"), col("doc_id"))
-      .rowsBetween(unbounded, -1)
-    sized.join(bases, Seq("shard", "rng"))
-      .withColumn("tok_offset",
-        col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
-      .withColumn("seq_id", floor(col("tok_offset") / PackBudget))
+    packOffsets(sized, Seq(col("eh"), col("doc_id")))
       .select("doc_id", "shard", "eh", "n_tokens", "tok_offset", "seq_id")
       .orderBy("doc_id")
   }
@@ -494,9 +501,7 @@ object CorpusOps {
     // fallback checkpoints the tiny count frame so the range-totals
     // aggregate and the doc-grain join share ONE tokenizing scan
     // (plan-guarded in PlanQualitySpec)
-    val counts = graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
-      graft.Checkpoints.checkpoint(Tables.documents(spark, dir)
-        .select(col("doc_id"), tok.count(col("text")).as("n_tokens"))))
+    val counts = packCounts(spark, dir, tok)
     // NULL-text documents count as 0 tokens (coalesced HERE, at the
     // consumption point, so the artifact and inline paths stay
     // hash-identical); without the guard a legacy size(NULL) = -1 would
@@ -971,7 +976,12 @@ object CorpusOps {
       .select(col("lang"), col("source"), col("n_tokens"),
         round6(col("token_share")).as("token_share"),
         round6(col("s") / col("z")).as("temp_weight"),
-        round6((col("s") / col("z")) / col("token_share")).as("boost"))
+        // a zeroTokenCapable tokenizer can yield a 0-token stratum:
+        // 0.0/0.0 is NaN under Java double division, so the undefined
+        // up-sampling factor is an explicit NULL instead (weight 0 is
+        // still correct — the stratum contributes nothing)
+        when(col("token_share") > 0,
+          round6((col("s") / col("z")) / col("token_share"))).as("boost"))
       .orderBy("lang", "source")
   }
 
@@ -993,7 +1003,8 @@ object CorpusOps {
       |SELECT lang, source, n_tokens,
       |       ${round6Sql("token_share")} AS token_share,
       |       ${round6Sql("s / z")} AS temp_weight,
-      |       ${round6Sql("(s / z) / token_share")} AS boost
+      |       CASE WHEN token_share > 0
+      |            THEN ${round6Sql("(s / z) / token_share")} END AS boost
       |FROM scaled, z ORDER BY lang, source""".stripMargin
   }
 

@@ -311,7 +311,9 @@ object Curation {
     */
   def takedownCascade(spark: SparkSession, dir: String,
       seeds: DataFrame): DataFrame = {
-    val s = graft.Checkpoints.checkpoint(seeds)
+    // distinct: two requests naming the same doc must not fan out the
+    // is_seed join and double-count the removal report
+    val s = graft.Checkpoints.checkpoint(seeds.distinct())
     val keepers = graft.Artifacts.keepers(spark, dir)
       .select("doc_id", "keeper_id")
     val hitClusters = keepers.join(s, "doc_id")

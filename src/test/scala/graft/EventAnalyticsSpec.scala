@@ -12,6 +12,32 @@ class EventAnalyticsSpec extends SparkSpec {
 
   private lazy val events = Tables.events(spark, sf)
 
+  test("events adapter is session-timezone-independent for µs NTZ vintage") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evtz").toFile
+    try {
+      // LocalDateTime → TIMESTAMP_NTZ → parquet timestamp[us],
+      // isAdjustedToUTC=false — the vintage the adapter reads as NTZ
+      val wall = java.time.LocalDateTime.of(2024, 1, 1, 12, 0, 0)
+      Seq((1L, wall, 7L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"${dir.getPath}/events.parquet")
+      val expectedNs =
+        wall.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+      def tsNs(): Long =
+        Tables.events(spark, dir.getPath).select("ts_ns").as[Long].head()
+      assert(tsNs() == expectedNs)
+      // the same file under a shifted session zone must yield the SAME
+      // ts_ns — the naive wall clock is the epoch reading, exactly as
+      // DuckDB's epoch_us treats it, regardless of who runs the session
+      val prev = spark.conf.get("spark.sql.session.timeZone")
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      try assert(tsNs() == expectedNs,
+        "ts_ns shifted with the session timezone")
+      finally spark.conf.set("spark.sql.session.timeZone", prev)
+    } finally { Tables.invalidate(dir.getPath); deleteRecursively(dir) }
+  }
+
   test("q72 pivot rows cover every user and types sum to the total") {
     val rows = EventAnalytics.q72EventPivot(spark, sf).collect()
     assert(rows.length == events.select("user_id").distinct.count())

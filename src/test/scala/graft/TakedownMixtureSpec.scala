@@ -50,10 +50,13 @@ class TakedownMixtureSpec extends SparkSpec {
         (1L, "alpha beta gamma delta", "en", "web"),
         (2L, "alpha beta gamma delta", "en", "web"),
         (3L, "totally unrelated content here", "en", "web")))
-      val seeds = Seq(2L).toDF("doc_id")
-      val out = Curation.takedownCascade(spark, dir.getPath, seeds)
-        .collect().map(r => r.getAs[Long]("doc_id") ->
-          r.getAs[Boolean]("is_seed")).toMap
+      // doc 2 named TWICE (two overlapping requests): the closure must
+      // still be one row per document, not a fanned-out join
+      val seeds = Seq(2L, 2L).toDF("doc_id")
+      val rows = Curation.takedownCascade(spark, dir.getPath, seeds).collect()
+      assert(rows.length == 2, s"duplicate seed fanned out: ${rows.length} rows")
+      val out = rows.map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Boolean]("is_seed")).toMap
       assert(out == Map(1L -> false, 2L -> true),
         "naming ANY cluster member must remove the whole cluster")
     } finally deleteRecursively(dir)
@@ -95,6 +98,28 @@ class TakedownMixtureSpec extends SparkSpec {
             r.getAs[Double]("temp_weight"), r.getAs[Double]("boost")))).toMap
       assert(out("de") == ((16L, 0.64, 0.571429, 0.892857)))
       assert(out("en") == ((9L, 0.36, 0.428571, 1.190476)))
+    } finally deleteRecursively(dir)
+  }
+
+  test("q89 zero-token stratum under a zero-capable tokenizer: NULL boost, no NaN") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-q89z").toFile
+    try {
+      // BpePre yields ZERO tokens for whitespace-only text, so the
+      // (de, news) stratum has token_share exactly 0.0 — its boost is
+      // undefined (0/0) and must surface as NULL, never NaN
+      writeDocs(dir, Seq(
+        (1L, "real words with actual tokens", "en", "web"),
+        (2L, "   ", "de", "news")))
+      val out = CorpusOps.temperatureMixture(spark, dir.getPath,
+        graft.functions.Tokenizer.BpePre)
+        .collect().map(r => r.getAs[String]("lang") -> r).toMap
+      val zero = out("de")
+      assert(zero.getAs[Long]("n_tokens") == 0L)
+      assert(zero.getAs[Double]("token_share") == 0.0)
+      assert(zero.getAs[Double]("temp_weight") == 0.0)
+      assert(zero.isNullAt(zero.fieldIndex("boost")),
+        s"undefined boost must be NULL, got ${zero.getAs[Double]("boost")}")
+      assert(out("en").getAs[Double]("temp_weight") == 1.0)
     } finally deleteRecursively(dir)
   }
 
