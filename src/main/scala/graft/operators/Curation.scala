@@ -567,4 +567,82 @@ object Curation {
       |SELECT doc_id, source, n_tokens, cum_tokens
       |FROM c WHERE cum_tokens <= $SourceTokenBudget
       |ORDER BY source, cum_tokens""".stripMargin
+
+  // ---- q94: surprisal-banded curriculum order ----------------------------
+
+  /** Hash sub-bucket width for the curriculum's two-level global rank:
+    * `sk DIV HbWidth` splits the [0, 2³¹−1) PolyHash range into 32
+    * order-preserving buckets (floor division is monotone in `sk`, so
+    * ordering by (band, hb, sk, doc_id) IS the ordering by (band, sk,
+    * doc_id)).
+    */
+  private val CurriculumHbWidth = 1L << 26
+
+  /** q94 — curriculum ordering: a deterministic total order over the
+    * corpus that presents LOW-surprisal (common-token, "easy") documents
+    * first and shuffles within each difficulty band. Curriculum
+    * schedules are a standard pretraining lever (easy→hard ordering),
+    * but a naive `ORDER BY difficulty` feeds the trainer documents in
+    * near-identical clumps; the band + in-band hash shuffle keeps the
+    * global easy→hard ramp while decorrelating neighbors — the same
+    * reason q91 epoch-shuffles within shards. Band = integer part of
+    * q86's mean token rarity (token-less documents band 0); in-band
+    * order = (PolyHash(doc_id), doc_id), deterministic and
+    * growth-stable like q42.
+    *
+    * Scale shape: the global `curriculum_pos` is NOT a single-task
+    * window — q48/q84's two-level decomposition over (band, hash-bucket)
+    * cells: per-cell counts (map-side partial agg), one running sum over
+    * the tiny cell table (≤ bands × 32 rows), then a partition-local
+    * rank inside each cell. The oracle keeps the single-window
+    * definition; the hash match proves the decomposition. Surprisal
+    * itself rides q86's artifact-backed token-frequency path.
+    */
+  def q94CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          col("doc_id").cast("string"))))
+    val sized = TextAnalysis.q86UnigramSurprisal(spark, dir)
+      .select(col("doc_id"),
+        coalesce(floor(col("mean_rarity")), lit(0L)).cast("int").as("band"),
+        sk.as("sk"))
+      .withColumn("hb", expr(s"sk DIV $CurriculumHbWidth"))
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val cellW = org.apache.spark.sql.expressions.Window
+      .orderBy("band", "hb").rowsBetween(unbounded, -1)
+    val bases = sized.groupBy("band", "hb")
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("base", coalesce(sum("cell_n").over(cellW), lit(0L)))
+      .select("band", "hb", "base")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("band", "hb").orderBy(col("sk").asc, col("doc_id").asc)
+    sized.join(bases, Seq("band", "hb"))
+      .withColumn("curriculum_pos",
+        col("base") + row_number().over(localW) - 1)
+      .select("doc_id", "band", "sk", "curriculum_pos")
+      .orderBy("doc_id")
+  }
+
+  /** The single-window definition the two-level plan must equal: q86's
+    * surprisal verbatim, band + hash from the same constants, one
+    * `row_number` over (band, sk, doc_id).
+    */
+  val q94OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH sur AS (
+      |  SELECT doc_id, mean_rarity FROM (
+      |${graft.operators.TextAnalysis.q86OracleSql}
+      |  )
+      |), sized AS (
+      |  SELECT doc_id,
+      |         CAST(COALESCE(floor(mean_rarity), 0) AS INTEGER) AS band,
+      |         $ph AS sk
+      |  FROM sur
+      |)
+      |SELECT doc_id, band, sk,
+      |       row_number() OVER (ORDER BY band, sk, doc_id) - 1
+      |         AS curriculum_pos
+      |FROM sized ORDER BY doc_id""".stripMargin
+  }
 }

@@ -502,4 +502,121 @@ object Similarity {
       |FROM scored WHERE cos >= $NearDupCos
       |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---- q92: ANN recall@k evaluation --------------------------------------
+
+  /** q92 — recall@k of the LSH ANN path ([[q23AnnLsh]]) against the
+    * exact baseline ([[q22CosineTopK]]), per probe. The eval every ANN
+    * deployment ships beside the index: approximate retrieval is only
+    * trustworthy with a measured recall number, and the measurement
+    * must be an OPERATOR (re-runnable on every corpus snapshot, every
+    * re-tune of the LSH constants), not a one-off notebook.
+    * `SimilaritySpec` asserts a recall floor; this query makes the
+    * per-probe numbers a first-class, oracle-checked output.
+    *
+    * Scale shape: both sides inherit their own scale stories (broadcast
+    * probes × one corpus scan; bucket equi-join). The comparison itself
+    * joins two probe-grain top-k frames — k·|probes| rows, trivially
+    * small at any corpus size — so the eval costs one extra tiny join
+    * beyond the two searches it measures.
+    */
+  def q92AnnRecall(spark: SparkSession, dir: String): DataFrame = {
+    val exact = q22CosineTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+    val approx = q23AnnLsh(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall", VectorOps.round6(
+        col("n_hit").cast("double") / col("n_exact")))
+      .orderBy("probe_id")
+  }
+
+  /** The two search oracles verbatim (same hyperplane constants), joined
+    * at probe grain — the recall the oracle computes is over the
+    * identical candidate semantics the Spark plan measures.
+    */
+  val q92OracleSql: String = {
+    val recall = VectorOps.round6Sql(
+      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
+    s"""WITH exact AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |$q22OracleSql
+      |  )
+      |), approx AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |$q23OracleSql
+      |  )
+      |)
+      |SELECT e.probe_id, COUNT(*) AS n_exact,
+      |       COUNT(a.neighbor_id) AS n_hit,
+      |       $recall AS recall
+      |FROM exact e LEFT JOIN approx a
+      |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+      |GROUP BY e.probe_id
+      |ORDER BY e.probe_id""".stripMargin
+  }
+
+  // ---- q93: k-NN label coherence eval ------------------------------------
+
+  /** q93 — leave-one-out k-NN label vote for the probe set: each probe's
+    * label is predicted by majority vote over its [[TopK]] exact cosine
+    * neighbors (ties broken toward the smaller label id), and compared
+    * to its true `label`. The standard embedding-quality eval — if
+    * nearest neighbors don't share labels, the space won't support
+    * retrieval, clustering, or near-dup detection — run here at probe
+    * grain so the measurement is cheap and repeatable per snapshot.
+    *
+    * Scale shape: inherits [[q22CosineTopK]]'s broadcast-probes × one
+    * corpus scan; everything after the top-k (label join, vote, argmax)
+    * operates on k·|probes| rows. Swapping [[q23AnnLsh]] in as the
+    * neighbor source gives the same eval at ANN cost — q92 measures
+    * exactly how much recall that swap trades away.
+    */
+  def q93KnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val p = probes(e).withColumn("pn", VectorOps.norm(col("pv")))
+    val top = rankTop(scoredNeighbors(p, e), TopK)
+    val votes = top
+      .join(e.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+        "neighbor_id")
+      .groupBy("probe_id", "nl")
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("nl").asc)
+    votes.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .join(e.select(col("vec_id").as("probe_id"),
+        col("label").as("true_label")), "probe_id")
+      .select(col("probe_id"), col("true_label"),
+        col("nl").as("pred_label"), col("votes"),
+        (col("true_label") === col("nl")).as("correct"))
+      .orderBy("probe_id")
+  }
+
+  /** q22's oracle as the neighbor source; the vote and argmax replayed
+    * with the same tie order (votes desc, label asc).
+    */
+  val q93OracleSql: String =
+    s"""WITH exact AS (
+      |  SELECT probe_id, neighbor_id FROM (
+      |$q22OracleSql
+      |  )
+      |), votes AS (
+      |  SELECT x.probe_id, e.label AS nl, COUNT(*) AS votes
+      |  FROM exact x JOIN embeddings e ON e.vec_id = x.neighbor_id
+      |  GROUP BY 1, 2
+      |), pred AS (
+      |  SELECT probe_id, nl, votes,
+      |         row_number() OVER (PARTITION BY probe_id
+      |           ORDER BY votes DESC, nl ASC) AS r
+      |  FROM votes
+      |)
+      |SELECT p.probe_id, t.label AS true_label, p.nl AS pred_label,
+      |       p.votes, (t.label = p.nl) AS correct
+      |FROM pred p JOIN embeddings t ON t.vec_id = p.probe_id
+      |WHERE p.r = 1
+      |ORDER BY p.probe_id""".stripMargin
 }

@@ -537,4 +537,69 @@ object TextAnalysis {
       |         AS mean_rarity
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q95: per-source tokenizer fertility audit -------------------------
+
+  /** q95 — tokenizer fertility by source: how many tokens a source's
+    * text costs per unit of content, under both the whitespace counter
+    * and the BPE-ish pre-tokenizer. The budgeting input every
+    * pretraining team tracks per source — fertility (pre-tokens per
+    * whitespace word) says how much a tokenizer inflates a source
+    * (code and numbers inflate hard, prose barely), and chars-per-token
+    * converts a raw-byte corpus size into a token budget. Reuses q26's
+    * [[tokenCounts]] frame, so in artifact mode BOTH count columns come
+    * from standing per-doc state and the `text` column is never
+    * scanned — the documents read here is (doc_id, source, n_chars)
+    * only, with the stored `n_chars` standing in for `length(text)` in
+    * both engines.
+    *
+    * Scale shape: doc-grain counts join on doc_id (co-partitioned,
+    * artifact bucketed by doc_id), then a map-side-combinable aggregate
+    * to source grain — a handful of output rows. No text scan, no
+    * window, no skew (the agg key is the small source domain but the
+    * combine is partial).
+    */
+  def q95TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(tokenCounts(spark, dir, graft.functions.Tokenizer.Whitespace),
+        "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("long")).as("n_chars"),
+        sum(coalesce(col("ws_tokens").cast("long"), lit(0L)))
+          .as("ws_tokens"),
+        sum(coalesce(col("bpe_tokens").cast("long"), lit(0L)))
+          .as("bpe_tokens"))
+      .withColumn("fertility", round6(
+        col("bpe_tokens").cast("double") / nullif(col("ws_tokens"), lit(0L))))
+      .withColumn("chars_per_token", round6(
+        col("n_chars").cast("double") / nullif(col("bpe_tokens"), lit(0L))))
+      .orderBy("source")
+
+  /** q26's two counters re-derived from text (the oracle has no
+    * artifact), summed to source grain with the same zero-guarded
+    * ratios; `n_chars` is the stored column, as in the plan.
+    */
+  val q95OracleSql: String =
+    s"""WITH c AS (
+      |  SELECT doc_id, source, n_chars,
+      |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS ws,
+      |         COALESCE(len(regexp_extract_all(text,
+      |           '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')), 0) AS bpe
+      |  FROM documents
+      |), agg AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      |         CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+      |         CAST(SUM(bpe) AS BIGINT) AS bpe_tokens
+      |  FROM c GROUP BY source
+      |)
+      |SELECT source, n_docs, n_chars, ws_tokens, bpe_tokens,
+      |       ${round6Sql("CAST(bpe_tokens AS DOUBLE) / nullif(ws_tokens, 0)")}
+      |         AS fertility,
+      |       ${round6Sql("CAST(n_chars AS DOUBLE) / nullif(bpe_tokens, 0)")}
+      |         AS chars_per_token
+      |FROM agg ORDER BY source""".stripMargin
 }

@@ -68,7 +68,11 @@ class EmptyCorpusSpec extends SparkSpec {
     "q88_takedown_cascade" -> (Curation.q88TakedownCascade _),
     "q89_temperature_mixture" -> (CorpusOps.q89TemperatureMixture _),
     "q90_source_divergence" -> (CorpusAudit.q90SourceDivergence _),
-    "q91_epoch_pack" -> (CorpusOps.q91EpochPack _))
+    "q91_epoch_pack" -> (CorpusOps.q91EpochPack _),
+    "q92_ann_recall" -> (Similarity.q92AnnRecall _),
+    "q93_knn_label_eval" -> (Similarity.q93KnnLabelEval _),
+    "q94_curriculum_order" -> (Curation.q94CurriculumOrder _),
+    "q95_tokenizer_fertility" -> (TextAnalysis.q95TokenizerFertility _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
