@@ -340,6 +340,56 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q92/q93 probe evals inherit the broadcast-probe shape — no pairwise product") {
+    for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+        ("q92", graft.operators.Similarity.q92AnnRecall _),
+        ("q93", graft.operators.Similarity.q93KnnLabelEval _))) {
+      val p = plan(q(spark, sf))
+      // the probe×corpus scoring must ride a broadcast of the probe side
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"),
+        s"$name lost the broadcast probe side:\n" + p.take(600))
+      // an un-broadcast cross join would be an O(n²) corpus product
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n" + p.take(600))
+    }
+  }
+
+  test("q94's doc-grain rank partitions by (band, hb) — global window only over cells") {
+    val p = plan(graft.operators.Curation.q94CurriculumOrder(spark, sf))
+    val windows = p.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    val docGrain = windows.filter(_.contains("doc_id"))
+    assert(docGrain.nonEmpty, windows.mkString("\n"))
+    docGrain.foreach(w => assert(w.contains("band") && w.contains("hb"),
+      s"doc-grain rank lost its (band, hb) partitioning:\n$w"))
+  }
+
+  test("artifact mode: q95 reads standing counts — document text never scanned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fertguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = TextAnalysis.q95TokenizerFertility(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q95 plan does not read the artifact root:\n" + p.take(600))
+      val docLines = p.linesIterator.filter(l =>
+        l.contains("FileScan parquet") && l.contains("documents")).toSeq
+      assert(docLines.size <= 1,
+        s"q95 artifact-mode plan scans documents ${docLines.size} times")
+      docLines.foreach(l => assert(!l.contains("text"),
+        s"q95 reads document text in artifact mode:\n$l"))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
