@@ -603,11 +603,15 @@ object Curation {
       graft.functions.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(
           col("doc_id").cast("string"))))
-    val sized = TextAnalysis.q86UnigramSurprisal(spark, dir)
-      .select(col("doc_id"),
-        coalesce(floor(col("mean_rarity")), lit(0L)).cast("int").as("band"),
-        sk.as("sk"))
-      .withColumn("hb", expr(s"sk DIV $CurriculumHbWidth"))
+    // checkpointed: `sized` feeds both the cell census and the doc-grain
+    // rank join — without the pin the q86 surprisal derivation (a corpus
+    // tokenize + frequency join) would execute once per consumer
+    val sized = graft.Checkpoints.checkpoint(
+      TextAnalysis.q86UnigramSurprisal(spark, dir)
+        .select(col("doc_id"),
+          coalesce(floor(col("mean_rarity")), lit(0L)).cast("int").as("band"),
+          sk.as("sk"))
+        .withColumn("hb", expr(s"sk DIV $CurriculumHbWidth")))
     val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     val cellW = org.apache.spark.sql.expressions.Window
       .orderBy("band", "hb").rowsBetween(unbounded, -1)

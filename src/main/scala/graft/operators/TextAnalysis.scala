@@ -132,6 +132,14 @@ object TextAnalysis {
     * regex definition, not a drifting copy.
     */
   def tokenCounts(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame =
+    tokenCountsFrame(spark, dir, tok).orderBy("doc_id")
+
+  /** [[tokenCounts]] without the presentation sort — the form aggregate
+    * consumers (q95) join against, so the doc-grain frame never takes a
+    * useless global range-shuffle below their own aggregation.
+    */
+  private[graft] def tokenCountsFrame(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     val bpe = graft.functions.Tokenizer.BpePre
     // artifact mode: both count columns are standing per-doc state — the
@@ -142,13 +150,11 @@ object TextAnalysis {
         tc.select(col("doc_id"), col("n_tokens").as("ws_tokens"))
           .join(bc.select(col("doc_id"), col("n_tokens").as("bpe_tokens")),
             "doc_id")
-          .orderBy("doc_id")
       case _ =>
         val d = Tables.documents(spark, dir)
         d.select(col("doc_id"),
             tok.count(col("text")).as("ws_tokens"),
             bpe.count(col("text")).as("bpe_tokens"))
-          .orderBy("doc_id")
     }
   }
 
@@ -562,7 +568,7 @@ object TextAnalysis {
   def q95TokenizerFertility(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"))
-      .join(tokenCounts(spark, dir, graft.functions.Tokenizer.Whitespace),
+      .join(tokenCountsFrame(spark, dir, graft.functions.Tokenizer.Whitespace),
         "doc_id")
       .groupBy("source")
       .agg(
