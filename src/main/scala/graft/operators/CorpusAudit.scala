@@ -596,4 +596,64 @@ object CorpusAudit {
       |       ${round6Sql("CAST(SUM(n * gap) AS DOUBLE) / MAX(src_total)")}
       |         AS mean_divergence
       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  // ---- q96: quality-gate disagreement matrix -----------------------------
+
+  /** q96 — disagreement matrix between the two quality gates the library
+    * ships: q41's rule-based curation funnel (`selected`) and q83's
+    * linear classifier (`quality_label`). Before swapping one gate for
+    * the other — or ANDing them — a pipeline needs the confusion
+    * surface: how many documents (and how much token mass) the
+    * classifier culls that the funnel keeps, and vice versa. Each cell
+    * carries doc count, token mass, and corpus doc share.
+    *
+    * Scale shape: two doc-grain gate frames join on doc_id, then a
+    * map-side-partial aggregate to a ≤4-cell output; the corpus total
+    * rides a broadcast of a 1-row aggregate. Both inputs inherit their
+    * own artifact paths (q41's keeper join reads the standing keeper
+    * table; q83 is map-only).
+    */
+  def q96FilterDisagreement(spark: SparkSession, dir: String): DataFrame = {
+    val funnel = Curation.q41CorpusSelect(spark, dir)
+      .select(col("doc_id"), col("selected"),
+        coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
+    val quality = TextAnalysis.q83QualityClassifier(spark, dir)
+      .select(col("doc_id"), col("quality_label"))
+    val joined = funnel.join(quality, "doc_id")
+    val total = joined.agg(count(lit(1)).as("total_docs"))
+    joined.groupBy("selected", "quality_label")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("doc_share",
+        round6(col("n_docs").cast("double") / col("total_docs")))
+      .select("selected", "quality_label", "n_docs", "n_tokens", "doc_share")
+      .orderBy("selected", "quality_label")
+  }
+
+  /** The two gate oracles verbatim, joined at doc grain and rolled up to
+    * the confusion cells with the same share arithmetic.
+    */
+  val q96OracleSql: String =
+    s"""WITH funnel AS (
+      |  SELECT doc_id, selected,
+      |         COALESCE(CAST(n_tokens AS BIGINT), 0) AS n_tokens FROM (
+      |${Curation.q41OracleSql}
+      |  )
+      |), quality AS (
+      |  SELECT doc_id, quality_label FROM (
+      |${TextAnalysis.q83OracleSql}
+      |  )
+      |), joined AS (
+      |  SELECT f.selected, q.quality_label, f.n_tokens
+      |  FROM funnel f JOIN quality q USING (doc_id)
+      |), tot AS (
+      |  SELECT COUNT(*) AS total_docs FROM joined
+      |)
+      |SELECT selected, quality_label, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |       ${round6Sql("CAST(COUNT(*) AS DOUBLE) / total_docs")}
+      |         AS doc_share
+      |FROM joined, tot
+      |GROUP BY selected, quality_label, total_docs
+      |ORDER BY selected, quality_label""".stripMargin
 }

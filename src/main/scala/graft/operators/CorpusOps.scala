@@ -1008,6 +1008,131 @@ object CorpusOps {
       |FROM scaled, z ORDER BY lang, source""".stripMargin
   }
 
+  // ---- q97: epoch-annealed mixture schedule ------------------------------
+
+  /** Epoch count for the q97 anneal ramp (epochs 0 .. AnnealEpochs−1). */
+  private val AnnealEpochs = 4
+
+  /** q97 — the mixture SCHEDULE a multi-epoch run trains on: per
+    * (epoch, stratum) sampling weight interpolating linearly from q53's
+    * uniform-flattening weights (epoch 0 — maximum source diversity
+    * early, when the model is learning basics from everything) to q89's
+    * temperature-scaled weights (final epoch — the published
+    * natural-mass-biased blend for the polish phase). Annealing the
+    * mixture across epochs instead of picking one static blend is a
+    * standard curriculum lever; this emits the whole schedule as data so
+    * the per-epoch sampler (q56 with the epoch's column) stays a pure
+    * function of the row.
+    *
+    * Scale shape: both weight frames are stratum-grain aggregates; the
+    * epoch axis is a broadcast 4-row range. Nothing here touches the
+    * corpus beyond the one stratum census the two mixtures already
+    * share.
+    */
+  def q97AnnealSchedule(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val uni = q53MixtureWeights(spark, dir).select("lang", "source", "weight")
+    val temp = q89TemperatureMixture(spark, dir)
+      .select("lang", "source", "temp_weight")
+    val epochs = spark.range(AnnealEpochs)
+      .select(col("id").cast("int").as("epoch"))
+    val t = col("epoch").cast("double") / lit((AnnealEpochs - 1).toDouble)
+    uni.join(temp, Seq("lang", "source"))
+      .crossJoin(broadcast(epochs))
+      .select(col("lang"), col("source"), col("epoch"),
+        round6((lit(1.0) - t) * col("weight") + t * col("temp_weight"))
+          .as("anneal_weight"))
+      .orderBy("epoch", "lang", "source")
+  }
+
+  /** The two mixture oracles verbatim, interpolated with the same ramp
+    * arithmetic over the same literal epoch range.
+    */
+  val q97OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    val ramp = s"CAST(epoch AS DOUBLE) / ${AnnealEpochs - 1}.0"
+    s"""WITH uni AS (
+      |  SELECT lang, source, weight FROM (
+      |$q53OracleSql
+      |  )
+      |), temp AS (
+      |  SELECT lang, source, temp_weight FROM (
+      |$q89OracleSql
+      |  )
+      |), ep AS (
+      |  SELECT CAST(unnest(generate_series(0, ${AnnealEpochs - 1})) AS INTEGER)
+      |    AS epoch
+      |)
+      |SELECT u.lang, u.source, ep.epoch,
+      |       ${round6Sql(
+               s"(1.0 - $ramp) * u.weight + ($ramp) * t.temp_weight")}
+      |         AS anneal_weight
+      |FROM uni u JOIN temp t USING (lang, source) CROSS JOIN ep
+      |ORDER BY ep.epoch, u.lang, u.source""".stripMargin
+  }
+
+  // ---- q98: packing efficiency audit -------------------------------------
+
+  /** q98 — packing efficiency per shard: the writer QA over q48's
+    * sequence layout. Reports, per shard, the document and token mass,
+    * the number of [[PackBudget]]-token sequences that mass fills
+    * (`ceil(tokens/budget)`), the padding the final partial sequence
+    * wastes, the fill ratio, and how many documents a sequence boundary
+    * CUTS (`split_docs` — a doc whose span crosses its sequence's end
+    * trains with a truncated context; the fraction is the quality cost
+    * of concat-then-chunk at this budget). The numbers that pick a
+    * budget: fill ratio rises and split fraction falls as budget grows.
+    *
+    * Scale shape: one pass over q48's doc-grain output (which itself
+    * runs off standing token counts in artifact mode) into a map-side
+    * partial aggregate at shard grain — 8 output rows.
+    */
+  def q98PackEfficiency(spark: SparkSession, dir: String): DataFrame =
+    q48SequencePack(spark, dir)
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        count(when(col("tok_offset") + col("n_tokens") >
+          (col("seq_id") + 1) * PackBudget, lit(1))).as("split_docs"))
+      .withColumn("n_seqs",
+        expr(s"(n_tokens + ${PackBudget - 1}) DIV $PackBudget"))
+      .withColumn("pad_tokens", col("n_seqs") * PackBudget - col("n_tokens"))
+      .withColumn("fill_ratio", graft.functions.VectorOps.round6(
+        col("n_tokens").cast("double") /
+          nullif(col("n_seqs") * PackBudget, lit(0L))))
+      .select("shard", "n_docs", "n_tokens", "n_seqs", "pad_tokens",
+        "split_docs", "fill_ratio")
+      .orderBy("shard")
+
+  /** q48's oracle verbatim, rolled up with the same ceil/pad/split
+    * arithmetic.
+    */
+  val q98OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH packed AS (
+      |  SELECT * FROM (
+      |$q48OracleSql
+      |  )
+      |), agg AS (
+      |  SELECT shard, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |         COUNT(CASE WHEN tok_offset + n_tokens >
+      |           (seq_id + 1) * $PackBudget THEN 1 END) AS split_docs
+      |  FROM packed GROUP BY shard
+      |)
+      |SELECT shard, n_docs, n_tokens,
+      |       (n_tokens + ${PackBudget - 1}) // $PackBudget AS n_seqs,
+      |       ((n_tokens + ${PackBudget - 1}) // $PackBudget) * $PackBudget
+      |         - n_tokens AS pad_tokens,
+      |       split_docs,
+      |       ${round6Sql(
+               s"CAST(n_tokens AS DOUBLE) / nullif(((n_tokens + " +
+               s"${PackBudget - 1}) // $PackBudget) * $PackBudget, 0)")}
+      |         AS fill_ratio
+      |FROM agg ORDER BY shard""".stripMargin
+  }
+
   /** Resolution of the q56 sampling hash (hash is uniform on [0, 10⁶)). */
   private val MixResolution = 1000000L
 

@@ -72,7 +72,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q92_ann_recall" -> (Similarity.q92AnnRecall _),
     "q93_knn_label_eval" -> (Similarity.q93KnnLabelEval _),
     "q94_curriculum_order" -> (Curation.q94CurriculumOrder _),
-    "q95_tokenizer_fertility" -> (TextAnalysis.q95TokenizerFertility _))
+    "q95_tokenizer_fertility" -> (TextAnalysis.q95TokenizerFertility _),
+    "q96_filter_disagreement" -> (CorpusAudit.q96FilterDisagreement _),
+    "q97_anneal_schedule" -> (CorpusOps.q97AnnealSchedule _),
+    "q98_pack_efficiency" -> (CorpusOps.q98PackEfficiency _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusAudit, CorpusOps, Curation, TextAnalysis}
+
+/** Semantics pins for the pipeline-audit operators added in round 12:
+  * q96 (quality-gate disagreement), q97 (epoch-annealed mixture
+  * schedule), q98 (packing efficiency). Cross-engine value checks live
+  * in the DuckDB oracle gate; these pin the reconciliation invariants —
+  * cells partition the corpus, the ramp's endpoints are the two
+  * mixtures it interpolates, the efficiency numbers reconcile with the
+  * packing they audit.
+  */
+class PipelineAuditSpec extends SparkSpec {
+
+  test("q96 cells partition the corpus and shares sum to one") {
+    val cells = CorpusAudit.q96FilterDisagreement(spark, sf).collect()
+    assert(cells.nonEmpty)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == corpus,
+      "confusion cells do not partition the corpus")
+    val shareSum = cells.map(_.getAs[Double]("doc_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"doc_share sum $shareSum")
+    // one cell cross-checked directly against the two gate frames
+    val funnel = Curation.q41CorpusSelect(spark, sf)
+      .select(col("doc_id"), col("selected"))
+    val keepKeep = funnel.join(
+        TextAnalysis.q83QualityClassifier(spark, sf)
+          .select(col("doc_id"), col("quality_label")), "doc_id")
+      .filter(col("selected") && col("quality_label") === "keep").count()
+    val cell = cells.find(r =>
+      r.getAs[Boolean]("selected") && r.getAs[String]("quality_label") == "keep")
+    assert(cell.map(_.getAs[Long]("n_docs")).getOrElse(0L) == keepKeep)
+  }
+
+  test("q97 ramp endpoints are exactly the two mixtures it interpolates") {
+    val sched = CorpusOps.q97AnnealSchedule(spark, sf).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Int]("epoch")), r.getAs[Double]("anneal_weight"))).toMap
+    val epochs = sched.keys.map(_._3).toSet
+    assert(epochs == Set(0, 1, 2, 3))
+    val uni = CorpusOps.q53MixtureWeights(spark, sf).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source")),
+        r.getAs[Double]("weight"))).toMap
+    val temp = CorpusOps.q89TemperatureMixture(spark, sf).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source")),
+        r.getAs[Double]("temp_weight"))).toMap
+    uni.keys.foreach { k =>
+      assert(math.abs(sched((k._1, k._2, 0)) - uni(k)) < 1e-9,
+        s"epoch-0 weight drifts from q53 for $k")
+      assert(math.abs(sched((k._1, k._2, 3)) - temp(k)) < 1e-9,
+        s"final-epoch weight drifts from q89 for $k")
+      // interior epochs stay between the endpoints
+      for (e <- Seq(1, 2)) {
+        val w = sched((k._1, k._2, e))
+        val (lo, hi) = (math.min(uni(k), temp(k)), math.max(uni(k), temp(k)))
+        assert(w >= lo - 1e-9 && w <= hi + 1e-9, s"epoch-$e weight $w for $k")
+      }
+    }
+  }
+
+  test("q98 reconciles with the q48 packing it audits") {
+    val packed = CorpusOps.q48SequencePack(spark, sf).collect()
+    val eff = CorpusOps.q98PackEfficiency(spark, sf).collect()
+    val byShard = packed.groupBy(_.getAs[Int]("shard"))
+    assert(eff.length == byShard.size)
+    val budget = 512L
+    eff.foreach { r =>
+      val shard = r.getAs[Int]("shard")
+      val rows = byShard(shard)
+      val tokens = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(r.getAs[Long]("n_docs") == rows.length)
+      assert(r.getAs[Long]("n_tokens") == tokens)
+      val nSeqs = (tokens + budget - 1) / budget
+      assert(r.getAs[Long]("n_seqs") == nSeqs)
+      assert(r.getAs[Long]("pad_tokens") == nSeqs * budget - tokens)
+      assert(r.getAs[Long]("pad_tokens") >= 0 &&
+        r.getAs[Long]("pad_tokens") < budget)
+      val split = rows.count(p => p.getAs[Long]("tok_offset") +
+        p.getAs[Long]("n_tokens") > (p.getAs[Long]("seq_id") + 1) * budget)
+      assert(r.getAs[Long]("split_docs") == split.toLong)
+      val fill = r.getAs[Double]("fill_ratio")
+      assert(fill > 0.0 && fill <= 1.0, s"fill $fill")
+    }
+  }
+}
