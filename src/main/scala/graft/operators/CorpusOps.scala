@@ -1648,6 +1648,80 @@ object CorpusOps {
       |ORDER BY i.doc_id""".stripMargin
   }
 
+  // ---- q99: snapshot drift by source -------------------------------------
+
+  /** q99 — the drift report over [[q76SnapshotDiff]]'s change set: per
+    * (source, status) document counts and the net whitespace-token mass
+    * delta. q76 names WHICH documents changed; this is the rollup an
+    * operator reads before promoting the snapshot — did a source
+    * suddenly shed half its token mass (a crawler regression), or grow
+    * 10× (a spam flood)? Same deterministic prior/current fixture as
+    * q76, statuses from the same [[snapshotDiff]] core (one definition,
+    * can't drift).
+    *
+    * Scale shape: the diff ships (id, digest) pairs, never bodies; only
+    * the CHANGE SET (not the corpus) reaches the count joins, and the
+    * output is (source × status)-grain. A production run feeds the two
+    * digest+count sides from the standing `doc_hashes`/`token_counts`
+    * artifacts of each snapshot instead of re-deriving them — the
+    * operator is the rollup, not the scan.
+    */
+  def q99SnapshotDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def wsCount(t: org.apache.spark.sql.Column) =
+      when(t.isNotNull, size(split(t, "\\s+")).cast("long")).otherwise(lit(0L))
+    val priorText = when(pmod(col("doc_id"), lit(11)) === 0,
+      substring(col("text"), 1, 10)).otherwise(col("text"))
+    val prior = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), md5(priorText).as("h"),
+        wsCount(priorText).as("tok_old"))
+    val cur = d.filter(pmod(col("doc_id"), lit(5)) =!= 3)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        wsCount(col("text")).as("tok_new"))
+    snapshotDiff(prior.select("doc_id", "h"), cur.select("doc_id", "h"))
+      .select("doc_id", "status")
+      .join(prior.select("doc_id", "tok_old"), Seq("doc_id"), "left")
+      .join(cur.select("doc_id", "tok_new"), Seq("doc_id"), "left")
+      .join(d.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("tok_new"), lit(0L)) -
+          coalesce(col("tok_old"), lit(0L))).as("token_delta"))
+      .orderBy("source", "status")
+  }
+
+  /** q76's fixture and presence-classification verbatim, with the same
+    * per-side token counts and the same rollup.
+    */
+  val q99OracleSql: String =
+    """WITH prior AS (
+      |  SELECT doc_id,
+      |         md5(CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
+      |             ELSE text END) AS h,
+      |         COALESCE(len(string_split_regex(
+      |           CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
+      |                ELSE text END, '\s+')), 0) AS tok_old
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |), cur AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |         COALESCE(len(string_split_regex(text, '\s+')), 0) AS tok_new
+      |  FROM documents WHERE doc_id % 5 <> 3
+      |), diff AS (
+      |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+      |         CASE WHEN p.doc_id IS NULL THEN 'added'
+      |              WHEN c.doc_id IS NULL THEN 'removed'
+      |              WHEN p.h IS DISTINCT FROM c.h THEN 'changed'
+      |              ELSE 'unchanged' END AS status,
+      |         COALESCE(c.tok_new, 0) - COALESCE(p.tok_old, 0) AS delta
+      |  FROM prior p FULL OUTER JOIN cur c ON p.doc_id = c.doc_id
+      |)
+      |SELECT d.source, f.status, COUNT(*) AS n_docs,
+      |       CAST(SUM(f.delta) AS BIGINT) AS token_delta
+      |FROM diff f JOIN documents d USING (doc_id)
+      |WHERE f.status <> 'unchanged'
+      |GROUP BY d.source, f.status
+      |ORDER BY d.source, f.status""".stripMargin
+
   val q76OracleSql: String =
     """WITH prior AS (
       |  SELECT doc_id,

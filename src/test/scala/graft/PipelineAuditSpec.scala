@@ -59,6 +59,27 @@ class PipelineAuditSpec extends SparkSpec {
     }
   }
 
+  test("q99 rollup reconciles with q76's change set") {
+    val drift = CorpusOps.q99SnapshotDrift(spark, sf).collect()
+    assert(drift.nonEmpty)
+    // per-status doc counts must sum to q76's statuses exactly
+    val byStatus = drift.groupBy(_.getAs[String]("status"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_docs")).sum }
+    val q76 = CorpusOps.q76SnapshotDiff(spark, sf).collect()
+      .groupBy(_.getAs[String]("status"))
+      .map { case (s, rs) => s -> rs.length.toLong }
+    assert(byStatus == q76, s"$byStatus vs $q76")
+    // removed docs can only shed mass; added docs can only add it
+    drift.foreach { r =>
+      val delta = r.getAs[Long]("token_delta")
+      r.getAs[String]("status") match {
+        case "removed" => assert(delta <= 0, s"removed with +$delta")
+        case "added" => assert(delta >= 0, s"added with $delta")
+        case _ =>
+      }
+    }
+  }
+
   test("q98 reconciles with the q48 packing it audits") {
     val packed = CorpusOps.q48SequencePack(spark, sf).collect()
     val eff = CorpusOps.q98PackEfficiency(spark, sf).collect()
