@@ -619,7 +619,10 @@ object CorpusAudit {
         coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
     val quality = TextAnalysis.q83QualityClassifier(spark, dir)
       .select(col("doc_id"), col("quality_label"))
-    val joined = funnel.join(quality, "doc_id")
+    // checkpointed: the joined gate frame feeds both the corpus total
+    // and the cell rollup — without the pin the funnel + classifier
+    // derivation (two text scans and a keeper join) would run twice
+    val joined = graft.Checkpoints.checkpoint(funnel.join(quality, "doc_id"))
     val total = joined.agg(count(lit(1)).as("total_docs"))
     joined.groupBy("selected", "quality_label")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))

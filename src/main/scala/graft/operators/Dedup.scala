@@ -491,6 +491,67 @@ object Dedup {
       |FROM jac WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q100: Jaccard similarity band histogram ---------------------------
+
+  /** q100 — the threshold-picking report over q20's near-dup pair table:
+    * pair and distinct-document counts per 0.05-wide Jaccard band
+    * (band = `floor(jaccard·20)`, so band 10 = [0.50, 0.55), band 20 =
+    * exactly 1.0). Raising a dedup threshold from 0.5 to 0.7 drops every
+    * pair in bands 10–13; this histogram is the mass those bands hold —
+    * the evidence a pipeline cites when it tunes the cutoff, instead of
+    * re-running the full dedup per candidate threshold.
+    *
+    * Band boundaries are computed from the same double `jaccard` both
+    * engines derive (identical IEEE division), so the banding is
+    * cross-engine exact like the q56 sampling comparison.
+    *
+    * Scale shape: one read of the standing `dup_pairs` artifact (the
+    * pair table is built once per snapshot, already change-bounded under
+    * maintenance), banded map-side, aggregated to ≤11 rows; the
+    * distinct-doc count stacks the two id columns before a band-grain
+    * distinct — pair-table-bounded, never corpus-bounded. Checkpointed
+    * because the banded frame feeds both rollups: without the pin the
+    * inline fallback would derive the full pair chain twice.
+    */
+  def q100JaccardBands(spark: SparkSession, dir: String): DataFrame = {
+    val banded = graft.Checkpoints.checkpoint(
+      graft.Artifacts.dupPairs(spark, dir)
+        .withColumn("band", floor(col("jaccard") * 20).cast("int"))
+        .select("band", "doc_a", "doc_b"))
+    val pairCounts = banded.groupBy("band")
+      .agg(count(lit(1)).as("n_pairs"))
+    val docCounts = banded.select(col("band"), col("doc_a").as("d"))
+      .unionByName(banded.select(col("band"), col("doc_b").as("d")))
+      .groupBy("band").agg(countDistinct("d").as("n_docs"))
+    pairCounts.join(docCounts, Seq("band"))
+      .withColumn("band_lo",
+        graft.functions.VectorOps.round6(col("band") / lit(20.0)))
+      .select("band", "band_lo", "n_pairs", "n_docs")
+      .orderBy("band")
+  }
+
+  /** q20's pair CTEs verbatim, banded and rolled up with the same
+    * floor/stack/distinct arithmetic.
+    */
+  val q100OracleSql: String =
+    s"""WITH $jaccardCtes, banded AS (
+      |  SELECT CAST(floor(jaccard * 20) AS INTEGER) AS band, doc_a, doc_b
+      |  FROM jac WHERE jaccard >= 0.5
+      |), pc AS (
+      |  SELECT band, COUNT(*) AS n_pairs FROM banded GROUP BY band
+      |), dc AS (
+      |  SELECT band, COUNT(DISTINCT d) AS n_docs FROM (
+      |    SELECT band, doc_a AS d FROM banded
+      |    UNION ALL
+      |    SELECT band, doc_b AS d FROM banded
+      |  ) GROUP BY band
+      |)
+      |SELECT band,
+      |       ${graft.functions.VectorOps.round6Sql("band / 20.0")} AS band_lo,
+      |       n_pairs, n_docs
+      |FROM pc JOIN dc USING (band)
+      |ORDER BY band""".stripMargin
+
   // ---- q21: embedding-cosine near-dup -----------------------------------
 
   /** Hard ceiling on the corpus size [[q21EmbeddingNearDup]] will

@@ -80,6 +80,27 @@ class PipelineAuditSpec extends SparkSpec {
     }
   }
 
+  test("q100 bands partition q20's pair table") {
+    val pairs = graft.operators.Dedup.q20NgramJaccard(spark, sf).collect()
+    val bands = graft.operators.Dedup.q100JaccardBands(spark, sf).collect()
+    assert(bands.nonEmpty)
+    assert(bands.map(_.getAs[Long]("n_pairs")).sum == pairs.length,
+      "band pair counts do not sum to the pair table")
+    bands.foreach { r =>
+      val b = r.getAs[Int]("band")
+      assert(b >= 10 && b <= 20, s"band $b outside [0.5, 1.0]")
+      val direct = pairs.count { p =>
+        math.floor(p.getAs[Double]("jaccard") * 20).toInt == b
+      }
+      assert(r.getAs[Long]("n_pairs") == direct.toLong, s"band $b count")
+      val docs = pairs.filter(p =>
+          math.floor(p.getAs[Double]("jaccard") * 20).toInt == b)
+        .flatMap(p => Seq(p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b")))
+        .distinct.length
+      assert(r.getAs[Long]("n_docs") == docs.toLong, s"band $b docs")
+    }
+  }
+
   test("q98 reconciles with the q48 packing it audits") {
     val packed = CorpusOps.q48SequencePack(spark, sf).collect()
     val eff = CorpusOps.q98PackEfficiency(spark, sf).collect()
