@@ -1493,17 +1493,52 @@ object CorpusOps {
     * output is change-bounded, not corpus-bounded.
     */
   def q76SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val prior = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-      .select(col("doc_id"),
-        md5(when(pmod(col("doc_id"), lit(11)) === 0,
-          substring(col("text"), 1, 10)).otherwise(col("text"))).as("h"))
-    val cur = d.filter(pmod(col("doc_id"), lit(5)) =!= 3)
-      .select(col("doc_id"), md5(col("text")).as("h"))
-    snapshotDiff(prior, cur)
+    val (prior, cur) = snapshotFixture(Tables.documents(spark, dir))
+    snapshotDiff(
+        prior.select(col("doc_id"), md5(col("t")).as("h")),
+        cur.select(col("doc_id"), md5(col("t")).as("h")))
       .select("doc_id", "status")
       .orderBy("doc_id")
   }
+
+  /** The q76/q99 snapshot fixture, ONE definition for both plans and
+    * (via the interpolated constants) both oracles: the prior snapshot
+    * is missing every [[SnapAddStripe]]th document (added since),
+    * carries a [[SnapEditPrefix]]-char truncation for every
+    * [[SnapEditStripe]]th (edited since), and the current snapshot
+    * dropped the `doc_id % `[[SnapDropStripe]]` == `[[SnapDropResidue]]
+    * stripe (deleted). Returns `(prior, cur)` as `(doc_id, t)` text
+    * frames; callers hash or count as needed.
+    */
+  private val SnapAddStripe = 7
+  private val SnapEditStripe = 11
+  private val SnapEditPrefix = 10
+  private val SnapDropStripe = 5
+  private val SnapDropResidue = 3
+
+  private def snapshotFixture(d: DataFrame): (DataFrame, DataFrame) = {
+    val priorText = when(pmod(col("doc_id"), lit(SnapEditStripe)) === 0,
+      substring(col("text"), 1, SnapEditPrefix)).otherwise(col("text"))
+    (d.filter(pmod(col("doc_id"), lit(SnapAddStripe)) =!= 0)
+        .select(col("doc_id"), priorText.as("t")),
+      d.filter(pmod(col("doc_id"), lit(SnapDropStripe)) =!= SnapDropResidue)
+        .select(col("doc_id"), col("text").as("t")))
+  }
+
+  /** The fixture's two sides as SQL CTE bodies (prior/cur with a text
+    * column `t`) — interpolated into [[q76OracleSql]] and
+    * [[q99OracleSql]] from the same constants as [[snapshotFixture]],
+    * so tuning a stripe cannot leave one engine or one query behind.
+    */
+  private def snapshotFixtureSql: (String, String) = (
+    s"""SELECT doc_id,
+      |         CASE WHEN doc_id % $SnapEditStripe = 0
+      |              THEN substr(text, 1, $SnapEditPrefix)
+      |              ELSE text END AS t
+      |  FROM documents WHERE doc_id % $SnapAddStripe <> 0""".stripMargin,
+    s"""SELECT doc_id, text AS t
+      |  FROM documents
+      |  WHERE doc_id % $SnapDropStripe <> $SnapDropResidue""".stripMargin)
 
   /** The snapshot-diff CORE shared by [[q76SnapshotDiff]],
     * [[q81IncrementalRefresh]] (via q76), and
@@ -1602,14 +1637,16 @@ object CorpusOps {
     val eq = Dedup.minhashEqTerms
     s"""WITH ${Dedup.minhashCtes}, inc AS (
       |  SELECT doc_id,
-      |         CASE WHEN doc_id % 7 = 0 THEN 'added' ELSE 'changed' END AS status
+      |         CASE WHEN doc_id % $SnapAddStripe = 0 THEN 'added'
+      |              ELSE 'changed' END AS status
       |  FROM documents
-      |  WHERE doc_id % 5 <> 3
-      |    AND (doc_id % 7 = 0
-      |         OR (doc_id % 11 = 0 AND md5(substr(text, 1, 10)) <> md5(text)))
+      |  WHERE doc_id % $SnapDropStripe <> $SnapDropResidue
+      |    AND (doc_id % $SnapAddStripe = 0
+      |         OR (doc_id % $SnapEditStripe = 0
+      |             AND md5(substr(text, 1, $SnapEditPrefix)) <> md5(text)))
       |), corpus AS (
       |  SELECT d.doc_id FROM documents d
-      |  WHERE d.doc_id % 5 <> 3
+      |  WHERE d.doc_id % $SnapDropStripe <> $SnapDropResidue
       |    AND d.doc_id NOT IN (SELECT doc_id FROM inc)
       |), hashes AS (
       |  SELECT doc_id, md5(text) AS h FROM documents
@@ -1670,18 +1707,25 @@ object CorpusOps {
     val d = Tables.documents(spark, dir)
     def wsCount(t: org.apache.spark.sql.Column) =
       when(t.isNotNull, size(split(t, "\\s+")).cast("long")).otherwise(lit(0L))
-    val priorText = when(pmod(col("doc_id"), lit(11)) === 0,
-      substring(col("text"), 1, 10)).otherwise(col("text"))
-    val prior = d.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-      .select(col("doc_id"), md5(priorText).as("h"),
-        wsCount(priorText).as("tok_old"))
-    val cur = d.filter(pmod(col("doc_id"), lit(5)) =!= 3)
-      .select(col("doc_id"), md5(col("text")).as("h"),
-        wsCount(col("text")).as("tok_new"))
-    snapshotDiff(prior.select("doc_id", "h"), cur.select("doc_id", "h"))
-      .select("doc_id", "status")
-      .join(prior.select("doc_id", "tok_old"), Seq("doc_id"), "left")
-      .join(cur.select("doc_id", "tok_new"), Seq("doc_id"), "left")
+    val (prior, cur) = snapshotFixture(d)
+    // the digest diff is the only corpus-wide work (32-byte hashes per
+    // side); checkpointed because the change set feeds three joins below
+    val statuses = graft.Checkpoints.checkpoint(
+      snapshotDiff(
+          prior.select(col("doc_id"), md5(col("t")).as("h")),
+          cur.select(col("doc_id"), md5(col("t")).as("h")))
+        .select("doc_id", "status"))
+    // tokenization is bounded to the CHANGE SET: each side joins the diff
+    // ids FIRST and counts tokens only on surviving rows — never a
+    // corpus-wide tokenize for a report about what changed
+    val ids = statuses.select("doc_id")
+    val tokOld = prior.join(ids, "doc_id")
+      .select(col("doc_id"), wsCount(col("t")).as("tok_old"))
+    val tokNew = cur.join(ids, "doc_id")
+      .select(col("doc_id"), wsCount(col("t")).as("tok_new"))
+    statuses
+      .join(tokOld, Seq("doc_id"), "left")
+      .join(tokNew, Seq("doc_id"), "left")
       .join(d.select(col("doc_id"), col("source")), "doc_id")
       .groupBy("source", "status")
       .agg(count(lit(1)).as("n_docs"),
@@ -1690,22 +1734,23 @@ object CorpusOps {
       .orderBy("source", "status")
   }
 
-  /** q76's fixture and presence-classification verbatim, with the same
-    * per-side token counts and the same rollup.
+  /** q76's fixture (shared [[snapshotFixtureSql]] constants) and
+    * presence-classification verbatim, with the same per-side token
+    * counts and the same rollup.
     */
   val q99OracleSql: String =
-    """WITH prior AS (
-      |  SELECT doc_id,
-      |         md5(CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
-      |             ELSE text END) AS h,
-      |         COALESCE(len(string_split_regex(
-      |           CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
-      |                ELSE text END, '\s+')), 0) AS tok_old
-      |  FROM documents WHERE doc_id % 7 <> 0
+    s"""WITH priortext AS (
+      |  ${snapshotFixtureSql._1}
+      |), curtext AS (
+      |  ${snapshotFixtureSql._2}
+      |), prior AS (
+      |  SELECT doc_id, md5(t) AS h,
+      |         COALESCE(len(string_split_regex(t, '\\s+')), 0) AS tok_old
+      |  FROM priortext
       |), cur AS (
-      |  SELECT doc_id, md5(text) AS h,
-      |         COALESCE(len(string_split_regex(text, '\s+')), 0) AS tok_new
-      |  FROM documents WHERE doc_id % 5 <> 3
+      |  SELECT doc_id, md5(t) AS h,
+      |         COALESCE(len(string_split_regex(t, '\\s+')), 0) AS tok_new
+      |  FROM curtext
       |), diff AS (
       |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
       |         CASE WHEN p.doc_id IS NULL THEN 'added'
@@ -1723,14 +1768,14 @@ object CorpusOps {
       |ORDER BY d.source, f.status""".stripMargin
 
   val q76OracleSql: String =
-    """WITH prior AS (
-      |  SELECT doc_id,
-      |         md5(CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 10)
-      |             ELSE text END) AS h_prior
-      |  FROM documents WHERE doc_id % 7 <> 0
+    s"""WITH priortext AS (
+      |  ${snapshotFixtureSql._1}
+      |), curtext AS (
+      |  ${snapshotFixtureSql._2}
+      |), prior AS (
+      |  SELECT doc_id, md5(t) AS h_prior FROM priortext
       |), cur AS (
-      |  SELECT doc_id, md5(text) AS h_cur
-      |  FROM documents WHERE doc_id % 5 <> 3
+      |  SELECT doc_id, md5(t) AS h_cur FROM curtext
       |), diff AS (
       |  SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
       |         CASE WHEN p.doc_id IS NULL THEN 'added'
