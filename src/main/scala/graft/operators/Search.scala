@@ -92,4 +92,70 @@ object Search {
       |GROUP BY tf.doc_id, n_total
       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
   }
+
+  // ---- q101: passage (chunk) retrieval ------------------------------------
+
+  /** q101 — BM25 top-k over CHUNKS instead of documents: the retrieval
+    * grain a RAG pipeline actually serves (a 32-token passage, not a
+    * whole document — context windows hold passages, and passage-grain
+    * scores don't drown a sharp hit inside a long document). Same
+    * rational-idf scoring as [[q66KeywordSearch]] with chunk-level
+    * statistics (df = chunks containing the term, N = total chunks);
+    * chunks come from `Segments.chunkTokenFrame` — the ONE chunk
+    * definition shared with q64, scored on the sliced token arrays
+    * themselves (never a re-split of joined chunk text).
+    *
+    * Scale shape: q64's map-only chunk explode feeds the same
+    * filter-before-aggregate index shape as q66 — only (chunks
+    * containing a query term) × (terms) survive the explode — and the
+    * ranking is `TakeOrderedAndProject`. At real scale the chunk tf
+    * table is the materialized passage index this query joins.
+    */
+  def q101ChunkSearch(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = Segments.chunkTokenFrame(spark, dir)
+    val nChunks = chunks.agg(count(lit(1)).as("n_total"))
+    val tf = chunks
+      .select(col("doc_id"), col("chunk_id"),
+        explode(col("ctoks")).as("token"))
+      .filter(col("token").isin(QueryTerms: _*))
+      .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nChunks))
+      .withColumn("w",
+        idf * (col("tf").cast("double") / (col("tf") + K1)))
+      .groupBy("doc_id", "chunk_id")
+      .agg(round6(sum(col("w"))).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"), asc("chunk_id"))
+      .limit(TopK)
+  }
+
+  /** q64's shared chunk CTEs + q66's scoring arithmetic at chunk grain.
+    */
+  val q101OracleSql: String = {
+    val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH terms(token) AS (VALUES $termList),
+      |${Segments.chunkCtesSql},
+      |tokc AS (
+      |  SELECT doc_id, chunk_id, unnest(ctoks) AS token FROM chunkslice
+      |), tf AS (
+      |  SELECT doc_id, chunk_id, t.token, COUNT(*) AS tf
+      |  FROM tokc JOIN terms t ON tokc.token = t.token
+      |  GROUP BY 1, 2, 3
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total FROM chunkslice
+      |)
+      |SELECT tf.doc_id, CAST(tf.chunk_id AS INTEGER) AS chunk_id,
+      |       ${round6Sql(
+           s"""SUM(((n_total - df + 0.5) / (df + 0.5))
+      |         * (CAST(tf AS DOUBLE) / (tf + $K1)))""")} AS score,
+      |       COUNT(*) AS n_terms_hit
+      |FROM tf JOIN df ON tf.token = df.token, n
+      |GROUP BY tf.doc_id, tf.chunk_id, n_total
+      |ORDER BY score DESC, doc_id, chunk_id LIMIT $TopK""".stripMargin
+  }
 }

@@ -31,7 +31,22 @@ object Segments {
     * one scan, no shuffle but the presentation sort. Chunk blow-up is
     * bounded by width/stride (≈1.33× token mass here).
     */
-  def q64ChunkDocs(spark: SparkSession, dir: String): DataFrame = {
+  def q64ChunkDocs(spark: SparkSession, dir: String): DataFrame =
+    chunkTokenFrame(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(col("ctoks")).as("n_chunk_tokens"),
+        concat_ws(" ", col("ctoks")).as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** The chunk derivation behind [[q64ChunkDocs]], ONE definition shared
+    * with the passage-retrieval consumer (`Search.q101ChunkSearch`):
+    * `(doc_id, chunk_id, start_tok, ctoks)` with `ctoks` the sliced
+    * token array itself — consumers tokenize the SLICE, never a
+    * re-split of the joined chunk text (a text round-trip would not
+    * survive empty tokens from leading/duplicate whitespace).
+    */
+  private[graft] def chunkTokenFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val n = size(toks)
     val starts = when(n > 0, sequence(lit(0), n - 1, lit(ChunkStride)))
@@ -40,35 +55,40 @@ object Segments {
       .select(col("doc_id"), toks.as("t"),
         posexplode(starts).as(Seq("chunk_id", "start_tok")))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),
-        size(slice(col("t"), col("start_tok") + 1, lit(ChunkWidth)))
-          .as("n_chunk_tokens"),
-        concat_ws(" ", slice(col("t"), col("start_tok") + 1, lit(ChunkWidth)))
-          .as("chunk_text"))
-      .orderBy("doc_id", "chunk_id")
+        slice(col("t"), col("start_tok") + 1, lit(ChunkWidth)).as("ctoks"))
   }
 
-  val q64OracleSql: String =
-    s"""WITH toks AS (
+  /** [[chunkTokenFrame]] as SQL CTEs (`chunkslice` = doc_id, chunk_id,
+    * start_tok, ctoks) — interpolated by [[q64OracleSql]] and q101's
+    * oracle from the same width/stride constants.
+    */
+  private[graft] val chunkCtesSql: String =
+    s"""ctoks_src AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
-      |), chunks AS (
+      |), chunkpos AS (
       |  SELECT doc_id, t,
-      |         unnest(starts) AS start_tok,
-      |         generate_subscripts(starts, 1) - 1 AS chunk_id
+      |         generate_subscripts(starts, 1) - 1 AS chunk_id,
+      |         unnest(starts) AS start_tok
       |  FROM (
       |    SELECT doc_id, t,
       |           CASE WHEN len(t) > 0
       |                THEN generate_series(0, len(t) - 1, $ChunkStride)
       |                ELSE [] END AS starts
-      |    FROM toks
+      |    FROM ctoks_src
       |  )
-      |)
+      |), chunkslice AS (
+      |  SELECT doc_id, chunk_id, start_tok,
+      |         list_slice(t, start_tok + 1, start_tok + $ChunkWidth) AS ctoks
+      |  FROM chunkpos
+      |)""".stripMargin
+
+  val q64OracleSql: String =
+    s"""WITH $chunkCtesSql
       |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
       |       CAST(start_tok AS INTEGER) AS start_tok,
-      |       CAST(len(list_slice(t, start_tok + 1, start_tok + $ChunkWidth)) AS INTEGER)
-      |         AS n_chunk_tokens,
-      |       array_to_string(list_slice(t, start_tok + 1, start_tok + $ChunkWidth), ' ')
-      |         AS chunk_text
-      |FROM chunks ORDER BY doc_id, chunk_id""".stripMargin
+      |       CAST(len(ctoks) AS INTEGER) AS n_chunk_tokens,
+      |       array_to_string(ctoks, ' ') AS chunk_text
+      |FROM chunkslice ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---- q65: winnowed-fingerprint near-dup ---------------------------------
 

@@ -77,7 +77,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q97_anneal_schedule" -> (CorpusOps.q97AnnealSchedule _),
     "q98_pack_efficiency" -> (CorpusOps.q98PackEfficiency _),
     "q99_snapshot_drift" -> (CorpusOps.q99SnapshotDrift _),
-    "q100_jaccard_bands" -> (Dedup.q100JaccardBands _))
+    "q100_jaccard_bands" -> (Dedup.q100JaccardBands _),
+    "q101_chunk_search" -> (Search.q101ChunkSearch _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -101,6 +101,28 @@ class PipelineAuditSpec extends SparkSpec {
     }
   }
 
+  test("q101 hits are real chunks whose text contains the query terms") {
+    val terms = Set("data", "pipeline", "quality")
+    val hits = graft.operators.Search.q101ChunkSearch(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val chunks = graft.operators.Segments.q64ChunkDocs(spark, sf)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        r.getAs[String]("chunk_text")).toMap
+    hits.foreach { r =>
+      val key = (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"))
+      val text = chunks.getOrElse(key, fail(s"hit $key is not a q64 chunk"))
+      val present = text.split("\\s+").count(terms.contains)
+      assert(present >= 1, s"chunk $key has no query term")
+      val nHit = r.getAs[Long]("n_terms_hit")
+      assert(nHit >= 1 && nHit <= 3, s"chunk $key n_terms_hit $nHit")
+      assert(r.getAs[Double]("score") > 0.0)
+    }
+    // scores arrive in rank order
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q98 reconciles with the q48 packing it audits") {
     val packed = CorpusOps.q48SequencePack(spark, sf).collect()
     val eff = CorpusOps.q98PackEfficiency(spark, sf).collect()

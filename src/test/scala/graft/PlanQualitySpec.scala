@@ -153,6 +153,11 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
   }
 
+  test("q101 chunk search ranks via TakeOrderedAndProject, not a full sort") {
+    val p = plan(graft.operators.Search.q101ChunkSearch(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(400))
+  }
+
   test("q66 search ranks via TakeOrderedAndProject, not a full sort") {
     assert(plan(graft.operators.Search.q66KeywordSearch(spark, sf))
       .contains("TakeOrderedAndProject"))
