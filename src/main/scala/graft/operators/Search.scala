@@ -158,4 +158,139 @@ object Search {
       |GROUP BY tf.doc_id, tf.chunk_id, n_total
       |ORDER BY score DESC, doc_id, chunk_id LIMIT $TopK""".stripMargin
   }
+
+  // ---- q102: hybrid lexical+dense retrieval (RRF) -------------------------
+
+  /** RRF rank-discount constant (Cormack et al.'s published k = 60). */
+  private val RrfK = 60.0
+
+  /** The hybrid query's probe document (doc_id and vec_id — the
+    * integrity contract keeps the two tables id-aligned).
+    */
+  private val HybridProbe = 0L
+
+  /** Query terms mined from the probe: its [[HybridTerms]] corpus-rarest
+    * tokens.
+    */
+  private val HybridTerms = 3
+
+  /** Per-ranking candidate depth and fused result count. */
+  private val HybridTopK = 10
+
+  /** q102 — hybrid related-document retrieval: find documents similar to
+    * a probe BOTH lexically and semantically, fused with reciprocal-rank
+    * fusion. The production RAG serving pattern (dense-only retrieval
+    * misses exact-term matches, lexical-only misses paraphrases; RRF is
+    * the standard score-free fusion). The lexical leg mines the probe's
+    * [[HybridTerms]] corpus-rarest tokens (rarity from the standing
+    * token-frequency artifact when materialized) and runs q66's
+    * rational-idf BM25 over them; the dense leg is q22's exact cosine
+    * top-k for the same probe; fusion is
+    * `Σ 1/(k + rank)` over both rank lists, top-[[HybridTopK]].
+    *
+    * Scale shape: the term-mining join is (probe's distinct tokens) ×
+    * the token-frequency table — probe-bounded, artifact-backed; the
+    * lexical leg inherits q66's filter-before-aggregate index shape
+    * (only docs containing one of 3 RARE terms survive the explode, so
+    * the ranked frame is naturally tiny — its global rank window runs
+    * over that small survivor set, capped at [[HybridTopK]] before
+    * fusion); the dense leg inherits q22's broadcast-probe scan. The
+    * fusion joins two ≤[[HybridTopK]]-row frames.
+    */
+  def q102HybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val probeToks = d.filter(col("doc_id") === HybridProbe)
+      .select(explode(array_distinct(Dedup.tokens(col("text"))))
+        .as("token"))
+    val counts = graft.Artifacts.tokenFreq(spark, dir) match {
+      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
+      case None => d.select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }
+    val terms = probeToks.join(counts, "token")
+      .orderBy(col("n").asc, col("token").asc).limit(HybridTerms)
+      .select("token")
+    val nDocs = d.agg(count(lit(1)).as("n_total"))
+    val tf = d.filter(col("doc_id") =!= HybridProbe)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
+      .join(broadcast(terms), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val lex = tf.join(broadcast(dfc), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w",
+        ((col("n_total") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf").cast("double") / (col("tf") + K1)))
+      .groupBy("doc_id").agg(round6(sum(col("w"))).as("lex_score"))
+    val lexRanked = lex.withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("lex_score").desc, col("doc_id").asc)))
+      .filter(col("lex_rank") <= HybridTopK)
+      .select("doc_id", "lex_rank")
+    val dense = Similarity.q22CosineTopK(spark, dir)
+      .filter(col("probe_id") === HybridProbe)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("dense_rank"))
+    lexRanked.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_score", round6(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("dense_rank")), lit(0.0))))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(HybridTopK)
+      .select("doc_id", "lex_rank", "dense_rank", "rrf_score")
+  }
+
+  /** The term mining, q66's scoring arithmetic, q22's oracle verbatim
+    * for the dense leg, and the same RRF formula.
+    */
+  val q102OracleSql: String =
+    s"""WITH ptoks AS (
+      |  SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents WHERE doc_id = $HybridProbe
+      |), counts AS (
+      |  SELECT token, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      |    FROM documents
+      |  ) GROUP BY token
+      |), terms AS (
+      |  SELECT p.token FROM ptoks p JOIN counts c USING (token)
+      |  ORDER BY c.n ASC, p.token ASC LIMIT $HybridTerms
+      |), tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents WHERE doc_id <> $HybridProbe
+      |), tf AS (
+      |  SELECT doc_id, t.token, COUNT(*) AS tf
+      |  FROM tok JOIN terms t ON tok.token = t.token
+      |  GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total FROM documents
+      |), lex AS (
+      |  SELECT tf.doc_id,
+      |         ${round6Sql(
+             s"""SUM(((n_total - df + 0.5) / (df + 0.5))
+      |           * (CAST(tf AS DOUBLE) / (tf + $K1)))""")} AS lex_score
+      |  FROM tf JOIN dfc ON tf.token = dfc.token, n
+      |  GROUP BY tf.doc_id, n_total
+      |), lexk AS (
+      |  SELECT doc_id, lex_rank FROM (
+      |    SELECT doc_id, row_number() OVER (
+      |      ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+      |    FROM lex
+      |  ) WHERE lex_rank <= $HybridTopK
+      |), dense AS (
+      |  SELECT neighbor_id AS doc_id, rank AS dense_rank FROM (
+      |${graft.operators.Similarity.q22OracleSql}
+      |  ) WHERE probe_id = $HybridProbe
+      |), fused AS (
+      |  SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+      |         l.lex_rank, de.dense_rank,
+      |         ${round6Sql(
+             s"""COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
+      |           + COALESCE(1.0 / ($RrfK + de.dense_rank), 0)""")}
+      |           AS rrf_score
+      |  FROM lexk l FULL OUTER JOIN dense de ON l.doc_id = de.doc_id
+      |)
+      |SELECT doc_id, lex_rank, dense_rank, rrf_score
+      |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $HybridTopK""".stripMargin
 }

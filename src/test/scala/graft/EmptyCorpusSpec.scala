@@ -78,7 +78,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q98_pack_efficiency" -> (CorpusOps.q98PackEfficiency _),
     "q99_snapshot_drift" -> (CorpusOps.q99SnapshotDrift _),
     "q100_jaccard_bands" -> (Dedup.q100JaccardBands _),
-    "q101_chunk_search" -> (Search.q101ChunkSearch _))
+    "q101_chunk_search" -> (Search.q101ChunkSearch _),
+    "q102_hybrid_search" -> (Search.q102HybridSearch _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -123,6 +123,29 @@ class PipelineAuditSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q102 fusion reconciles with its two legs") {
+    val hits = graft.operators.Search.q102HybridSearch(spark, sf).collect()
+    assert(hits.nonEmpty)
+    val dense = graft.operators.Similarity.q22CosineTopK(spark, sf)
+      .filter(col("probe_id") === 0L).collect()
+      .map(r => r.getAs[Long]("neighbor_id") -> r.getAs[Int]("rank")).toMap
+    hits.foreach { r =>
+      val lexR = Option(r.getAs[Integer]("lex_rank")).map(_.toInt)
+      val denR = Option(r.getAs[Integer]("dense_rank")).map(_.toInt)
+      assert(lexR.isDefined || denR.isDefined,
+        s"doc ${r.getAs[Long]("doc_id")} in neither leg")
+      // dense ranks must be exactly q22's probe-0 ranks
+      denR.foreach(dr =>
+        assert(dense(r.getAs[Long]("doc_id")) == dr, "dense rank drift"))
+      val expected = lexR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0) +
+        denR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-6)
+    }
+    // a doc in BOTH legs must outrank a doc in one leg at similar depth
+    val scores = hits.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q98 reconciles with the q48 packing it audits") {
     val packed = CorpusOps.q48SequencePack(spark, sf).collect()
     val eff = CorpusOps.q98PackEfficiency(spark, sf).collect()
