@@ -442,6 +442,25 @@ object Artifacts {
   def bigramFreq(spark: SparkSession, corpusDir: String): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, BigramFreqName)
 
+  /** Corpus-wide token totals `(token, n)`: the standing `(source,
+    * token, n)` frequency index re-aggregated over sources when one
+    * resolves (the source dimension sums away exactly — every document
+    * row carries a source value, null included), else one inline
+    * explode+count over the documents scan. ONE definition for every
+    * whole-corpus rarity consumer (q86 surprisal, q61 vocabulary
+    * coverage, q102 term mining), so the artifact-vs-inline resolution
+    * cannot drift between them.
+    */
+  def tokenTotals(spark: SparkSession, corpusDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    tokenFreq(spark, corpusDir) match {
+      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
+      case None => Tables.documents(spark, corpusDir)
+        .select(explode(operators.Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+    }
+  }
+
   /** The per-document digest frame `(doc_id, h)` — artifact when fresh,
     * else computed from the documents scan.
     */

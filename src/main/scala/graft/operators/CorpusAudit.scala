@@ -119,16 +119,7 @@ object CorpusAudit {
     * broadcast.
     */
   def q61VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
-    // corpus-wide token counts re-aggregate from the standing
-    // (source, token, n) artifact when one resolves — the source
-    // dimension sums away exactly (every document row carries its
-    // source value, null included, so the re-aggregation loses nothing)
-    val counts = graft.Artifacts.tokenFreq(spark, dir) match {
-      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
-      case None => Tables.documents(spark, dir)
-        .select(explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
-    }
+    val counts = graft.Artifacts.tokenTotals(spark, dir)
     val total = counts.agg(sum("n").as("total"))
     val top = counts.orderBy(desc("n"), asc("token")).limit(VocabTopK)
     val w = org.apache.spark.sql.expressions.Window

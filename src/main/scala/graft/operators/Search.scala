@@ -55,18 +55,39 @@ object Search {
         explode(Dedup.tokens(col("text"))).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
-    tf.join(broadcast(df), "token")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("w",
-        idf * (col("tf").cast("double") / (col("tf") + K1)))
-      .groupBy("doc_id")
-      .agg(round6(sum(col("w"))).as("score"),
-        count(lit(1)).as("n_terms_hit"))
+    bm25Score(tf, nDocs, Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(TopK)
   }
+
+  /** The ONE BM25 scorer behind q66, q101, and q102's lexical leg: `tf`
+    * is `(keys…, token, tf)`; df derives from it (result-set document
+    * frequency), `nTotal` is a broadcast 1-row `(n_total)` frame, and
+    * the output is `(keys…, score, n_terms_hit)` with the rational-idf
+    * sum rounded for cross-engine hashing. A k₁ tweak or scoring fix
+    * lands once.
+    */
+  private def bm25Score(tf: DataFrame, nTotal: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
+    tf.join(broadcast(df), "token")
+      .crossJoin(broadcast(nTotal))
+      .withColumn("w",
+        idf * (col("tf").cast("double") / (col("tf") + K1)))
+      .groupBy(keys.map(col): _*)
+      .agg(round6(sum(col("w"))).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** The scorer's SUM expression as SQL — interpolated by all three
+    * search oracles from the same [[K1]]. Margin bars are stripped by
+    * the ENCLOSING oracle's `stripMargin`, so this fragment must embed
+    * them raw (no stripMargin here).
+    */
+  private def bm25SumSql: String =
+    s"""SUM(((n_total - df + 0.5) / (df + 0.5))
+      |         * (CAST(tf AS DOUBLE) / (tf + $K1)))"""
 
   val q66OracleSql: String = {
     val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
@@ -84,9 +105,7 @@ object Search {
       |  SELECT COUNT(*) AS n_total FROM documents
       |)
       |SELECT tf.doc_id,
-      |       ${round6Sql(
-           s"""SUM(((n_total - df + 0.5) / (df + 0.5))
-      |         * (CAST(tf AS DOUBLE) / (tf + $K1)))""")} AS score,
+      |       ${round6Sql(bm25SumSql)} AS score,
       |       COUNT(*) AS n_terms_hit
       |FROM tf JOIN df ON tf.token = df.token, n
       |GROUP BY tf.doc_id, n_total
@@ -112,22 +131,21 @@ object Search {
     * table is the materialized passage index this query joins.
     */
   def q101ChunkSearch(spark: SparkSession, dir: String): DataFrame = {
-    val chunks = Segments.chunkTokenFrame(spark, dir)
-    val nChunks = chunks.agg(count(lit(1)).as("n_total"))
-    val tf = chunks
+    // chunk COUNT by arithmetic (ceil(n_tok/stride) per doc), not a
+    // second tokenize+posexplode of the corpus just to count rows —
+    // equal to the chunk frame's cardinality by construction
+    val nTok = size(Dedup.tokens(col("text")))
+    val nChunks = Tables.documents(spark, dir).agg(
+      coalesce(sum(when(nTok > 0,
+        floor((nTok + lit(Segments.ChunkStride - 1)) /
+          lit(Segments.ChunkStride.toDouble)).cast("long"))
+        .otherwise(0L)), lit(0L)).as("n_total"))
+    val tf = Segments.chunkTokenFrame(spark, dir)
       .select(col("doc_id"), col("chunk_id"),
         explode(col("ctoks")).as("token"))
       .filter(col("token").isin(QueryTerms: _*))
       .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
-    tf.join(broadcast(df), "token")
-      .crossJoin(broadcast(nChunks))
-      .withColumn("w",
-        idf * (col("tf").cast("double") / (col("tf") + K1)))
-      .groupBy("doc_id", "chunk_id")
-      .agg(round6(sum(col("w"))).as("score"),
-        count(lit(1)).as("n_terms_hit"))
+    bm25Score(tf, nChunks, Seq("doc_id", "chunk_id"))
       .orderBy(desc("score"), asc("doc_id"), asc("chunk_id"))
       .limit(TopK)
   }
@@ -150,9 +168,7 @@ object Search {
       |  SELECT COUNT(*) AS n_total FROM chunkslice
       |)
       |SELECT tf.doc_id, CAST(tf.chunk_id AS INTEGER) AS chunk_id,
-      |       ${round6Sql(
-           s"""SUM(((n_total - df + 0.5) / (df + 0.5))
-      |         * (CAST(tf AS DOUBLE) / (tf + $K1)))""")} AS score,
+      |       ${round6Sql(bm25SumSql)} AS score,
       |       COUNT(*) AS n_terms_hit
       |FROM tf JOIN df ON tf.token = df.token, n
       |GROUP BY tf.doc_id, tf.chunk_id, n_total
@@ -199,15 +215,16 @@ object Search {
     */
   def q102HybridSearch(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val probeToks = d.filter(col("doc_id") === HybridProbe)
-      .select(explode(array_distinct(Dedup.tokens(col("text"))))
-        .as("token"))
-    val counts = graft.Artifacts.tokenFreq(spark, dir) match {
-      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
-      case None => d.select(explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
-    }
-    val terms = probeToks.join(counts, "token")
+    // probe-grain term counts, so mining can demand corpus mass BEYOND
+    // the probe's own occurrences — without the n > n_probe guard the
+    // "rarest" tokens are the probe's hapaxes, which appear in no other
+    // document and silently empty the lexical leg
+    val probeCounts = d.filter(col("doc_id") === HybridProbe)
+      .select(explode(Dedup.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_probe"))
+    val terms = probeCounts
+      .join(graft.Artifacts.tokenTotals(spark, dir), "token")
+      .filter(col("n") > col("n_probe"))
       .orderBy(col("n").asc, col("token").asc).limit(HybridTerms)
       .select("token")
     val nDocs = d.agg(count(lit(1)).as("n_total"))
@@ -215,17 +232,16 @@ object Search {
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
       .join(broadcast(terms), "token")
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val lex = tf.join(broadcast(dfc), "token")
-      .crossJoin(broadcast(nDocs))
-      .withColumn("w",
-        ((col("n_total") - col("df") + 0.5) / (col("df") + 0.5)) *
-          (col("tf").cast("double") / (col("tf") + K1)))
-      .groupBy("doc_id").agg(round6(sum(col("w"))).as("lex_score"))
-    val lexRanked = lex.withColumn("lex_rank", row_number().over(
+    // top-k FIRST (TakeOrderedAndProject), then rank the ≤k survivors —
+    // a mined term can be common, so the scored survivor set is not
+    // guaranteed tiny and must never feed a global rank window directly
+    val lexTop = bm25Score(tf, nDocs, Seq("doc_id"))
+      .select(col("doc_id"), col("score").as("lex_score"))
+      .orderBy(col("lex_score").desc, col("doc_id").asc)
+      .limit(HybridTopK)
+    val lexRanked = lexTop.withColumn("lex_rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("lex_score").desc, col("doc_id").asc)))
-      .filter(col("lex_rank") <= HybridTopK)
       .select("doc_id", "lex_rank")
     val dense = Similarity.q22CosineTopK(spark, dir)
       .filter(col("probe_id") === HybridProbe)
@@ -243,16 +259,19 @@ object Search {
     * for the dense leg, and the same RRF formula.
     */
   val q102OracleSql: String =
-    s"""WITH ptoks AS (
-      |  SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS token
-      |  FROM documents WHERE doc_id = $HybridProbe
+    s"""WITH pcounts AS (
+      |  SELECT token, COUNT(*) AS n_probe FROM (
+      |    SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      |    FROM documents WHERE doc_id = $HybridProbe
+      |  ) GROUP BY token
       |), counts AS (
       |  SELECT token, COUNT(*) AS n FROM (
       |    SELECT unnest(string_split_regex(text, '\\s+')) AS token
       |    FROM documents
       |  ) GROUP BY token
       |), terms AS (
-      |  SELECT p.token FROM ptoks p JOIN counts c USING (token)
+      |  SELECT p.token FROM pcounts p JOIN counts c USING (token)
+      |  WHERE c.n > p.n_probe
       |  ORDER BY c.n ASC, p.token ASC LIMIT $HybridTerms
       |), tok AS (
       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
@@ -267,9 +286,7 @@ object Search {
       |  SELECT COUNT(*) AS n_total FROM documents
       |), lex AS (
       |  SELECT tf.doc_id,
-      |         ${round6Sql(
-             s"""SUM(((n_total - df + 0.5) / (df + 0.5))
-      |           * (CAST(tf AS DOUBLE) / (tf + $K1)))""")} AS lex_score
+      |         ${round6Sql(bm25SumSql)} AS lex_score
       |  FROM tf JOIN dfc ON tf.token = dfc.token, n
       |  GROUP BY tf.doc_id, n_total
       |), lexk AS (

@@ -15,10 +15,10 @@ object Segments {
   // ---- q64: document chunking ---------------------------------------------
 
   /** Tokens per chunk. */
-  private val ChunkWidth = 32
+  private[graft] val ChunkWidth = 32
 
   /** Chunk stride (overlap = width − stride). */
-  private val ChunkStride = 24
+  private[graft] val ChunkStride = 24
 
   /** q64 — context-window chunking: each document is cut into
     * [[ChunkWidth]]-token windows starting every [[ChunkStride]] tokens

@@ -355,12 +355,7 @@ object TextAnalysis {
 
   private[graft] def unigramSurprisal(spark: SparkSession, dir: String,
       maxBroadcast: Long): DataFrame = {
-    val counts = graft.Artifacts.tokenFreq(spark, dir) match {
-      case Some(tf) => tf.groupBy("token").agg(sum("n").as("n"))
-      case None => Tables.documents(spark, dir)
-        .select(explode(Dedup.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
-    }
+    val counts = graft.Artifacts.tokenTotals(spark, dir)
     val total = counts.agg(sum("n").as("total"))
     val rarity = maybeBroadcastRarity(
       counts.crossJoin(broadcast(total))

@@ -141,9 +141,13 @@ class PipelineAuditSpec extends SparkSpec {
         denR.map(x => 1.0 / (60.0 + x)).getOrElse(0.0)
       assert(math.abs(r.getAs[Double]("rrf_score") - expected) < 1e-6)
     }
-    // a doc in BOTH legs must outrank a doc in one leg at similar depth
+    // output arrives in fused-score rank order
     val scores = hits.map(_.getAs[Double]("rrf_score"))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // the term-mining guard held: the lexical leg actually fired (terms
+    // present outside the probe exist in this corpus)
+    assert(hits.exists(r => r.getAs[Integer]("lex_rank") != null),
+      "lexical leg empty — hapax guard regressed")
   }
 
   test("q98 reconciles with the q48 packing it audits") {
