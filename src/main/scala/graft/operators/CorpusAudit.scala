@@ -650,4 +650,72 @@ object CorpusAudit {
       |FROM joined, tot
       |GROUP BY selected, quality_label, total_docs
       |ORDER BY selected, quality_label""".stripMargin
+
+  // ---- q105: n-gram novelty profile ---------------------------------------
+
+  /** q105 — per-document n-gram novelty: of each document's distinct
+    * 8-grams, how many occur in NO other document (corpus df = 1), and
+    * the novelty fraction unique/total. The inverse lens of q67's dup
+    * burden: dup burden counts the text a source repeats, novelty counts
+    * the text only this document contributes — the quantity a mixture
+    * designer actually buys when upweighting a source, and the first
+    * column to check before paying to keep a crawl slice (high-volume,
+    * near-zero-novelty slices are refried content even when no single
+    * pair crosses a dedup threshold). Documents shorter than 8 tokens
+    * have no 8-grams: zero counts and a NULL fraction, the q86 posture.
+    *
+    * Scale shape: two aggregations over the standing `shingles8`
+    * artifact and NOTHING else — per-doc totals are a doc-keyed count,
+    * and because artifact rows are distinct per (doc, shingle), a df=1
+    * shingle's owner IS `min(doc_id)` of its group, so the unique-count
+    * re-aggregates from the (sh → df, owner) pass without ever joining
+    * the corpus-scale shingle table back to itself. No documents scan
+    * when the artifact resolves; inline mode pays the one
+    * tokenize+shingle pass the artifact retires.
+    */
+  def q105NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Artifacts.shingles8(spark, dir)
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val uniq = sh.groupBy("sh")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+    Tables.documents(spark, dir).select("doc_id", "source")
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        round6(coalesce(col("n_unique"), lit(0L)).cast("double") /
+          col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** The same distinct-8-gram derivation as q60's oracle, df counted at
+    * shingle grain, uniqueness re-aggregated to the owning document.
+    */
+  val q105OracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(${CorpusOps.shingleSqlN(CorpusOps.DecontamN)}) AS sh
+      |  FROM toks
+      |), per_doc AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+      |), uniq AS (
+      |  SELECT doc_id, COUNT(*) AS n_unique FROM (
+      |    SELECT sh, MIN(doc_id) AS doc_id FROM sh
+      |    GROUP BY sh HAVING COUNT(*) = 1
+      |  ) GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, d.source,
+      |       COALESCE(p.n_shingles, 0) AS n_shingles,
+      |       COALESCE(u.n_unique, 0) AS n_unique,
+      |       ${round6Sql("CAST(COALESCE(u.n_unique, 0) AS DOUBLE) " +
+           "/ p.n_shingles")} AS novelty
+      |FROM documents d
+      |LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+      |LEFT JOIN uniq u ON u.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -1171,4 +1171,66 @@ object Dedup {
   val q40OracleSql: String =
     s"""WITH RECURSIVE $keeperCtes
       |SELECT doc_id, keeper_id, is_keeper FROM keepers ORDER BY doc_id""".stripMargin
+
+  // ---- q106: quality-aware keeper selection --------------------------------
+
+  /** q106 — quality-aware dedup representative selection: within each
+    * q40 duplicate cluster, re-elect the keeper as the member with the
+    * HIGHEST q83 quality score (ties toward the smaller doc_id) instead
+    * of the smallest id. Min-id election is the right convergence anchor
+    * for the connected-components fixpoint, but it keeps an arbitrary
+    * copy; when duplicates differ — one copy OCR-mangled, one clean; one
+    * boilerplate-wrapped, one bare — a curation pipeline wants to keep
+    * the BEST copy and drop the rest, which is exactly the difference
+    * between this query and q40. Emits every document with its cluster
+    * (the stable min-id label), the elected quality keeper, and the
+    * keep/drop verdict a downstream funnel consumes in q41's place.
+    *
+    * Scale shape: a join of the standing `keepers` artifact against the
+    * map-only q83 scoring pass (codegen'd fold, no shuffle), a per-
+    * cluster top-1 window (`WindowGroupLimit` — only the argmax row
+    * survives the shuffle per cluster), and one cluster-keyed join to
+    * label members. Nothing rescans text pairwise; the clustering
+    * fixpoint is NOT re-run — election composes on top of the artifact.
+    */
+  def q106QualityKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = graft.Artifacts.keepers(spark, dir)
+      .select(col("doc_id"), col("keeper_id").as("cluster_id"))
+    val scores = TextAnalysis
+      .scoredQuality(graft.Tables.documents(spark, dir), "text")
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality_score").desc_nulls_last, col("doc_id").asc)
+    val best = members.join(scores, "doc_id")
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("cluster_id"), col("doc_id").as("quality_keeper_id"))
+    members.join(best, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("quality_keeper_id"),
+        (col("doc_id") === col("quality_keeper_id")).as("is_quality_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** q40's recursive cluster assignment + q83's score expression, argmax
+    * replayed with the same (score DESC NULLS LAST, doc_id ASC) order.
+    */
+  val q106OracleSql: String =
+    s"""WITH RECURSIVE $keeperCtes, quality AS (
+      |  SELECT doc_id, quality_score FROM (
+      |${TextAnalysis.q83OracleSql}
+      |  )
+      |), best AS (
+      |  SELECT keeper_id AS cluster_id, doc_id AS quality_keeper_id FROM (
+      |    SELECT k.keeper_id, k.doc_id,
+      |           row_number() OVER (PARTITION BY k.keeper_id
+      |             ORDER BY q.quality_score DESC NULLS LAST, k.doc_id ASC)
+      |             AS r
+      |    FROM keepers k JOIN quality q USING (doc_id)
+      |  ) WHERE r = 1
+      |)
+      |SELECT k.doc_id, k.keeper_id AS cluster_id, b.quality_keeper_id,
+      |       (k.doc_id = b.quality_keeper_id) AS is_quality_keeper
+      |FROM keepers k JOIN best b ON b.cluster_id = k.keeper_id
+      |ORDER BY k.doc_id""".stripMargin
 }

@@ -619,4 +619,83 @@ object Similarity {
       |FROM pred p JOIN embeddings t ON t.vec_id = p.probe_id
       |WHERE p.r = 1
       |ORDER BY p.probe_id""".stripMargin
+
+  // ---- q103: per-label centroid outlier audit ----------------------------
+
+  /** Outliers surfaced per label by [[q103CentroidOutliers]]. */
+  private val OutlierK = 5
+
+  /** q103 — label-conditioned outlier audit: for every label cell, the
+    * [[OutlierK]] members LEAST cosine-similar to their own cell's
+    * centroid. The label-noise sweep a training pipeline runs before
+    * trusting its labels: a member far from its class centroid is, in
+    * priority order, a mislabeled example, an embedding-pipeline bug, or
+    * a genuine hard example — all three are exactly the rows a human (or
+    * q93's k-NN vote) should look at first. Complements q93: the k-NN
+    * eval scores the SPACE at probe grain; this audit names the WORST
+    * ROWS at full-corpus grain and is cheap enough to run on every
+    * snapshot.
+    *
+    * Scale shape: one [[graft.functions.VectorCentroid]] aggregation
+    * (8·dim-byte partials per label — map-side combine does nearly all
+    * the work), then the centroid table (|labels| rows) broadcasts back
+    * onto a single corpus scan for the distance pass; the per-label
+    * bottom-k rank is a `WindowGroupLimit`-eligible window, so only ≤K
+    * rows per label survive the shuffle. No pairwise joins anywhere —
+    * the whole audit is two scans of which one aggregates to |labels|
+    * rows, the 100 TB-safe shape.
+    *
+    * Centroid components and cosines are decimal-rounded on both sides
+    * before ranking (the q35 parity posture), so engine-order float
+    * summation cannot leak into who makes the outlier list.
+    */
+  def q103CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cells = e.groupBy(col("label"))
+      .agg(VectorOps.vectorCentroid(col("embedding")).as("c_raw"))
+      .select(col("label"),
+        transform(col("c_raw"), VectorOps.round6 _).as("centroid"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+    e.join(broadcast(cells), "label")
+      .withColumn("cos_centroid", VectorOps.round6(
+        VectorOps.dot(col("embedding"), col("centroid")) /
+          (VectorOps.norm(col("embedding")) * VectorOps.norm(col("centroid")))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= OutlierK)
+      .select(col("label"), col("rank"), col("vec_id"), col("cos_centroid"))
+      .orderBy("label", "rank")
+  }
+
+  /** q35's component-wise rounded AVG centroid, the same cosine formula,
+    * and the same (cos asc, vec_id asc) bottom-k tie order.
+    */
+  val q103OracleSql: String = {
+    val cos = VectorOps.round6Sql(
+      "list_inner_product(CAST(e.embedding AS DOUBLE[]), c.centroid) / " +
+        "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), " +
+        "CAST(e.embedding AS DOUBLE[]))) * " +
+        "sqrt(list_inner_product(c.centroid, c.centroid)))")
+    s"""WITH comp AS (
+      |  SELECT label, generate_subscripts(embedding, 1) AS i,
+      |         unnest(CAST(embedding AS DOUBLE[])) AS v
+      |  FROM embeddings
+      |), cen0 AS (
+      |  SELECT label, i, ${VectorOps.round6Sql("AVG(v)")} AS c
+      |  FROM comp GROUP BY label, i
+      |), cen AS (
+      |  SELECT label, list(c ORDER BY i) AS centroid FROM cen0 GROUP BY label
+      |), scored AS (
+      |  SELECT e.label, e.vec_id, $cos AS cos_centroid
+      |  FROM embeddings e JOIN cen c USING (label)
+      |), ranked AS (
+      |  SELECT label, vec_id, cos_centroid,
+      |         row_number() OVER (PARTITION BY label
+      |           ORDER BY cos_centroid ASC, vec_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT label, rank, vec_id, cos_centroid
+      |FROM ranked WHERE rank <= $OutlierK
+      |ORDER BY label, rank""".stripMargin
+  }
 }

@@ -603,4 +603,132 @@ object TextAnalysis {
       |       ${round6Sql("CAST(n_chars AS DOUBLE) / nullif(bpe_tokens, 0)")}
       |         AS chars_per_token
       |FROM agg ORDER BY source""".stripMargin
+
+  // ---- q104: DSIR-style importance scoring -------------------------------
+
+  /** q104 — data-selection importance scoring (the DSIR working point,
+    * Xie et al. 2023, arXiv:2302.03169): score every document by how
+    * much more probable its tokens are under a TARGET unigram LM than
+    * under the SOURCE (whole-corpus) unigram LM, where the target
+    * sample is the subset the q83 quality classifier keeps — DSIR's
+    * "raw → target domain" setup with the trained filter as the target
+    * oracle. Per token the statistic is the LIKELIHOOD RATIO
+    * p_tgt/p_src itself, add-one smoothed over the source vocabulary on
+    * the target side (`(n_tgt+1)/(total_tgt+V)` — tokens the target
+    * never emits get a finite discount, not −∞), computed as
+    * `((n_tgt+1)·total_src) / ((total_tgt+V)·n_src)` in DOUBLE with a
+    * pinned association — counts convert to double exactly below 2⁵³
+    * and IEEE ·,/ are bit-deterministic cross-engine (only libm
+    * transcendentals aren't, which is why there is no `ln` here) — then
+    * ROUNDED TO INTEGER MILLIONTHS (`round(r·10⁶)`), so the per-
+    * document score is an EXACT integer sum of micro-ratio units:
+    * order-free, immune to float summation drift, 10⁶ = a neutral
+    * token. (The q86/q68 ⌊log₂⌋ trick is too coarse for THIS statistic:
+    * it quantizes at factor-2 boundaries, and a target re-weighting
+    * within a factor of 2 per token — any realistic classifier tilt —
+    * would round to zero everywhere.) `mean_ratio` divides back to
+    * ratio units once at the end: > 1 means the document looks more
+    * like the kept set than the average crawl; a pipeline resamples
+    * ∝ mean_ratioᵏ or thresholds it — the cheap importance pass that
+    * runs where the full classifier is too expensive.
+    *
+    * Scale shape: the source LM re-aggregates from the standing
+    * `token_freq` artifact when one resolves ([[graft.Artifacts
+    * .tokenTotals]] — no documents scan); the target counts cost one
+    * filtered scan (kept docs only after a map-side q83 gate — the
+    * classifier is itself a codegen'd fold, no shuffle); scoring is
+    * explode → one (broadcast-capped, [[MaxBroadcastVocab]]) rarity
+    * join → per-doc partial-agg sum, exactly q86's shape with a second
+    * column in the rarity table. Nothing here is pairwise; the rarity
+    * delta is computed once per VOCAB row, not once per occurrence.
+    */
+  def q104DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val keep = scoredQuality(docs, "text")
+      .filter(col("quality_label") === "keep").select("doc_id")
+    val src = graft.Artifacts.tokenTotals(spark, dir)
+    val srcTot = src.agg(sum("n").as("total"), count(lit(1)).as("v"))
+    val tgt = tok.join(keep, "doc_id")
+      .groupBy("token").agg(count(lit(1)).as("tn"))
+    val tgtTot = tgt.agg(coalesce(sum("tn"), lit(0L)).as("ttotal"))
+    // ratio in double with pinned association, then exact micro-units;
+    // the division-last form keeps every intermediate a product of two
+    // exactly-converted counts
+    val ratio =
+      ((coalesce(col("tn"), lit(0L)) + 1L).cast("double") *
+        col("total").cast("double")) /
+        ((col("ttotal") + col("v")).cast("double") * col("n").cast("double"))
+    val rar = maybeBroadcastRarity(
+      src.join(tgt, Seq("token"), "left")
+        .crossJoin(broadcast(srcTot)).crossJoin(broadcast(tgtTot))
+        .select(col("token"),
+          round(ratio * 1000000.0, 0).cast("long").as("delta")),
+      MaxBroadcastVocab)
+    val per = tok.join(rar, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("delta").as("dsir_score"))
+    docs.select("doc_id", "lang")
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_score"), lit(0L)).as("dsir_score"),
+        round6(col("dsir_score").cast("double") / 1000000.0 /
+          col("n_tokens")).as("mean_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** The same two unigram LMs — q83's CASE-chain score gates the target
+    * sample, the source vocabulary sizes the smoothing — the identically
+    * associated double ratio, and the same exact micro-unit integer sum.
+    */
+  val q104OracleSql: String = {
+    val cases = QualityWeightTenths
+      .map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
+    val toksQ = s"string_split_regex(lower(text), '\\s+')"
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), keepdocs AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |           ${round6Sql(
+             s"""CAST(list_sum(list_transform($toksQ,
+      |              t -> CASE t $cases ELSE 0 END)) + $QualityBiasTenths AS DOUBLE)
+      |            / 10.0 / len($toksQ)""")} AS quality_score
+      |    FROM documents
+      |  ) WHERE quality_score >= 0.0
+      |), src AS (
+      |  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |), stot AS (
+      |  SELECT SUM(n) AS total, COUNT(*) AS v FROM src
+      |), tgt AS (
+      |  SELECT token, COUNT(*) AS tn
+      |  FROM tok JOIN keepdocs USING (doc_id) GROUP BY token
+      |), ttot AS (
+      |  SELECT COALESCE(SUM(tn), 0) AS ttotal FROM tgt
+      |), rar AS (
+      |  SELECT s.token,
+      |         CAST(round(
+      |           (CAST(COALESCE(t.tn, 0) + 1 AS DOUBLE)
+      |              * CAST(stot.total AS DOUBLE))
+      |           / (CAST(ttot.ttotal + stot.v AS DOUBLE)
+      |              * CAST(s.n AS DOUBLE))
+      |           * 1000000.0) AS BIGINT) AS delta
+      |  FROM src s LEFT JOIN tgt t USING (token), stot, ttot
+      |), per AS (
+      |  SELECT tk.doc_id, COUNT(*) AS n_tokens,
+      |         CAST(SUM(r.delta) AS BIGINT) AS dsir_score
+      |  FROM tok tk JOIN rar r USING (token) GROUP BY tk.doc_id
+      |)
+      |SELECT d.doc_id, d.lang,
+      |       COALESCE(p.n_tokens, 0) AS n_tokens,
+      |       COALESCE(p.dsir_score, 0) AS dsir_score,
+      |       ${round6Sql(
+           "CAST(p.dsir_score AS DOUBLE) / 1000000.0 / p.n_tokens")}
+      |         AS mean_ratio
+      |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+  }
 }

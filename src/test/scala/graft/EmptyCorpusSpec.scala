@@ -79,7 +79,11 @@ class EmptyCorpusSpec extends SparkSpec {
     "q99_snapshot_drift" -> (CorpusOps.q99SnapshotDrift _),
     "q100_jaccard_bands" -> (Dedup.q100JaccardBands _),
     "q101_chunk_search" -> (Search.q101ChunkSearch _),
-    "q102_hybrid_search" -> (Search.q102HybridSearch _))
+    "q102_hybrid_search" -> (Search.q102HybridSearch _),
+    "q103_centroid_outliers" -> (Similarity.q103CentroidOutliers _),
+    "q104_dsir_weights" -> (TextAnalysis.q104DsirWeights _),
+    "q105_ngram_novelty" -> (CorpusAudit.q105NgramNovelty _),
+    "q106_quality_keepers" -> (Dedup.q106QualityKeepers _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -395,6 +395,62 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q103's centroid join broadcasts and its bottom-k is WindowGroupLimit-shaped") {
+    val df = graft.operators.Similarity.q103CentroidOutliers(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // |labels| rows must broadcast back onto the corpus scan — a
+    // centroid SortMergeJoin would shuffle the whole embedding table
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), p.take(800))
+    // only ≤K rows per label may survive the rank shuffle
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(800))
+  }
+
+  test("artifact mode: q105 reads the shingle index — text never scanned; q106 composes on keepers") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-novguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      // q105: both aggregations ride the shingles8 artifact; the one
+      // documents scan contributes only (doc_id, source) — a text read
+      // would mean the tokenize+shingle pass ran inline
+      val d5 = graft.operators.CorpusAudit.q105NgramNovelty(spark, sf)
+      d5.collect()
+      val p5 = d5.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p5.contains(tmp.getName),
+        "q105 plan does not read the artifact root:\n" + p5.take(600))
+      val textScans = p5.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans == 0, "q105 artifact-mode scan still reads text")
+      // q106: keeper election must compose on the artifact — no inline
+      // CC fixpoint leaf; one documents scan (the classifier needs text)
+      val d6 = graft.operators.Dedup.q106QualityKeepers(spark, sf)
+      d6.collect()
+      val p6 = d6.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p6.contains(tmp.getName),
+        "q106 plan does not read the artifact root:\n" + p6.take(600))
+      assert(!p6.contains("ExistingRDD"),
+        "q106 plan contains a checkpointed fixpoint leaf — CC ran inline")
+      val docScans = p6.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans <= 1,
+        s"q106 artifact-mode plan scans documents $docScans times")
+      assert(p6.contains("WindowGroupLimit"),
+        "q106 per-cluster argmax lost its group-limit shape")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
