@@ -1786,4 +1786,188 @@ object CorpusOps {
       |)
       |SELECT doc_id, status FROM diff
       |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin
+
+  // ---- q108: data-repetition (epochs-per-source) plan ---------------------
+
+  /** Token budget as a multiple of the corpus's own token mass. */
+  private val RepetitionBudgetMult = 4.0
+
+  /** Epoch ceiling per stratum — the published working point past which
+    * repeated data stops substituting for fresh data (Muennighoff et
+    * al. 2023, "Scaling Data-Constrained Language Models": ~4 epochs of
+    * repetition are nearly as good as new tokens; returns decay fast
+    * beyond).
+    */
+  private val MaxEpochs = 4.0
+
+  /** q108 — the data-repetition plan: given a training token budget
+    * ([[RepetitionBudgetMult]] × corpus mass) split across strata by
+    * q89's temperature weights, how many EPOCHS of each (lang, source)
+    * stratum does that imply, where does the [[MaxEpochs]] repetition
+    * ceiling bind, and how many budgeted tokens does the cap leave
+    * unfilled? This is the bridge from a mixture (a share of the
+    * budget) to a schedule (how often each document is actually seen):
+    * temperature flattening hands tail strata MORE than their natural
+    * mass, and the only way a small stratum can absorb it is
+    * repetition — `epochs_raw` is that demand, `epochs` the capped
+    * reality, `deficit_tokens` the gap a planner must push back into
+    * uncapped strata (an iterative rebalance this report deliberately
+    * leaves to the caller — one pass names the binding constraints).
+    *
+    * Scale shape: q89's exactly — one stratum-grain census (standing
+    * token-count artifacts in artifact mode), two broadcast scalar
+    * joins, arithmetic on a strata-count-sized frame. Every expression
+    * is IEEE-rational (+, ×, ÷, sqrt, LEAST) with a pinned association,
+    * so the plan reproduces bit-for-bit cross-engine; outputs round
+    * through decimal once at the end.
+    */
+  def q108RepetitionPlan(spark: SparkSession, dir: String): DataFrame =
+    repetitionPlan(spark, dir, graft.functions.Tokenizer.Whitespace)
+
+  /** q108 under a pluggable [[graft.functions.Tokenizer]]. */
+  def repetitionPlan(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val strata = stratumTokenMass(spark, dir, tok)
+    val totals = strata.agg(sum("n_tokens").as("total_tokens"))
+    val scaled = strata.crossJoin(broadcast(totals))
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / col("total_tokens"))
+      .withColumn("s", sqrt(col("token_share")))
+    val z = scaled.agg(sum("s").as("z"))
+    val w = col("s") / col("z")
+    val share = (lit(RepetitionBudgetMult) *
+      col("total_tokens").cast("double")) * w
+    val epochsRaw = share / col("n_tokens").cast("double")
+    val epochs = least(lit(MaxEpochs), epochsRaw)
+    val alloc = epochs * col("n_tokens").cast("double")
+    // a zeroTokenCapable tokenizer can yield a 0-token stratum: its
+    // epoch demand is 0/0 — explicit NULLs, not NaN (the q89 posture)
+    val defined = col("n_tokens") > 0
+    scaled.crossJoin(broadcast(z))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        round6(w).as("temp_weight"),
+        when(defined, round6(epochsRaw)).as("epochs_raw"),
+        when(defined, round6(epochs)).as("epochs"),
+        when(defined, round6(alloc)).as("allocated_tokens"),
+        when(defined, epochsRaw > MaxEpochs).as("capped"),
+        when(defined, round6(share - alloc)).as("deficit_tokens"))
+      .orderBy("lang", "source")
+  }
+
+  /** q89's census, share, and sqrt-weight CTEs; the budget, cap, and
+    * deficit arithmetic mirrored expression-for-expression.
+    */
+  val q108OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    val share = s"($RepetitionBudgetMult * CAST(total_tokens AS DOUBLE)) * (s / z)"
+    val er = s"$share / CAST(n_tokens AS DOUBLE)"
+    val epochs = s"LEAST($MaxEpochs, $er)"
+    val alloc = s"$epochs * CAST(n_tokens AS DOUBLE)"
+    s"""WITH $mixtureCtes, tot AS (
+      |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM strata
+      |), scaled AS (
+      |  SELECT lang, source, n_tokens, total_tokens,
+      |         sqrt(CAST(n_tokens AS DOUBLE) / total_tokens) AS s
+      |  FROM strata, tot
+      |), z AS (
+      |  SELECT SUM(s) AS z FROM scaled
+      |)
+      |SELECT lang, source, n_tokens,
+      |       ${round6Sql("s / z")} AS temp_weight,
+      |       CASE WHEN n_tokens > 0 THEN ${round6Sql(er)} END AS epochs_raw,
+      |       CASE WHEN n_tokens > 0 THEN ${round6Sql(epochs)} END AS epochs,
+      |       CASE WHEN n_tokens > 0 THEN ${round6Sql(alloc)} END
+      |         AS allocated_tokens,
+      |       CASE WHEN n_tokens > 0 THEN $er > $MaxEpochs END AS capped,
+      |       CASE WHEN n_tokens > 0 THEN ${round6Sql(s"$share - $alloc")} END
+      |         AS deficit_tokens
+      |FROM scaled, z ORDER BY lang, source""".stripMargin
+  }
+
+  // ---- q109: snapshot novelty (what did the crawl actually add?) ----------
+
+  /** q109 — incoming-content novelty: for every document the new
+    * snapshot ADDED or CHANGED (q76's diff), the fraction of its
+    * distinct 8-grams that the PRIOR snapshot had never seen. The
+    * crawler-ops companion to q99: drift counts documents and token
+    * mass, novelty asks whether the incoming bytes are new CONTENT or
+    * refried duplicates — a crawl wave can add a million documents at
+    * near-zero novelty (scraper loops, mirror floods) and a healthy
+    * dedup pipeline wants to know BEFORE promoting the snapshot, while
+    * the unit of decision is still the change set.
+    *
+    * Scale shape: change-bounded × index-shaped — shingles are exploded
+    * only for the added/changed documents (the diff names them at
+    * id+hash grain first), and membership against the prior corpus is
+    * one equi-join per shingle against the OLD snapshot's distinct
+    * 8-gram set, which is exactly the standing `shingles8` artifact of
+    * that snapshot in production (inline from the fixture here). No
+    * pairwise document comparisons anywhere.
+    */
+  def q109SnapshotNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val (prior, cur) = snapshotFixture(Tables.documents(spark, dir))
+    val changed = snapshotDiff(
+        prior.select(col("doc_id"), md5(col("t")).as("h")),
+        cur.select(col("doc_id"), md5(col("t")).as("h")))
+      .filter(col("status").isin("added", "changed"))
+      .select("doc_id", "status")
+    val shNew = cur.join(changed, "doc_id")
+      .select(col("doc_id"), col("status"),
+        explode(shinglesN(Dedup.tokens(col("t")), DecontamN)).as("sh"))
+    val shOld = prior
+      .select(explode(shinglesN(Dedup.tokens(col("t")), DecontamN)).as("sh"))
+      .distinct().withColumn("seen", lit(1))
+    val per = shNew.join(shOld, Seq("sh"), "left")
+      .groupBy("doc_id", "status")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    changed.join(per, Seq("doc_id", "status"), "left")
+      .select(col("doc_id"), col("status"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.functions.VectorOps.round6(
+          col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  /** The fixture + diff replayed from the shared constants, the q60/q105
+    * distinct-8-gram derivation on both sides, novelty per changed doc.
+    */
+  val q109OracleSql: String =
+    s"""WITH priortext AS (
+      |  ${snapshotFixtureSql._1}
+      |), curtext AS (
+      |  ${snapshotFixtureSql._2}
+      |), changed AS (
+      |  SELECT p.doc_id, CASE WHEN p2.doc_id IS NULL THEN 'added'
+      |                        ELSE 'changed' END AS status
+      |  FROM curtext p LEFT JOIN priortext p2 ON p.doc_id = p2.doc_id
+      |  WHERE p2.doc_id IS NULL OR md5(p2.t) IS DISTINCT FROM md5(p.t)
+      |), newtoks AS (
+      |  SELECT c.doc_id, ch.status, string_split_regex(c.t, '\\s+') AS t
+      |  FROM curtext c JOIN changed ch ON c.doc_id = ch.doc_id
+      |), shnew AS (
+      |  SELECT DISTINCT doc_id, status,
+      |         unnest(${shingleSqlN(DecontamN)}) AS sh
+      |  FROM newtoks
+      |), oldtoks AS (
+      |  SELECT string_split_regex(t, '\\s+') AS t FROM priortext
+      |), shold AS (
+      |  SELECT DISTINCT unnest(${shingleSqlN(DecontamN)}) AS sh FROM oldtoks
+      |), per AS (
+      |  SELECT s.doc_id, s.status, COUNT(*) AS n_shingles,
+      |         CAST(SUM(CASE WHEN o.sh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |           AS n_novel
+      |  FROM shnew s LEFT JOIN shold o ON s.sh = o.sh
+      |  GROUP BY s.doc_id, s.status
+      |)
+      |SELECT c.doc_id, c.status,
+      |       COALESCE(p.n_shingles, 0) AS n_shingles,
+      |       COALESCE(p.n_novel, 0) AS n_novel,
+      |       ${graft.functions.VectorOps.round6Sql(
+           "CAST(p.n_novel AS DOUBLE) / p.n_shingles")} AS novelty
+      |FROM changed c
+      |LEFT JOIN per p ON p.doc_id = c.doc_id AND p.status = c.status
+      |ORDER BY c.doc_id""".stripMargin
 }

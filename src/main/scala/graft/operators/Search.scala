@@ -310,4 +310,108 @@ object Search {
       |)
       |SELECT doc_id, lex_rank, dense_rank, rrf_score
       |FROM fused ORDER BY rrf_score DESC, doc_id LIMIT $HybridTopK""".stripMargin
+
+  // ---- q107: pseudo-relevance-feedback query expansion --------------------
+
+  /** Feedback depth: how many top seed-query documents mine expansion
+    * terms (RM3's fbDocs).
+    */
+  private val FeedbackK = 5
+
+  /** How many expansion terms join the query (RM3's fbTerms). */
+  private val ExpandK = 5
+
+  /** q107 — pseudo-relevance-feedback expansion (the RM3 working point,
+    * Lavrenko & Croft's relevance models as shipped in Indri/Anserini):
+    * run the seed query ([[QueryTerms]], q66's scorer verbatim), treat
+    * its top [[FeedbackK]] documents as pseudo-relevant, mine the
+    * [[ExpandK]] most frequent non-seed terms from them (exact integer
+    * occurrence counts — the tf-weighted degeneration of the relevance
+    * model, order-free where RM3's score-weighted mixture would put a
+    * float sum before the cutoff), and re-score the corpus over
+    * seed ∪ expansion. The classic fix for vocabulary mismatch: a query
+    * about "pipeline quality" pulls in the terms its best matches
+    * actually use, finding documents that never contain the seed words.
+    * Output shape is q66's (doc_id, score, n_terms_hit) over the
+    * expanded query, so downstream consumers swap retrievers freely.
+    *
+    * Scale shape: two passes over the term-filtered inverted-index
+    * explode — both filter BEFORE aggregating, so the scan output is
+    * (docs containing a term) × (terms), never the corpus vocabulary.
+    * Between them sit only broadcast-sized frames: the [[FeedbackK]]-row
+    * feedback doc set and the ≤[[ExpandK]]+|seed| term set; both
+    * cutoffs are `TakeOrderedAndProject`. At real scale both passes
+    * join the materialized postings index instead of re-exploding.
+    */
+  def q107Rm3Expansion(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n_total"))
+    val tokens = d.select(col("doc_id"),
+      explode(Dedup.tokens(col("text"))).as("token"))
+    val seedTf = tokens.filter(col("token").isin(QueryTerms: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val feedback = bm25Score(seedTf, nDocs, Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id")).limit(FeedbackK)
+      .select("doc_id")
+    val expansion = tokens.join(broadcast(feedback), "doc_id")
+      .filter(!col("token").isin(QueryTerms: _*))
+      .groupBy("token").agg(count(lit(1)).as("fb_tf"))
+      .orderBy(desc("fb_tf"), asc("token")).limit(ExpandK)
+      .select("token")
+    val allTerms = QueryTerms.toDF("token").unionByName(expansion)
+    val tf2 = tokens.join(broadcast(allTerms), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    bm25Score(tf2, nDocs, Seq("doc_id"))
+      .orderBy(desc("score"), asc("doc_id")).limit(TopK)
+  }
+
+  /** q66's scoring CTEs twice over — seed pass, integer-count expansion
+    * mining with the same (count desc, token asc) cutoff, expanded pass.
+    */
+  val q107OracleSql: String = {
+    val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH seedterms(token) AS (VALUES $termList),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), tf1 AS (
+      |  SELECT doc_id, s.token, COUNT(*) AS tf
+      |  FROM tok JOIN seedterms s ON tok.token = s.token
+      |  GROUP BY 1, 2
+      |), df1 AS (
+      |  SELECT token, COUNT(*) AS df FROM tf1 GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total FROM documents
+      |), seed_scores AS (
+      |  SELECT tf1.doc_id, ${round6Sql(bm25SumSql)} AS score
+      |  FROM tf1 JOIN df1 ON tf1.token = df1.token, n
+      |  GROUP BY tf1.doc_id, n_total
+      |), feedback AS (
+      |  SELECT doc_id FROM seed_scores ORDER BY score DESC, doc_id
+      |  LIMIT $FeedbackK
+      |), fb_counts AS (
+      |  SELECT token, COUNT(*) AS fb_tf
+      |  FROM tok JOIN feedback USING (doc_id)
+      |  WHERE token NOT IN (SELECT token FROM seedterms)
+      |  GROUP BY token
+      |), expansion AS (
+      |  SELECT token FROM fb_counts ORDER BY fb_tf DESC, token
+      |  LIMIT $ExpandK
+      |), allterms AS (
+      |  SELECT token FROM seedterms UNION SELECT token FROM expansion
+      |), tf AS (
+      |  SELECT doc_id, a.token, COUNT(*) AS tf
+      |  FROM tok JOIN allterms a ON tok.token = a.token
+      |  GROUP BY 1, 2
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |)
+      |SELECT tf.doc_id,
+      |       ${round6Sql(bm25SumSql)} AS score,
+      |       COUNT(*) AS n_terms_hit
+      |FROM tf JOIN df ON tf.token = df.token, n
+      |GROUP BY tf.doc_id, n_total
+      |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
+  }
 }

@@ -83,7 +83,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q103_centroid_outliers" -> (Similarity.q103CentroidOutliers _),
     "q104_dsir_weights" -> (TextAnalysis.q104DsirWeights _),
     "q105_ngram_novelty" -> (CorpusAudit.q105NgramNovelty _),
-    "q106_quality_keepers" -> (Dedup.q106QualityKeepers _))
+    "q106_quality_keepers" -> (Dedup.q106QualityKeepers _),
+    "q107_rm3_expansion" -> (Search.q107Rm3Expansion _),
+    "q108_repetition_plan" -> (CorpusOps.q108RepetitionPlan _),
+    "q109_snapshot_novelty" -> (CorpusOps.q109SnapshotNovelty _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

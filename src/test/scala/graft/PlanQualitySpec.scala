@@ -451,6 +451,40 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q107's three cutoffs are TakeOrderedAndProject — no full sorts before the limit") {
+    val df = graft.operators.Search.q107Rm3Expansion(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // seed top-F, expansion top-E, and the final top-k must all plan as
+    // bounded top-k; a full Sort+Limit on the corpus-scale score frame
+    // is the regression this guards against
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("artifact mode: q108 reads standing token counts — text never scanned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-repguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.CorpusOps.q108RepetitionPlan(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q108 plan does not read the artifact root:\n" + p.take(600))
+      val textScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans == 0, "q108 artifact-mode scan still reads text")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
