@@ -718,4 +718,160 @@ object CorpusAudit {
       |LEFT JOIN per_doc p ON p.doc_id = d.doc_id
       |LEFT JOIN uniq u ON u.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q110: lexical diversity profile ------------------------------------
+
+  /** q110 — per-source lexical diversity: type/token ratios at unigram
+    * and bigram grain. The diversity dial a mixture designer reads
+    * beside q90's KL divergence — two sources can have identical token
+    * DISTRIBUTIONS and wildly different internal variety (a template
+    * farm repeats the same 500 types forever; a forum uses the long
+    * tail), and repetition-heavy low-TTR sources are precisely the ones
+    * whose q108 epoch multipliers compound into memorization risk. The
+    * bigram TTR separates varied-phrasing from varied-vocabulary: spam
+    * that shuffles a fixed vocabulary keeps unigram TTR but collapses
+    * at bigram grain.
+    *
+    * Scale shape: ZERO text scans in artifact mode — both ratios
+    * re-aggregate from the standing `token_freq` / `bigram_freq`
+    * indexes (source-keyed per-type counts: the type count is the row
+    * count, the token count is Σn), so the report costs two
+    * vocabulary-sized aggregations however large the corpus is. Inline
+    * mode pays the two explode passes the artifacts retire.
+    */
+  def q110DiversityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val tf = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
+      CorpusOps.tokenFreqRows(Tables.documents(spark, dir)))
+    val bf = graft.Artifacts.bigramFreq(spark, dir).getOrElse(
+      CorpusOps.bigramFreqRows(Tables.documents(spark, dir)))
+    val t1 = tf.groupBy("source")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("uniq_tokens"))
+    val t2 = bf.groupBy("source")
+      .agg(sum("n").as("n_bigrams"), count(lit(1)).as("uniq_bigrams"))
+    t1.join(t2, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"), col("uniq_tokens"),
+        round6(col("uniq_tokens").cast("double") / col("n_tokens"))
+          .as("ttr_unigram"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"),
+        round6(col("uniq_bigrams").cast("double") / col("n_bigrams"))
+          .as("ttr_bigram"))
+      .orderBy("source")
+  }
+
+  /** The q86/q87 token and bigram derivations re-aggregated to source
+    * grain; ratios mirrored expression-for-expression.
+    */
+  val q110OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), t1 AS (
+      |  SELECT source, COUNT(*) AS n_tokens,
+      |         COUNT(DISTINCT token) AS uniq_tokens
+      |  FROM tok GROUP BY source
+      |), toks2 AS (
+      |  SELECT source, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT source, t, unnest(generate_series(2, len(t))) AS i FROM toks2
+      |), big AS (
+      |  SELECT source, t[i - 1] AS w1, t[i] AS w2 FROM pos
+      |), t2 AS (
+      |  SELECT source, COUNT(*) AS n_bigrams,
+      |         COUNT(DISTINCT (w1, w2)) AS uniq_bigrams
+      |  FROM big GROUP BY source
+      |)
+      |SELECT t1.source, t1.n_tokens, t1.uniq_tokens,
+      |       ${round6Sql(
+           "CAST(t1.uniq_tokens AS DOUBLE) / t1.n_tokens")} AS ttr_unigram,
+      |       COALESCE(t2.n_bigrams, 0) AS n_bigrams,
+      |       COALESCE(t2.uniq_bigrams, 0) AS uniq_bigrams,
+      |       ${round6Sql(
+           "CAST(t2.uniq_bigrams AS DOUBLE) / t2.n_bigrams")} AS ttr_bigram
+      |FROM t1 LEFT JOIN t2 ON t1.source = t2.source
+      |ORDER BY t1.source""".stripMargin
+
+  // ---- q112: per-eval-item contamination report ----------------------------
+
+  /** Shingle-df ceiling for the q112 join — the q20 posture at n=8: an
+    * 8-gram shared by more than this many documents is boilerplate, not
+    * contamination evidence, and joining through it would square the
+    * hottest keys.
+    */
+  private val ContamDfCap = 64
+
+  /** q112 — contamination from the EVAL side: for every test-split
+    * document, how many train-split documents share at least one 8-gram
+    * with it, and how many distinct 8-grams are shared. q47 answers the
+    * corpus question ("which training docs must go"); this answers the
+    * eval team's question — "which of MY benchmark items are
+    * compromised, and how badly" — the per-item evidence behind
+    * GPT-3/Llama-style dirty-vs-clean eval splits. Items with zero
+    * overlap stay in the report (`contaminated = false`): the clean
+    * list is the deliverable, not just the dirty one.
+    *
+    * Scale shape: one pass over the standing `shingles8` artifact
+    * (split is a pure function of doc_id — the q60 trick), a df-cap
+    * pre-filter ([[ContamDfCap]]) so no boilerplate 8-gram can square
+    * the join, then a test×train equi-join ON THE SHINGLE — bounded by
+    * cap × shingle count, never all-pairs — rolled up to eval-item
+    * grain.
+    */
+  def q112EvalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.Artifacts.shingles8(spark, dir)
+      .withColumn("split", Curation.splitOf(col("doc_id")))
+    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContamDfCap).select("sh")
+    val capped = sh.join(keep, "sh")
+    val te = capped.filter(col("split") === "test")
+      .select(col("doc_id").as("test_id"), col("sh"))
+    val tr = capped.filter(col("split") === "train")
+      .select(col("doc_id").as("train_id"), col("sh"))
+    val hits = te.join(tr, "sh")
+      .groupBy("test_id")
+      .agg(countDistinct("train_id").as("n_train_docs"),
+        countDistinct("sh").as("n_shared_shingles"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .filter(Curation.splitOf(col("doc_id")) === "test")
+      .join(hits, col("doc_id") === col("test_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("n_train_docs"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** q60's distinct-8-gram-with-split derivation, the same df cap, the
+    * same test×train shingle join and eval-item rollup.
+    */
+  val q112OracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, ${Curation.splitSqlOf("doc_id")} AS split,
+      |         string_split_regex(text, '\\s+') AS t
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id, split,
+      |         unnest(${CorpusOps.shingleSqlN(CorpusOps.DecontamN)}) AS sh
+      |  FROM toks
+      |), keep AS (
+      |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $ContamDfCap
+      |), capped AS (
+      |  SELECT s.doc_id, s.split, s.sh FROM sh s JOIN keep k ON s.sh = k.sh
+      |), hits AS (
+      |  SELECT te.doc_id AS test_id,
+      |         COUNT(DISTINCT tr.doc_id) AS n_train_docs,
+      |         COUNT(DISTINCT te.sh) AS n_shared_shingles
+      |  FROM capped te JOIN capped tr
+      |    ON te.sh = tr.sh AND te.split = 'test' AND tr.split = 'train'
+      |  GROUP BY te.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(h.n_train_docs, 0) AS n_train_docs,
+      |       COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+      |       COALESCE(h.n_train_docs, 0) > 0 AS contaminated
+      |FROM documents d
+      |LEFT JOIN hits h ON h.test_id = d.doc_id
+      |WHERE ${Curation.splitSqlOf("d.doc_id")} = 'test'
+      |ORDER BY d.doc_id""".stripMargin
 }

@@ -698,4 +698,66 @@ object Similarity {
       |FROM ranked WHERE rank <= $OutlierK
       |ORDER BY label, rank""".stripMargin
   }
+
+  // ---- q111: near-dup pair recall, by similarity band ----------------------
+
+  /** q111 — recall of the bucketed near-dup enumeration (q82) against
+    * the brute-force ground truth (q21), per 0.05-wide cosine band. The
+    * q92 eval one family over: q92 certifies the PROBE-SEARCH path,
+    * this certifies the PAIR-ENUMERATION path — and per band, because
+    * LSH recall is not one number: collision probability falls with
+    * angle, so recall near the 0.4 threshold is structurally worse than
+    * at 0.9, and the band curve is what tells an operator whether the
+    * misses sit where dedup cares (high bands) or where it doesn't
+    * (boundary bands). Every q82 pair is exact-cosine-verified at the
+    * same threshold, so candidates are a subset of truth and precision
+    * is 1 by construction (spec-pinned) — recall is the only free
+    * number, which is exactly why it must be measured.
+    *
+    * Scale shape: inherits q21's hard [[Dedup.q21EmbeddingNearDup]]
+    * 20k-vector guard — a ground-truth eval is definitionally
+    * brute-force-bounded and runs on a SAMPLE at production scale (the
+    * q92 posture); the q82 side and the band rollup are index-shaped
+    * and corpus-safe.
+    */
+  def q111NearDupRecall(spark: SparkSession, dir: String): DataFrame = {
+    val truth = Dedup.q21EmbeddingNearDup(spark, dir)
+      .select(col("id_a"), col("id_b"), col("cos"))
+    val found = q82AnnNearDupPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1).as("hit"))
+    truth
+      .withColumn("band", floor(col("cos") * 20).cast("int"))
+      .join(found, Seq("id_a", "id_b"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).as("n_found"))
+      .select(col("band"), col("n_truth"), col("n_found"),
+        VectorOps.round6(col("n_found").cast("double") / col("n_truth"))
+          .as("recall"))
+      .orderBy("band")
+  }
+
+  /** The two pair oracles verbatim, banded with q100's floor
+    * arithmetic.
+    */
+  val q111OracleSql: String =
+    s"""WITH truth AS (
+      |  SELECT id_a, id_b, cos FROM (
+      |${Dedup.q21OracleSql}
+      |  )
+      |), found AS (
+      |  SELECT id_a, id_b FROM (
+      |$q82OracleSql
+      |  )
+      |), joined AS (
+      |  SELECT CAST(floor(t.cos * 20) AS INTEGER) AS band,
+      |         CASE WHEN f.id_a IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM truth t
+      |  LEFT JOIN found f ON t.id_a = f.id_a AND t.id_b = f.id_b
+      |)
+      |SELECT band, COUNT(*) AS n_truth,
+      |       CAST(SUM(hit) AS BIGINT) AS n_found,
+      |       ${VectorOps.round6Sql(
+           "CAST(SUM(hit) AS DOUBLE) / COUNT(*)")} AS recall
+      |FROM joined GROUP BY band ORDER BY band""".stripMargin
 }

@@ -86,7 +86,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q106_quality_keepers" -> (Dedup.q106QualityKeepers _),
     "q107_rm3_expansion" -> (Search.q107Rm3Expansion _),
     "q108_repetition_plan" -> (CorpusOps.q108RepetitionPlan _),
-    "q109_snapshot_novelty" -> (CorpusOps.q109SnapshotNovelty _))
+    "q109_snapshot_novelty" -> (CorpusOps.q109SnapshotNovelty _),
+    "q110_diversity_profile" -> (CorpusAudit.q110DiversityProfile _),
+    "q111_neardup_recall" -> (Similarity.q111NearDupRecall _),
+    "q112_eval_contamination" -> (CorpusAudit.q112EvalContamination _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

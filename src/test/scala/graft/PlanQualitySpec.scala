@@ -485,6 +485,44 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: q110/q112 derive from standing indexes — text never scanned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-divguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      // q110: both TTR grains re-aggregate from token_freq/bigram_freq —
+      // NO documents scan at all
+      val d10 = graft.operators.CorpusAudit.q110DiversityProfile(spark, sf)
+      d10.collect()
+      val p10 = d10.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p10.contains(tmp.getName),
+        "q110 plan does not read the artifact root:\n" + p10.take(600))
+      val docScans10 = p10.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans10 == 0,
+        s"q110 artifact-mode plan still scans documents $docScans10 times")
+      // q112: shingle work rides the artifact; the one documents scan
+      // lists the test split by doc_id — text must stay unread
+      val d12 = graft.operators.CorpusAudit.q112EvalContamination(spark, sf)
+      d12.collect()
+      val p12 = d12.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p12.contains(tmp.getName),
+        "q112 plan does not read the artifact root:\n" + p12.take(600))
+      val textScans12 = p12.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans12 == 0, "q112 artifact-mode scan still reads text")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
