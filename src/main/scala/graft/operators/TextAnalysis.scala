@@ -731,4 +731,69 @@ object TextAnalysis {
       |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
       |ORDER BY d.doc_id""".stripMargin
   }
+
+  // ---- q113: BPE merge-step pair census ----------------------------------
+
+  /** Candidate merges reported by [[q113BpeMergeCensus]]. */
+  private val MergeTopK = 20
+
+  /** q113 — the BPE-trainer inner loop as a corpus operator: the
+    * [[MergeTopK]] most frequent ADJACENT CHARACTER PAIRS, weighted by
+    * word frequency — exactly the census a byte-pair-encoding trainer
+    * takes to pick its next merge (Sennrich et al. 2016). The key
+    * property is WHERE the work happens: a naive trainer streams the
+    * corpus per merge step; the real working point (and this plan)
+    * counts over the DISTINCT-WORD vocabulary weighted by word counts,
+    * because Σ_occurrences pair = Σ_types pair·freq(type). On 100 TB
+    * that is the difference between a corpus scan per merge and a
+    * vocabulary-sized aggregate per merge — the corpus is touched once
+    * (by the standing `token_freq` census), and every subsequent merge
+    * step is index-sized. This query emits step 0's candidate table
+    * (plus `n_types`, the vocabulary breadth behind each pair — a
+    * same-weight pair concentrated in one spammed word is a worse merge
+    * than one spread across the vocabulary); an iterating trainer
+    * re-derives it after each merge rewrite of the (small) vocab frame.
+    *
+    * Scale shape: zero text scans in artifact mode — the pair explode
+    * runs over `token_totals` (vocabulary-sized), the aggregate is
+    * alphabet²-sized, and the cutoff is `TakeOrderedAndProject`. Exact
+    * integer weights end-to-end; character indexing is BMP-safe in both
+    * engines.
+    */
+  def q113BpeMergeCensus(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Artifacts.tokenTotals(spark, dir)
+    counts
+      .select(col("token"), col("n"),
+        explode(when(length(col("token")) >= 2, expr(
+          "transform(sequence(1, length(token) - 1), " +
+            "i -> struct(substring(token, i, 1) AS c1, " +
+            "substring(token, i + 1, 1) AS c2))"))).as("p"))
+      .select(col("token"), col("n"), col("p.c1"), col("p.c2"))
+      .groupBy("c1", "c2")
+      .agg(sum("n").as("weight"), countDistinct("token").as("n_types"))
+      .orderBy(desc("weight"), asc("c1"), asc("c2"))
+      .limit(MergeTopK)
+  }
+
+  /** The q86 token census, the same 1-based adjacent-pair generation,
+    * the same (weight desc, pair asc) cutoff.
+    */
+  val q113OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), counts AS (
+      |  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |), pos AS (
+      |  SELECT token, n, unnest(generate_series(1, length(token) - 1)) AS i
+      |  FROM counts
+      |), pairs AS (
+      |  SELECT substr(token, i, 1) AS c1, substr(token, i + 1, 1) AS c2,
+      |         token, n
+      |  FROM pos
+      |)
+      |SELECT c1, c2, CAST(SUM(n) AS BIGINT) AS weight,
+      |       COUNT(DISTINCT token) AS n_types
+      |FROM pairs GROUP BY c1, c2
+      |ORDER BY weight DESC, c1, c2 LIMIT $MergeTopK""".stripMargin
 }

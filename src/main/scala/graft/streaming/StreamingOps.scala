@@ -421,6 +421,46 @@ object StreamingOps {
   def qualityGateStream(docs: DataFrame, textCol: String): DataFrame =
     graft.operators.TextAnalysis.scoredQuality(docs, textCol)
 
+  /** q109's novelty verdict at INTAKE time: per micro-batch, score each
+    * arriving document's distinct-8-gram novelty against the STANDING
+    * corpus shingle index — measured BEFORE the batch is folded in, the
+    * moment a quarantine decision can still act on it. A crawl wave can
+    * add a million documents at near-zero novelty (scraper loops,
+    * mirror floods); this is the per-batch number that catches it at
+    * the door instead of in next week's q109 audit.
+    *
+    * Designed for a `foreachBatch` intake (the
+    * [[artifactMaintainingIntake]] pattern): call it on the batch
+    * BEFORE appending/maintaining, so "the corpus" means the pre-batch
+    * snapshot — the same standing `shingles8` artifact the maintenance
+    * then carries forward (inline fallback when none is materialized).
+    * The STREAM carries zero shingle state: per-batch aggregation only,
+    * membership is one equi-join against standing state — q109's exact
+    * shape, which is what makes the gate identical to the batch audit
+    * by construction rather than by parallel implementation.
+    */
+  def noveltyOfBatch(batch: DataFrame, spark: SparkSession,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.{CorpusOps, Dedup}
+    val corpusSh = graft.Artifacts.shingles8(spark, corpusDir)
+      .select(col("sh")).distinct().withColumn("seen", lit(1))
+    val sh = batch.select(col(idCol),
+      explode(CorpusOps.shinglesN(Dedup.tokens(col(textCol)),
+        CorpusOps.DecontamN)).as("sh"))
+    val per = sh.join(corpusSh, Seq("sh"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    batch.select(col(idCol)).distinct()
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        graft.functions.VectorOps.round6(
+          col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
+  }
+
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the
     * preceding 30 minutes. The interval join is an equi-join on user_id

@@ -109,4 +109,27 @@ class DiversityContaminationSpec extends SparkSpec {
     assert(anyContaminated,
       "fixture has zero test-train 8-gram overlap — weak fixture")
   }
+
+  test("q113 pair census agrees with a local frequency-weighted recompute") {
+    val counts = docs.flatMap(d => toks(d._3))
+      .groupBy(identity).map { case (t, o) => t -> o.length.toLong }
+    val agg = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Set[String])]
+    counts.foreach { case (w, n) =>
+      w.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p.substring(0, 1), p.substring(1, 2))
+        val (wt, ts) = agg.getOrElse(k, (0L, Set.empty[String]))
+        agg(k) = (wt + n, ts + w)
+      }
+    }
+    val expected = agg.toSeq
+      .map { case ((c1, c2), (wt, ts)) => (c1, c2, wt, ts.size.toLong) }
+      .sortBy { case (c1, c2, wt, _) => (-wt, c1, c2) }
+      .take(20)
+    val got = graft.operators.TextAnalysis.q113BpeMergeCensus(spark, sf)
+      .collect().map(r => (r.getAs[String]("c1"), r.getAs[String]("c2"),
+        r.getAs[Long]("weight"), r.getAs[Long]("n_types")))
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected)
+  }
 }

@@ -89,7 +89,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q109_snapshot_novelty" -> (CorpusOps.q109SnapshotNovelty _),
     "q110_diversity_profile" -> (CorpusAudit.q110DiversityProfile _),
     "q111_neardup_recall" -> (Similarity.q111NearDupRecall _),
-    "q112_eval_contamination" -> (CorpusAudit.q112EvalContamination _))
+    "q112_eval_contamination" -> (CorpusAudit.q112EvalContamination _),
+    "q113_bpe_merge_census" -> (TextAnalysis.q113BpeMergeCensus _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -523,6 +523,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: q113 counts pairs over the vocabulary — no documents scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpeguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = TextAnalysis.q113BpeMergeCensus(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q113 plan does not read the artifact root:\n" + p.take(600))
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0,
+        s"q113 artifact-mode plan still scans documents $docScans times " +
+          "— the merge census must be vocabulary-sized, not corpus-sized")
+      assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
