@@ -282,4 +282,113 @@ object EventAnalytics {
       |GROUP BY prev_type, next_type
       |ORDER BY n_transitions DESC, prev_type, next_type
       |LIMIT 20""".stripMargin
+
+  // ---- q114: retention cohort matrix --------------------------------------
+
+  /** q114 — the retention cohort matrix: users grouped by the integer
+    * epoch-day of their FIRST event (the cohort), then for each cohort ×
+    * age-in-days cell, how many of its users were active and what
+    * fraction of the cohort that is. The canonical activation/retention
+    * triangle every growth dashboard draws; day arithmetic stays in the
+    * q74 integer-epoch-day domain (ns DIV, exactly µs-compatible with
+    * DuckDB's parquet read) — no calendar functions, no timezone
+    * surface, bit-identical cross-engine.
+    *
+    * Scale shape: three aggregates, every one reduced BEFORE it
+    * shuffles — (user → first day) is a map-side-partial min,
+    * (user, day) distinct-activity collapses event grain once, and the
+    * cohort×age rollup runs on |users|×|active-days| rows at most. The
+    * cohort-size join attaches at cohort grain (|days| rows). No
+    * windows, no event-grain row crosses two shuffles — the q72 family
+    * posture.
+    */
+  def q114RetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), dayOfTsNs.as("day"))
+    val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = first.groupBy("cohort_day")
+      .agg(count(lit(1)).as("cohort_users"))
+    days.join(first, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_day", "age_days")
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_day")
+      .select(col("cohort_day"), col("cohort_users"), col("age_days"),
+        col("n_active"),
+        round6(col("n_active").cast("double") / col("cohort_users"))
+          .as("retention"))
+      .orderBy("cohort_day", "age_days")
+  }
+
+  /** q74's integer epoch-day, the same min/distinct/rollup chain. */
+  val q114OracleSql: String =
+    s"""WITH days AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), first AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+      |), sizes AS (
+      |  SELECT cohort_day, COUNT(*) AS cohort_users FROM first GROUP BY 1
+      |), active AS (
+      |  SELECT DISTINCT f.cohort_day, d.day - f.cohort_day AS age_days,
+      |         d.user_id
+      |  FROM days d JOIN first f ON d.user_id = f.user_id
+      |), cells AS (
+      |  SELECT cohort_day, age_days, COUNT(*) AS n_active
+      |  FROM active GROUP BY 1, 2
+      |)
+      |SELECT c.cohort_day, s.cohort_users, c.age_days, c.n_active,
+      |       ${round6Sql("CAST(c.n_active AS DOUBLE) / s.cohort_users")}
+      |         AS retention
+      |FROM cells c JOIN sizes s ON c.cohort_day = s.cohort_day
+      |ORDER BY c.cohort_day, c.age_days""".stripMargin
+
+  // ---- q115: engagement distribution --------------------------------------
+
+  /** q115 — the engagement (power-user) distribution: users bucketed by
+    * ⌊log₂(lifetime event count)⌋ — bucket 0 is the one-shot drive-by,
+    * each next bucket doubles the commitment — with user counts and the
+    * event mass each bucket owns. The health curve behind "1% of users
+    * generate 50% of events": a product (or an abuse desk) reads the
+    * top buckets' mass share, and a data pipeline reads it as the skew
+    * forecast for every user-keyed shuffle upstream. The bucket is the
+    * q68/q86 binary-digit trick (`length(bin(n)) − 1`), so the whole
+    * report is exact integer arithmetic except the one final share
+    * division.
+    *
+    * Scale shape: one map-side-partial count to user grain, one
+    * aggregate to ≤64 bucket rows, one broadcast scalar for the share —
+    * nothing event-grain survives the first shuffle.
+    */
+  def q115EngagementHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val buckets = perUser
+      .groupBy((length(bin(col("n_events"))) - 1).as("bucket"))
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("total_events"))
+    val total = buckets.agg(sum("total_events").as("all_events"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_users"), col("total_events"),
+        round6(col("total_events").cast("double") / col("all_events"))
+          .as("event_share"))
+      .orderBy("bucket")
+  }
+
+  /** The same binary-digit bucket and share arithmetic. */
+  val q115OracleSql: String =
+    s"""WITH per_user AS (
+      |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+      |), buckets AS (
+      |  SELECT CAST(length(bin(n_events)) - 1 AS INTEGER) AS bucket,
+      |         COUNT(*) AS n_users,
+      |         CAST(SUM(n_events) AS BIGINT) AS total_events
+      |  FROM per_user GROUP BY 1
+      |), tot AS (
+      |  SELECT SUM(total_events) AS all_events FROM buckets
+      |)
+      |SELECT bucket, n_users, total_events,
+      |       ${round6Sql("CAST(total_events AS DOUBLE) / all_events")}
+      |         AS event_share
+      |FROM buckets, tot ORDER BY bucket""".stripMargin
 }

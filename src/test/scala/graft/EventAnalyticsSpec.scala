@@ -126,4 +126,46 @@ class EventAnalyticsSpec extends SparkSpec {
     val ns = rows.map(_.getAs[Long]("n_transitions"))
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
+
+  test("q114 cohort matrix agrees with a local recompute and its own identities") {
+    val days = events.select(col("user_id"),
+        expr("ts_ns div 86400000000000").as("day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val first = days.groupBy(_._1).map { case (u, ds) => u -> ds.map(_._2).min }
+    val active = days.map { case (u, d) => (first(u), d - first(u), u) }.distinct
+    val expected = active.groupBy(t => (t._1, t._2))
+      .map { case (k, m) => k -> m.map(_._3).distinct.length }
+    val sizes = first.values.groupBy(identity).map { case (d, o) => d -> o.size }
+    val rows = EventAnalytics.q114RetentionCohorts(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Long]("cohort_day"), r.getAs[Long]("age_days"))
+      assert(r.getAs[Long]("n_active") == expected(k).toLong, s"cell $k")
+      assert(r.getAs[Long]("cohort_users") == sizes(k._1).toLong, s"cohort ${k._1}")
+      assert(k._2 >= 0, "negative age")
+    }
+    // age 0 is full retention by definition: every cohort member is
+    // active on their own first day
+    rows.filter(_.getAs[Long]("age_days") == 0L).foreach { r =>
+      assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_users"))
+      assert(r.getAs[Double]("retention") == 1.0)
+    }
+  }
+
+  test("q115 buckets partition users and total event mass exactly") {
+    val perUser = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(_.getLong(1))
+    val rows = EventAnalytics.q115EngagementHistogram(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == perUser.length.toLong)
+    assert(rows.map(_.getAs[Long]("total_events")).sum == perUser.sum)
+    assert(math.abs(rows.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-5)
+    val expected = perUser.groupBy(n => 63 - java.lang.Long.numberOfLeadingZeros(n))
+      .map { case (b, os) => b -> (os.length.toLong, os.sum) }
+    rows.foreach { r =>
+      val b = r.getAs[Int]("bucket")
+      val (nU, tot) = expected(b)
+      assert(r.getAs[Long]("n_users") == nU, s"bucket $b users")
+      assert(r.getAs[Long]("total_events") == tot, s"bucket $b mass")
+    }
+  }
 }
