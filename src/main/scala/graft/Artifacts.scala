@@ -427,6 +427,18 @@ object Artifacts {
     readOrCompute(spark, corpusDir, Shingles8Name)(
       operators.CorpusOps.docShingles8(Tables.documents(spark, corpusDir)))
 
+  /** [[shingles8]] for plans that reference the frame MORE THAN ONCE
+    * (q105's two aggregations, q112's cap + test + train legs): the
+    * artifact read is returned as-is — a parquet re-scan per reference
+    * is cheap and keeps the artifact path visible to the plan guards —
+    * while the INLINE fallback is checkpointed, so the corpus-scale
+    * tokenize+shingle pass runs once instead of once per reference.
+    */
+  def shingles8Shared(spark: SparkSession, corpusDir: String): DataFrame =
+    readIfCurrent(spark, corpusDir, Shingles8Name).getOrElse(
+      Checkpoints.checkpoint(
+        operators.CorpusOps.docShingles8(Tables.documents(spark, corpusDir))))
+
   /** The `(source, token, n)` frequency index, IF a version committed for
     * the corpus's current fingerprint resolves (Option shape — the
     * inline fallback wants a checkpoint the artifact read does not,

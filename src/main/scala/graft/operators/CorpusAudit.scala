@@ -674,7 +674,7 @@ object CorpusAudit {
     * tokenize+shingle pass the artifact retires.
     */
   def q105NgramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.Artifacts.shingles8(spark, dir)
+    val sh = graft.Artifacts.shingles8Shared(spark, dir)
     val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val uniq = sh.groupBy("sh")
       .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
@@ -746,9 +746,12 @@ object CorpusAudit {
       CorpusOps.bigramFreqRows(Tables.documents(spark, dir)))
     val t1 = tf.groupBy("source")
       .agg(sum("n").as("n_tokens"), count(lit(1)).as("uniq_tokens"))
-    val t2 = bf.groupBy("source")
+    val t2 = bf.groupBy(col("source").as("source2"))
       .agg(sum("n").as("n_bigrams"), count(lit(1)).as("uniq_bigrams"))
-    t1.join(t2, Seq("source"), "left")
+    // null-SAFE join: a null-source stratum is a real group in both
+    // frequency indexes, and a plain equi-join would silently report it
+    // with zero bigrams
+    t1.join(t2, t1("source") <=> t2("source2"), "left")
       .select(col("source"), col("n_tokens"), col("uniq_tokens"),
         round6(col("uniq_tokens").cast("double") / col("n_tokens"))
           .as("ttr_unigram"),
@@ -788,7 +791,7 @@ object CorpusAudit {
       |       COALESCE(t2.uniq_bigrams, 0) AS uniq_bigrams,
       |       ${round6Sql(
            "CAST(t2.uniq_bigrams AS DOUBLE) / t2.n_bigrams")} AS ttr_bigram
-      |FROM t1 LEFT JOIN t2 ON t1.source = t2.source
+      |FROM t1 LEFT JOIN t2 ON t1.source IS NOT DISTINCT FROM t2.source
       |ORDER BY t1.source""".stripMargin
 
   // ---- q112: per-eval-item contamination report ----------------------------
@@ -818,7 +821,7 @@ object CorpusAudit {
     * grain.
     */
   def q112EvalContamination(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.Artifacts.shingles8(spark, dir)
+    val sh = graft.Artifacts.shingles8Shared(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContamDfCap).select("sh")

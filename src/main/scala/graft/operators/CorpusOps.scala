@@ -961,10 +961,15 @@ object CorpusOps {
   def q89TemperatureMixture(spark: SparkSession, dir: String): DataFrame =
     temperatureMixture(spark, dir, graft.functions.Tokenizer.Whitespace)
 
-  /** q89 under a pluggable [[graft.functions.Tokenizer]]. */
-  def temperatureMixture(spark: SparkSession, dir: String,
+  /** The α=1/2 temperature scaling frame shared by [[temperatureMixture]]
+    * and [[repetitionPlan]] — ONE derivation of (stratum census,
+    * total_tokens, token_share, s=√share, z=Σs), so q108's claimed
+    * weight identity with q89 holds by construction, not by parallel
+    * implementation. Columns: `lang, source, n_tokens, total_tokens,
+    * token_share, s, z` (unrounded — consumers round at output).
+    */
+  private def temperatureScaled(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
-    import graft.functions.VectorOps.round6
     val strata = stratumTokenMass(spark, dir, tok)
     val totals = strata.agg(sum("n_tokens").as("total_tokens"))
     val scaled = strata.crossJoin(broadcast(totals))
@@ -973,6 +978,13 @@ object CorpusOps {
       .withColumn("s", sqrt(col("token_share")))
     val z = scaled.agg(sum("s").as("z"))
     scaled.crossJoin(broadcast(z))
+  }
+
+  /** q89 under a pluggable [[graft.functions.Tokenizer]]. */
+  def temperatureMixture(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame = {
+    import graft.functions.VectorOps.round6
+    temperatureScaled(spark, dir, tok)
       .select(col("lang"), col("source"), col("n_tokens"),
         round6(col("token_share")).as("token_share"),
         round6(col("s") / col("z")).as("temp_weight"),
@@ -1828,13 +1840,6 @@ object CorpusOps {
   def repetitionPlan(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
-    val strata = stratumTokenMass(spark, dir, tok)
-    val totals = strata.agg(sum("n_tokens").as("total_tokens"))
-    val scaled = strata.crossJoin(broadcast(totals))
-      .withColumn("token_share",
-        col("n_tokens").cast("double") / col("total_tokens"))
-      .withColumn("s", sqrt(col("token_share")))
-    val z = scaled.agg(sum("s").as("z"))
     val w = col("s") / col("z")
     val share = (lit(RepetitionBudgetMult) *
       col("total_tokens").cast("double")) * w
@@ -1844,7 +1849,7 @@ object CorpusOps {
     // a zeroTokenCapable tokenizer can yield a 0-token stratum: its
     // epoch demand is 0/0 — explicit NULLs, not NaN (the q89 posture)
     val defined = col("n_tokens") > 0
-    scaled.crossJoin(broadcast(z))
+    temperatureScaled(spark, dir, tok)
       .select(col("lang"), col("source"), col("n_tokens"),
         round6(w).as("temp_weight"),
         when(defined, round6(epochsRaw)).as("epochs_raw"),
@@ -1907,28 +1912,48 @@ object CorpusOps {
     */
   def q109SnapshotNovelty(spark: SparkSession, dir: String): DataFrame = {
     val (prior, cur) = snapshotFixture(Tables.documents(spark, dir))
-    val changed = snapshotDiff(
+    // referenced by both the shingle explode and the final reattach —
+    // checkpointed so the id+hash diff runs once, not once per subtree
+    val changed = graft.Checkpoints.checkpoint(snapshotDiff(
         prior.select(col("doc_id"), md5(col("t")).as("h")),
         cur.select(col("doc_id"), md5(col("t")).as("h")))
       .filter(col("status").isin("added", "changed"))
-      .select("doc_id", "status")
-    val shNew = cur.join(changed, "doc_id")
-      .select(col("doc_id"), col("status"),
-        explode(shinglesN(Dedup.tokens(col("t")), DecontamN)).as("sh"))
-    val shOld = prior
-      .select(explode(shinglesN(Dedup.tokens(col("t")), DecontamN)).as("sh"))
-      .distinct().withColumn("seen", lit(1))
-    val per = shNew.join(shOld, Seq("sh"), "left")
-      .groupBy("doc_id", "status")
+      .select("doc_id", "status"))
+    shingleNovelty(cur.join(changed, "doc_id"), Seq("doc_id", "status"), "t",
+        prior.select(explode(shinglesN(Dedup.tokens(col("t")), DecontamN))
+          .as("sh")))
+      .orderBy("doc_id")
+  }
+
+  /** The novelty-scoring CORE shared by [[q109SnapshotNovelty]] and the
+    * intake gate (`StreamingOps.noveltyOfBatch`) — ONE definition, so
+    * the verdict a batch gets at the door cannot drift from the audit a
+    * snapshot gets later. For each distinct `keyCols` tuple of `docs`
+    * (one row per document expected): the count of its distinct
+    * [[DecontamN]]-gram shingles, how many of those appear NOWHERE in
+    * `corpusShingles` (any frame with a `sh` column; de-duplicated
+    * here), and the novelty fraction (NULL when the document is too
+    * short to shingle).
+    */
+  private[graft] def shingleNovelty(docs: DataFrame, keyCols: Seq[String],
+      textCol: String, corpusShingles: DataFrame): DataFrame = {
+    val keys = keyCols.map(col)
+    val sh = docs.select(keys :+
+      explode(shinglesN(Dedup.tokens(col(textCol)), DecontamN)).as("sh"): _*)
+    val seen = corpusShingles.select(col("sh")).distinct()
+      .withColumn("seen", lit(1))
+    val per = sh.join(seen, Seq("sh"), "left")
+      .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-    changed.join(per, Seq("doc_id", "status"), "left")
-      .select(col("doc_id"), col("status"),
+    docs.select(keys: _*).distinct()
+      .join(per, keyCols, "left")
+      .select(keys ++ Seq(
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         graft.functions.VectorOps.round6(
-          col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
-      .orderBy("doc_id")
+          col("n_novel").cast("double") / col("n_shingles"))
+          .as("novelty")): _*)
   }
 
   /** The fixture + diff replayed from the shared constants, the q60/q105

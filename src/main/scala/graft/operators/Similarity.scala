@@ -655,8 +655,11 @@ object Similarity {
       .agg(VectorOps.vectorCentroid(col("embedding")).as("c_raw"))
       .select(col("label"),
         transform(col("c_raw"), VectorOps.round6 _).as("centroid"))
+    // NULLS LAST explicitly on both engines: a null/zero-norm embedding
+    // yields a NULL cosine, and Spark's ASC default (NULLS FIRST) would
+    // otherwise elect it rank-1 while DuckDB ranks it last
     val w = Window.partitionBy("label")
-      .orderBy(col("cos_centroid").asc, col("vec_id").asc)
+      .orderBy(col("cos_centroid").asc_nulls_last, col("vec_id").asc)
     e.join(broadcast(cells), "label")
       .withColumn("cos_centroid", VectorOps.round6(
         VectorOps.dot(col("embedding"), col("centroid")) /
@@ -691,7 +694,7 @@ object Similarity {
       |), ranked AS (
       |  SELECT label, vec_id, cos_centroid,
       |         row_number() OVER (PARTITION BY label
-      |           ORDER BY cos_centroid ASC, vec_id ASC) AS rank
+      |           ORDER BY cos_centroid ASC NULLS LAST, vec_id ASC) AS rank
       |  FROM scored
       |)
       |SELECT label, rank, vec_id, cos_centroid

@@ -441,25 +441,14 @@ object StreamingOps {
     */
   def noveltyOfBatch(batch: DataFrame, spark: SparkSession,
       corpusDir: String, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    import graft.operators.{CorpusOps, Dedup}
-    val corpusSh = graft.Artifacts.shingles8(spark, corpusDir)
-      .select(col("sh")).distinct().withColumn("seen", lit(1))
-    val sh = batch.select(col(idCol),
-      explode(CorpusOps.shinglesN(Dedup.tokens(col(textCol)),
-        CorpusOps.DecontamN)).as("sh"))
-    val per = sh.join(corpusSh, Seq("sh"), "left")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-    batch.select(col(idCol)).distinct()
-      .join(per, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        graft.functions.VectorOps.round6(
-          col("n_novel").cast("double") / col("n_shingles")).as("novelty"))
-  }
+      textCol: String = "text"): DataFrame =
+    // dedup at doc grain FIRST (at-least-once delivery can repeat a row
+    // within one micro-batch; the winner is arbitrary-but-single, the
+    // artifactMaintainingIntake posture), then score through the ONE
+    // novelty core q109 uses — shared definition, not a parallel copy
+    graft.operators.CorpusOps.shingleNovelty(
+      batch.dropDuplicates(idCol), Seq(idCol), textCol,
+      graft.Artifacts.shingles8(spark, corpusDir))
 
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the

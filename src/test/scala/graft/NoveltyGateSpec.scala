@@ -36,7 +36,10 @@ class NoveltyGateSpec extends SparkSpec {
     val batch2 = Seq(
       IngestDoc(20L, a, "s2"), // re-crawl of doc 10 → zero novelty
       IngestDoc(21L, "alpha beta gamma delta epsilon zeta eta theta fresh", "s2"),
-      IngestDoc(22L, "too short for shingles", "s2")) // no 8-grams → NULL
+      IngestDoc(22L, "too short for shingles", "s2"), // no 8-grams → NULL
+      // at-least-once delivery: the same row twice within ONE batch —
+      // must produce a single verdict with un-inflated shingle counts
+      IngestDoc(21L, "alpha beta gamma delta epsilon zeta eta theta fresh", "s2"))
     val ledger =
       scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Option[Double])]()
     // corpus state as the local mirror sees it, BEFORE the current batch
@@ -58,7 +61,8 @@ class NoveltyGateSpec extends SparkSpec {
               .collect().map(r => (r.getAs[Long]("doc_id"),
                 r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
                 Option(r.getAs[java.lang.Double]("novelty")).map(_.toDouble)))
-            batch.write.mode("append").parquet(docsPath)
+            // the real intake appends id-deduped rows; mirror it
+            batch.dropDuplicates("doc_id").write.mode("append").parquet(docsPath)
             Tables.invalidate(corpus)
             Artifacts.materialize(spark, corpus)
             mirror ++= batch.collect()
@@ -80,8 +84,9 @@ class NoveltyGateSpec extends SparkSpec {
       Checkpoints.releaseAll()
     }
 
-    val all = batch1 ++ batch2
-    assert(ledger.size == all.size)
+    val all = (batch1 ++ batch2).distinct
+    assert(ledger.size == all.size,
+      "one verdict per distinct document, duplicates collapsed")
     assert(preBatchSets.size == 2 && preBatchSets(0).isEmpty &&
       preBatchSets(1).nonEmpty, "standing state did not advance")
     val pre = Map(0 -> preBatchSets(0), 1 -> preBatchSets(1))
