@@ -219,13 +219,27 @@ object Artifacts {
     * preserve length are indistinguishable, and no cheaper check could see
     * them either.
     */
-  def corpusFingerprint(spark: SparkSession, corpusDir: String): String = {
+  def corpusFingerprint(spark: SparkSession, corpusDir: String): String =
+    tableFingerprint(spark, corpusDir, "documents.parquet")
+
+  /** [[corpusFingerprint]] for the embeddings table — the state the
+    * embedding-keyed artifacts ([[lshAnnIndex]]/[[lshNearDupIndex]])
+    * derive from. Tracked separately because the two tables version
+    * independently: an embeddings re-encode must stale the vector
+    * indexes WITHOUT invalidating the text artifacts, and vice versa.
+    */
+  def embeddingsFingerprint(spark: SparkSession, corpusDir: String): String =
+    tableFingerprint(spark, corpusDir, "embeddings.parquet")
+
+  private def tableFingerprint(spark: SparkSession, corpusDir: String,
+      table: String): String = {
     val now = System.currentTimeMillis()
-    val cached = fpCache.get(corpusDir)
+    val key = s"$corpusDir|$table"
+    val cached = fpCache.get(key)
     if (cached != null && now - cached._2 < FpTtlMs) cached._1
     else {
-      val fp = computeFingerprint(spark, corpusDir)
-      fpCache.put(corpusDir, (fp, now))
+      val fp = computeFingerprint(spark, corpusDir, table)
+      fpCache.put(key, (fp, now))
       fp
     }
   }
@@ -247,10 +261,12 @@ object Artifacts {
   /** Drop the memoized fingerprint for `corpusDir` (called by
     * `Tables.invalidate`, and before prune-time re-resolution).
     */
-  def invalidateFingerprint(corpusDir: String): Unit = fpCache.remove(corpusDir)
+  def invalidateFingerprint(corpusDir: String): Unit =
+    fpCache.keySet().removeIf(_.startsWith(corpusDir + "|"))
 
-  private def computeFingerprint(spark: SparkSession, corpusDir: String): String = {
-    val docs = new Path(s"$corpusDir/documents.parquet")
+  private def computeFingerprint(spark: SparkSession, corpusDir: String,
+      table: String = "documents.parquet"): String = {
+    val docs = new Path(s"$corpusDir/$table")
     val fs = docs.getFileSystem(spark.sessionState.newHadoopConf())
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
     if (fs.exists(docs)) {
@@ -273,9 +289,14 @@ object Artifacts {
     * an artifact root on object storage works the same as a local
     * directory.
     */
-  def isMaterialized(spark: SparkSession, corpusDir: String, name: String): Boolean =
-    isCommitted(spark,
-      versionPath(corpusDir, name, corpusFingerprint(spark, corpusDir)), name)
+  def isMaterialized(spark: SparkSession, corpusDir: String, name: String): Boolean = {
+    // embedding-keyed artifacts version with the embeddings tree, every
+    // other artifact with the documents tree
+    val fp =
+      if (EmbeddingNames.contains(name)) embeddingsFingerprint(spark, corpusDir)
+      else corpusFingerprint(spark, corpusDir)
+    isCommitted(spark, versionPath(corpusDir, name, fp), name)
+  }
 
   /** True iff EVERY artifact in [[AllNames]] is committed for the
     * corpus's current fingerprint — metadata-only (marker existence
@@ -343,8 +364,17 @@ object Artifacts {
     */
   private def readIfCurrent(spark: SparkSession, corpusDir: String,
       name: String): Option[DataFrame] =
+    readIfCurrentWith(spark, corpusDir, name,
+      () => corpusFingerprint(spark, corpusDir))
+
+  /** [[readIfCurrent]] under a caller-chosen fingerprint source — the
+    * seam the embedding-keyed artifacts resolve through (their state
+    * versions with the embeddings tree, not the documents tree).
+    */
+  private def readIfCurrentWith(spark: SparkSession, corpusDir: String,
+      name: String, fpOf: () => String): Option[DataFrame] =
     rootOpt.flatMap { _ =>
-      val fp = corpusFingerprint(spark, corpusDir)
+      val fp = fpOf()
       val p = versionPath(corpusDir, name, fp).get
       if (isCommitted(spark, Some(p), name))
         Some(readVersion(spark, corpusDir, name, p))
@@ -438,6 +468,73 @@ object Artifacts {
     readIfCurrent(spark, corpusDir, Shingles8Name).getOrElse(
       Checkpoints.checkpoint(
         operators.CorpusOps.docShingles8(Tables.documents(spark, corpusDir))))
+
+  // ---- embedding-keyed artifacts ------------------------------------------
+
+  /** The q23 ANN hyperplane index `(id, table, bucket)`. */
+  val LshAnnIndexName = "lsh_ann_index"
+
+  /** The q82 near-dup hyperplane index `(id, table, bucket)`. */
+  val LshNearDupIndexName = "lsh_neardup_index"
+
+  /** The two standing vector indexes, versioned by
+    * [[embeddingsFingerprint]] — NOT the documents fingerprint: the two
+    * tables change independently, and a re-encode must stale exactly
+    * the vector state.
+    */
+  val EmbeddingNames: Seq[String] = Seq(LshAnnIndexName, LshNearDupIndexName)
+
+  /** The q23 ANN index rows — artifact when the embeddings fingerprint
+    * resolves, else the inline sign-sketch derivation. At production
+    * scale this IS the vector index: the per-vector (tables × bits ×
+    * dim) projection pass is the dominant embedding-side compute, paid
+    * once per embedding snapshot instead of once per search.
+    */
+  def lshAnnIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    readIfCurrentWith(spark, corpusDir, LshAnnIndexName,
+      () => embeddingsFingerprint(spark, corpusDir)).getOrElse(
+      operators.Similarity.annIndexFrame(Tables.embeddings(spark, corpusDir)))
+
+  /** The q82 near-dup index rows — same resolution as [[lshAnnIndex]]. */
+  def lshNearDupIndex(spark: SparkSession, corpusDir: String): DataFrame =
+    readIfCurrentWith(spark, corpusDir, LshNearDupIndexName,
+      () => embeddingsFingerprint(spark, corpusDir)).getOrElse(
+      operators.Similarity.nearDupIndexFrame(
+        Tables.embeddings(spark, corpusDir)))
+
+  /** Build-once for the embedding-keyed artifacts, the [[materialize]]
+    * contract applied to the vector side: idempotent per embeddings
+    * fingerprint, committed via the parquet commit protocol, stale
+    * versions pruned after the new one lands. A corpus without an
+    * embeddings table (a text-only intake dir) is a no-op. Kept
+    * separate from [[materialize]] because the two tables version
+    * independently — a crawl append must not trigger a vector re-index,
+    * and a re-encode must not rebuild the text artifacts.
+    */
+  def materializeEmbeddings(spark: SparkSession,
+      corpusDir: String): Map[String, Long] = Checkpoints.scoped {
+    require(rootOpt.nonEmpty,
+      "Artifacts.materializeEmbeddings needs a root — setRoot(...) or " +
+        "SPARK_GRAFT_ARTIFACTS_DIR")
+    val embPath = new Path(s"$corpusDir/embeddings.parquet")
+    val fs = embPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(embPath)) Map.empty
+    else {
+      val fp = embeddingsFingerprint(spark, corpusDir)
+      val e = Tables.embeddings(spark, corpusDir)
+      def build(name: String)(compute: => DataFrame): (String, Long) = {
+        val p = versionPath(corpusDir, name, fp).get
+        if (isCommitted(spark, Some(p), name))
+          name -> committedCount(spark, corpusDir, name, p)
+        else write(spark, corpusDir, fp, name, compute)
+      }
+      val ann = build(LshAnnIndexName)(operators.Similarity.annIndexFrame(e))
+      val nd = build(LshNearDupIndexName)(
+        operators.Similarity.nearDupIndexFrame(e))
+      pruneSweep(spark, corpusDir, EmbeddingNames, Set(fp))
+      Map(ann, nd)
+    }
+  }
 
   /** The `(source, token, n)` frequency index, IF a version committed for
     * the corpus's current fingerprint resolves (Option shape — the

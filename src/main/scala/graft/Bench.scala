@@ -122,6 +122,9 @@ object Bench {
             .toString)
         val t0 = System.nanoTime()
         Artifacts.materialize(spark, sfDir)
+        // the vector-side standing state (LSH indexes) — versioned by
+        // the embeddings fingerprint, built in the same untimed phase
+        Artifacts.materializeEmbeddings(spark, sfDir)
         (System.nanoTime() - t0) / 1e9
       }
 

@@ -195,6 +195,20 @@ object Similarity {
   def lshIndex(e: DataFrame, idCol: String, vecCol: String): DataFrame =
     lshIndexWith(e, idCol, vecCol, hyperplanes)
 
+  /** The q23 ANN index over the standard embeddings schema — the frame
+    * `Artifacts.lshAnnIndex` materializes and q23 consumes. ONE
+    * definition, so the standing index can never drift from the inline
+    * derivation.
+    */
+  private[graft] def annIndexFrame(e: DataFrame): DataFrame =
+    lshIndex(e, "vec_id", "embedding")
+
+  /** The q82 near-dup index over the standard embeddings schema — the
+    * frame `Artifacts.lshNearDupIndex` materializes and q82 consumes.
+    */
+  private[graft] def nearDupIndexFrame(e: DataFrame): DataFrame =
+    lshIndexWith(e, "vec_id", "embedding", nearDupPlanes)
+
   /** q35 — IVF-style ANN: cells come from the existing `label` column
     * (standing in for a trained coarse quantizer), cell centroids from
     * the custom [[graft.functions.VectorCentroid]] aggregate, probes
@@ -296,7 +310,10 @@ object Similarity {
     */
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val idx = lshIndex(e, "vec_id", "embedding")
+    // the standing vector index when the embeddings fingerprint
+    // resolves (the per-vector projection pass paid once per snapshot),
+    // inline sign sketches otherwise
+    val idx = graft.Artifacts.lshAnnIndex(spark, dir)
     val probeIdx = idx.filter(col("id") < NumProbes)
       .withColumnRenamed("id", "probe_id")
     val cand = broadcast(probeIdx).join(idx, Seq("table", "bucket"))
@@ -420,7 +437,9 @@ object Similarity {
     */
   def q82AnnNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val idx = lshIndexWith(e, "vec_id", "embedding", nearDupPlanes)
+    // standing near-dup index when the embeddings fingerprint resolves,
+    // inline sign sketches otherwise (shared frame definition either way)
+    val idx = graft.Artifacts.lshNearDupIndex(spark, dir)
     // bucket census is tiny (tables × 2^bits rows) → broadcast it both
     // ways: under-cap buckets enumerate all pairs; over-cap buckets
     // degrade to a star against their min-id representative, so the

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** The embedding-keyed artifact family (standing LSH indexes): artifact
+  * ≡ inline, idempotent builds, staleness keyed to the EMBEDDINGS
+  * fingerprint, and independence from the documents fingerprint — a
+  * crawl append must not stale the vector indexes, a re-encode must.
+  */
+class EmbeddingArtifactsSpec extends SparkSpec {
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("materializeEmbeddings builds both indexes; artifact ≡ inline; idempotent") {
+    val root = Files.createTempDirectory("graft-emb-root").toFile
+    try {
+      // inline baselines BEFORE any root is set
+      val q23Inline = rows(Similarity.q23AnnLsh(spark, sf))
+      val q82Inline = rows(Similarity.q82AnnNearDupPairs(spark, sf))
+      val idxInline = rows(Similarity.annIndexFrame(
+        spark.read.parquet(s"$sf/embeddings.parquet")))
+      Artifacts.setRoot(root.getAbsolutePath)
+      val built = Artifacts.materializeEmbeddings(spark, sf)
+      assert(built.keySet == Set(Artifacts.LshAnnIndexName,
+        Artifacts.LshNearDupIndexName))
+      assert(Artifacts.EmbeddingNames.forall(
+        Artifacts.isMaterialized(spark, sf, _)))
+      // artifact-mode reads serve the identical frames
+      assert(rows(Artifacts.lshAnnIndex(spark, sf)) == idxInline)
+      assert(rows(Similarity.q23AnnLsh(spark, sf)) == q23Inline)
+      assert(rows(Similarity.q82AnnNearDupPairs(spark, sf)) == q82Inline)
+      // the artifact path must actually appear in the consumer's plan
+      val d = Similarity.q23AnnLsh(spark, sf)
+      d.collect()
+      val p = d.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p.contains(root.getName),
+        "q23 artifact-mode plan does not read the index artifact:\n" +
+          p.take(600))
+      // idempotent: a second call returns the same counts, builds nothing
+      assert(Artifacts.materializeEmbeddings(spark, sf) == built)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(root)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("staleness keys to the embeddings tree, independently of documents") {
+    val root = Files.createTempDirectory("graft-emb-stale-root").toFile
+    val corpusParent = Files.createTempDirectory("graft-emb-stale").toFile
+    val corpus = s"${corpusParent.getPath}/c"
+    try {
+      for (t <- Seq("documents", "embeddings")) {
+        spark.read.parquet(s"$sf/$t.parquet")
+          .write.mode("overwrite").parquet(s"$corpus/$t.parquet")
+      }
+      Tables.invalidate(corpus)
+      Artifacts.setRoot(root.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, corpus)
+      Artifacts.materialize(spark, corpus)
+      assert(Artifacts.isMaterialized(spark, corpus, Artifacts.LshAnnIndexName))
+      // 1) documents mutate → text artifacts stale, vector indexes NOT
+      // (collect first — Spark cannot overwrite a path it lazily reads)
+      val docsFrame = spark.read.parquet(s"$corpus/documents.parquet").limit(100)
+      val docRows = docsFrame.collect().toSeq
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(docRows), docsFrame.schema)
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      assert(!Artifacts.isMaterialized(spark, corpus, Artifacts.KeepersName),
+        "documents mutation must stale the text artifacts")
+      assert(Artifacts.isMaterialized(spark, corpus, Artifacts.LshAnnIndexName),
+        "documents mutation must NOT stale the vector indexes")
+      // 2) embeddings mutate → vector indexes stale, and the consumer
+      // falls back to a correct inline answer over the NEW data
+      val shrunk = spark.read.parquet(s"$corpus/embeddings.parquet")
+        .filter(col("vec_id") < 40)
+      val shrunkRows = shrunk.collect().toSeq
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(shrunkRows), shrunk.schema)
+        .write.mode("overwrite").parquet(s"$corpus/embeddings.parquet")
+      Tables.invalidate(corpus)
+      assert(!Artifacts.isMaterialized(spark, corpus, Artifacts.LshAnnIndexName),
+        "embeddings mutation must stale the vector indexes")
+      val idx = Artifacts.lshAnnIndex(spark, corpus)
+      assert(rows(idx) == rows(Similarity.annIndexFrame(
+        Tables.embeddings(spark, corpus))),
+        "stale artifact must never be served — inline over new data")
+      // re-materialize against the new fingerprint → resolves again
+      Artifacts.materializeEmbeddings(spark, corpus)
+      assert(Artifacts.isMaterialized(spark, corpus, Artifacts.LshAnnIndexName))
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(corpus)
+      deleteRecursively(root)
+      deleteRecursively(corpusParent)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("a text-only corpus is a no-op, not an error") {
+    val root = Files.createTempDirectory("graft-emb-noop-root").toFile
+    val corpusParent = Files.createTempDirectory("graft-emb-noop").toFile
+    val corpus = s"${corpusParent.getPath}/c"
+    try {
+      spark.read.parquet(s"$sf/documents.parquet")
+        .write.mode("overwrite").parquet(s"$corpus/documents.parquet")
+      Artifacts.setRoot(root.getAbsolutePath)
+      assert(Artifacts.materializeEmbeddings(spark, corpus).isEmpty)
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(corpus)
+      deleteRecursively(root)
+      deleteRecursively(corpusParent)
+      Checkpoints.releaseAll()
+    }
+  }
+}
