@@ -481,16 +481,25 @@ object Similarity {
     * and the cosine confirm all from the same constants as the Spark
     * plan, so the two engines enumerate the identical candidate set.
     */
-  val q82OracleSql: String = {
+  /** The near-dup index rows as SQL — one UNION ALL branch per hash
+    * table against the literal plane vectors. Shared by [[q82OracleSql]]
+    * and [[q116OracleSql]], so the pair enumeration and the bucket
+    * audit can never disagree about what the index contains.
+    */
+  private def nearDupBucketRowsSql: String = {
     def bucketSql(t: Int): String =
       (0 until NearDupBits).map { j =>
         val plane = nearDupPlanes(t)(j).mkString("[", ", ", "]")
         s"(CASE WHEN list_inner_product(CAST(embedding AS DOUBLE[]), $plane) > 0.0 " +
           s"THEN ${1 << j} ELSE 0 END)"
       }.mkString(" + ")
-    val bucketRows = (0 until NearDupTables).map(t =>
+    (0 until NearDupTables).map(t =>
       s"SELECT vec_id, $t AS tbl, ${bucketSql(t)} AS bucket FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
+  }
+
+  val q82OracleSql: String = {
+    val bucketRows = nearDupBucketRowsSql
     val cos = graft.functions.VectorOps.round6Sql(
       graft.functions.VectorOps.cosineSql("p.embedding", "e.embedding"))
     s"""WITH buckets AS (
@@ -782,4 +791,57 @@ object Similarity {
       |       ${VectorOps.round6Sql(
            "CAST(SUM(hit) AS DOUBLE) / COUNT(*)")} AS recall
       |FROM joined GROUP BY band ORDER BY band""".stripMargin
+
+  // ---- q116: LSH index health audit ---------------------------------------
+
+  /** q116 — bucket-population health of the standing near-dup index,
+    * per hash table: bucket count, min/max population, vector total,
+    * and how many buckets exceed [[NearDupBucketCap]] (the ones q82
+    * degrades to a star join). The operational readout for standing
+    * vector state: a table whose max_pop approaches the corpus means
+    * degenerate hyperplanes for THIS data distribution (vectors
+    * clustered on one side of a plane), and a rising over_cap_frac
+    * across snapshots is duplication mass arriving faster than dedup
+    * retires it — both are caught here, per snapshot, without running
+    * any search. The audit q111 (recall) and this (bucket shape)
+    * together are the index's ship/no-ship dashboard.
+    *
+    * Scale shape: one aggregation of the standing index to (tables ×
+    * 2^bits) census rows, then a per-table rollup of THAT — index-sized
+    * input, constant-sized output, embeddings never scanned when the
+    * artifact resolves.
+    */
+  def q116LshBucketAudit(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.Artifacts.lshNearDupIndex(spark, dir)
+    idx.groupBy(col("table").as("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("pop"))
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_buckets"), min("pop").as("min_pop"),
+        max("pop").as("max_pop"), sum("pop").as("n_vectors"),
+        sum(when(col("pop") > NearDupBucketCap, 1L).otherwise(0L))
+          .as("n_over_cap"))
+      .select(col("tbl"), col("n_buckets"), col("min_pop"), col("max_pop"),
+        col("n_vectors"), col("n_over_cap"),
+        VectorOps.round6(col("n_over_cap").cast("double") / col("n_buckets"))
+          .as("over_cap_frac"))
+      .orderBy("tbl")
+  }
+
+  /** q82's bucket derivation verbatim ([[nearDupBucketRowsSql]]), census
+    * and rollup mirrored.
+    */
+  val q116OracleSql: String =
+    s"""WITH buckets AS (
+      |  $nearDupBucketRowsSql
+      |), census AS (
+      |  SELECT tbl, bucket, COUNT(*) AS pop FROM buckets GROUP BY 1, 2
+      |)
+      |SELECT tbl, COUNT(*) AS n_buckets, MIN(pop) AS min_pop,
+      |       MAX(pop) AS max_pop, CAST(SUM(pop) AS BIGINT) AS n_vectors,
+      |       CAST(SUM(CASE WHEN pop > $NearDupBucketCap THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_over_cap,
+      |       ${VectorOps.round6Sql(
+           s"CAST(SUM(CASE WHEN pop > $NearDupBucketCap THEN 1 ELSE 0 END) " +
+             "AS DOUBLE) / COUNT(*)")} AS over_cap_frac
+      |FROM census GROUP BY tbl ORDER BY tbl""".stripMargin
 }

@@ -103,6 +103,31 @@ class EmbeddingArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("q116 bucket audit agrees with a local census of the index frame") {
+    val idx = Similarity.nearDupIndexFrame(
+        spark.read.parquet(s"$sf/embeddings.parquet"))
+      .collect().map(r => (r.getAs[Int]("table"), r.getAs[Int]("bucket")))
+    val nVecs = spark.read.parquet(s"$sf/embeddings.parquet").count()
+    val census = idx.groupBy(identity).map { case (k, o) => k -> o.length }
+    val expected = census.groupBy(_._1._1).map { case (t, m) =>
+      val pops = m.values
+      t -> (m.size, pops.min, pops.max, pops.sum, pops.count(_ > 256))
+    }
+    val rows = Similarity.q116LshBucketAudit(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val t = r.getAs[Int]("tbl")
+      val (nB, mn, mx, tot, over) = expected(t)
+      assert(r.getAs[Long]("n_buckets") == nB.toLong, s"table $t buckets")
+      assert(r.getAs[Long]("min_pop") == mn.toLong, s"table $t min")
+      assert(r.getAs[Long]("max_pop") == mx.toLong, s"table $t max")
+      assert(r.getAs[Long]("n_vectors") == tot.toLong, s"table $t total")
+      assert(r.getAs[Long]("n_over_cap") == over.toLong, s"table $t over")
+      // every vector lands in exactly one bucket per table
+      assert(tot.toLong == nVecs, s"table $t does not cover the corpus")
+    }
+  }
+
   test("a text-only corpus is a no-op, not an error") {
     val root = Files.createTempDirectory("graft-emb-noop-root").toFile
     val corpusParent = Files.createTempDirectory("graft-emb-noop").toFile

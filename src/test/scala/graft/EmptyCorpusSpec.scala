@@ -90,7 +90,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q110_diversity_profile" -> (CorpusAudit.q110DiversityProfile _),
     "q111_neardup_recall" -> (Similarity.q111NearDupRecall _),
     "q112_eval_contamination" -> (CorpusAudit.q112EvalContamination _),
-    "q113_bpe_merge_census" -> (TextAnalysis.q113BpeMergeCensus _))
+    "q113_bpe_merge_census" -> (TextAnalysis.q113BpeMergeCensus _),
+    "q116_lsh_bucket_audit" -> (Similarity.q116LshBucketAudit _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
