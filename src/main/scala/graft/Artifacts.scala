@@ -372,7 +372,8 @@ object Artifacts {
     * versions with the embeddings tree, not the documents tree).
     */
   private def readIfCurrentWith(spark: SparkSession, corpusDir: String,
-      name: String, fpOf: () => String): Option[DataFrame] =
+      name: String, fpOf: () => String,
+      rebuild: String = "Artifacts.materialize"): Option[DataFrame] =
     rootOpt.flatMap { _ =>
       val fp = fpOf()
       val p = versionPath(corpusDir, name, fp).get
@@ -382,7 +383,7 @@ object Artifacts {
         if (anyVersionCommitted(spark, corpusDir, name)) {
           val msg = s"[artifacts] $name for $corpusDir is STALE: committed " +
             s"version(s) exist but none matches current fingerprint $fp — " +
-            "re-run Artifacts.materialize after corpus changes"
+            s"re-run $rebuild after the underlying table changes"
           if (strict) throw new IllegalStateException(msg)
           if (warned.add(s"$corpusDir/$name/$fp")) System.err.println(
             s"$msg; falling back to inline computation")
@@ -492,13 +493,15 @@ object Artifacts {
     */
   def lshAnnIndex(spark: SparkSession, corpusDir: String): DataFrame =
     readIfCurrentWith(spark, corpusDir, LshAnnIndexName,
-      () => embeddingsFingerprint(spark, corpusDir)).getOrElse(
+      () => embeddingsFingerprint(spark, corpusDir),
+      rebuild = "Artifacts.materializeEmbeddings").getOrElse(
       operators.Similarity.annIndexFrame(Tables.embeddings(spark, corpusDir)))
 
   /** The q82 near-dup index rows — same resolution as [[lshAnnIndex]]. */
   def lshNearDupIndex(spark: SparkSession, corpusDir: String): DataFrame =
     readIfCurrentWith(spark, corpusDir, LshNearDupIndexName,
-      () => embeddingsFingerprint(spark, corpusDir)).getOrElse(
+      () => embeddingsFingerprint(spark, corpusDir),
+      rebuild = "Artifacts.materializeEmbeddings").getOrElse(
       operators.Similarity.nearDupIndexFrame(
         Tables.embeddings(spark, corpusDir)))
 
@@ -522,16 +525,29 @@ object Artifacts {
     else {
       val fp = embeddingsFingerprint(spark, corpusDir)
       val e = Tables.embeddings(spark, corpusDir)
+      val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       def build(name: String)(compute: => DataFrame): (String, Long) = {
         val p = versionPath(corpusDir, name, fp).get
-        if (isCommitted(spark, Some(p), name))
+        if (isCommitted(spark, Some(p), name)) {
+          timings(name) = 0.0
           name -> committedCount(spark, corpusDir, name, p)
-        else write(spark, corpusDir, fp, name, compute)
+        } else {
+          val t0 = System.nanoTime()
+          val out = write(spark, corpusDir, fp, name, compute)
+          timings(name) = (System.nanoTime() - t0) / 1e9
+          out
+        }
       }
       val ann = build(LshAnnIndexName)(operators.Similarity.annIndexFrame(e))
       val nd = build(LshNearDupIndexName)(
         operators.Similarity.nearDupIndexFrame(e))
-      pruneSweep(spark, corpusDir, EmbeddingNames, Set(fp))
+      // MERGE into the breakdown (materialize REPLACES it) so a
+      // materialize-then-materializeEmbeddings sequence — Bench's
+      // untimed phase — accounts for the whole artifact_build_sec
+      if (timings.values.exists(_ > 0))
+        lastBuild.set(lastBuild.get() ++ timings.toMap)
+      pruneSweep(spark, corpusDir, EmbeddingNames, Set(fp),
+        table = "embeddings.parquet")
       Map(ann, nd)
     }
   }
@@ -679,9 +695,13 @@ object Artifacts {
     * isolation — the same contract as `Sinks.compact`.)
     */
   private def pruneSweep(spark: SparkSession, corpusDir: String,
-      names: Seq[String], keep: Set[String], graceMs: Long = 0L): Unit =
+      names: Seq[String], keep: Set[String], graceMs: Long = 0L,
+      table: String = "documents.parquet"): Unit =
     rootOpt.foreach { r =>
-      val liveFps = keep + computeFingerprint(spark, corpusDir)
+      // the concurrent-writer guard must re-resolve the fingerprint of
+      // the TABLE these names derive from — a documents listing says
+      // nothing about whether another writer's vector index is current
+      val liveFps = keep + computeFingerprint(spark, corpusDir, table)
       val cutoff = System.currentTimeMillis() - graceMs
       val conf = spark.sessionState.newHadoopConf()
       names.foreach { name =>
@@ -1530,9 +1550,14 @@ object Artifacts {
   def status(spark: SparkSession, corpusDir: String): Seq[ArtifactStatus] = {
     require(rootOpt.nonEmpty,
       "Artifacts.status needs a root — setRoot(...) or SPARK_GRAFT_ARTIFACTS_DIR")
-    val fp = corpusFingerprint(spark, corpusDir)
+    val docsFp = corpusFingerprint(spark, corpusDir)
+    // the vector indexes resolve against THEIR table's state — a health
+    // probe that checked them against the documents listing would call
+    // a stale index current (and vice versa)
+    lazy val embFp = embeddingsFingerprint(spark, corpusDir)
     val conf = spark.sessionState.newHadoopConf()
-    AllNames.map { name =>
+    (AllNames.map(_ -> docsFp) ++ EmbeddingNames.map(_ -> embFp)).map {
+      case (name, fp) =>
       val layout =
         if (additiveSpec(name).nonEmpty) "additive"
         else if (segmentKeys(name).nonEmpty) "segmented"

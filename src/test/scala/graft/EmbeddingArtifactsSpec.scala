@@ -87,13 +87,22 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       Tables.invalidate(corpus)
       assert(!Artifacts.isMaterialized(spark, corpus, Artifacts.LshAnnIndexName),
         "embeddings mutation must stale the vector indexes")
+      // the health probe must see the vector index as stale too —
+      // resolved against the EMBEDDINGS fingerprint, not documents
+      val stStale = Artifacts.status(spark, corpus)
+        .find(_.name == Artifacts.LshAnnIndexName)
+      assert(stStale.exists(s => !s.committed && s.staleVersions >= 1),
+        s"status must report the stale vector index: $stStale")
       val idx = Artifacts.lshAnnIndex(spark, corpus)
       assert(rows(idx) == rows(Similarity.annIndexFrame(
         Tables.embeddings(spark, corpus))),
         "stale artifact must never be served — inline over new data")
-      // re-materialize against the new fingerprint → resolves again
+      // re-materialize against the new fingerprint → resolves again,
+      // and the health probe agrees
       Artifacts.materializeEmbeddings(spark, corpus)
       assert(Artifacts.isMaterialized(spark, corpus, Artifacts.LshAnnIndexName))
+      assert(Artifacts.status(spark, corpus)
+        .find(_.name == Artifacts.LshAnnIndexName).exists(_.committed))
     } finally {
       Artifacts.clearRoot()
       Tables.invalidate(corpus)

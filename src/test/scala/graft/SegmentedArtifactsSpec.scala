@@ -470,8 +470,15 @@ class SegmentedArtifactsSpec extends SparkSpec {
       Artifacts.setRoot(tmpRoot.getAbsolutePath)
       writeCorpus(corpus, 1, 40)
       Artifacts.materialize(spark, corpus)
-      val st1 = Artifacts.status(spark, corpus).map(s => s.name -> s).toMap
-      assert(st1.size == Artifacts.AllNames.size)
+      // status covers the documents-keyed artifacts AND the embedding
+      // indexes; this corpus has no embeddings table, so the vector
+      // rows report (honestly) uncommitted — drop them for the
+      // text-side assertions below
+      val stAll = Artifacts.status(spark, corpus).map(s => s.name -> s).toMap
+      assert(stAll.size ==
+        Artifacts.AllNames.size + Artifacts.EmbeddingNames.size)
+      assert(Artifacts.EmbeddingNames.forall(n => !stAll(n).committed))
+      val st1 = stAll -- Artifacts.EmbeddingNames
       assert(st1.values.forall(_.committed), st1.values.filterNot(_.committed))
       assert(st1.values.forall(_.staleVersions == 0))
       assert(st1.values.forall(_.provisional == 0))
