@@ -146,6 +146,44 @@ object Artifacts {
   def tokenCountsName(tok: functions.Tokenizer): String =
     TokenCountsPrefix + tok.id.replaceAll("[^A-Za-z0-9._-]", "_")
 
+  /** Per-document term-frequency postings `(doc_id, token, tf)`, keyed
+    * by TOKENIZER ID like the token counts
+    * (`token_postings_<tokId>/fp=<fp>`) — the materialized inverted
+    * index behind the lexical-search family. q66, q102's lexical leg,
+    * and q107 each consumed a fresh corpus-wide tokenize+explode per
+    * query (q107 three times per run); their per-query work is a
+    * term-bounded FILTER of this standing frame. Built for
+    * [[PostingsTokenizers]] by default (the whitespace tokenizer the
+    * search family and every DuckDB oracle are defined over); a
+    * production deployment materializes its own tokenizer's postings
+    * the same way it does counts.
+    */
+  val TokenPostingsPrefix = "token_postings_"
+
+  def tokenPostingsName(tok: functions.Tokenizer): String =
+    TokenPostingsPrefix + tok.id.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** The tokenizers whose postings [[materialize]] builds by default.
+    * Deliberately narrower than [[DefaultTokenizers]]: the BPE-ish
+    * estimator has count consumers (q26/q95) but no postings consumer,
+    * and a postings index is token-mass-sized where counts are doc-sized
+    * — building it speculatively would double the most expensive default
+    * build for nothing.
+    */
+  val PostingsTokenizers: Seq[functions.Tokenizer] =
+    Seq(functions.Tokenizer.Whitespace)
+
+  /** Per-CHUNK term-frequency postings `(doc_id, chunk_id, token, tf)`
+    * over the q64 chunk definition — the materialized passage index
+    * q101 joins (its own scaladoc names this as the real-scale shape).
+    * Chunk grain is NOT derivable from the doc-grain postings: q64's
+    * chunks overlap (width 32, stride 24), so overlap tokens count in
+    * two chunks. Per-doc state regardless — chunking never crosses a
+    * document boundary — so retract/append maintenance by `doc_id`
+    * works exactly as it does for shingles.
+    */
+  val ChunkPostingsName = "chunk_postings"
+
   /** The tokenizers whose count artifacts [[materialize]] builds and
     * [[materializeIncremental]] maintains by default — the library
     * default seam (whitespace) and the BPE-ish estimator q26 reports
@@ -165,8 +203,9 @@ object Artifacts {
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
-      TokenFreqName, BigramFreqName) ++
-      DefaultTokenizers.map(tokenCountsName)
+      TokenFreqName, BigramFreqName, ChunkPostingsName) ++
+      DefaultTokenizers.map(tokenCountsName) ++
+      PostingsTokenizers.map(tokenPostingsName)
 
   @volatile private var rootOpt: Option[String] =
     sys.env.get("SPARK_GRAFT_ARTIFACTS_DIR")
@@ -611,6 +650,24 @@ object Artifacts {
       tok: functions.Tokenizer): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, tokenCountsName(tok))
 
+  /** The standing `(doc_id, token, tf)` inverted index for `tok`, IF a
+    * version committed for the corpus's current fingerprint resolves
+    * (Option shape — the lexical-search consumers' inline form is a
+    * filter-before-aggregate explode whose plan they keep when no
+    * artifact resolves, so they branch rather than wrap).
+    */
+  def tokenPostings(spark: SparkSession, corpusDir: String,
+      tok: functions.Tokenizer = functions.Tokenizer.Whitespace): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, tokenPostingsName(tok))
+
+  /** The standing `(doc_id, chunk_id, token, tf)` passage index when the
+    * corpus's current fingerprint resolves (same Option shape as
+    * [[tokenPostings]]).
+    */
+  def chunkPostings(spark: SparkSession,
+      corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, ChunkPostingsName)
+
   /** The inline form of the token-count artifact. */
   def tokenCountsFrame(docs: DataFrame, tok: functions.Tokenizer): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -837,8 +894,9 @@ object Artifacts {
   private def segmentKeys(name: String): Seq[String] = name match {
     case DupPairsName => Seq("doc_a", "doc_b")
     case NgramPostingsName | Shingles8Name | DocHashesName | KeepersName |
-         MinhashBandsName => Seq("doc_id")
+         MinhashBandsName | ChunkPostingsName => Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
+    case tp if tp.startsWith(TokenPostingsPrefix) => Seq("doc_id")
     case SpanCountsName => Seq("sh")
     case TokenFreqName => Seq("source", "token")
     case BigramFreqName => Seq("source", "w1", "w2")
@@ -1412,6 +1470,12 @@ object Artifacts {
     val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
     val bgFreq = build(BigramFreqName)(
       operators.CorpusOps.bigramFreqRows(docs))
+    val chunkPost = build(ChunkPostingsName)(
+      operators.CorpusOps.chunkPostingsRows(docs))
+    val tokPost = PostingsTokenizers.map { tok =>
+      build(tokenPostingsName(tok))(
+        operators.CorpusOps.tokenPostingsRows(docs, tok))
+    }
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -1425,7 +1489,7 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      tokFreq, bgFreq) ++ tokCounts).toMap
+      tokFreq, bgFreq, chunkPost) ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -1454,11 +1518,17 @@ object Artifacts {
       case TokenFreqName => operators.CorpusOps.tokenFreqRows(docs)
       case BigramFreqName => operators.CorpusOps.bigramFreqRows(docs)
       case DocHashesName => docHashesFrame(docs)
+      case ChunkPostingsName => operators.CorpusOps.chunkPostingsRows(docs)
       case tc if tc.startsWith(TokenCountsPrefix) =>
         DefaultTokenizers.find(t => tokenCountsName(t) == tc)
           .map(t => tokenCountsFrame(docs, t))
           .getOrElse(throw new IllegalArgumentException(
             s"no default tokenizer for artifact $tc"))
+      case tp if tp.startsWith(TokenPostingsPrefix) =>
+        PostingsTokenizers.find(t => tokenPostingsName(t) == tp)
+          .map(t => operators.CorpusOps.tokenPostingsRows(docs, t))
+          .getOrElse(throw new IllegalArgumentException(
+            s"no default tokenizer for artifact $tp"))
       case other =>
         throw new IllegalArgumentException(s"unknown artifact $other")
     }
@@ -1789,6 +1859,17 @@ object Artifacts {
       buildSegInc(name, None, tokenCountsFrame(fresh, tok))(
         readOld(name).unionByName(tokenCountsFrame(fresh, tok)))
     }
+    val chunkPost = buildSegInc(ChunkPostingsName, None,
+      operators.CorpusOps.chunkPostingsRows(fresh))(
+      readOld(ChunkPostingsName)
+        .unionByName(operators.CorpusOps.chunkPostingsRows(fresh)))
+    val tokPost = PostingsTokenizers.map { tok =>
+      val name = tokenPostingsName(tok)
+      buildSegInc(name, None,
+        operators.CorpusOps.tokenPostingsRows(fresh, tok))(
+        readOld(name)
+          .unionByName(operators.CorpusOps.tokenPostingsRows(fresh, tok)))
+    }
     // bound segment sprawl: a batch per artifact per interval would
     // otherwise grow every read's file list without limit
     AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
@@ -1807,7 +1888,7 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq, bgFreq) ++ tokCounts).toMap,
+        tokFreq, bgFreq, chunkPost) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -2047,10 +2128,27 @@ object Artifacts {
           .join(dGone, Seq("doc_id"), "left_anti")
           .unionByName(tokenCountsFrame(docsChangedNew, tok)))
     }
+
+    // postings indexes (doc + chunk grain): per-doc rows — retract and
+    // append, the shingles8 shape applied to the lexical-search index
+    val chunkPost = buildSegInc(ChunkPostingsName, Some(dGone),
+      operators.CorpusOps.chunkPostingsRows(docsChangedNew))(
+      readOldA(ChunkPostingsName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.CorpusOps.chunkPostingsRows(docsChangedNew)))
+    val tokPost = PostingsTokenizers.map { tok =>
+      val name = tokenPostingsName(tok)
+      buildSegInc(name, Some(dGone),
+        operators.CorpusOps.tokenPostingsRows(docsChangedNew, tok))(
+        readOldA(name)
+          .join(dGone, Seq("doc_id"), "left_anti")
+          .unionByName(
+            operators.CorpusOps.tokenPostingsRows(docsChangedNew, tok)))
+    }
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq, bgFreq) ++ tokCounts).toMap,
+        tokFreq, bgFreq, chunkPost) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

@@ -65,6 +65,31 @@ object CorpusOps {
     TextAnalysis.bigramsOf(docs, Seq("source"))
       .groupBy("source", "w1", "w2").agg(count(lit(1)).as("n"))
 
+  /** Per-document term frequencies `(doc_id, token, tf)` under `tok` —
+    * the inline form of the `token_postings_<tokId>` corpus artifact:
+    * the materialized inverted index the lexical-search family
+    * (q66/q102/q107) joins instead of re-exploding the corpus per
+    * query. Doc-grain state like the token counts, one level down —
+    * maintained by retract/append in the incremental paths.
+    */
+  private[graft] def tokenPostingsRows(docs: DataFrame,
+      tok: graft.functions.Tokenizer): DataFrame =
+    docs.select(col("doc_id"), explode(tok.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+
+  /** Per-chunk term frequencies `(doc_id, chunk_id, token, tf)` over the
+    * q64 chunk definition — the inline form of the `chunk_postings`
+    * artifact (the materialized PASSAGE index q101 joins). A separate
+    * artifact from the doc-grain postings because q64's chunks OVERLAP
+    * (width 32, stride 24): tokens in the overlap belong to two chunks,
+    * so chunk-grain tf does not sum to doc-grain tf and neither index
+    * derives from the other.
+    */
+  private[graft] def chunkPostingsRows(docs: DataFrame): DataFrame =
+    Segments.chunkTokens(docs)
+      .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("token"))
+      .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+
   /** Broadcast-hint `evalShingles` only when it is actually
     * broadcast-sized. The eval set is localCheckpoint'ed FIRST, so the
     * size probe's evaluation is the same materialization the join then

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps.{round6, round6Sql}
@@ -27,6 +27,38 @@ object Search {
     */
   private val K1 = 1.5
 
+  /** The corpus document count as a 1-row `(n_total)` frame: counted
+    * over the standing digest artifact when fresh (doc-grain, no
+    * documents scan — the lexical family's artifact-mode plans touch
+    * the documents table zero times), else over the documents scan
+    * (metadata-only count either way).
+    */
+  private def docCount(spark: SparkSession, dir: String): DataFrame =
+    (if (graft.Artifacts.isMaterialized(spark, dir,
+        graft.Artifacts.DocHashesName))
+      graft.Artifacts.docHashes(spark, dir)
+    else Tables.documents(spark, dir))
+      .agg(count(lit(1)).as("n_total"))
+
+  /** The `(doc_id, token, tf)` term-frequency rows restricted to
+    * `restrict` — the standing `token_postings` inverted index when the
+    * corpus fingerprint resolves (per-query work = a term-bounded
+    * filter of the artifact), else the inline filter-before-aggregate
+    * explode. The ONE resolution point for q66 and q102's lexical leg,
+    * so artifact-vs-inline can never drift between them. `restrict`
+    * must be applied before the aggregate in the inline form — it runs
+    * against the exploded `(doc_id, token)` rows, tf not yet counted.
+    */
+  private def restrictedTf(spark: SparkSession, dir: String,
+      restrict: DataFrame => DataFrame): DataFrame =
+    graft.Artifacts.tokenPostings(spark, dir) match {
+      case Some(p) => restrict(p).select("doc_id", "token", "tf")
+      case None => restrict(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          explode(Dedup.tokens(col("text"))).as("token")))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    }
+
   /** q66 — BM25-style keyword search: score =
     * Σ_terms idf(t) · tf/(tf + k₁) with the rational idf
     * `(N − df + 0.5)/(df + 0.5)` (Robertson–Sparck Jones without the
@@ -36,12 +68,13 @@ object Search {
     * here than the classical scale). Top-[[TopK]] by score, doc_id
     * tie-break.
     *
-    * Scale shape: the token explode filters to the QUERY'S terms before
-    * anything aggregates — the index scan's output is (docs containing
-    * a term) × (terms), not the corpus vocabulary; tf/df aggregates are
-    * map-side partial; the ranking is `TakeOrderedAndProject`. At real
-    * scale the tf table IS the materialized inverted index and this
-    * query joins it instead of re-deriving it.
+    * Scale shape: joins the standing `token_postings` inverted index
+    * (`graft.Artifacts`) when materialized — per-query work is a
+    * term-bounded filter of doc-grain state, zero documents scans
+    * (plan-guarded) — and falls back to the filter-before-aggregate
+    * explode inline, whose scan output is (docs containing a term) ×
+    * (terms), never the corpus vocabulary. tf/df aggregates are
+    * map-side partial; the ranking is `TakeOrderedAndProject`.
     */
   def q66KeywordSearch(spark: SparkSession, dir: String): DataFrame =
     keywordSearch(spark, dir, QueryTerms)
@@ -49,13 +82,8 @@ object Search {
   /** q66 under caller-chosen terms. */
   def keywordSearch(spark: SparkSession, dir: String,
       terms: Seq[String]): DataFrame = {
-    val d = Tables.documents(spark, dir)
-    val nDocs = d.agg(count(lit(1)).as("n_total"))
-    val tf = d.select(col("doc_id"),
-        explode(Dedup.tokens(col("text"))).as("token"))
-      .filter(col("token").isin(terms: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    bm25Score(tf, nDocs, Seq("doc_id"))
+    val tf = restrictedTf(spark, dir, _.filter(col("token").isin(terms: _*)))
+    bm25Score(tf, docCount(spark, dir), Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id"))
       .limit(TopK)
   }
@@ -124,27 +152,43 @@ object Search {
     * definition shared with q64, scored on the sliced token arrays
     * themselves (never a re-split of joined chunk text).
     *
-    * Scale shape: q64's map-only chunk explode feeds the same
-    * filter-before-aggregate index shape as q66 — only (chunks
+    * Scale shape: joins the standing `chunk_postings` passage index
+    * (`graft.Artifacts`) when materialized — a term-bounded filter of
+    * chunk-grain state, with the chunk COUNT derived from the standing
+    * whitespace token-count artifact, zero documents scans
+    * (plan-guarded). Inline, q64's map-only chunk explode feeds the
+    * same filter-before-aggregate index shape as q66 — only (chunks
     * containing a query term) × (terms) survive the explode — and the
-    * ranking is `TakeOrderedAndProject`. At real scale the chunk tf
-    * table is the materialized passage index this query joins.
+    * ranking is `TakeOrderedAndProject`.
     */
   def q101ChunkSearch(spark: SparkSession, dir: String): DataFrame = {
     // chunk COUNT by arithmetic (ceil(n_tok/stride) per doc), not a
     // second tokenize+posexplode of the corpus just to count rows —
-    // equal to the chunk frame's cardinality by construction
-    val nTok = size(Dedup.tokens(col("text")))
-    val nChunks = Tables.documents(spark, dir).agg(
-      coalesce(sum(when(nTok > 0,
-        floor((nTok + lit(Segments.ChunkStride - 1)) /
-          lit(Segments.ChunkStride.toDouble)).cast("long"))
-        .otherwise(0L)), lit(0L)).as("n_total"))
-    val tf = Segments.chunkTokenFrame(spark, dir)
-      .select(col("doc_id"), col("chunk_id"),
-        explode(col("ctoks")).as("token"))
-      .filter(col("token").isin(QueryTerms: _*))
-      .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+    // equal to the chunk frame's cardinality by construction. The
+    // arithmetic runs over the standing whitespace token counts when
+    // fresh (whose n_tokens column is definitionally size(tokens)),
+    // else over the documents scan.
+    def chunksOf(nTok: Column): Column = when(nTok > 0,
+      floor((nTok + lit(Segments.ChunkStride - 1)) /
+        lit(Segments.ChunkStride.toDouble)).cast("long"))
+      .otherwise(0L)
+    val nChunks = graft.Artifacts.tokenCounts(spark, dir,
+        graft.functions.Tokenizer.Whitespace) match {
+      case Some(tc) => tc.agg(
+        coalesce(sum(chunksOf(col("n_tokens"))), lit(0L)).as("n_total"))
+      case None => Tables.documents(spark, dir).agg(
+        coalesce(sum(chunksOf(size(Dedup.tokens(col("text"))))), lit(0L))
+          .as("n_total"))
+    }
+    val tf = graft.Artifacts.chunkPostings(spark, dir) match {
+      case Some(cp) => cp.filter(col("token").isin(QueryTerms: _*))
+        .select("doc_id", "chunk_id", "token", "tf")
+      case None => Segments.chunkTokenFrame(spark, dir)
+        .select(col("doc_id"), col("chunk_id"),
+          explode(col("ctoks")).as("token"))
+        .filter(col("token").isin(QueryTerms: _*))
+        .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
+    }
     bm25Score(tf, nChunks, Seq("doc_id", "chunk_id"))
       .orderBy(desc("score"), asc("doc_id"), asc("chunk_id"))
       .limit(TopK)
@@ -214,24 +258,28 @@ object Search {
     * fusion joins two ≤[[HybridTopK]]-row frames.
     */
   def q102HybridSearch(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
     // probe-grain term counts, so mining can demand corpus mass BEYOND
     // the probe's own occurrences — without the n > n_probe guard the
     // "rarest" tokens are the probe's hapaxes, which appear in no other
-    // document and silently empty the lexical leg
-    val probeCounts = d.filter(col("doc_id") === HybridProbe)
-      .select(explode(Dedup.tokens(col("text"))).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("n_probe"))
+    // document and silently empty the lexical leg. Artifact mode reads
+    // the probe's postings row (tf IS the occurrence count); inline
+    // explodes the one probe document.
+    val probeCounts = graft.Artifacts.tokenPostings(spark, dir) match {
+      case Some(p) => p.filter(col("doc_id") === HybridProbe)
+        .select(col("token"), col("tf").as("n_probe"))
+      case None => Tables.documents(spark, dir)
+        .filter(col("doc_id") === HybridProbe)
+        .select(explode(Dedup.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_probe"))
+    }
     val terms = probeCounts
       .join(graft.Artifacts.tokenTotals(spark, dir), "token")
       .filter(col("n") > col("n_probe"))
       .orderBy(col("n").asc, col("token").asc).limit(HybridTerms)
       .select("token")
-    val nDocs = d.agg(count(lit(1)).as("n_total"))
-    val tf = d.filter(col("doc_id") =!= HybridProbe)
-      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
-      .join(broadcast(terms), "token")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val nDocs = docCount(spark, dir)
+    val tf = restrictedTf(spark, dir, _.filter(col("doc_id") =!= HybridProbe)
+      .join(broadcast(terms), "token"))
     // top-k FIRST (TakeOrderedAndProject), then rank the ≤k survivors —
     // a mined term can be common, so the scored survivor set is not
     // guaranteed tiny and must never feed a global rank window directly
@@ -335,33 +383,39 @@ object Search {
     * Output shape is q66's (doc_id, score, n_terms_hit) over the
     * expanded query, so downstream consumers swap retrievers freely.
     *
-    * Scale shape: two passes over the term-filtered inverted-index
-    * explode — both filter BEFORE aggregating, so the scan output is
-    * (docs containing a term) × (terms), never the corpus vocabulary.
-    * Between them sit only broadcast-sized frames: the [[FeedbackK]]-row
-    * feedback doc set and the ≤[[ExpandK]]+|seed| term set; both
-    * cutoffs are `TakeOrderedAndProject`. At real scale both passes
-    * join the materialized postings index instead of re-exploding.
+    * Scale shape: all three passes (seed scoring, expansion mining,
+    * expanded re-scoring) consume the SAME `(doc_id, token, tf)`
+    * postings frame — the standing `token_postings` artifact when
+    * materialized (each pass is then a term- or doc-bounded filter of
+    * doc-grain state; the corpus text is never scanned, plan-guarded),
+    * and ONE checkpointed tokenize pass inline (the explode runs once,
+    * not once per pass). Between passes sit only broadcast-sized
+    * frames: the [[FeedbackK]]-row feedback doc set and the
+    * ≤[[ExpandK]]+|seed| term set; both cutoffs are
+    * `TakeOrderedAndProject`. Expansion mining sums tf over the
+    * feedback docs — identical to counting the exploded occurrences,
+    * without re-deriving them.
     */
   def q107Rm3Expansion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val d = Tables.documents(spark, dir)
-    val nDocs = d.agg(count(lit(1)).as("n_total"))
-    val tokens = d.select(col("doc_id"),
-      explode(Dedup.tokens(col("text"))).as("token"))
-    val seedTf = tokens.filter(col("token").isin(QueryTerms: _*))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val nDocs = docCount(spark, dir)
+    val postings = graft.Artifacts.tokenPostings(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(
+        Tables.documents(spark, dir).select(col("doc_id"),
+            explode(Dedup.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
+    val seedTf = postings.filter(col("token").isin(QueryTerms: _*))
     val feedback = bm25Score(seedTf, nDocs, Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id")).limit(FeedbackK)
       .select("doc_id")
-    val expansion = tokens.join(broadcast(feedback), "doc_id")
+    val expansion = postings.join(broadcast(feedback), "doc_id")
       .filter(!col("token").isin(QueryTerms: _*))
-      .groupBy("token").agg(count(lit(1)).as("fb_tf"))
+      .groupBy("token").agg(sum("tf").as("fb_tf"))
       .orderBy(desc("fb_tf"), asc("token")).limit(ExpandK)
       .select("token")
     val allTerms = QueryTerms.toDF("token").unionByName(expansion)
-    val tf2 = tokens.join(broadcast(allTerms), "token")
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf2 = postings.join(broadcast(allTerms), "token")
+      .select("doc_id", "token", "tf")
     bm25Score(tf2, nDocs, Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id")).limit(TopK)
   }

@@ -46,12 +46,20 @@ object Segments {
     * survive empty tokens from leading/duplicate whitespace).
     */
   private[graft] def chunkTokenFrame(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame =
+    chunkTokens(Tables.documents(spark, dir))
+
+  /** [[chunkTokenFrame]] over a caller-supplied documents frame — the
+    * seam the `chunk_postings` artifact build and its incremental
+    * maintenance (which chunk only the diff's documents) share with the
+    * per-query inline path.
+    */
+  private[graft] def chunkTokens(docs: DataFrame): DataFrame = {
     val toks = Dedup.tokens(col("text"))
     val n = size(toks)
     val starts = when(n > 0, sequence(lit(0), n - 1, lit(ChunkStride)))
       .otherwise(array().cast("array<int>"))
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), toks.as("t"),
         posexplode(starts).as(Seq("chunk_id", "start_tok")))
       .select(col("doc_id"), col("chunk_id"), col("start_tok"),

@@ -31,9 +31,12 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
       Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs)),
       Artifacts.BigramFreqName -> rows(CorpusOps.bigramFreqRows(docs)),
-      Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs))) ++
+      Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs)),
+      Artifacts.ChunkPostingsName -> rows(CorpusOps.chunkPostingsRows(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
-        Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t)))
+        Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t))) ++
+      Artifacts.PostingsTokenizers.map(t =>
+        Artifacts.tokenPostingsName(t) -> rows(CorpusOps.tokenPostingsRows(docs, t)))
     Checkpoints.releaseAll()
     out
   }

@@ -548,6 +548,42 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: the lexical-search family rides the postings indexes — zero documents scans") {
+    // q66/q101/q102/q107 each consumed a per-query corpus tokenize
+    // (q107 three times per run); with the token_postings /
+    // chunk_postings artifacts materialized, every pass is a term- or
+    // doc-bounded filter of standing doc-grain state and the documents
+    // table must not appear in ANY of the four executed plans. (q102's
+    // dense leg scans embeddings — that is its own index family.)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-searchguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val queries: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "q66" -> graft.operators.Search.q66KeywordSearch(spark, sf),
+        "q101" -> graft.operators.Search.q101ChunkSearch(spark, sf),
+        "q102" -> graft.operators.Search.q102HybridSearch(spark, sf),
+        "q107" -> graft.operators.Search.q107Rm3Expansion(spark, sf))
+      queries.foreach { case (name, df) =>
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        Checkpoints.releaseAll()
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        val docScans = p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains("documents"))
+        assert(docScans == 0,
+          s"$name artifact-mode plan still scans documents $docScans times " +
+            "— the lexical family must join the standing postings index")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
