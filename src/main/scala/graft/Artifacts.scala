@@ -517,12 +517,58 @@ object Artifacts {
   /** The q82 near-dup hyperplane index `(id, table, bucket)`. */
   val LshNearDupIndexName = "lsh_neardup_index"
 
-  /** The two standing vector indexes, versioned by
+  /** Per-vector content digests `(id, h)` (xxhash64 of the embedding
+    * array) — the vector side's `doc_hashes`: the id+digest frame
+    * [[maintainEmbeddingsIncremental]]'s diff starts from, so promoting
+    * a new embedding snapshot never re-hashes (or re-projects) the old
+    * corpus's vectors. The digest covers the EMBEDDING only — no
+    * per-vector standing state depends on the label column (the LSH
+    * indexes are label-free, and the centroid artifact re-aggregates
+    * from the live table on every maintenance), so a label-only edit
+    * correctly reads as "unchanged" for retract/append purposes.
+    */
+  val VecHashesName = "vec_hashes"
+
+  /** Per-label centroid table `(label, centroid)` — q35's coarse
+    * quantizer cells and q103's outlier reference, each of which
+    * re-aggregated the full embeddings table per query. |labels| × dim
+    * doubles: the smallest artifact in the system, in front of the
+    * most repeated embedding-side aggregation. Rebuilt whole on every
+    * embedding maintenance — the build is ONE map-side-combine
+    * aggregation (8·dim-byte partials), and maintaining sums
+    * incrementally instead would change float summation order, breaking
+    * the artifact ≡ inline bit-equality contract for a cost class the
+    * full rebuild already wins.
+    */
+  val LabelCentroidsName = "label_centroids"
+
+  /** The standing vector-side artifacts, versioned by
     * [[embeddingsFingerprint]] — NOT the documents fingerprint: the two
     * tables change independently, and a re-encode must stale exactly
     * the vector state.
     */
-  val EmbeddingNames: Seq[String] = Seq(LshAnnIndexName, LshNearDupIndexName)
+  val EmbeddingNames: Seq[String] =
+    Seq(LshAnnIndexName, LshNearDupIndexName, VecHashesName,
+      LabelCentroidsName)
+
+  /** The inline form of the vector-digest artifact. */
+  private[graft] def vecHashesFrame(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
+    e.select(col("vec_id").as("id"), xxhash64(col("embedding")).as("h"))
+  }
+
+  /** The per-label centroid table — artifact when the embeddings
+    * fingerprint resolves, else the inline [[operators.Similarity]]
+    * aggregation (one `VectorCentroid` pass over the embeddings scan).
+    * Components are decimal-rounded before the artifact writes, so the
+    * parquet round-trip is exact and consumers are bit-oblivious.
+    */
+  def labelCentroids(spark: SparkSession, corpusDir: String): DataFrame =
+    readIfCurrentWith(spark, corpusDir, LabelCentroidsName,
+      () => embeddingsFingerprint(spark, corpusDir),
+      rebuild = "Artifacts.materializeEmbeddings").getOrElse(
+      operators.Similarity.labelCentroidsFrame(
+        Tables.embeddings(spark, corpusDir)))
 
   /** The q23 ANN index rows — artifact when the embeddings fingerprint
     * resolves, else the inline sign-sketch derivation. At production
@@ -580,6 +626,9 @@ object Artifacts {
       val ann = build(LshAnnIndexName)(operators.Similarity.annIndexFrame(e))
       val nd = build(LshNearDupIndexName)(
         operators.Similarity.nearDupIndexFrame(e))
+      val vh = build(VecHashesName)(vecHashesFrame(e))
+      val cen = build(LabelCentroidsName)(
+        operators.Similarity.labelCentroidsFrame(e))
       // MERGE into the breakdown (materialize REPLACES it) so a
       // materialize-then-materializeEmbeddings sequence — Bench's
       // untimed phase — accounts for the whole artifact_build_sec
@@ -587,8 +636,125 @@ object Artifacts {
         lastBuild.set(lastBuild.get() ++ timings.toMap)
       pruneSweep(spark, corpusDir, EmbeddingNames, Set(fp),
         table = "embeddings.parquet")
-      Map(ann, nd)
+      Map(ann, nd, vh, cen)
     }
+  }
+
+  /** Maintain `newDir`'s vector-side artifacts FROM `oldDir`'s, driven
+    * by an embeddings-tree diff — [[materializeIncremental]]'s contract
+    * applied to the vector family, closing the text/vector maintenance
+    * asymmetry (appending one encode batch used to stale both LSH
+    * indexes with a full re-projection as the only remedy):
+    *
+    *  - diff at (id, digest) grain through the SHARED
+    *    [[operators.CorpusOps.snapshotDiff]] core, with the old side
+    *    read from the committed [[VecHashesName]] artifact — the old
+    *    corpus's vectors are never rescanned;
+    *  - LSH index rows and digests: retract removed/changed ids from
+    *    the old version (range-hit segments only), append rows
+    *    projected from added/changed vectors only — per-vector map-only
+    *    state, the easiest possible retract/append case;
+    *  - label centroids: rebuilt whole from the new table (see
+    *    [[LabelCentroidsName]] — exact-summation order is part of the
+    *    artifact contract, and the build is one map-side-combine pass).
+    *
+    * Hash-identical to [[materializeEmbeddings]] from scratch
+    * (`EmbeddingArtifactsSpec`); falls back to it when `oldDir`'s
+    * artifacts are missing/stale (`full_missing_old`) or the change set
+    * exceeds `maxChangeFraction` (`full_large_diff`); idempotent per
+    * new fingerprint (`skip`). A corpus without an embeddings table is
+    * a no-op like the build. The returned `IncrementalResult`'s
+    * CC fields are -1: there is no component re-run on this side.
+    */
+  def maintainEmbeddingsIncremental(spark: SparkSession, oldDir: String,
+      newDir: String, maxChangeFraction: Double = 0.2): IncrementalResult = Checkpoints.scoped {
+    import org.apache.spark.sql.functions.col
+    require(rootOpt.nonEmpty,
+      "Artifacts.maintainEmbeddingsIncremental needs a root — setRoot(...) " +
+        "or SPARK_GRAFT_ARTIFACTS_DIR")
+    val embPath = new Path(s"$newDir/embeddings.parquet")
+    val fs = embPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(embPath))
+      return IncrementalResult("skip", Map.empty, 0, 0, 0, -1, -1)
+    val fpNew = embeddingsFingerprint(spark, newDir)
+    def pathOf(dir: String, fp: String, name: String): String =
+      versionPath(dir, name, fp).get
+    if (EmbeddingNames.forall(n =>
+        isCommitted(spark, versionPath(newDir, n, fpNew), n)))
+      return IncrementalResult("skip",
+        EmbeddingNames.map(n =>
+          n -> committedCount(spark, newDir, n, pathOf(newDir, fpNew, n)))
+          .toMap, 0, 0, 0, -1, -1)
+    val fpOld = embeddingsFingerprint(spark, oldDir)
+    val missingOld = EmbeddingNames.filterNot(n =>
+      isCommitted(spark, versionPath(oldDir, n, fpOld), n))
+    if (missingOld.nonEmpty) {
+      if (missingOld.size < EmbeddingNames.size) System.err.println(
+        s"[artifacts] full vector rebuild: old snapshot missing " +
+          s"${missingOld.mkString(", ")} — a newly added artifact type " +
+          "triggers this once per corpus after an upgrade")
+      return IncrementalResult("full_missing_old",
+        materializeEmbeddings(spark, newDir), -1, -1, -1, -1, -1)
+    }
+    def readOldA(name: String): DataFrame =
+      readVersion(spark, oldDir, name, pathOf(oldDir, fpOld, name))
+    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
+      val p = pathOf(newDir, fpNew, name)
+      if (isCommitted(spark, Some(p), name))
+        name -> committedCount(spark, newDir, name, p)
+      else write(spark, newDir, fpNew, name, compute)
+    }
+    def buildSegInc(name: String, retract: Option[DataFrame],
+        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
+      val p = pathOf(newDir, fpNew, name)
+      if (isCommitted(spark, Some(p), name))
+        name -> committedCount(spark, newDir, name, p)
+      else commitSegmented(spark, oldDir, fpOld, newDir, fpNew, name,
+        retract, append).getOrElse(write(spark, newDir, fpNew, name, whole))
+    }
+    val eNew = Tables.embeddings(spark, newDir)
+    val hashedNew = Checkpoints.checkpoint(vecHashesFrame(eNew))
+    // the shared diff core works at (doc_id, h) grain; the vector side's
+    // id column rides through under that name for the diff only
+    val diff = Checkpoints.checkpoint(
+      operators.CorpusOps.snapshotDiff(
+        readOldA(VecHashesName).withColumnRenamed("id", "doc_id"),
+        hashedNew.withColumnRenamed("id", "doc_id"))
+        .withColumnRenamed("doc_id", "id"))
+    val nNew = hashedNew.count()
+    val byStatus = diff.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nAdd, nChg, nRem) = (byStatus.getOrElse("added", 0L),
+      byStatus.getOrElse("changed", 0L), byStatus.getOrElse("removed", 0L))
+    if (nNew == 0 || nAdd + nChg + nRem > maxChangeFraction * nNew)
+      return IncrementalResult("full_large_diff",
+        materializeEmbeddings(spark, newDir), nAdd, nChg, nRem, -1, -1)
+    val dNew = diff.filter(col("status").isin("added", "changed"))
+      .select(col("id").as("vec_id"))
+    val dGone = diff.filter(col("status").isin("removed", "changed"))
+      .select("id")
+    val vecsChangedNew = prunedDeltaScan(eNew, dNew, "vec_id")
+    val ann = buildSegInc(LshAnnIndexName, Some(dGone),
+      operators.Similarity.annIndexFrame(vecsChangedNew))(
+      readOldA(LshAnnIndexName)
+        .join(dGone, Seq("id"), "left_anti")
+        .unionByName(operators.Similarity.annIndexFrame(vecsChangedNew)))
+    val nd = buildSegInc(LshNearDupIndexName, Some(dGone),
+      operators.Similarity.nearDupIndexFrame(vecsChangedNew))(
+      readOldA(LshNearDupIndexName)
+        .join(dGone, Seq("id"), "left_anti")
+        .unionByName(operators.Similarity.nearDupIndexFrame(vecsChangedNew)))
+    // the diff's own new-side digests commit as the new snapshot's
+    // digest artifact — maintenance gets the next diff's old side free
+    val vh = buildSegInc(VecHashesName, Some(dGone),
+      hashedNew.join(dNew.withColumnRenamed("vec_id", "id"),
+        Seq("id"), "left_semi"))(hashedNew)
+    val cen = buildInc(LabelCentroidsName)(
+      operators.Similarity.labelCentroidsFrame(eNew))
+    pruneSweep(spark, newDir, EmbeddingNames, Set(fpNew),
+      table = "embeddings.parquet")
+    IncrementalResult("incremental", Map(ann, nd, vh, cen),
+      nAdd, nChg, nRem, -1, -1)
   }
 
   /** The `(source, token, n)` frequency index, IF a version committed for
@@ -893,6 +1059,8 @@ object Artifacts {
 
   private def segmentKeys(name: String): Seq[String] = name match {
     case DupPairsName => Seq("doc_a", "doc_b")
+    // vector-side per-id artifacts retract by the embedding id
+    case LshAnnIndexName | LshNearDupIndexName | VecHashesName => Seq("id")
     case NgramPostingsName | Shingles8Name | DocHashesName | KeepersName |
          MinhashBandsName | ChunkPostingsName => Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
@@ -1190,7 +1358,10 @@ object Artifacts {
     */
   private[graft] def readCommitted(spark: SparkSession, corpusDir: String,
       name: String): DataFrame = {
-    val fp = corpusFingerprint(spark, corpusDir)
+    // embedding-keyed artifacts resolve against THEIR table's fingerprint
+    val fp =
+      if (EmbeddingNames.contains(name)) embeddingsFingerprint(spark, corpusDir)
+      else corpusFingerprint(spark, corpusDir)
     val p = versionPath(corpusDir, name, fp).getOrElse(
       throw new IllegalStateException("Artifacts.readCommitted needs a root"))
     require(isCommitted(spark, Some(p), name),
@@ -1412,6 +1583,15 @@ object Artifacts {
 
   def lastBuildSeconds: Map[String, Double] = lastBuild.get()
 
+  /** Clear the per-artifact build breakdown. Called at the start of a
+    * build SEQUENCE (Bench's untimed phase) so the merged breakdown can
+    * only describe that sequence: without the reset, a materialize that
+    * skipped every build leaves an earlier call's timings — possibly for
+    * a different corpus — in place, and [[materializeEmbeddings]]'s
+    * merge would fold fresh embedding timings into the stale map.
+    */
+  def resetBuildTimings(): Unit = lastBuild.set(Map.empty)
+
   /** Compute and commit every artifact for `corpusDir` under the
     * configured root (requires one — artifacts are never written
     * implicitly), keyed by the corpus's current fingerprint. IDEMPOTENT:
@@ -1563,12 +1743,13 @@ object Artifacts {
     * scalar aggregates collected to the driver, the same cost class as
     * the diff-status rollup.
     */
-  private[graft] def prunedDeltaScan(docs: DataFrame, ids: DataFrame): DataFrame = {
+  private[graft] def prunedDeltaScan(docs: DataFrame, ids: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.functions._
-    val b = ids.agg(min("doc_id").as("lo"), max("doc_id").as("hi")).head()
+    val b = ids.agg(min(idCol).as("lo"), max(idCol).as("hi")).head()
     if (b.isNullAt(0)) docs.filter(lit(false))
-    else docs.filter(col("doc_id").between(lit(b.get(0)), lit(b.get(1))))
-      .join(ids, Seq("doc_id"), "left_semi")
+    else docs.filter(col(idCol).between(lit(b.get(0)), lit(b.get(1))))
+      .join(ids, Seq(idCol), "left_semi")
   }
 
   /** Sweep artifact trees for corpora no longer in service: every

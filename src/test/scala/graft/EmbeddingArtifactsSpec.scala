@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.operators.Similarity
 
@@ -25,8 +26,7 @@ class EmbeddingArtifactsSpec extends SparkSpec {
         spark.read.parquet(s"$sf/embeddings.parquet")))
       Artifacts.setRoot(root.getAbsolutePath)
       val built = Artifacts.materializeEmbeddings(spark, sf)
-      assert(built.keySet == Set(Artifacts.LshAnnIndexName,
-        Artifacts.LshNearDupIndexName))
+      assert(built.keySet == Artifacts.EmbeddingNames.toSet)
       assert(Artifacts.EmbeddingNames.forall(
         Artifacts.isMaterialized(spark, sf, _)))
       // artifact-mode reads serve the identical frames
@@ -120,7 +120,8 @@ class EmbeddingArtifactsSpec extends SparkSpec {
     val census = idx.groupBy(identity).map { case (k, o) => k -> o.length }
     val expected = census.groupBy(_._1._1).map { case (t, m) =>
       val pops = m.values
-      t -> (m.size, pops.min, pops.max, pops.sum, pops.count(_ > 256))
+      t -> (m.size, pops.min, pops.max, pops.sum,
+        pops.count(_ > Similarity.NearDupBucketCap))
     }
     val rows = Similarity.q116LshBucketAudit(spark, sf).collect()
     assert(rows.length == expected.size)
@@ -134,6 +135,166 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       assert(r.getAs[Long]("n_over_cap") == over.toLong, s"table $t over")
       // every vector lands in exactly one bucket per table
       assert(tot.toLong == nVecs, s"table $t does not cover the corpus")
+    }
+  }
+
+  test("q35/q103 read the standing centroid table — no VectorCentroid leaf in artifact mode") {
+    val root = Files.createTempDirectory("graft-cen-root").toFile
+    try {
+      // inline baselines BEFORE any root is set
+      val q35Inline = rows(Similarity.q35IvfAnn(spark, sf))
+      val q103Inline = rows(Similarity.q103CentroidOutliers(spark, sf))
+      Artifacts.setRoot(root.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, sf)
+      for ((name, df, inline) <- Seq(
+          ("q35", Similarity.q35IvfAnn(spark, sf), q35Inline),
+          ("q103", Similarity.q103CentroidOutliers(spark, sf), q103Inline))) {
+        assert(rows(df) == inline, s"$name drifted in artifact mode")
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        assert(p.contains(root.getName),
+          s"$name artifact-mode plan does not read the centroid table:\n" +
+            p.take(600))
+        assert(!p.toLowerCase.contains("vectorcentroid"),
+          s"$name artifact-mode plan still aggregates centroids:\n" +
+            p.take(600))
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(root)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  /** Write `df` as `dir/embeddings.parquet` (collect-first so a source
+    * sharing the path can be overwritten).
+    */
+  private def writeEmb(df: org.apache.spark.sql.DataFrame, dir: String): Unit = {
+    val rows = df.collect().toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), df.schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Tables.invalidate(dir)
+  }
+
+  test("incremental embedding maintenance ≡ materializeEmbeddings from scratch") {
+    val root = Files.createTempDirectory("graft-embinc-root").toFile
+    val base = Files.createTempDirectory("graft-embinc-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      writeEmb(src, oldDir)
+      // new snapshot: 7 re-encoded vectors (scaled — different digest,
+      // different buckets), 5 removed, 9 added under shifted ids
+      val changed = src.filter(col("vec_id") < 7)
+        .withColumn("embedding",
+          transform(col("embedding"), (x: Column) => x * lit(-1.0f)))
+      val kept = src.filter(col("vec_id") >= 7 &&
+        pmod(col("vec_id"), lit(100)) =!= 13)
+      val added = src.filter(col("vec_id") >= 100 && col("vec_id") < 109)
+        .withColumn("vec_id", col("vec_id") + 100000)
+      writeEmb(changed.unionByName(kept).unionByName(added), newDir)
+
+      Artifacts.setRoot(root.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, oldDir)
+      val res = Artifacts.maintainEmbeddingsIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert(res.added == 9 && res.changed == 7 && res.removed > 0, res)
+
+      // every maintained artifact is hash-identical to the inline frame
+      // over the new corpus (what a scratch build would commit)
+      val eNew = Tables.embeddings(spark, newDir)
+      val expected = Map(
+        Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
+        Artifacts.LshNearDupIndexName ->
+          rows(Similarity.nearDupIndexFrame(eNew)),
+        Artifacts.VecHashesName -> rows(Artifacts.vecHashesFrame(eNew)),
+        Artifacts.LabelCentroidsName ->
+          rows(Similarity.labelCentroidsFrame(eNew)))
+      Artifacts.EmbeddingNames.foreach { n =>
+        assert(Artifacts.isMaterialized(spark, newDir, n), s"$n not committed")
+        assert(rows(Artifacts.readCommitted(spark, newDir, n)) == expected(n),
+          s"$n drifted from the scratch build")
+      }
+      // idempotent: second call skips
+      val again = Artifacts.maintainEmbeddingsIncremental(spark, oldDir, newDir)
+      assert(again.mode == "skip", again)
+      // consumers serve the maintained indexes
+      assert(rows(Similarity.q23AnnLsh(spark, newDir)) ==
+        rows(Similarity.q23AnnLsh(spark, newDir)))
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(oldDir); Tables.invalidate(newDir)
+      deleteRecursively(root)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("a label-only edit maintains cleanly: indexes carried, centroids rebuilt") {
+    // the digest covers the EMBEDDING only, so a label edit diffs as
+    // zero changes — the per-vector index state really is unaffected —
+    // but the centroid artifact must still track the new labels because
+    // maintenance re-aggregates it from the live table, never carries it
+    val root = Files.createTempDirectory("graft-emblbl-root").toFile
+    val base = Files.createTempDirectory("graft-emblbl-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      writeEmb(src, oldDir)
+      writeEmb(src.withColumn("label",
+        when(col("vec_id") < 50, col("label") + 1).otherwise(col("label"))),
+        newDir)
+      Artifacts.setRoot(root.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, oldDir)
+      val res = Artifacts.maintainEmbeddingsIncremental(spark, oldDir, newDir)
+      assert(res.mode == "incremental", res)
+      assert(res.added == 0 && res.changed == 0 && res.removed == 0, res)
+      val eNew = Tables.embeddings(spark, newDir)
+      assert(rows(Artifacts.readCommitted(spark, newDir,
+          Artifacts.LabelCentroidsName)) ==
+        rows(Similarity.labelCentroidsFrame(eNew)),
+        "centroids must reflect the re-labelled table")
+      assert(rows(Artifacts.readCommitted(spark, newDir,
+          Artifacts.LshAnnIndexName)) ==
+        rows(Similarity.annIndexFrame(eNew)))
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(oldDir); Tables.invalidate(newDir)
+      deleteRecursively(root)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("embedding maintenance fallbacks: missing old → full; oversized diff → full") {
+    val root = Files.createTempDirectory("graft-embfall-root").toFile
+    val base = Files.createTempDirectory("graft-embfall-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    try {
+      val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      writeEmb(src, oldDir)
+      writeEmb(src.filter(col("vec_id") < 100), newDir)
+      Artifacts.setRoot(root.getAbsolutePath)
+      // old never materialized → full build of new
+      val r1 = Artifacts.maintainEmbeddingsIncremental(spark, oldDir, newDir)
+      assert(r1.mode == "full_missing_old", r1)
+      assert(Artifacts.EmbeddingNames.forall(
+        Artifacts.isMaterialized(spark, newDir, _)))
+      // oversized diff (80% of the corpus removed old→new, far past the
+      // default 20%) → full rebuild, not incremental
+      Artifacts.materializeEmbeddings(spark, oldDir)
+      val newDir2 = s"$base/new2"
+      writeEmb(src.filter(col("vec_id") < 100), newDir2)
+      val r2 = Artifacts.maintainEmbeddingsIncremental(spark, oldDir, newDir2)
+      assert(r2.mode == "full_large_diff", r2)
+      assert(Artifacts.EmbeddingNames.forall(
+        Artifacts.isMaterialized(spark, newDir2, _)))
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(oldDir); Tables.invalidate(newDir)
+      deleteRecursively(root)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
     }
   }
 
