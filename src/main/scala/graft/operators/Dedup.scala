@@ -573,8 +573,18 @@ object Dedup {
     * metadata (no data scan), so the check is cheap even on a large
     * table it is about to reject.
     */
-  def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val nVecs = Tables.embeddings(spark, dir).count()
+  def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairsFrom(Tables.embeddings(spark, dir))
+
+  /** [[q21EmbeddingNearDup]] over a caller-supplied embeddings frame —
+    * the seam the deterministic eval sample
+    * (`Similarity.sampledNearDupRecall`) runs the ground truth through:
+    * the guard then bounds the SAMPLE, so the brute-force pass stays
+    * refusable at corpus grain while remaining runnable on a hash-chosen
+    * subset of any corpus.
+    */
+  private[graft] def embeddingNearDupPairsFrom(emb: DataFrame): DataFrame = {
+    val nVecs = emb.count()
     require(nVecs <= MaxBruteForceVectors,
       s"q21 brute-force cosine is O(n²) and capped at $MaxBruteForceVectors " +
         s"vectors (got $nVecs); use q82_ann_neardup (bucketed pair " +
@@ -582,7 +592,7 @@ object Dedup {
         "— q21 exists only as small-corpus oracle ground truth")
     // Norms are precomputed once per vector (not once per pair): the pair
     // scan then evaluates a single codegen'd dot product per candidate.
-    val e = Tables.embeddings(spark, dir)
+    val e = emb
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
@@ -597,11 +607,16 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val q21OracleSql: String = {
+  val q21OracleSql: String = nearDupTruthSql("embeddings")
+
+  /** [[q21OracleSql]] over a caller-chosen table/CTE name — q117's
+    * oracle replays the ground truth over its sampled CTE.
+    */
+  private[graft] def nearDupTruthSql(table: String): String = {
     val cos = VectorOps.round6Sql(VectorOps.cosineSql("a.embedding", "b.embedding"))
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |       $cos AS cos
-      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |FROM $table a JOIN $table b ON a.vec_id < b.vec_id
       |WHERE $cos >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
   }

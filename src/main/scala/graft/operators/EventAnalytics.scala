@@ -306,15 +306,32 @@ object EventAnalytics {
     val days = Tables.events(spark, dir)
       .select(col("user_id"), dayOfTsNs.as("day"))
     val first = days.groupBy("user_id").agg(min("day").as("cohort_day"))
-    val sizes = first.groupBy("cohort_day")
-      .agg(count(lit(1)).as("cohort_users"))
-    days.join(first, "user_id")
+    val activity = days.join(first, "user_id")
       .select(col("cohort_day"), (col("day") - col("cohort_day")).as("age_days"),
         col("user_id"))
       .distinct()
+    retentionRollup(activity)
+  }
+
+  /** The cohort×age rollup over distinct `(cohort_day, age_days,
+    * user_id)` activity rows — shared by the batch q114 and its
+    * streaming dual (`StreamingOps.retentionStream` emits exactly these
+    * rows incrementally). Cohort sizes are the age-0 cells: every user
+    * is by definition active on their own cohort day, so the first-day
+    * aggregate and the age-0 census are the same number — one shared
+    * frame instead of a separate user-grain aggregation.
+    */
+  private[graft] def retentionRollup(activity: DataFrame): DataFrame = {
+    val cells = activity
       .groupBy("cohort_day", "age_days")
       .agg(count(lit(1)).as("n_active"))
-      .join(sizes, "cohort_day")
+    // sizes as a separate aggregation over the age-0 slice rather than a
+    // filter of `cells`: the rollup must accept ANY activity source
+    // (including a memory-sink view), and a cells-on-cells self-join
+    // trips conflicting-reference resolution on such relations
+    val sizes = activity.filter(col("age_days") === 0)
+      .groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    cells.join(sizes, "cohort_day")
       .select(col("cohort_day"), col("cohort_users"), col("age_days"),
         col("n_active"),
         round6(col("n_active").cast("double") / col("cohort_users"))
@@ -361,9 +378,16 @@ object EventAnalytics {
     * aggregate to ≤64 bucket rows, one broadcast scalar for the share —
     * nothing event-grain survives the first shuffle.
     */
-  def q115EngagementHistogram(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables.events(spark, dir)
-      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+  def q115EngagementHistogram(spark: SparkSession, dir: String): DataFrame =
+    engagementRollup(Tables.events(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_events")))
+
+  /** The log₂-bucket histogram over user-grain `(user_id, n_events)`
+    * rows — shared by the batch q115 and its streaming dual (the final
+    * `StreamingOps.engagementStream` update per user carries the same
+    * lifetime count the batch aggregate computes).
+    */
+  private[graft] def engagementRollup(perUser: DataFrame): DataFrame = {
     val buckets = perUser
       .groupBy((length(bin(col("n_events"))) - 1).as("bucket"))
       .agg(count(lit(1)).as("n_users"), sum("n_events").as("total_events"))

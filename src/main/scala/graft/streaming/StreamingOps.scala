@@ -50,6 +50,27 @@ case class FunnelUpdate(user_id: Long, t1: Option[Long], t2: Option[Long],
 case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
   n_events: Int, sum_value: Double)
 
+/** Per-user retention state for [[StreamingOps.retentionStream]]: the
+  * user's cohort day and the distinct days already emitted.
+  */
+case class RetentionState(cohortDay: Long, seenDays: Seq[Long])
+
+/** One first-activity-of-the-day emission from
+  * [[StreamingOps.retentionStream]] — exactly one row per distinct
+  * `(user, active day)`, the grain `EventAnalytics.retentionRollup`
+  * consumes.
+  */
+case class CohortActivity(user_id: Long, cohort_day: Long, age_days: Long)
+
+/** Per-user lifetime event count for [[StreamingOps.engagementStream]]. */
+case class EngagementCount(n: Long)
+
+/** Running per-user count update emitted by
+  * [[StreamingOps.engagementStream]]; the LAST update per user is the
+  * user's lifetime count.
+  */
+case class EngagementUpdate(user_id: Long, n_events: Long)
+
 /** Streaming variants of the reference's aggregations (SURVEY.md §2.10 —
   * the reference is batch-only; incremental loading is its own listed
   * future work, reference `README.md:261`).
@@ -233,6 +254,75 @@ object StreamingOps {
           }
           state.update(s)
           FunnelUpdate(uid, s.t1, s.t2, s.t3)
+      }
+  }
+
+  /** Microseconds per integer epoch day — µs-grain twin of the batch
+    * side's ns arithmetic (`ts_ns div NsPerDay` ≡ `µs div MicrosPerDay`
+    * because the parquet ns values are exact µs multiples).
+    */
+  private val MicrosPerDay = 86400000000L
+
+  /** q114's streaming dual — the retention cohort matrix advanced
+    * incrementally: per-user `flatMapGroupsWithState` carries
+    * [[RetentionState]] (cohort day + days already seen) and emits one
+    * [[CohortActivity]] row the FIRST time the user is active on each
+    * day. The emitted rows are exactly the distinct
+    * `(cohort_day, age_days, user_id)` frame batch q114 derives, so
+    * `EventAnalytics.retentionRollup` over them equals the batch matrix
+    * (the equivalence spec replays it). Under in-order per-user
+    * delivery the first event ever fixes the cohort day exactly as the
+    * batch min does; intra-batch disorder is absorbed by sorting each
+    * batch. State is one day-list per user — bounded by the user's
+    * distinct active days; a production deployment ages it out with an
+    * event-time timeout once its retention window closes (the q31
+    * posture), which caps it at window-days entries.
+    */
+  def retentionStream(events: Dataset[StreamEvent]): Dataset[CohortActivity] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, CohortActivity](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state) =>
+          val days = batch.toSeq
+            .sortBy(e => (micros(e.ts), e.event_id))
+            .map(e => micros(e.ts) / MicrosPerDay)
+          val out = Seq.newBuilder[CohortActivity]
+          var s = state.getOption
+          days.foreach { d =>
+            s match {
+              case None =>
+                s = Some(RetentionState(d, Seq(d)))
+                out += CohortActivity(uid, d, 0L)
+              case Some(st) if !st.seenDays.contains(d) =>
+                s = Some(st.copy(seenDays = st.seenDays :+ d))
+                out += CohortActivity(uid, st.cohortDay, d - st.cohortDay)
+              case _ => ()
+            }
+          }
+          s.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
+  /** q115's streaming dual — per-user lifetime event counts advanced
+    * incrementally (`mapGroupsWithState`, one long per user — the
+    * minimal stateful op). The LAST [[EngagementUpdate]] per user
+    * carries the same count batch q115's user-grain aggregate computes,
+    * so `EventAnalytics.engagementRollup` over the final updates equals
+    * the batch histogram (equivalence spec). Counting is
+    * delivery-order-independent, so this dual needs no ordering
+    * contract at all.
+    */
+  def engagementStream(events: Dataset[StreamEvent]): Dataset[EngagementUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EngagementCount, EngagementUpdate](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, batch, state) =>
+          val n = state.getOption.map(_.n).getOrElse(0L) + batch.size
+          state.update(EngagementCount(n))
+          EngagementUpdate(uid, n)
       }
   }
 

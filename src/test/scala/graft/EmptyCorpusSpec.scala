@@ -91,7 +91,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q111_neardup_recall" -> (Similarity.q111NearDupRecall _),
     "q112_eval_contamination" -> (CorpusAudit.q112EvalContamination _),
     "q113_bpe_merge_census" -> (TextAnalysis.q113BpeMergeCensus _),
-    "q116_lsh_bucket_audit" -> (Similarity.q116LshBucketAudit _))
+    "q116_lsh_bucket_audit" -> (Similarity.q116LshBucketAudit _),
+    "q117_sampled_neardup_recall" -> (Similarity.q117SampledNearDupRecall _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -140,4 +140,33 @@ class SimilaritySpec extends SparkSpec {
       assert(capped.forall(_.getAs[Double]("cos") == 1.0))
     } finally deleteRecursively(dir)
   }
+
+  test("past 20k vectors the ground-truth evals refuse; the hash sample evaluates") {
+    // q21/q111's brute-force truth is hard-capped; q117's deterministic
+    // hash sample is the documented production posture — it must RUN on
+    // a corpus the capped ops refuse, on a sample the cap accepts
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bigvec").toFile
+    try {
+      val corpus = s"${dir.getPath}/c"
+      spark.range(21000).select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            j => sin(col("id") * 64 + j)).cast("array<float>").as("embedding"),
+          pmod(col("id"), lit(10)).cast("int").as("label"))
+        .write.parquet(s"$corpus/embeddings.parquet")
+      val e1 = intercept[IllegalArgumentException](
+        graft.operators.Dedup.q21EmbeddingNearDup(spark, corpus))
+      assert(e1.getMessage.contains("capped"), e1.getMessage)
+      intercept[IllegalArgumentException](
+        Similarity.q111NearDupRecall(spark, corpus))
+      val out = Similarity.sampledNearDupRecall(spark, corpus, 500).collect()
+      out.foreach { r =>
+        val recall = r.getAs[Double]("recall")
+        assert(recall >= 0.0 && recall <= 1.0, r.toString)
+        assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_truth"),
+          "q82's exact-cosine confirm makes found ⊆ truth on any corpus")
+      }
+      info(s"sampled recall bands on 21k vectors: ${out.length}")
+    } finally deleteRecursively(dir)
+  }
 }

@@ -315,4 +315,56 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     assert(snapshot() == committed, "re-delivered batch must merge to the same winners")
   }
+
+  test("q114/q115 streaming duals replay the real corpus to the batch rollups") {
+    import graft.operators.EventAnalytics
+    // the whole sf0.001 events table, replayed across three
+    // micro-batches in global event-time order (per-user order — the
+    // documented delivery contract — follows; same-ms ties share a day,
+    // so ms-grain ordering cannot move a cohort assignment)
+    val sfEvents = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[StreamEvent].collect().toSeq
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val chunks = sfEvents.grouped(sfEvents.size / 3 + 1).toSeq
+
+    // q114 dual: first-activity emissions -> shared cohort rollup
+    val rIn = MemoryStream[StreamEvent](spark)
+    val rq = StreamingOps.retentionStream(rIn.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ret_dual_out").start()
+    chunks.foreach { c => rIn.addData(c); rq.processAllAvailable() }
+    rq.stop()
+    // materialize off the memory sink: the rollup references the
+    // activity frame twice, and a MemoryPlan cannot be self-joined
+    val emitted = spark.table("ret_dual_out")
+      .select(col("cohort_day"), col("age_days"), col("user_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val activity = emitted
+      .toDF("cohort_day", "age_days", "user_id")
+    assert(emitted.size == emitted.distinct.size,
+      "the stream must emit each (user, day) exactly once")
+    val streamedR = EventAnalytics.retentionRollup(activity)
+      .collect().toSeq.map(_.toString)
+    val batchR = EventAnalytics.q114RetentionCohorts(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamedR == batchR, "retention matrix drifted from batch q114")
+
+    // q115 dual: final per-user count -> shared histogram rollup
+    val eIn = MemoryStream[StreamEvent](spark)
+    val eq = StreamingOps.engagementStream(eIn.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("eng_dual_out").start()
+    chunks.foreach { c => eIn.addData(c); eq.processAllAvailable() }
+    eq.stop()
+    // counts are monotone, so the max update per user is the final one
+    val perUser = spark.table("eng_dual_out")
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+    val streamedE = EventAnalytics.engagementRollup(perUser)
+      .collect().toSeq.map(_.toString)
+    val batchE = EventAnalytics.q115EngagementHistogram(spark, sf)
+      .collect().toSeq.map(_.toString)
+    assert(streamedE == batchE, "engagement histogram drifted from batch q115")
+  }
 }
