@@ -468,4 +468,80 @@ object Search {
       |GROUP BY tf.doc_id, n_total
       |ORDER BY score DESC, doc_id LIMIT $TopK""".stripMargin
   }
+
+  // ---- q118: per-document TF-IDF keyterms ---------------------------------
+
+  /** Keyterms surfaced per document by [[q118TfidfKeyterms]]. */
+  private val KeytermK = 3
+
+  /** q118 — per-document keyterm extraction: each document's
+    * [[KeytermK]] highest-scoring terms under `tf · idf` with q66's
+    * rational idf `(N − df + 0.5)/(df + 0.5)` (same
+    * determinism-over-classical-scale argument — the log is a monotone
+    * reshaping per fixed tf, but tf varies, so the weight itself must be
+    * the committed formula). The corpus-wide tagging pass an
+    * exploration UI, labeling queue, or topic drilldown runs per
+    * snapshot: "what is this document about" as a first-class,
+    * re-runnable product rather than a notebook one-off.
+    *
+    * Scale shape: the postings frame is the standing `token_postings`
+    * artifact when materialized (zero documents scans — plan-guarded
+    * with the rest of the lexical family), inline one checkpointed
+    * tokenize otherwise; df is one vocabulary-grain aggregation OF the
+    * postings (at production scale itself a standing artifact); the
+    * per-doc top-k is a `WindowGroupLimit`-eligible window partitioned
+    * by doc_id, so only ≤K rows per document survive its shuffle. The
+    * output is doc-grain × K — a corpus-sized PRODUCT, as intended: at
+    * 100 TB this query's output is itself a table a pipeline writes,
+    * not a screenful.
+    */
+  def q118TfidfKeyterms(spark: SparkSession, dir: String): DataFrame = {
+    val postings = graft.Artifacts.tokenPostings(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(
+        Tables.documents(spark, dir).select(col("doc_id"),
+            explode(Dedup.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
+    val dfc = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token").asc)
+    postings.join(dfc, "token")
+      .crossJoin(broadcast(docCount(spark, dir)))
+      .withColumn("score", round6(
+        (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
+          * col("tf").cast("double")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= KeytermK)
+      .select(col("doc_id"), col("rank"), col("token"), col("tf"),
+        col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** The same tf/df/N derivations and weight, ranked with the same
+    * (score desc, token asc) tie order.
+    */
+  val q118OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+      |         ${round6Sql(
+           """((n_total - df + 0.5) / (df + 0.5))
+      |           * CAST(tf AS DOUBLE)""")} AS score
+      |  FROM tf JOIN dfc USING (token), n
+      |), ranked AS (
+      |  SELECT doc_id, token, tf, df, score,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, token ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, token, tf, df, score
+      |FROM ranked WHERE rank <= $KeytermK
+      |ORDER BY doc_id, rank""".stripMargin
 }

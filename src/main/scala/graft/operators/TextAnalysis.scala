@@ -796,4 +796,152 @@ object TextAnalysis {
       |       COUNT(DISTINCT token) AS n_types
       |FROM pairs GROUP BY c1, c2
       |ORDER BY weight DESC, c1, c2 LIMIT $MergeTopK""".stripMargin
+
+  // ---- q119: PMI collocations ---------------------------------------------
+
+  /** Collocations reported by [[q119PmiCollocations]]. */
+  private val CollocationK = 20
+
+  /** Minimum pair support — the PMI literature's standard guard: a
+    * 1-occurrence pair of two hapaxes has maximal "lift" and zero
+    * evidence.
+    */
+  private val MinPairCount = 5
+
+  /** q119 — collocation mining: the [[CollocationK]] adjacent token
+    * pairs with the highest LIFT `P(w1,w2) / (P(w1)·P(w2))` (pointwise
+    * mutual information without the log — the same monotone-reshaping
+    * determinism argument as q66's rational idf: `log2` is libm-shaped,
+    * the ratio is pure IEEE arithmetic) among pairs seen at least
+    * [[MinPairCount]] times. What a tokenizer team mines to seed merge
+    * candidates and a curation team reads as the corpus's strongest
+    * fixed phrases — boilerplate shows up here first.
+    *
+    * Scale shape: in artifact mode the ENTIRE query runs over the two
+    * standing frequency indexes — corpus bigram counts re-aggregate
+    * from `bigram_freq`, unigram mass from `token_freq` — with zero
+    * documents scans (plan-guarded); inline, one bigram explode and one
+    * token explode. Everything after the counts is vocabulary-grain:
+    * two frequency joins, two broadcast scalar totals, and a
+    * `TakeOrderedAndProject` cutoff.
+    */
+  def q119PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val bg = graft.Artifacts.bigramFreq(spark, dir) match {
+      case Some(b) => b.groupBy("w1", "w2").agg(sum("n").as("n_ab"))
+      case None => bigramsOf(Tables.documents(spark, dir), Seq.empty)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
+    }
+    val uni = graft.Artifacts.tokenTotals(spark, dir)
+    val tUni = uni.agg(sum("n").cast("double").as("t_uni"))
+    val tBi = bg.agg(sum("n_ab").cast("double").as("t_bi"))
+    bg.filter(col("n_ab") >= MinPairCount)
+      .join(uni.select(col("token").as("w1"), col("n").as("n_a")), "w1")
+      .join(uni.select(col("token").as("w2"), col("n").as("n_b")), "w2")
+      .crossJoin(broadcast(tUni)).crossJoin(broadcast(tBi))
+      .withColumn("lift", round6(
+        (col("n_ab").cast("double") / col("t_bi")) /
+          ((col("n_a").cast("double") / col("t_uni")) *
+            (col("n_b").cast("double") / col("t_uni")))))
+      .orderBy(col("lift").desc, col("w1").asc, col("w2").asc)
+      .limit(CollocationK)
+      .select("w1", "w2", "n_ab", "n_a", "n_b", "lift")
+  }
+
+  /** q87's bigram CTE shape, the same totals, and the identical
+    * division order (the ratio is IEEE-exact only if both engines
+    * evaluate the same expression tree).
+    */
+  val q119OracleSql: String =
+    s"""WITH tokarr AS (
+      |  SELECT string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT t, unnest(generate_series(2, len(t))) AS i FROM tokarr
+      |), big AS (
+      |  SELECT t[i - 1] AS w1, t[i] AS w2 FROM pos
+      |), bg AS (
+      |  SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY w1, w2
+      |), tok AS (
+      |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), uni AS (
+      |  SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      |), t1 AS (
+      |  SELECT CAST(SUM(n) AS DOUBLE) AS t_uni FROM uni
+      |), t2 AS (
+      |  SELECT CAST(SUM(n_ab) AS DOUBLE) AS t_bi FROM bg
+      |)
+      |SELECT bg.w1, bg.w2, bg.n_ab, a.n AS n_a, b.n AS n_b,
+      |       ${round6Sql(
+           """(CAST(n_ab AS DOUBLE) / t_bi)
+      |         / ((CAST(a.n AS DOUBLE) / t_uni)
+      |           * (CAST(b.n AS DOUBLE) / t_uni))""")} AS lift
+      |FROM bg
+      |JOIN uni a ON a.token = bg.w1
+      |JOIN uni b ON b.token = bg.w2, t1, t2
+      |WHERE bg.n_ab >= $MinPairCount
+      |ORDER BY lift DESC, bg.w1, bg.w2 LIMIT $CollocationK""".stripMargin
+
+  // ---- q120: out-of-vocabulary mass per source ----------------------------
+
+  /** Reference vocabulary size for [[q120OovRate]]. */
+  private val OovVocabK = 1000
+
+  /** q120 — OOV mass per source against a reference vocabulary (the
+    * corpus's [[OovVocabK]] highest-mass tokens, standing in for a
+    * model tokenizer's word list): per source, total token mass, the
+    * mass falling outside the vocabulary, and the OOV rate. The
+    * compatibility audit run before pointing a trained tokenizer (or a
+    * frozen model) at a new source — a source whose mass is
+    * disproportionately OOV will fragment into garbage tokens and burn
+    * context budget.
+    *
+    * Scale shape: artifact mode runs ENTIRELY over the standing
+    * `token_freq` index (per-source counts; the vocabulary is its
+    * corpus-grain re-aggregation cut at [[OovVocabK]] — a
+    * `TakeOrderedAndProject`, broadcast back), zero documents scans
+    * (plan-guarded); inline, one token explode. Output is
+    * source-grain.
+    */
+  def q120OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
+      CorpusOps.tokenFreqRows(Tables.documents(spark, dir)))
+    val vocab = graft.Artifacts.tokenTotals(spark, dir)
+      .orderBy(col("n").desc, col("token").asc).limit(OovVocabK)
+      .select(col("token"), lit(1).as("in_vocab"))
+    perSource
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("source")
+      .agg(sum("n").as("n_tokens"),
+        sum(when(col("in_vocab").isNull, col("n")).otherwise(0L))
+          .as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round6(col("n_oov").cast("double") / col("n_tokens"))
+          .as("oov_rate"))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
+  /** The same top-[[OovVocabK]] cutoff (mass desc, token asc) and
+    * per-source rollup, NULLS LAST pinned on both engines.
+    */
+  val q120OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), freq AS (
+      |  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY 1, 2
+      |), totals AS (
+      |  SELECT token, SUM(n) AS n FROM freq GROUP BY token
+      |), vocab AS (
+      |  SELECT token FROM totals ORDER BY n DESC, token ASC LIMIT $OovVocabK
+      |)
+      |SELECT f.source,
+      |       CAST(SUM(f.n) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(CASE WHEN v.token IS NULL THEN f.n ELSE 0 END)
+      |         AS BIGINT) AS n_oov,
+      |       ${round6Sql(
+           """CAST(SUM(CASE WHEN v.token IS NULL THEN f.n ELSE 0 END)
+      |         AS DOUBLE) / SUM(f.n)""")} AS oov_rate
+      |FROM freq f LEFT JOIN vocab v ON f.token = v.token
+      |GROUP BY f.source
+      |ORDER BY f.source ASC NULLS LAST""".stripMargin
 }

@@ -88,6 +88,68 @@ class CorpusAuditSpec extends SparkSpec {
     assert(ids.subsetOf(containing))
   }
 
+  test("q118 keyterms occur in their documents with the stated tf; ranks dense") {
+    val rows = graft.operators.Search.q118TfidfKeyterms(spark, sf).collect()
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1)).getOrElse(""))
+      .toMap
+    // every doc with >= KeytermK distinct tokens carries dense ranks 1..K
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (doc, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq ==
+        (1 to rs.length).toSeq, s"doc $doc ranks not dense")
+    }
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).split("\\s+", -1).toSeq
+      val tf = toks.count(_ == r.getAs[String]("token"))
+      assert(tf == r.getAs[Long]("tf"),
+        s"tf mismatch for ${r.getAs[String]("token")} in ${r.getAs[Long]("doc_id")}")
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+
+  test("q119 lift reconciles with a local recompute of the corpus counts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+    val tokens = docs.map(_.split("\\s+", -1).toSeq)
+    val uni = tokens.flatten.groupBy(identity).map { case (k, v) => k -> v.size }
+    val bi = tokens.flatMap(t => t.zip(t.drop(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val tUni = uni.values.sum.toDouble
+    val tBi = bi.values.sum.toDouble
+    val rows = graft.operators.TextAnalysis.q119PmiCollocations(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val lifts = rows.map(_.getAs[Double]("lift"))
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      val nAb = bi((w1, w2))
+      assert(nAb >= 5 && nAb == r.getAs[Long]("n_ab"))
+      assert(uni(w1) == r.getAs[Long]("n_a") && uni(w2) == r.getAs[Long]("n_b"))
+      val lift = (nAb / tBi) / ((uni(w1) / tUni) * (uni(w2) / tUni))
+      assert(math.abs(lift - r.getAs[Double]("lift")) < 1e-5,
+        s"lift drifted for ($w1,$w2)")
+    }
+  }
+
+  test("q120 token masses partition per source and the rate is the division") {
+    val rows = graft.operators.TextAnalysis.q120OovRate(spark, sf).collect()
+    val totalTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse("").split("\\s+", -1).length)
+      .map(_.toLong).sum
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum == totalTokens,
+      "per-source token masses must partition the corpus token mass")
+    rows.foreach { r =>
+      val (n, oov) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"))
+      assert(oov >= 0 && oov <= n)
+      assert(math.abs(r.getAs[Double]("oov_rate") - oov.toDouble / n) < 1e-5)
+    }
+  }
+
   test("q67 rolls q54's fractions up to source grain consistently") {
     val perDoc = CorpusOps.q54DupSpans(spark, sf)
       .join(spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "source"),

@@ -92,7 +92,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q112_eval_contamination" -> (CorpusAudit.q112EvalContamination _),
     "q113_bpe_merge_census" -> (TextAnalysis.q113BpeMergeCensus _),
     "q116_lsh_bucket_audit" -> (Similarity.q116LshBucketAudit _),
-    "q117_sampled_neardup_recall" -> (Similarity.q117SampledNearDupRecall _))
+    "q117_sampled_neardup_recall" -> (Similarity.q117SampledNearDupRecall _),
+    "q118_tfidf_keyterms" -> (Search.q118TfidfKeyterms _),
+    "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
+    "q120_oov_rate" -> (TextAnalysis.q120OovRate _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -553,8 +553,10 @@ class PlanQualitySpec extends SparkSpec {
     // (q107 three times per run); with the token_postings /
     // chunk_postings artifacts materialized, every pass is a term- or
     // doc-bounded filter of standing doc-grain state and the documents
-    // table must not appear in ANY of the four executed plans. (q102's
-    // dense leg scans embeddings — that is its own index family.)
+    // table must not appear in ANY of the executed plans. q118 rides
+    // the same postings; q119/q120 run entirely over the standing
+    // frequency indexes. (q102's dense leg scans embeddings — that is
+    // its own index family.)
     val tmp = java.nio.file.Files.createTempDirectory("graft-searchguard").toFile
     try {
       Artifacts.setRoot(tmp.getAbsolutePath)
@@ -563,7 +565,10 @@ class PlanQualitySpec extends SparkSpec {
         "q66" -> graft.operators.Search.q66KeywordSearch(spark, sf),
         "q101" -> graft.operators.Search.q101ChunkSearch(spark, sf),
         "q102" -> graft.operators.Search.q102HybridSearch(spark, sf),
-        "q107" -> graft.operators.Search.q107Rm3Expansion(spark, sf))
+        "q107" -> graft.operators.Search.q107Rm3Expansion(spark, sf),
+        "q118" -> graft.operators.Search.q118TfidfKeyterms(spark, sf),
+        "q119" -> graft.operators.TextAnalysis.q119PmiCollocations(spark, sf),
+        "q120" -> graft.operators.TextAnalysis.q120OovRate(spark, sf))
       queries.foreach { case (name, df) =>
         df.collect()
         val p = df.queryExecution.executedPlan.toString
