@@ -184,6 +184,19 @@ object Artifacts {
     */
   val ChunkPostingsName = "chunk_postings"
 
+  /** Corpus document frequencies `(token, df)` over the default
+    * whitespace tokens — the vocabulary-grain aggregate OF the
+    * `token_postings` index (df of a token = its postings row count).
+    * Standing because its consumer-side derivation is a corpus-sized
+    * shuffle: q118 aggregates the whole postings artifact to vocabulary
+    * grain per query without it; with it, the idf side of the keyterm
+    * pass is one index read. Additive like `token_freq` (a doc entering
+    * or leaving bumps each of its distinct tokens' df by ±1), so
+    * maintenance appends one ±delta segment and never rewrites the
+    * aggregate.
+    */
+  val TokenDfName = "token_df"
+
   /** The tokenizers whose count artifacts [[materialize]] builds and
     * [[materializeIncremental]] maintains by default — the library
     * default seam (whitespace) and the BPE-ish estimator q26 reports
@@ -203,7 +216,7 @@ object Artifacts {
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
-      TokenFreqName, BigramFreqName, ChunkPostingsName) ++
+      TokenFreqName, BigramFreqName, ChunkPostingsName, TokenDfName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
 
@@ -640,6 +653,96 @@ object Artifacts {
     }
   }
 
+  /** [[maintainAppended]]'s vector twin: fold ONE appended batch of
+    * `(vec_id, embedding, label)` rows into `corpusDir`'s standing
+    * embedding artifacts, given `fpOld` (the embeddings fingerprint the
+    * committed artifacts were built against, resolved BEFORE the batch
+    * landed). Batch-bounded: the LSH projections and digests run over
+    * the deduped batch only, carried segments ride by reference, and
+    * the label centroids rebuild whole (one map-side-combine scan — see
+    * [[LabelCentroidsName]]). The same coverage invariant as the text
+    * path: if old digest count + batch ≠ corpus count, another writer
+    * touched the embeddings tree and the fold would silently miss
+    * vectors — rebuild fully instead.
+    */
+  def maintainEmbeddingsAppended(spark: SparkSession, corpusDir: String,
+      fpOld: String, batch: DataFrame): IncrementalResult = Checkpoints.scoped {
+    import org.apache.spark.sql.functions.col
+    require(rootOpt.nonEmpty,
+      "Artifacts.maintainEmbeddingsAppended needs a root — setRoot(...) " +
+        "or SPARK_GRAFT_ARTIFACTS_DIR")
+    Tables.invalidate(corpusDir)
+    val fpNew = embeddingsFingerprint(spark, corpusDir)
+    def pathOf(fp: String, name: String): String =
+      versionPath(corpusDir, name, fp).get
+    if (EmbeddingNames.forall(n =>
+        isCommitted(spark, versionPath(corpusDir, n, fpNew), n)))
+      return IncrementalResult("skip",
+        EmbeddingNames.map(n =>
+          n -> committedCount(spark, corpusDir, n, pathOf(fpNew, n))).toMap,
+        0, 0, 0, -1, -1)
+    val missingOld = EmbeddingNames.filterNot(n =>
+      isCommitted(spark, versionPath(corpusDir, n, fpOld), n))
+    if (missingOld.nonEmpty)
+      return IncrementalResult("full_missing_old",
+        materializeEmbeddings(spark, corpusDir), -1, -1, -1, -1, -1)
+    def readOld(name: String): DataFrame =
+      readVersion(spark, corpusDir, name, pathOf(fpOld, name))
+    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
+      val p = pathOf(fpNew, name)
+      if (isCommitted(spark, Some(p), name))
+        name -> committedCount(spark, corpusDir, name, p)
+      else write(spark, corpusDir, fpNew, name, compute)
+    }
+    def buildSegInc(name: String, append: => DataFrame)(
+        whole: => DataFrame): (String, Long) = {
+      val p = pathOf(fpNew, name)
+      if (isCommitted(spark, Some(p), name))
+        name -> committedCount(spark, corpusDir, name, p)
+      else commitSegmented(spark, corpusDir, fpOld, corpusDir, fpNew, name,
+        None, append).getOrElse(write(spark, corpusDir, fpNew, name, whole))
+    }
+    val fresh = Checkpoints.checkpoint(
+      batch.dropDuplicates("vec_id")
+        .join(readOld(VecHashesName).select(col("id").as("vec_id")),
+          Seq("vec_id"), "left_anti"))
+    val nAdd = fresh.count()
+    val oldCount = committedCount(spark, corpusDir, VecHashesName,
+      pathOf(fpOld, VecHashesName))
+    val corpusCount = Tables.embeddings(spark, corpusDir).count()
+    if (oldCount + nAdd != corpusCount) {
+      System.err.println(s"[artifacts] maintainEmbeddingsAppended: corpus " +
+        s"has $corpusCount vectors but old snapshot ($oldCount) + batch " +
+        s"($nAdd) do not account for them — another writer touched the " +
+        "embeddings; rebuilding fully")
+      return IncrementalResult("full_unexpected_delta",
+        materializeEmbeddings(spark, corpusDir), nAdd, -1, -1, -1, -1)
+    }
+    val ann = buildSegInc(LshAnnIndexName,
+      operators.Similarity.annIndexFrame(fresh))(
+      readOld(LshAnnIndexName)
+        .unionByName(operators.Similarity.annIndexFrame(fresh)))
+    val nd = buildSegInc(LshNearDupIndexName,
+      operators.Similarity.nearDupIndexFrame(fresh))(
+      readOld(LshNearDupIndexName)
+        .unionByName(operators.Similarity.nearDupIndexFrame(fresh)))
+    val vh = buildSegInc(VecHashesName, vecHashesFrame(fresh))(
+      readOld(VecHashesName).unionByName(vecHashesFrame(fresh)))
+    val cen = buildInc(LabelCentroidsName)(
+      operators.Similarity.labelCentroidsFrame(
+        Tables.embeddings(spark, corpusDir)))
+    EmbeddingNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
+      readManifestAt(spark, pathOf(fpNew, n)).map(realSegs) match {
+        case Some(segs) if segs.size > compactSegmentThreshold =>
+          compactSegments(spark, corpusDir, n)
+        case _ => ()
+      }
+    }
+    pruneSweep(spark, corpusDir, EmbeddingNames, Set(fpNew, fpOld),
+      graceMs = AppendPruneGraceMs, table = "embeddings.parquet")
+    IncrementalResult("append", Map(ann, nd, vh, cen), nAdd, 0, 0, -1, -1)
+  }
+
   /** Maintain `newDir`'s vector-side artifacts FROM `oldDir`'s, driven
     * by an embeddings-tree diff — [[materializeIncremental]]'s contract
     * applied to the vector family, closing the text/vector maintenance
@@ -833,6 +936,14 @@ object Artifacts {
   def chunkPostings(spark: SparkSession,
       corpusDir: String): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, ChunkPostingsName)
+
+  /** The standing `(token, df)` document frequencies when the corpus's
+    * current fingerprint resolves (same Option shape — the consumer's
+    * fallback is an aggregation of whatever postings frame it already
+    * holds, not a standalone recompute).
+    */
+  def tokenDf(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, TokenDfName)
 
   /** The inline form of the token-count artifact. */
   def tokenCountsFrame(docs: DataFrame, tok: functions.Tokenizer): DataFrame = {
@@ -1068,6 +1179,7 @@ object Artifacts {
     case SpanCountsName => Seq("sh")
     case TokenFreqName => Seq("source", "token")
     case BigramFreqName => Seq("source", "w1", "w2")
+    case TokenDfName => Seq("token")
     case _ => Seq.empty
   }
 
@@ -1088,6 +1200,7 @@ object Artifacts {
       case SpanCountsName => Some((Seq("sh"), "ndocs"))
       case TokenFreqName => Some((Seq("source", "token"), "n"))
       case BigramFreqName => Some((Seq("source", "w1", "w2"), "n"))
+      case TokenDfName => Some((Seq("token"), "df"))
       case _ => None
     }
 
@@ -1517,7 +1630,10 @@ object Artifacts {
     */
   def compactSegments(spark: SparkSession, corpusDir: String,
       name: String, minSegments: Int = 2): Boolean = {
-    val fp = corpusFingerprint(spark, corpusDir)
+    // embedding-keyed artifacts version with the embeddings tree
+    val fp =
+      if (EmbeddingNames.contains(name)) embeddingsFingerprint(spark, corpusDir)
+      else corpusFingerprint(spark, corpusDir)
     val p = versionPath(corpusDir, name, fp)
       .getOrElse(return false)
     if (!isCommitted(spark, Some(p), name)) return false
@@ -1656,6 +1772,11 @@ object Artifacts {
       build(tokenPostingsName(tok))(
         operators.CorpusOps.tokenPostingsRows(docs, tok))
     }
+    // df AFTER the postings commit: it is their vocabulary-grain
+    // aggregate, so the build reads the committed index back instead of
+    // re-tokenizing the corpus
+    val tokDf = build(TokenDfName)(operators.CorpusOps.dfFromPostings(
+      committed(tokenPostingsName(functions.Tokenizer.Whitespace))))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -1669,7 +1790,7 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      tokFreq, bgFreq, chunkPost) ++ tokPost ++ tokCounts).toMap
+      tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -1699,6 +1820,7 @@ object Artifacts {
       case BigramFreqName => operators.CorpusOps.bigramFreqRows(docs)
       case DocHashesName => docHashesFrame(docs)
       case ChunkPostingsName => operators.CorpusOps.chunkPostingsRows(docs)
+      case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
       case tc if tc.startsWith(TokenCountsPrefix) =>
         DefaultTokenizers.find(t => tokenCountsName(t) == tc)
           .map(t => tokenCountsFrame(docs, t))
@@ -2051,6 +2173,12 @@ object Artifacts {
         readOld(name)
           .unionByName(operators.CorpusOps.tokenPostingsRows(fresh, tok)))
     }
+    // additive: the batch's distinct tokens land as one +1-per-doc delta
+    val tokDf = buildSegInc(TokenDfName, None,
+      operators.CorpusOps.tokenDfRows(fresh))(
+      readOld(TokenDfName)
+        .unionByName(operators.CorpusOps.tokenDfRows(fresh))
+        .groupBy("token").agg(sum("df").as("df")))
     // bound segment sprawl: a batch per artifact per interval would
     // otherwise grow every read's file list without limit
     AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
@@ -2069,7 +2197,7 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq, bgFreq, chunkPost) ++ tokPost ++ tokCounts).toMap,
+        tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -2326,10 +2454,23 @@ object Artifacts {
           .unionByName(
             operators.CorpusOps.tokenPostingsRows(docsChangedNew, tok)))
     }
+
+    // document frequencies: ±1 per (gone/new doc, distinct token) as
+    // one additive delta segment
+    val dfDelta = operators.CorpusOps.tokenDfRows(docsGoneOld)
+      .select(col("token"), (-col("df")).as("df"))
+      .unionByName(operators.CorpusOps.tokenDfRows(docsChangedNew))
+      .groupBy("token").agg(sum("df").as("df"))
+      .filter(col("df") =!= 0)
+    val tokDf = buildSegInc(TokenDfName, None, dfDelta)(
+      readOldA(TokenDfName)
+        .unionByName(dfDelta)
+        .groupBy("token").agg(sum("df").as("df"))
+        .filter(col("df") > 0))
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq, bgFreq, chunkPost) ++ tokPost ++ tokCounts).toMap,
+        tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

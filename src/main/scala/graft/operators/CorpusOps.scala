@@ -90,6 +90,22 @@ object CorpusOps {
       .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("token"))
       .groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf"))
 
+  /** The vocabulary-grain document frequencies `(token, df)` of a
+    * postings frame — df is the postings row count per token, since
+    * postings are (doc, token)-distinct by construction. ONE definition
+    * for the `token_df` artifact build and every consumer-side
+    * fallback aggregation.
+    */
+  private[graft] def dfFromPostings(postings: DataFrame): DataFrame =
+    postings.groupBy("token").agg(count(lit(1)).as("df"))
+
+  /** The inline form of the `token_df` artifact (whitespace tokens —
+    * the search family's tokenization). Also the ±1-per-distinct-token
+    * delta source for its additive maintenance.
+    */
+  private[graft] def tokenDfRows(docs: DataFrame): DataFrame =
+    dfFromPostings(tokenPostingsRows(docs, graft.functions.Tokenizer.Whitespace))
+
   /** Broadcast-hint `evalShingles` only when it is actually
     * broadcast-sized. The eval set is localCheckpoint'ed FIRST, so the
     * size probe's evaluation is the same materialization the join then

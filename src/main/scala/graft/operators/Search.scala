@@ -501,7 +501,11 @@ object Search {
         Tables.documents(spark, dir).select(col("doc_id"),
             explode(Dedup.tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
-    val dfc = postings.groupBy("token").agg(count(lit(1)).as("df"))
+    // idf side from the standing token_df aggregate when fresh — the
+    // per-query vocabulary-grain shuffle of the postings drops out —
+    // else aggregated from the same postings frame the scoring joins
+    val dfc = graft.Artifacts.tokenDf(spark, dir).getOrElse(
+      CorpusOps.dfFromPostings(postings))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token").asc)
     postings.join(dfc, "token")

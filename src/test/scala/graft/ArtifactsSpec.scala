@@ -32,11 +32,14 @@ class ArtifactsSpec extends SparkSpec {
     "q53_mixture_weights" -> (CorpusOps.q53MixtureWeights _),
     "q57_length_quantiles" -> (CorpusOps.q57LengthQuantiles _),
     "q75_token_budget" -> (Curation.q75TokenBudget _),
-    // postings-index consumers (token_postings / chunk_postings)
+    // postings/frequency-index consumers
     "q66_keyword_search" -> (operators.Search.q66KeywordSearch _),
     "q101_chunk_search" -> (operators.Search.q101ChunkSearch _),
     "q102_hybrid_search" -> (operators.Search.q102HybridSearch _),
-    "q107_rm3_expansion" -> (operators.Search.q107Rm3Expansion _))
+    "q107_rm3_expansion" -> (operators.Search.q107Rm3Expansion _),
+    "q118_tfidf_keyterms" -> (operators.Search.q118TfidfKeyterms _),
+    "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
+    "q120_oov_rate" -> (TextAnalysis.q120OovRate _))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)

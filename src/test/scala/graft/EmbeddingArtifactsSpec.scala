@@ -266,6 +266,55 @@ class EmbeddingArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("appended embedding batch folds in batch-bounded, ≡ scratch build") {
+    val root = Files.createTempDirectory("graft-embapp-root").toFile
+    val base = Files.createTempDirectory("graft-embapp-corpus").toString
+    val corpus = s"$base/c"
+    try {
+      val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      val initial = src.filter(col("vec_id") < 400)
+      val newRows = src.filter(col("vec_id") >= 400)
+      // the DELIVERED batch carries a re-delivered id; the corpus append
+      // is the deduped set (the intake contract) and the maintenance
+      // call must drop the duplicate for artifact purposes, not double it
+      val batch = newRows.unionByName(src.filter(col("vec_id") === 10))
+      writeEmb(initial, corpus)
+      Artifacts.setRoot(root.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, corpus)
+      val fpOld = Artifacts.embeddingsFingerprint(spark, corpus)
+      newRows.write.mode("append").parquet(s"$corpus/embeddings.parquet")
+      Tables.invalidate(corpus)
+      val res = Artifacts.maintainEmbeddingsAppended(spark, corpus, fpOld,
+        batch)
+      assert(res.mode == "append", res)
+      assert(res.added == newRows.count(), res)
+      val eNew = Tables.embeddings(spark, corpus)
+      val expected = Map(
+        Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
+        Artifacts.LshNearDupIndexName ->
+          rows(Similarity.nearDupIndexFrame(eNew)),
+        Artifacts.VecHashesName -> rows(Artifacts.vecHashesFrame(eNew)),
+        Artifacts.LabelCentroidsName ->
+          rows(Similarity.labelCentroidsFrame(eNew)))
+      Artifacts.EmbeddingNames.foreach { n =>
+        assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
+        assert(rows(Artifacts.readCommitted(spark, corpus, n)) == expected(n),
+          s"$n drifted from the scratch build after the append fold")
+      }
+      // the index versions carry the old segment and add one fresh one
+      val st = Artifacts.status(spark, corpus)
+        .find(_.name == Artifacts.LshAnnIndexName).get
+      assert(st.committed && st.segments == 2,
+        s"append fold should carry 1 + add 1 segment: $st")
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(corpus)
+      deleteRecursively(root)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("embedding maintenance fallbacks: missing old → full; oversized diff → full") {
     val root = Files.createTempDirectory("graft-embfall-root").toFile
     val base = Files.createTempDirectory("graft-embfall-corpus").toString

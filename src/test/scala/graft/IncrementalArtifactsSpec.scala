@@ -32,7 +32,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs)),
       Artifacts.BigramFreqName -> rows(CorpusOps.bigramFreqRows(docs)),
       Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs)),
-      Artifacts.ChunkPostingsName -> rows(CorpusOps.chunkPostingsRows(docs))) ++
+      Artifacts.ChunkPostingsName -> rows(CorpusOps.chunkPostingsRows(docs)),
+      Artifacts.TokenDfName -> rows(CorpusOps.tokenDfRows(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t))) ++
       Artifacts.PostingsTokenizers.map(t =>
