@@ -40,6 +40,22 @@ object Search {
     else Tables.documents(spark, dir))
       .agg(count(lit(1)).as("n_total"))
 
+  /** The FULL `(doc_id, token, tf)` postings frame — the standing
+    * `token_postings` artifact when the corpus fingerprint resolves,
+    * else ONE checkpointed corpus tokenize. The resolution point for
+    * consumers that reference the whole frame more than once (q107's
+    * three passes, q118's score + df sides): inline, the explode runs
+    * once per query instead of once per reference. Term-bounded
+    * single-pass consumers use [[restrictedTf]] instead, which keeps
+    * the filter below the aggregate in its inline plan.
+    */
+  private def postingsOrInline(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.tokenPostings(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(
+        Tables.documents(spark, dir).select(col("doc_id"),
+            explode(Dedup.tokens(col("text"))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
+
   /** The `(doc_id, token, tf)` term-frequency rows restricted to
     * `restrict` — the standing `token_postings` inverted index when the
     * corpus fingerprint resolves (per-query work = a term-bounded
@@ -399,11 +415,7 @@ object Search {
   def q107Rm3Expansion(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nDocs = docCount(spark, dir)
-    val postings = graft.Artifacts.tokenPostings(spark, dir).getOrElse(
-      graft.Checkpoints.checkpoint(
-        Tables.documents(spark, dir).select(col("doc_id"),
-            explode(Dedup.tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
+    val postings = postingsOrInline(spark, dir)
     val seedTf = postings.filter(col("token").isin(QueryTerms: _*))
     val feedback = bm25Score(seedTf, nDocs, Seq("doc_id"))
       .orderBy(desc("score"), asc("doc_id")).limit(FeedbackK)
@@ -496,11 +508,7 @@ object Search {
     * not a screenful.
     */
   def q118TfidfKeyterms(spark: SparkSession, dir: String): DataFrame = {
-    val postings = graft.Artifacts.tokenPostings(spark, dir).getOrElse(
-      graft.Checkpoints.checkpoint(
-        Tables.documents(spark, dir).select(col("doc_id"),
-            explode(Dedup.tokens(col("text"))).as("token"))
-          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
+    val postings = postingsOrInline(spark, dir)
     // idf side from the standing token_df aggregate when fresh — the
     // per-query vocabulary-grain shuffle of the postings drops out —
     // else aggregated from the same postings frame the scoring joins

@@ -218,9 +218,13 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       // idempotent: second call skips
       val again = Artifacts.maintainEmbeddingsIncremental(spark, oldDir, newDir)
       assert(again.mode == "skip", again)
-      // consumers serve the maintained indexes
-      assert(rows(Similarity.q23AnnLsh(spark, newDir)) ==
-        rows(Similarity.q23AnnLsh(spark, newDir)))
+      // consumers over the maintained index equal the inline derivation
+      val q23Artifact = rows(Similarity.q23AnnLsh(spark, newDir))
+      Artifacts.clearRoot()
+      val q23Inline = rows(Similarity.q23AnnLsh(spark, newDir))
+      Artifacts.setRoot(root.getAbsolutePath)
+      assert(q23Artifact == q23Inline,
+        "q23 over the maintained index drifted from inline")
     } finally {
       Artifacts.clearRoot()
       Tables.invalidate(oldDir); Tables.invalidate(newDir)
