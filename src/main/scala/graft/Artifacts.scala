@@ -358,6 +358,13 @@ object Artifacts {
   def isFullyMaterialized(spark: SparkSession, corpusDir: String): Boolean =
     AllNames.forall(n => isMaterialized(spark, corpusDir, n))
 
+  /** [[isFullyMaterialized]] for the vector side — every embedding-keyed
+    * artifact committed for the embeddings tree's current fingerprint
+    * (the vector intake sink's crash-detection probe).
+    */
+  def isEmbeddingsMaterialized(spark: SparkSession, corpusDir: String): Boolean =
+    EmbeddingNames.forall(n => isMaterialized(spark, corpusDir, n))
+
   private def isCommitted(spark: SparkSession, path: Option[String],
       name: String): Boolean =
     path.exists { p =>
@@ -666,7 +673,8 @@ object Artifacts {
     * vectors — rebuild fully instead.
     */
   def maintainEmbeddingsAppended(spark: SparkSession, corpusDir: String,
-      fpOld: String, batch: DataFrame): IncrementalResult = Checkpoints.scoped {
+      fpOld: String, batch: DataFrame,
+      prefiltered: Boolean = false): IncrementalResult = Checkpoints.scoped {
     import org.apache.spark.sql.functions.col
     require(rootOpt.nonEmpty,
       "Artifacts.maintainEmbeddingsAppended needs a root — setRoot(...) " +
@@ -702,10 +710,16 @@ object Artifacts {
       else commitSegmented(spark, corpusDir, fpOld, corpusDir, fpNew, name,
         None, append).getOrElse(write(spark, corpusDir, fpNew, name, whole))
     }
-    val fresh = Checkpoints.checkpoint(
-      batch.dropDuplicates("vec_id")
-        .join(readOld(VecHashesName).select(col("id").as("vec_id")),
-          Seq("vec_id"), "left_anti"))
+    // `prefiltered` = the caller already deduped and anti-joined the
+    // batch from ONE checkpointed frame (the vector intake sink's
+    // invariant — the rows appended to the corpus and the rows folded
+    // into the artifacts must be the same frame)
+    val fresh =
+      if (prefiltered) batch
+      else Checkpoints.checkpoint(
+        batch.dropDuplicates("vec_id")
+          .join(readOld(VecHashesName).select(col("id").as("vec_id")),
+            Seq("vec_id"), "left_anti"))
     val nAdd = fresh.count()
     val oldCount = committedCount(spark, corpusDir, VecHashesName,
       pathOf(fpOld, VecHashesName))

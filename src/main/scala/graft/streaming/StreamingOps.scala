@@ -429,6 +429,55 @@ object StreamingOps {
       .start()
   }
 
+  /** [[artifactMaintainingIntake]]'s vector twin: streaming embedding
+    * ingest that keeps the embeddings table AND its standing vector
+    * artifacts (LSH indexes, digests, centroids) in lockstep. Each
+    * micro-batch of `(vec_id, embedding, label)` rows is deduped within
+    * itself, anti-joined against the corpus ids from ONE checkpointed
+    * frame (so the rows the append lands are bit-identical to the rows
+    * the maintenance folds — `maintainEmbeddingsAppended` trusts it via
+    * `prefiltered`), appended to `embeddings.parquet`, and folded into
+    * the standing artifacts batch-bounded. A replayed batch whose rows
+    * are already in the corpus but whose artifacts key to a pre-crash
+    * fingerprint self-heals (the crash-between-append-and-maintenance
+    * window, same as the text side).
+    */
+  def vectorIntake(vectors: DataFrame, spark: SparkSession,
+      corpusDir: String, checkpoint: Option[String] = None): StreamingQuery = {
+    val embPath = s"$corpusDir/embeddings.parquet"
+    def existing(): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(embPath)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Some(spark.read.parquet(embPath))
+      else None
+    }
+    val writer = vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.Checkpoints.scoped {
+          val fpOld = graft.Artifacts.embeddingsFingerprint(spark, corpusDir)
+          val fresh = graft.Checkpoints.checkpoint(existing() match {
+            case Some(ex) => batch.toDF().dropDuplicates("vec_id")
+              .join(ex.select("vec_id"), Seq("vec_id"), "left_anti")
+            case None => batch.toDF().dropDuplicates("vec_id")
+          })
+          if (fresh.isEmpty) {
+            if (!graft.Artifacts.isEmbeddingsMaterialized(spark, corpusDir))
+              graft.Artifacts.maintainEmbeddingsAppended(spark, corpusDir,
+                fpOld, batch.toDF().dropDuplicates("vec_id"))
+          } else {
+            fresh.write.mode(SaveMode.Append).parquet(embPath)
+            graft.Tables.invalidate(corpusDir)
+            graft.Artifacts.maintainEmbeddingsAppended(spark, corpusDir,
+              fpOld, fresh, prefiltered = true)
+          }
+        }
+        ()
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
   /** Streaming exact dedup by event id: an at-least-once upstream
     * re-delivers rows; this keeps the first arrival of each `idCol` and
     * drops re-deliveries arriving within the watermark allowance — with

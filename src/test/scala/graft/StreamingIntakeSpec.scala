@@ -18,6 +18,8 @@ case class RawDoc(doc_id: Long, ts: Timestamp, text: String)
 
 case class IngestDoc(doc_id: Long, text: String, source: String)
 
+case class IngestVec(vec_id: Long, embedding: Array[Float], label: Int)
+
 class StreamingIntakeSpec extends SparkSpec {
   import spark.implicits._
 
@@ -257,5 +259,68 @@ class StreamingIntakeSpec extends SparkSpec {
     // evidence rows carry the matching shingle itself
     assert(got.select("sh").as[String].collect()
       .forall(_ == "beta gamma delta epsilon zeta eta theta iota"))
+  }
+
+  test("vector intake maintains embedding artifacts ≡ a cold materializeEmbeddings") {
+    // vectorIntake is artifactMaintainingIntake's embedding twin: after
+    // three micro-batches — bootstrap, append, and a re-delivered id
+    // with a DIFFERENT vector (first write wins on both legs) — the live
+    // vector artifacts must hash-equal a scratch build, and a torn
+    // append (rows landed, no maintenance) must self-heal on replay.
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(j => math.sin(seed * 64.0 + j).toFloat)
+    val liveRoot = Files.createTempDirectory("graft-vecintake-live").toFile
+    val coldRoot = Files.createTempDirectory("graft-vecintake-cold").toFile
+    val corpus = Files.createTempDirectory("graft-vecintake").toString + "/c"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val input = MemoryStream[IngestVec](spark)
+    try {
+      Artifacts.setRoot(liveRoot.getAbsolutePath)
+      val q = StreamingOps.vectorIntake(input.toDF(), spark, corpus)
+      try {
+        // batch 1: bootstrap (no embeddings table → full build fallback)
+        input.addData(IngestVec(1L, vec(1), 0), IngestVec(2L, vec(2), 1))
+        q.processAllAvailable()
+        assert(Artifacts.isEmbeddingsMaterialized(spark, corpus))
+        // batch 2: append path + a re-delivery of id 2 with a different
+        // vector — the first-landed embedding must win on both legs
+        input.addData(IngestVec(3L, vec(3), 0), IngestVec(2L, vec(99), 1))
+        q.processAllAvailable()
+        // "crash": batch 3's rows land with NO maintenance
+        import spark.implicits._
+        Seq((4L, vec(4), 1)).toDF("vec_id", "embedding", "label")
+          .write.mode("append").parquet(s"$corpus/embeddings.parquet")
+        Tables.invalidate(corpus)
+        assert(!Artifacts.isEmbeddingsMaterialized(spark, corpus),
+          "vector artifacts unexpectedly current after the torn append")
+        // restart replays the batch → fresh empty → self-heal leg
+        input.addData(IngestVec(4L, vec(4), 1))
+        q.processAllAvailable()
+        assert(Artifacts.isEmbeddingsMaterialized(spark, corpus),
+          "vector self-heal did not restore artifact currency")
+      } finally q.stop()
+      Tables.invalidate(corpus)
+      val landed = spark.read.parquet(s"$corpus/embeddings.parquet")
+      assert(landed.count() == 4)
+      assert(landed.filter(col("vec_id") === 2L).select("embedding")
+        .head.getSeq[Float](0).toSeq == vec(2).toSeq,
+        "re-delivered vector 2 must keep its first embedding")
+      val live = Artifacts.EmbeddingNames.map(n =>
+        n -> rows(Artifacts.readCommitted(spark, corpus, n))).toMap
+      Artifacts.setRoot(coldRoot.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, corpus)
+      Artifacts.EmbeddingNames.foreach { n =>
+        assert(live(n) == rows(Artifacts.readCommitted(spark, corpus, n)),
+          s"$n drifted between continuous vector intake and cold build")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(corpus)
+      deleteRecursively(liveRoot)
+      deleteRecursively(coldRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      Checkpoints.releaseAll()
+    }
   }
 }
