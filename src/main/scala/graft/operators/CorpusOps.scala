@@ -1683,6 +1683,12 @@ object CorpusOps {
       : (graft.Artifacts.IncrementalResult, DataFrame) = {
     val maintained = graft.Artifacts.materializeIncremental(
       spark, oldDir, newDir, maxChangeFraction)
+    // the vector side rides the same promotion when the snapshot carries
+    // an embeddings table (a text-only promote is a no-op there) — the
+    // same wrong-order failure mode applies to the LSH indexes, and the
+    // embedding diff is digest-grain cheap
+    graft.Artifacts.maintainEmbeddingsIncremental(
+      spark, oldDir, newDir, maxChangeFraction)
     (maintained, refreshVerdicts(spark, oldDir, newDir))
   }
 

@@ -351,6 +351,49 @@ class EmbeddingArtifactsSpec extends SparkSpec {
     }
   }
 
+  test("refreshSnapshot promotes the vector side alongside the text side") {
+    // the one-call promotion must leave BOTH artifact families current —
+    // a caller who forgot the vector leg would serve q23/q82 inline (or
+    // strict-fail) on every post-promote snapshot
+    val root = Files.createTempDirectory("graft-refresh-root").toFile
+    val base = Files.createTempDirectory("graft-refresh-corpus").toString
+    val (oldDir, newDir) = (s"$base/old", s"$base/new")
+    import spark.implicits._
+    try {
+      def vec(seed: Int): Array[Float] =
+        Array.tabulate(8)(j => math.cos(seed * 8.0 + j).toFloat)
+      val docs = (0L until 20L).map(i =>
+        (i, s"document number $i with a few shared tokens", "s1"))
+      docs.toDF("doc_id", "text", "source")
+        .write.parquet(s"$oldDir/documents.parquet")
+      (0 until 20).map(i => (i.toLong, vec(i), i % 3))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$oldDir/embeddings.parquet")
+      // new snapshot: one doc edited, one vector re-encoded
+      docs.map { case (i, t, s) =>
+        (i, if (i == 3L) t + " edited" else t, s) }
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$newDir/documents.parquet")
+      (0 until 20).map(i => (i.toLong, if (i == 5) vec(99) else vec(i), i % 3))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$newDir/embeddings.parquet")
+      Artifacts.setRoot(root.getAbsolutePath)
+      Artifacts.materialize(spark, oldDir)
+      Artifacts.materializeEmbeddings(spark, oldDir)
+      graft.operators.CorpusOps.refreshSnapshot(spark, oldDir, newDir)
+      assert(Artifacts.isFullyMaterialized(spark, newDir),
+        "text artifacts not current after refreshSnapshot")
+      assert(Artifacts.isEmbeddingsMaterialized(spark, newDir),
+        "vector artifacts not current after refreshSnapshot")
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(oldDir); Tables.invalidate(newDir)
+      deleteRecursively(root)
+      deleteRecursively(new java.io.File(base))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("a text-only corpus is a no-op, not an error") {
     val root = Files.createTempDirectory("graft-emb-noop-root").toFile
     val corpusParent = Files.createTempDirectory("graft-emb-noop").toFile
