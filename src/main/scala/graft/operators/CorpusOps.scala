@@ -1678,18 +1678,26 @@ object CorpusOps {
     * separate APIs left open. Requires an artifact root; cost is
     * diff-bounded on both legs.
     */
+  /** Outcome of [[refreshSnapshot]]: the text-side and vector-side
+    * maintenance results (mode + counts each — so a caller can observe
+    * a `full_large_diff` demotion on EITHER leg, e.g. an embeddings
+    * re-encode forcing a full LSH re-projection) and the re-verdict
+    * frame for the changed documents.
+    */
+  final case class SnapshotRefresh(text: graft.Artifacts.IncrementalResult,
+    vectors: graft.Artifacts.IncrementalResult, verdicts: DataFrame)
+
   def refreshSnapshot(spark: SparkSession, oldDir: String, newDir: String,
-      maxChangeFraction: Double = 0.2)
-      : (graft.Artifacts.IncrementalResult, DataFrame) = {
+      maxChangeFraction: Double = 0.2): SnapshotRefresh = {
     val maintained = graft.Artifacts.materializeIncremental(
       spark, oldDir, newDir, maxChangeFraction)
     // the vector side rides the same promotion when the snapshot carries
-    // an embeddings table (a text-only promote is a no-op there) — the
+    // an embeddings table (a text-only promote is a `skip` there) — the
     // same wrong-order failure mode applies to the LSH indexes, and the
     // embedding diff is digest-grain cheap
-    graft.Artifacts.maintainEmbeddingsIncremental(
+    val vectors = graft.Artifacts.maintainEmbeddingsIncremental(
       spark, oldDir, newDir, maxChangeFraction)
-    (maintained, refreshVerdicts(spark, oldDir, newDir))
+    SnapshotRefresh(maintained, vectors, refreshVerdicts(spark, oldDir, newDir))
   }
 
   val q81OracleSql: String = {

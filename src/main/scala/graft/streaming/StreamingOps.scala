@@ -381,46 +381,65 @@ object StreamingOps {
     *             `text`, `source`, ... — whatever the corpus carries)
     */
   def artifactMaintainingIntake(docs: DataFrame, spark: SparkSession,
-      corpusDir: String, checkpoint: Option[String] = None): StreamingQuery = {
-    val docsPath = s"$corpusDir/documents.parquet"
+      corpusDir: String, checkpoint: Option[String] = None): StreamingQuery =
+    maintainingIntake(docs, spark, corpusDir,
+      table = "documents.parquet", idCol = "doc_id",
+      fingerprint = graft.Artifacts.corpusFingerprint,
+      materialized = graft.Artifacts.isFullyMaterialized,
+      maintain = graft.Artifacts.maintainAppended(_, _, _, _, _),
+      checkpoint = checkpoint)
+
+  /** The ONE intake core behind [[artifactMaintainingIntake]] and
+    * [[vectorIntake]], parameterized by table/id/fingerprint/probe/
+    * maintenance — the crash-recovery and leg-lockstep logic is subtle
+    * enough that two hand-synced copies would be the next drift bug:
+    *
+    *  - ONE materialized frame feeds both legs: dedup-within-batch and
+    *    the anti-join against the table run once, pinned by the
+    *    checkpoint, so the rows the append lands are bit-identical to
+    *    the rows the artifact maintenance folds in (two independent
+    *    `dropDuplicates` evaluations could pick different winners for a
+    *    duplicated id and silently diverge the legs) — the maintenance
+    *    call trusts it via `prefiltered`;
+    *  - a fully re-delivered (or empty) batch is normally a genuine
+    *    no-op — EXCEPT when a prior run crashed between its append and
+    *    its maintenance. Then the replayed rows are already in the
+    *    table (`fresh` is empty) but the artifacts still key to the
+    *    pre-crash fingerprint; the probe detects that and self-heals
+    *    instead of leaving them stale forever.
+    */
+  private def maintainingIntake(rows: DataFrame, spark: SparkSession,
+      corpusDir: String, table: String, idCol: String,
+      fingerprint: (SparkSession, String) => String,
+      materialized: (SparkSession, String) => Boolean,
+      maintain: (SparkSession, String, String, DataFrame, Boolean) =>
+        graft.Artifacts.IncrementalResult,
+      checkpoint: Option[String]): StreamingQuery = {
+    val path = s"$corpusDir/$table"
     def existing(): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(docsPath)
+      val p = new org.apache.hadoop.fs.Path(path)
       if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        Some(spark.read.parquet(docsPath))
+        Some(spark.read.parquet(path))
       else None
     }
-    val writer = docs.writeStream
+    val writer = rows.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         graft.Checkpoints.scoped {
-          val fpOld = graft.Artifacts.corpusFingerprint(spark, corpusDir)
-          // ONE materialized frame feeds both legs: dedup-within-batch and
-          // the anti-join against the corpus run once, pinned by the
-          // checkpoint, so the rows the corpus append lands are bit-
-          // identical to the rows the artifact maintenance folds in (two
-          // independent dropDuplicates evaluations could pick different
-          // winners for a duplicated id and silently diverge the legs) —
-          // maintainAppended trusts it via `prefiltered`
+          val fpOld = fingerprint(spark, corpusDir)
           val fresh = graft.Checkpoints.checkpoint(existing() match {
-            case Some(ex) => batch.toDF().dropDuplicates("doc_id")
-              .join(ex.select("doc_id"), Seq("doc_id"), "left_anti")
-            case None => batch.toDF().dropDuplicates("doc_id")
+            case Some(ex) => batch.toDF().dropDuplicates(idCol)
+              .join(ex.select(idCol), Seq(idCol), "left_anti")
+            case None => batch.toDF().dropDuplicates(idCol)
           })
           if (fresh.isEmpty) {
-            // fully re-delivered (or empty) batch: normally a genuine
-            // no-op — EXCEPT when a prior run crashed between its corpus
-            // append and its maintenance. Then the replayed rows are
-            // already in the corpus (fresh is empty) but the artifacts
-            // still key to the pre-crash fingerprint; detect and
-            // self-heal instead of leaving them stale forever.
-            if (!graft.Artifacts.isFullyMaterialized(spark, corpusDir))
-              graft.Artifacts.maintainAppended(spark, corpusDir, fpOld,
-                batch.toDF().dropDuplicates("doc_id"))
+            if (!materialized(spark, corpusDir))
+              maintain(spark, corpusDir, fpOld,
+                batch.toDF().dropDuplicates(idCol), false)
           } else {
-            fresh.write.mode(SaveMode.Append).parquet(docsPath)
+            fresh.write.mode(SaveMode.Append).parquet(path)
             graft.Tables.invalidate(corpusDir)
-            graft.Artifacts.maintainAppended(spark, corpusDir, fpOld, fresh,
-              prefiltered = true)
+            maintain(spark, corpusDir, fpOld, fresh, true)
           }
         }
         ()
@@ -431,52 +450,30 @@ object StreamingOps {
 
   /** [[artifactMaintainingIntake]]'s vector twin: streaming embedding
     * ingest that keeps the embeddings table AND its standing vector
-    * artifacts (LSH indexes, digests, centroids) in lockstep. Each
-    * micro-batch of `(vec_id, embedding, label)` rows is deduped within
-    * itself, anti-joined against the corpus ids from ONE checkpointed
-    * frame (so the rows the append lands are bit-identical to the rows
-    * the maintenance folds — `maintainEmbeddingsAppended` trusts it via
-    * `prefiltered`), appended to `embeddings.parquet`, and folded into
-    * the standing artifacts batch-bounded. A replayed batch whose rows
-    * are already in the corpus but whose artifacts key to a pre-crash
-    * fingerprint self-heals (the crash-between-append-and-maintenance
-    * window, same as the text side).
+    * artifacts (LSH indexes, digests, centroids) in lockstep through
+    * the same [[maintainingIntake]] core — per micro-batch, append
+    * exactly the `(vec_id, embedding, label)` rows the table does not
+    * already hold and fold them into the standing artifacts
+    * batch-bounded (`Artifacts.maintainEmbeddingsAppended`), with the
+    * torn-append self-heal.
+    *
+    * Batches must carry unique `vec_id`s within themselves (compose
+    * with [[dedupStream]] upstream — within a batch `dropDuplicates`
+    * picks an arbitrary winner, NOT first-delivered); cross-batch
+    * re-deliveries are dropped by both legs under the same
+    * first-write-wins rule. Pair with a `checkpointLocation` for
+    * restart-safety: without one, a restart does not replay the torn
+    * batch, and the self-heal leg only fires again when some later
+    * batch arrives — an unbounded stale window on a quiet stream.
     */
   def vectorIntake(vectors: DataFrame, spark: SparkSession,
-      corpusDir: String, checkpoint: Option[String] = None): StreamingQuery = {
-    val embPath = s"$corpusDir/embeddings.parquet"
-    def existing(): Option[DataFrame] = {
-      val p = new org.apache.hadoop.fs.Path(embPath)
-      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-        Some(spark.read.parquet(embPath))
-      else None
-    }
-    val writer = vectors.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.Checkpoints.scoped {
-          val fpOld = graft.Artifacts.embeddingsFingerprint(spark, corpusDir)
-          val fresh = graft.Checkpoints.checkpoint(existing() match {
-            case Some(ex) => batch.toDF().dropDuplicates("vec_id")
-              .join(ex.select("vec_id"), Seq("vec_id"), "left_anti")
-            case None => batch.toDF().dropDuplicates("vec_id")
-          })
-          if (fresh.isEmpty) {
-            if (!graft.Artifacts.isEmbeddingsMaterialized(spark, corpusDir))
-              graft.Artifacts.maintainEmbeddingsAppended(spark, corpusDir,
-                fpOld, batch.toDF().dropDuplicates("vec_id"))
-          } else {
-            fresh.write.mode(SaveMode.Append).parquet(embPath)
-            graft.Tables.invalidate(corpusDir)
-            graft.Artifacts.maintainEmbeddingsAppended(spark, corpusDir,
-              fpOld, fresh, prefiltered = true)
-          }
-        }
-        ()
-      }
-    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
-      .start()
-  }
+      corpusDir: String, checkpoint: Option[String] = None): StreamingQuery =
+    maintainingIntake(vectors, spark, corpusDir,
+      table = "embeddings.parquet", idCol = "vec_id",
+      fingerprint = graft.Artifacts.embeddingsFingerprint,
+      materialized = graft.Artifacts.isEmbeddingsMaterialized,
+      maintain = graft.Artifacts.maintainEmbeddingsAppended(_, _, _, _, _),
+      checkpoint = checkpoint)
 
   /** Streaming exact dedup by event id: an at-least-once upstream
     * re-delivers rows; this keeps the first arrival of each `idCol` and

@@ -291,14 +291,16 @@ class IncrementalArtifactsSpec extends SparkSpec {
 
       Artifacts.setRoot(tmpRoot.getAbsolutePath)
       Artifacts.materialize(spark, dirs(0))
-      val (r1, v1) = CorpusOps.refreshSnapshot(spark, dirs(0), dirs(1),
+      val hop1 = CorpusOps.refreshSnapshot(spark, dirs(0), dirs(1),
         maxChangeFraction = 0.6)
-      assert(r1.mode == "incremental", r1)
-      assert(rows(v1) == inlineVerdicts(0), "hop-1 verdicts drifted")
-      val (r2, v2) = CorpusOps.refreshSnapshot(spark, dirs(1), dirs(2),
+      assert(hop1.text.mode == "incremental", hop1.text)
+      // these corpora carry no embeddings table — the vector leg skips
+      assert(hop1.vectors.mode == "skip", hop1.vectors)
+      assert(rows(hop1.verdicts) == inlineVerdicts(0), "hop-1 verdicts drifted")
+      val hop2 = CorpusOps.refreshSnapshot(spark, dirs(1), dirs(2),
         maxChangeFraction = 0.6)
-      assert(r2.mode == "incremental", r2)
-      assert(rows(v2) == inlineVerdicts(1), "hop-2 verdicts drifted")
+      assert(hop2.text.mode == "incremental", hop2.text)
+      assert(rows(hop2.verdicts) == inlineVerdicts(1), "hop-2 verdicts drifted")
       // artifacts after the second hop ≡ full rebuild of v3
       val expected = fullRebuild(dirs(2))
       val got = artifactRows(dirs(2))
