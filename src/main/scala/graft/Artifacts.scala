@@ -971,17 +971,35 @@ object Artifacts {
     * [[materialize]]. Returns the committed row count.
     */
   def materializeTokenCounts(spark: SparkSession, corpusDir: String,
-      tok: functions.Tokenizer): Long = {
+      tok: functions.Tokenizer): Long =
+    materializeTokenizerArtifact(spark, corpusDir, tokenCountsName(tok),
+      tokenCountsFrame(Tables.documents(spark, corpusDir), tok))
+
+  /** [[materializeTokenCounts]]'s postings twin: build and commit the
+    * `(doc_id, token, tf)` inverted index for ONE tokenizer outside
+    * [[PostingsTokenizers]] — how a production deployment stands up the
+    * lexical-search index under its model tokenizer. Same idempotence
+    * and stale-sweep discipline; like any non-default tokenizer
+    * artifact it is NOT maintained by the incremental paths — it stops
+    * resolving after a snapshot change (stale-safe) until
+    * rematerialized.
+    */
+  def materializeTokenPostings(spark: SparkSession, corpusDir: String,
+      tok: functions.Tokenizer): Long =
+    materializeTokenizerArtifact(spark, corpusDir, tokenPostingsName(tok),
+      operators.CorpusOps.tokenPostingsRows(
+        Tables.documents(spark, corpusDir), tok))
+
+  private def materializeTokenizerArtifact(spark: SparkSession,
+      corpusDir: String, name: String, frame: => DataFrame): Long = {
     require(rootOpt.nonEmpty,
-      "Artifacts.materializeTokenCounts needs a root — setRoot(...) or " +
+      "Artifacts.materializeToken* needs a root — setRoot(...) or " +
         "SPARK_GRAFT_ARTIFACTS_DIR")
     val fp = corpusFingerprint(spark, corpusDir)
-    val name = tokenCountsName(tok)
     val p = versionPath(corpusDir, name, fp).get
     if (isCommitted(spark, Some(p), name)) committedCount(spark, corpusDir, name, p)
     else {
-      val n = write(spark, corpusDir, fp, name,
-        tokenCountsFrame(Tables.documents(spark, corpusDir), tok))._2
+      val n = write(spark, corpusDir, fp, name, frame)._2
       pruneSweep(spark, corpusDir, Seq(name), Set(fp))
       n
     }

@@ -275,6 +275,20 @@ class ArtifactsSpec extends SparkSpec {
         l.contains("FileScan parquet") && l.contains("documents"))
       assert(docScans == 0,
         s"artifact-mode q48 still scans documents $docScans times")
+      // the POSTINGS index is tokenizer-keyed the same way: the default
+      // build commits whitespace only; a production tokenizer's index
+      // stands up via materializeTokenPostings and can never be served
+      // another tokenizer's rows
+      assert(Artifacts.tokenPostings(spark, sf, fixture).isEmpty,
+        "unmaterialized tokenizer resolved a postings artifact")
+      Artifacts.materializeTokenPostings(spark, sf, fixture)
+      val post = Artifacts.tokenPostings(spark, sf, fixture)
+      assert(post.isDefined)
+      assert(rows(post.get) ==
+        rows(operators.CorpusOps.tokenPostingsRows(docs, fixture)),
+        "fixture-tokenizer postings drifted from inline")
+      assert(rows(Artifacts.tokenPostings(spark, sf, ws).get) !=
+        rows(post.get), "two tokenizers' postings cannot coincide here")
     } finally {
       Artifacts.clearRoot()
       deleteRecursively(tmp)

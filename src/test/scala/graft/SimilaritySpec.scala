@@ -169,4 +169,27 @@ class SimilaritySpec extends SparkSpec {
       info(s"sampled recall bands on 21k vectors: ${out.length}")
     } finally deleteRecursively(dir)
   }
+
+  test("q117's hash sample is layout-independent: a repartitioned corpus samples identically") {
+    // the sample is a pure function of vec_id — rewriting the same rows
+    // under a different partitioning/file layout must produce the same
+    // bands bit-for-bit (an RNG sample() could not promise this)
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-q117layout").toFile
+    try {
+      val corpus = s"${dir.getPath}/c"
+      val src = spark.read.parquet(s"$sf/embeddings.parquet")
+      src.repartition(13, col("label")).write
+        .parquet(s"$corpus/embeddings.parquet")
+      val base = Similarity.q117SampledNearDupRecall(spark, sf)
+        .collect().map(_.toString).toSeq
+      val relaid = Similarity.q117SampledNearDupRecall(spark, corpus)
+        .collect().map(_.toString).toSeq
+      assert(base.nonEmpty, "fixture corpus must produce recall bands")
+      assert(relaid == base, "sample drifted under a different file layout")
+    } finally {
+      Tables.invalidate(s"${dir.getPath}/c")
+      deleteRecursively(dir)
+    }
+  }
 }
