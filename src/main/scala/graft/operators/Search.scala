@@ -556,4 +556,92 @@ object Search {
       |SELECT doc_id, rank, token, tf, df, score
       |FROM ranked WHERE rank <= $KeytermK
       |ORDER BY doc_id, rank""".stripMargin
+
+  // ---- q121: full Okapi BM25 (length-normalized) --------------------------
+
+  /** BM25 length-normalization strength (Robertson's published default). */
+  private val B = 0.75
+
+  /** q121 — FULL Okapi BM25 over the benchmark terms: q66's rational
+    * idf with the complete saturation term
+    * `tf·(k₁+1) / (tf + k₁·(1 − b + b·dl/avgdl))`, so long documents
+    * stop winning on raw term count alone — the production scorer where
+    * q66 is the uniform-length simplification. Stays fully
+    * cross-engine-deterministic WITHOUT the classical log because every
+    * new input is exact integer mass: `dl` is the document's whitespace
+    * token count and `avgdl` is (total tokens)/(total docs) computed as
+    * ONE division of two exact long sums — no float aggregation whose
+    * partition order could drift between engines.
+    *
+    * Scale shape: the tf rows are the standing postings filtered to the
+    * query's terms; `dl` joins from the standing per-doc token counts
+    * (doc-grain, term-survivors only — the join is result-set-sized);
+    * `avgdl`/N are two scalars off the count artifact, broadcast. Zero
+    * documents scans in artifact mode (plan-guarded); ranking is
+    * `TakeOrderedAndProject`.
+    */
+  def q121Bm25Full(spark: SparkSession, dir: String): DataFrame = {
+    val tf = restrictedTf(spark, dir,
+      _.filter(col("token").isin(QueryTerms: _*)))
+    val ws = graft.functions.Tokenizer.Whitespace
+    val dl = graft.Artifacts.tokenCounts(spark, dir, ws).getOrElse(
+      graft.Artifacts.tokenCountsFrame(Tables.documents(spark, dir), ws))
+    val totals = dl.agg(count(lit(1)).as("n_total"),
+      sum("n_tokens").as("tok_total"))
+    val dfc = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
+    val norm = lit(1.0) - B + lit(B) *
+      (col("n_tokens").cast("double") *
+        (col("n_total").cast("double") / col("tok_total")))
+    tf.join(broadcast(dfc), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("w", idf *
+        (col("tf") * (K1 + 1.0) / (col("tf") + lit(K1) * norm)))
+      .groupBy("doc_id")
+      .agg(round6(sum(col("w"))).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(TopK)
+  }
+
+  /** The same tf/df/N derivations with the identical normalization
+    * expression tree — `dl/avgdl` is written `dl · (N/tok_total)` on
+    * BOTH engines (one tree, one rounding behavior).
+    */
+  val q121OracleSql: String = {
+    val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH terms(token) AS (VALUES $termList),
+      |tok AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, t.token, COUNT(*) AS tf
+      |  FROM tok JOIN terms t ON tok.token = t.token
+      |  GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+      |), dl AS (
+      |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+      |  FROM documents
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      |  FROM dl
+      |)
+      |SELECT tf.doc_id,
+      |       ${round6Sql(
+           s"""SUM(((n_total - df + 0.5) / (df + 0.5))
+      |         * (tf * ($K1 + 1.0)
+      |           / (tf + $K1 * (1.0 - $B + $B
+      |             * (CAST(dl.n_tokens AS DOUBLE)
+      |               * (CAST(n_total AS DOUBLE) / tok_total))))))""")}
+      |         AS score,
+      |       COUNT(*) AS n_terms_hit
+      |FROM tf
+      |JOIN dfc ON tf.token = dfc.token
+      |JOIN dl ON dl.doc_id = tf.doc_id, n
+      |GROUP BY tf.doc_id
+      |ORDER BY score DESC, tf.doc_id LIMIT $TopK""".stripMargin
+  }
 }

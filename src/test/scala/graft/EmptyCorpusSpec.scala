@@ -95,7 +95,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q117_sampled_neardup_recall" -> (Similarity.q117SampledNearDupRecall _),
     "q118_tfidf_keyterms" -> (Search.q118TfidfKeyterms _),
     "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
-    "q120_oov_rate" -> (TextAnalysis.q120OovRate _))
+    "q120_oov_rate" -> (TextAnalysis.q120OovRate _),
+    "q121_bm25_full" -> (Search.q121Bm25Full _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

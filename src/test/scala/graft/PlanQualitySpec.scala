@@ -568,7 +568,8 @@ class PlanQualitySpec extends SparkSpec {
         "q107" -> graft.operators.Search.q107Rm3Expansion(spark, sf),
         "q118" -> graft.operators.Search.q118TfidfKeyterms(spark, sf),
         "q119" -> graft.operators.TextAnalysis.q119PmiCollocations(spark, sf),
-        "q120" -> graft.operators.TextAnalysis.q120OovRate(spark, sf))
+        "q120" -> graft.operators.TextAnalysis.q120OovRate(spark, sf),
+        "q121" -> graft.operators.Search.q121Bm25Full(spark, sf))
       queries.foreach { case (name, df) =>
         df.collect()
         val p = df.queryExecution.executedPlan.toString
