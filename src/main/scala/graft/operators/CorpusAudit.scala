@@ -877,4 +877,64 @@ object CorpusAudit {
       |LEFT JOIN hits h ON h.test_id = d.doc_id
       |WHERE ${Curation.splitSqlOf("d.doc_id")} = 'test'
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q122: cross-source duplication matrix ------------------------------
+
+  /** q122 — who copies from whom: q20's near-dup pair table rolled up to
+    * an unordered source×source matrix — pair count, total shared
+    * shingle mass, and the strongest pair per cell. The provenance
+    * audit behind dedup burden (q67 charges each SOURCE its duplicate
+    * share; this names the source PAIRS the duplication flows between —
+    * a mirror site shows up as one hot off-diagonal cell, boilerplate
+    * within a crawl as a hot diagonal). Cells are canonically ordered
+    * (`source_a ≤ source_b`) so A→B and B→A mass lands together; null
+    * sources ride as the `(null)` sentinel (least/greatest silently
+    * drop SQL nulls, which would mis-bucket a null-source pair).
+    *
+    * Aggregates are deliberately order-free for cross-engine hashing:
+    * pair COUNT and integer shingle SUM are exact, and the per-cell
+    * strength is MAX jaccard, never a float mean (a sum of rounded
+    * doubles is partition-order-dependent in its last bits).
+    *
+    * Scale shape: one dup_pairs artifact read joined twice against a
+    * two-column (doc_id, source) projection of the documents scan;
+    * output is ≤ |sources|² rows. Never recomputes the pair chain.
+    */
+  def q122SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.Artifacts.dupPairs(spark, dir)
+    val src = Tables.documents(spark, dir)
+      .select(col("doc_id"), coalesce(col("source"), lit("(null)")).as("src"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("src").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("src").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("n_inter"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum("n_inter").as("total_shared_shingles"),
+        max("jaccard").as("max_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** q20's pair chain verbatim, source-labeled and rolled up with the
+    * same canonical cell order and order-free aggregates.
+    */
+  val q122OracleSql: String =
+    s"""WITH ${Dedup.jaccardCtes}, srcs AS (
+      |  SELECT doc_id, COALESCE(source, '(null)') AS src FROM documents
+      |), labeled AS (
+      |  SELECT least(a.src, b.src) AS source_a,
+      |         greatest(a.src, b.src) AS source_b,
+      |         j.n_inter, j.jaccard
+      |  FROM jac j
+      |  JOIN srcs a ON a.doc_id = j.doc_a
+      |  JOIN srcs b ON b.doc_id = j.doc_b
+      |  WHERE j.jaccard >= 0.5
+      |)
+      |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+      |       CAST(SUM(n_inter) AS BIGINT) AS total_shared_shingles,
+      |       MAX(jaccard) AS max_jaccard
+      |FROM labeled GROUP BY 1, 2
+      |ORDER BY source_a, source_b""".stripMargin
 }

@@ -458,7 +458,7 @@ object Dedup {
     * [[q20OracleSql]] and re-used as the near-dup edge source in
     * [[q40OracleSql]], so the two oracles can never drift apart.
     */
-  private val jaccardCtes: String =
+  private[graft] val jaccardCtes: String =
     s"""toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), allsh AS (

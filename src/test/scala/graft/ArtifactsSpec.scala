@@ -40,7 +40,8 @@ class ArtifactsSpec extends SparkSpec {
     "q118_tfidf_keyterms" -> (operators.Search.q118TfidfKeyterms _),
     "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
     "q120_oov_rate" -> (TextAnalysis.q120OovRate _),
-    "q121_bm25_full" -> (operators.Search.q121Bm25Full _))
+    "q121_bm25_full" -> (operators.Search.q121Bm25Full _),
+    "q122_source_dup_matrix" -> (CorpusAudit.q122SourceDupMatrix _))
 
   private def rows(df: DataFrame): Seq[String] =
     df.collect().toSeq.map(_.toString)

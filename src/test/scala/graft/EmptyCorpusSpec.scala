@@ -96,7 +96,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q118_tfidf_keyterms" -> (Search.q118TfidfKeyterms _),
     "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
     "q120_oov_rate" -> (TextAnalysis.q120OovRate _),
-    "q121_bm25_full" -> (Search.q121Bm25Full _))
+    "q121_bm25_full" -> (Search.q121Bm25Full _),
+    "q122_source_dup_matrix" -> (CorpusAudit.q122SourceDupMatrix _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
