@@ -590,6 +590,32 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: q122 reads the pair artifact — document text never scanned") {
+    // the matrix is a rollup of standing dup_pairs state; its one
+    // documents read is the (doc_id, source) labeling projection, so a
+    // text-column scan means the pair chain leaked back into the plan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dupmxguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.CorpusAudit.q122SourceDupMatrix(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q122 plan does not read the artifact root:\n" + p.take(600))
+      val textScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans == 0, "q122 artifact-mode scan still reads text")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("whole-stage codegen covers the text-analysis expression pipeline") {
     // AQE's pre-execution wrapper hides codegen nodes; plan without it
     // for this structural check only
