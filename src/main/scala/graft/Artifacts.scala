@@ -681,35 +681,23 @@ object Artifacts {
         "or SPARK_GRAFT_ARTIFACTS_DIR")
     Tables.invalidate(corpusDir)
     val fpNew = embeddingsFingerprint(spark, corpusDir)
-    def pathOf(fp: String, name: String): String =
-      versionPath(corpusDir, name, fp).get
+    // shared commit-or-reuse scaffolding ([[MaintenanceBuild]]); this
+    // path only appends, so segInc is always called retract-free
+    val mb = new MaintenanceBuild(spark, corpusDir, fpOld, corpusDir, fpNew)
+    import mb.{inc => buildInc, readOld}
+    def buildSegInc(name: String, append: => DataFrame)(
+        whole: => DataFrame): (String, Long) =
+      mb.segInc(name, None, append)(whole)
     if (EmbeddingNames.forall(n =>
         isCommitted(spark, versionPath(corpusDir, n, fpNew), n)))
       return IncrementalResult("skip",
-        EmbeddingNames.map(n =>
-          n -> committedCount(spark, corpusDir, n, pathOf(fpNew, n))).toMap,
+        EmbeddingNames.map(n => n -> mb.countNew(n)).toMap,
         0, 0, 0, -1, -1)
     val missingOld = EmbeddingNames.filterNot(n =>
       isCommitted(spark, versionPath(corpusDir, n, fpOld), n))
     if (missingOld.nonEmpty)
       return IncrementalResult("full_missing_old",
         materializeEmbeddings(spark, corpusDir), -1, -1, -1, -1, -1)
-    def readOld(name: String): DataFrame =
-      readVersion(spark, corpusDir, name, pathOf(fpOld, name))
-    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
-      val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, corpusDir, name, p)
-      else write(spark, corpusDir, fpNew, name, compute)
-    }
-    def buildSegInc(name: String, append: => DataFrame)(
-        whole: => DataFrame): (String, Long) = {
-      val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, corpusDir, name, p)
-      else commitSegmented(spark, corpusDir, fpOld, corpusDir, fpNew, name,
-        None, append).getOrElse(write(spark, corpusDir, fpNew, name, whole))
-    }
     // `prefiltered` = the caller already deduped and anti-joined the
     // batch from ONE checkpointed frame (the vector intake sink's
     // invariant — the rows appended to the corpus and the rows folded
@@ -722,7 +710,7 @@ object Artifacts {
             Seq("vec_id"), "left_anti"))
     val nAdd = fresh.count()
     val oldCount = committedCount(spark, corpusDir, VecHashesName,
-      pathOf(fpOld, VecHashesName))
+      mb.oldPath(VecHashesName))
     val corpusCount = Tables.embeddings(spark, corpusDir).count()
     if (oldCount + nAdd != corpusCount) {
       System.err.println(s"[artifacts] maintainEmbeddingsAppended: corpus " +
@@ -746,7 +734,7 @@ object Artifacts {
       operators.Similarity.labelCentroidsFrame(
         Tables.embeddings(spark, corpusDir)))
     EmbeddingNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
-      readManifestAt(spark, pathOf(fpNew, n)).map(realSegs) match {
+      readManifestAt(spark, mb.newPath(n)).map(realSegs) match {
         case Some(segs) if segs.size > compactSegmentThreshold =>
           compactSegments(spark, corpusDir, n)
         case _ => ()
@@ -794,13 +782,12 @@ object Artifacts {
     if (!fs.exists(embPath))
       return IncrementalResult("skip", Map.empty, 0, 0, 0, -1, -1)
     val fpNew = embeddingsFingerprint(spark, newDir)
-    def pathOf(dir: String, fp: String, name: String): String =
-      versionPath(dir, name, fp).get
     if (EmbeddingNames.forall(n =>
         isCommitted(spark, versionPath(newDir, n, fpNew), n)))
       return IncrementalResult("skip",
         EmbeddingNames.map(n =>
-          n -> committedCount(spark, newDir, n, pathOf(newDir, fpNew, n)))
+          n -> committedCount(spark, newDir, n,
+            versionPath(newDir, n, fpNew).get))
           .toMap, 0, 0, 0, -1, -1)
     val fpOld = embeddingsFingerprint(spark, oldDir)
     val missingOld = EmbeddingNames.filterNot(n =>
@@ -813,22 +800,10 @@ object Artifacts {
       return IncrementalResult("full_missing_old",
         materializeEmbeddings(spark, newDir), -1, -1, -1, -1, -1)
     }
-    def readOldA(name: String): DataFrame =
-      readVersion(spark, oldDir, name, pathOf(oldDir, fpOld, name))
-    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
-      val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, newDir, name, p)
-      else write(spark, newDir, fpNew, name, compute)
-    }
-    def buildSegInc(name: String, retract: Option[DataFrame],
-        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
-      val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, newDir, name, p)
-      else commitSegmented(spark, oldDir, fpOld, newDir, fpNew, name,
-        retract, append).getOrElse(write(spark, newDir, fpNew, name, whole))
-    }
+    // shared commit-or-reuse scaffolding ([[MaintenanceBuild]]) over
+    // the (old, new) embedding snapshot pair
+    val mb = new MaintenanceBuild(spark, oldDir, fpOld, newDir, fpNew)
+    import mb.{inc => buildInc, segInc => buildSegInc, readOld => readOldA}
     val eNew = Tables.embeddings(spark, newDir)
     val hashedNew = Checkpoints.checkpoint(vecHashesFrame(eNew))
     // the shared diff core works at (doc_id, h) grain; the vector side's
@@ -2059,33 +2034,15 @@ object Artifacts {
         "SPARK_GRAFT_ARTIFACTS_DIR")
     Tables.invalidate(corpusDir)
     val fpNew = corpusFingerprint(spark, corpusDir)
-    def pathOf(fp: String, name: String): String =
-      versionPath(corpusDir, name, fp).get
-    def readOld(name: String): DataFrame =
-      readVersion(spark, corpusDir, name, pathOf(fpOld, name))
-    def readNew(name: String): DataFrame =
-      readVersion(spark, corpusDir, name, pathOf(fpNew, name))
-    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
-      val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, corpusDir, name, p)
-      else write(spark, corpusDir, fpNew, name, compute)
-    }
-    // segmented commit: carry untouched segments by reference, write the
-    // batch/delta rows as one fresh segment; `whole` is the plain-layout
-    // upgrade fallback (old version predates the manifest layout)
-    def buildSegInc(name: String, retract: Option[DataFrame],
-        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
-      val p = pathOf(fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, corpusDir, name, p)
-      else commitSegmented(spark, corpusDir, fpOld, corpusDir, fpNew, name,
-        retract, append).getOrElse(write(spark, corpusDir, fpNew, name, whole))
-    }
+    // the shared commit-or-reuse scaffolding ([[MaintenanceBuild]]);
+    // segInc carries untouched segments by reference and writes the
+    // batch/delta rows as one fresh segment, with `whole` the
+    // plain-layout upgrade fallback (old version predates the manifest)
+    val mb = new MaintenanceBuild(spark, corpusDir, fpOld, corpusDir, fpNew)
+    import mb.{inc => buildInc, segInc => buildSegInc, readOld, readNew}
     if (AllNames.forall(n => isCommitted(spark, versionPath(corpusDir, n, fpNew), n)))
       return IncrementalResult("skip",
-        AllNames.map(n =>
-          n -> committedCount(spark, corpusDir, n, pathOf(fpNew, n))).toMap,
+        AllNames.map(n => n -> mb.countNew(n)).toMap,
         0, 0, 0, 0, 0)
     val missingOld = AllNames.filterNot(n =>
       isCommitted(spark, versionPath(corpusDir, n, fpOld), n))
@@ -2117,7 +2074,7 @@ object Artifacts {
     // two empty-schema counts (parquet row-group metadata, no column
     // data); on mismatch, rebuild from the corpus as it actually is.
     val oldCount = committedCount(spark, corpusDir, DocHashesName,
-      pathOf(fpOld, DocHashesName))
+      mb.oldPath(DocHashesName))
     val corpusCount = Tables.documents(spark, corpusDir).count()
     if (oldCount + nAdd != corpusCount) {
       System.err.println(s"[artifacts] maintainAppended: corpus has " +
@@ -2214,7 +2171,7 @@ object Artifacts {
     // bound segment sprawl: a batch per artifact per interval would
     // otherwise grow every read's file list without limit
     AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
-      readManifestAt(spark, pathOf(fpNew, n)).map(realSegs) match {
+      readManifestAt(spark, mb.newPath(n)).map(realSegs) match {
         case Some(segs) if segs.size > compactSegmentThreshold =>
           compactSegments(spark, corpusDir, n)
         case _ => ()
@@ -2250,6 +2207,44 @@ object Artifacts {
   final case class IncrementalResult(mode: String, counts: Map[String, Long],
     added: Long, changed: Long, removed: Long,
     affectedComponents: Long, ccVertices: Long)
+
+  /** The commit-or-reuse scaffolding EVERY maintenance entry point
+    * shares — text and vector, same-dir append and cross-dir promote —
+    * defined once so the subtle parts (the committed-version
+    * short-circuit that keeps a retry from Overwrite-rewriting a live
+    * version, and the segmented-commit-or-whole-write fallback) cannot
+    * drift between the four call sites. Each entry point instantiates
+    * one of these over its (old, new) corpus/fingerprint pair and
+    * imports the members under its local names.
+    */
+  private final class MaintenanceBuild(spark: SparkSession, oldDir: String,
+      fpOld: String, newDir: String, fpNew: String) {
+    def oldPath(name: String): String = versionPath(oldDir, name, fpOld).get
+    def newPath(name: String): String = versionPath(newDir, name, fpNew).get
+    def readOld(name: String): DataFrame =
+      readVersion(spark, oldDir, name, oldPath(name))
+    def readNew(name: String): DataFrame =
+      readVersion(spark, newDir, name, newPath(name))
+    /** Committed row count of the NEW version (skip-result reporting). */
+    def countNew(name: String): Long =
+      committedCount(spark, newDir, name, newPath(name))
+    /** Plain-layout build with the committed-skip guard. */
+    def inc(name: String)(compute: => DataFrame): (String, Long) = {
+      val p = newPath(name)
+      if (isCommitted(spark, Some(p), name)) name -> countNew(name)
+      else write(spark, newDir, fpNew, name, compute)
+    }
+    /** Segmented carry/retract/append commit with the committed-skip
+      * guard and the plain-layout whole-frame fallback.
+      */
+    def segInc(name: String, retract: Option[DataFrame],
+        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
+      val p = newPath(name)
+      if (isCommitted(spark, Some(p), name)) name -> countNew(name)
+      else commitSegmented(spark, oldDir, fpOld, newDir, fpNew, name,
+        retract, append).getOrElse(write(spark, newDir, fpNew, name, whole))
+    }
+  }
 
   /** Maintain `newDir`'s artifacts FROM `oldDir`'s, driven by the
     * snapshot diff — the promote-a-new-snapshot path at 100 TB, where
@@ -2292,42 +2287,23 @@ object Artifacts {
       "Artifacts.materializeIncremental needs a root — setRoot(...) or " +
         "SPARK_GRAFT_ARTIFACTS_DIR")
     val fpNew = corpusFingerprint(spark, newDir)
-    def pathOf(dir: String, fp: String, name: String): String =
-      versionPath(dir, name, fp).get
-    // Same committed-skip guard as materialize's build: a retry after a
-    // partial failure (postings committed, a later artifact crashed) must
-    // NOT Overwrite-rewrite an already-committed fp= directory — that
-    // would delete its _SUCCESS mid-rewrite under a same-corpus reader
-    // and redo committed work.
-    def buildInc(name: String)(compute: => DataFrame): (String, Long) = {
-      val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, newDir, name, p)
-      else write(spark, newDir, fpNew, name, compute)
-    }
     if (AllNames.forall(n => isCommitted(spark, versionPath(newDir, n, fpNew), n)))
       return IncrementalResult("skip",
         AllNames.map(n =>
-          n -> committedCount(spark, newDir, n, pathOf(newDir, fpNew, n)))
+          n -> committedCount(spark, newDir, n,
+            versionPath(newDir, n, fpNew).get))
           .toMap, 0, 0, 0, 0, 0)
 
     val fpOld = corpusFingerprint(spark, oldDir)
-    def readOldA(name: String): DataFrame =
-      readVersion(spark, oldDir, name, pathOf(oldDir, fpOld, name))
-    def readNewA(name: String): DataFrame =
-      readVersion(spark, newDir, name, pathOf(newDir, fpNew, name))
-    // segmented commit across corpus trees: untouched segments are
-    // carried by raw byte copy (no decode/shuffle/re-encode — the
-    // promotion's I/O is a copy, its COMPUTE stays change-bounded);
-    // `whole` is the plain-layout upgrade fallback
-    def buildSegInc(name: String, retract: Option[DataFrame],
-        append: => DataFrame)(whole: => DataFrame): (String, Long) = {
-      val p = pathOf(newDir, fpNew, name)
-      if (isCommitted(spark, Some(p), name))
-        name -> committedCount(spark, newDir, name, p)
-      else commitSegmented(spark, oldDir, fpOld, newDir, fpNew, name,
-        retract, append).getOrElse(write(spark, newDir, fpNew, name, whole))
-    }
+    // the shared commit-or-reuse scaffolding ([[MaintenanceBuild]]):
+    // inc carries materialize's committed-skip guard (a retry must NOT
+    // Overwrite-rewrite a committed fp= directory); segInc commits
+    // across corpus trees — untouched segments carried by raw byte copy
+    // (no decode/shuffle/re-encode: the promotion's I/O is a copy, its
+    // COMPUTE stays change-bounded), `whole` the plain-layout fallback
+    val mb = new MaintenanceBuild(spark, oldDir, fpOld, newDir, fpNew)
+    import mb.{inc => buildInc, segInc => buildSegInc,
+      readOld => readOldA, readNew => readNewA}
     val missingOld = AllNames.filterNot(n =>
       isCommitted(spark, versionPath(oldDir, n, fpOld), n))
     // A partially missing old set usually means the artifact set widened

@@ -883,9 +883,15 @@ object Similarity {
         graft.functions.PolyHash(
           org.apache.spark.sql.GraftSqlBridge.expression(id.cast("string")))),
         lit(mod)) === 0
-    val se = e.filter(inSample(col("vec_id")))
-    val idx = graft.Artifacts.lshNearDupIndex(spark, dir)
-      .filter(inSample(col("id")))
+    // checkpoint both sampled frames: se feeds the guard count plus four
+    // join legs and idx feeds three, and each reference would otherwise
+    // re-scan the corpus-sized table (re-evaluating the hash filter, and
+    // inline the full sign-sketch projection) — on exactly the large
+    // corpora this operator exists for
+    val se = graft.Checkpoints.checkpoint(e.filter(inSample(col("vec_id"))))
+    val idx = graft.Checkpoints.checkpoint(
+      graft.Artifacts.lshNearDupIndex(spark, dir)
+        .filter(inSample(col("id"))))
     bandedRecall(Dedup.embeddingNearDupPairsFrom(se),
       annNearDupPairsFrom(se, idx))
   }

@@ -277,6 +277,15 @@ object StreamingOps {
     * distinct active days; a production deployment ages it out with an
     * event-time timeout once its retention window closes (the q31
     * posture), which caps it at window-days entries.
+    *
+    * Contract-violation posture: an event delivered in a LATER
+    * micro-batch with a day EARLIER than the user's anchored cohort
+    * (cross-batch disorder — outside the delivery contract) is DROPPED,
+    * not emitted: append mode cannot retract the already-emitted
+    * anchor, and a negative-age row would silently corrupt the matrix
+    * (wrong cohort census, nonsense cell). Dropping keeps every emitted
+    * invariant intact (ages ≥ 0, cohort sizes ≡ age-0 cells) at the
+    * cost of that one event's activity — the recoverable failure mode.
     */
   def retentionStream(events: Dataset[StreamEvent]): Dataset[CohortActivity] = {
     import events.sparkSession.implicits._
@@ -294,9 +303,10 @@ object StreamingOps {
               case None =>
                 s = Some(RetentionState(d, Seq(d)))
                 out += CohortActivity(uid, d, 0L)
-              case Some(st) if !st.seenDays.contains(d) =>
+              case Some(st) if d >= st.cohortDay && !st.seenDays.contains(d) =>
                 s = Some(st.copy(seenDays = st.seenDays :+ d))
                 out += CohortActivity(uid, st.cohortDay, d - st.cohortDay)
+              // d < cohortDay (cross-batch disorder) or already seen: drop
               case _ => ()
             }
           }
@@ -311,8 +321,13 @@ object StreamingOps {
     * carries the same count batch q115's user-grain aggregate computes,
     * so `EventAnalytics.engagementRollup` over the final updates equals
     * the batch histogram (equivalence spec). Counting is
-    * delivery-order-independent, so this dual needs no ordering
-    * contract at all.
+    * delivery-order-independent — no ordering contract — but it IS
+    * multiplicity-sensitive: a re-delivered event counts again, so an
+    * at-least-once upstream must compose [[dedupStream]] (by event id)
+    * in front, exactly like the intake sinks. Unlike
+    * [[retentionStream]], whose day-set state absorbs re-delivery for
+    * free, exact counting would need an unbounded per-user id set —
+    * the dedup belongs in the watermarked operator built for it.
     */
   def engagementStream(events: Dataset[StreamEvent]): Dataset[EngagementUpdate] = {
     import events.sparkSession.implicits._

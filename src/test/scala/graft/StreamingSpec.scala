@@ -316,6 +316,26 @@ class StreamingSpec extends SparkSpec {
     assert(snapshot() == committed, "re-delivered batch must merge to the same winners")
   }
 
+  test("retentionStream drops cross-batch early-day disorder — never a negative age") {
+    // an event landing in a LATER batch with a day EARLIER than the
+    // anchored cohort is outside the delivery contract; the documented
+    // posture is to drop it (append mode cannot retract the anchor),
+    // keeping every emitted invariant intact rather than corrupting the
+    // matrix with a negative-age cell
+    val input = MemoryStream[StreamEvent](spark)
+    val q = StreamingOps.retentionStream(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ret_disorder_out").start()
+    input.addData(ev(1, 1440 * 10, 1, "view", 0)) // day 10 anchors
+    q.processAllAvailable()
+    input.addData(ev(2, 1440 * 8, 1, "view", 0)) // day 8, later batch
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ret_disorder_out").collect()
+    assert(rows.length == 1, rows.mkString(","))
+    assert(rows.head.getAs[Long]("age_days") == 0L)
+    assert(rows.head.getAs[Long]("cohort_day") == 10L)
+  }
+
   test("q114/q115 streaming duals replay the real corpus to the batch rollups") {
     import graft.operators.EventAnalytics
     // the whole sf0.001 events table, replayed across three
