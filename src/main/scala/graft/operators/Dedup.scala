@@ -561,7 +561,7 @@ object Dedup {
     * search); pointing it at a production-sized table must fail loudly
     * at plan-build time, not silently run O(n²).
     */
-  private val MaxBruteForceVectors = 20000L
+  private[graft] val MaxBruteForceVectors = 20000L
 
   /** q21 — embedding near-dup pairs: brute-force cosine ≥ 0.4 with the
     * deterministic decimal-rounded score (the oracle ground truth;

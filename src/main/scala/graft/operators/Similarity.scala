@@ -871,10 +871,18 @@ object Similarity {
   def q117SampledNearDupRecall(spark: SparkSession, dir: String): DataFrame =
     sampledNearDupRecall(spark, dir, EvalSampleTarget)
 
-  /** [[q117SampledNearDupRecall]] under a caller-chosen sample target. */
+  /** [[q117SampledNearDupRecall]] under a caller-chosen sample target.
+    * The target must sit comfortably under the q21 brute-force cap: the
+    * REALIZED hash-sample size is stochastic around the target, so the
+    * realized count is re-checked after sampling and an over-cap sample
+    * fails HERE, with the target/cap relationship named — not from deep
+    * inside q21's guard with a message about corpus sizes.
+    */
   def sampledNearDupRecall(spark: SparkSession, dir: String,
       target: Long): DataFrame = {
-    require(target > 0, s"sample target must be positive (got $target)")
+    require(target > 0 && target <= Dedup.MaxBruteForceVectors,
+      s"sample target must be in (0, ${Dedup.MaxBruteForceVectors}] — the " +
+        s"q21 brute-force cap the truth pass runs under (got $target)")
     val e = Tables.embeddings(spark, dir)
     val n = e.count()
     val mod = math.max(1L, math.ceil(n.toDouble / target).toLong)
@@ -889,6 +897,15 @@ object Similarity {
     // inline the full sign-sketch projection) — on exactly the large
     // corpora this operator exists for
     val se = graft.Checkpoints.checkpoint(e.filter(inSample(col("vec_id"))))
+    // the realized sample is stochastic: a target near the cap can draw
+    // past it, and the failure should name the sampling relationship
+    // (the count reads the just-checkpointed blocks — no corpus re-scan)
+    val realized = se.count()
+    require(realized <= Dedup.MaxBruteForceVectors,
+      s"hash sample realized $realized vectors for target $target " +
+        s"(modulus $mod over $n) — above the q21 brute-force cap " +
+        s"${Dedup.MaxBruteForceVectors} the truth pass runs under; " +
+        "choose a target with sampling headroom below the cap")
     val idx = graft.Checkpoints.checkpoint(
       graft.Artifacts.lshNearDupIndex(spark, dir)
         .filter(inSample(col("id"))))

@@ -274,9 +274,12 @@ object StreamingOps {
     * delivery the first event ever fixes the cohort day exactly as the
     * batch min does; intra-batch disorder is absorbed by sorting each
     * batch. State is one day-list per user — bounded by the user's
-    * distinct active days; a production deployment ages it out with an
-    * event-time timeout once its retention window closes (the q31
-    * posture), which caps it at window-days entries.
+    * distinct active days (the stored list is encoder-friendly; lookups
+    * go through a per-invocation hash set, so a long-lived user costs
+    * O(state + batch) per batch, not O(days²)). Aging the list out once
+    * a deployment's retention window closes (an event-time timeout) is
+    * left to the deployment — this operator keeps `NoTimeout` so its
+    * replay equivalence with batch q114 is exact over any input.
     *
     * Contract-violation posture: an event delivered in a LATER
     * micro-batch with a day EARLIER than the user's anchored cohort
@@ -297,20 +300,27 @@ object StreamingOps {
             .sortBy(e => (micros(e.ts), e.event_id))
             .map(e => micros(e.ts) / MicrosPerDay)
           val out = Seq.newBuilder[CohortActivity]
-          var s = state.getOption
+          // hash-set view of the stored day list, built once per
+          // invocation: membership checks and appends are O(1) against
+          // it (LinkedHashSet keeps the stored order stable), where
+          // Seq.contains per day was O(days) each
+          val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+          state.getOption.foreach(st => seen ++= st.seenDays)
+          var cohort = state.getOption.map(_.cohortDay)
           days.foreach { d =>
-            s match {
+            cohort match {
               case None =>
-                s = Some(RetentionState(d, Seq(d)))
+                cohort = Some(d)
+                seen += d
                 out += CohortActivity(uid, d, 0L)
-              case Some(st) if d >= st.cohortDay && !st.seenDays.contains(d) =>
-                s = Some(st.copy(seenDays = st.seenDays :+ d))
-                out += CohortActivity(uid, st.cohortDay, d - st.cohortDay)
+              case Some(c) if d >= c && !seen.contains(d) =>
+                seen += d
+                out += CohortActivity(uid, c, d - c)
               // d < cohortDay (cross-batch disorder) or already seen: drop
               case _ => ()
             }
           }
-          s.foreach(state.update)
+          cohort.foreach(c => state.update(RetentionState(c, seen.toSeq)))
           out.result().iterator
       }
   }

@@ -60,4 +60,68 @@ class BenchMetricsSpec extends SparkSpec {
       Checkpoints.releaseAll(blocking = true)
     }
   }
+
+  test("driftFactors brackets each query between its neighboring probes") {
+    // quiet machine: every probe equals the anchor → factor 1 everywhere
+    val quiet = Bench.driftFactors(4, Seq((0, 0.5), (2, 0.5), (4, 0.5)))
+    assert(quiet == Seq(1.0, 1.0, 1.0, 1.0), quiet)
+
+    // load arrives mid-sweep: probe at position 2 reads 2×, the final
+    // anchor 3×. Queries 0–1 sit between the 1× and 2× probes (mean
+    // 1.5×); queries 2–3 between 2× and 3× (mean 2.5×).
+    val loaded = Bench.driftFactors(4, Seq((0, 1.0), (2, 2.0), (4, 3.0)))
+    assert(loaded == Seq(1.5, 1.5, 2.5, 2.5), loaded)
+
+    // probe highs inside the dead-band are instrument noise: ZERO
+    // correction, the normalized total must equal the raw total on a
+    // quiet machine (mid-sweep bracket factors reach ~1.36× the sweep
+    // minimum even with nothing else running)
+    val jitter = Bench.driftFactors(4, Seq((0, 1.0), (2, 1.35), (4, 1.1)))
+    assert(jitter == Seq(1.0, 1.0, 1.0, 1.0), jitter)
+
+    // sustained load for the WHOLE sweep except one quiet probe: the
+    // base is the minimum probe (the machine's demonstrated capacity),
+    // so the loaded stretches normalize down even when the position-0
+    // anchor itself ran loaded — the round-13 failure mode (sustained
+    // drift the spread defense can't see) made visible
+    val sustained = Bench.driftFactors(4, Seq((0, 2.0), (2, 1.0), (4, 2.0)))
+    assert(sustained == Seq(1.5, 1.5, 1.5, 1.5), sustained)
+
+    // a uniformly loaded sweep (every probe 2×, including both anchors)
+    // has min = every probe → factors 1: normalization never invents a
+    // quiet machine it did not observe; the sweep-level
+    // calibration_drift and absolute probe values carry that case
+    val uniform = Bench.driftFactors(3, Seq((0, 2.0), (3, 2.0)))
+    assert(uniform == Seq(1.0, 1.0, 1.0), uniform)
+
+    // anchors are mandatory: a boundary set missing position 0 or n fails
+    intercept[IllegalArgumentException] {
+      Bench.driftFactors(4, Seq((1, 1.0), (4, 1.0)))
+    }
+    intercept[IllegalArgumentException] {
+      Bench.driftFactors(4, Seq((0, 1.0), (3, 1.0)))
+    }
+  }
+
+  test("synthetic background load: drift-normalized headline recovers the quiet total within 10%") {
+    // the verdict-6 acceptance shape, run as deterministic arithmetic
+    // against the REAL driftFactors composition: a quiet per-query time
+    // vector, a background stressor modeled as a load ramp 1.0 → 1.8
+    // across the sweep inflating every observation multiplicatively,
+    // probes every 2 queries observing the same ramp. The drift-
+    // normalized total must land within 10% of the quiet-machine total
+    // even though the raw loaded total is ~40% high.
+    val quiet = Seq(0.2, 0.4, 0.3, 0.5, 0.1, 0.6)
+    val n = quiet.size
+    def load(pos: Double): Double = 1.0 + 0.8 * pos / n
+    val observed = quiet.zipWithIndex.map { case (t, i) => t * load(i + 0.5) }
+    val probes = (0 to n by 2).map(i => (i, 0.09 * load(i.toDouble)))
+    val factors = Bench.driftFactors(n, probes)
+    val normalized = observed.zip(factors).map { case (t, f) => t / f }.sum
+    val quietTotal = quiet.sum
+    assert(observed.sum / quietTotal > 1.3,
+      s"precondition: the raw loaded total should be visibly inflated, got ${observed.sum}")
+    assert(math.abs(normalized - quietTotal) / quietTotal < 0.10,
+      s"normalized $normalized vs quiet $quietTotal")
+  }
 }
