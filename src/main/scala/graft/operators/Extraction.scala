@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Parity
+import graft.Tables
+
+/** Raw-crawl text extraction: the stage between crawl bytes and the clean
+  * `documents.text` every downstream corpus operator assumes.
+  *
+  * The reference's title-cleaning library is exactly this family at title
+  * scale (reference `etl.py:49-111` — strip decorations, normalize
+  * whitespace, salvage the useful substring); this is the corpus-scale
+  * analogue in the CCNet/RefinedWeb shape:
+  *
+  *  1. '''Block removal''' — `<script>`/`<style>` elements go away with
+  *     their contents ([[BlockRe]]).
+  *  2. '''Line structure''' — block-closing tags ([[LineBreakRe]]) become
+  *     newlines, so the document decomposes into candidate lines the way
+  *     a DOM renderer would break it.
+  *  3. '''Tag strip + entity decode''' — remaining tags become spaces
+  *     ([[TagRe]]), then the common HTML entities decode ([[decodeEntities]]
+  *     — `&amp;` deliberately LAST so double-escaped text like `&amp;lt;`
+  *     correctly yields the literal `&lt;`).
+  *  4. '''Line rules''' — a line survives if it has at least
+  *     [[MinLineWords]] words, is not boilerplate ([[BoilerplateRe]] —
+  *     rights/cookie/privacy/terms lexicon), and is not link-dense
+  *     (fewer than [[LinkWordsPerAnchor]] words per `<a` tag on the raw
+  *     line — nav bars are anchors with one word each, prose has many
+  *     words per link).
+  *  5. '''Extraction stats''' — raw vs kept line and token mass, plus the
+  *     boilerplate fraction, so a feed-level audit can alarm on a crawl
+  *     whose kept mass collapses.
+  *
+  * 100 TB shape: the whole family is a map-only codegen'd regex chain
+  * over one scan of the raw feed — no shuffle anywhere but q123's
+  * presentation sort; it partitions trivially and pipelines into the
+  * lang-id/quality/dedup stages that follow. Tags are assumed not to
+  * span raw lines (a crawl WARC record is one payload string; the
+  * line-split happens only after tags are rewritten).
+  */
+object Extraction {
+
+  /** `<script>`/`<style>` elements including contents. Non-greedy body so
+    * adjacent blocks don't fuse; `\b` so `<scripty>` is not a block.
+    */
+  private[operators] val BlockRe =
+    "(?is)<(?:script|style)\\b[^>]*>.*?</(?:script|style)\\s*>"
+
+  /** Closing tags that end a rendered block (plus `<br>`): rewritten to
+    * newlines BEFORE the generic tag strip so the document falls apart
+    * into render-order lines.
+    */
+  private[operators] val LineBreakRe =
+    "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/title|/head)\\b[^>]*>"
+
+  /** Any remaining tag, stripped to a space (a space, not empty, so
+    * `word<b>s</b>` does not fuse into new tokens).
+    */
+  private[operators] val TagRe = "<[^>]*>"
+
+  /** One `<a` opening per link — counted on the RAW line, before tags are
+    * stripped, because the tags ARE the signal for link density.
+    */
+  private[operators] val AnchorRe = "(?i)<a\\b"
+
+  /** Boilerplate lexicon (contains-match, case-insensitive): the legal/
+    * cookie/nav footer lines every crawl carries.
+    */
+  private[operators] val BoilerplateRe =
+    "(?i)(?:all rights reserved|cookies?|privacy policy|terms of (?:use|service)|copyright|©)"
+
+  /** A surviving line needs at least this many words. */
+  private[operators] val MinLineWords = 3
+
+  /** ... and at least this many words per `<a` tag (drop when
+    * `words < LinkWordsPerAnchor * anchors`).
+    */
+  private[operators] val LinkWordsPerAnchor = 3
+
+  /** Decode the common HTML entities. `&amp;` last: `&amp;lt;` must
+    * become the literal `&lt;`, not `<`.
+    */
+  private[operators] def decodeEntities(c: Column): Column = {
+    val pairs = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&copy;" -> "©", "&amp;" -> "&")
+    pairs.foldLeft(c) { case (acc, (ent, rep)) => regexp_replace(acc, ent, rep) }
+  }
+
+  /** Tag strip + entity decode + whitespace collapse + trim — the
+    * per-line normalization (also used whole-doc for the raw token
+    * count, where the token boundaries come out the same because every
+    * tag turns into whitespace either way).
+    */
+  private[operators] def stripTags(c: Column): Column =
+    trim(regexp_replace(decodeEntities(regexp_replace(c, TagRe, " ")), "\\s+", " "))
+
+  /** Word count of an already-whitespace-collapsed string ('' → 0). */
+  private def wordsOf(c: Column): Column =
+    size(filter(split(c, " "), w => length(w) > 0))
+
+  /** Raw feed → render-order candidate lines (blocks removed, break tags
+    * to newlines), still tagged — the line rules need the tags.
+    */
+  private[operators] def rawLines(raw: Column): Column =
+    split(regexp_replace(regexp_replace(raw, BlockRe, " "), LineBreakRe, "\n"), "\n")
+
+  /** The line-survival predicate over a RAW (still-tagged) line. */
+  private[operators] def keepLine(l: Column): Column = {
+    val words = wordsOf(stripTags(l))
+    val anchors = regexp_count(l, lit(AnchorRe))
+    words >= MinLineWords &&
+      regexp_count(stripTags(l), lit(BoilerplateRe)) === 0 &&
+      words >= anchors * LinkWordsPerAnchor
+  }
+
+  /** Extracted clean text: surviving lines, stripped, newline-joined. */
+  def extractText(raw: Column): Column =
+    array_join(transform(filter(rawLines(raw), keepLine _), stripTags _), "\n")
+
+  /** Deterministic synthetic crawl wrapper: the test corpus's
+    * `documents.text` is already clean prose, so q123 manufactures the
+    * raw layer from `doc_id` — four page shapes (plain, full page with
+    * nav + footer, script + entities + cookie notice, list-heavy) built
+    * by the SAME arithmetic in Spark and in the DuckDB oracle, which
+    * means the oracle verifies the real extraction chain on
+    * markup-bearing input on every row rather than hashing a
+    * pass-through. Every line rule fires somewhere in the corpus: the
+    * nav div dies by link density, the footer by the boilerplate
+    * lexicon, `Short.` by the word floor, the script body and the style
+    * sheet by block removal, `&amp;`/`&lt;` by entity decode.
+    */
+  private[operators] def rawify(docId: Column, text: Column): Column = {
+    val m = pmod(docId, lit(4))
+    when(m === 0, text)
+      .when(m === 1, concat(
+        lit("<html><head><title>Doc "), docId.cast("string"),
+        lit("</title><style>p { color: red; }</style></head><body><p>"),
+        text,
+        lit("</p><div id=\"nav\"><a href=\"/\">home</a> | " +
+          "<a href=\"/about\">about</a> | <a href=\"/contact\">contact</a>" +
+          "</div><p>&copy; 2024 Example Corp &amp; Co. All rights reserved." +
+          "</p></body></html>")))
+      .when(m === 2, concat(
+        lit("<body><script type=\"text/javascript\">var n = 1; " +
+          "if (n < 2) { n++; }</script><p>"),
+        text,
+        lit(" &amp; more &lt;markup&gt;</p><br><p>We use cookies on this " +
+          "site.</p><p>ok</p></body>")))
+      .otherwise(concat(
+        lit("<div><p>"), text,
+        lit("</p><ul><li><a href=\"/x\">x</a></li><li><a href=\"/y\">y</a>" +
+          "</li></ul><p>Short.</p><p>See the privacy policy.</p></div>")))
+  }
+
+  /** q123 — raw-crawl text extraction with per-doc stats: the synthetic
+    * raw layer ([[rawify]]) pushed through the full chain. `extracted`
+    * is the surviving text; the stats report line and token mass before
+    * vs after (raw = everything visible once markup is gone, kept =
+    * what survived the line rules) and the boilerplate fraction of the
+    * token mass. Map-only; the only shuffle is the presentation sort.
+    */
+  def q123TextExtract(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawify(col("doc_id"), col("text"))
+    val lines = rawLines(raw)
+    val nLinesRaw = size(filter(lines, l => wordsOf(stripTags(l)) > 0))
+    val kept = filter(lines, keepLine _)
+    val extracted = array_join(transform(kept, stripTags _), "\n")
+    val rawTokens = wordsOf(stripTags(regexp_replace(raw, BlockRe, " ")))
+      .cast("long")
+    val keptTokens = size(filter(split(extracted, "\\s+"), w => length(w) > 0))
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        extracted.as("extracted"),
+        nLinesRaw.cast("long").as("n_lines_raw"),
+        size(kept).cast("long").as("n_lines_kept"),
+        rawTokens.as("raw_tokens"),
+        keptTokens.as("kept_tokens"),
+        Parity.round2((rawTokens - keptTokens).cast("double") /
+          nullif(rawTokens, lit(0L)).cast("double")).as("boilerplate_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror of [[q123TextExtract]] — the same rawify arithmetic,
+    * the same regex chain, the same line rules as list lambdas.
+    */
+  val q123OracleSql: String = {
+    val rawSql =
+      """CASE doc_id % 4
+        | WHEN 0 THEN text
+        | WHEN 1 THEN '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |   '</title><style>p { color: red; }</style></head><body><p>' || text ||
+        |   '</p><div id="nav"><a href="/">home</a> | <a href="/about">about</a> | <a href="/contact">contact</a></div><p>&copy; 2024 Example Corp &amp; Co. All rights reserved.</p></body></html>'
+        | WHEN 2 THEN '<body><script type="text/javascript">var n = 1; if (n < 2) { n++; }</script><p>' || text ||
+        |   ' &amp; more &lt;markup&gt;</p><br><p>We use cookies on this site.</p><p>ok</p></body>'
+        | ELSE '<div><p>' || text ||
+        |   '</p><ul><li><a href="/x">x</a></li><li><a href="/y">y</a></li></ul><p>Short.</p><p>See the privacy policy.</p></div>'
+        | END""".stripMargin
+    // stripTags as a SQL fragment over $x (tags → space, entities,
+    // collapse, trim) — generated by the same fold as the Spark side so
+    // the two chains can never drift
+    def strip(x: String): String = {
+      val entityPairs = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
+        "&quot;" -> "'\"'", "&#39;" -> "CHR(39)", "&nbsp;" -> "' '",
+        "&copy;" -> "'©'", "&amp;" -> "'&'")
+      val tagless = s"regexp_replace($x, '$TagRe', ' ', 'g')"
+      val decoded = entityPairs.foldLeft(tagless) { case (acc, (ent, rep)) =>
+        s"regexp_replace($acc, '$ent', $rep, 'g')"
+      }
+      s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+    }
+    def words(x: String): String =
+      s"len(list_filter(string_split($x, ' '), w -> len(w) > 0))"
+    s"""WITH raw AS (
+       |  SELECT doc_id, ($rawSql) AS raw FROM documents
+       |), lined AS (
+       |  SELECT doc_id, raw,
+       |    string_split(regexp_replace(regexp_replace(raw,
+       |      '$BlockRe', ' ', 'g'), '$LineBreakRe', chr(10), 'g'),
+       |      chr(10)) AS lines
+       |  FROM raw
+       |), ruled AS (
+       |  SELECT doc_id, raw,
+       |    len(list_filter(lines, l -> ${words(strip("l"))} > 0)) AS n_lines_raw,
+       |    list_filter(lines, l ->
+       |      ${words(strip("l"))} >= $MinLineWords
+       |      AND NOT regexp_matches(${strip("l")}, '$BoilerplateRe')
+       |      AND ${words(strip("l"))} >=
+       |        len(regexp_extract_all(l, '$AnchorRe')) * $LinkWordsPerAnchor
+       |    ) AS kept
+       |  FROM lined
+       |), ex AS (
+       |  SELECT doc_id, n_lines_raw, len(kept) AS n_lines_kept,
+       |    array_to_string(list_transform(kept, l -> ${strip("l")}), chr(10))
+       |      AS extracted,
+       |    CAST(${words(strip(s"regexp_replace(raw, '$BlockRe', ' ', 'g')"))}
+       |      AS BIGINT) AS raw_tokens
+       |  FROM ruled
+       |)
+       |SELECT doc_id, extracted,
+       |  CAST(n_lines_raw AS BIGINT) AS n_lines_raw,
+       |  CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+       |  raw_tokens,
+       |  CAST(len(list_filter(string_split_regex(extracted, '\\s+'),
+       |    w -> len(w) > 0)) AS BIGINT) AS kept_tokens,
+       |  ${Parity.round2Sql(
+            s"""CAST(raw_tokens - len(list_filter(string_split_regex(extracted, '\\s+'),
+               |    w -> len(w) > 0)) AS DOUBLE) /
+               |    CAST(NULLIF(raw_tokens, 0) AS DOUBLE)""".stripMargin)}
+       |    AS boilerplate_frac
+       |FROM ex ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Extraction
+
+/** Branch coverage for the raw-crawl extraction chain on crafted markup
+  * rows — each rule exercised in isolation, then the q123 stats checked
+  * against hand-computed values on a fully-adversarial page.
+  */
+class ExtractionSpec extends SparkSpec {
+
+  private def extract(raw: String): String = {
+    import spark.implicits._
+    Seq(raw).toDF("raw")
+      .select(Extraction.extractText(col("raw")).as("x"))
+      .collect().head.getAs[String]("x")
+  }
+
+  test("script and style blocks vanish with their contents") {
+    assert(extract("keep this prose line <script>var x = 1; if (x < 2) { x++; }</script> and this too") ==
+      "keep this prose line and this too")
+    assert(extract("<style>p { color: red; }</style>body text stays here") ==
+      "body text stays here")
+    // two blocks do not fuse (non-greedy body): the prose between survives
+    assert(extract("<script>a</script> middle words survive here <script>b</script>") ==
+      "middle words survive here")
+    // \b guard: <scripty> is an ordinary (stripped) tag, not a block opener
+    assert(extract("<scripty>not a script block at all</scripty>") ==
+      "not a script block at all")
+  }
+
+  test("tags strip to spaces so words never fuse") {
+    assert(extract("one <b>two</b> three") == "one two three")
+    assert(extract("word<b>s</b> never fuse across tags") == "word s never fuse across tags")
+  }
+
+  test("entities decode, &amp; last so double-escapes survive literally") {
+    assert(extract("a &lt;tag&gt; and &quot;quote&quot; &#39;s &amp; more") ==
+      "a <tag> and \"quote\" 's & more")
+    // &amp;lt; is the ESCAPED text "&lt;": must decode to the literal
+    // entity, never to '<'
+    assert(extract("double escape &amp;lt; stays an entity") ==
+      "double escape &lt; stays an entity")
+  }
+
+  test("line rules: word floor, boilerplate lexicon, link density") {
+    // short line dies, prose survives
+    assert(extract("<p>Short.</p><p>this line has enough words</p>") ==
+      "this line has enough words")
+    // boilerplate lexicon kills a long-enough line
+    assert(extract("<p>All rights reserved by the company.</p><p>real content lives here</p>") ==
+      "real content lives here")
+    assert(extract("<p>We use cookies on this site.</p><p>actual prose is kept</p>") ==
+      "actual prose is kept")
+    // link density: 3 anchors, 5 words → dead; 1 anchor, 9 words → alive
+    assert(extract("<div><a href=\"/\">home</a> | <a href=\"/a\">about</a> | <a href=\"/c\">contact</a></div>" +
+      "<p>a prose sentence that happens to cite <a href=\"/x\">one link</a> politely</p>") ==
+      "a prose sentence that happens to cite one link politely")
+  }
+
+  test("break tags create line structure; title and list items split out") {
+    assert(extract("<p>first paragraph has words</p><p>second paragraph also has words</p>") ==
+      "first paragraph has words\nsecond paragraph also has words")
+    // the title becomes its own (short, dropped) line instead of gluing
+    // onto the first body line
+    assert(extract("<html><head><title>Tiny Title</title></head><body><p>the body keeps its own line</p></body></html>") ==
+      "the body keeps its own line")
+  }
+
+  test("q123 stats are hand-verifiable on an adversarial page") {
+    import spark.implicits._
+    val raw = "<html><head><title>T</title><style>b{}</style></head><body>" +
+      "<p>alpha beta gamma delta</p>" + // kept: 4 tokens
+      "<p>no</p>" + // dropped: short
+      "<p>copyright 2024 someone somewhere</p>" + // dropped: boilerplate
+      "<ul><li><a href=\"/\">x</a></li></ul>" + // dropped: link density (1 word, 1 anchor)
+      "</body></html>"
+    val row = Seq((7L, raw)).toDF("doc_id", "raw")
+      .select(col("doc_id"),
+        Extraction.extractText(col("raw")).as("extracted"))
+      .collect().head
+    assert(row.getAs[String]("extracted") == "alpha beta gamma delta")
+    // raw visible tokens: T(1) + 4 + 1 + 4 + 1 = 11; kept = 4
+    val stats = Seq(raw).toDF("raw").select(
+      size(filter(split(Extraction.extractText(col("raw")), "\\s+"),
+        w => length(w) > 0)).as("kept")).collect().head
+    assert(stats.getAs[Int]("kept") == 4)
+  }
+
+  test("q123 over the corpus: every mode fires its branches, stats are consistent") {
+    val rows = Extraction.q123TextExtract(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val mode = r.getAs[Long]("doc_id") % 4
+      val frac = r.getAs[Double]("boilerplate_frac")
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("raw_tokens"))
+      assert(r.getAs[Long]("n_lines_kept") <= r.getAs[Long]("n_lines_raw"))
+      if (mode == 0) {
+        // passthrough: nothing removed
+        assert(frac == 0.0, s"doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("kept_tokens") == r.getAs[Long]("raw_tokens"))
+      } else {
+        // every wrapped mode carries boilerplate that must be removed
+        assert(frac > 0.0, s"doc ${r.getAs[Long]("doc_id")}")
+        assert(r.getAs[Long]("n_lines_kept") < r.getAs[Long]("n_lines_raw"))
+      }
+      // the extracted body always retains the original prose line
+      assert(r.getAs[Long]("n_lines_kept") >= 1)
+    }
+  }
+}

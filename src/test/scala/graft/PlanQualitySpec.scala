@@ -64,6 +64,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
   }
 
+  test("q123 extraction is map-only: no exchange except the presentation sort, scan pruned to (doc_id, text)") {
+    val p = plan(graft.operators.Extraction.q123TextExtract(spark, sf))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+  }
+
   test("q51 top-k plans TakeOrderedAndProject, not a full sort") {
     assert(plan(graft.operators.CorpusOps.q51BoilerplateNgrams(spark, sf))
       .contains("TakeOrderedAndProject"))
