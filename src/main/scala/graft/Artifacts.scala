@@ -197,6 +197,16 @@ object Artifacts {
     */
   val TokenDfName = "token_df"
 
+  /** Per-eval-set shingle index `(set_id, set_version, doc_id, sh)` over
+    * the [[operators.EvalSets.Registry]] — the standing benchmark-suite
+    * index the registry decontam gate (q124) joins instead of
+    * re-shingling eval members per run. Derived from `shingles8` by a
+    * map-side membership explode (no extra corpus scan in the build);
+    * carries `doc_id` so it retracts/appends per-doc exactly like its
+    * parent.
+    */
+  val EvalShinglesName = "eval_shingles"
+
   /** The tokenizers whose count artifacts [[materialize]] builds and
     * [[materializeIncremental]] maintains by default — the library
     * default seam (whitespace) and the BPE-ish estimator q26 reports
@@ -216,7 +226,8 @@ object Artifacts {
   val AllNames: Seq[String] =
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
-      TokenFreqName, BigramFreqName, ChunkPostingsName, TokenDfName) ++
+      EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
+      TokenDfName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
 
@@ -516,6 +527,16 @@ object Artifacts {
   def shingles8(spark: SparkSession, corpusDir: String): DataFrame =
     readOrCompute(spark, corpusDir, Shingles8Name)(
       operators.CorpusOps.docShingles8(Tables.documents(spark, corpusDir)))
+
+  /** The per-eval-set shingle index `(set_id, set_version, doc_id, sh)`
+    * — read from the materialized artifact when fresh, else derived
+    * inline from [[shingles8]] (which itself resolves artifact-first, so
+    * even the inline fallback re-shingles nothing when the parent
+    * artifact is current).
+    */
+  def evalShingles(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, EvalShinglesName)(
+      operators.EvalSets.evalShingleRows(shingles8(spark, corpusDir)))
 
   /** [[shingles8]] for plans that reference the frame MORE THAN ONCE
     * (q105's two aggregations, q112's cap + test + train legs): the
@@ -1179,7 +1200,8 @@ object Artifacts {
     case DupPairsName => Seq("doc_a", "doc_b")
     // vector-side per-id artifacts retract by the embedding id
     case LshAnnIndexName | LshNearDupIndexName | VecHashesName => Seq("id")
-    case NgramPostingsName | Shingles8Name | DocHashesName | KeepersName |
+    case NgramPostingsName | Shingles8Name | EvalShinglesName |
+         DocHashesName | KeepersName |
          MinhashBandsName | ChunkPostingsName => Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
     case tp if tp.startsWith(TokenPostingsPrefix) => Seq("doc_id")
@@ -1770,6 +1792,10 @@ object Artifacts {
       operators.Dedup.keeperAssignmentFromParts(docs.select("doc_id"),
         committed(DocHashesName), committed(DupPairsName)))
     val sh8 = build(Shingles8Name)(operators.CorpusOps.docShingles8(docs))
+    // derived from the committed shingle artifact — a map-side membership
+    // explode, never another corpus scan
+    val evalSh = build(EvalShinglesName)(
+      operators.EvalSets.evalShingleRows(committed(Shingles8Name)))
     val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
     val bgFreq = build(BigramFreqName)(
       operators.CorpusOps.bigramFreqRows(docs))
@@ -1797,7 +1823,7 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap
+      evalSh, tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -1823,6 +1849,8 @@ object Artifacts {
       case MinhashBandsName => operators.Dedup.bandedSignatures(docs)
       case KeepersName => operators.Dedup.keeperAssignment(spark, corpusDir)
       case Shingles8Name => operators.CorpusOps.docShingles8(docs)
+      case EvalShinglesName =>
+        operators.EvalSets.evalShingleRows(operators.CorpusOps.docShingles8(docs))
       case TokenFreqName => operators.CorpusOps.tokenFreqRows(docs)
       case BigramFreqName => operators.CorpusOps.bigramFreqRows(docs)
       case DocHashesName => docHashesFrame(docs)
@@ -2136,6 +2164,12 @@ object Artifacts {
       operators.CorpusOps.docShingles8(fresh))(
       readOld(Shingles8Name)
         .unionByName(operators.CorpusOps.docShingles8(fresh)))
+    val evalSh = buildSegInc(EvalShinglesName, None,
+      operators.EvalSets.evalShingleRows(
+        operators.CorpusOps.docShingles8(fresh)))(
+      readOld(EvalShinglesName)
+        .unionByName(operators.EvalSets.evalShingleRows(
+          operators.CorpusOps.docShingles8(fresh))))
     val tokFreq = buildSegInc(TokenFreqName, None,
       operators.CorpusOps.tokenFreqRows(fresh))(
       readOld(TokenFreqName)
@@ -2186,7 +2220,7 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
+        evalSh, tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -2402,6 +2436,16 @@ object Artifacts {
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.CorpusOps.docShingles8(docsChangedNew)))
 
+    // eval-set index: the same per-doc retract/append, membership
+    // attached map-side to the changed docs' shingles
+    val evalSh = buildSegInc(EvalShinglesName, Some(dGone),
+      operators.EvalSets.evalShingleRows(
+        operators.CorpusOps.docShingles8(docsChangedNew)))(
+      readOldA(EvalShinglesName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.EvalSets.evalShingleRows(
+          operators.CorpusOps.docShingles8(docsChangedNew))))
+
     // token-frequency index: ± count deltas as one additive segment
     // (union-based delta, not a full-outer join — a nullable source
     // column would break join matching on null keys, where groupBy
@@ -2478,7 +2522,7 @@ object Artifacts {
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
+        evalSh, tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

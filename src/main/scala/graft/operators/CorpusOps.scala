@@ -118,6 +118,12 @@ object CorpusOps {
     if (ev.count() <= maxRows) broadcast(ev) else ev
   }
 
+  /** [[maybeBroadcast]] under the default shingle bound — the eval-side
+    * guard shared with the registry decontam (q124).
+    */
+  private[operators] def maybeBroadcastShingles(evalShingles: DataFrame): DataFrame =
+    maybeBroadcast(evalShingles, MaxBroadcastShingles)
+
   /** q47 — train/test decontamination: every TRAIN document (per the q42
     * hash split) with the number of its distinct [[DecontamN]]-gram
     * shingles that also occur in any TEST document, and a `contaminated`

@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named eval-set decontamination registry.
+  *
+  * q47/q55/q112 run decontamination against THE corpus's own test split —
+  * the right demonstration shape, but production decontam runs against N
+  * versioned external benchmark suites and reports per-set verdicts: a
+  * release gate asks "which docs touch WHICH benchmark, at which
+  * version", not "is something contaminated".
+  *
+  * [[Registry]] is the stand-in for that suite list: each entry names a
+  * set, pins a version, and (because this container has no external
+  * benchmark files) defines membership as a residue class of `doc_id` —
+  * the same corpus-as-its-own-eval posture q47 documents, generalized to
+  * N possibly-OVERLAPPING sets. In production the registry rows would
+  * point at external text whose shingles are indexed by the same
+  * [[evalShingleRows]] build; nothing downstream changes.
+  *
+  * Scale shape: membership is attached by exploding a BROADCAST-LITERAL
+  * registry array per shingle row — a map-side operation, so the corpus
+  * (artifact) is scanned ONCE no matter how many sets the registry
+  * holds, and adding a benchmark suite changes no pass structure
+  * (plan-guarded in `PlanQualitySpec`). The per-set shingle index is a
+  * standing artifact (`eval_shingles`, keyed like every text artifact by
+  * the corpus fingerprint, per-doc retract/append maintenance), so the
+  * release gate reads an index, never re-shingles anything.
+  */
+object EvalSets {
+
+  /** One registered benchmark set: membership = `doc_id % mod == residue`. */
+  final case class EvalSet(setId: String, version: Int, mod: Int, residue: Int)
+
+  /** The registered suites. `heldout_a` and `heldout_c` overlap (every
+    * doc ≡ 7 (mod 20) is in both) — per-set verdicts must not collapse
+    * them.
+    */
+  val Registry: Seq[EvalSet] = Seq(
+    EvalSet("heldout_a", 1, 10, 7),
+    EvalSet("heldout_b", 2, 10, 8),
+    EvalSet("heldout_c", 1, 20, 7))
+
+  /** True iff the doc belongs to at least one registered set — the
+    * corpus side of decontam excludes these (they ARE the benchmarks).
+    */
+  def inAnySet(docId: Column): Column =
+    Registry.map(s => pmod(docId, lit(s.mod)) === s.residue)
+      .reduce(_ || _)
+
+  /** The registry as a literal array-of-structs column — explodes
+    * map-side, no join, no extra scan per set.
+    */
+  private def registryArray: Column = array(Registry.map(s =>
+    struct(lit(s.setId).as("set_id"), lit(s.version).as("set_version"),
+      lit(s.mod).as("mod"), lit(s.residue).as("residue"))): _*)
+
+  /** Per-set shingle index rows `(set_id, set_version, doc_id, sh)` from
+    * a per-doc shingle frame (the `shingles8` artifact or its inline
+    * form): each member doc's shingles, labeled with every set the doc
+    * belongs to. `doc_id` is carried so the artifact retracts/appends
+    * per-doc exactly like `shingles8`; consumers distinct to
+    * `(set_id, sh)` grain.
+    */
+  def evalShingleRows(shingles: DataFrame): DataFrame =
+    shingles
+      .select(col("doc_id"), col("sh"),
+        explode(filter(registryArray,
+          s => pmod(col("doc_id"), s("mod")) === s("residue"))).as("s"))
+      .select(col("s.set_id").as("set_id"),
+        col("s.set_version").as("set_version"),
+        col("doc_id"), col("sh"))
+
+  /** q124 — per-set decontamination verdicts: every corpus document (not
+    * itself a member of any registered set) that shares at least one
+    * distinct 8-gram shingle with a registered benchmark set, one row
+    * per (document, set) with the shared-shingle count and the set's
+    * pinned version. The sparse form of the release gate: clean
+    * (doc, set) pairs are implicit.
+    *
+    * Plan: ONE read of the standing per-set index (distinct'd to
+    * (set, sh) grain and broadcast when small), ONE read of the corpus
+    * shingle artifact with the membership filter applied map-side —
+    * the corpus pass count is independent of the registry size.
+    */
+  def q124EvalDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val evalIdx = graft.Artifacts.evalShingles(spark, dir)
+      .select("set_id", "set_version", "sh").distinct()
+    val corpus = graft.Artifacts.shingles8(spark, dir)
+      .filter(!inAnySet(col("doc_id")))
+    // shingles are per-doc distinct and the eval side is (set, sh)
+    // distinct, so count(*) = the distinct shared-shingle count
+    corpus.join(CorpusOps.maybeBroadcastShingles(evalIdx), "sh")
+      .groupBy("doc_id", "set_id", "set_version")
+      .agg(count(lit(1)).as("n_eval_shingles"))
+      .orderBy("doc_id", "set_id")
+  }
+
+  /** The registry as a DuckDB VALUES list — generated from [[Registry]]
+    * so the two sides cannot drift.
+    */
+  private def registrySql: String =
+    Registry.map(s => s"('${s.setId}', ${s.version}, ${s.mod}, ${s.residue})")
+      .mkString(", ")
+
+  val q124OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         unnest(list_distinct(${CorpusOps.shingleSqlN(CorpusOps.DecontamN)})) AS sh
+       |  FROM toks
+       |), reg AS (
+       |  SELECT * FROM (VALUES $registrySql)
+       |    AS r(set_id, set_version, mod, residue)
+       |), ev AS (
+       |  SELECT DISTINCT r.set_id, r.set_version, s.sh
+       |  FROM sh s JOIN reg r ON s.doc_id % r.mod = r.residue
+       |), corpus AS (
+       |  SELECT s.* FROM sh s
+       |  WHERE NOT EXISTS (SELECT 1 FROM reg r WHERE s.doc_id % r.mod = r.residue)
+       |)
+       |SELECT c.doc_id, e.set_id,
+       |       CAST(e.set_version AS INTEGER) AS set_version,
+       |       COUNT(*) AS n_eval_shingles
+       |FROM corpus c JOIN ev e ON c.sh = e.sh
+       |GROUP BY 1, 2, 3
+       |ORDER BY doc_id, set_id""".stripMargin
+}

@@ -29,6 +29,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.MinhashBandsName -> rows(Dedup.bandedSignatures(docs)),
       Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)),
       Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
+      Artifacts.EvalShinglesName ->
+        rows(graft.operators.EvalSets.evalShingleRows(CorpusOps.docShingles8(docs))),
       Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs)),
       Artifacts.BigramFreqName -> rows(CorpusOps.bigramFreqRows(docs)),
       Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs)),

@@ -172,6 +172,37 @@ class PlanQualitySpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("artifact mode: q124 reads the standing indexes — text never scanned, corpus pass count independent of registry size") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.EvalSets.q124EvalDecontam(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q124 plan does not read the artifact root:\n" + p.take(600))
+      // the registry membership explode is map-side: the documents table
+      // is never scanned, and the shingle artifacts are read once per
+      // leg (eval index + corpus side) — NOT once per registered set
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0, s"q124 artifact-mode plan scans documents $docScans times")
+      val shingleScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") &&
+          (l.contains(Artifacts.Shingles8Name) || l.contains(Artifacts.EvalShinglesName)))
+      assert(shingleScans <= 2,
+        s"q124 scans shingle artifacts $shingleScans times for " +
+          s"${graft.operators.EvalSets.Registry.size} registered sets")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: keeper consumers read the parquet artifact, no CC fixpoint, one documents scan") {
     // ArtifactsSpec proves artifact reads are row-identical to inline;
     // this guards the PLAN: a future edit could quietly re-inline the
