@@ -583,6 +583,21 @@ object Artifacts {
     */
   val LabelCentroidsName = "label_centroids"
 
+  /** Trained IVF coarse-quantizer centroids `(cell, centroid)` —
+    * [[operators.Ivf]]'s Lloyd output, (cells × dim) longs in the
+    * quantized training space. Rebuilt whole on maintenance (training
+    * is deterministic given the corpus, so artifact ≡ cold rebuild
+    * holds; a deployment preferring assign-only against frozen
+    * centroids would pin this version instead).
+    */
+  val IvfCentroidsName = "ivf_centroids"
+
+  /** Trained IVF cell assignment `(vec_id, cell)` — one row per vector,
+    * the inverted-file side of [[IvfCentroidsName]]. Derived from the
+    * committed centroids by one map-side pass.
+    */
+  val IvfCellsName = "ivf_cells"
+
   /** The standing vector-side artifacts, versioned by
     * [[embeddingsFingerprint]] — NOT the documents fingerprint: the two
     * tables change independently, and a re-encode must stale exactly
@@ -590,7 +605,7 @@ object Artifacts {
     */
   val EmbeddingNames: Seq[String] =
     Seq(LshAnnIndexName, LshNearDupIndexName, VecHashesName,
-      LabelCentroidsName)
+      LabelCentroidsName, IvfCentroidsName, IvfCellsName)
 
   /** The inline form of the vector-digest artifact. */
   private[graft] def vecHashesFrame(e: DataFrame): DataFrame = {
@@ -610,6 +625,36 @@ object Artifacts {
       rebuild = "Artifacts.materializeEmbeddings").getOrElse(
       operators.Similarity.labelCentroidsFrame(
         Tables.embeddings(spark, corpusDir)))
+
+  /** The trained IVF model: (centroids as literals, cell-assignment
+    * frame). Artifact-first on BOTH pieces — centroids collect from the
+    * committed (cells × dim) table, assignments read the committed
+    * per-vector table; with no committed version the model trains
+    * inline ([[operators.Ivf.train]] — [[operators.Ivf.Iters]] corpus
+    * passes over a checkpointed quantized frame) and the assignment
+    * derives from those centroids, so the two pieces always agree
+    * within a call whichever path produced them.
+    */
+  def ivfModel(spark: SparkSession,
+      corpusDir: String): (Seq[(Int, Array[Long])], DataFrame) = {
+    val fpOf = () => embeddingsFingerprint(spark, corpusDir)
+    readIfCurrentWith(spark, corpusDir, IvfCentroidsName, fpOf,
+        rebuild = "Artifacts.materializeEmbeddings") match {
+      case Some(cdf) =>
+        val cents = operators.Ivf.collectCentroids(cdf)
+        val cells = readIfCurrentWith(spark, corpusDir, IvfCellsName, fpOf,
+          rebuild = "Artifacts.materializeEmbeddings").getOrElse(
+          operators.Ivf.assignFrame(
+            operators.Ivf.quantized(Tables.embeddings(spark, corpusDir)),
+            cents))
+        (cents, cells)
+      case None =>
+        val quant = Checkpoints.checkpoint(
+          operators.Ivf.quantized(Tables.embeddings(spark, corpusDir)))
+        val cents = operators.Ivf.train(quant)
+        (cents, operators.Ivf.assignFrame(quant, cents))
+    }
+  }
 
   /** The q23 ANN index rows — artifact when the embeddings fingerprint
     * resolves, else the inline sign-sketch derivation. At production
@@ -670,6 +715,14 @@ object Artifacts {
       val vh = build(VecHashesName)(vecHashesFrame(e))
       val cen = build(LabelCentroidsName)(
         operators.Similarity.labelCentroidsFrame(e))
+      // IVF: train at most once (lazy), cells always derive from the
+      // COMMITTED centroid artifact so the two can never disagree
+      lazy val quant = Checkpoints.checkpoint(operators.Ivf.quantized(e))
+      val ivfC = build(IvfCentroidsName)(
+        operators.Ivf.centroidsFrame(spark, operators.Ivf.train(quant)))
+      val ivfA = build(IvfCellsName)(operators.Ivf.assignFrame(quant,
+        operators.Ivf.collectCentroids(readVersion(spark, corpusDir,
+          IvfCentroidsName, versionPath(corpusDir, IvfCentroidsName, fp).get))))
       // MERGE into the breakdown (materialize REPLACES it) so a
       // materialize-then-materializeEmbeddings sequence — Bench's
       // untimed phase — accounts for the whole artifact_build_sec
@@ -677,7 +730,7 @@ object Artifacts {
         lastBuild.set(lastBuild.get() ++ timings.toMap)
       pruneSweep(spark, corpusDir, EmbeddingNames, Set(fp),
         table = "embeddings.parquet")
-      Map(ann, nd, vh, cen)
+      Map(ann, nd, vh, cen, ivfC, ivfA)
     }
   }
 
@@ -754,6 +807,15 @@ object Artifacts {
     val cen = buildInc(LabelCentroidsName)(
       operators.Similarity.labelCentroidsFrame(
         Tables.embeddings(spark, corpusDir)))
+    // IVF retrains whole against the appended table (see
+    // [[IvfCentroidsName]] — determinism over incrementality here)
+    lazy val quantA = Checkpoints.checkpoint(
+      operators.Ivf.quantized(Tables.embeddings(spark, corpusDir)))
+    lazy val trainedA = operators.Ivf.train(quantA)
+    val ivfC = buildInc(IvfCentroidsName)(
+      operators.Ivf.centroidsFrame(spark, trainedA))
+    val ivfA = buildInc(IvfCellsName)(
+      operators.Ivf.assignFrame(quantA, trainedA))
     EmbeddingNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
       readManifestAt(spark, mb.newPath(n)).map(realSegs) match {
         case Some(segs) if segs.size > compactSegmentThreshold =>
@@ -763,7 +825,8 @@ object Artifacts {
     }
     pruneSweep(spark, corpusDir, EmbeddingNames, Set(fpNew, fpOld),
       graceMs = AppendPruneGraceMs, table = "embeddings.parquet")
-    IncrementalResult("append", Map(ann, nd, vh, cen), nAdd, 0, 0, -1, -1)
+    IncrementalResult("append", Map(ann, nd, vh, cen, ivfC, ivfA),
+      nAdd, 0, 0, -1, -1)
   }
 
   /** Maintain `newDir`'s vector-side artifacts FROM `oldDir`'s, driven
@@ -864,9 +927,15 @@ object Artifacts {
         Seq("id"), "left_semi"))(hashedNew)
     val cen = buildInc(LabelCentroidsName)(
       operators.Similarity.labelCentroidsFrame(eNew))
+    lazy val quantN = Checkpoints.checkpoint(operators.Ivf.quantized(eNew))
+    lazy val trainedN = operators.Ivf.train(quantN)
+    val ivfC = buildInc(IvfCentroidsName)(
+      operators.Ivf.centroidsFrame(spark, trainedN))
+    val ivfA = buildInc(IvfCellsName)(
+      operators.Ivf.assignFrame(quantN, trainedN))
     pruneSweep(spark, newDir, EmbeddingNames, Set(fpNew),
       table = "embeddings.parquet")
-    IncrementalResult("incremental", Map(ann, nd, vh, cen),
+    IncrementalResult("incremental", Map(ann, nd, vh, cen, ivfC, ivfA),
       nAdd, nChg, nRem, -1, -1)
   }
 

@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+import graft.functions.VectorOps
+
+/** Learned-centroid IVF: Lloyd's k-means over the embeddings table as an
+  * ITERATING corpus op, with the trained index evaluated by the q92
+  * recall harness (q125).
+  *
+  * q35's IVF uses the label column as its cells — an honest stand-in.
+  * This is the real thing: [[Iters]] fixed Lloyd iterations, each ONE
+  * assignment pass over the corpus (centroids inlined as literals, so
+  * the pass is map-side) followed by a vocabulary-sized aggregate
+  * ((cells × dim) rows — the q113 census shape) collected to the
+  * driver, never a corpus re-scan per step beyond the assignment pass.
+  *
+  * Cross-engine determinism is by INTEGER arithmetic throughout the
+  * training loop: embeddings are decimal-route-quantized to
+  * [[QuantScale]]-scaled longs ([[quantize]]), distances are exact
+  * integer squared-L2 sums, centroid means round half-away-from-zero in
+  * pure integer math ([[roundDivSql]]) — no float accumulates anywhere
+  * an engine could order differently. Assignment ties break toward the
+  * smaller cell id. The DuckDB oracle replays the identical loop
+  * (same init, same iterations — both sides generated from the same
+  * constants), so q125 is hash-checkable end to end. The final RERANK
+  * uses the ordinary float cosine (round6) on the original embeddings —
+  * the trained structure only decides which candidates are scored,
+  * exactly as a deployed IVF does.
+  *
+  * 100 TB shape: centroids are a (cells × dim) artifact
+  * (`ivf_centroids`) and the assignment a per-vector artifact
+  * (`ivf_cells`), both keyed by the embeddings fingerprint; training is
+  * [[Iters]]+1 scans paid once per embedding snapshot, searches read
+  * the standing artifacts and scan only the probed cells' vectors.
+  */
+object Ivf {
+
+  /** Cells trained. */
+  val K = 16
+
+  /** Fixed Lloyd iterations (fixed so the oracle can replay them). */
+  val Iters = 2
+
+  /** Cells probed per query at eval time. */
+  val Nprobe = 3
+
+  /** Fixed-point scale for the quantized training space. */
+  val QuantScale = 1000000L
+
+  private val NumProbes = 10
+  private val TopK = 10
+
+  /** Decimal-routed fixed-point quantization of a float vector:
+    * `round(v * QuantScale)` as long, via DECIMAL(20,4) so both engines
+    * round the same digits the same way (float→double is exact, the
+    * double multiply is one deterministic IEEE op, and no double value
+    * lands exactly on a .5000 four-decimal boundary — dyadic rationals
+    * can't — so the only actual tie point is the final half-away-from-
+    * zero integer round, identical in both engines).
+    */
+  def quantize(c: Column): Column =
+    transform(c, v =>
+      round((v.cast("double") * QuantScale).cast(DecimalType(20, 4)), 0)
+        .cast("long"))
+
+  /** [[quantize]] for the oracle. */
+  def quantizeSql(x: String): String =
+    s"list_transform($x, v -> CAST(ROUND(CAST(CAST(v AS DOUBLE) * $QuantScale " +
+      s"AS DECIMAL(20,4)), 0) AS BIGINT))"
+
+  /** The embeddings table quantized: `(vec_id, q)`. */
+  def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), quantize(col("embedding")).as("q"))
+
+  /** Exact integer squared-L2 distance from a quantized vector column to
+    * a literal centroid.
+    */
+  private def distTo(q: Column, cent: Array[Long]): Column = {
+    val c = array(cent.map(lit(_)): _*)
+    aggregate(zip_with(q, c, (a, b) => (a - b) * (a - b)), lit(0L), _ + _)
+  }
+
+  /** `(dist, cell)` struct array against literal centroids, with field
+    * names pinned by an explicit cast — `array()` over structs
+    * normalizes names away otherwise.
+    */
+  private def distStructs(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+    array(cents.map { case (k, c) =>
+      struct(distTo(q, c).as("dist"), lit(k).as("cell"))
+    }: _*).cast("array<struct<dist:bigint,cell:int>>")
+
+  /** argmin cell for a quantized vector against literal centroids —
+    * ties toward the smaller cell id via lexicographic struct-min.
+    * Pure map-side: the centroids ride in the expression.
+    */
+  def cellOf(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+    array_min(distStructs(q, cents))("cell")
+
+  /** Round-half-away-from-zero integer division — the centroid-mean
+    * arithmetic, in longs so both engines compute identical bits.
+    */
+  def roundDiv(s: Long, n: Long): Long = {
+    val a = (2L * math.abs(s) + n) / (2L * n)
+    if (s < 0) -a else a
+  }
+
+  /** [[roundDiv]] as oracle SQL over expressions `s`, `n`. */
+  def roundDivSql(s: String, n: String): String =
+    s"CASE WHEN ($s) >= 0 THEN (2 * ($s) + ($n)) // (2 * ($n)) " +
+      s"ELSE -((-2 * ($s) + ($n)) // (2 * ($n))) END"
+
+  /** Train [[K]] centroids by [[Iters]] Lloyd iterations over a
+    * quantized frame (checkpoint it first — it is scanned once per
+    * iteration plus once for init). Init = the [[K]] smallest `vec_id`s'
+    * vectors, cell ids in that order. Each iteration collects only the
+    * (cells × dim) sum/count aggregate — driver state is
+    * vocabulary-sized, never corpus-sized. An emptied cell keeps its
+    * previous centroid.
+    */
+  def train(quant: DataFrame): Seq[(Int, Array[Long])] = {
+    val init = quant.orderBy("vec_id").limit(K).collect()
+      .map(r => r.getAs[scala.collection.Seq[Long]]("q").toArray)
+      .zipWithIndex.map { case (q, i) => (i, q) }.toSeq
+    (1 to Iters).foldLeft(init) { case (cents, _) =>
+      val sums = quant
+        .select(cellOf(col("q"), cents).as("cell"),
+          posexplode(col("q")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+      cents.map { case (k, old) =>
+        k -> sums.get(k).map { rows =>
+          rows.sortBy(_.getAs[Int]("pos"))
+            .map(r => roundDiv(r.getAs[Long]("s"), r.getAs[Long]("n")))
+            .toArray
+        }.getOrElse(old)
+      }
+    }
+  }
+
+  /** Final per-vector cell assignment `(vec_id, cell)` — one map-side
+    * pass against the literal centroids.
+    */
+  def assignFrame(quant: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
+    quant.select(col("vec_id"), cellOf(col("q"), cents).as("cell"))
+
+  /** Trained centroids as a (cells × dim) frame `(cell, centroid)` —
+    * the `ivf_centroids` artifact shape.
+    */
+  def centroidsFrame(spark: SparkSession,
+      cents: Seq[(Int, Array[Long])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (k, c) => (k, c.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Collect an `ivf_centroids`-shaped frame back to literal form. */
+  def collectCentroids(df: DataFrame): Seq[(Int, Array[Long])] =
+    df.collect().map(r => (r.getAs[Int]("cell"),
+      r.getAs[scala.collection.Seq[Long]]("centroid").toArray))
+      .sortBy(_._1).toSeq
+
+  /** q125 — trained-IVF recall vs the exact q22 baseline, per probe:
+    * probes pick their [[Nprobe]] nearest cells by the SAME integer
+    * distance the training used (ties toward the smaller cell), scan
+    * only those cells' vectors via the standing assignment, rerank by
+    * float cosine (round6), and score recall@[[TopK]] against q22.
+    * Output `(probe_id, n_exact, n_hit, recall)` — the q92 harness
+    * applied to the learned index.
+    */
+  def q125IvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+
+    // probe → its Nprobe nearest cells, one array column, exploded
+    val probeCells = quantized(e.filter(col("vec_id") < NumProbes))
+      .select(col("vec_id").as("probe_id"),
+        slice(array_sort(distStructs(col("q"), cents)), 1, Nprobe).as("near"))
+      .select(col("probe_id"), explode(col("near")("cell")).as("cell"))
+
+    val probeVecs = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        VectorOps.norm(col("embedding")).as("pn"))
+
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = broadcast(probeCells.join(probeVecs, "probe_id"))
+      .join(cells.join(e.select(col("vec_id"), col("embedding").as("nv"),
+          VectorOps.norm(col("embedding")).as("nn")), "vec_id"),
+        "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("pv"), col("nv")) / (col("pn") * col("nn"))))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("hit"))
+
+    val exact = Similarity.q22CosineTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+    exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall", VectorOps.round6(
+        col("n_hit").cast("double") / col("n_exact")))
+      .orderBy("probe_id")
+  }
+
+  /** The oracle's training replay: CTEs `quant`, `cent0`, then per
+    * iteration an assignment (`a<i>`) and an update (`cent<i>`), all
+    * generated from the same [[K]]/[[Iters]]/[[QuantScale]] constants
+    * the Spark side trains with.
+    */
+  private def trainingSql: String = {
+    val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    val iters = (1 to Iters).map { it =>
+      s"""a$it AS (
+         |  SELECT vec_id, q, cell FROM (
+         |    SELECT v.vec_id, v.q, c.cell,
+         |           row_number() OVER (PARTITION BY v.vec_id
+         |             ORDER BY $dist, c.cell) AS rn
+         |    FROM quant v CROSS JOIN (SELECT cell, c FROM cent${it - 1}) c
+         |  ) WHERE rn = 1
+         |), sums$it AS (
+         |  SELECT cell, i, CAST(SUM(v) AS BIGINT) AS s,
+         |         COUNT(*) AS n
+         |  FROM (SELECT cell, generate_subscripts(q, 1) AS i,
+         |               unnest(q) AS v FROM a$it)
+         |  GROUP BY cell, i
+         |), cent$it AS (
+         |  SELECT p.cell,
+         |         COALESCE(u.c, p.c) AS c
+         |  FROM cent${it - 1} p LEFT JOIN (
+         |    SELECT cell, list(${roundDivSql("s", "n")} ORDER BY i) AS c
+         |    FROM sums$it GROUP BY cell
+         |  ) u ON p.cell = u.cell
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""quant AS (
+       |  SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings
+       |), cent0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+       |         q AS c
+       |  FROM (SELECT vec_id, q FROM quant ORDER BY vec_id LIMIT $K)
+       |), $iters""".stripMargin
+  }
+
+  val q125OracleSql: String = {
+    val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    val ncos = VectorOps.round6Sql(VectorOps.cosineSql("pv.embedding", "e.embedding"))
+    val recall = VectorOps.round6Sql(
+      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
+    s"""WITH ${trainingSql},
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY $dist, c.cell) AS rn
+       |    FROM quant v CROSS JOIN cent$Iters c
+       |  ) WHERE rn = 1
+       |), probe_cells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY $dist, c.cell) AS rn
+       |    FROM quant v CROSS JOIN cent$Iters c
+       |    WHERE v.vec_id < $NumProbes
+       |  ) WHERE rn <= $Nprobe
+       |), approx AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT pc.probe_id, e.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY pc.probe_id
+       |             ORDER BY $ncos DESC, e.vec_id ASC) AS rank
+       |    FROM probe_cells pc
+       |    JOIN cells cl ON pc.cell = cl.cell
+       |    JOIN embeddings e ON cl.vec_id = e.vec_id
+       |    JOIN embeddings pv ON pc.probe_id = pv.vec_id
+       |    WHERE e.vec_id <> pc.probe_id
+       |  ) WHERE rank <= $TopK
+       |), exact AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |${Similarity.q22OracleSql}
+       |  )
+       |)
+       |SELECT e.probe_id, COUNT(*) AS n_exact,
+       |       COUNT(a.neighbor_id) AS n_hit,
+       |       $recall AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.probe_id
+       |ORDER BY e.probe_id""".stripMargin
+  }
+}

@@ -203,13 +203,20 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       // every maintained artifact is hash-identical to the inline frame
       // over the new corpus (what a scratch build would commit)
       val eNew = Tables.embeddings(spark, newDir)
+      val scratchQuant = Checkpoints.checkpoint(
+        graft.operators.Ivf.quantized(eNew))
+      val scratchCents = graft.operators.Ivf.train(scratchQuant)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
           rows(Similarity.nearDupIndexFrame(eNew)),
         Artifacts.VecHashesName -> rows(Artifacts.vecHashesFrame(eNew)),
         Artifacts.LabelCentroidsName ->
-          rows(Similarity.labelCentroidsFrame(eNew)))
+          rows(Similarity.labelCentroidsFrame(eNew)),
+        Artifacts.IvfCentroidsName ->
+          rows(graft.operators.Ivf.centroidsFrame(spark, scratchCents)),
+        Artifacts.IvfCellsName ->
+          rows(graft.operators.Ivf.assignFrame(scratchQuant, scratchCents)))
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, newDir, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, newDir, n)) == expected(n),
@@ -293,13 +300,20 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       assert(res.mode == "append", res)
       assert(res.added == newRows.count(), res)
       val eNew = Tables.embeddings(spark, corpus)
+      val scratchQuant = Checkpoints.checkpoint(
+        graft.operators.Ivf.quantized(eNew))
+      val scratchCents = graft.operators.Ivf.train(scratchQuant)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
           rows(Similarity.nearDupIndexFrame(eNew)),
         Artifacts.VecHashesName -> rows(Artifacts.vecHashesFrame(eNew)),
         Artifacts.LabelCentroidsName ->
-          rows(Similarity.labelCentroidsFrame(eNew)))
+          rows(Similarity.labelCentroidsFrame(eNew)),
+        Artifacts.IvfCentroidsName ->
+          rows(graft.operators.Ivf.centroidsFrame(spark, scratchCents)),
+        Artifacts.IvfCellsName ->
+          rows(graft.operators.Ivf.assignFrame(scratchQuant, scratchCents)))
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, corpus, n)) == expected(n),
