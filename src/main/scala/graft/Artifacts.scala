@@ -207,6 +207,16 @@ object Artifacts {
     */
   val EvalShinglesName = "eval_shingles"
 
+  /** Positional postings `(doc_id, token, pos)` over the whitespace
+    * tokens — one row per token OCCURRENCE (0-based position), the
+    * index that makes exact-phrase and proximity queries (q126)
+    * expressible as position-adjacency equi-joins. Token-mass-sized —
+    * the largest text artifact, kept separate from `token_postings`
+    * (tf grain) so consumers that only need tf never pay the
+    * positional width. Per-doc retract/append maintenance.
+    */
+  val TokenPositionsName = "token_positions"
+
   /** The tokenizers whose count artifacts [[materialize]] builds and
     * [[materializeIncremental]] maintains by default — the library
     * default seam (whitespace) and the BPE-ish estimator q26 reports
@@ -227,7 +237,7 @@ object Artifacts {
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
       EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
-      TokenDfName) ++
+      TokenDfName, TokenPositionsName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
 
@@ -1008,6 +1018,13 @@ object Artifacts {
       tok: functions.Tokenizer = functions.Tokenizer.Whitespace): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, tokenPostingsName(tok))
 
+  /** The standing `(doc_id, token, pos)` positional index when the
+    * corpus's current fingerprint resolves (same Option shape as
+    * [[tokenPostings]] — phrase consumers filter it term-bounded).
+    */
+  def tokenPositions(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, TokenPositionsName)
+
   /** The standing `(doc_id, chunk_id, token, tf)` passage index when the
     * corpus's current fingerprint resolves (same Option shape as
     * [[tokenPostings]]).
@@ -1270,7 +1287,7 @@ object Artifacts {
     // vector-side per-id artifacts retract by the embedding id
     case LshAnnIndexName | LshNearDupIndexName | VecHashesName => Seq("id")
     case NgramPostingsName | Shingles8Name | EvalShinglesName |
-         DocHashesName | KeepersName |
+         DocHashesName | KeepersName | TokenPositionsName |
          MinhashBandsName | ChunkPostingsName => Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
     case tp if tp.startsWith(TokenPostingsPrefix) => Seq("doc_id")
@@ -1870,6 +1887,8 @@ object Artifacts {
       operators.CorpusOps.bigramFreqRows(docs))
     val chunkPost = build(ChunkPostingsName)(
       operators.CorpusOps.chunkPostingsRows(docs))
+    val tokPos = build(TokenPositionsName)(
+      operators.CorpusOps.tokenPositionsRows(docs))
     val tokPost = PostingsTokenizers.map { tok =>
       build(tokenPostingsName(tok))(
         operators.CorpusOps.tokenPostingsRows(docs, tok))
@@ -1892,7 +1911,8 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      evalSh, tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap
+      evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf) ++
+      tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -1924,6 +1944,7 @@ object Artifacts {
       case BigramFreqName => operators.CorpusOps.bigramFreqRows(docs)
       case DocHashesName => docHashesFrame(docs)
       case ChunkPostingsName => operators.CorpusOps.chunkPostingsRows(docs)
+      case TokenPositionsName => operators.CorpusOps.tokenPositionsRows(docs)
       case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
       case tc if tc.startsWith(TokenCountsPrefix) =>
         DefaultTokenizers.find(t => tokenCountsName(t) == tc)
@@ -2258,6 +2279,10 @@ object Artifacts {
       operators.CorpusOps.chunkPostingsRows(fresh))(
       readOld(ChunkPostingsName)
         .unionByName(operators.CorpusOps.chunkPostingsRows(fresh)))
+    val tokPos = buildSegInc(TokenPositionsName, None,
+      operators.CorpusOps.tokenPositionsRows(fresh))(
+      readOld(TokenPositionsName)
+        .unionByName(operators.CorpusOps.tokenPositionsRows(fresh)))
     val tokPost = PostingsTokenizers.map { tok =>
       val name = tokenPostingsName(tok)
       buildSegInc(name, None,
@@ -2289,7 +2314,8 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        evalSh, tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
+        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf) ++
+        tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -2566,6 +2592,11 @@ object Artifacts {
       readOldA(ChunkPostingsName)
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.CorpusOps.chunkPostingsRows(docsChangedNew)))
+    val tokPos = buildSegInc(TokenPositionsName, Some(dGone),
+      operators.CorpusOps.tokenPositionsRows(docsChangedNew))(
+      readOldA(TokenPositionsName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.CorpusOps.tokenPositionsRows(docsChangedNew)))
     val tokPost = PostingsTokenizers.map { tok =>
       val name = tokenPostingsName(tok)
       buildSegInc(name, Some(dGone),
@@ -2591,7 +2622,8 @@ object Artifacts {
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        evalSh, tokFreq, bgFreq, chunkPost, tokDf) ++ tokPost ++ tokCounts).toMap,
+        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf) ++
+        tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

@@ -77,6 +77,18 @@ object CorpusOps {
     docs.select(col("doc_id"), explode(tok.tokens(col("text"))).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
 
+  /** Positional postings `(doc_id, token, pos)` — one row per token
+    * occurrence, 0-based whitespace-token position: the inline form of
+    * the `token_positions` artifact (the phrase/proximity index q126
+    * joins). Token-mass-sized; per-doc state, retract/append
+    * maintenance like every doc-grain index.
+    */
+  private[graft] def tokenPositionsRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.Tokenizer.Whitespace.tokens(col("text")))
+          .as(Seq("pos", "token")))
+      .select("doc_id", "token", "pos")
+
   /** Per-chunk term frequencies `(doc_id, chunk_id, token, tf)` over the
     * q64 chunk definition — the inline form of the `chunk_postings`
     * artifact (the materialized PASSAGE index q101 joins). A separate
@@ -503,7 +515,7 @@ object CorpusOps {
   // ---- q84: token-balanced shard manifest --------------------------------
 
   /** Output shard count for the training-export manifest. */
-  private val ExportShards = 16
+  private[graft] val ExportShards = 16
 
   /** q84 — token-balanced export sharding: documents in global doc_id
     * order are cut into [[ExportShards]] contiguous shards of ≈ equal
@@ -542,6 +554,23 @@ object CorpusOps {
   private[graft] def shardManifest(spark: SparkSession, dir: String,
       rangeWidth: Long,
       tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame =
+    exportAssignment(spark, dir, rangeWidth, tok)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+
+  /** Doc-grain q84 cut assignment `(doc_id, n_tokens, cum_before,
+    * shard_id)` — the frame [[shardManifest]] aggregates and the packed
+    * export sink writes by. Two-level global-cumsum form (see
+    * [[shardManifest]]'s scaladoc for the decomposition argument).
+    */
+  private[graft] def exportAssignment(spark: SparkSession, dir: String,
+      rangeWidth: Long,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
       : DataFrame = {
     // derives entirely from (doc_id, n_tokens) — artifact mode runs off
     // the standing token counts with zero documents scan; the inline
@@ -577,13 +606,71 @@ object CorpusOps {
         greatest(expr(s"(total + ${ExportShards - 1}) DIV $ExportShards"),
           lit(1L)))
       .withColumn("shard_id", expr("CAST(cum_before DIV target AS INT)"))
-      .groupBy("shard_id")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("shard_tokens"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
-      .orderBy("shard_id")
+      .select("doc_id", "n_tokens", "cum_before", "shard_id")
   }
+
+  /** Doc-grain packed-export layout: [[exportAssignment]]'s q84 cuts
+    * with each document's WITHIN-shard token offset (`tok_offset` =
+    * `cum_before` − the shard's first `cum_before` — a ≤-shard-count
+    * aggregate joined back, never a second corpus pass) and the q48
+    * `seq_id` = `tok_offset DIV` [[PackBudget]] it implies. This is the
+    * index a trainer seeks by: byte `4 * tok_offset` of shard
+    * `shard_id`'s file is the document's first token id.
+    */
+  private[graft] def exportLayout(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame = {
+    val assigned = exportAssignment(spark, dir, PackRangeWidth, tok)
+    val shardBase = assigned.groupBy("shard_id")
+      .agg(min("cum_before").as("shard_base"))
+    assigned.join(broadcast(shardBase), "shard_id")
+      .withColumn("tok_offset", col("cum_before") - col("shard_base"))
+      .withColumn("seq_id", floor(col("tok_offset") / PackBudget))
+      .select("doc_id", "shard_id", "n_tokens", "tok_offset", "seq_id")
+  }
+
+  /** Frequency-ranked vocabulary over corpus-wide token counts: id 0 is
+    * the most frequent token, ties broken by token ascending — the
+    * conventional rank order a real BPE vocab file ships in, assigned
+    * here so the packed export is decodable without external state.
+    *
+    * The global (n DESC, token ASC) rank decomposes two-level like every
+    * global order in this library: per-(n, 2-char-band) cell sizes →
+    * one exclusive running sum over the CELL table (vocabulary-grain
+    * reduced ~band-fold — the q94 "global window only over cells"
+    * posture) → a partition-local rank within each cell. Banding by a
+    * token PREFIX is what licenses the decomposition: lexicographic
+    * order refines prefix order, so cells ordered by (n DESC, band ASC)
+    * enumerate tokens in exactly the single-window order (the oracle
+    * keeps the single-window `row_number` form as the definition; the
+    * hash match proves the equivalence).
+    */
+  private[graft] def frequencyVocab(counts: DataFrame): DataFrame = {
+    val banded = counts.withColumn("band", substring(col("token"), 0, 2))
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val cellW = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("band")).rowsBetween(unbounded, -1)
+    val bases = banded.groupBy("n", "band")
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("base", coalesce(sum("cell_n").over(cellW), lit(0L)))
+      .select("n", "band", "base")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("n", "band").orderBy("token")
+    banded.join(bases, Seq("n", "band"))
+      .withColumn("id",
+        (col("base") + row_number().over(localW) - 1).cast("int"))
+      .select("token", "n", "id")
+  }
+
+  /** Corpus-wide `(token, n)` counts for the export vocabulary — the
+    * standing per-source `token_freq` artifact re-aggregated over
+    * sources when it resolves (zero documents scan), else one inline
+    * tokenizing pass.
+    */
+  private[graft] def vocabCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.tokenFreq(spark, dir)
+      .getOrElse(tokenFreqRows(Tables.documents(spark, dir)))
+      .groupBy("token").agg(sum("n").as("n"))
 
   /** Single-window semantic form (the definition the two-level plan must
     * reproduce; the cross-engine hash match proves the equivalence).

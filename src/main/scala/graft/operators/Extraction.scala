@@ -185,31 +185,38 @@ object Extraction {
   /** DuckDB mirror of [[q123TextExtract]] — the same rawify arithmetic,
     * the same regex chain, the same line rules as list lambdas.
     */
-  val q123OracleSql: String = {
-    val rawSql =
-      """CASE doc_id % 4
-        | WHEN 0 THEN text
-        | WHEN 1 THEN '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
-        |   '</title><style>p { color: red; }</style></head><body><p>' || text ||
-        |   '</p><div id="nav"><a href="/">home</a> | <a href="/about">about</a> | <a href="/contact">contact</a></div><p>&copy; 2024 Example Corp &amp; Co. All rights reserved.</p></body></html>'
-        | WHEN 2 THEN '<body><script type="text/javascript">var n = 1; if (n < 2) { n++; }</script><p>' || text ||
-        |   ' &amp; more &lt;markup&gt;</p><br><p>We use cookies on this site.</p><p>ok</p></body>'
-        | ELSE '<div><p>' || text ||
-        |   '</p><ul><li><a href="/x">x</a></li><li><a href="/y">y</a></li></ul><p>Short.</p><p>See the privacy policy.</p></div>'
-        | END""".stripMargin
-    // stripTags as a SQL fragment over $x (tags → space, entities,
-    // collapse, trim) — generated by the same fold as the Spark side so
-    // the two chains can never drift
-    def strip(x: String): String = {
-      val entityPairs = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
-        "&quot;" -> "'\"'", "&#39;" -> "CHR(39)", "&nbsp;" -> "' '",
-        "&copy;" -> "'©'", "&amp;" -> "'&'")
-      val tagless = s"regexp_replace($x, '$TagRe', ' ', 'g')"
-      val decoded = entityPairs.foldLeft(tagless) { case (acc, (ent, rep)) =>
-        s"regexp_replace($acc, '$ent', $rep, 'g')"
-      }
-      s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  /** The [[rawify]] arithmetic as oracle SQL — shared by the q123 and
+    * q129 oracles so the synthetic raw layer can never drift between
+    * them.
+    */
+  private[operators] val rawSql =
+    """CASE doc_id % 4
+      | WHEN 0 THEN text
+      | WHEN 1 THEN '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+      |   '</title><style>p { color: red; }</style></head><body><p>' || text ||
+      |   '</p><div id="nav"><a href="/">home</a> | <a href="/about">about</a> | <a href="/contact">contact</a></div><p>&copy; 2024 Example Corp &amp; Co. All rights reserved.</p></body></html>'
+      | WHEN 2 THEN '<body><script type="text/javascript">var n = 1; if (n < 2) { n++; }</script><p>' || text ||
+      |   ' &amp; more &lt;markup&gt;</p><br><p>We use cookies on this site.</p><p>ok</p></body>'
+      | ELSE '<div><p>' || text ||
+      |   '</p><ul><li><a href="/x">x</a></li><li><a href="/y">y</a></li></ul><p>Short.</p><p>See the privacy policy.</p></div>'
+      | END""".stripMargin
+
+  /** [[stripTags]] as a SQL fragment over `x` (tags → space, entities,
+    * collapse, trim) — generated by the same fold as the Spark side so
+    * the two chains can never drift.
+    */
+  private[operators] def strip(x: String): String = {
+    val entityPairs = Seq("&lt;" -> "'<'", "&gt;" -> "'>'",
+      "&quot;" -> "'\"'", "&#39;" -> "CHR(39)", "&nbsp;" -> "' '",
+      "&copy;" -> "'©'", "&amp;" -> "'&'")
+    val tagless = s"regexp_replace($x, '$TagRe', ' ', 'g')"
+    val decoded = entityPairs.foldLeft(tagless) { case (acc, (ent, rep)) =>
+      s"regexp_replace($acc, '$ent', $rep, 'g')"
     }
+    s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
+  }
+
+  val q123OracleSql: String = {
     def words(x: String): String =
       s"len(list_filter(string_split($x, ' '), w -> len(w) > 0))"
     s"""WITH raw AS (
@@ -251,4 +258,89 @@ object Extraction {
        |    AS boilerplate_frac
        |FROM ex ORDER BY doc_id""".stripMargin
   }
+
+  // ---- q129: frequency-based line dedup ------------------------------------
+
+  /** Max distinct-document frequency a line may have and survive q129.
+    * Boilerplate repeats across a meaningful fraction of a feed; prose
+    * lines are (near-)unique — the gap between the two is orders of
+    * magnitude, so the cap is insensitive within a wide band.
+    */
+  private[operators] val MaxLineDf = 4
+
+  /** q129 — frequency-based line dedup: the CCNet mechanism beside
+    * q123's RefinedWeb-style rules. Instead of judging each line in
+    * isolation (word floor, lexicon, link density), a line dies when it
+    * appears in more than [[MaxLineDf]] distinct documents — boilerplate
+    * is whatever the corpus itself repeats. The two mechanisms are
+    * complementary and catch different lines: the per-doc title line
+    * (`Doc 17`) is unique corpus-wide so frequency keeps it where q123's
+    * word floor killed it, while a navigation bar q123 only catches via
+    * link density dies here by repetition alone, lexicon-free.
+    *
+    * Output per doc: surviving text (newline-joined in original line
+    * order), raw/kept line counts.
+    *
+    * Scale shape: one map-only extraction pass → line-grain explode →
+    * a line-vocabulary `COUNT(DISTINCT doc_id)` aggregate → an equi-join
+    * back on the line → a per-doc reassembly aggregate (`collect_list`
+    * bounded by the doc's own line count). No windows, no pairwise
+    * products — at 100 TB the line-vocabulary frame is the line analogue
+    * of `token_freq` and would be the next standing artifact if q129 ran
+    * recurrently.
+    */
+  def q129LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val raw = rawify(col("doc_id"), col("text"))
+    val lineArr = filter(transform(rawLines(raw), stripTags _),
+      l => length(l) > 0)
+    val lines = graft.Checkpoints.checkpoint(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line"))))
+    val lineDf = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("line_df"))
+    val kept = col("line_df") <= MaxLineDf
+    lines.join(lineDf, "line")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(kept,
+              struct(col("pos"), col("line"))))),
+            s => s("line")),
+          "\n").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** The identical explode/df/filter/reassemble pipeline over the shared
+    * [[rawSql]]/[[strip]] fragments.
+    */
+  val q129OracleSql: String =
+    s"""WITH raw AS (
+       |  SELECT doc_id, ($rawSql) AS raw FROM documents
+       |), lined AS (
+       |  SELECT doc_id,
+       |    string_split(regexp_replace(regexp_replace(raw,
+       |      '$BlockRe', ' ', 'g'), '$LineBreakRe', chr(10), 'g'),
+       |      chr(10)) AS lines
+       |  FROM raw
+       |), stripped AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(lines, l -> ${strip("l")}),
+       |      l -> len(l) > 0) AS ls
+       |  FROM lined
+       |), l AS (
+       |  SELECT doc_id, generate_subscripts(ls, 1) - 1 AS pos,
+       |         unnest(ls) AS line
+       |  FROM stripped
+       |), d AS (
+       |  SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM l GROUP BY line
+       |)
+       |SELECT l.doc_id, COUNT(*) AS n_lines,
+       |  CAST(SUM(CASE WHEN d.line_df <= $MaxLineDf THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_kept,
+       |  COALESCE(string_agg(CASE WHEN d.line_df <= $MaxLineDf THEN l.line END,
+       |    chr(10) ORDER BY l.pos), '') AS cleaned
+       |FROM l JOIN d ON l.line = d.line
+       |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
 }

@@ -644,4 +644,257 @@ object Search {
       |GROUP BY tf.doc_id
       |ORDER BY score DESC, tf.doc_id LIMIT $TopK""".stripMargin
   }
+
+  // ---- q126: exact-phrase search over positional postings -----------------
+
+  /** The benchmark phrases. The third repeats a term — the repeated-term
+    * branch of the adjacency join must count each offset separately, not
+    * collapse the two `order` legs.
+    */
+  private val Phrases = Seq(
+    Seq("order", "fast"),
+    Seq("big", "order", "scan"),
+    Seq("order", "order"))
+
+  /** The `(doc_id, token, pos)` positional rows restricted to `restrict`
+    * — the standing `token_positions` index when the corpus fingerprint
+    * resolves (phrase work = a term-bounded filter of the artifact, and
+    * a re-scan per reference keeps the artifact path visible to the
+    * plan guards), else the inline filter-after-posexplode, checkpointed
+    * because the phrase pipeline references the frame through two
+    * aggregation legs.
+    */
+  private def restrictedPositions(spark: SparkSession, dir: String,
+      restrict: DataFrame => DataFrame): DataFrame =
+    graft.Artifacts.tokenPositions(spark, dir) match {
+      case Some(p) => restrict(p).select("doc_id", "token", "pos")
+      case None => graft.Checkpoints.checkpoint(restrict(
+        Tables.documents(spark, dir).select(col("doc_id"),
+          posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "token"))))
+        .select("doc_id", "token", "pos"))
+    }
+
+  /** q126 — exact-phrase search: each benchmark phrase matched as a
+    * position-adjacency equi-join over the positional index, scored with
+    * q121's full Okapi BM25 (phrase tf, phrase df, the identical
+    * length-normalization expression tree), top-[[TopK]] per phrase.
+    *
+    * The adjacency join is offset arithmetic, not an n-way self-join:
+    * every occurrence of a phrase term proposes a candidate start
+    * (`pos − off`), and a start with ALL `plen` offsets present is a
+    * match — one broadcast join against the (phrases × terms) spec and
+    * two partial-aggregated groupBys, whatever the phrase length. The
+    * index rows never leave (doc, start) grain, so the shuffle is
+    * bounded by occurrences of the phrase's terms.
+    *
+    * Scale shape: term-bounded filter of the standing `token_positions`
+    * artifact; `dl`/`avgdl`/N from the standing count artifacts — zero
+    * documents scans in artifact mode (plan-guarded). Per-phrase ranking
+    * is a window over result-set-sized rows.
+    */
+  def q126PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(spark, dir, Phrases)
+
+  /** q126 under caller-chosen phrases. */
+  def phraseSearch(spark: SparkSession, dir: String,
+      phrases: Seq[Seq[String]]): DataFrame = {
+    require(phrases.nonEmpty && phrases.forall(_.nonEmpty),
+      "phrases must be non-empty")
+    import spark.implicits._
+    val spec = phrases.flatMap { p =>
+      p.zipWithIndex.map { case (t, i) => (p.mkString(" "), p.length, t, i) }
+    }.toDF("phrase", "plen", "term", "off")
+    val allTerms = phrases.flatten.distinct
+    val pos = restrictedPositions(spark, dir,
+      _.filter(col("token").isin(allTerms: _*)))
+
+    // (phrase, doc, start, off) is unique by construction — a token
+    // occurrence matches one spec row per offset — so count(*) counts
+    // distinct offsets present at the start
+    def matches: DataFrame = pos
+      .join(broadcast(spec), col("token") === col("term"))
+      .select(col("phrase"), col("plen"), col("doc_id"),
+        (col("pos") - col("off")).as("start"))
+      .groupBy("phrase", "plen", "doc_id", "start")
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") === col("plen"))
+      .groupBy("phrase", "doc_id").agg(count(lit(1)).as("tf"))
+
+    val ws = graft.functions.Tokenizer.Whitespace
+    val dl = graft.Artifacts.tokenCounts(spark, dir, ws).getOrElse(
+      graft.Artifacts.tokenCountsFrame(Tables.documents(spark, dir), ws))
+    val totals = dl.agg(count(lit(1)).as("n_total"),
+      sum("n_tokens").as("tok_total"))
+    val dfc = matches.groupBy("phrase").agg(count(lit(1)).as("df"))
+    val idf = (col("n_total") - col("df") + 0.5) / (col("df") + 0.5)
+    val norm = lit(1.0) - B + lit(B) *
+      (col("n_tokens").cast("double") *
+        (col("n_total").cast("double") / col("tok_total")))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("phrase").orderBy(desc("score"), asc("doc_id"))
+    matches.join(broadcast(dfc), "phrase")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("score", round6(idf *
+        (col("tf") * (K1 + 1.0) / (col("tf") + lit(K1) * norm))))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= TopK)
+      .select(col("phrase"), col("rank"), col("doc_id"), col("tf"),
+        col("score"))
+      .orderBy("phrase", "rank")
+  }
+
+  // ---- q128: proximity (NEAR/slop) search over positional postings --------
+
+  /** The benchmark proximity queries `(term_a, term_b, slop)`: docs where
+    * an occurrence of `term_a` sits within `slop` tokens of an occurrence
+    * of `term_b`.
+    */
+  private val ProxQueries = Seq(
+    ("order", "scan", 5), ("hash", "join", 3), ("window", "batch", 4))
+
+  /** q128 — proximity search: each `(a, b, slop)` query matched as a
+    * doc-co-occurrence equi-join over the positional index with the slop
+    * band as a post-join filter, ranked per query by within-slop pair
+    * count then minimum gap. The first thing a RAG user asks for after
+    * exact phrase: "these two terms, actually near each other".
+    *
+    * Scale shape: the positions frame is filtered to the queries' terms
+    * BEFORE the self-join, and the join itself is an equi-join on
+    * `doc_id` between the a-side and b-side occurrence sets — per-doc
+    * fan-out is occ(a)·occ(b) for QUERY terms only, never a corpus
+    * pairwise product (the q82 candidate-join discipline). Artifact mode
+    * reads the standing `token_positions` index; zero documents scans
+    * (plan-guarded with the lexical family).
+    */
+  def q128ProximitySearch(spark: SparkSession, dir: String): DataFrame =
+    proximitySearch(spark, dir, ProxQueries)
+
+  /** q128 under caller-chosen `(a, b, slop)` queries. */
+  def proximitySearch(spark: SparkSession, dir: String,
+      queries: Seq[(String, String, Int)]): DataFrame = {
+    require(queries.nonEmpty, "queries must be non-empty")
+    require(queries.forall { case (a, b, s) => a != b && s > 0 },
+      "proximity queries need distinct terms and positive slop")
+    import spark.implicits._
+    val spec = queries.toDF("ta", "tb", "slop")
+    val allTerms = queries.flatMap(q => Seq(q._1, q._2)).distinct
+    val pos = restrictedPositions(spark, dir,
+      _.filter(col("token").isin(allTerms: _*)))
+    val pa = pos.select(col("doc_id"), col("token").as("ta_tok"),
+      col("pos").as("pa"))
+    val pb = pos.select(col("doc_id"), col("token").as("tb_tok"),
+      col("pos").as("pb"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("ta", "tb", "slop")
+      .orderBy(desc("n_pairs"), asc("min_gap"), asc("doc_id"))
+    pa.join(broadcast(spec), col("ta_tok") === col("ta"))
+      .join(pb, Seq("doc_id"))
+      .filter(col("tb_tok") === col("tb") &&
+        abs(col("pa") - col("pb")) <= col("slop"))
+      .groupBy("ta", "tb", "slop", "doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs(col("pa") - col("pb"))).as("min_gap"))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= TopK)
+      .select(
+        concat(col("ta"), lit(" NEAR/"), col("slop"), lit(" "), col("tb"))
+          .as("query"),
+        col("rank"), col("doc_id"), col("n_pairs"), col("min_gap"))
+      .orderBy("query", "rank")
+  }
+
+  /** The identical co-occurrence/band/rank pipeline, query spec VALUES
+    * generated from the same [[ProxQueries]] constant.
+    */
+  val q128OracleSql: String = {
+    val specValues = ProxQueries.map { case (a, b, s) =>
+      s"('$a', '$b', $s)"
+    }.mkString(", ")
+    s"""WITH qp(ta, tb, slop) AS (VALUES $specValues),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+      |         unnest(t) AS token
+      |  FROM tok
+      |), m AS (
+      |  SELECT qp.ta, qp.tb, qp.slop, a.doc_id,
+      |         ABS(a.pos - b.pos) AS gap
+      |  FROM pos a
+      |  JOIN qp ON a.token = qp.ta
+      |  JOIN pos b ON b.doc_id = a.doc_id AND b.token = qp.tb
+      |  WHERE ABS(a.pos - b.pos) <= qp.slop
+      |), g AS (
+      |  SELECT ta, tb, slop, doc_id, COUNT(*) AS n_pairs,
+      |         CAST(MIN(gap) AS INTEGER) AS min_gap
+      |  FROM m GROUP BY 1, 2, 3, 4
+      |), r AS (
+      |  SELECT ta || ' NEAR/' || CAST(slop AS VARCHAR) || ' ' || tb AS query,
+      |         doc_id, n_pairs, min_gap,
+      |         row_number() OVER (PARTITION BY ta, tb, slop
+      |           ORDER BY n_pairs DESC, min_gap ASC, doc_id ASC) AS rank
+      |  FROM g
+      |)
+      |SELECT query, CAST(rank AS INTEGER) AS rank, doc_id, n_pairs, min_gap
+      |FROM r WHERE rank <= $TopK
+      |ORDER BY query, rank""".stripMargin
+  }
+
+  /** The identical adjacency/count/scoring pipeline, phrase spec VALUES
+    * generated from the same [[Phrases]] constant.
+    */
+  val q126OracleSql: String = {
+    val specValues = Phrases.flatMap { p =>
+      p.zipWithIndex.map { case (t, i) =>
+        s"('${p.mkString(" ")}', ${p.length}, '$t', $i)"
+      }
+    }.mkString(", ")
+    s"""WITH ph(phrase, plen, term, off) AS (VALUES $specValues),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+      |         unnest(t) AS token
+      |  FROM tok
+      |), cand AS (
+      |  SELECT p.phrase, p.plen, pos.doc_id, pos.pos - p.off AS start
+      |  FROM pos JOIN ph p ON pos.token = p.term
+      |), starts AS (
+      |  SELECT phrase, plen, doc_id, start, COUNT(*) AS k
+      |  FROM cand GROUP BY 1, 2, 3, 4
+      |), tf AS (
+      |  SELECT phrase, doc_id, COUNT(*) AS tf
+      |  FROM starts WHERE k = plen GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT phrase, COUNT(*) AS df FROM tf GROUP BY phrase
+      |), dl AS (
+      |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tokens
+      |  FROM documents
+      |), n AS (
+      |  SELECT COUNT(*) AS n_total,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS tok_total
+      |  FROM dl
+      |), scored AS (
+      |  SELECT tf.phrase, tf.doc_id, tf.tf,
+      |         ${round6Sql(
+           s"""(((n_total - df + 0.5) / (df + 0.5))
+      |           * (tf * ($K1 + 1.0)
+      |             / (tf + $K1 * (1.0 - $B + $B
+      |               * (CAST(dl.n_tokens AS DOUBLE)
+      |                 * (CAST(n_total AS DOUBLE) / tok_total))))))""")}
+      |           AS score
+      |  FROM tf
+      |  JOIN dfc ON tf.phrase = dfc.phrase
+      |  JOIN dl ON dl.doc_id = tf.doc_id, n
+      |), ranked AS (
+      |  SELECT phrase, doc_id, tf, score,
+      |         row_number() OVER (PARTITION BY phrase
+      |           ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM scored
+      |)
+      |SELECT phrase, CAST(rank AS INTEGER) AS rank, doc_id, tf, score
+      |FROM ranked WHERE rank <= $TopK
+      |ORDER BY phrase, rank""".stripMargin
+  }
 }

@@ -1,0 +1,307 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.CorpusOps
+
+/** Packed-sequence binary export — the sink that turns q48/q84's computed
+  * training layout into the artifact a trainer actually reads: one
+  * fixed-width binary file of little-endian int32 token ids per
+  * token-balanced export shard, an id-decodable vocabulary, the doc-grain
+  * seek index, and a checksummed manifest, all committed by
+  * [[Sinks.compact]]-style staged rename.
+  *
+  * Layout under `outDir` after a successful run:
+  * {{{
+  *   shards/shard_00000.bin …   4-byte LE token ids, docs concatenated in
+  *                              doc_id order within the shard (shards with
+  *                              zero tokens write no file)
+  *   index/    (parquet)        (doc_id, shard_id, n_tokens, tok_offset,
+  *                              seq_id) — byte 4·tok_offset of the shard's
+  *                              file is the doc's first id (q48's layout
+  *                              over q84's cut points)
+  *   vocab/    (parquet)        (token, n, id) frequency-ranked — id 0 is
+  *                              the most frequent token
+  *   manifest/ (parquet)        (shard_id, n_docs, shard_tokens,
+  *                              first_doc, last_doc, n_bytes, crc32)
+  * }}}
+  *
+  * Scale shape: the id stream is the positional index joined to the vocab
+  * and the doc-grain layout — token-occurrence grain, equi-joins only, and
+  * in artifact mode (standing `token_positions` / `token_freq` /
+  * token-count artifacts) ZERO documents scans. Each shard's file is
+  * written by exactly one task (hash-partitioned by `shard_id`, sorted by
+  * stream position), so per-task state is a stream buffer + a CRC — never
+  * a shard's rows in memory. Like every plain-parquet rewrite in
+  * [[Sinks]], the commit is NOT concurrent-writer-safe (no transaction
+  * log; speculative execution must be off for the side-file writers — the
+  * same contract as any direct-filesystem sink).
+  */
+object PackedExport {
+
+  /** Bytes per token id (int32 little-endian). */
+  val BytesPerToken = 4
+
+  private def fs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The `(doc_id, pos, token)` occurrence stream: the standing
+    * positional artifact for the whitespace default, else one inline
+    * posexplode pass under `tok`.
+    */
+  private def occurrences(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer): DataFrame =
+    (if (tok == graft.functions.Tokenizer.Whitespace)
+       graft.Artifacts.tokenPositions(spark, dir) else None)
+      // inline fallback is checkpointed: the stream join and (for a
+      // custom tokenizer) the vocab count both read it
+      .getOrElse(graft.Checkpoints.checkpoint(Tables.documents(spark, dir)
+        .select(col("doc_id"), posexplode(tok.tokens(col("text")))
+          .as(Seq("pos", "token")))))
+
+  /** Run the export: write shards + index + vocab + manifest into a
+    * staging sibling of `outDir`, then swap. Returns the committed
+    * manifest frame (read back from `outDir/manifest`).
+    */
+  def packedExport(spark: SparkSession, dir: String, outDir: String,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      : DataFrame = {
+    import spark.implicits._
+    // checkpointed: referenced by the index write, the stream join, and
+    // the manifest rollup — three consumers, one window computation
+    val layout = graft.Checkpoints.checkpoint(
+      CorpusOps.exportLayout(spark, dir, tok))
+    val occ = occurrences(spark, dir, tok)
+    // vocabulary counts: standing token_freq (re-aggregated over sources)
+    // for the whitespace default, else counted off the occurrence stream
+    val counts =
+      if (tok == graft.functions.Tokenizer.Whitespace)
+        CorpusOps.vocabCounts(spark, dir)
+      else occ.groupBy("token").agg(count(lit(1)).as("n"))
+    val vocab = CorpusOps.frequencyVocab(counts)
+
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val hfs = fs(spark, outDir)
+    // underscore-prefixed stage dir: invisible to partition discovery if
+    // a crash strands it (the Sinks.compact posture)
+    val stage = new org.apache.hadoop.fs.Path(
+      p.getParent, "_" + p.getName + "__stage")
+    hfs.delete(stage, true)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(stage, "shards"))
+
+    layout.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(stage, "index").toString)
+    vocab.write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(stage, "vocab").toString)
+
+    // the id stream at (shard, stream-position) grain: occurrence rows
+    // carry their doc's within-shard offset, so spos = tok_offset + pos
+    // is the exact byte/4 position the trainer reads
+    val stream = occ
+      .join(layout.select("doc_id", "shard_id", "tok_offset"), "doc_id")
+      .join(vocab.select("token", "id"), "token")
+      .select(col("shard_id"),
+        (col("tok_offset") + col("pos")).as("spos"), col("id"))
+
+    // Hadoop conf rebuilt task-side from the driver's entries (the
+    // SerializableConfiguration pattern) so object-store creds etc.
+    // survive into the writers on a real cluster
+    val confEntries: Array[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = scala.collection.mutable.ArrayBuffer[(String, String)]()
+      while (it.hasNext) { val e = it.next(); buf += (e.getKey -> e.getValue) }
+      buf.toArray
+    }
+    val shardsDir = new org.apache.hadoop.fs.Path(stage, "shards").toString
+    val stats = stream
+      .repartition(CorpusOps.ExportShards, col("shard_id"))
+      .sortWithinPartitions("shard_id", "spos")
+      .as[(Int, Long, Int)]
+      .mapPartitions { rows =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long, Long)]()
+        var cur = -1
+        var os: java.io.OutputStream = null
+        var crc = new java.util.zip.CRC32
+        var n = 0L
+        def closeCurrent(): Unit = if (cur >= 0) {
+          os.close()
+          out += ((cur, n, BytesPerToken * n, crc.getValue))
+        }
+        val b = new Array[Byte](BytesPerToken)
+        rows.foreach { case (sid, _, id) =>
+          if (sid != cur) {
+            closeCurrent()
+            cur = sid; crc = new java.util.zip.CRC32; n = 0L
+            val f = new org.apache.hadoop.fs.Path(
+              shardsDir, f"shard_$sid%05d.bin")
+            os = new java.io.BufferedOutputStream(
+              f.getFileSystem(conf).create(f, true), 1 << 16)
+          }
+          b(0) = (id & 0xFF).toByte
+          b(1) = ((id >>> 8) & 0xFF).toByte
+          b(2) = ((id >>> 16) & 0xFF).toByte
+          b(3) = ((id >>> 24) & 0xFF).toByte
+          os.write(b); crc.update(b); n += 1
+        }
+        closeCurrent()
+        out.iterator
+      }
+      .toDF("shard_id", "w_tokens", "n_bytes", "crc32")
+
+    // shard-grain manifest: layout rollup (q84's exact aggregate) joined
+    // to the writer-reported stats; a shard whose docs are all
+    // zero-token has no file — 0 bytes, CRC of the empty stream (0)
+    val manifest = layout.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .join(stats, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
+        col("first_doc"), col("last_doc"),
+        coalesce(col("n_bytes"), lit(0L)).as("n_bytes"),
+        coalesce(col("crc32"), lit(0L)).as("crc32"),
+        coalesce(col("w_tokens"), lit(0L)).as("w_tokens"))
+      .orderBy("shard_id")
+      .collect()
+    // the writer must have emitted exactly 4 bytes per layout token —
+    // catch a lost/short file BEFORE the commit rename, not in training
+    manifest.foreach { r =>
+      require(r.getAs[Long]("w_tokens") == r.getAs[Long]("shard_tokens"),
+        s"packedExport: shard ${r.getAs[Int]("shard_id")} wrote " +
+          s"${r.getAs[Long]("w_tokens")} tokens, layout says " +
+          s"${r.getAs[Long]("shard_tokens")} — refusing to commit")
+    }
+    manifest.toSeq
+      .map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("shard_tokens"), r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("crc32")))
+      .toDF("shard_id", "n_docs", "shard_tokens", "first_doc",
+        "last_doc", "n_bytes", "crc32")
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(stage, "manifest").toString)
+
+    hfs.delete(p, true)
+    require(hfs.rename(stage, p),
+      s"packedExport: rename $stage -> $p failed; data is intact at $stage")
+    spark.read.parquet(new org.apache.hadoop.fs.Path(p, "manifest").toString)
+  }
+
+  // ---- q127: export + byte-level read-back verification -------------------
+
+  /** q127 — the packed export round-tripped: run [[packedExport]] into a
+    * per-corpus scratch dir, then read the BINARY SHARDS back and report,
+    * per shard, the manifest row plus an order-sensitive checksum
+    * `stream_sum = Σ (id+1)·(spos+1)` computed FROM THE BYTES (ids
+    * re-parsed out of the little-endian stream with hex/conv column
+    * expressions). The DuckDB oracle recomputes the same sum from first
+    * principles — documents → cuts → offsets → frequency-ranked vocab —
+    * so a wrong id, a swapped byte order, a misplaced document, or a
+    * manifest that disagrees with the files all hash-mismatch. (The CRC32
+    * is spec-checked; no oracle can replay it in SQL.)
+    *
+    * The verification read loads whole shard files as rows
+    * (`binaryFile`), which bounds checkable shard size to the JVM row
+    * limit — verification shape, not the training read path; a trainer
+    * seeks by the index parquet.
+    */
+  def q127PackedExport(spark: SparkSession, dir: String): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val outDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_packed_export_$tag").getAbsolutePath
+    val manifest = packedExport(spark, dir, outDir)
+    val bin = spark.read.format("binaryFile").load(s"$outDir/shards")
+      .select(
+        regexp_extract(col("path"), "shard_(\\d+)\\.bin", 1)
+          .cast("int").as("shard_id"),
+        col("content"),
+        length(col("content")).as("blen"))
+    // little-endian int32 at bytes [4i, 4i+4): single-byte BINARY slices
+    // hexed and re-ordered big-endian for conv. Slicing the BINARY
+    // column is O(1) per byte; substr over one whole-shard hex STRING
+    // would re-scan the string per element (UTF8String substring walks
+    // from the front — measured 17× slower on sf0.1 shards)
+    val sums = bin
+      .withColumn("ids", expr(
+        "transform(sequence(0, CAST(blen / 4 AS INT) - 1), i -> " +
+          "CAST(conv(concat(hex(substr(content, i*4+4, 1)), " +
+          "hex(substr(content, i*4+3, 1)), hex(substr(content, i*4+2, 1)), " +
+          "hex(substr(content, i*4+1, 1))), 16, 10) AS INT))"))
+      .select(col("shard_id"), posexplode(col("ids")).as(Seq("spos", "id")))
+      .groupBy("shard_id")
+      .agg(sum(((col("id").cast("long") + 1) * (col("spos") + 1))
+        .cast("decimal(38,0)")).cast("long").as("stream_sum"))
+    manifest.join(sums, Seq("shard_id"), "left")
+      .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
+        col("first_doc"), col("last_doc"), col("n_bytes"),
+        coalesce(col("stream_sum"), lit(0L)).as("stream_sum"))
+      .orderBy("shard_id")
+  }
+
+  /** First-principles replay: cuts and offsets in q84's exact oracle
+    * form, the vocabulary as the single-window `row_number` definition
+    * [[CorpusOps.frequencyVocab]]'s two-level plan must reproduce, and
+    * the weighted stream sum over (id, stream position).
+    */
+  val q127OracleSql: String =
+    s"""WITH t AS (
+      |  SELECT doc_id,
+      |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS cum_before,
+      |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
+      |  FROM t
+      |), s AS (
+      |  SELECT doc_id, n_tokens, cum_before,
+      |         CAST(FLOOR(CAST(cum_before AS DOUBLE) /
+      |           GREATEST(CAST(FLOOR(CAST(total + ${CorpusOps.ExportShards - 1}
+      |             AS DOUBLE) / ${CorpusOps.ExportShards}) AS BIGINT), 1))
+      |           AS INTEGER) AS shard_id
+      |  FROM c
+      |), base AS (
+      |  SELECT shard_id, MIN(cum_before) AS shard_base FROM s GROUP BY shard_id
+      |), man AS (
+      |  SELECT shard_id, COUNT(*) AS n_docs,
+      |         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+      |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |  FROM s GROUP BY shard_id
+      |), pos AS (
+      |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+      |         unnest(tk) AS token
+      |  FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS tk
+      |        FROM documents WHERE text IS NOT NULL)
+      |), freq AS (
+      |  SELECT token, COUNT(*) AS n FROM pos GROUP BY token
+      |), vocab AS (
+      |  SELECT token,
+      |         CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+      |           AS BIGINT) AS id
+      |  FROM freq
+      |), occ AS (
+      |  SELECT s.shard_id, s.cum_before - b.shard_base + p.pos AS spos, v.id
+      |  FROM pos p
+      |  JOIN s ON p.doc_id = s.doc_id
+      |  JOIN base b ON s.shard_id = b.shard_id
+      |  JOIN vocab v ON p.token = v.token
+      |), sums AS (
+      |  SELECT shard_id,
+      |         CAST(SUM((id + 1) * (spos + 1)) AS BIGINT) AS stream_sum
+      |  FROM occ GROUP BY shard_id
+      |)
+      |SELECT m.shard_id, m.n_docs, m.shard_tokens, m.first_doc, m.last_doc,
+      |       m.shard_tokens * ${BytesPerToken} AS n_bytes,
+      |       COALESCE(su.stream_sum, 0) AS stream_sum
+      |FROM man m LEFT JOIN sums su ON m.shard_id = su.shard_id
+      |ORDER BY m.shard_id""".stripMargin
+}

@@ -108,4 +108,59 @@ class ExtractionSpec extends SparkSpec {
       assert(r.getAs[Long]("n_lines_kept") >= 1)
     }
   }
+
+  test("q129 removes lines by corpus frequency, keeps unique lines rules would drop") {
+    val byDoc = Extraction.q129LineDedup(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc.size == 500)
+    byDoc.values.foreach { r =>
+      val mode = r.getAs[Long]("doc_id") % 4
+      val cleaned = r.getAs[String]("cleaned")
+      assert(r.getAs[Long]("n_kept") <= r.getAs[Long]("n_lines"))
+      // repeated boilerplate lines die by frequency, lexicon-free
+      assert(!cleaned.contains("All rights reserved"))
+      assert(!cleaned.contains("cookies"))
+      assert(!cleaned.contains("privacy policy"))
+      assert(!cleaned.contains("home | about | contact"))
+      if (mode == 1) {
+        // the per-doc title line is corpus-unique → frequency KEEPS it
+        // (q123's word floor dropped it) — the mechanisms differ
+        assert(cleaned.contains(s"Doc ${r.getAs[Long]("doc_id")}"),
+          s"doc ${r.getAs[Long]("doc_id")}")
+      }
+      if (mode == 0) {
+        // passthrough docs: the single prose line is unique → untouched
+        assert(r.getAs[Long]("n_kept") == r.getAs[Long]("n_lines"))
+      }
+    }
+  }
+
+  test("q129 frequency cap on crafted rows: df boundary is inclusive") {
+    import spark.implicits._
+    // doc_ids ≡ 0 (mod 4): rawify passes the text through, so the lines
+    // are exactly ours. "shared line y" appears in MaxLineDf docs →
+    // kept; "spam line x" appears in MaxLineDf+1 docs → removed
+    val ids = Seq(4L, 8L, 12L, 16L, 20L)
+    val crafted = ids.map { i =>
+      val shared = if (i <= 16) "<br>shared line y" else ""
+      (i, s"unique prose $i<br>spam line x$shared", "s")
+    }.toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linededup").toFile
+    try {
+      crafted.write.parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+      val rows = Extraction.q129LineDedup(spark, tmp.getAbsolutePath)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      Seq(4L, 8L, 12L, 16L).foreach { i =>
+        assert(rows(i).getAs[String]("cleaned") ==
+          s"unique prose $i\nshared line y", i)
+        assert(rows(i).getAs[Long]("n_lines") == 3L, i)
+        assert(rows(i).getAs[Long]("n_kept") == 2L, i)
+      }
+      assert(rows(20L).getAs[String]("cleaned") == "unique prose 20")
+    } finally {
+      Tables.invalidate(tmp.getAbsolutePath)
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
 }

@@ -35,6 +35,7 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.BigramFreqName -> rows(CorpusOps.bigramFreqRows(docs)),
       Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs)),
       Artifacts.ChunkPostingsName -> rows(CorpusOps.chunkPostingsRows(docs)),
+      Artifacts.TokenPositionsName -> rows(CorpusOps.tokenPositionsRows(docs)),
       Artifacts.TokenDfName -> rows(CorpusOps.tokenDfRows(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t))) ++

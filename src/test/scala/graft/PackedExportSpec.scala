@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CorpusOps
+import graft.sources.PackedExport
+
+/** Byte-level round-trip of the packed-sequence export sink: the binary
+  * shards decode back to exactly the corpus tokens at exactly the index's
+  * offsets, the manifest agrees with q84's shard accounting, CRCs verify,
+  * and re-running the export over existing output swaps cleanly.
+  */
+class PackedExportSpec extends SparkSpec {
+
+  private def readAll(f: java.io.File): Array[Byte] =
+    java.nio.file.Files.readAllBytes(f.toPath)
+
+  private def leInts(bytes: Array[Byte]): Array[Int] =
+    bytes.grouped(4).map { b =>
+      (b(0) & 0xFF) | ((b(1) & 0xFF) << 8) |
+        ((b(2) & 0xFF) << 16) | ((b(3) & 0xFF) << 24)
+    }.toArray
+
+  private def crc32(bytes: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32; c.update(bytes); c.getValue
+  }
+
+  test("manifest agrees with q84 and the shards round-trip byte-exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packed").toFile
+    val out = new java.io.File(tmp, "export").getAbsolutePath
+    try {
+      val manifest = PackedExport.packedExport(spark, sf, out).collect()
+        .map(r => r.getAs[Int]("shard_id") -> r).toMap
+
+      // shard accounting is exactly q84's
+      val q84 = CorpusOps.q84ShardManifest(spark, sf).collect()
+        .map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("shard_tokens"), r.getAs[Long]("first_doc"),
+          r.getAs[Long]("last_doc"))).toSet
+      val fromManifest = manifest.values.map(r =>
+        (r.getAs[Int]("shard_id"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("shard_tokens"), r.getAs[Long]("first_doc"),
+          r.getAs[Long]("last_doc"))).toSet
+      assert(fromManifest == q84)
+
+      // files: length and CRC match the manifest
+      val shardBytes: Map[Int, Array[Byte]] =
+        new java.io.File(out, "shards").listFiles()
+          .filter(_.getName.endsWith(".bin"))
+          .map(f => f.getName.stripPrefix("shard_").stripSuffix(".bin").toInt
+            -> readAll(f)).toMap
+      manifest.values.foreach { r =>
+        val sid = r.getAs[Int]("shard_id")
+        val bytes = shardBytes.getOrElse(sid, Array.empty[Byte])
+        assert(bytes.length.toLong == r.getAs[Long]("n_bytes"), s"shard $sid")
+        assert(bytes.length.toLong ==
+          PackedExport.BytesPerToken * r.getAs[Long]("shard_tokens"))
+        if (bytes.nonEmpty)
+          assert(crc32(bytes) == r.getAs[Long]("crc32"), s"crc shard $sid")
+      }
+      assert(shardBytes.keySet.subsetOf(manifest.keySet))
+
+      // every doc's index slice decodes to exactly its whitespace tokens
+      val idToToken = spark.read.parquet(s"$out/vocab").collect()
+        .map(r => r.getAs[Int]("id") -> r.getAs[String]("token")).toMap
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[String]("text"))).toMap
+      val index = spark.read.parquet(s"$out/index").collect()
+      assert(index.length == texts.size)
+      index.foreach { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val sid = r.getAs[Int]("shard_id")
+        val off = r.getAs[Long]("tok_offset").toInt
+        val n = r.getAs[Long]("n_tokens").toInt
+        assert(r.getAs[Long]("seq_id") == off / 512)
+        val slice = shardBytes.getOrElse(sid, Array.empty[Byte])
+          .slice(4 * off, 4 * (off + n))
+        val decoded = leInts(slice).map(idToToken)
+        val expected = texts(docId).map(_.split("\\s+")).getOrElse(Array.empty)
+        assert(decoded.sameElements(expected), s"doc $docId shard $sid")
+      }
+    } finally {
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("re-running over existing output swaps in byte-identical shards") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packed2").toFile
+    val out = new java.io.File(tmp, "export").getAbsolutePath
+    try {
+      val first = PackedExport.packedExport(spark, sf, out).collect()
+        .map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("crc32"))).toSet
+      Checkpoints.releaseAll()
+      val second = PackedExport.packedExport(spark, sf, out).collect()
+        .map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_bytes"),
+          r.getAs[Long]("crc32"))).toSet
+      assert(first == second)
+      // no stage directory left behind
+      assert(!tmp.listFiles().exists(_.getName.contains("__stage")))
+    } finally {
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("null-text docs occupy zero tokens and token-less shards stay manifest-visible") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packed3").toFile
+    val corpus = new java.io.File(tmp, "corpus").getAbsolutePath
+    val out = new java.io.File(tmp, "export").getAbsolutePath
+    try {
+      Seq((1L, "a b a", "s"), (2L, null: String, "s"), (3L, "b c", "s"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$corpus/documents.parquet")
+      val manifest = PackedExport.packedExport(spark, corpus, out).collect()
+      // 5 tokens, 16 shards → target 1: every token its own shard; the
+      // null doc rides shard of cum_before 3 with 0 tokens
+      assert(manifest.map(_.getAs[Long]("shard_tokens")).sum == 5L)
+      assert(manifest.map(_.getAs[Long]("n_docs")).sum == 3L)
+      val vocab = spark.read.parquet(s"$out/vocab").collect()
+        .map(r => r.getAs[String]("token") ->
+          (r.getAs[Long]("n"), r.getAs[Int]("id"))).toMap
+      // frequency-ranked, ties by token asc: a(2)=0, b(2)=1, c(1)=2
+      assert(vocab == Map("a" -> (2L, 0), "b" -> (2L, 1), "c" -> (1L, 2)))
+      val index = spark.read.parquet(s"$out/index").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+      assert(index == Map(1L -> 3L, 2L -> 0L, 3L -> 2L))
+    } finally {
+      Tables.invalidate(corpus)
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("frequencyVocab's two-level rank equals the single-window definition") {
+    val counts = CorpusOps.vocabCounts(spark, sf)
+    val got = CorpusOps.frequencyVocab(counts).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Int]("id")).toMap
+    val expected = counts.collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("n")))
+      .sortBy { case (t, n) => (-n, t) }
+      .zipWithIndex.map { case ((t, _), i) => t -> i }.toMap
+    assert(got == expected)
+  }
+}

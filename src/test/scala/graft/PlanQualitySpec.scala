@@ -172,6 +172,35 @@ class PlanQualitySpec extends SparkSpec {
       .contains("TakeOrderedAndProject"))
   }
 
+  test("artifact mode: q126 phrase search reads the positional index — text never scanned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-planguard").toFile
+    // FileScan location strings truncate at maxMetadataStringLength —
+    // widen so the artifact directory name is visible to the assertion
+    val prevLen = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "1000")
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.Search.q126PhraseSearch(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q126 plan does not read the artifact root:\n" + p.take(600))
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0, s"q126 artifact-mode plan scans documents $docScans times")
+      assert(p.contains(Artifacts.TokenPositionsName),
+        "q126 plan does not read the positional index:\n" + p.take(600))
+    } finally {
+      spark.conf.set("spark.sql.maxMetadataStringLength", prevLen)
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q124 reads the standing indexes — text never scanned, corpus pass count independent of registry size") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-planguard").toFile
     try {
@@ -609,7 +638,8 @@ class PlanQualitySpec extends SparkSpec {
         "q118" -> graft.operators.Search.q118TfidfKeyterms(spark, sf),
         "q119" -> graft.operators.TextAnalysis.q119PmiCollocations(spark, sf),
         "q120" -> graft.operators.TextAnalysis.q120OovRate(spark, sf),
-        "q121" -> graft.operators.Search.q121Bm25Full(spark, sf))
+        "q121" -> graft.operators.Search.q121Bm25Full(spark, sf),
+        "q128" -> graft.operators.Search.q128ProximitySearch(spark, sf))
       queries.foreach { case (name, df) =>
         df.collect()
         val p = df.queryExecution.executedPlan.toString
