@@ -1588,6 +1588,93 @@ object CorpusOps {
       |         AS stripped_text
       |FROM rem ORDER BY doc_id""".stripMargin
 
+  /** q132 — longest duplicated RUN per document: q54 counts how many of
+    * a doc's [[SpanN]]-gram spans are cross-document duplicated; this
+    * measures how CONTIGUOUS the duplication is. Duplicated span starts
+    * are grouped into maximal consecutive runs (gaps-and-islands over
+    * the start positions), and the longest run's token width
+    * (`run + SpanN − 1`) is the length of the longest verbatim substring
+    * this document shares with the rest of the corpus — the quantity an
+    * exact-substring dedup threshold (Lee et al.'s 50-token rule) is
+    * stated in, which q54's unordered fraction cannot express. A doc at
+    * 30% duplication in one 200-token block reads very differently from
+    * 30% sprinkled as phrase-level boilerplate.
+    *
+    * Scale shape: q54's inverted-index + df chain (standing `dup_spans`
+    * dictionary in artifact mode) down to `(doc, start)` grain, then
+    * windows PARTITIONED BY doc — bounded by each doc's own span count,
+    * never corpus-grain. `n_dup_spans` = Σ runs reconciles row-for-row
+    * with q54's count (spec-pinned).
+    */
+  def q132DupRuns(spark: SparkSession, dir: String): DataFrame =
+    dupRunsFrom(Tables.documents(spark, dir),
+      graft.Artifacts.dupSpans(spark, dir))
+
+  /** [[q132DupRuns]] over caller-supplied documents + duplicated-span
+    * dictionary frames — the spec's crafted-corpus seam.
+    */
+  private[graft] def dupRunsFrom(d: DataFrame, spans: DataFrame): DataFrame = {
+    val allSh = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NgramShinglesAll(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          Dedup.tokens(col("text"))), SpanN))
+    val idx = d.select(col("doc_id"), posexplode(allSh).as(Seq("start", "sh")))
+    val dupStarts = idx.join(spans, "sh")
+      .select("doc_id", "start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("start")
+    val runs = dupStarts
+      .withColumn("island", col("start") - row_number().over(w))
+      .groupBy("doc_id", "island").agg(count(lit(1)).as("run"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"), sum("run").as("n_dup_spans"),
+        max("run").as("max_run"))
+    d.select(col("doc_id"))
+      .join(runs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("max_run"), lit(0L)).as("max_run_spans"),
+        when(col("max_run").isNotNull, col("max_run") + (SpanN - 1))
+          .otherwise(0L).as("max_run_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val q132OracleSql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id,
+      |         unnest(${shingleSqlN(SpanN)}) AS sh,
+      |         unnest(range(1, len(${shingleSqlN(SpanN)}) + 1)) AS start
+      |  FROM toks
+      |), df AS (
+      |  SELECT sh, COUNT(DISTINCT doc_id) AS ndocs FROM pos GROUP BY sh
+      |), dup AS (
+      |  SELECT p.doc_id, p.start FROM pos p
+      |  JOIN df ON p.sh = df.sh WHERE df.ndocs >= 2
+      |), runs AS (
+      |  SELECT doc_id, island, COUNT(*) AS run FROM (
+      |    SELECT doc_id,
+      |           start - row_number() OVER (PARTITION BY doc_id
+      |             ORDER BY start) AS island
+      |    FROM dup
+      |  ) GROUP BY doc_id, island
+      |), agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_runs,
+      |         CAST(SUM(run) AS BIGINT) AS n_dup_spans,
+      |         MAX(run) AS max_run
+      |  FROM runs GROUP BY doc_id
+      |)
+      |SELECT d.doc_id,
+      |       COALESCE(a.n_runs, 0) AS n_runs,
+      |       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+      |       COALESCE(a.max_run, 0) AS max_run_spans,
+      |       CASE WHEN a.max_run IS NULL THEN 0
+      |            ELSE a.max_run + ${SpanN - 1} END AS max_run_tokens
+      |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** q54's statement minus its presentation ORDER BY — reused
     * STRUCTURALLY by `CorpusAudit.q67OracleSql` (which wraps it as a
     * subquery); a textual scrape of [[q54OracleSql]] would silently

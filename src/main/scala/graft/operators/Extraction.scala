@@ -312,6 +312,149 @@ object Extraction {
       .orderBy("doc_id")
   }
 
+  // ---- q133: Gopher-style repetition gate ----------------------------------
+
+  /** q133 thresholds (Rae et al. 2021, "Scaling Language Models: ...
+    * Gopher", repetition-filter working points): a document is culled
+    * when any within-doc repetition signal exceeds its bound.
+    */
+  private[graft] val DupLineFracMax = 0.30
+  private[graft] val DupLineCharFracMax = 0.20
+  private[graft] val Top2GramFracMax = 0.20
+  private[graft] val BulletLineFracMax = 0.90
+  private[graft] val EllipsisLineFracMax = 0.30
+
+  /** q133 — the Gopher repetition gate: WITHIN-document repetition
+    * signals (q38's 3-gram ratio measures the same axis at one grain;
+    * this is the published multi-grain rule set) — duplicate-line
+    * fraction, duplicate-line CHARACTER fraction (a repeated 200-char
+    * footer weighs more than a repeated "Yes."), top-bigram occupancy of
+    * the bigram mass, bullet-start and ellipsis-end line fractions —
+    * each thresholded at the published working point, conjoined into one
+    * `keep` verdict. Complements q129: frequency dedup needs the corpus,
+    * this gate judges each doc alone and catches the self-looping
+    * generator output corpus-frequency can't see.
+    *
+    * Lines are the extraction layer's stripped render lines (the
+    * [[rawify]] seam, shared with q123/q129); bigrams are whitespace
+    * tokens of the clean text. Everything is per-doc HOF arithmetic over
+    * arrays bounded by the doc's own length — MAP-ONLY, no explode, no
+    * join, no window; the only shuffle is the presentation sort. The
+    * verdict compares UNROUNDED IEEE quotients against decimal literals
+    * (identical in both engines); the reported fractions are round6 for
+    * the hash.
+    */
+  def q133RepetitionGate(spark: SparkSession, dir: String): DataFrame =
+    repetitionGateFrom(Tables.documents(spark, dir))
+
+  /** [[q133RepetitionGate]] over a caller-supplied documents frame — the
+    * spec's crafted-row seam (a `doc_id % 4 == 0` row passes [[rawify]]
+    * through verbatim, so crafted text with literal `<br>` separators
+    * exercises every line-grain branch).
+    */
+  private[graft] def repetitionGateFrom(docs: DataFrame): DataFrame = {
+    val raw = rawify(col("doc_id"), col("text"))
+    val ls = filter(transform(rawLines(raw), stripTags _),
+      l => length(l) > 0)
+    val nLines = size(ls)
+    val nDistinct = size(array_distinct(ls))
+    val charsOf = (a: Column) =>
+      aggregate(a, lit(0L), (acc, l) => acc + length(l))
+    val totalChars = charsOf(ls)
+    val dupChars = totalChars - charsOf(array_distinct(ls))
+    val dupLineFrac = when(nLines > 0,
+      (nLines - nDistinct).cast("double") / nLines).otherwise(0.0)
+    val dupCharFrac = when(totalChars > 0,
+      dupChars.cast("double") / totalChars).otherwise(0.0)
+    val bulletFrac = when(nLines > 0,
+      size(filter(ls, l => substring(l, 1, 1).isin("-", "*")))
+        .cast("double") / nLines).otherwise(0.0)
+    val ellipsisFrac = when(nLines > 0,
+      size(filter(ls, l => l.endsWith("...") || l.endsWith("…")))
+        .cast("double") / nLines).otherwise(0.0)
+    val t = Dedup.tokens(col("text"))
+    val bg = when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    val top2 = when(size(bg) === 0, lit(0L))
+      .otherwise(array_max(transform(array_distinct(bg),
+        x => size(filter(bg, y => y === x)))).cast("long"))
+    val top2Frac = when(size(bg) > 0,
+      top2.cast("double") / size(bg)).otherwise(0.0)
+    val keep = dupLineFrac <= DupLineFracMax &&
+      dupCharFrac <= DupLineCharFracMax &&
+      top2Frac <= Top2GramFracMax &&
+      bulletFrac <= BulletLineFracMax &&
+      ellipsisFrac <= EllipsisLineFracMax
+    docs
+      .select(col("doc_id"),
+        nLines.cast("long").as("n_lines"),
+        graft.functions.VectorOps.round6(dupLineFrac).as("dup_line_frac"),
+        graft.functions.VectorOps.round6(dupCharFrac).as("dup_char_frac"),
+        graft.functions.VectorOps.round6(top2Frac).as("top2_frac"),
+        graft.functions.VectorOps.round6(bulletFrac).as("bullet_frac"),
+        graft.functions.VectorOps.round6(ellipsisFrac).as("ellipsis_frac"),
+        keep.as("keep"))
+      .orderBy("doc_id")
+  }
+
+  val q133OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    val chars = (x: String) => s"COALESCE(list_sum(list_transform($x, l -> len(l))), 0)"
+    s"""WITH raw AS (
+       |  SELECT doc_id, text, ($rawSql) AS raw FROM documents
+       |), lined AS (
+       |  SELECT doc_id, text,
+       |    list_filter(list_transform(
+       |      string_split(regexp_replace(regexp_replace(raw,
+       |        '$BlockRe', ' ', 'g'), '$LineBreakRe', chr(10), 'g'),
+       |        chr(10)), l -> ${strip("l")}), l -> len(l) > 0) AS ls
+       |  FROM raw
+       |), m AS (
+       |  SELECT doc_id,
+       |    len(ls) AS n_lines,
+       |    len(list_distinct(ls)) AS n_distinct,
+       |    ${chars("ls")} AS total_chars,
+       |    ${chars("ls")} - ${chars("list_distinct(ls)")} AS dup_chars,
+       |    len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%')) AS n_bullet,
+       |    len(list_filter(ls, l -> ends_with(l, '...') OR ends_with(l, '…')))
+       |      AS n_ellipsis,
+       |    CASE WHEN len(t) < 2 THEN [] ELSE ${CorpusOps.shingleSqlN(2)} END AS bg
+       |  FROM (SELECT doc_id, ls, string_split_regex(text, '\\s+') AS t
+       |        FROM lined)
+       |), f AS (
+       |  SELECT doc_id, n_lines,
+       |    CASE WHEN n_lines > 0
+       |         THEN CAST(n_lines - n_distinct AS DOUBLE) / n_lines
+       |         ELSE 0.0 END AS dup_line_frac,
+       |    CASE WHEN total_chars > 0
+       |         THEN CAST(dup_chars AS DOUBLE) / total_chars
+       |         ELSE 0.0 END AS dup_char_frac,
+       |    CASE WHEN len(bg) > 0
+       |         THEN CAST(list_max(list_transform(list_distinct(bg),
+       |                x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE)
+       |              / len(bg)
+       |         ELSE 0.0 END AS top2_frac,
+       |    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines
+       |         ELSE 0.0 END AS bullet_frac,
+       |    CASE WHEN n_lines > 0 THEN CAST(n_ellipsis AS DOUBLE) / n_lines
+       |         ELSE 0.0 END AS ellipsis_frac
+       |  FROM m
+       |)
+       |SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+       |  ${round6Sql("dup_line_frac")} AS dup_line_frac,
+       |  ${round6Sql("dup_char_frac")} AS dup_char_frac,
+       |  ${round6Sql("top2_frac")} AS top2_frac,
+       |  ${round6Sql("bullet_frac")} AS bullet_frac,
+       |  ${round6Sql("ellipsis_frac")} AS ellipsis_frac,
+       |  (dup_line_frac <= $DupLineFracMax AND
+       |   dup_char_frac <= $DupLineCharFracMax AND
+       |   top2_frac <= $Top2GramFracMax AND
+       |   bullet_frac <= $BulletLineFracMax AND
+       |   ellipsis_frac <= $EllipsisLineFracMax) AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** The identical explode/df/filter/reassemble pipeline over the shared
     * [[rawSql]]/[[strip]] fragments.
     */

@@ -249,13 +249,14 @@ object Ivf {
        |), $iters""".stripMargin
   }
 
-  val q125OracleSql: String = {
+  /** CTE chain `quant, cent0…cent[[Iters]], cells` — the oracle's replay
+    * of training + final assignment, shared by the q125 and q130 oracles
+    * so the two can never train different models.
+    */
+  private[operators] val cellsCtes: String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
-    val ncos = VectorOps.round6Sql(VectorOps.cosineSql("pv.embedding", "e.embedding"))
-    val recall = VectorOps.round6Sql(
-      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
-    s"""WITH ${trainingSql},
+    s"""${trainingSql},
        |cells AS (
        |  SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
@@ -263,7 +264,16 @@ object Ivf {
        |             ORDER BY $dist, c.cell) AS rn
        |    FROM quant v CROSS JOIN cent$Iters c
        |  ) WHERE rn = 1
-       |), probe_cells AS (
+       |)""".stripMargin
+  }
+
+  val q125OracleSql: String = {
+    val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    val ncos = VectorOps.round6Sql(VectorOps.cosineSql("pv.embedding", "e.embedding"))
+    val recall = VectorOps.round6Sql(
+      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
+    s"""WITH ${cellsCtes}, probe_cells AS (
        |  SELECT vec_id AS probe_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id

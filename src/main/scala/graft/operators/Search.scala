@@ -49,7 +49,7 @@ object Search {
     * single-pass consumers use [[restrictedTf]] instead, which keeps
     * the filter below the aggregate in its inline plan.
     */
-  private def postingsOrInline(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def postingsOrInline(spark: SparkSession, dir: String): DataFrame =
     graft.Artifacts.tokenPostings(spark, dir).getOrElse(
       graft.Checkpoints.checkpoint(
         Tables.documents(spark, dir).select(col("doc_id"),
@@ -896,5 +896,80 @@ object Search {
       |SELECT phrase, CAST(rank AS INTEGER) AS rank, doc_id, tf, score
       |FROM ranked WHERE rank <= $TopK
       |ORDER BY phrase, rank""".stripMargin
+  }
+
+  // ---- q134: best-snippet window over positional postings -----------------
+
+  /** Snippet window width in tokens. */
+  private val SnippetWidth = 16
+
+  /** q134 — snippet selection: for each document matching the query
+    * ([[QueryTerms]], the q66 benchmark query), the [[SnippetWidth]]-token
+    * window holding the most query-term occurrences (ties → earliest
+    * start) — the passage a search UI highlights under each hit, and the
+    * RAG answer-context chosen the way a lexical reader does it. Docs
+    * ranked by their best window's hit count (ties → smaller id),
+    * top-[[TopK]].
+    *
+    * The candidate starts are the HIT positions only (an optimal window
+    * can always be anchored at a hit), so the window count is a
+    * per-doc RANGE frame over the term-filtered positional index —
+    * work is per-doc hits², bounded by query-term occurrences, never
+    * doc length. Artifact mode reads the standing `token_positions`
+    * index; zero documents scans (plan-guarded with the lexical
+    * family).
+    */
+  def q134Snippet(spark: SparkSession, dir: String): DataFrame =
+    snippetFrom(restrictedPositions(spark, dir,
+      _.filter(col("token").isin(QueryTerms: _*))))
+
+  /** [[q134Snippet]] over a caller-supplied `(doc_id, pos)` hit frame —
+    * the spec's crafted-positions seam.
+    */
+  private[graft] def snippetFrom(pos: DataFrame): DataFrame = {
+    val wnd = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rangeBetween(0, SnippetWidth - 1)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("n_hits"), asc("start"))
+    pos
+      .select(col("doc_id"), col("pos").as("start"),
+        count(lit(1)).over(wnd).as("n_hits"))
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("start"), col("n_hits"))
+      .orderBy(desc("n_hits"), asc("doc_id"))
+      .limit(TopK)
+  }
+
+  /** The identical hit-position/range-frame/argmax pipeline over the
+    * same [[QueryTerms]].
+    */
+  val q134OracleSql: String = {
+    val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
+    s"""WITH qt(term) AS (VALUES $termList),
+      |tok AS (
+      |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
+      |), pos AS (
+      |  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+      |         unnest(t) AS token
+      |  FROM tok
+      |), hit AS (
+      |  SELECT doc_id, pos FROM pos JOIN qt ON pos.token = qt.term
+      |), wnd AS (
+      |  SELECT doc_id, pos AS start,
+      |         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+      |           RANGE BETWEEN CURRENT ROW
+      |             AND ${SnippetWidth - 1} FOLLOWING) AS n_hits
+      |  FROM hit
+      |), best AS (
+      |  SELECT doc_id, start, n_hits,
+      |         row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY n_hits DESC, start ASC) AS rn
+      |  FROM wnd
+      |)
+      |SELECT doc_id, CAST(start AS INTEGER) AS start, n_hits
+      |FROM best WHERE rn = 1
+      |ORDER BY n_hits DESC, doc_id LIMIT $TopK""".stripMargin
   }
 }

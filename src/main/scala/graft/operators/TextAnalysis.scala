@@ -944,4 +944,133 @@ object TextAnalysis {
       |FROM freq f LEFT JOIN vocab v ON f.token = v.token
       |GROUP BY f.source
       |ORDER BY f.source ASC NULLS LAST""".stripMargin
+
+  // ---- q135: BPE merge TRAINING -------------------------------------------
+
+  /** Merge steps trained by [[q135BpeTrain]] (fixed so the oracle can
+    * replay them, the q125 Lloyd discipline).
+    */
+  private[graft] val BpeSteps = 8
+
+  /** Each character single-space-wrapped: `"abc"` → `" a  b  c "`.
+    * Symbols are then always delimited by exactly one space on each
+    * side, so a merge is ONE plain (non-regex) string replace of
+    * `" A  B "` with `" AB "` — and because the match consumes both
+    * symbols' full wrappers and nothing shared with a neighbor, plain
+    * left-to-right non-overlapping `replace` reproduces the reference
+    * greedy merge semantics (Sennrich et al. 2016's lookaround regex)
+    * exactly: in `a a a a` the merge `(a,a)` pairs (1,2) and (3,4); in
+    * `a a a` it pairs (1,2) and leaves the third.
+    */
+  private def wrapChars(t: Column): Column =
+    regexp_replace(t, "(.)", " $1 ")
+
+  /** q135 — byte-pair-encoding merge TRAINING (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"):
+    * q113 takes the census one merge would see; this runs the actual
+    * training loop. State is the word-frequency dictionary (the standing
+    * `token_freq` census — BPE trains at VOCABULARY grain, never corpus
+    * grain) with each word as a wrapped symbol string; each of
+    * [[BpeSteps]] steps counts adjacent symbol pairs weighted by word
+    * frequency (multiplicity included — `aaaa` holds three `(a,a)`
+    * pairs), merges the argmax pair (weight desc, then pair asc) into
+    * every word greedily, and records it. The result is the merge table
+    * itself — the artifact a tokenizer ships.
+    *
+    * Scale shape: the corpus appears only through the standing
+    * `token_freq` artifact; each step is one vocabulary-sized aggregate
+    * + a `TakeOrderedAndProject(1)` argmax + a map-only replace over the
+    * vocabulary (checkpointed per step, the q125 iteration discipline).
+    * Driver state is ONE pair per step. Cross-engine determinism needs
+    * no float at all: weights are exact long sums, the argmax tie-break
+    * is binary string order, and the merge rewrite is plain substring
+    * replace with identical semantics in both engines.
+    */
+  def q135BpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainFrom(spark, graft.Artifacts.tokenTotals(spark, dir), BpeSteps)
+
+  /** [[q135BpeTrain]] over a caller-supplied `(token, n)` vocabulary —
+    * the spec's crafted-dictionary seam.
+    */
+  private[graft] def bpeTrainFrom(spark: SparkSession, vocab: DataFrame,
+      steps: Int): DataFrame = {
+    var words = vocab.select(wrapChars(col("token")).as("w"), col("n"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var prev: Option[graft.Checkpoints.Handle] = None
+    var step = 1
+    var exhausted = false
+    while (step <= steps && !exhausted) {
+      // eager checkpoint truncates lineage, so step N−1's blocks can be
+      // dropped the moment step N is materialized — the fixpoint
+      // discipline; nothing here outlives the loop (the result is the
+      // driver-collected merge table)
+      val (w, h) = graft.Checkpoints.checkpointed(words)
+      prev.foreach(_.release())
+      prev = Some(h)
+      words = w
+      val pairs = words
+        .select(col("n"), split(trim(col("w")), "  ").as("s"))
+        .select(col("n"), explode(when(size(col("s")) >= 2, expr(
+          "transform(sequence(1, size(s) - 1)," +
+            " i -> struct(s[i - 1] AS c1, s[i] AS c2))"))).as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum("n").as("weight"))
+      val best = pairs
+        .orderBy(desc("weight"), asc("c1"), asc("c2")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (c1, c2) = (best(0).getAs[String]("c1"), best(0).getAs[String]("c2"))
+        merges += ((step, c1, c2, best(0).getAs[Long]("weight")))
+        words = words.select(
+          replace(col("w"), lit(s" $c1  $c2 "), lit(s" $c1$c2 ")).as("w"),
+          col("n"))
+        step += 1
+      }
+    }
+    prev.foreach(_.release())
+    import spark.implicits._
+    merges.toSeq.toDF("step", "lhs", "rhs", "weight")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("weight"))
+      .orderBy("step")
+  }
+
+  /** The identical loop unrolled as a generated CTE chain (the q125
+    * trainingSql discipline): `v0` is the wrapped census, each step a
+    * (pairs → argmax → rewrite) CTE triple, the final SELECT the union
+    * of the argmax rows.
+    */
+  val q135OracleSql: String = {
+    val steps = (1 to BpeSteps).map { k =>
+      s"""p$k AS (
+         |  SELECT n, s[i] AS c1, s[i + 1] AS c2 FROM (
+         |    SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i
+         |    FROM (SELECT n, string_split(trim(w), '  ') AS s FROM v${k - 1})
+         |  )
+         |), b$k AS (
+         |  SELECT c1, c2, CAST(SUM(n) AS BIGINT) AS weight
+         |  FROM p$k GROUP BY c1, c2
+         |  ORDER BY weight DESC, c1, c2 LIMIT 1
+         |), v$k AS (
+         |  SELECT replace(w, ' ' || c1 || '  ' || c2 || ' ',
+         |                 ' ' || c1 || c2 || ' ') AS w, n
+         |  FROM v${k - 1}, b$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeSteps).map { k =>
+      s"SELECT $k AS step, c1 AS lhs, c2 AS rhs, c1 || c2 AS merged, weight FROM b$k"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), v0 AS (
+       |  SELECT regexp_replace(token, '(.)', ' \\1 ', 'g') AS w,
+       |         COUNT(*) AS n
+       |  FROM tok GROUP BY token
+       |),
+       |$steps
+       |SELECT * FROM (
+       |$out
+       |) ORDER BY step""".stripMargin
+  }
 }

@@ -163,4 +163,67 @@ class ExtractionSpec extends SparkSpec {
       Checkpoints.releaseAll()
     }
   }
+
+  test("q133 gate: each repetition rule culls exactly its crafted doc") {
+    import spark.implicits._
+    // doc_ids ≡ 0 (mod 4): rawify is a pass-through, so literal <br>
+    // separators make OUR lines; spaces around <br> keep the raw-text
+    // bigram stream clean
+    val crafted = Seq(
+      // duplicate line: 2 of 3 lines identical → dup_line 1/3 > 0.30
+      (0L, "alpha beta gamma <br> alpha beta gamma <br> delta epsilon zeta words here"),
+      // bullets: every line starts with '-' → bullet 1.0 > 0.90
+      (4L, "- one two three <br> - four five six <br> - seven eight nine"),
+      // ellipses: every line ends with ... or … → 1.0 > 0.30
+      (8L, "one two three... <br> four five six…"),
+      // top bigram: "spam ham" 4 of 7 bigrams → 0.571429 > 0.20
+      (12L, "spam ham spam ham spam ham spam ham"),
+      // clean prose: everything passes
+      (16L, "the quick brown fox jumps over a lazy dog today")
+    ).toDF("doc_id", "text")
+    val out = Extraction.repetitionGateFrom(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(!out(0L).getAs[Boolean]("keep"))
+    assert(out(0L).getAs[Double]("dup_line_frac") == 0.333333)
+    // dup chars: the repeated 16-char line, of 16+16+29 visible line chars
+    assert(out(0L).getAs[Double]("dup_char_frac") ==
+      BigDecimal(16.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+
+    assert(!out(4L).getAs[Boolean]("keep"))
+    assert(out(4L).getAs[Double]("bullet_frac") == 1.0)
+    assert(out(4L).getAs[Double]("dup_line_frac") == 0.0)
+
+    assert(!out(8L).getAs[Boolean]("keep"))
+    assert(out(8L).getAs[Double]("ellipsis_frac") == 1.0)
+
+    assert(!out(12L).getAs[Boolean]("keep"))
+    assert(out(12L).getAs[Double]("top2_frac") == 0.571429)
+    assert(out(12L).getAs[Double]("dup_line_frac") == 0.0)
+
+    assert(out(16L).getAs[Boolean]("keep"))
+    assert(out(16L).getAs[Long]("n_lines") == 1L)
+    Seq("dup_line_frac", "dup_char_frac", "bullet_frac", "ellipsis_frac")
+      .foreach(c => assert(out(16L).getAs[Double](c) == 0.0, c))
+  }
+
+  test("q133 gate on the corpus: fractions in range, verdict consistent") {
+    val rows = Extraction.q133RepetitionGate(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val fr = Seq("dup_line_frac", "dup_char_frac", "top2_frac",
+        "bullet_frac", "ellipsis_frac").map(r.getAs[Double])
+      assert(fr.forall(f => f >= 0.0 && f <= 1.0))
+      val expect = fr(0) <= Extraction.DupLineFracMax &&
+        fr(1) <= Extraction.DupLineCharFracMax &&
+        fr(2) <= Extraction.Top2GramFracMax &&
+        fr(3) <= Extraction.BulletLineFracMax &&
+        fr(4) <= Extraction.EllipsisLineFracMax
+      // round6 can only move a fraction across a threshold at boundary
+      // cases the synthetic corpus doesn't produce
+      assert(r.getAs[Boolean]("keep") == expect,
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
 }

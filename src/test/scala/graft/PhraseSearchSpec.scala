@@ -93,6 +93,50 @@ class PhraseSearchSpec extends SparkSpec {
     }
   }
 
+  test("q134 snippet: crafted hit positions pick the densest window") {
+    import spark.implicits._
+    val hits = Seq(
+      // doc 1: window anchored at 0 covers {0, 5, 14} (width 16) — 40 is out
+      (1L, 0), (1L, 5), (1L, 14), (1L, 40),
+      // doc 2: a single hit
+      (2L, 7),
+      // doc 3: two 1-hit windows — earliest start wins the per-doc tie
+      (3L, 30), (3L, 10)
+    ).toDF("doc_id", "pos")
+    val out = Search.snippetFrom(hits).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("start"),
+        r.getAs[Long]("n_hits")))
+    assert(out.toSeq == Seq((1L, 0, 3L), (2L, 7, 1L), (3L, 10, 1L)))
+  }
+
+  test("q134 snippet on the corpus: windows really hold the hits") {
+    val terms = Set("data", "pipeline", "quality")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").split("\\s+")).toMap
+    val rows = Search.q134Snippet(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    // ranked by n_hits desc then doc_id
+    val ranks = rows.map(r => (-r.getAs[Long]("n_hits"), r.getAs[Long]("doc_id")))
+    assert(ranks.sameElements(ranks.sorted))
+    rows.foreach { r =>
+      val t = docs(r.getAs[Long]("doc_id"))
+      val s = r.getAs[Int]("start")
+      // the start is itself a hit, and the window count is exact
+      assert(terms.contains(t(s)))
+      val inWindow = (s until math.min(s + 16, t.length))
+        .count(i => terms.contains(t(i)))
+      assert(r.getAs[Long]("n_hits") == inWindow)
+      // no 16-token window anywhere in the doc beats the reported one
+      val best = t.indices.map(i => (i until math.min(i + 16, t.length))
+        .count(j => terms.contains(t(j)))).max
+      assert(r.getAs[Long]("n_hits") == best,
+        s"doc ${r.getAs[Long]("doc_id")} has a denser window")
+    }
+  }
+
   test("token_positions artifact rows equal the inline derivation") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-pos").toFile
     try {

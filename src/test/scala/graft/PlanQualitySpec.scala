@@ -414,6 +414,84 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("q130 pairs only within cells — equi-join, no pairwise product") {
+    val p = plan(graft.operators.SemanticOps.q130SemDedup(spark, sf))
+    // the candidate generation must be the cell equi-join (hash or
+    // sort-merge on the cell key), never a corpus cross product
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "q130 plans a pairwise product:\n" + p.take(800))
+  }
+
+  test("artifact mode: q130 reads the standing cell assignment") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-semguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, sf)
+      val df = graft.operators.SemanticOps.q130SemDedup(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q130 plan does not read the artifact root (Lloyd re-ran):\n" +
+          p.take(600))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("artifact mode: q136 cards ride postings + cells + census — zero documents scans") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cardguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      Artifacts.materializeEmbeddings(spark, sf)
+      val df = graft.operators.SemanticOps.q136ClusterCards(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0,
+        s"q136 artifact-mode plan scans documents $docScans times:\n" +
+          p.take(600))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("artifact mode: q132 islands ride the standing span dictionary") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-runguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.CorpusOps.q132DupRuns(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      // the df aggregate must come from the artifact, not a second
+      // corpus-wide span explode (the positional explode itself is the
+      // one legitimate documents read)
+      assert(p.contains(tmp.getName),
+        "q132 plan does not read the artifact root:\n" + p.take(600))
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans <= 2,
+        s"q132 artifact-mode plan scans documents $docScans times")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("q92/q93 probe evals inherit the broadcast-probe shape — no pairwise product") {
     for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
         ("q92", graft.operators.Similarity.q92AnnRecall _),
@@ -639,7 +717,8 @@ class PlanQualitySpec extends SparkSpec {
         "q119" -> graft.operators.TextAnalysis.q119PmiCollocations(spark, sf),
         "q120" -> graft.operators.TextAnalysis.q120OovRate(spark, sf),
         "q121" -> graft.operators.Search.q121Bm25Full(spark, sf),
-        "q128" -> graft.operators.Search.q128ProximitySearch(spark, sf))
+        "q128" -> graft.operators.Search.q128ProximitySearch(spark, sf),
+        "q134" -> graft.operators.Search.q134Snippet(spark, sf))
       queries.foreach { case (name, df) =>
         df.collect()
         val p = df.queryExecution.executedPlan.toString
