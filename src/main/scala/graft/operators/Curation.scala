@@ -649,4 +649,179 @@ object Curation {
       |         AS curriculum_pos
       |FROM sized ORDER BY doc_id""".stripMargin
   }
+
+  // ---- q137: CCNet perplexity-bucket routing ------------------------------
+
+  /** q137 — CCNet head/middle/tail routing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): within each source, documents are ranked by language-model
+    * surprisal (q86's exact-integer rarity, the engine's
+    * perplexity-shaped signal — LOW surprisal = fluent = head) and cut
+    * at the published 33/66 percentile working points into
+    * `head`/`middle`/`tail` — the bucket column a pretraining mixture
+    * samples from (head-heavy) and an ablation studies. Percentiles are
+    * RANK-based (`3·rank ≤ n`, `3·rank ≤ 2n`), so the arithmetic is
+    * pure integer and both engines agree without any float quantile
+    * interpolation.
+    *
+    * Scale shape: the q94 curriculum discipline applied per source — a
+    * per-source global rank decomposed through the two-level cumsum:
+    * coarse surprisal band, per-(source, band) cell census, cumulative
+    * bases over the (source × band)-grain frame (tiny), and a local
+    * `row_number` bounded by each cell's population. No single task
+    * ever owns a whole source. The per-source totals broadcast.
+    */
+  def q137PerplexityBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // checkpointed: the q86 derivation (corpus tokenize + frequency
+    // join) feeds the cell census, the rank join, and the totals
+    val sized = graft.Checkpoints.checkpoint(
+      TextAnalysis.q86UnigramSurprisal(spark, dir)
+        .join(Tables.documents(spark, dir)
+            // the q122 null-source sentinel: a null key would fall out
+            // of the base/total equi-joins
+            .select(col("doc_id"),
+              coalesce(col("source"), lit("(null)")).as("source")),
+          "doc_id")
+        .select(col("doc_id"), col("source"),
+          coalesce(col("mean_rarity"), lit(0.0)).as("mr"))
+        .withColumn("band", floor(col("mr")).cast("int")))
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val cellW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("band").rowsBetween(unbounded, -1)
+    val bases = sized.groupBy("source", "band")
+      .agg(count(lit(1)).as("cell_n"))
+      .withColumn("base", coalesce(sum("cell_n").over(cellW), lit(0L)))
+    val totals = bases.groupBy("source").agg(sum("cell_n").as("n_src"))
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("source", "band")
+      .orderBy(col("mr").asc, col("doc_id").asc)
+    sized
+      .join(bases.select("source", "band", "base"), Seq("source", "band"))
+      .withColumn("src_rank", col("base") + row_number().over(localW))
+      .join(broadcast(totals), "source")
+      .select(col("doc_id"), col("source"),
+        col("mr").as("mean_rarity"), col("src_rank"),
+        when(col("src_rank") * 3 <= col("n_src"), "head")
+          .when(col("src_rank") * 3 <= col("n_src") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** The single-window definition the two-level plan must equal: q86's
+    * surprisal verbatim, one per-source `row_number` + count, the same
+    * integer cut points.
+    */
+  val q137OracleSql: String =
+    s"""WITH sur AS (
+      |  SELECT doc_id, mean_rarity FROM (
+      |${TextAnalysis.q86OracleSql}
+      |  )
+      |), j AS (
+      |  SELECT s.doc_id, COALESCE(d.source, '(null)') AS source,
+      |         COALESCE(s.mean_rarity, 0.0) AS mr
+      |  FROM sur s JOIN documents d ON s.doc_id = d.doc_id
+      |), r AS (
+      |  SELECT doc_id, source, mr,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY mr, doc_id) AS src_rank,
+      |         COUNT(*) OVER (PARTITION BY source) AS n_src
+      |  FROM j
+      |)
+      |SELECT doc_id, source, mr AS mean_rarity, src_rank,
+      |       CASE WHEN src_rank * 3 <= n_src THEN 'head'
+      |            WHEN src_rank * 3 <= n_src * 2 THEN 'middle'
+      |            ELSE 'tail' END AS bucket
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---- q138: per-document curation ledger ---------------------------------
+
+  /** q138 — the per-document curation LEDGER: q41 aggregates the funnel
+    * to stage counts; this keeps the receipts. Every gate the engine
+    * ships renders one boolean column per document — the Gopher
+    * repetition gate (q133), language id (q25's rule as q41 applies
+    * it), length bounds, intra-doc 3-gram repetition, the quality
+    * classifier (q83), and the dedup keeper election (q40) — conjoined
+    * into a final `keep`, with `reason` naming the FIRST failing gate
+    * in pipeline order (extraction → language → length → repetition →
+    * quality → dedup). This is the "why was my document dropped" answer
+    * a takedown/audit request needs and the frame a funnel dashboard
+    * pivots; because every column reuses the gate operator's own
+    * derivation (same frames, same constants), the ledger can never
+    * disagree with the gates it reports on.
+    *
+    * Scale shape: three map-only codegen passes over the documents scan
+    * (q41's signal projection, q133's line arithmetic, q83's token
+    * scoring) plus the standing keeper artifact, equi-joined on doc_id.
+    * No windows, no fan-out; at 100 TB this is the cheapest full-corpus
+    * statement the engine runs, and the one run most often.
+    */
+  def q138CurationLedger(spark: SparkSession, dir: String): DataFrame = {
+    val base = corpusSelect(spark, dir, graft.functions.Tokenizer.Whitespace)
+      .select(col("doc_id"), col("n_tokens"), col("repetition_ratio"),
+        col("pred_lang"), col("is_keeper"))
+    val gopher = Extraction.q133RepetitionGate(spark, dir)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val quality = TextAnalysis.q83QualityClassifier(spark, dir)
+      .select(col("doc_id"),
+        (col("quality_label") === "keep").as("quality_ok"))
+    val langOk = col("pred_lang") === "en"
+    val lenOk = col("n_tokens").between(MinTokens, MaxTokens)
+    val repOk = col("repetition_ratio") <= MaxRepetition
+    base.join(gopher, "doc_id").join(quality, "doc_id")
+      .select(col("doc_id"),
+        col("gopher_keep"), langOk.as("lang_ok"), lenOk.as("len_ok"),
+        repOk.as("rep_ok"), col("quality_ok"),
+        col("is_keeper").as("dedup_ok"),
+        (col("gopher_keep") && langOk && lenOk && repOk &&
+          col("quality_ok") && col("is_keeper")).as("keep"),
+        when(!col("gopher_keep"), "repetition_gate")
+          .when(!langOk, "language")
+          .when(!lenOk, "length")
+          .when(!repOk, "intra_doc_repetition")
+          .when(!col("quality_ok"), "quality")
+          .when(!col("is_keeper"), "duplicate")
+          .otherwise("kept").as("reason"))
+      .orderBy("doc_id")
+  }
+
+  /** Each gate's own oracle statement as a subquery (they cannot
+    * drift), conjoined with the same first-fail CASE chain.
+    */
+  val q138OracleSql: String =
+    s"""WITH g41 AS (
+      |  SELECT doc_id, n_tokens, repetition_ratio, pred_lang, is_keeper
+      |  FROM ($q41OracleBody)
+      |), g133 AS (
+      |  SELECT doc_id, keep AS gopher_keep FROM (
+      |${Extraction.q133OracleSql}
+      |  )
+      |), g83 AS (
+      |  SELECT doc_id, quality_label = 'keep' AS quality_ok FROM (
+      |${TextAnalysis.q83OracleSql}
+      |  )
+      |)
+      |SELECT a.doc_id,
+      |       c.gopher_keep,
+      |       a.pred_lang = 'en' AS lang_ok,
+      |       a.n_tokens BETWEEN $MinTokens AND $MaxTokens AS len_ok,
+      |       a.repetition_ratio <= $MaxRepetition AS rep_ok,
+      |       q.quality_ok,
+      |       a.is_keeper AS dedup_ok,
+      |       (c.gopher_keep AND a.pred_lang = 'en'
+      |        AND a.n_tokens BETWEEN $MinTokens AND $MaxTokens
+      |        AND a.repetition_ratio <= $MaxRepetition
+      |        AND q.quality_ok AND a.is_keeper) AS keep,
+      |       CASE WHEN NOT c.gopher_keep THEN 'repetition_gate'
+      |            WHEN a.pred_lang <> 'en' THEN 'language'
+      |            WHEN a.n_tokens NOT BETWEEN $MinTokens AND $MaxTokens
+      |              THEN 'length'
+      |            WHEN a.repetition_ratio > $MaxRepetition
+      |              THEN 'intra_doc_repetition'
+      |            WHEN NOT q.quality_ok THEN 'quality'
+      |            WHEN NOT a.is_keeper THEN 'duplicate'
+      |            ELSE 'kept' END AS reason
+      |FROM g41 a
+      |JOIN g133 c ON a.doc_id = c.doc_id
+      |JOIN g83 q ON a.doc_id = q.doc_id
+      |ORDER BY a.doc_id""".stripMargin
 }

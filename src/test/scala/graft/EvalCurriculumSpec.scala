@@ -92,6 +92,67 @@ class EvalCurriculumSpec extends SparkSpec {
     assert(decomposed == single)
   }
 
+  test("q137 ranks are per-source permutations, buckets cut at 33/66") {
+    val rows = Curation.q137PerplexityBuckets(spark, sf).collect()
+    assert(rows.length == Tables.documents(spark, sf).count())
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val n = rs.length
+      // ranks are exactly 1..n within the source
+      assert(rs.map(_.getAs[Long]("src_rank")).sorted.toSeq ==
+        (1 to n).map(_.toLong), s"ranks not a permutation in $src")
+      // the rank order is (mean_rarity asc, doc_id asc)
+      val byRank = rs.sortBy(_.getAs[Long]("src_rank"))
+        .map(r => (r.getAs[Double]("mean_rarity"), r.getAs[Long]("doc_id")))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) =>
+        a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) },
+        s"rank order violated in $src")
+      // bucket sizes are the exact integer cuts
+      val counts = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.length).toMap.withDefaultValue(0)
+      assert(counts("head") == n / 3, s"head size in $src")
+      assert(counts("middle") == 2 * n / 3 - n / 3, s"middle size in $src")
+      assert(counts("tail") == n - 2 * n / 3, s"tail size in $src")
+      // head really holds the LOWEST-surprisal documents
+      val maxHead = rs.filter(_.getAs[String]("bucket") == "head")
+        .map(_.getAs[Double]("mean_rarity"))
+      val minTail = rs.filter(_.getAs[String]("bucket") == "tail")
+        .map(_.getAs[Double]("mean_rarity"))
+      if (maxHead.nonEmpty && minTail.nonEmpty)
+        assert(maxHead.max <= minTail.min, s"head above tail in $src")
+    }
+  }
+
+  test("q138 ledger agrees with every underlying gate and q41's verdict") {
+    val ledger = Curation.q138CurationLedger(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ledger.nonEmpty)
+    val q41 = Curation.q41CorpusSelect(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val gopher = operators.Extraction.q133RepetitionGate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val quality = TextAnalysis.q83QualityClassifier(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("quality_label") == "keep")).toMap
+    val order = Seq("gopher_keep" -> "repetition_gate", "lang_ok" -> "language",
+      "len_ok" -> "length", "rep_ok" -> "intra_doc_repetition",
+      "quality_ok" -> "quality", "dedup_ok" -> "duplicate")
+    ledger.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("gopher_keep") == gopher(id))
+      assert(r.getAs[Boolean]("quality_ok") == quality(id))
+      assert(r.getAs[Boolean]("dedup_ok") ==
+        q41(id).getAs[Boolean]("is_keeper"))
+      // q41's selected is the ledger's verdict minus the two newer gates
+      assert(q41(id).getAs[Boolean]("selected") ==
+        (r.getAs[Boolean]("dedup_ok") && r.getAs[Boolean]("lang_ok") &&
+          r.getAs[Boolean]("len_ok") && r.getAs[Boolean]("rep_ok")), s"doc $id")
+      val gates = order.map { case (c, reason) =>
+        reason -> r.getAs[Boolean](c) }
+      assert(r.getAs[Boolean]("keep") == gates.forall(_._2))
+      val expected = gates.find(!_._2).map(_._1).getOrElse("kept")
+      assert(r.getAs[String]("reason") == expected, s"doc $id reason")
+    }
+  }
+
   test("q95 per-source sums match a direct recompute") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
     val direct = d.select(col("source"), col("n_chars"),
