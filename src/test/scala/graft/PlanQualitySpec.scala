@@ -495,7 +495,8 @@ class PlanQualitySpec extends SparkSpec {
   test("q92/q93 probe evals inherit the broadcast-probe shape — no pairwise product") {
     for ((name, q) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
         ("q92", graft.operators.Similarity.q92AnnRecall _),
-        ("q93", graft.operators.Similarity.q93KnnLabelEval _))) {
+        ("q93", graft.operators.Similarity.q93KnnLabelEval _),
+        ("q139", graft.operators.Pq.q139PqRecall _))) {
       val p = plan(q(spark, sf))
       // the probe×corpus scoring must ride a broadcast of the probe side
       assert(p.contains("BroadcastNestedLoopJoin") ||

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Ivf, Pq}
+
+/** q139 PQ-ADC: a full independent Scala replay of the pipeline —
+  * quantize, fused Lloyd codebook training, encoding, ADC scan, exact
+  * integer-L2 truth — compared against the operator's reported recalls
+  * value-for-value. The DuckDB oracle checks Spark-vs-SQL; this checks
+  * both against a third, loop-written implementation.
+  */
+class PqSpec extends SparkSpec {
+
+  private def quantLocal(v: Float): Long =
+    BigDecimal(v.toDouble * Ivf.QuantScale)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  test("q139 recalls equal an independent local replay") {
+    val emb: Map[Long, Array[Long]] = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(quantLocal).toArray).toMap
+    val ids = emb.keys.toSeq.sorted
+    val M = Pq.SubM
+    val K = Pq.PqK
+    def sub(q: Array[Long], m: Int): Array[Long] =
+      q.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    // init: the K smallest ids' subvectors, per subspace
+    var cb: Map[(Int, Int), Array[Long]] =
+      (for (m <- 0 until M; (id, k) <- ids.take(K).zipWithIndex)
+        yield (m, k) -> sub(emb(id), m)).toMap
+    def argmin(s: Array[Long], m: Int): Int =
+      (0 until K).map(k => (d2(s, cb((m, k))), k)).min._2
+    for (_ <- 1 to Pq.PqIters) {
+      val asn = for (id <- ids; m <- 0 until M)
+        yield (m, argmin(sub(emb(id), m), m), sub(emb(id), m))
+      cb = cb.map { case ((m, k), old) =>
+        val members = asn.collect { case (`m`, `k`, s) => s }
+        ((m, k), if (members.isEmpty) old
+        else Array.tabulate(Pq.SubDim)(i =>
+          Ivf.roundDiv(members.map(_(i)).sum, members.length.toLong)))
+      }
+    }
+    val codes: Map[Long, Array[Int]] = ids.map(id =>
+      id -> Array.tabulate(M)(m => argmin(sub(emb(id), m), m))).toMap
+
+    val probes = ids.filter(_ < 10)
+    val expected = probes.map { p =>
+      val dt = Array.tabulate(M, K)((m, k) => d2(sub(emb(p), m), cb((m, k))))
+      val others = ids.filter(_ != p)
+      val adcTop = others.map(v =>
+          ((0 until M).map(m => dt(m)(codes(v)(m))).sum, v))
+        .sorted.take(10).map(_._2).toSet
+      val exactTop = others.map(v => (d2(emb(p), emb(v)), v))
+        .sorted.take(10).map(_._2).toSet
+      p -> (exactTop.size, (exactTop & adcTop).size)
+    }.toMap
+
+    val out = Pq.q139PqRecall(spark, sf).collect()
+    assert(out.length == probes.length)
+    out.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val (nExact, nHit) = expected(p)
+      assert(r.getAs[Long]("n_exact") == nExact, s"probe $p n_exact")
+      assert(r.getAs[Long]("n_hit") == nHit, s"probe $p n_hit")
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(nHit.toDouble / nExact).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble, s"probe $p recall")
+    }
+  }
+
+  test("q139 compression is real: codes take SubM small ints per vector") {
+    // structural pin on the published working point: 64 dims → 8
+    // subspaces of 8 dims, 8 codewords (3 bits) each — 64 floats
+    // become 8 3-bit codes
+    assert(Pq.SubM * Pq.SubDim == 64)
+    assert(Pq.PqK <= 256, "codes must fit a byte")
+  }
+}
