@@ -608,6 +608,19 @@ object Artifacts {
     */
   val IvfCellsName = "ivf_cells"
 
+  /** Trained product-quantization codebooks `(m, k, cw)` —
+    * [[operators.Pq]]'s fused per-subspace Lloyd output. Like
+    * [[IvfCentroidsName]], rebuilt whole on maintenance (training is
+    * deterministic given the corpus).
+    */
+  val PqCodebooksName = "pq_codebooks"
+
+  /** PQ codes `(vec_id, code)` — each vector as [[operators.Pq.SubM]]
+    * codeword ids, the compressed corpus ADC search scans. Derived
+    * from the committed codebooks by one map-side pass.
+    */
+  val PqCodesName = "pq_codes"
+
   /** The standing vector-side artifacts, versioned by
     * [[embeddingsFingerprint]] — NOT the documents fingerprint: the two
     * tables change independently, and a re-encode must stale exactly
@@ -615,7 +628,8 @@ object Artifacts {
     */
   val EmbeddingNames: Seq[String] =
     Seq(LshAnnIndexName, LshNearDupIndexName, VecHashesName,
-      LabelCentroidsName, IvfCentroidsName, IvfCellsName)
+      LabelCentroidsName, IvfCentroidsName, IvfCellsName,
+      PqCodebooksName, PqCodesName)
 
   /** The inline form of the vector-digest artifact. */
   private[graft] def vecHashesFrame(e: DataFrame): DataFrame = {
@@ -663,6 +677,36 @@ object Artifacts {
           operators.Ivf.quantized(Tables.embeddings(spark, corpusDir)))
         val cents = operators.Ivf.train(quant)
         (cents, operators.Ivf.assignFrame(quant, cents))
+    }
+  }
+
+  /** The trained PQ model: (codebooks as literals, `(vec_id, code)`
+    * frame) — [[ivfModel]]'s discipline applied to the product
+    * quantizer: artifact-first on both pieces, codes always derive
+    * from the COMMITTED codebooks, inline fused-Lloyd training when no
+    * version resolves.
+    */
+  def pqModel(spark: SparkSession,
+      corpusDir: String): (Seq[(Int, Int, Array[Long])], DataFrame) = {
+    val fpOf = () => embeddingsFingerprint(spark, corpusDir)
+    readIfCurrentWith(spark, corpusDir, PqCodebooksName, fpOf,
+        rebuild = "Artifacts.materializeEmbeddings") match {
+      case Some(cdf) =>
+        val cb = operators.Pq.collectCodebooks(cdf)
+        val codes = readIfCurrentWith(spark, corpusDir, PqCodesName, fpOf,
+          rebuild = "Artifacts.materializeEmbeddings").getOrElse(
+          operators.Pq.codesFrame(
+            operators.Pq.subvectors(operators.Ivf.quantized(
+              Tables.embeddings(spark, corpusDir))),
+            operators.Pq.codebookFrame(spark, cb)))
+        (cb, codes)
+      case None =>
+        val sub = Checkpoints.checkpoint(
+          operators.Pq.subvectors(operators.Ivf.quantized(
+            Tables.embeddings(spark, corpusDir))))
+        val cb = operators.Pq.train(spark, sub)
+        (cb, operators.Pq.codesFrame(sub,
+          operators.Pq.codebookFrame(spark, cb)))
     }
   }
 
@@ -733,6 +777,14 @@ object Artifacts {
       val ivfA = build(IvfCellsName)(operators.Ivf.assignFrame(quant,
         operators.Ivf.collectCentroids(readVersion(spark, corpusDir,
           IvfCentroidsName, versionPath(corpusDir, IvfCentroidsName, fp).get))))
+      // PQ follows the IVF pattern: train at most once (lazy), codes
+      // derive from the COMMITTED codebook artifact
+      lazy val sub = Checkpoints.checkpoint(operators.Pq.subvectors(quant))
+      val pqC = build(PqCodebooksName)(operators.Pq.codebookFrame(spark,
+        operators.Pq.train(spark, sub)))
+      val pqA = build(PqCodesName)(operators.Pq.codesFrame(sub,
+        readVersion(spark, corpusDir, PqCodebooksName,
+          versionPath(corpusDir, PqCodebooksName, fp).get)))
       // MERGE into the breakdown (materialize REPLACES it) so a
       // materialize-then-materializeEmbeddings sequence — Bench's
       // untimed phase — accounts for the whole artifact_build_sec
@@ -740,7 +792,7 @@ object Artifacts {
         lastBuild.set(lastBuild.get() ++ timings.toMap)
       pruneSweep(spark, corpusDir, EmbeddingNames, Set(fp),
         table = "embeddings.parquet")
-      Map(ann, nd, vh, cen, ivfC, ivfA)
+      Map(ann, nd, vh, cen, ivfC, ivfA, pqC, pqA)
     }
   }
 
@@ -826,6 +878,12 @@ object Artifacts {
       operators.Ivf.centroidsFrame(spark, trainedA))
     val ivfA = buildInc(IvfCellsName)(
       operators.Ivf.assignFrame(quantA, trainedA))
+    lazy val subA = Checkpoints.checkpoint(operators.Pq.subvectors(quantA))
+    lazy val pqTrainedA = operators.Pq.train(spark, subA)
+    val pqC = buildInc(PqCodebooksName)(
+      operators.Pq.codebookFrame(spark, pqTrainedA))
+    val pqA = buildInc(PqCodesName)(operators.Pq.codesFrame(subA,
+      operators.Pq.codebookFrame(spark, pqTrainedA)))
     EmbeddingNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
       readManifestAt(spark, mb.newPath(n)).map(realSegs) match {
         case Some(segs) if segs.size > compactSegmentThreshold =>
@@ -835,7 +893,7 @@ object Artifacts {
     }
     pruneSweep(spark, corpusDir, EmbeddingNames, Set(fpNew, fpOld),
       graceMs = AppendPruneGraceMs, table = "embeddings.parquet")
-    IncrementalResult("append", Map(ann, nd, vh, cen, ivfC, ivfA),
+    IncrementalResult("append", Map(ann, nd, vh, cen, ivfC, ivfA, pqC, pqA),
       nAdd, 0, 0, -1, -1)
   }
 
@@ -943,9 +1001,16 @@ object Artifacts {
       operators.Ivf.centroidsFrame(spark, trainedN))
     val ivfA = buildInc(IvfCellsName)(
       operators.Ivf.assignFrame(quantN, trainedN))
+    lazy val subN = Checkpoints.checkpoint(operators.Pq.subvectors(quantN))
+    lazy val pqTrainedN = operators.Pq.train(spark, subN)
+    val pqC = buildInc(PqCodebooksName)(
+      operators.Pq.codebookFrame(spark, pqTrainedN))
+    val pqA = buildInc(PqCodesName)(operators.Pq.codesFrame(subN,
+      operators.Pq.codebookFrame(spark, pqTrainedN)))
     pruneSweep(spark, newDir, EmbeddingNames, Set(fpNew),
       table = "embeddings.parquet")
-    IncrementalResult("incremental", Map(ann, nd, vh, cen, ivfC, ivfA),
+    IncrementalResult("incremental",
+      Map(ann, nd, vh, cen, ivfC, ivfA, pqC, pqA),
       nAdd, nChg, nRem, -1, -1)
   }
 

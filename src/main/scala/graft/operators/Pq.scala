@@ -51,17 +51,36 @@ object Pq {
   /** `(vec_id, m, sq)` — every vector's [[SubM]] subvectors, one row
     * per (vector, subspace).
     */
-  private def subvectors(quant: DataFrame): DataFrame =
+  private[graft] def subvectors(quant: DataFrame): DataFrame =
     quant.select(col("vec_id"),
       posexplode(array((0 until SubM).map(m =>
         slice(col("q"), m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sq")))
 
-  /** Codebooks as a small driver-built frame `(m, k, cw)`. */
-  private def codebookFrame(spark: SparkSession,
+  /** Codebooks as a small driver-built frame `(m, k, cw)` — the
+    * `pq_codebooks` artifact shape.
+    */
+  private[graft] def codebookFrame(spark: SparkSession,
       cb: Seq[(Int, Int, Array[Long])]): DataFrame = {
     import spark.implicits._
     cb.map { case (m, k, c) => (m, k, c.toSeq) }.toDF("m", "k", "cw")
   }
+
+  /** Collect a `pq_codebooks`-shaped frame back to literal form. */
+  private[graft] def collectCodebooks(
+      df: DataFrame): Seq[(Int, Int, Array[Long])] =
+    df.collect().map(r => (r.getAs[Int]("m"), r.getAs[Int]("k"),
+      r.getAs[scala.collection.Seq[Long]]("cw").toArray))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  /** `(vec_id, code)` with `code` the length-[[SubM]] codeword-id array
+    * — the `pq_codes` artifact shape (one row per vector, [[SubM]]
+    * small ints: the compressed corpus itself).
+    */
+  private[graft] def codesFrame(sub: DataFrame, cb: DataFrame): DataFrame =
+    assign(sub, cb)
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("k")))),
+        s => s("k")).as("code"))
 
   /** Per-(vector, subspace) argmin codeword against a codebook frame —
     * ties toward the smaller k via lexicographic struct-min (a
@@ -123,22 +142,23 @@ object Pq {
     * `(probe_id, n_exact, n_hit, recall)` — the q92/q125 harness
     * shape applied to the compressed index.
     *
-    * Scale shape: training is [[PqIters]]+1 subvector passes paid once
-    * per snapshot (production would commit `pq_codebooks`/`pq_codes`
-    * as embedding-fingerprint artifacts, exactly like
-    * `ivf_centroids`/`ivf_cells`); the search side joins the CODES
-    * frame against a broadcast distance table and sums — no float
-    * vector is touched after encoding, which is the entire point of
-    * PQ at 100 TB.
+    * Scale shape: the codebooks and codes are standing
+    * embedding-fingerprint artifacts (`pq_codebooks`/`pq_codes`,
+    * exactly like `ivf_centroids`/`ivf_cells`) — training is
+    * [[PqIters]]+1 subvector passes paid once per embedding snapshot;
+    * the search side joins the CODES frame against a broadcast
+    * distance table and sums — no float vector is touched after
+    * encoding, which is the entire point of PQ at 100 TB.
     */
   def q139PqRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (cbLit, codesArr) = graft.Artifacts.pqModel(spark, dir)
+    val cb = codebookFrame(spark, cbLit)
+    val codes = codesArr
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("m", "k")))
     val quant = graft.Checkpoints.checkpoint(
       Ivf.quantized(Tables.embeddings(spark, dir)))
-    val sub = graft.Checkpoints.checkpoint(subvectors(quant))
-    val cb = codebookFrame(spark, train(spark, sub))
-    val codes = assign(sub, cb).select("vec_id", "m", "k")
 
-    val dtable = sub.filter(col("vec_id") < NumProbes)
+    val dtable = subvectors(quant.filter(col("vec_id") < NumProbes))
       .select(col("vec_id").as("probe_id"), col("m"), col("sq"))
       .join(broadcast(cb), "m")
       .select(col("probe_id"), col("m"), col("k"),

@@ -206,6 +206,9 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       val scratchQuant = Checkpoints.checkpoint(
         graft.operators.Ivf.quantized(eNew))
       val scratchCents = graft.operators.Ivf.train(scratchQuant)
+      val scratchSub = Checkpoints.checkpoint(
+        graft.operators.Pq.subvectors(scratchQuant))
+      val scratchPq = graft.operators.Pq.train(spark, scratchSub)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
@@ -216,7 +219,11 @@ class EmbeddingArtifactsSpec extends SparkSpec {
         Artifacts.IvfCentroidsName ->
           rows(graft.operators.Ivf.centroidsFrame(spark, scratchCents)),
         Artifacts.IvfCellsName ->
-          rows(graft.operators.Ivf.assignFrame(scratchQuant, scratchCents)))
+          rows(graft.operators.Ivf.assignFrame(scratchQuant, scratchCents)),
+        Artifacts.PqCodebooksName ->
+          rows(graft.operators.Pq.codebookFrame(spark, scratchPq)),
+        Artifacts.PqCodesName -> rows(graft.operators.Pq.codesFrame(
+          scratchSub, graft.operators.Pq.codebookFrame(spark, scratchPq))))
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, newDir, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, newDir, n)) == expected(n),
@@ -303,6 +310,9 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       val scratchQuant = Checkpoints.checkpoint(
         graft.operators.Ivf.quantized(eNew))
       val scratchCents = graft.operators.Ivf.train(scratchQuant)
+      val scratchSub = Checkpoints.checkpoint(
+        graft.operators.Pq.subvectors(scratchQuant))
+      val scratchPq = graft.operators.Pq.train(spark, scratchSub)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
@@ -313,7 +323,11 @@ class EmbeddingArtifactsSpec extends SparkSpec {
         Artifacts.IvfCentroidsName ->
           rows(graft.operators.Ivf.centroidsFrame(spark, scratchCents)),
         Artifacts.IvfCellsName ->
-          rows(graft.operators.Ivf.assignFrame(scratchQuant, scratchCents)))
+          rows(graft.operators.Ivf.assignFrame(scratchQuant, scratchCents)),
+        Artifacts.PqCodebooksName ->
+          rows(graft.operators.Pq.codebookFrame(spark, scratchPq)),
+        Artifacts.PqCodesName -> rows(graft.operators.Pq.codesFrame(
+          scratchSub, graft.operators.Pq.codebookFrame(spark, scratchPq))))
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, corpus, n)) == expected(n),

@@ -466,6 +466,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: q139 reads the standing PQ codes — Lloyd never re-runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pqguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, sf)
+      val df = graft.operators.Pq.q139PqRecall(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q139 plan does not read the artifact root (PQ re-trained):\n" +
+          p.take(600))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q132 islands ride the standing span dictionary") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-runguard").toFile
     try {
