@@ -376,9 +376,21 @@ object Extraction {
     val bg = when(size(t) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+    // max bigram multiplicity in O(n log n): sort once, then the longest
+    // equal-adjacent run. The distinct×filter formulation rescans the
+    // whole array per distinct bigram — O(n²) per document, which stalls
+    // long docs (the oracle keeps the naive form: same value, and DuckDB
+    // only replays it at verification scale).
+    val runBest = (acc: Column, x: Column) => {
+      val run = when(x === acc("prev"), acc("run") + 1L).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc("best"), run).as("best"))
+    }
     val top2 = when(size(bg) === 0, lit(0L))
-      .otherwise(array_max(transform(array_distinct(bg),
-        x => size(filter(bg, y => y === x)))).cast("long"))
+      .otherwise(aggregate(array_sort(bg),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("best")),
+        runBest, acc => acc("best")))
     val top2Frac = when(size(bg) > 0,
       top2.cast("double") / size(bg)).otherwise(0.0)
     val keep = dupLineFrac <= DupLineFracMax &&
