@@ -82,7 +82,7 @@ object AsofJoin {
       .orderBy("purchase_id")
   }
 
-  val q45OracleSql: String =
+  lazy val q45OracleSql: String =
     """WITH p AS (
       |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS ts_us
       |  FROM events WHERE event_type = 'purchase'

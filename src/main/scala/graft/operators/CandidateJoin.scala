@@ -86,7 +86,7 @@ object CandidateJoin {
       .orderBy("doc_id")
   }
 
-  val q15OracleSql: String =
+  lazy val q15OracleSql: String =
     """WITH keys AS (
       |  SELECT regexp_extract(text, '^(\S+\s+\S+)', 1) AS key, doc_id
       |  FROM documents WHERE doc_id % 2 = 0
@@ -140,7 +140,7 @@ object CandidateJoin {
       .orderBy("doc_id")
   }
 
-  val q16OracleSql: String =
+  lazy val q16OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, ${TextQueries.syntheticTitleSql} AS title FROM documents
       |), b AS (

@@ -75,7 +75,7 @@ object CorpusAudit {
       .orderBy("split_a", "split_b")
   }
 
-  val q60OracleSql: String =
+  lazy val q60OracleSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, text, ${Curation.splitSqlOf("doc_id")} AS split
       |  FROM documents
@@ -134,7 +134,7 @@ object CorpusAudit {
       .orderBy("rank")
   }
 
-  val q61OracleSql: String =
+  lazy val q61OracleSql: String =
     s"""WITH tok AS (
       |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -189,7 +189,7 @@ object CorpusAudit {
       .orderBy("source")
   }
 
-  val q62OracleSql: String = {
+  lazy val q62OracleSql: String = {
     val nrm = round6Sql(
       "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))")
     s"""WITH e AS (
@@ -237,7 +237,7 @@ object CorpusAudit {
       .orderBy("source")
   }
 
-  val q67OracleSql: String = {
+  lazy val q67OracleSql: String = {
     // q54's statement as a subquery (shared via the structural
     // q54OracleBody val, not a textual scrape), so the two oracles can
     // never drift
@@ -285,7 +285,7 @@ object CorpusAudit {
       .orderBy("source", "len_bucket")
   }
 
-  val q68OracleSql: String =
+  lazy val q68OracleSql: String =
     """SELECT source,
       |       CAST(CASE WHEN text IS NULL THEN 0
       |            WHEN len(string_split_regex(text, '\s+')) <= 0 THEN 0
@@ -315,7 +315,7 @@ object CorpusAudit {
         sum("cluster_size").as("n_docs"))
       .orderBy("cluster_size")
 
-  val q70OracleSql: String =
+  lazy val q70OracleSql: String =
     s"""WITH RECURSIVE ${Dedup.keeperCtes}, sizes AS (
       |  SELECT keeper_id, COUNT(*) AS cluster_size
       |  FROM keepers GROUP BY keeper_id
@@ -364,7 +364,7 @@ object CorpusAudit {
       .orderBy("source")
   }
 
-  val q63OracleSql: String = {
+  lazy val q63OracleSql: String = {
     val ratio = round6Sql(
       "1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / greatest(len(tl) - 2, 1)")
     s"""WITH sig AS (
@@ -418,7 +418,7 @@ object CorpusAudit {
       .orderBy(col("gid"), col("source").asc_nulls_first,
         col("lang").asc_nulls_first)
 
-  val q71OracleSql: String =
+  lazy val q71OracleSql: String =
     s"""SELECT source, lang,
       |       CAST(GROUPING(source, lang) AS INTEGER) AS gid,
       |       COUNT(*) AS n_docs,
@@ -483,7 +483,7 @@ object CorpusAudit {
       .orderBy("source_a", "source_b")
   }
 
-  val q77OracleSql: String =
+  lazy val q77OracleSql: String =
     s"""WITH idx AS (
       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -562,7 +562,7 @@ object CorpusAudit {
   }
 
   /** The same census, integer rarities, and gap sum as the plan. */
-  val q90OracleSql: String =
+  lazy val q90OracleSql: String =
     s"""WITH tf AS (
       |  SELECT source, token, COUNT(*) AS n
       |  FROM (SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
@@ -627,7 +627,7 @@ object CorpusAudit {
   /** The two gate oracles verbatim, joined at doc grain and rolled up to
     * the confusion cells with the same share arithmetic.
     */
-  val q96OracleSql: String =
+  lazy val q96OracleSql: String =
     s"""WITH funnel AS (
       |  SELECT doc_id, selected,
       |         COALESCE(CAST(n_tokens AS BIGINT), 0) AS n_tokens FROM (
@@ -694,7 +694,7 @@ object CorpusAudit {
   /** The same distinct-8-gram derivation as q60's oracle, df counted at
     * shingle grain, uniqueness re-aggregated to the owning document.
     */
-  val q105OracleSql: String =
+  lazy val q105OracleSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), sh AS (
@@ -765,7 +765,7 @@ object CorpusAudit {
   /** The q86/q87 token and bigram derivations re-aggregated to source
     * grain; ratios mirrored expression-for-expression.
     */
-  val q110OracleSql: String =
+  lazy val q110OracleSql: String =
     s"""WITH tok AS (
       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -848,7 +848,7 @@ object CorpusAudit {
   /** q60's distinct-8-gram-with-split derivation, the same df cap, the
     * same test×train shingle join and eval-item rollup.
     */
-  val q112OracleSql: String =
+  lazy val q112OracleSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, ${Curation.splitSqlOf("doc_id")} AS split,
       |         string_split_regex(text, '\\s+') AS t
@@ -920,7 +920,7 @@ object CorpusAudit {
   /** q20's pair chain verbatim, source-labeled and rolled up with the
     * same canonical cell order and order-free aggregates.
     */
-  val q122OracleSql: String =
+  lazy val q122OracleSql: String =
     s"""WITH ${Dedup.jaccardCtes}, srcs AS (
       |  SELECT doc_id, COALESCE(source, '(null)') AS src FROM documents
       |), labeled AS (

@@ -185,7 +185,7 @@ object CorpusOps {
        |                i -> $joined) END""".stripMargin
   }
 
-  val q47OracleSql: String =
+  lazy val q47OracleSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, text, ${Curation.splitSqlOf("doc_id")} AS split
       |  FROM documents
@@ -262,7 +262,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val q55OracleSql: String =
+  lazy val q55OracleSql: String =
     s"""WITH d AS (
       |  SELECT doc_id, text, ${Curation.splitSqlOf("doc_id")} AS split
       |  FROM documents
@@ -417,7 +417,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val q48OracleSql: String = {
+  lazy val q48OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""WITH sized AS (
       |  SELECT doc_id,
@@ -491,7 +491,7 @@ object CorpusOps {
   }
 
   /** Single-window semantic definition over the same two hashes. */
-  val q91OracleSql: String = {
+  lazy val q91OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     val phE = graft.functions.PolyHash.sql(
       s"(CAST(doc_id AS VARCHAR) || '#epoch$PackEpoch')")
@@ -679,7 +679,7 @@ object CorpusOps {
     * (quotients are ≥ 1/total away from integers, double rounding error
     * is ~2⁻⁵² — q48 establishes the same argument).
     */
-  val q84OracleSql: String =
+  lazy val q84OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id,
       |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens
@@ -749,7 +749,7 @@ object CorpusOps {
       .orderBy("c_custkey")
   }
 
-  val q49OracleSql: String =
+  lazy val q49OracleSql: String =
     s"""SELECT c_custkey,
       |       regexp_replace(regexp_replace(regexp_replace(c_name,
       |         '$EmailRe', '<EMAIL>', 'g'),
@@ -839,7 +839,7 @@ object CorpusOps {
         coalesce(col("exact_match"), col("near_match")).as("match_id"): _*)
   }
 
-  val q50OracleSql: String = {
+  lazy val q50OracleSql: String = {
     val eq = Dedup.minhashEqTerms
     s"""WITH ${Dedup.minhashCtes}, split AS (
       |  SELECT doc_id, ${Curation.splitSqlOf("doc_id")} AS split
@@ -903,7 +903,7 @@ object CorpusOps {
       .orderBy(col("df").desc, col("sh"))
       .limit(TopNgrams)
 
-  val q51OracleSql: String =
+  lazy val q51OracleSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), sh AS (
@@ -948,7 +948,7 @@ object CorpusOps {
       .orderBy("vec_id")
   }
 
-  val q52OracleSql: String = {
+  lazy val q52OracleSql: String = {
     // min/max over the float list, widened exactly like the kernel; the
     // reconstruction expression is written out twice because a lambda
     // cannot bind an intermediate
@@ -1038,7 +1038,7 @@ object CorpusOps {
     * verbatim by [[q53OracleSql]] and [[q56OracleSql]] so the two cannot
     * drift (no text surgery on one another's SQL).
     */
-  private val mixtureCtes: String =
+  private lazy val mixtureCtes: String =
     s"""strata AS (
       |  SELECT lang, source, COUNT(*) AS n_docs,
       |         CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS n_tokens
@@ -1049,12 +1049,12 @@ object CorpusOps {
       |  FROM strata
       |)""".stripMargin
 
-  private val mixtureWeightSql: String =
+  private lazy val mixtureWeightSql: String =
     graft.functions.VectorOps.round6Sql(
       """LEAST(1.0, (1.0 / n_strata) /
       |         (CAST(n_docs AS DOUBLE) / total_docs))""".stripMargin)
 
-  val q53OracleSql: String = {
+  lazy val q53OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     s"""WITH $mixtureCtes
       |SELECT lang, source, n_docs, n_tokens,
@@ -1134,7 +1134,7 @@ object CorpusOps {
   /** Reuses [[mixtureCtes]]' strata census; share, sqrt, and the two
     * normalized ratios mirror the plan expression-for-expression.
     */
-  val q89OracleSql: String = {
+  lazy val q89OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     s"""WITH $mixtureCtes, tot AS (
       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM strata
@@ -1194,7 +1194,7 @@ object CorpusOps {
   /** The two mixture oracles verbatim, interpolated with the same ramp
     * arithmetic over the same literal epoch range.
     */
-  val q97OracleSql: String = {
+  lazy val q97OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     val ramp = s"CAST(epoch AS DOUBLE) / ${AnnealEpochs - 1}.0"
     s"""WITH uni AS (
@@ -1254,7 +1254,7 @@ object CorpusOps {
   /** q48's oracle verbatim, rolled up with the same ceil/pad/split
     * arithmetic.
     */
-  val q98OracleSql: String = {
+  lazy val q98OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     s"""WITH packed AS (
       |  SELECT * FROM (
@@ -1306,7 +1306,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val q56OracleSql: String = {
+  lazy val q56OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(d.doc_id AS VARCHAR) || '#mix'")
     s"""WITH $mixtureCtes, w AS (
       |  SELECT lang, source, $mixtureWeightSql AS weight
@@ -1362,7 +1362,7 @@ object CorpusOps {
       .orderBy("source")
   }
 
-  val q57OracleSql: String = {
+  lazy val q57OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     def q(f: String) =
       round6Sql(s"quantile_cont(CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE), $f)")
@@ -1408,7 +1408,7 @@ object CorpusOps {
     checks.reduce(_.unionByName(_)).orderBy("check")
   }
 
-  val q58OracleSql: String =
+  lazy val q58OracleSql: String =
     s"""SELECT 'docs_without_embedding' AS check, COUNT(*) AS violations
       |FROM documents d WHERE NOT EXISTS
       |  (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
@@ -1554,7 +1554,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val q59OracleSql: String =
+  lazy val q59OracleSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), pos AS (
@@ -1640,7 +1640,7 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
-  val q132OracleSql: String =
+  lazy val q132OracleSql: String =
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), pos AS (
@@ -1680,7 +1680,7 @@ object CorpusOps {
     * subquery); a textual scrape of [[q54OracleSql]] would silently
     * break on any reformatting.
     */
-  private[operators] val q54OracleBody: String = {
+  private[operators] lazy val q54OracleBody: String = {
     import graft.functions.VectorOps.round6Sql
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
@@ -1704,7 +1704,7 @@ object CorpusOps {
       |FROM totals t LEFT JOIN dup d ON t.doc_id = d.doc_id""".stripMargin
   }
 
-  val q54OracleSql: String = s"$q54OracleBody\nORDER BY t.doc_id"
+  lazy val q54OracleSql: String = s"$q54OracleBody\nORDER BY t.doc_id"
 
   // ---- q76: snapshot diff -------------------------------------------------
 
@@ -1880,7 +1880,7 @@ object CorpusOps {
     SnapshotRefresh(maintained, vectors, refreshVerdicts(spark, oldDir, newDir))
   }
 
-  val q81OracleSql: String = {
+  lazy val q81OracleSql: String = {
     val eq = Dedup.minhashEqTerms
     s"""WITH ${Dedup.minhashCtes}, inc AS (
       |  SELECT doc_id,
@@ -1985,7 +1985,7 @@ object CorpusOps {
     * presence-classification verbatim, with the same per-side token
     * counts and the same rollup.
     */
-  val q99OracleSql: String =
+  lazy val q99OracleSql: String =
     s"""WITH priortext AS (
       |  ${snapshotFixtureSql._1}
       |), curtext AS (
@@ -2014,7 +2014,7 @@ object CorpusOps {
       |GROUP BY d.source, f.status
       |ORDER BY d.source, f.status""".stripMargin
 
-  val q76OracleSql: String =
+  lazy val q76OracleSql: String =
     s"""WITH priortext AS (
       |  ${snapshotFixtureSql._1}
       |), curtext AS (
@@ -2098,7 +2098,7 @@ object CorpusOps {
   /** q89's census, share, and sqrt-weight CTEs; the budget, cap, and
     * deficit arithmetic mirrored expression-for-expression.
     */
-  val q108OracleSql: String = {
+  lazy val q108OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     val share = s"($RepetitionBudgetMult * CAST(total_tokens AS DOUBLE)) * (s / z)"
     val er = s"$share / CAST(n_tokens AS DOUBLE)"
@@ -2194,7 +2194,7 @@ object CorpusOps {
   /** The fixture + diff replayed from the shared constants, the q60/q105
     * distinct-8-gram derivation on both sides, novelty per changed doc.
     */
-  val q109OracleSql: String =
+  lazy val q109OracleSql: String =
     s"""WITH priortext AS (
       |  ${snapshotFixtureSql._1}
       |), curtext AS (

@@ -86,7 +86,7 @@ object Curation {
     * STRUCTURALLY by [[q43OracleSql]] (which wraps it as a subquery);
     * a textual scrape would silently break on reformatting.
     */
-  private val q41OracleBody: String = {
+  private lazy val q41OracleBody: String = {
     val ratio = round6Sql(
       "1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / greatest(len(tl) - 2, 1)")
     s"""WITH RECURSIVE ${Dedup.keeperCtes}, sig AS (
@@ -114,7 +114,7 @@ object Curation {
       |FROM sig s JOIN keepers k ON s.doc_id = k.doc_id""".stripMargin
   }
 
-  val q41OracleSql: String = s"$q41OracleBody\nORDER BY s.doc_id"
+  lazy val q41OracleSql: String = s"$q41OracleBody\nORDER BY s.doc_id"
 
   /** Split fractions in bucket points (of 100): [0,80) train,
     * [80,90) val, [90,100) test.
@@ -167,7 +167,7 @@ object Curation {
         splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
 
-  val q42OracleSql: String = {
+  lazy val q42OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""SELECT doc_id,
       |       CAST($ph % 100 AS INTEGER) AS bucket,
@@ -263,7 +263,7 @@ object Curation {
         (splitOf(col("keeper_id")) =!= splitOf(col("doc_id"))).as("moved"))
       .orderBy("doc_id")
 
-  val q85OracleSql: String =
+  lazy val q85OracleSql: String =
     s"""WITH RECURSIVE ${Dedup.keeperCtes}
       |SELECT doc_id, keeper_id,
       |       ${splitSqlOf("keeper_id")} AS split,
@@ -328,7 +328,7 @@ object Curation {
   /** Replays the q40 keeper derivation, the seed predicate, and the
     * cluster expansion from the same constants as the plan.
     */
-  val q88OracleSql: String =
+  lazy val q88OracleSql: String =
     s"""WITH RECURSIVE ${Dedup.keeperCtes},
       |seeds AS (
       |  SELECT doc_id FROM documents WHERE doc_id % $TakedownSeedModulus = 0
@@ -342,7 +342,7 @@ object Curation {
       |LEFT JOIN seeds s ON s.doc_id = k.doc_id
       |ORDER BY k.doc_id""".stripMargin
 
-  val q46OracleSql: String = {
+  lazy val q46OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""WITH ranked AS (
       |  SELECT doc_id, lang,
@@ -386,7 +386,7 @@ object Curation {
     * that as float64, which hash-mismatches Spark's int64 even when the
     * values are equal, so the sum is cast back to BIGINT explicitly.
     */
-  val q43OracleSql: String = {
+  lazy val q43OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(v.doc_id AS VARCHAR)")
     s"""WITH v AS (
       |$q41OracleBody
@@ -553,7 +553,7 @@ object Curation {
     admitted.orderBy("source", "cum_tokens")
   }
 
-  val q75OracleSql: String =
+  lazy val q75OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, source,
       |         CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS n_tokens
@@ -632,7 +632,7 @@ object Curation {
     * surprisal verbatim, band + hash from the same constants, one
     * `row_number` over (band, sk, doc_id).
     */
-  val q94OracleSql: String = {
+  lazy val q94OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
     s"""WITH sur AS (
       |  SELECT doc_id, mean_rarity FROM (
@@ -711,7 +711,7 @@ object Curation {
     * surprisal verbatim, one per-source `row_number` + count, the same
     * integer cut points.
     */
-  val q137OracleSql: String =
+  lazy val q137OracleSql: String =
     s"""WITH sur AS (
       |  SELECT doc_id, mean_rarity FROM (
       |${TextAnalysis.q86OracleSql}
@@ -787,7 +787,7 @@ object Curation {
   /** Each gate's own oracle statement as a subquery (they cannot
     * drift), conjoined with the same first-fail CASE chain.
     */
-  val q138OracleSql: String =
+  lazy val q138OracleSql: String =
     s"""WITH g41 AS (
       |  SELECT doc_id, n_tokens, repetition_ratio, pred_lang, is_keeper
       |  FROM ($q41OracleBody)

@@ -63,7 +63,7 @@ object Dedup {
       .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_docs"))
       .orderBy("text_hash")
 
-  val q17OracleSql: String =
+  lazy val q17OracleSql: String =
     """SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
       |       COUNT(*) AS n_docs
       |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin
@@ -218,7 +218,7 @@ object Dedup {
     * [[MinhashCoeffs]]. Shared by [[q18OracleSql]] and
     * `CorpusOps.q50OracleSql` so the two cannot drift.
     */
-  private[operators] val minhashCtes: String = {
+  private[operators] lazy val minhashCtes: String = {
     val ph = graft.functions.PolyHash.sql("sh")
     val minCols = MinhashCoeffs.zipWithIndex.map { case ((a, b), i) =>
       s"MIN(($a * base + $b) % $MinhashP) AS h$i"
@@ -256,7 +256,7 @@ object Dedup {
   /** Generated from the same shingle chain as q20's oracle, the PolyHash
     * SQL kernel, and [[MinhashCoeffs]].
     */
-  val q18OracleSql: String = {
+  lazy val q18OracleSql: String = {
     val eqTerms = minhashEqTerms
     s"""WITH $minhashCtes, bkeep AS (
       |  SELECT band, bucket FROM bands
@@ -343,7 +343,7 @@ object Dedup {
   }
 
   /** Generated from the PolyHash SQL kernel + the same bit/chunk layout. */
-  val q19OracleSql: String = {
+  lazy val q19OracleSql: String = {
     val ph31 = graft.functions.PolyHash.sql("tok", 31)
     val ph37 = graft.functions.PolyHash.sql("tok", 37)
     val sigExpr = (0 until SimhashBits).map { i =>
@@ -458,7 +458,7 @@ object Dedup {
     * [[q20OracleSql]] and re-used as the near-dup edge source in
     * [[q40OracleSql]], so the two oracles can never drift apart.
     */
-  private[graft] val jaccardCtes: String =
+  private[graft] lazy val jaccardCtes: String =
     s"""toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), allsh AS (
@@ -485,7 +485,7 @@ object Dedup {
       |  JOIN counts cb ON cb.doc_id = doc_b
       |)""".stripMargin
 
-  val q20OracleSql: String =
+  lazy val q20OracleSql: String =
     s"""WITH $jaccardCtes
       |SELECT doc_a, doc_b, n_inter, jaccard
       |FROM jac WHERE jaccard >= 0.5
@@ -533,7 +533,7 @@ object Dedup {
   /** q20's pair CTEs verbatim, banded and rolled up with the same
     * floor/stack/distinct arithmetic.
     */
-  val q100OracleSql: String =
+  lazy val q100OracleSql: String =
     s"""WITH $jaccardCtes, banded AS (
       |  SELECT CAST(floor(jaccard * 20) AS INTEGER) AS band, doc_a, doc_b
       |  FROM jac WHERE jaccard >= 0.5
@@ -607,7 +607,7 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  val q21OracleSql: String = nearDupTruthSql("embeddings")
+  lazy val q21OracleSql: String = nearDupTruthSql("embeddings")
 
   /** [[q21OracleSql]] over a caller-chosen table/CTE name — q117's
     * oracle replays the ground truth over its sampled CTE.
@@ -1159,7 +1159,7 @@ object Dedup {
     * is_keeper)`) so `Curation.q41OracleSql` can reuse it verbatim; must
     * appear under `WITH RECURSIVE`.
     */
-  val keeperCtes: String =
+  lazy val keeperCtes: String =
     s"""$jaccardCtes, hashes AS (
       |  SELECT doc_id, md5(text) AS h FROM documents
       |), roots AS (
@@ -1183,7 +1183,7 @@ object Dedup {
       |  FROM reach GROUP BY v
       |)""".stripMargin
 
-  val q40OracleSql: String =
+  lazy val q40OracleSql: String =
     s"""WITH RECURSIVE $keeperCtes
       |SELECT doc_id, keeper_id, is_keeper FROM keepers ORDER BY doc_id""".stripMargin
 
@@ -1230,7 +1230,7 @@ object Dedup {
   /** q40's recursive cluster assignment + q83's score expression, argmax
     * replayed with the same (score DESC NULLS LAST, doc_id ASC) order.
     */
-  val q106OracleSql: String =
+  lazy val q106OracleSql: String =
     s"""WITH RECURSIVE $keeperCtes, quality AS (
       |  SELECT doc_id, quality_score FROM (
       |${TextAnalysis.q83OracleSql}

@@ -169,7 +169,7 @@ object EtlOps {
       .orderBy("partkey", "token")
   }
 
-  val q9OracleSql: String =
+  lazy val q9OracleSql: String =
     """WITH e AS (
       |  SELECT p_partkey AS partkey,
       |         trim(unnest(string_split_regex(p_name, '\s+'))) AS token
@@ -187,7 +187,7 @@ object EtlOps {
       .orderBy("token_id")
   }
 
-  val q10OracleSql: String =
+  lazy val q10OracleSql: String =
     """WITH e AS (
       |  SELECT trim(unnest(string_split_regex(p_name, '\s+'))) AS token FROM part
       |), d AS (
@@ -208,7 +208,7 @@ object EtlOps {
       .orderBy("partkey", "token_id")
   }
 
-  val q11OracleSql: String =
+  lazy val q11OracleSql: String =
     """WITH e AS (
       |  SELECT p_partkey AS id,
       |         trim(unnest(string_split_regex(p_name, '\s+'))) AS token
@@ -236,7 +236,7 @@ object EtlOps {
       .orderBy("user_id", "event_type")
   }
 
-  val q12OracleSql: String =
+  lazy val q12OracleSql: String =
     """SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us
       |FROM (
       |  SELECT *, row_number() OVER (
@@ -257,7 +257,7 @@ object EtlOps {
       .orderBy("event_type")
   }
 
-  val q13OracleSql: String =
+  lazy val q13OracleSql: String =
     """SELECT event_type, COUNT(*) AS row_count,
       |       COUNT(*) FILTER (WHERE (value >= 0.0 AND value <= 150.0) IS NOT TRUE) AS violations
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -277,7 +277,7 @@ object EtlOps {
     }.reduce(_ unionByName _).orderBy("table_name")
   }
 
-  val q14OracleSql: String =
+  lazy val q14OracleSql: String =
     """SELECT * FROM (
       |  SELECT 'region' AS table_name, COUNT(*) AS row_count FROM region
       |  UNION ALL SELECT 'nation', COUNT(*) FROM nation
@@ -309,7 +309,7 @@ object EtlOps {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  val q39OracleSql: String =
+  lazy val q39OracleSql: String =
     """WITH surviving AS (
       |  SELECT o_orderkey FROM orders
       |  WHERE NOT COALESCE(o_orderstatus = 'F', FALSE)

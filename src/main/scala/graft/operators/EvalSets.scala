@@ -104,7 +104,7 @@ object EvalSets {
     Registry.map(s => s"('${s.setId}', ${s.version}, ${s.mod}, ${s.residue})")
       .mkString(", ")
 
-  val q124OracleSql: String =
+  lazy val q124OracleSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
        |), sh AS (

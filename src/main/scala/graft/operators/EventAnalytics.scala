@@ -52,7 +52,7 @@ object EventAnalytics {
       .orderBy("user_id")
   }
 
-  val q72OracleSql: String =
+  lazy val q72OracleSql: String =
     """SELECT user_id,
       |       COUNT(*) FILTER (WHERE event_type = 'view') AS view,
       |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
@@ -116,7 +116,7 @@ object EventAnalytics {
     s1.unionAll(s2).unionAll(s3).orderBy("stage")
   }
 
-  val q73OracleSql: String =
+  lazy val q73OracleSql: String =
     """WITH v AS (
       |  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
       |  WHERE event_type = 'view' GROUP BY user_id
@@ -170,7 +170,7 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
-  val q74OracleSql: String =
+  lazy val q74OracleSql: String =
     s"""WITH daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
       |         COUNT(*) AS n_events
@@ -218,7 +218,7 @@ object EventAnalytics {
       .orderBy("event_type", "day")
   }
 
-  val q78OracleSql: String =
+  lazy val q78OracleSql: String =
     """WITH daily AS (
       |  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
       |         COUNT(*) AS n_events
@@ -269,7 +269,7 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_transitions"))
   }
 
-  val q80OracleSql: String =
+  lazy val q80OracleSql: String =
     """WITH seq AS (
       |  SELECT user_id,
       |         LAG(event_type, 1) OVER
@@ -340,7 +340,7 @@ object EventAnalytics {
   }
 
   /** q74's integer epoch-day, the same min/distinct/rollup chain. */
-  val q114OracleSql: String =
+  lazy val q114OracleSql: String =
     s"""WITH days AS (
       |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
       |), first AS (
@@ -400,7 +400,7 @@ object EventAnalytics {
   }
 
   /** The same binary-digit bucket and share arithmetic. */
-  val q115OracleSql: String =
+  lazy val q115OracleSql: String =
     s"""WITH per_user AS (
       |  SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
       |), buckets AS (

@@ -63,7 +63,7 @@ object FuzzyJoin {
       .orderBy("name_a", "name_b")
   }
 
-  val q79OracleSql: String =
+  lazy val q79OracleSql: String =
     s"""WITH names AS (
       |  SELECT p_name AS name, COUNT(*) AS n_parts
       |  FROM part GROUP BY p_name

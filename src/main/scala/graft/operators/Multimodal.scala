@@ -116,7 +116,7 @@ object Multimodal {
     * `SimilaritySpec` asserts the documents fixture is pure ASCII and
     * names this oracle in its failure message.
     */
-  val q28OracleSql: String = {
+  lazy val q28OracleSql: String = {
     val fcols = (0 until FeatureDim).map { k =>
       val frac = s"CAST(len(list_filter(codes, c -> c % $FeatureDim = $k)) AS DOUBLE) / denom"
       "       " + graft.functions.VectorOps.round6Sql(frac) + s" AS f$k"

@@ -42,7 +42,7 @@ object RelationalQueries {
       .limit(1)
   }
 
-  val q1OracleSql: String =
+  lazy val q1OracleSql: String =
     """SELECT c.c_custkey AS custkey, c.c_name AS name,
       |       CAST(ROUND(CAST(AVG(o.o_totalprice) AS DECIMAL(20,10)), 2) AS DOUBLE) AS avg_price,
       |       COUNT(o.o_totalprice) AS order_count
@@ -87,7 +87,7 @@ object RelationalQueries {
       .limit(5)
   }
 
-  val q2OracleSql: String =
+  lazy val q2OracleSql: String =
     """SELECT n.n_nationkey AS nationkey, n.n_name AS nation, r.r_name AS region,
       |       CAST(ROUND(CAST(AVG(o.o_totalprice) AS DECIMAL(20,10)), 2) AS DOUBLE) AS avg_price,
       |       COUNT(DISTINCT c.c_custkey) AS customer_count,
@@ -136,7 +136,7 @@ object RelationalQueries {
       .limit(1)
   }
 
-  val q3OracleSql: String =
+  lazy val q3OracleSql: String =
     """SELECT n.n_name AS nation,
       |       COUNT(*) AS customer_count,
       |       STRING_AGG(c.c_name, ', ' ORDER BY c.c_name) AS customers
@@ -180,7 +180,7 @@ object RelationalQueries {
       .orderBy(desc("order_year"))
   }
 
-  val q4OracleSql: String =
+  lazy val q4OracleSql: String =
     """SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
       |       CAST(ROUND(CAST(AVG(l.l_extendedprice) AS DECIMAL(20,10)), 2) AS DOUBLE) AS avg_price,
       |       COUNT(DISTINCT o.o_orderkey) AS order_count,

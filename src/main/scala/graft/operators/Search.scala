@@ -133,7 +133,7 @@ object Search {
     s"""SUM(((n_total - df + 0.5) / (df + 0.5))
       |         * (CAST(tf AS DOUBLE) / (tf + $K1)))"""
 
-  val q66OracleSql: String = {
+  lazy val q66OracleSql: String = {
     val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH terms(token) AS (VALUES $termList),
       |tok AS (
@@ -212,7 +212,7 @@ object Search {
 
   /** q64's shared chunk CTEs + q66's scoring arithmetic at chunk grain.
     */
-  val q101OracleSql: String = {
+  lazy val q101OracleSql: String = {
     val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH terms(token) AS (VALUES $termList),
       |${Segments.chunkCtesSql},
@@ -322,7 +322,7 @@ object Search {
   /** The term mining, q66's scoring arithmetic, q22's oracle verbatim
     * for the dense leg, and the same RRF formula.
     */
-  val q102OracleSql: String =
+  lazy val q102OracleSql: String =
     s"""WITH pcounts AS (
       |  SELECT token, COUNT(*) AS n_probe FROM (
       |    SELECT unnest(string_split_regex(text, '\\s+')) AS token
@@ -435,7 +435,7 @@ object Search {
   /** q66's scoring CTEs twice over — seed pass, integer-count expansion
     * mining with the same (count desc, token asc) cutoff, expanded pass.
     */
-  val q107OracleSql: String = {
+  lazy val q107OracleSql: String = {
     val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH seedterms(token) AS (VALUES $termList),
       |tok AS (
@@ -531,7 +531,7 @@ object Search {
   /** The same tf/df/N derivations and weight, ranked with the same
     * (score desc, token asc) tie order.
     */
-  val q118OracleSql: String =
+  lazy val q118OracleSql: String =
     s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -609,7 +609,7 @@ object Search {
     * expression tree — `dl/avgdl` is written `dl · (N/tok_total)` on
     * BOTH engines (one tree, one rounding behavior).
     */
-  val q121OracleSql: String = {
+  lazy val q121OracleSql: String = {
     val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH terms(token) AS (VALUES $termList),
       |tok AS (
@@ -807,7 +807,7 @@ object Search {
   /** The identical co-occurrence/band/rank pipeline, query spec VALUES
     * generated from the same [[ProxQueries]] constant.
     */
-  val q128OracleSql: String = {
+  lazy val q128OracleSql: String = {
     val specValues = ProxQueries.map { case (a, b, s) =>
       s"('$a', '$b', $s)"
     }.mkString(", ")
@@ -844,7 +844,7 @@ object Search {
   /** The identical adjacency/count/scoring pipeline, phrase spec VALUES
     * generated from the same [[Phrases]] constant.
     */
-  val q126OracleSql: String = {
+  lazy val q126OracleSql: String = {
     val specValues = Phrases.flatMap { p =>
       p.zipWithIndex.map { case (t, i) =>
         s"('${p.mkString(" ")}', ${p.length}, '$t', $i)"
@@ -945,7 +945,7 @@ object Search {
   /** The identical hit-position/range-frame/argmax pipeline over the
     * same [[QueryTerms]].
     */
-  val q134OracleSql: String = {
+  lazy val q134OracleSql: String = {
     val termList = QueryTerms.map(t => s"('$t')").mkString(", ")
     s"""WITH qt(term) AS (VALUES $termList),
       |tok AS (

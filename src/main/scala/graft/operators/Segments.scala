@@ -70,7 +70,7 @@ object Segments {
     * start_tok, ctoks) — interpolated by [[q64OracleSql]] and q101's
     * oracle from the same width/stride constants.
     */
-  private[graft] val chunkCtesSql: String =
+  private[graft] lazy val chunkCtesSql: String =
     s"""ctoks_src AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), chunkpos AS (
@@ -90,7 +90,7 @@ object Segments {
       |  FROM chunkpos
       |)""".stripMargin
 
-  val q64OracleSql: String =
+  lazy val q64OracleSql: String =
     s"""WITH $chunkCtesSql
       |SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
       |       CAST(start_tok AS INTEGER) AS start_tok,
@@ -189,7 +189,7 @@ object Segments {
       .orderBy("doc_a", "doc_b")
   }
 
-  val q65OracleSql: String = {
+  lazy val q65OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("s")
     s"""WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents

@@ -90,7 +90,7 @@ object SemanticOps {
       .orderBy("vec_id")
   }
 
-  val q130OracleSql: String = {
+  lazy val q130OracleSql: String = {
     val cos = VectorOps.round6Sql(
       VectorOps.cosineSql("lo.embedding", "hi.embedding"))
     s"""WITH ${Ivf.cellsCtes},
@@ -228,7 +228,7 @@ object SemanticOps {
       .orderBy("cell", "rank")
   }
 
-  val q136OracleSql: String = {
+  lazy val q136OracleSql: String = {
     val lift = "CAST(tf_ct * w_total AS DOUBLE) / CAST(w_c * n AS DOUBLE)"
     s"""WITH ${Ivf.cellsCtes},
        |tok AS (
@@ -260,7 +260,7 @@ object SemanticOps {
        |ORDER BY cell, rank""".stripMargin
   }
 
-  val q131OracleSql: String = {
+  lazy val q131OracleSql: String = {
     val cos = VectorOps.round6Sql(
       "CASE WHEN na2 = 0 OR nb2 = 0 THEN 0.0 " +
         "ELSE CAST(dot AS DOUBLE) / " +

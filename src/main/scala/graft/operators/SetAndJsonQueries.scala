@@ -29,7 +29,7 @@ object SetAndJsonQueries {
       .orderBy("op")
   }
 
-  val q32OracleSql: String =
+  lazy val q32OracleSql: String =
     """SELECT * FROM (
       |  SELECT 'except' AS op, COUNT(*) AS n_customers FROM (
       |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
@@ -61,7 +61,7 @@ object SetAndJsonQueries {
       .orderBy("k")
   }
 
-  val q33OracleSql: String =
+  lazy val q33OracleSql: String =
     s"""SELECT CAST(json_extract_string(props, '$$.k') AS INTEGER) AS k,
       |       COUNT(*) AS n_events,
       |       ${Parity.round2Sql("AVG(value)")} AS avg_value
@@ -99,7 +99,7 @@ object SetAndJsonQueries {
       .orderBy("custkey", "order_seq")
   }
 
-  val q37OracleSql: String = {
+  lazy val q37OracleSql: String = {
     val run = Parity.round2Sql(
       "SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
     val delta = Parity.round2Sql(
@@ -145,7 +145,7 @@ object SetAndJsonQueries {
       .orderBy("o_orderstatus")
   }
 
-  val q36OracleSql: String =
+  lazy val q36OracleSql: String =
     """SELECT o_orderstatus,
       |       COUNT(DISTINCT o_custkey) AS exact_customers,
       |       TRUE AS approx_within_10pct
@@ -166,7 +166,7 @@ object SetAndJsonQueries {
         |FROM documents_v ORDER BY doc_id""".stripMargin)
   }
 
-  val q34OracleSql: String =
+  lazy val q34OracleSql: String =
     """SELECT doc_id,
       |       strip_accents(translate(text, 'aeiou', 'áéíóü')) AS stripped,
       |       len(list_distinct(CASE WHEN len(string_split_regex(text, '\s+')) < 3 THEN []

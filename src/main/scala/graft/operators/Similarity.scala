@@ -70,7 +70,7 @@ object Similarity {
     rankTop(scoredNeighbors(p, e), TopK)
   }
 
-  val q22OracleSql: String = {
+  lazy val q22OracleSql: String = {
     val cos = VectorOps.round6Sql(VectorOps.cosineSql("p.embedding", "e.embedding"))
     s"""WITH scored AS (
       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $cos AS cos
@@ -127,7 +127,7 @@ object Similarity {
       HardNegK)
   }
 
-  val q69OracleSql: String = {
+  lazy val q69OracleSql: String = {
     val cos = VectorOps.round6Sql(VectorOps.cosineSql("p.embedding", "e.embedding"))
     s"""WITH RECURSIVE ${Dedup.keeperCtes}, scored AS (
       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $cos AS cos
@@ -269,7 +269,7 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  val q35OracleSql: String = {
+  lazy val q35OracleSql: String = {
     val pcos = VectorOps.round6Sql(
       "list_inner_product(p.pv, c.centroid) / " +
         "(sqrt(list_inner_product(p.pv, p.pv)) * " +
@@ -355,7 +355,7 @@ object Similarity {
     * sign-of-`list_inner_product` bits against the literal hyperplane
     * vectors.
     */
-  val q23OracleSql: String = {
+  lazy val q23OracleSql: String = {
     def bucketSql(t: Int): String =
       (0 until BitsPerTable).map { j =>
         val plane = hyperplanes(t)(j).mkString("[", ", ", "]")
@@ -525,7 +525,7 @@ object Similarity {
       .mkString("\n  UNION ALL\n  ")
   }
 
-  val q82OracleSql: String = annNearDupPairsSqlFor("embeddings")
+  lazy val q82OracleSql: String = annNearDupPairsSqlFor("embeddings")
 
   /** [[q82OracleSql]] over a caller-chosen table/CTE name — q117's
     * oracle replays the bucketed enumeration over its sampled CTE.
@@ -597,7 +597,7 @@ object Similarity {
     * at probe grain — the recall the oracle computes is over the
     * identical candidate semantics the Spark plan measures.
     */
-  val q92OracleSql: String = {
+  lazy val q92OracleSql: String = {
     val recall = VectorOps.round6Sql(
       "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
     s"""WITH exact AS (
@@ -659,7 +659,7 @@ object Similarity {
   /** q22's oracle as the neighbor source; the vote and argmax replayed
     * with the same tie order (votes desc, label asc).
     */
-  val q93OracleSql: String =
+  lazy val q93OracleSql: String =
     s"""WITH exact AS (
       |  SELECT probe_id, neighbor_id FROM (
       |$q22OracleSql
@@ -733,7 +733,7 @@ object Similarity {
   /** q35's component-wise rounded AVG centroid, the same cosine formula,
     * and the same (cos asc, vec_id asc) bottom-k tie order.
     */
-  val q103OracleSql: String = {
+  lazy val q103OracleSql: String = {
     val cos = VectorOps.round6Sql(
       "list_inner_product(CAST(e.embedding AS DOUBLE[]), c.centroid) / " +
         "(sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), " +
@@ -810,7 +810,7 @@ object Similarity {
   /** The two pair oracles verbatim, banded with q100's floor
     * arithmetic.
     */
-  val q111OracleSql: String =
+  lazy val q111OracleSql: String =
     s"""WITH truth AS (
       |  SELECT id_a, id_b, cos FROM (
       |${Dedup.q21OracleSql}
@@ -916,7 +916,7 @@ object Similarity {
   /** The sample CTE (same PolyHash + modulus arithmetic), then the two
     * pair oracles replayed over it and q111's band rollup.
     */
-  val q117OracleSql: String = {
+  lazy val q117OracleSql: String = {
     val ph = graft.functions.PolyHash.sql("CAST(vec_id AS VARCHAR)")
     s"""WITH m AS (
       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${EvalSampleTarget}.0)
@@ -983,7 +983,7 @@ object Similarity {
   /** q82's bucket derivation verbatim ([[nearDupBucketRowsSql]]), census
     * and rollup mirrored.
     */
-  val q116OracleSql: String =
+  lazy val q116OracleSql: String =
     s"""WITH buckets AS (
       |  $nearDupBucketRowsSql
       |), census AS (

@@ -38,7 +38,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val q24OracleSql: String = {
+  lazy val q24OracleSql: String = {
     val avgLen = round6Sql("CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\\s+'))")
     val stopR = round6Sql(s"CAST(len(regexp_extract_all(text, '\\b(the|a|an|of|to|and|in|is)\\b')) AS DOUBLE) / len(string_split_regex(text, '\\s+'))")
     val distR = round6Sql("CAST(len(list_distinct(string_split_regex(text, '\\s+'))) AS DOUBLE) / len(string_split_regex(text, '\\s+'))")
@@ -84,7 +84,7 @@ object TextAnalysis {
   val langScoreSqls: Seq[String] = LangProfiles.map { case (_, re) =>
     s"len(regexp_extract_all(lower(text), '$re'))"
   }
-  val langPredSql: String = {
+  lazy val langPredSql: String = {
     val Seq(en, de, es, fr) = langScoreSqls
     s"""CASE WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
        |            WHEN $de >= $es AND $de >= $fr THEN 'de'
@@ -108,7 +108,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val q25OracleSql: String = {
+  lazy val q25OracleSql: String = {
     val Seq(en, de, es, fr) = langScoreSqls
     s"""SELECT doc_id,
       |       $en AS score_en, $de AS score_de, $es AS score_es, $fr AS score_fr,
@@ -158,7 +158,7 @@ object TextAnalysis {
     }
   }
 
-  val q26OracleSql: String =
+  lazy val q26OracleSql: String =
     """SELECT doc_id,
       |       len(string_split_regex(text, '\s+')) AS ws_tokens,
       |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS bpe_tokens
@@ -183,7 +183,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val q38OracleSql: String = {
+  lazy val q38OracleSql: String = {
     val ratio = round6Sql(
       "1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / greatest(len(t) - 2, 1)")
     s"""WITH s AS (
@@ -218,7 +218,7 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val q27OracleSql: String =
+  lazy val q27OracleSql: String =
     """WITH fp AS (
       |  SELECT doc_id,
       |         md5(array_to_string(list_sort(list_distinct(
@@ -381,7 +381,7 @@ object TextAnalysis {
     * token-less documents carry zero sums and a NULL mean in both
     * engines.
     */
-  val q86OracleSql: String =
+  lazy val q86OracleSql: String =
     s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -408,7 +408,7 @@ object TextAnalysis {
     * as a CASE chain inside a list transform; the sum is over exact
     * integers, mirroring the Spark fold.
     */
-  val q83OracleSql: String = {
+  lazy val q83OracleSql: String = {
     val cases = QualityWeightTenths
       .map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
     val toks = s"string_split_regex(lower(text), '\\s+')"
@@ -512,7 +512,7 @@ object TextAnalysis {
     * the pair (t[i−1], t[i]), and `generate_series(2, len)` is empty for
     * short docs and NULL (zero rows) for NULL text.
     */
-  val q87OracleSql: String =
+  lazy val q87OracleSql: String =
     s"""WITH tok AS (
       |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents
       |), pos AS (
@@ -583,7 +583,7 @@ object TextAnalysis {
     * artifact), summed to source grain with the same zero-guarded
     * ratios; `n_chars` is the stored column, as in the plan.
     */
-  val q95OracleSql: String =
+  lazy val q95OracleSql: String =
     s"""WITH c AS (
       |  SELECT doc_id, source, n_chars,
       |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS ws,
@@ -683,7 +683,7 @@ object TextAnalysis {
     * sample, the source vocabulary sizes the smoothing — the identically
     * associated double ratio, and the same exact micro-unit integer sum.
     */
-  val q104OracleSql: String = {
+  lazy val q104OracleSql: String = {
     val cases = QualityWeightTenths
       .map { case (t, w) => s"WHEN '$t' THEN $w" }.mkString(" ")
     val toksQ = s"string_split_regex(lower(text), '\\s+')"
@@ -778,7 +778,7 @@ object TextAnalysis {
   /** The q86 token census, the same 1-based adjacent-pair generation,
     * the same (weight desc, pair asc) cutoff.
     */
-  val q113OracleSql: String =
+  lazy val q113OracleSql: String =
     s"""WITH tok AS (
       |  SELECT unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -851,7 +851,7 @@ object TextAnalysis {
     * division order (the ratio is IEEE-exact only if both engines
     * evaluate the same expression tree).
     */
-  val q119OracleSql: String =
+  lazy val q119OracleSql: String =
     s"""WITH tokarr AS (
       |  SELECT string_split_regex(text, '\\s+') AS t FROM documents
       |), pos AS (
@@ -923,7 +923,7 @@ object TextAnalysis {
   /** The same top-[[OovVocabK]] cutoff (mass desc, token asc) and
     * per-source rollup, NULLS LAST pinned on both engines.
     */
-  val q120OracleSql: String =
+  lazy val q120OracleSql: String =
     s"""WITH tok AS (
       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
       |  FROM documents
@@ -1040,7 +1040,7 @@ object TextAnalysis {
     * (pairs → argmax → rewrite) CTE triple, the final SELECT the union
     * of the argmax rows.
     */
-  val q135OracleSql: String = {
+  lazy val q135OracleSql: String = {
     val steps = (1 to BpeSteps).map { k =>
       s"""p$k AS (
          |  SELECT n, s[i] AS c1, s[i + 1] AS c2 FROM (

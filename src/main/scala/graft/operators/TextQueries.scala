@@ -26,7 +26,7 @@ object TextQueries {
       lit(" ("), (lit(1970) + docId % 50).cast("string"), lit(")"))
   }
 
-  private[operators] val syntheticTitleSql: String =
+  private[operators] lazy val syntheticTitleSql: String =
     """substr(text, 1, 40) ||
       |       CASE WHEN doc_id % 3 = 0 THEN ', The'
       |            WHEN doc_id % 3 = 1 THEN ' (a.k.a. alias)'
@@ -51,7 +51,7 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val q5OracleSql: String =
+  lazy val q5OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, $syntheticTitleSql AS title FROM documents
       |), b AS (
@@ -108,7 +108,7 @@ object TextQueries {
       .orderBy("doc_id", "priority")
   }
 
-  val q6OracleSql: String =
+  lazy val q6OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, $syntheticTitleSql AS title FROM documents
       |), b AS (
@@ -195,7 +195,7 @@ object TextQueries {
       .orderBy("partkey")
   }
 
-  val q7OracleSql: String =
+  lazy val q7OracleSql: String =
     """WITH raw AS (
       |  SELECT p_partkey AS partkey,
       |         CASE WHEN p_partkey % 7 = 0 THEN 'N/A'
@@ -237,7 +237,7 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  val q8OracleSql: String =
+  lazy val q8OracleSql: String =
     """SELECT doc_id,
       |       strip_accents(translate(text, 'aeiou', 'áéíóü')) AS stripped,
       |       strip_accents(translate(text, 'aeiou', 'áéíóü')) = text AS roundtrip

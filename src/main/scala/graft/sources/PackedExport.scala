@@ -250,7 +250,7 @@ object PackedExport {
     * [[CorpusOps.frequencyVocab]]'s two-level plan must reproduce, and
     * the weighted stream sum over (id, stream position).
     */
-  val q127OracleSql: String =
+  lazy val q127OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id,
       |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens

@@ -643,7 +643,7 @@ object StreamingOps {
       .orderBy("purchase_id")
   }
 
-  val q44OracleSql: String =
+  lazy val q44OracleSql: String =
     """WITH v AS (
       |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_ts
       |  FROM events WHERE event_type = 'view'
@@ -670,7 +670,7 @@ object StreamingOps {
     tumblingCounts(Tables.events(spark, dir))
       .orderBy("w_start_us", "event_type")
 
-  val q29OracleSql: String =
+  lazy val q29OracleSql: String =
     """SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS w_start_us,
       |       event_type, COUNT(*) AS n_events,
       |       CAST(ROUND(CAST(SUM(value) AS DECIMAL(20,10)), 2) AS DOUBLE) AS sum_value
@@ -683,7 +683,7 @@ object StreamingOps {
     slidingCounts(Tables.events(spark, dir))
       .orderBy("w_start_us", "event_type")
 
-  val q30OracleSql: String =
+  lazy val q30OracleSql: String =
     """WITH w AS (
       |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
       |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE]) AS w_start,
@@ -703,7 +703,7 @@ object StreamingOps {
     sessionAgg(Tables.events(spark, dir))
       .orderBy("user_id", "s_start_us")
 
-  val q31OracleSql: String =
+  lazy val q31OracleSql: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
       |), flagged AS (
