@@ -216,7 +216,7 @@ object Extraction {
     s"trim(regexp_replace($decoded, '\\s+', ' ', 'g'))"
   }
 
-  val q123OracleSql: String = {
+  lazy val q123OracleSql: String = {
     def words(x: String): String =
       s"len(list_filter(string_split($x, ' '), w -> len(w) > 0))"
     s"""WITH raw AS (
@@ -398,7 +398,14 @@ object Extraction {
       top2Frac <= Top2GramFracMax &&
       bulletFrac <= BulletLineFracMax &&
       ellipsisFrac <= EllipsisLineFracMax
+    // sort the CHEAP columns first, then project: the range sort samples
+    // and shuffles only (doc_id, text), and the per-doc metric chain —
+    // interpreted HOF eval, the expensive part — runs exactly once, on
+    // the post-shuffle (fully parallel) side, instead of twice on the
+    // scan's few input splits
     docs
+      .select(col("doc_id"), col("text"))
+      .orderBy("doc_id")
       .select(col("doc_id"),
         nLines.cast("long").as("n_lines"),
         graft.functions.VectorOps.round6(dupLineFrac).as("dup_line_frac"),
@@ -407,10 +414,9 @@ object Extraction {
         graft.functions.VectorOps.round6(bulletFrac).as("bullet_frac"),
         graft.functions.VectorOps.round6(ellipsisFrac).as("ellipsis_frac"),
         keep.as("keep"))
-      .orderBy("doc_id")
   }
 
-  val q133OracleSql: String = {
+  lazy val q133OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
     val chars = (x: String) => s"COALESCE(list_sum(list_transform($x, l -> len(l))), 0)"
     s"""WITH raw AS (
@@ -470,7 +476,7 @@ object Extraction {
   /** The identical explode/df/filter/reassemble pipeline over the shared
     * [[rawSql]]/[[strip]] fragments.
     */
-  val q129OracleSql: String =
+  lazy val q129OracleSql: String =
     s"""WITH raw AS (
        |  SELECT doc_id, ($rawSql) AS raw FROM documents
        |), lined AS (

@@ -87,7 +87,8 @@ object Ivf {
     * names pinned by an explicit cast — `array()` over structs
     * normalizes names away otherwise.
     */
-  private def distStructs(q: Column, cents: Seq[(Int, Array[Long])]): Column =
+  private[operators] def distStructs(q: Column,
+      cents: Seq[(Int, Array[Long])]): Column =
     array(cents.map { case (k, c) =>
       struct(distTo(q, c).as("dist"), lit(k).as("cell"))
     }: _*).cast("array<struct<dist:bigint,cell:int>>")
@@ -253,7 +254,7 @@ object Ivf {
     * of training + final assignment, shared by the q125 and q130 oracles
     * so the two can never train different models.
     */
-  private[operators] val cellsCtes: String = {
+  private[operators] lazy val cellsCtes: String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
     s"""${trainingSql},
@@ -267,7 +268,7 @@ object Ivf {
        |)""".stripMargin
   }
 
-  val q125OracleSql: String = {
+  lazy val q125OracleSql: String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
     val ncos = VectorOps.round6Sql(VectorOps.cosineSql("pv.embedding", "e.embedding"))

@@ -152,29 +152,41 @@ object Pq {
     */
   def q139PqRecall(spark: SparkSession, dir: String): DataFrame = {
     val (cbLit, codesArr) = graft.Artifacts.pqModel(spark, dir)
-    val cb = codebookFrame(spark, cbLit)
     val codes = codesArr
       .select(col("vec_id"), posexplode(col("code")).as(Seq("m", "k")))
     val quant = graft.Checkpoints.checkpoint(
       Ivf.quantized(Tables.embeddings(spark, dir)))
+    val approx = codes
+      .join(broadcast(dtableFrame(quant, codebookFrame(spark, cbLit))),
+        Seq("m", "k"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("d").as("adc"))
+    recallVsExact(quant, approx)
+  }
 
-    val dtable = subvectors(quant.filter(col("vec_id") < NumProbes))
+  /** Probe-side ADC distance tables `(probe_id, m, k, d)` — the
+    * (probes × [[SubM]] × [[PqK]]) lookup frame, always broadcast.
+    */
+  private def dtableFrame(quant: DataFrame, cb: DataFrame): DataFrame =
+    subvectors(quant.filter(col("vec_id") < NumProbes))
       .select(col("vec_id").as("probe_id"), col("m"), col("sq"))
       .join(broadcast(cb), "m")
       .select(col("probe_id"), col("m"), col("k"),
         sqDist(col("sq"), col("cw")).as("d"))
 
+  /** Rank a per-(probe, vector) ADC score frame, compare against the
+    * exact integer-L2 top-[[TopK]] in the same quantized space, and
+    * score recall — the shared q139/q140 tail.
+    */
+  private def recallVsExact(quant: DataFrame, scored: DataFrame): DataFrame = {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id").asc)
-    val approx = codes.join(broadcast(dtable), Seq("m", "k"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .groupBy("probe_id", "vec_id")
-      .agg(sum("d").as("adc"))
+    val approx = scored
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         lit(1).as("hit"))
-
     val exactW = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
     val exact = broadcast(quant.filter(col("vec_id") < NumProbes)
@@ -185,7 +197,6 @@ object Pq {
       .withColumn("rank", row_number().over(exactW))
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
-
     exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
@@ -194,43 +205,92 @@ object Pq {
       .orderBy("probe_id")
   }
 
-  /** The identical fused loop unrolled: `sub` (subvector slices),
-    * `cb0` (smallest-id init per subspace), per iteration an
-    * assignment + update CTE pair, a final `codes` assignment, the
-    * probe distance tables, the ADC scan, and the exact quantized-L2
-    * baseline — every constant generated from the same fields the
+  // ---- q140: IVF-ADC — coarse cells + PQ codes, composed ------------------
+
+  /** q140 — IVF-ADC search (Jégou, Douze & Schmid 2011 §V, the
+    * "IVFADC" system): the trained coarse quantizer (q125's standing
+    * `ivf_centroids`/`ivf_cells`) prunes the corpus to [[Ivf.Nprobe]]
+    * cells per probe, and only those cells' vectors are scored — by
+    * ADC table lookups over the standing `pq_codes` (q139), never a
+    * raw float. Recall@[[TopK]] against the exact integer-L2
+    * top-[[TopK]] in the same quantized space, so the number measures
+    * the COMBINED coarse-pruning + quantization loss — sitting at or
+    * below q125 (pruning only) and q139 (quantization only): the
+    * operating point a deployed index actually runs.
+    *
+    * Scale shape: BOTH index structures are standing
+    * embedding-fingerprint artifacts — nothing trains at query time
+    * (plan-guarded); the probe side is ([[Ivf.Nprobe]] cells +
+    * [[SubM]]×[[PqK]] distance rows) per probe, all broadcast; the
+    * scan side touches only the probed cells' code rows via two
+    * equi-joins and a partial-aggregating sum. Per-probe cost is
+    * corpus/K × [[SubM]] lookups, independent of dimension — the
+    * non-residual IVFADC memory/compute budget.
+    */
+  def q140IvfAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    val (cbLit, codesArr) = graft.Artifacts.pqModel(spark, dir)
+    val codes = codesArr
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("m", "k")))
+    val quant = graft.Checkpoints.checkpoint(
+      Ivf.quantized(Tables.embeddings(spark, dir)))
+    // coarse: probe → its Nprobe nearest cells, map-side vs the literal
+    // centroids (same integer distance and tie-break training used)
+    val probeCells = quant.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"),
+        slice(array_sort(Ivf.distStructs(col("q"), cents)), 1, Ivf.Nprobe)
+          .as("near"))
+      .select(col("probe_id"), explode(col("near")("cell")).as("cell"))
+    val scored = broadcast(probeCells).join(cells, "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "vec_id")
+      .join(codes, "vec_id")
+      .join(broadcast(dtableFrame(quant, codebookFrame(spark, cbLit))),
+        Seq("probe_id", "m", "k"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("d").as("adc"))
+    recallVsExact(quant, scored)
+  }
+
+  /** Exact integer squared-L2 as oracle SQL over list expressions. */
+  private def distSql(a: String, b: String): String =
+    s"list_sum(list_transform(generate_series(1, len($a)), " +
+      s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+
+  /** CTE chain `sub, cb0…cb[[PqIters]], codes, dt` over an existing
+    * `quant` CTE — the oracle's replay of the fused Lloyd loop (`sub`
+    * = subvector slices, `cb0` = smallest-id init per subspace, per
+    * iteration an assignment + update pair), the final `codes`
+    * encoding, and the probe distance tables — shared by the q139 and
+    * q140 oracles so the two can never train different codebooks.
+    * Iteration CTEs are `p`-prefixed to compose with
+    * [[Ivf.cellsCtes]], which owns `quant`, `a<i>`, `sums<i>`,
+    * `cells`. Every constant is generated from the same fields the
     * Spark side trains with.
     */
-  val q139OracleSql: String = {
-    val dist = (a: String, b: String) =>
-      s"list_sum(list_transform(generate_series(1, len($a)), " +
-        s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
+  private lazy val codesCtes: String = {
     val iters = (1 to PqIters).map { it =>
-      s"""a$it AS (
+      s"""pa$it AS (
          |  SELECT vec_id, m, k, sq FROM (
          |    SELECT s.vec_id, s.m, c.k, s.sq,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
-         |             ORDER BY ${dist("s.sq", "c.cw")}, c.k) AS rn
+         |             ORDER BY ${distSql("s.sq", "c.cw")}, c.k) AS rn
          |    FROM sub s JOIN cb${it - 1} c ON s.m = c.m
          |  ) WHERE rn = 1
-         |), sums$it AS (
+         |), psums$it AS (
          |  SELECT m, k, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
          |  FROM (SELECT m, k, generate_subscripts(sq, 1) AS i,
-         |               unnest(sq) AS v FROM a$it)
+         |               unnest(sq) AS v FROM pa$it)
          |  GROUP BY m, k, i
          |), cb$it AS (
          |  SELECT p.m, p.k, COALESCE(u.cw, p.cw) AS cw
          |  FROM cb${it - 1} p LEFT JOIN (
          |    SELECT m, k, list(${Ivf.roundDivSql("s", "n")} ORDER BY i) AS cw
-         |    FROM sums$it GROUP BY m, k
+         |    FROM psums$it GROUP BY m, k
          |  ) u ON p.m = u.m AND p.k = u.k
          |)""".stripMargin
     }.mkString(", ")
-    val recall = VectorOps.round6Sql(
-      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
-    s"""WITH quant AS (
-       |  SELECT vec_id, ${Ivf.quantizeSql("embedding")} AS q FROM embeddings
-       |), sub AS (
+    s"""sub AS (
        |  SELECT vec_id, m,
        |         q[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sq
        |  FROM quant, (SELECT unnest(generate_series(0, ${SubM - 1})) AS m)
@@ -245,31 +305,29 @@ object Pq {
        |  SELECT vec_id, m, k FROM (
        |    SELECT s.vec_id, s.m, c.k,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
-       |             ORDER BY ${dist("s.sq", "c.cw")}, c.k) AS rn
+       |             ORDER BY ${distSql("s.sq", "c.cw")}, c.k) AS rn
        |    FROM sub s JOIN cb$PqIters c ON s.m = c.m
        |  ) WHERE rn = 1
        |), dt AS (
        |  SELECT s.vec_id AS probe_id, s.m, c.k,
-       |         ${dist("s.sq", "c.cw")} AS d
+       |         ${distSql("s.sq", "c.cw")} AS d
        |  FROM sub s JOIN cb$PqIters c ON s.m = c.m
        |  WHERE s.vec_id < $NumProbes
-       |), approx AS (
-       |  SELECT probe_id, vec_id AS neighbor_id FROM (
-       |    SELECT sc.probe_id, sc.vec_id,
-       |           row_number() OVER (PARTITION BY sc.probe_id
-       |             ORDER BY sc.adc, sc.vec_id) AS rank
-       |    FROM (
-       |      SELECT dt.probe_id, co.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
-       |      FROM codes co JOIN dt ON co.m = dt.m AND co.k = dt.k
-       |      WHERE co.vec_id <> dt.probe_id
-       |      GROUP BY dt.probe_id, co.vec_id
-       |    ) sc
-       |  ) WHERE rank <= $TopK
-       |), exact AS (
+       |)""".stripMargin
+  }
+
+  /** `exact` CTE + final recall SELECT — the shared oracle tail: the
+    * exact quantized-space top-[[TopK]] baseline and the per-probe
+    * recall rollup (expects an `approx(probe_id, neighbor_id)` CTE).
+    */
+  private lazy val recallTailSql: String = {
+    val recall = VectorOps.round6Sql(
+      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
+    s"""exact AS (
        |  SELECT probe_id, vec_id AS neighbor_id FROM (
        |    SELECT p.vec_id AS probe_id, v.vec_id,
        |           row_number() OVER (PARTITION BY p.vec_id
-       |             ORDER BY ${dist("p.q", "v.q")}, v.vec_id) AS rank
+       |             ORDER BY ${distSql("p.q", "v.q")}, v.vec_id) AS rank
        |    FROM quant p JOIN quant v ON v.vec_id <> p.vec_id
        |    WHERE p.vec_id < $NumProbes
        |  ) WHERE rank <= $TopK
@@ -281,5 +339,61 @@ object Pq {
        |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY e.probe_id
        |ORDER BY e.probe_id""".stripMargin
+  }
+
+  /** The identical fused loop unrolled ([[codesCtes]]), the whole-corpus
+    * ADC scan, and the exact quantized-L2 baseline ([[recallTailSql]]).
+    */
+  lazy val q139OracleSql: String =
+    s"""WITH quant AS (
+       |  SELECT vec_id, ${Ivf.quantizeSql("embedding")} AS q FROM embeddings
+       |), $codesCtes, approx AS (
+       |  SELECT probe_id, vec_id AS neighbor_id FROM (
+       |    SELECT sc.probe_id, sc.vec_id,
+       |           row_number() OVER (PARTITION BY sc.probe_id
+       |             ORDER BY sc.adc, sc.vec_id) AS rank
+       |    FROM (
+       |      SELECT dt.probe_id, co.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+       |      FROM codes co JOIN dt ON co.m = dt.m AND co.k = dt.k
+       |      WHERE co.vec_id <> dt.probe_id
+       |      GROUP BY dt.probe_id, co.vec_id
+       |    ) sc
+       |  ) WHERE rank <= $TopK
+       |), $recallTailSql""".stripMargin
+
+  /** [[Ivf.cellsCtes]] (coarse training + assignment) composed with
+    * [[codesCtes]] (PQ training + encoding): probes pick their
+    * [[Ivf.Nprobe]] nearest trained cells, the ADC scan is restricted
+    * to those cells' members, and the tail is the same exact-baseline
+    * recall rollup.
+    */
+  lazy val q140OracleSql: String = {
+    val cdist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    s"""WITH ${Ivf.cellsCtes}, $codesCtes, probe_cells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY $cdist, c.cell) AS rn
+       |    FROM quant v CROSS JOIN cent${Ivf.Iters} c
+       |    WHERE v.vec_id < $NumProbes
+       |  ) WHERE rn <= ${Ivf.Nprobe}
+       |), approx AS (
+       |  SELECT probe_id, vec_id AS neighbor_id FROM (
+       |    SELECT sc.probe_id, sc.vec_id,
+       |           row_number() OVER (PARTITION BY sc.probe_id
+       |             ORDER BY sc.adc, sc.vec_id) AS rank
+       |    FROM (
+       |      SELECT pc.probe_id, co.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+       |      FROM probe_cells pc
+       |      JOIN cells cl ON pc.cell = cl.cell
+       |      JOIN codes co ON co.vec_id = cl.vec_id
+       |      JOIN dt ON co.m = dt.m AND co.k = dt.k
+       |        AND dt.probe_id = pc.probe_id
+       |      WHERE co.vec_id <> pc.probe_id
+       |      GROUP BY pc.probe_id, co.vec_id
+       |    ) sc
+       |  ) WHERE rank <= $TopK
+       |), $recallTailSql""".stripMargin
   }
 }
