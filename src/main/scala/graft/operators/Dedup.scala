@@ -278,6 +278,167 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  // ---- q141: LSH band-calibration audit -----------------------------------
+
+  /** Band counts audited by [[q141LshCalibration]]: every (bands x rows)
+    * factorization of the [[NumHashes]]-hash signature from 2 bands up
+    * to the rows=1 extreme that anchors recall.
+    */
+  private[graft] val CalibrationBands: Seq[Int] = Seq(2, 4, 8, 16)
+
+  /** Candidate-acceptance threshold -- q18's est-Jaccard working point. */
+  private val AcceptEst = 0.5
+
+  /** q141 -- LSH band-calibration audit, the S-curve table a deployment
+    * reads before picking q18's operating point (Leskovec, Rajaraman &
+    * Ullman, "Mining of Massive Datasets" 3.4.3): for each
+    * factorization of the standing [[NumHashes]]-hash MinHash signature
+    * into (bands x rows), band-bucket the SAME signatures, run the same
+    * hot-bucket-capped candidate self-join, and report candidate
+    * volume, accepted volume (est-Jaccard >= [[AcceptEst]], q18's
+    * verdict), precision (accepted / candidates), and recall measured
+    * against the rows=1 configuration's accepted set -- the loosest
+    * candidate generator 16 hashes support, so the closest available
+    * stand-in for "every pair the signature could have surfaced".
+    * Recall is a REAL pair intersection, not a count ratio: the
+    * hot-bucket cap means a coarse band can surface a pair the rows=1
+    * config dropped (its singleton buckets run hot first), so subset
+    * reasoning does not survive the cap. More bands -> more candidates,
+    * lower precision, higher recall; the four rows ARE the tuning
+    * curve.
+    *
+    * Scale shape: the corpus appears only through the standing
+    * signature artifact (one checkpointed scan feeds all four
+    * configs); each config is q18's capped bucket equi-join with the
+    * SAME [[MaxBucketPop]] bound; the only pair-grain join after that
+    * is accepted x (rows=1 accepted) -- both sides already
+    * cap-bounded. The audit is what a 100 TB deployment runs on a
+    * sample before committing a band layout to the full corpus.
+    */
+  def q141LshCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = graft.Checkpoints.checkpoint(
+      graft.Artifacts.minhashBands(spark, dir)
+        .select("doc_id", "sig").dropDuplicates("doc_id"))
+    def candPairs(bands: Int): DataFrame = {
+      val r = NumHashes / bands
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("_",
+            transform(slice(col("sig"), b * r + 1, lit(r)),
+              _.cast("string")))))
+          .as(Seq("band", "bucket")))
+      val kept = capBuckets(banded, MaxBucketPop, "band", "bucket")
+      val a = kept.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+      val b = kept.select(col("band"), col("bucket"),
+        col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+      a.join(b, Seq("band", "bucket"))
+        .filter(col("doc_a") < col("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .select(lit(bands).as("bands"), col("doc_a"), col("doc_b"),
+          (estJaccard(col("sig_a"), col("sig_b")) >= AcceptEst)
+            .as("accepted"))
+    }
+    val pairs = graft.Checkpoints.checkpoint(
+      CalibrationBands.map(candPairs).reduce(_ union _))
+    val widest = pairs
+      .filter(col("bands") === NumHashes && col("accepted"))
+      .select("doc_a", "doc_b")
+    val stats = pairs.groupBy("bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("accepted"), 1L).otherwise(0L)).as("n_accepted"))
+    val hits = pairs.filter(col("accepted"))
+      .join(widest, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("bands").agg(count(lit(1)).as("n_hit"))
+    val nMax = widest.agg(count(lit(1)).as("n_max"))
+    // literal config spine: a config whose candidate set is EMPTY still
+    // reports its zero row (the oracle's per-config aggregates do)
+    val spine = CalibrationBands
+      .map(b => (b, NumHashes / b)).toDF("bands", "rows_per_band")
+    spine.join(stats, Seq("bands"), "left")
+      .join(hits, Seq("bands"), "left")
+      .crossJoin(broadcast(nMax))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_accepted"), lit(0L)).as("n_accepted"),
+        graft.functions.VectorOps.round6(
+          when(coalesce(col("n_candidates"), lit(0L)) > 0,
+            col("n_accepted").cast("double") / col("n_candidates"))
+            .otherwise(0.0)).as("precision"),
+        graft.functions.VectorOps.round6(when(col("n_max") > 0,
+          coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_max"))
+          .otherwise(0.0)).as("recall"))
+      .orderBy("bands")
+  }
+
+  /** Per-config band/cap/join/verdict chains generated from the same
+    * constants, with the rows=1 accepted set as the recall baseline
+    * and per-config scalar aggregates so empty configs still report.
+    */
+  lazy val q141OracleSql: String = {
+    val eqTerms = minhashEqTerms
+    val configs = CalibrationBands.map { bands =>
+      val r = NumHashes / bands
+      val bandRows = (0 until bands).map { bnd =>
+        val cols = (bnd * r until (bnd + 1) * r)
+          .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $bnd AS band, $cols AS bucket FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""bands$bands AS (
+         |  $bandRows
+         |), bkeep$bands AS (
+         |  SELECT band, bucket FROM bands$bands
+         |  GROUP BY 1, 2 HAVING COUNT(*) <= $MaxBucketPop
+         |), kept$bands AS (
+         |  SELECT b.doc_id, b.band, b.bucket FROM bands$bands b
+         |  JOIN bkeep$bands k ON b.band = k.band AND b.bucket = k.bucket
+         |), cand$bands AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |         ($eqTerms) / 16.0 >= $AcceptEst AS accepted
+         |  FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM kept$bands a JOIN kept$bands b
+         |      ON a.band = b.band AND a.bucket = b.bucket
+         |        AND a.doc_id < b.doc_id
+         |  ) c
+         |  JOIN sigs sa ON sa.doc_id = c.doc_a
+         |  JOIN sigs sb ON sb.doc_id = c.doc_b
+         |)""".stripMargin
+    }.mkString(", ")
+    val stats = CalibrationBands.map { bands =>
+      val r = NumHashes / bands
+      s"""stat$bands AS (
+         |  SELECT $bands AS bands, $r AS rows_per_band,
+         |         (SELECT COUNT(*) FROM cand$bands) AS n_candidates,
+         |         (SELECT CAST(COALESCE(SUM(CASE WHEN accepted
+         |            THEN 1 ELSE 0 END), 0) AS BIGINT) FROM cand$bands)
+         |           AS n_accepted,
+         |         (SELECT COUNT(*) FROM cand$bands c
+         |          JOIN widest w ON c.doc_a = w.doc_a AND c.doc_b = w.doc_b
+         |          WHERE c.accepted) AS n_hit
+         |)""".stripMargin
+    }.mkString(", ")
+    val unioned = CalibrationBands
+      .map(b => s"SELECT * FROM stat$b").mkString("\n  UNION ALL\n  ")
+    val prec = graft.functions.VectorOps.round6Sql(
+      "CASE WHEN s.n_candidates > 0 THEN " +
+        "CAST(s.n_accepted AS DOUBLE) / s.n_candidates ELSE 0.0 END")
+    val rec = graft.functions.VectorOps.round6Sql(
+      "CASE WHEN m.n_max > 0 THEN " +
+        "CAST(s.n_hit AS DOUBLE) / m.n_max ELSE 0.0 END")
+    s"""WITH $minhashCtes, $configs, widest AS (
+       |  SELECT doc_a, doc_b FROM cand$NumHashes WHERE accepted
+       |), $stats, stats AS (
+       |  $unioned
+       |)
+       |SELECT s.bands, s.rows_per_band, s.n_candidates, s.n_accepted,
+       |       $prec AS precision, $rec AS recall
+       |FROM stats s,
+       |     (SELECT COUNT(*) AS n_max FROM widest) m
+       |ORDER BY s.bands""".stripMargin
+  }
+
   // ---- q19: SimHash ------------------------------------------------------
 
   // Two PolyHash multiplier variants concatenated -> 62-bit signature

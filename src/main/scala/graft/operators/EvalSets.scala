@@ -52,9 +52,23 @@ object EvalSets {
   /** The registry as a literal array-of-structs column — explodes
     * map-side, no join, no extra scan per set.
     */
-  private def registryArray: Column = array(Registry.map(s =>
+  private[operators] def registryArray: Column = array(Registry.map(s =>
     struct(lit(s.setId).as("set_id"), lit(s.version).as("set_version"),
       lit(s.mod).as("mod"), lit(s.residue).as("residue"))): _*)
+
+  /** The (possibly several) registered sets an id belongs to — the
+    * registry literal filtered map-side; explode to get one row per
+    * (id, set).
+    */
+  private[operators] def memberSets(id: Column): Column =
+    filter(registryArray, s => pmod(id, s("mod")) === s("residue"))
+
+  /** The registry as an oracle VALUES clause
+    * `reg(set_id, set_version, mod, residue)`.
+    */
+  private[operators] lazy val registrySql: String =
+    Registry.map(s => s"('${s.setId}', ${s.version}, ${s.mod}, ${s.residue})")
+      .mkString(", ")
 
   /** Per-set shingle index rows `(set_id, set_version, doc_id, sh)` from
     * a per-doc shingle frame (the `shingles8` artifact or its inline
@@ -96,13 +110,6 @@ object EvalSets {
       .agg(count(lit(1)).as("n_eval_shingles"))
       .orderBy("doc_id", "set_id")
   }
-
-  /** The registry as a DuckDB VALUES list — generated from [[Registry]]
-    * so the two sides cannot drift.
-    */
-  private def registrySql: String =
-    Registry.map(s => s"('${s.setId}', ${s.version}, ${s.mod}, ${s.residue})")
-      .mkString(", ")
 
   lazy val q124OracleSql: String =
     s"""WITH toks AS (

@@ -287,4 +287,112 @@ object SemanticOps {
        |SELECT source_a, source_b, $cos AS cos
        |FROM p ORDER BY source_a, source_b""".stripMargin
   }
+
+  // ---- q142: semantic eval-set decontamination ----------------------------
+
+  /** q142 — SEMANTIC decontamination against the named eval-set registry:
+    * q124 catches verbatim (8-gram) leakage; this catches the paraphrased
+    * benchmark item lexical shingles miss. For every registered set
+    * ([[EvalSets.Registry]], membership on the embedding id — vectors
+    * stand in for the benchmark text's embeddings), every NON-member
+    * training vector whose cosine to some member reaches [[Tau]] gets one
+    * `(vec_id, set_id)` verdict row: hit count, max cosine, and the
+    * closest member (ties → smaller id). Clean pairs are implicit (the
+    * q124 sparse-form discipline) — the release gate joins this against
+    * its shipping manifest per set VERSION.
+    *
+    * Scale shape: candidates are within-cell (train × member) equi-join
+    * pairs over the standing `ivf_cells` assignment — the q130
+    * discipline pointed across the train/eval boundary, with the same
+    * [[CellCap]] star degradation per (cell, set) (census is broadcast,
+    * over-cap cells score only the set's smallest-id member). Registry
+    * membership is a map-side literal; adding a benchmark suite changes
+    * no pass structure. The Lloyd training never re-runs here.
+    */
+  def q142SemDecontam(spark: SparkSession, dir: String): DataFrame =
+    semDecontamFrom(Tables.embeddings(spark, dir),
+      graft.Artifacts.ivfModel(spark, dir)._2.select("vec_id", "cell"))
+
+  /** [[q142SemDecontam]] over caller-supplied embeddings + cells (`cap`
+    * overridable so the degradation is spec-testable at crafted
+    * populations).
+    */
+  private[graft] def semDecontamFrom(e: DataFrame, cells: DataFrame,
+      cap: Long = CellCap): DataFrame = {
+    val memb = cells.join(e, "vec_id")
+      .select(col("cell"), col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val eval = memb
+      .select(col("cell"), col("vec_id").as("eval_id"),
+        col("embedding").as("ve"), col("nrm").as("ne"),
+        explode(EvalSets.memberSets(col("vec_id"))).as("s"))
+      .select(col("cell"), col("eval_id"), col("ve"), col("ne"),
+        col("s")("set_id").as("set_id"),
+        col("s")("set_version").as("set_version"))
+    val train = memb.filter(!EvalSets.inAnySet(col("vec_id")))
+      .select(col("cell"), col("vec_id"),
+        col("embedding").as("vt"), col("nrm").as("nt"))
+    val census = eval.groupBy("cell", "set_id")
+      .agg(count(lit(1)).as("pop"), min("eval_id").as("rep"))
+    val scored = train.join(eval, "cell")
+      .join(broadcast(census), Seq("cell", "set_id"))
+      .filter(col("pop") <= cap || col("eval_id") === col("rep"))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.dot(col("vt"), col("ve")) / (col("nt") * col("ne"))))
+      .filter(col("cos") >= Tau)
+    val part = Window.partitionBy("vec_id", "set_id")
+    scored
+      .withColumn("n_hits", count(lit(1)).over(part))
+      .withColumn("rn", row_number().over(
+        part.orderBy(desc("cos"), asc("eval_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("set_id"), col("set_version"),
+        col("n_hits"), col("cos").as("max_cos"),
+        col("eval_id").as("closest_eval"))
+      .orderBy("vec_id", "set_id")
+  }
+
+  /** [[Ivf.cellsCtes]] + the registry as VALUES + the same
+    * train × member within-cell screen, per-(cell, set) cap included.
+    */
+  lazy val q142OracleSql: String = {
+    val cos = VectorOps.round6Sql(
+      VectorOps.cosineSql("t.embedding", "e.embedding"))
+    s"""WITH ${Ivf.cellsCtes},
+       |reg(set_id, set_version, md, res) AS (
+       |  VALUES ${EvalSets.registrySql}
+       |), memb AS (
+       |  SELECT c.cell, c.vec_id, e.embedding
+       |  FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id
+       |), ev AS (
+       |  SELECT m.cell, m.vec_id AS eval_id, m.embedding,
+       |         r.set_id, r.set_version
+       |  FROM memb m JOIN reg r ON m.vec_id % r.md = r.res
+       |), tr AS (
+       |  SELECT m.cell, m.vec_id, m.embedding FROM memb m
+       |  WHERE NOT EXISTS (SELECT 1 FROM reg r
+       |                    WHERE m.vec_id % r.md = r.res)
+       |), census AS (
+       |  SELECT cell, set_id, COUNT(*) AS pop, MIN(eval_id) AS rep
+       |  FROM ev GROUP BY cell, set_id
+       |), scored AS (
+       |  SELECT t.vec_id, e.set_id, e.set_version, e.eval_id,
+       |         $cos AS cos
+       |  FROM tr t
+       |  JOIN ev e ON t.cell = e.cell
+       |  JOIN census c ON c.cell = e.cell AND c.set_id = e.set_id
+       |  WHERE (c.pop <= $CellCap OR e.eval_id = c.rep)
+       |    AND $cos >= $Tau
+       |)
+       |SELECT vec_id, set_id, set_version, n_hits, cos AS max_cos,
+       |       eval_id AS closest_eval
+       |FROM (
+       |  SELECT vec_id, set_id, set_version, eval_id, cos,
+       |         COUNT(*) OVER (PARTITION BY vec_id, set_id) AS n_hits,
+       |         row_number() OVER (PARTITION BY vec_id, set_id
+       |           ORDER BY cos DESC, eval_id) AS rn
+       |  FROM scored
+       |) WHERE rn = 1
+       |ORDER BY vec_id, set_id""".stripMargin
+  }
 }

@@ -29,6 +29,43 @@ class DedupSpec extends SparkSpec {
     assert(errs.nonEmpty && errs.sum / errs.size <= 0.25)
   }
 
+  test("q141 calibration equals a local replay; curve is monotone in bands") {
+    val sigs = Dedup.minhashSignatures(Tables.documents(spark, sf)).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 16).map(i => r.getAs[Long](s"h$i")).toArray).toMap
+    def replay(bands: Int): (Long, Long) = {
+      val r = 16 / bands
+      // band buckets, hot buckets (>64) dropped
+      val buckets = sigs.toSeq.flatMap { case (id, sig) =>
+        (0 until bands).map(b =>
+          (b, sig.slice(b * r, (b + 1) * r).mkString("_")) -> id)
+      }.groupBy(_._1).filter(_._2.size <= 64)
+      val cand = buckets.values.flatMap { members =>
+        val ids = members.map(_._2).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.size)
+          yield (ids(i), ids(j))
+      }.toSet
+      val acc = cand.count { case (a, b) =>
+        sigs(a).zip(sigs(b)).count(p => p._1 == p._2) / 16.0 >= 0.5
+      }
+      (cand.size.toLong, acc.toLong)
+    }
+    val expected = Dedup.CalibrationBands.map(b => b -> replay(b)).toMap
+    val out = Dedup.q141LshCalibration(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("bands")).toSeq == Dedup.CalibrationBands)
+    out.foreach { row =>
+      val b = row.getAs[Int]("bands")
+      val (nCand, nAcc) = expected(b)
+      assert(row.getAs[Long]("n_candidates") == nCand, s"bands=$b candidates")
+      assert(row.getAs[Long]("n_accepted") == nAcc, s"bands=$b accepted")
+    }
+    // widest config anchors recall at 1.0 (unless nothing is accepted)
+    val widest = out.find(_.getAs[Int]("bands") == 16).get
+    assert(widest.getAs[Long]("n_accepted") == 0 ||
+      widest.getAs[Double]("recall") == 1.0)
+    Checkpoints.releaseAll()
+  }
+
   test("q19 simhash pairs have genuinely similar token sets") {
     import spark.implicits._
     val pairs = Dedup.q19DedupSimhash(spark, sf)

@@ -76,6 +76,65 @@ class SemanticOpsSpec extends SparkSpec {
       "star never scores the (2,3) member-member pair")
   }
 
+  test("q142: verdicts equal q21 truth over same-cell train×member pairs") {
+    val out = SemanticOps.q142SemDecontam(spark, sf).collect()
+    val cellOf = Artifacts.ivfModel(spark, sf)._2.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    // q21 = all pairs at cos >= 0.4 (the shared Tau) with the same round6
+    val truth = Dedup.q21EmbeddingNearDup(spark, sf).collect().flatMap { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val c = r.getAs[Double]("cos")
+      Seq((a, b) -> c, (b, a) -> c)
+    }.toMap
+    val reg = graft.operators.EvalSets.Registry
+    def setsOf(id: Long) =
+      reg.filter(s => id % s.mod == s.residue).map(s => (s.setId, s.version))
+    val expected = (for {
+      t <- cellOf.keys if setsOf(t).isEmpty
+      (sid, ver) <- reg.map(s => (s.setId, s.version)).distinct
+      hits = cellOf.keys.filter(e => setsOf(e).exists(_._1 == sid) &&
+        cellOf(e) == cellOf(t) && truth.contains((t, e))).toSeq
+      if hits.nonEmpty
+    } yield {
+      val best = hits.map(e => (-truth((t, e)), e)).min
+      (t, sid) -> (ver, hits.size.toLong, -best._1, best._2)
+    }).toMap
+    assert(out.length == expected.size)
+    out.foreach { r =>
+      val key = (r.getAs[Long]("vec_id"), r.getAs[String]("set_id"))
+      val (ver, n, cos, closest) = expected(key)
+      assert(r.getAs[Int]("set_version") == ver, s"$key version")
+      assert(r.getAs[Long]("n_hits") == n, s"$key n_hits")
+      assert(r.getAs[Double]("max_cos") == cos, s"$key max_cos")
+      assert(r.getAs[Long]("closest_eval") == closest, s"$key closest")
+    }
+    Checkpoints.releaseAll()
+  }
+
+  test("q142 star degradation: over-cap (cell, set) scores the rep only") {
+    import spark.implicits._
+    // ids 7 and 27 are heldout_a members (id % 10 == 7); 8 is heldout_b;
+    // 0 is in no set. All share one cell. Train vector 0 matches both
+    // heldout_a members at cos 1 — under cap=1 only the rep (7) scores.
+    val e = Seq(
+      (0L, Seq(1f, 0f)), (7L, Seq(1f, 0f)), (27L, Seq(1f, 0f)),
+      (8L, Seq(0f, 1f))
+    ).toDF("vec_id", "embedding")
+    val cells = Seq((0L, 0), (7L, 0), (27L, 0), (8L, 0))
+      .toDF("vec_id", "cell")
+    val full = SemanticOps.semDecontamFrom(e, cells).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("set_id")) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("closest_eval"))).toMap
+    assert(full((0L, "heldout_a")) == ((2L, 7L)), "full: both members hit")
+    assert(!full.contains((0L, "heldout_b")), "orthogonal set never hits")
+    val star = SemanticOps.semDecontamFrom(e, cells, cap = 1L).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[String]("set_id")) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("closest_eval"))).toMap
+    assert(star((0L, "heldout_a")) == ((1L, 7L)),
+      "star: only the set's rep is scored in an over-cap cell")
+    Checkpoints.releaseAll()
+  }
+
   test("q136 cluster cards: crafted postings produce exact lift ranks") {
     import spark.implicits._
     // cell 0 = docs {1,2} talking about "cats"; cell 1 = doc 3 about
