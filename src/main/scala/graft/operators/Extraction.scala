@@ -163,22 +163,53 @@ object Extraction {
   def q123TextExtract(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawify(col("doc_id"), col("text"))
     val lines = rawLines(raw)
-    val nLinesRaw = size(filter(lines, l => wordsOf(stripTags(l)) > 0))
-    val kept = filter(lines, keepLine _)
-    val extracted = array_join(transform(kept, stripTags _), "\n")
-    val rawTokens = wordsOf(stripTags(regexp_replace(raw, BlockRe, " ")))
-      .cast("long")
-    val keptTokens = size(filter(split(extracted, "\\s+"), w => length(w) > 0))
-      .cast("long")
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
+    // One regex pass per line, checkpointed: stripped lines, their word
+    // counts, the two raw-line rule signals, and the whole-doc raw token
+    // count. The line rules and stats are then linear passes over the
+    // in-memory arrays — the fused form re-ran stripTags (the regex
+    // chain) ~5× per line across nLinesRaw/keepLine/extracted, with no
+    // subexpression elimination inside interpreted lambdas (the q133
+    // lesson applied to its sibling).
+    val width = Tables.documents(spark, dir).sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+    val base = graft.Checkpoints.checkpoint(
+      Tables.documents(spark, dir)
+        .repartition(width, col("doc_id"))
+        .select(col("doc_id"),
+          transform(lines, stripTags _).as("slines"),
+          transform(lines, l => regexp_count(l, lit(AnchorRe)).cast("int"))
+            .as("anchors"),
+          wordsOf(stripTags(regexp_replace(raw, BlockRe, " ")))
+            .cast("long").as("raw_tokens")))
+      .select(col("doc_id"), col("anchors"), col("raw_tokens"),
+        col("slines"),
+        transform(col("slines"), s => wordsOf(s).cast("int")).as("words"),
+        transform(col("slines"),
+          s => regexp_count(s, lit(BoilerplateRe)) > 0).as("bp"))
+    val idx = sequence(lit(1), size(col("slines")))
+    val keptIdx = filter(idx, i =>
+      element_at(col("words"), i) >= MinLineWords &&
+        !element_at(col("bp"), i) &&
+        element_at(col("words"), i) >=
+          element_at(col("anchors"), i) * LinkWordsPerAnchor)
+    val nLinesRaw = size(filter(col("words"), w => w > 0))
+    val extracted = array_join(
+      transform(keptIdx, i => element_at(col("slines"), i)), "\n")
+    val keptTokens = aggregate(keptIdx, lit(0L),
+      (acc, i) => acc + element_at(col("words"), i))
+    base
+      .select(col("doc_id"), col("raw_tokens"),
         extracted.as("extracted"),
         nLinesRaw.cast("long").as("n_lines_raw"),
-        size(kept).cast("long").as("n_lines_kept"),
-        rawTokens.as("raw_tokens"),
-        keptTokens.as("kept_tokens"),
-        Parity.round2((rawTokens - keptTokens).cast("double") /
-          nullif(rawTokens, lit(0L)).cast("double")).as("boilerplate_frac"))
+        size(keptIdx).cast("long").as("n_lines_kept"),
+        keptTokens.as("kept_tokens"))
+      .select(col("doc_id"),
+        col("extracted"), col("n_lines_raw"), col("n_lines_kept"),
+        col("raw_tokens"), col("kept_tokens"),
+        Parity.round2((col("raw_tokens") - col("kept_tokens"))
+          .cast("double") /
+          nullif(col("raw_tokens"), lit(0L)).cast("double"))
+          .as("boilerplate_frac"))
       .orderBy("doc_id")
   }
 
