@@ -210,6 +210,157 @@ object Ivf {
       .orderBy("probe_id")
   }
 
+  /** Probe budgets swept by [[q143NprobeSweep]]. */
+  private[graft] val ProbeSweep: Seq[Int] = 1 to 8
+
+  /** q143 — the IVF probe-budget curve, q141's calibration discipline on
+    * the vector side: for every nprobe in [[ProbeSweep]], the q125
+    * search (probe → nprobe nearest trained cells by the training
+    * distance, float-cosine rerank of those cells' members) is scored
+    * against the exact q22 top-[[TopK]], and the sweep reports the
+    * averaged recall@[[TopK]] next to the averaged fraction of the
+    * corpus scanned. Recall vs scan cost at each budget IS the knob a
+    * deployment turns — q125 pins the shipped point
+    * (nprobe = [[Nprobe]]); this is the table it was picked from.
+    *
+    * Scale shape: ONE probe×candidate scoring pass covers the whole
+    * sweep — each (probe, member-of-top-[[ProbeSweep]]-cells) pair is
+    * scored once, tagged with its cell's coarse RANK, and a pair then
+    * counts toward every budget ≥ that rank (a map-side explode of at
+    * most |sweep| small ints). Candidate generation reads the standing
+    * `ivf_cells`; the coarse ranks are a broadcast (probes × cells)
+    * frame; nothing re-trains (the cosine side joins embeddings twice —
+    * probe rows and candidate rows — exactly like q125).
+    */
+  def q143NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    val nOther = e.count() - 1
+
+    // probe → every cell with its coarse rank (probes × K rows, broadcast)
+    val ranked = quantized(e.filter(col("vec_id") < NumProbes))
+      .select(col("vec_id").as("probe_id"),
+        posexplode(array_sort(distStructs(col("q"), cents)))
+          .as(Seq("crank0", "dc")))
+      .select(col("probe_id"), (col("crank0") + 1).as("crank"),
+        col("dc")("cell").as("cell"))
+      .filter(col("crank") <= ProbeSweep.max)
+
+    val probeVecs = e.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
+        VectorOps.norm(col("embedding")).as("pn"))
+    // each candidate scored ONCE, carrying its coarse rank
+    val scored = broadcast(ranked.join(probeVecs, "probe_id"))
+      .join(cells.join(e.select(col("vec_id"), col("embedding").as("nv"),
+          VectorOps.norm(col("embedding")).as("nn")), "vec_id"), "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id"), col("crank"),
+        VectorOps.round6(VectorOps.dot(col("pv"), col("nv")) /
+          (col("pn") * col("nn"))).as("cos"))
+    // fan each pair out to every budget that includes it
+    val sweepArr = array(ProbeSweep.map(lit): _*)
+    val fanned = scored.select(col("probe_id"), col("vec_id"), col("cos"),
+      explode(filter(sweepArr, n => n >= col("crank"))).as("nprobe"))
+
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("nprobe", "probe_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = fanned
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= TopK)
+      .select(col("nprobe"), col("probe_id"),
+        col("vec_id").as("neighbor_id"), lit(1).as("hit"))
+    val exact = Similarity.q22CosineTopK(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"))
+      .crossJoin(spark.createDataFrame(
+        spark.sparkContext.parallelize(ProbeSweep.map(org.apache.spark.sql.Row(_))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nprobe",
+            org.apache.spark.sql.types.IntegerType, nullable = false)))))
+    // micro-averages: ONE division of two exact long sums per budget —
+    // no float accumulation whose order an engine could pick differently
+    val recalls = exact
+      .join(approx, Seq("nprobe", "probe_id", "neighbor_id"), "left")
+      .groupBy("nprobe")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("nprobe"),
+        (col("n_hit").cast("double") / col("n_exact")).as("avg_recall"))
+    val scanned = fanned.groupBy("nprobe")
+      .agg(count(lit(1)).as("n_scanned"))
+      .select(col("nprobe"), (col("n_scanned").cast("double") /
+        (nOther * NumProbes)).as("avg_scan_frac"))
+    recalls.join(scanned, "nprobe")
+      .select(col("nprobe"),
+        VectorOps.round6(col("avg_recall")).as("avg_recall"),
+        VectorOps.round6(col("avg_scan_frac")).as("avg_scan_frac"))
+      .orderBy("nprobe")
+  }
+
+  /** [[cellsCtes]] + coarse ranks + the one-pass scored/fanned sweep —
+    * averages computed the same way (per-probe ratios, then AVG).
+    */
+  lazy val q143OracleSql: String = {
+    val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    val ncos = VectorOps.round6Sql(
+      VectorOps.cosineSql("pv.embedding", "e.embedding"))
+    val sweepMax = ProbeSweep.max
+    s"""WITH ${cellsCtes}, ranked AS (
+       |  SELECT vec_id AS probe_id, cell, crank FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY $dist, c.cell) AS crank
+       |    FROM quant v CROSS JOIN cent$Iters c
+       |    WHERE v.vec_id < $NumProbes
+       |  ) WHERE crank <= $sweepMax
+       |), scored AS (
+       |  SELECT r.probe_id, e.vec_id, r.crank, $ncos AS cos
+       |  FROM ranked r
+       |  JOIN cells cl ON r.cell = cl.cell
+       |  JOIN embeddings e ON cl.vec_id = e.vec_id
+       |  JOIN embeddings pv ON r.probe_id = pv.vec_id
+       |  WHERE e.vec_id <> r.probe_id
+       |), fanned AS (
+       |  SELECT s.probe_id, s.vec_id, s.cos, n.nprobe
+       |  FROM scored s
+       |  JOIN (SELECT unnest(generate_series(${ProbeSweep.min},
+       |          $sweepMax)) AS nprobe) n
+       |    ON n.nprobe >= s.crank
+       |), approx AS (
+       |  SELECT nprobe, probe_id, vec_id AS neighbor_id FROM (
+       |    SELECT nprobe, probe_id, vec_id,
+       |           row_number() OVER (PARTITION BY nprobe, probe_id
+       |             ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM fanned
+       |  ) WHERE rank <= $TopK
+       |), exact AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |${Similarity.q22OracleSql}
+       |  )
+       |), recalls AS (
+       |  SELECT n.nprobe,
+       |         CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)
+       |           AS avg_recall
+       |  FROM exact e
+       |  CROSS JOIN (SELECT unnest(generate_series(${ProbeSweep.min},
+       |                $sweepMax)) AS nprobe) n
+       |  LEFT JOIN approx a ON a.nprobe = n.nprobe
+       |    AND a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY n.nprobe
+       |), scanned AS (
+       |  SELECT nprobe,
+       |         CAST(COUNT(*) AS DOUBLE) /
+       |           (((SELECT COUNT(*) FROM embeddings) - 1) * $NumProbes)
+       |           AS avg_scan_frac
+       |  FROM fanned GROUP BY nprobe
+       |)
+       |SELECT r.nprobe,
+       |       ${VectorOps.round6Sql("r.avg_recall")} AS avg_recall,
+       |       ${VectorOps.round6Sql("s.avg_scan_frac")} AS avg_scan_frac
+       |FROM recalls r JOIN scanned s ON r.nprobe = s.nprobe
+       |ORDER BY r.nprobe""".stripMargin
+  }
+
   /** The oracle's training replay: CTEs `quant`, `cent0`, then per
     * iteration an assignment (`a<i>`) and an update (`cent<i>`), all
     * generated from the same [[K]]/[[Iters]]/[[QuantScale]] constants

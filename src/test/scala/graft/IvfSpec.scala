@@ -62,6 +62,30 @@ class IvfSpec extends SparkSpec {
     Checkpoints.releaseAll()
   }
 
+  test("q143 sweep: monotone in nprobe, anchored to q125 at the shipped budget") {
+    val out = Ivf.q143NprobeSweep(spark, sf).collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(out.map(_.getAs[Int]("nprobe")).toSeq == Ivf.ProbeSweep)
+    // a larger candidate set can never lose an exact member it already
+    // ranked (rerank is by the SAME cosine order as the baseline), so
+    // both curves are non-decreasing
+    val rec = out.map(_.getAs[Double]("avg_recall")).toSeq
+    val scan = out.map(_.getAs[Double]("avg_scan_frac")).toSeq
+    assert(rec == rec.sorted, s"recall not monotone: $rec")
+    assert(scan == scan.sorted, s"scan fraction not monotone: $scan")
+    scan.foreach(f => assert(f >= 0.0 && f <= 1.0))
+    // at the shipped budget the sweep row IS q125's micro-average
+    val q125 = Ivf.q125IvfRecall(spark, sf).collect()
+    val micro = q125.map(_.getAs[Long]("n_hit")).sum.toDouble /
+      q125.map(_.getAs[Long]("n_exact")).sum
+    val at = out.find(_.getAs[Int]("nprobe") == Ivf.Nprobe).get
+      .getAs[Double]("avg_recall")
+    assert(at == BigDecimal(micro).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"sweep@${Ivf.Nprobe} = $at, q125 micro-average = $micro")
+    Checkpoints.releaseAll()
+  }
+
   test("artifact mode: committed model ≡ inline model, q125 identical across modes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toFile
     try {
