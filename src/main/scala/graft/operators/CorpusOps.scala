@@ -1279,6 +1279,101 @@ object CorpusOps {
       |FROM agg ORDER BY shard""".stripMargin
   }
 
+  // ---- q144: pack-budget sweep --------------------------------------------
+
+  /** Context budgets swept by [[q144PackBudgetSweep]]. */
+  private[graft] val BudgetSweep: Seq[Int] = Seq(128, 256, 512, 1024, 2048)
+
+  /** q144 — the pack-budget curve, q98's audit swept across context
+    * lengths: q48's concatenation offsets are budget-INDEPENDENT (the
+    * layout concatenates in (shard, doc_id) order regardless of where
+    * the chunk boundaries fall), so ONE packing pass prices every
+    * budget — per budget, the corpus-level sequence count
+    * (Σ per-shard ceil), padding waste, fill ratio, boundary-cut
+    * documents, and the cut fraction. The tension the table prices:
+    * a bigger budget cuts fewer documents mid-context but wastes more
+    * padding in each shard's final sequence (and must suit the
+    * training engine's preferred sequence length) — q98 pins the
+    * shipped point ([[PackBudget]]), this is the table it came from
+    * (the q141/q143 calibration discipline applied to the writer).
+    *
+    * Scale shape: the doc-grain source is q48's offset table (standing
+    * token counts in artifact mode); the sweep is a map-side explode of
+    * |[[BudgetSweep]]| small ints per doc into ONE partial aggregate at
+    * budget grain, plus a shard-grain rollup (16 rows) fanned the same
+    * way. Integer arithmetic end to end; the two reported ratios are
+    * single divisions of exact longs.
+    */
+  def q144PackBudgetSweep(spark: SparkSession, dir: String): DataFrame = {
+    val packed = graft.Checkpoints.checkpoint(
+      q48SequencePack(spark, dir)
+        .select(col("shard"), col("n_tokens"), col("tok_offset")))
+    val budgets = explode(array(BudgetSweep.map(lit): _*)).as("budget")
+
+    val docStats = packed.select(col("n_tokens"), col("tok_offset"), budgets)
+      .groupBy("budget")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("tok_offset") + col("n_tokens") >
+          (expr("tok_offset DIV budget") + 1) * col("budget"), 1L)
+          .otherwise(0L)).as("split_docs"))
+    val shardStats = packed.groupBy("shard")
+      .agg(sum("n_tokens").as("shard_tokens"))
+      .select(col("shard_tokens"), budgets)
+      .groupBy("budget")
+      .agg(sum(expr(s"(shard_tokens + budget - 1) DIV budget")).as("n_seqs"),
+        sum("shard_tokens").as("n_tokens"))
+    docStats.join(shardStats, "budget")
+      .select(col("budget"), col("n_docs"), col("n_tokens"), col("n_seqs"),
+        (col("n_seqs") * col("budget") - col("n_tokens")).as("pad_tokens"),
+        graft.functions.VectorOps.round6(col("n_tokens").cast("double") /
+          nullif(col("n_seqs") * col("budget"), lit(0L))).as("fill_ratio"),
+        col("split_docs"),
+        graft.functions.VectorOps.round6(col("split_docs").cast("double") /
+          nullif(col("n_docs"), lit(0L))).as("split_frac"))
+      .orderBy("budget")
+  }
+
+  /** q48's oracle verbatim, fanned across the same budget list with the
+    * same ceil/pad/cut arithmetic.
+    */
+  lazy val q144OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    val budgetList = BudgetSweep.mkString(", ")
+    s"""WITH packed AS (
+      |  SELECT * FROM (
+      |$q48OracleSql
+      |  )
+      |), b AS (
+      |  SELECT unnest([$budgetList]) AS budget
+      |), doc_stats AS (
+      |  SELECT b.budget, COUNT(*) AS n_docs,
+      |         CAST(COALESCE(SUM(CASE WHEN p.tok_offset + p.n_tokens >
+      |           ((p.tok_offset // b.budget) + 1) * b.budget
+      |           THEN 1 ELSE 0 END), 0) AS BIGINT) AS split_docs
+      |  FROM packed p CROSS JOIN b GROUP BY b.budget
+      |), shard_tot AS (
+      |  SELECT shard, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+      |  FROM packed GROUP BY shard
+      |), shard_stats AS (
+      |  SELECT b.budget,
+      |         CAST(SUM((s.shard_tokens + b.budget - 1) // b.budget)
+      |           AS BIGINT) AS n_seqs,
+      |         CAST(SUM(s.shard_tokens) AS BIGINT) AS n_tokens
+      |  FROM shard_tot s CROSS JOIN b GROUP BY b.budget
+      |)
+      |SELECT d.budget, d.n_docs, s.n_tokens, s.n_seqs,
+      |       s.n_seqs * d.budget - s.n_tokens AS pad_tokens,
+      |       ${round6Sql(
+               "CAST(s.n_tokens AS DOUBLE) / " +
+               "nullif(s.n_seqs * d.budget, 0)")} AS fill_ratio,
+      |       d.split_docs,
+      |       ${round6Sql(
+               "CAST(d.split_docs AS DOUBLE) / nullif(d.n_docs, 0)")}
+      |         AS split_frac
+      |FROM doc_stats d JOIN shard_stats s ON d.budget = s.budget
+      |ORDER BY d.budget""".stripMargin
+  }
+
   /** Resolution of the q56 sampling hash (hash is uniform on [0, 10⁶)). */
   private val MixResolution = 1000000L
 

@@ -97,7 +97,15 @@ class EmptyCorpusSpec extends SparkSpec {
     "q119_pmi_collocations" -> (TextAnalysis.q119PmiCollocations _),
     "q120_oov_rate" -> (TextAnalysis.q120OovRate _),
     "q121_bm25_full" -> (Search.q121Bm25Full _),
-    "q122_source_dup_matrix" -> (CorpusAudit.q122SourceDupMatrix _))
+    "q122_source_dup_matrix" -> (CorpusAudit.q122SourceDupMatrix _),
+    "q123_text_extract" -> (graft.operators.Extraction.q123TextExtract _),
+    "q126_phrase_search" -> (Search.q126PhraseSearch _),
+    "q128_proximity_search" -> (Search.q128ProximitySearch _),
+    "q129_line_dedup" -> (graft.operators.Extraction.q129LineDedup _),
+    "q132_dup_runs" -> (CorpusOps.q132DupRuns _),
+    "q133_repetition_gate" -> (graft.operators.Extraction.q133RepetitionGate _),
+    "q134_snippet" -> (Search.q134Snippet _),
+    "q144_pack_budget_sweep" -> (CorpusOps.q144PackBudgetSweep _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {
@@ -112,5 +120,16 @@ class EmptyCorpusSpec extends SparkSpec {
     val rows = CorpusOps.q58IntegrityAudit(spark, dir).collect()
     assert(rows.length == 5)
     assert(rows.forall(_.getAs[Long]("violations") == 0L))
+  }
+
+  // q141 is likewise report-shaped: the config spine survives an empty
+  // corpus as four all-zero rows, never an exception from an empty max.
+  test("q141_lsh_calibration reports four zero rows on an empty corpus") {
+    val rows = Dedup.q141LshCalibration(spark, dir).collect()
+    assert(rows.length == Dedup.CalibrationBands.length)
+    assert(rows.forall(r => r.getAs[Long]("n_candidates") == 0L &&
+      r.getAs[Long]("n_accepted") == 0L &&
+      r.getAs[Double]("recall") == 0.0))
+    Checkpoints.releaseAll()
   }
 }

@@ -174,4 +174,26 @@ class PipelineAuditSpec extends SparkSpec {
       assert(fill > 0.0 && fill <= 1.0, s"fill $fill")
     }
   }
+
+  test("q144 budget sweep reconciles with q48 at every budget") {
+    val packed = CorpusOps.q48SequencePack(spark, sf).collect()
+    val byShard = packed.groupBy(_.getAs[Int]("shard"))
+    val out = CorpusOps.q144PackBudgetSweep(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("budget")).toSeq == CorpusOps.BudgetSweep)
+    out.foreach { r =>
+      val b = r.getAs[Int]("budget").toLong
+      val nSeqs = byShard.values.map(rows =>
+        (rows.map(_.getAs[Long]("n_tokens")).sum + b - 1) / b).sum
+      val tokens = packed.map(_.getAs[Long]("n_tokens")).sum
+      val split = packed.count(p => p.getAs[Long]("tok_offset") +
+        p.getAs[Long]("n_tokens") >
+        (p.getAs[Long]("tok_offset") / b + 1) * b)
+      assert(r.getAs[Long]("n_docs") == packed.length.toLong, s"b=$b docs")
+      assert(r.getAs[Long]("n_tokens") == tokens, s"b=$b tokens")
+      assert(r.getAs[Long]("n_seqs") == nSeqs, s"b=$b seqs")
+      assert(r.getAs[Long]("pad_tokens") == nSeqs * b - tokens, s"b=$b pad")
+      assert(r.getAs[Long]("split_docs") == split.toLong, s"b=$b split")
+    }
+    Checkpoints.releaseAll()
+  }
 }
