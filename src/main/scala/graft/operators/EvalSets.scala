@@ -111,6 +111,93 @@ object EvalSets {
       .orderBy("doc_id", "set_id")
   }
 
+  // ---- q145: release gate — lexical + semantic decontam manifest ----------
+
+  /** q145 — the release-gate manifest, the number a model release signs
+    * off on: per registered benchmark set (at its pinned version), the
+    * training-corpus headcount, how many training documents the LEXICAL
+    * screen flags (q124's 8-gram verdicts), how many the SEMANTIC
+    * screen flags (q142's within-cell cosine verdicts, on the document's
+    * embedding id), the distinct union actually dropped, and what
+    * ships. The two screens overlap but neither subsumes the other —
+    * verbatim leakage with a paraphrased frame passes cosine, a
+    * paraphrase passes shingles — so the manifest prices both and
+    * their union.
+    *
+    * Scale shape: both verdict frames are sparse (hits only) and
+    * already bounded by their own operators' cap discipline; this adds
+    * three set-grain aggregates and one distinct-union at
+    * (set, flagged-doc) grain — output is |registry| rows. A document
+    * without an embedding row can only be flagged lexically (the
+    * semantic screen sees what the vector table carries).
+    */
+  def q145ReleaseGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val lex = q124EvalDecontam(spark, dir)
+      .select(col("set_id"), col("doc_id"))
+    val sem = SemanticOps.q142SemDecontam(spark, dir)
+      .select(col("set_id"), col("vec_id").as("doc_id"))
+    val nTrain = graft.Tables.documents(spark, dir)
+      .filter(!inAnySet(col("doc_id")))
+      .agg(count(lit(1)).as("n_train"))
+    val reg = Registry.map(s => (s.setId, s.version))
+      .toDF("set_id", "set_version")
+    val lexCounts = lex.groupBy("set_id")
+      .agg(countDistinct("doc_id").as("n_lex_flagged"))
+    val semCounts = sem.groupBy("set_id")
+      .agg(countDistinct("doc_id").as("n_sem_flagged"))
+    val dropped = lex.union(sem).distinct()
+      .groupBy("set_id").agg(count(lit(1)).as("n_dropped"))
+    reg.join(lexCounts, Seq("set_id"), "left")
+      .join(semCounts, Seq("set_id"), "left")
+      .join(dropped, Seq("set_id"), "left")
+      .crossJoin(broadcast(nTrain))
+      .select(col("set_id"), col("set_version"), col("n_train"),
+        coalesce(col("n_lex_flagged"), lit(0L)).as("n_lex_flagged"),
+        coalesce(col("n_sem_flagged"), lit(0L)).as("n_sem_flagged"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_train") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("set_id")
+  }
+
+  /** The q124 and q142 oracles embedded whole (their own CTE chains are
+    * subquery-scoped), rolled up per registry row with the same
+    * distinct-union arithmetic.
+    */
+  lazy val q145OracleSql: String =
+    s"""WITH lex AS (
+       |  SELECT set_id, doc_id FROM (
+       |${q124OracleSql}
+       |  )
+       |), sem AS (
+       |  SELECT set_id, vec_id AS doc_id FROM (
+       |${SemanticOps.q142OracleSql}
+       |  )
+       |), reg(set_id, set_version, md, res) AS (
+       |  VALUES $registrySql
+       |), tr AS (
+       |  SELECT COUNT(*) AS n_train FROM documents d
+       |  WHERE NOT EXISTS (SELECT 1 FROM reg r
+       |                    WHERE d.doc_id % r.md = r.res)
+       |)
+       |SELECT r.set_id, r.set_version, tr.n_train,
+       |       (SELECT COUNT(DISTINCT doc_id) FROM lex l
+       |        WHERE l.set_id = r.set_id) AS n_lex_flagged,
+       |       (SELECT COUNT(DISTINCT doc_id) FROM sem s
+       |        WHERE s.set_id = r.set_id) AS n_sem_flagged,
+       |       (SELECT COUNT(*) FROM (
+       |          SELECT doc_id FROM lex l WHERE l.set_id = r.set_id
+       |          UNION
+       |          SELECT doc_id FROM sem s WHERE s.set_id = r.set_id))
+       |         AS n_dropped,
+       |       tr.n_train - (SELECT COUNT(*) FROM (
+       |          SELECT doc_id FROM lex l WHERE l.set_id = r.set_id
+       |          UNION
+       |          SELECT doc_id FROM sem s WHERE s.set_id = r.set_id))
+       |         AS n_kept
+       |FROM reg r, tr
+       |ORDER BY r.set_id""".stripMargin
+
   lazy val q124OracleSql: String =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS t FROM documents

@@ -24,6 +24,34 @@ class EvalSetsSpec extends SparkSpec {
     assert(both.nonEmpty, "the overlap the registry is designed to carry is empty")
   }
 
+  test("q145 manifest reconciles with the q124 and q142 verdicts") {
+    val lex = EvalSets.q124EvalDecontam(spark, sf).collect()
+      .map(r => (r.getAs[String]("set_id"), r.getAs[Long]("doc_id"))).toSet
+    val sem = graft.operators.SemanticOps.q142SemDecontam(spark, sf)
+      .collect()
+      .map(r => (r.getAs[String]("set_id"), r.getAs[Long]("vec_id"))).toSet
+    val nTrain = Tables.documents(spark, sf).collect().count { r =>
+      val id = r.getAs[Long]("doc_id")
+      !EvalSets.Registry.exists(s => id % s.mod == s.residue)
+    }.toLong
+    val out = EvalSets.q145ReleaseGate(spark, sf).collect()
+    assert(out.map(_.getAs[String]("set_id")).toSeq ==
+      EvalSets.Registry.map(_.setId).sorted)
+    out.foreach { r =>
+      val sid = r.getAs[String]("set_id")
+      val lexIds = lex.collect { case (`sid`, d) => d }
+      val semIds = sem.collect { case (`sid`, d) => d }
+      assert(r.getAs[Long]("n_train") == nTrain, s"$sid n_train")
+      assert(r.getAs[Long]("n_lex_flagged") == lexIds.size, s"$sid lex")
+      assert(r.getAs[Long]("n_sem_flagged") == semIds.size, s"$sid sem")
+      assert(r.getAs[Long]("n_dropped") == (lexIds ++ semIds).size,
+        s"$sid dropped")
+      assert(r.getAs[Long]("n_kept") ==
+        nTrain - (lexIds ++ semIds).size, s"$sid kept")
+    }
+    Checkpoints.releaseAll()
+  }
+
   test("q124 per-set verdicts match a brute-force recomputation") {
     val rows = EvalSets.q124EvalDecontam(spark, sf).collect()
     val members = docs.keys.filter(id => memberships(id).nonEmpty).toSet
