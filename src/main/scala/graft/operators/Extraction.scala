@@ -160,9 +160,24 @@ object Extraction {
     * what survived the line rules) and the boilerplate fraction of the
     * token mass. Map-only; the only shuffle is the presentation sort.
     */
-  def q123TextExtract(spark: SparkSession, dir: String): DataFrame = {
+  /** The one-regex-pass-per-line projection q123 checkpoints: stripped
+    * lines, per-line anchor counts, and the whole-doc raw token count —
+    * the expensive chain, isolated so the plan guard can pin its scan
+    * pruning independently of the checkpoint that hides it from the
+    * final plan.
+    */
+  private[graft] def extractionBase(docs: DataFrame): DataFrame = {
     val raw = rawify(col("doc_id"), col("text"))
     val lines = rawLines(raw)
+    docs.select(col("doc_id"),
+      transform(lines, stripTags _).as("slines"),
+      transform(lines, l => regexp_count(l, lit(AnchorRe)).cast("int"))
+        .as("anchors"),
+      wordsOf(stripTags(regexp_replace(raw, BlockRe, " ")))
+        .cast("long").as("raw_tokens"))
+  }
+
+  def q123TextExtract(spark: SparkSession, dir: String): DataFrame = {
     // One regex pass per line, checkpointed: stripped lines, their word
     // counts, the two raw-line rule signals, and the whole-doc raw token
     // count. The line rules and stats are then linear passes over the
@@ -173,14 +188,8 @@ object Extraction {
     val width = Tables.documents(spark, dir).sparkSession.conf
       .get("spark.sql.shuffle.partitions").toInt
     val base = graft.Checkpoints.checkpoint(
-      Tables.documents(spark, dir)
-        .repartition(width, col("doc_id"))
-        .select(col("doc_id"),
-          transform(lines, stripTags _).as("slines"),
-          transform(lines, l => regexp_count(l, lit(AnchorRe)).cast("int"))
-            .as("anchors"),
-          wordsOf(stripTags(regexp_replace(raw, BlockRe, " ")))
-            .cast("long").as("raw_tokens")))
+      extractionBase(Tables.documents(spark, dir)
+        .repartition(width, col("doc_id"))))
       .select(col("doc_id"), col("anchors"), col("raw_tokens"),
         col("slines"),
         transform(col("slines"), s => wordsOf(s).cast("int")).as("words"),

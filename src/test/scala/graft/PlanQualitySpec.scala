@@ -64,13 +64,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
   }
 
-  test("q123 extraction is map-only: no exchange except the presentation sort, scan pruned to (doc_id, text)") {
+  test("q123 heavy pass prunes the scan to (doc_id, text); final plan only sorts the checkpointed arrays") {
+    // the regex chain's scan: only the two columns it needs
+    val pBase = plan(graft.operators.Extraction.extractionBase(
+      Tables.documents(spark, sf)))
+    val readSchema = pBase.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"),
+      readSchema)
+    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"),
+      readSchema)
+    // the visible q123 plan starts at the checkpointed arrays: the only
+    // exchange left is the presentation sort (the width-fixing hash
+    // exchange happens inside the checkpoint build)
     val p = plan(graft.operators.Extraction.q123TextExtract(spark, sf))
     val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
-    assert(exchanges.forall(_.contains("rangepartitioning")), exchanges.mkString("\n"))
-    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(readSchema.contains("doc_id") && readSchema.contains("text"), readSchema)
-    assert(!readSchema.contains("lang") && !readSchema.contains("n_chars"), readSchema)
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      exchanges.mkString("\n"))
+    Checkpoints.releaseAll()
   }
 
   test("q51 top-k plans TakeOrderedAndProject, not a full sort") {
