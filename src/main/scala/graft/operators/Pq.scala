@@ -97,6 +97,18 @@ object Pq {
       .select(col("vec_id"), col("m"), col("best")("k").as("k"),
         col("best")("sq").as("sq"))
 
+  /** Residual vectors `(vec_id, q)` in the quantized space: each vector
+    * minus its assigned coarse centroid — the signal the RESIDUAL
+    * product quantizer (q146) encodes. Exact long subtraction, so the
+    * residual space keeps q125's cross-engine determinism.
+    */
+  private[graft] def residuals(quant: DataFrame, cells: DataFrame,
+      cents: Seq[(Int, Array[Long])]): DataFrame =
+    quant.join(cells, "vec_id")
+      .join(broadcast(Ivf.centroidsFrame(quant.sparkSession, cents)), "cell")
+      .select(col("vec_id"),
+        zip_with(col("q"), col("centroid"), _ - _).as("q"))
+
   /** Fused PQ training: [[PqIters]] Lloyd iterations, each ONE pass
     * over the subvector frame covering all [[SubM]] subspaces at once
     * (the q125 discipline — per iteration the driver collects only the
@@ -252,6 +264,61 @@ object Pq {
     recallVsExact(quant, scored)
   }
 
+  // ---- q146: residual IVF-ADC ----------------------------------------------
+
+  /** q146 — RESIDUAL IVF-ADC (Jégou, Douze & Schmid 2011 §V.B, the
+    * IVFADC system as actually published): q140 quantizes raw vectors,
+    * but within a coarse cell the raw vectors share the centroid's
+    * offset — the information the code spends bits on twice. Encoding
+    * the RESIDUAL (vector − its cell's centroid) concentrates the
+    * codebook on the within-cell variation, so the same [[SubM]]×
+    * [[PqK]]-bit budget buys strictly more resolution. Search follows:
+    * a probe's distance table is built per PROBED CELL (probe residual
+    * against that cell's centroid vs the residual codebooks), and a
+    * candidate is scored by lookups in its own cell's table. Output is
+    * the q139/q140 recall harness — run beside q140, the recall lift
+    * IS the value of residual encoding at equal bits.
+    *
+    * Scale shape: identical to q140 plus one broadcast of (probes ×
+    * [[Ivf.Nprobe]] × [[SubM]] × [[PqK]]) distance rows instead of
+    * (probes × [[SubM]] × [[PqK]]); the residual codebooks/codes are
+    * the standing `pq_res_codebooks`/`pq_res_codes` artifacts; nothing
+    * trains at query time (plan-guarded).
+    */
+  def q146IvfAdcResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    val (cbLit, codesArr) = graft.Artifacts.pqResModel(spark, dir)
+    val cb = codebookFrame(spark, cbLit)
+    val codes = codesArr
+      .select(col("vec_id"), posexplode(col("code")).as(Seq("m", "k")))
+    val quant = graft.Checkpoints.checkpoint(
+      Ivf.quantized(Tables.embeddings(spark, dir)))
+    val probeCells = quant.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"),
+        slice(array_sort(Ivf.distStructs(col("q"), cents)), 1, Ivf.Nprobe)
+          .as("near"))
+      .select(col("probe_id"), explode(col("near")("cell")).as("cell"))
+    // per-(probe, probed cell) residual → per-cell distance tables
+    val dtable = probeCells
+      .join(quant.select(col("vec_id").as("probe_id"), col("q")), "probe_id")
+      .join(broadcast(Ivf.centroidsFrame(spark, cents)), "cell")
+      .select(col("probe_id"), col("cell"),
+        posexplode(array((0 until SubM).map(m =>
+          slice(zip_with(col("q"), col("centroid"), _ - _),
+            m * SubDim + 1, SubDim)): _*)).as(Seq("m", "sq")))
+      .join(broadcast(cb), "m")
+      .select(col("probe_id"), col("cell"), col("m"), col("k"),
+        sqDist(col("sq"), col("cw")).as("d"))
+    val scored = broadcast(probeCells).join(cells, "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select("probe_id", "cell", "vec_id")
+      .join(codes, "vec_id")
+      .join(broadcast(dtable), Seq("probe_id", "cell", "m", "k"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("d").as("adc"))
+    recallVsExact(quant, scored)
+  }
+
   /** Exact integer squared-L2 as oracle SQL over list expressions. */
   private def distSql(a: String, b: String): String =
     s"list_sum(list_transform(generate_series(1, len($a)), " +
@@ -268,53 +335,68 @@ object Pq {
     * `cells`. Every constant is generated from the same fields the
     * Spark side trains with.
     */
-  private lazy val codesCtes: String = {
+  private def codesCtesFrom(src: String, pfx: String): String = {
     val iters = (1 to PqIters).map { it =>
-      s"""pa$it AS (
+      s"""${pfx}pa$it AS (
          |  SELECT vec_id, m, k, sq FROM (
          |    SELECT s.vec_id, s.m, c.k, s.sq,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
          |             ORDER BY ${distSql("s.sq", "c.cw")}, c.k) AS rn
-         |    FROM sub s JOIN cb${it - 1} c ON s.m = c.m
+         |    FROM ${pfx}sub s JOIN ${pfx}cb${it - 1} c ON s.m = c.m
          |  ) WHERE rn = 1
-         |), psums$it AS (
+         |), ${pfx}psums$it AS (
          |  SELECT m, k, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
          |  FROM (SELECT m, k, generate_subscripts(sq, 1) AS i,
-         |               unnest(sq) AS v FROM pa$it)
+         |               unnest(sq) AS v FROM ${pfx}pa$it)
          |  GROUP BY m, k, i
-         |), cb$it AS (
+         |), ${pfx}cb$it AS (
          |  SELECT p.m, p.k, COALESCE(u.cw, p.cw) AS cw
-         |  FROM cb${it - 1} p LEFT JOIN (
+         |  FROM ${pfx}cb${it - 1} p LEFT JOIN (
          |    SELECT m, k, list(${Ivf.roundDivSql("s", "n")} ORDER BY i) AS cw
-         |    FROM psums$it GROUP BY m, k
+         |    FROM ${pfx}psums$it GROUP BY m, k
          |  ) u ON p.m = u.m AND p.k = u.k
          |)""".stripMargin
     }.mkString(", ")
-    s"""sub AS (
+    s"""${pfx}sub AS (
        |  SELECT vec_id, m,
        |         q[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sq
-       |  FROM quant, (SELECT unnest(generate_series(0, ${SubM - 1})) AS m)
-       |), cb0 AS (
+       |  FROM $src, (SELECT unnest(generate_series(0, ${SubM - 1})) AS m)
+       |), ${pfx}cb0 AS (
        |  SELECT m,
        |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
        |           AS INTEGER) AS k,
        |         sq AS cw
-       |  FROM sub
-       |  WHERE vec_id IN (SELECT vec_id FROM quant ORDER BY vec_id LIMIT $PqK)
-       |), $iters, codes AS (
+       |  FROM ${pfx}sub
+       |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqK)
+       |), $iters, ${pfx}codes AS (
        |  SELECT vec_id, m, k FROM (
        |    SELECT s.vec_id, s.m, c.k,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
        |             ORDER BY ${distSql("s.sq", "c.cw")}, c.k) AS rn
-       |    FROM sub s JOIN cb$PqIters c ON s.m = c.m
+       |    FROM ${pfx}sub s JOIN ${pfx}cb$PqIters c ON s.m = c.m
        |  ) WHERE rn = 1
-       |), dt AS (
+       |)""".stripMargin
+  }
+
+  /** CTE chain `sub, cb0…cb[[PqIters]], codes, dt` over an existing
+    * `quant` CTE — the oracle's replay of the fused Lloyd loop (`sub`
+    * = subvector slices, `cb0` = smallest-id init per subspace, per
+    * iteration an assignment + update pair), the final `codes`
+    * encoding, and the probe distance tables — shared by the q139 and
+    * q140 oracles so the two can never train different codebooks; the
+    * q146 oracle re-generates the same chain `r`-prefixed over the
+    * residual source ([[codesCtesFrom]]). Iteration CTEs are
+    * `p`-prefixed to compose with [[Ivf.cellsCtes]], which owns
+    * `quant`, `a<i>`, `sums<i>`, `cells`. Every constant is generated
+    * from the same fields the Spark side trains with.
+    */
+  private lazy val codesCtes: String =
+    s"""${codesCtesFrom("quant", "")}, dt AS (
        |  SELECT s.vec_id AS probe_id, s.m, c.k,
        |         ${distSql("s.sq", "c.cw")} AS d
        |  FROM sub s JOIN cb$PqIters c ON s.m = c.m
        |  WHERE s.vec_id < $NumProbes
        |)""".stripMargin
-  }
 
   /** `exact` CTE + final recall SELECT — the shared oracle tail: the
     * exact quantized-space top-[[TopK]] baseline and the per-probe
@@ -390,6 +472,63 @@ object Pq {
        |      JOIN codes co ON co.vec_id = cl.vec_id
        |      JOIN dt ON co.m = dt.m AND co.k = dt.k
        |        AND dt.probe_id = pc.probe_id
+       |      WHERE co.vec_id <> pc.probe_id
+       |      GROUP BY pc.probe_id, co.vec_id
+       |    ) sc
+       |  ) WHERE rank <= $TopK
+       |), $recallTailSql""".stripMargin
+  }
+
+  /** [[Ivf.cellsCtes]] + the residual source (`rquant` = quant minus
+    * assigned centroid) + the same PQ chain `r`-prefixed
+    * ([[codesCtesFrom]]) + per-(probe, probed-cell) residual distance
+    * tables — the q140 oracle with residual encoding.
+    */
+  lazy val q146OracleSql: String = {
+    val cdist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    s"""WITH ${Ivf.cellsCtes}, rquant AS (
+       |  SELECT q.vec_id,
+       |         list_transform(generate_series(1, len(q.q)),
+       |           i -> q.q[i] - ct.c[i]) AS q
+       |  FROM quant q
+       |  JOIN cells cl ON q.vec_id = cl.vec_id
+       |  JOIN cent${Ivf.Iters} ct ON cl.cell = ct.cell
+       |), ${codesCtesFrom("rquant", "r")}, probe_cells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY $cdist, c.cell) AS rn
+       |    FROM quant v CROSS JOIN cent${Ivf.Iters} c
+       |    WHERE v.vec_id < $NumProbes
+       |  ) WHERE rn <= ${Ivf.Nprobe}
+       |), pres AS (
+       |  SELECT pc.probe_id, pc.cell,
+       |         list_transform(generate_series(1, len(q.q)),
+       |           i -> q.q[i] - ct.c[i]) AS q
+       |  FROM probe_cells pc
+       |  JOIN quant q ON q.vec_id = pc.probe_id
+       |  JOIN cent${Ivf.Iters} ct ON pc.cell = ct.cell
+       |), psub AS (
+       |  SELECT probe_id, cell, m,
+       |         q[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sq
+       |  FROM pres, (SELECT unnest(generate_series(0, ${SubM - 1})) AS m)
+       |), rdt AS (
+       |  SELECT s.probe_id, s.cell, s.m, c.k,
+       |         ${distSql("s.sq", "c.cw")} AS d
+       |  FROM psub s JOIN rcb$PqIters c ON s.m = c.m
+       |), approx AS (
+       |  SELECT probe_id, vec_id AS neighbor_id FROM (
+       |    SELECT sc.probe_id, sc.vec_id,
+       |           row_number() OVER (PARTITION BY sc.probe_id
+       |             ORDER BY sc.adc, sc.vec_id) AS rank
+       |    FROM (
+       |      SELECT pc.probe_id, co.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc
+       |      FROM probe_cells pc
+       |      JOIN cells cl ON pc.cell = cl.cell
+       |      JOIN rcodes co ON co.vec_id = cl.vec_id
+       |      JOIN rdt dt ON dt.probe_id = pc.probe_id
+       |        AND dt.cell = pc.cell AND co.m = dt.m AND co.k = dt.k
        |      WHERE co.vec_id <> pc.probe_id
        |      GROUP BY pc.probe_id, co.vec_id
        |    ) sc

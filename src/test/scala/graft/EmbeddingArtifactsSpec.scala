@@ -209,6 +209,12 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       val scratchSub = Checkpoints.checkpoint(
         graft.operators.Pq.subvectors(scratchQuant))
       val scratchPq = graft.operators.Pq.train(spark, scratchSub)
+      val scratchResSub = Checkpoints.checkpoint(
+        graft.operators.Pq.subvectors(graft.operators.Pq.residuals(
+          scratchQuant,
+          graft.operators.Ivf.assignFrame(scratchQuant, scratchCents),
+          scratchCents)))
+      val scratchResPq = graft.operators.Pq.train(spark, scratchResSub)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
@@ -223,7 +229,12 @@ class EmbeddingArtifactsSpec extends SparkSpec {
         Artifacts.PqCodebooksName ->
           rows(graft.operators.Pq.codebookFrame(spark, scratchPq)),
         Artifacts.PqCodesName -> rows(graft.operators.Pq.codesFrame(
-          scratchSub, graft.operators.Pq.codebookFrame(spark, scratchPq))))
+          scratchSub, graft.operators.Pq.codebookFrame(spark, scratchPq))),
+        Artifacts.PqResCodebooksName ->
+          rows(graft.operators.Pq.codebookFrame(spark, scratchResPq)),
+        Artifacts.PqResCodesName -> rows(graft.operators.Pq.codesFrame(
+          scratchResSub,
+          graft.operators.Pq.codebookFrame(spark, scratchResPq))))
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, newDir, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, newDir, n)) == expected(n),
@@ -313,6 +324,12 @@ class EmbeddingArtifactsSpec extends SparkSpec {
       val scratchSub = Checkpoints.checkpoint(
         graft.operators.Pq.subvectors(scratchQuant))
       val scratchPq = graft.operators.Pq.train(spark, scratchSub)
+      val scratchResSub = Checkpoints.checkpoint(
+        graft.operators.Pq.subvectors(graft.operators.Pq.residuals(
+          scratchQuant,
+          graft.operators.Ivf.assignFrame(scratchQuant, scratchCents),
+          scratchCents)))
+      val scratchResPq = graft.operators.Pq.train(spark, scratchResSub)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
@@ -327,7 +344,12 @@ class EmbeddingArtifactsSpec extends SparkSpec {
         Artifacts.PqCodebooksName ->
           rows(graft.operators.Pq.codebookFrame(spark, scratchPq)),
         Artifacts.PqCodesName -> rows(graft.operators.Pq.codesFrame(
-          scratchSub, graft.operators.Pq.codebookFrame(spark, scratchPq))))
+          scratchSub, graft.operators.Pq.codebookFrame(spark, scratchPq))),
+        Artifacts.PqResCodebooksName ->
+          rows(graft.operators.Pq.codebookFrame(spark, scratchResPq)),
+        Artifacts.PqResCodesName -> rows(graft.operators.Pq.codesFrame(
+          scratchResSub,
+          graft.operators.Pq.codebookFrame(spark, scratchResPq))))
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, corpus, n)) == expected(n),

@@ -517,6 +517,26 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: q146 reads the standing residual index — nothing re-trains") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-resguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materializeEmbeddings(spark, sf)
+      val df = graft.operators.Pq.q146IvfAdcResidualRecall(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q146 plan does not read the artifact root (indexes re-trained):\n" +
+          p.take(600))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q132 islands ride the standing span dictionary") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-runguard").toFile
     try {

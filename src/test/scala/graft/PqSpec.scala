@@ -145,6 +145,85 @@ class PqSpec extends SparkSpec {
     Checkpoints.releaseAll()
   }
 
+  test("q146 recalls equal an independent local replay of residual IVF-ADC") {
+    val emb: Map[Long, Array[Long]] = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")
+          .map(quantLocal).toArray).toMap
+    val ids = emb.keys.toSeq.sorted
+    val M = Pq.SubM
+    val K = Pq.PqK
+    def sub(q: Array[Long], m: Int): Array[Long] =
+      q.slice(m * Pq.SubDim, (m + 1) * Pq.SubDim)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+
+    // local IVF training (as the q140 replay)
+    var cents: Map[Int, Array[Long]] =
+      ids.take(Ivf.K).zipWithIndex.map { case (id, k) => k -> emb(id) }.toMap
+    def cellOf(q: Array[Long]): Int =
+      (0 until Ivf.K).map(k => (d2(q, cents(k)), k)).min._2
+    for (_ <- 1 to Ivf.Iters) {
+      val asn = ids.map(id => (cellOf(emb(id)), emb(id)))
+      cents = cents.map { case (k, old) =>
+        val members = asn.collect { case (`k`, q) => q }
+        (k, if (members.isEmpty) old
+        else Array.tabulate(64)(i =>
+          Ivf.roundDiv(members.map(_(i)).sum, members.length.toLong)))
+      }
+    }
+    val cellAsn: Map[Long, Int] = ids.map(id => id -> cellOf(emb(id))).toMap
+    // residuals, then the same local PQ loop over them
+    val res: Map[Long, Array[Long]] = ids.map(id => id ->
+      emb(id).zip(cents(cellAsn(id))).map { case (a, b) => a - b }).toMap
+    var cb: Map[(Int, Int), Array[Long]] =
+      (for (m <- 0 until M; (id, k) <- ids.take(K).zipWithIndex)
+        yield (m, k) -> sub(res(id), m)).toMap
+    def argmin(s: Array[Long], m: Int): Int =
+      (0 until K).map(k => (d2(s, cb((m, k))), k)).min._2
+    for (_ <- 1 to Pq.PqIters) {
+      val asn = for (id <- ids; m <- 0 until M)
+        yield (m, argmin(sub(res(id), m), m), sub(res(id), m))
+      cb = cb.map { case ((m, k), old) =>
+        val members = asn.collect { case (`m`, `k`, s) => s }
+        ((m, k), if (members.isEmpty) old
+        else Array.tabulate(Pq.SubDim)(i =>
+          Ivf.roundDiv(members.map(_(i)).sum, members.length.toLong)))
+      }
+    }
+    val codes: Map[Long, Array[Int]] = ids.map(id =>
+      id -> Array.tabulate(M)(m => argmin(sub(res(id), m), m))).toMap
+
+    // coarse probe → per-probed-cell residual tables → restricted ADC
+    val probes = ids.filter(_ < 10)
+    val expected = probes.map { p =>
+      val near = (0 until Ivf.K).map(k => (d2(emb(p), cents(k)), k))
+        .sorted.take(Ivf.Nprobe).map(_._2)
+      val dt: Map[Int, Array[Array[Long]]] = near.map { c =>
+        val pres = emb(p).zip(cents(c)).map { case (a, b) => a - b }
+        c -> Array.tabulate(M, K)((m, k) => d2(sub(pres, m), cb((m, k))))
+      }.toMap
+      val adcTop = ids
+        .filter(v => v != p && near.contains(cellAsn(v)))
+        .map(v => ((0 until M).map(m =>
+          dt(cellAsn(v))(m)(codes(v)(m))).sum, v))
+        .sorted.take(10).map(_._2).toSet
+      val exactTop = ids.filter(_ != p).map(v => (d2(emb(p), emb(v)), v))
+        .sorted.take(10).map(_._2).toSet
+      p -> (exactTop.size, (exactTop & adcTop).size)
+    }.toMap
+
+    val out = Pq.q146IvfAdcResidualRecall(spark, sf).collect()
+    assert(out.length == probes.length)
+    out.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      val (nExact, nHit) = expected(p)
+      assert(r.getAs[Long]("n_exact") == nExact, s"probe $p n_exact")
+      assert(r.getAs[Long]("n_hit") == nHit, s"probe $p n_hit")
+    }
+    Checkpoints.releaseAll()
+  }
+
   test("q139 compression is real: codes take SubM small ints per vector") {
     // structural pin on the published working point: 64 dims → 8
     // subspaces of 8 dims, 8 codewords (3 bits) each — 64 floats
