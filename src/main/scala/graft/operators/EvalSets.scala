@@ -98,18 +98,26 @@ object EvalSets {
     * shingle artifact with the membership filter applied map-side —
     * the corpus pass count is independent of the registry size.
     */
-  def q124EvalDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val evalIdx = graft.Artifacts.evalShingles(spark, dir)
-      .select("set_id", "set_version", "sh").distinct()
-    val corpus = graft.Artifacts.shingles8(spark, dir)
-      .filter(!inAnySet(col("doc_id")))
-    // shingles are per-doc distinct and the eval side is (set, sh)
-    // distinct, so count(*) = the distinct shared-shingle count
-    corpus.join(CorpusOps.maybeBroadcastShingles(evalIdx), "sh")
-      .groupBy("doc_id", "set_id", "set_version")
-      .agg(count(lit(1)).as("n_eval_shingles"))
+  def q124EvalDecontam(spark: SparkSession, dir: String): DataFrame =
+    contaminationOfShingles(
+      graft.Artifacts.shingles8(spark, dir)
+        .filter(!inAnySet(col("doc_id"))),
+      "doc_id", graft.Artifacts.evalShingles(spark, dir))
       .orderBy("doc_id", "set_id")
-  }
+
+  /** The q124 rollup over ANY per-doc distinct-shingle frame: join the
+    * (set, sh)-distinct'd index, count shared shingles per (doc, set).
+    * Shared by q124 (corpus artifact rows) and the streaming intake
+    * gate (batch-derived rows) — one verdict definition, not two.
+    * Shingles must be per-doc distinct and membership-filtered by the
+    * caller; count(*) = the distinct shared-shingle count.
+    */
+  private[graft] def contaminationOfShingles(sh: DataFrame, idCol: String,
+      evalIdx: DataFrame): DataFrame =
+    sh.join(CorpusOps.maybeBroadcastShingles(
+        evalIdx.select("set_id", "set_version", "sh").distinct()), "sh")
+      .groupBy(col(idCol), col("set_id"), col("set_version"))
+      .agg(count(lit(1)).as("n_eval_shingles"))
 
   // ---- q145: release gate — lexical + semantic decontam manifest ----------
 

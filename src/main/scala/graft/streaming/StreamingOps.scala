@@ -611,6 +611,36 @@ object StreamingOps {
       batch.dropDuplicates(idCol), Seq(idCol), textCol,
       graft.Artifacts.shingles8(spark, corpusDir))
 
+  /** q124's verdict at INTAKE time: per micro-batch, screen each
+    * arriving document against the STANDING per-set eval-shingle index
+    * (`eval_shingles`) BEFORE the batch is folded in — benchmarks leak
+    * into a crawl continuously, and the moment a quarantine decision
+    * can still act is at the door, not in the next release audit.
+    * Output is q124's sparse per-(doc, set) verdict shape on exactly
+    * the batch's rows.
+    *
+    * [[noveltyOfBatch]]'s discipline: the stream carries zero shingle
+    * state (per-batch derivation only, one equi-join against standing
+    * state), and the verdict goes through q124's OWN rollup
+    * (`EvalSets.contaminationOfShingles`) — identical to the batch
+    * audit by construction, not by parallel implementation. Arriving
+    * documents that ARE registered members are excluded exactly as
+    * q124 excludes them (the benchmark itself arriving is not
+    * contamination).
+    */
+  def contaminationOfBatch(batch: DataFrame, spark: SparkSession,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.{CorpusOps, Dedup, EvalSets}
+    EvalSets.contaminationOfShingles(
+      batch.dropDuplicates(idCol)
+        .filter(!EvalSets.inAnySet(col(idCol)))
+        .select(col(idCol),
+          explode(CorpusOps.shinglesN(Dedup.tokens(col(textCol)),
+            CorpusOps.DecontamN)).as("sh")),
+      idCol, graft.Artifacts.evalShingles(spark, corpusDir))
+  }
+
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the
     * preceding 30 minutes. The interval join is an equi-join on user_id
