@@ -361,6 +361,46 @@ object Ivf {
        |ORDER BY r.nprobe""".stripMargin
   }
 
+  /** q147 — IVF cell-balance audit: per trained cell, its population,
+    * population share, and the imbalance factor (pop / ideal-even-pop)
+    * — plus empty trained cells carried explicitly as zero rows. The
+    * index-health number a deployment actually watches: a hot cell is
+    * a hot partition (every probe routed there scans it), and recall
+    * collapses toward brute force as imbalance grows; q143 prices the
+    * probe budget, this says whether the partitioning those budgets
+    * assume is still true. Reads the standing `ivf_cells`/
+    * `ivf_centroids`; one K-row aggregate.
+    */
+  def q147CellBalance(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    import spark.implicits._
+    val spine = cents.map(_._1).toDF("cell")
+    val n = cells.count()
+    spine.join(cells.groupBy("cell").agg(count(lit(1)).as("pop")),
+        Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("pop"), lit(0L)).as("pop"))
+      .select(col("cell"), col("pop"),
+        VectorOps.round6(col("pop").cast("double") / n).as("share"),
+        VectorOps.round6(col("pop").cast("double") * K / n)
+          .as("imbalance"))
+      .orderBy("cell")
+  }
+
+  /** [[cellsCtes]] + a K-row spine (trained cells, empty ones included)
+    * + the same single aggregate.
+    */
+  lazy val q147OracleSql: String =
+    s"""WITH ${cellsCtes}, pop AS (
+       |  SELECT cell, COUNT(*) AS pop FROM cells GROUP BY cell
+       |), n AS (SELECT COUNT(*) AS n FROM cells)
+       |SELECT s.cell, CAST(COALESCE(p.pop, 0) AS BIGINT) AS pop,
+       |       ${VectorOps.round6Sql(
+             "CAST(COALESCE(p.pop, 0) AS DOUBLE) / n.n")} AS share,
+       |       ${VectorOps.round6Sql(
+             s"CAST(COALESCE(p.pop, 0) AS DOUBLE) * $K / n.n")} AS imbalance
+       |FROM cent$Iters s LEFT JOIN pop p ON s.cell = p.cell, n
+       |ORDER BY s.cell""".stripMargin
+
   /** The oracle's training replay: CTEs `quant`, `cent0`, then per
     * iteration an assignment (`a<i>`) and an update (`cent<i>`), all
     * generated from the same [[K]]/[[Iters]]/[[QuantScale]] constants

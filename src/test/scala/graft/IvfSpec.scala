@@ -86,6 +86,24 @@ class IvfSpec extends SparkSpec {
     Checkpoints.releaseAll()
   }
 
+  test("q147 cell balance reconciles with the assignment it audits") {
+    val out = graft.operators.Ivf.q147CellBalance(spark, sf).collect()
+    assert(out.length == Ivf.K, "one row per trained cell, empties included")
+    val quant = Checkpoints.checkpoint(
+      Ivf.quantized(Tables.embeddings(spark, sf)))
+    val cells = Ivf.assignFrame(quant, Ivf.train(quant)).collect()
+      .groupBy(_.getAs[Int]("cell")).view.mapValues(_.length.toLong).toMap
+    val n = cells.values.sum
+    out.foreach { r =>
+      val c = r.getAs[Int]("cell")
+      assert(r.getAs[Long]("pop") == cells.getOrElse(c, 0L), s"cell $c pop")
+    }
+    assert(out.map(_.getAs[Long]("pop")).sum == n, "pops partition the corpus")
+    val shares = out.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shares - 1.0) < 1e-4, s"shares sum to $shares")
+    Checkpoints.releaseAll()
+  }
+
   test("artifact mode: committed model ≡ inline model, q125 identical across modes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toFile
     try {
