@@ -24,25 +24,43 @@ import graft.functions.VectorOps
   * pure integer math ([[roundDivSql]]) — no float accumulates anywhere
   * an engine could order differently. Assignment ties break toward the
   * smaller cell id. The DuckDB oracle replays the identical loop
-  * (same init, same iterations — both sides generated from the same
-  * constants), so q125 is hash-checkable end to end. The final RERANK
-  * uses the ordinary float cosine (round6) on the original embeddings —
-  * the trained structure only decides which candidates are scored,
-  * exactly as a deployed IVF does.
+  * (same init, same iterations, same training SAMPLE — both sides
+  * generated from the same constants), so q125 is hash-checkable end to
+  * end. The final RERANK uses the ordinary float cosine (round6) on the
+  * original embeddings — the trained structure only decides which
+  * candidates are scored, exactly as a deployed IVF does.
+  *
+  * Training runs on a DETERMINISTIC HASH SAMPLE of the corpus (q117's
+  * PolyHash-mod discipline, target [[TrainSampleTarget]] vectors): the
+  * published practice for coarse quantizers — FAISS's own default —
+  * is to fit centroids on a bounded sample and pay the corpus-wide
+  * pass only for the final assignment, because Lloyd converges on the
+  * sample's distribution long before it needs every vector. The sample
+  * predicate is a pure hash residue (no RNG), so it is reproducible
+  * across runs, engines, and partition layouts, and the oracle replays
+  * it exactly ([[trainSampleSql]]).
   *
   * 100 TB shape: centroids are a (cells × dim) artifact
   * (`ivf_centroids`) and the assignment a per-vector artifact
   * (`ivf_cells`), both keyed by the embeddings fingerprint; training is
-  * [[Iters]]+1 scans paid once per embedding snapshot, searches read
-  * the standing artifacts and scan only the probed cells' vectors.
+  * [[Iters]]+1 scans of the BOUNDED sample plus one corpus-wide
+  * assignment pass per embedding snapshot — the one remaining
+  * linear-in-corpus cost is the map-side assignment, not the iterating
+  * loop; searches read the standing artifacts and scan only the probed
+  * cells' vectors.
   */
 object Ivf {
 
   /** Cells trained. */
   val K = 16
 
-  /** Fixed Lloyd iterations (fixed so the oracle can replay them). */
-  val Iters = 2
+  /** Fixed Lloyd iterations (fixed so the oracle can replay them).
+    * Five, not two: iterations over the BOUNDED sample cost O(sample)
+    * each regardless of corpus size — the sampled-training dividend is
+    * spent on actually converging Lloyd, which the sampled-vs-full
+    * recall spec depends on.
+    */
+  val Iters = 5
 
   /** Cells probed per query at eval time. */
   val Nprobe = 3
@@ -50,8 +68,66 @@ object Ivf {
   /** Fixed-point scale for the quantized training space. */
   val QuantScale = 1000000L
 
+  /** Target size of the deterministic training sample — vectors kept
+    * by `PolyHash(vec_id) mod ⌈n/target⌉ = 0` feed the Lloyd loops
+    * (coarse and PQ); the corpus-wide pass is only the final
+    * assignment/encoding. Sized well above the largest codebook
+    * ([[K]] cells / [[Pq.PqK]]×[[Pq.SubM]] codewords) so every
+    * centroid sees tens of training points.
+    */
+  val TrainSampleTarget = 250L
+
   private val NumProbes = 10
   private val TopK = 10
+
+  /** Trained-index eval probes: the [[NumProbes]] HIGHEST `vec_id`s.
+    * Deliberately disjoint from Lloyd's smallest-id init (sampled and
+    * full both seed from the SMALLEST ids), so recall is never scored
+    * on the very vectors the centroids were seeded from — first-id
+    * probes overlap the seeds and read ~0.2 recall too high at the
+    * fixtures (each such probe starts as its own centroid, so its
+    * neighborhood forms a flatteringly tight cell). Works on any frame
+    * carrying `vec_id`; the SQL twin is [[probeInSql]]. Shared by the
+    * IVF (q125/q143) and PQ (q139/q140/q146) evals.
+    */
+  private[operators] def topProbes(df: DataFrame): DataFrame =
+    df.orderBy(col("vec_id").desc).limit(NumProbes)
+
+  /** Oracle predicate selecting [[topProbes]]' ids for alias `a` —
+    * `vec_id` is unique, so the DESC-LIMIT subquery is deterministic.
+    */
+  private[operators] def probeInSql(a: String): String =
+    s"$a.vec_id IN (SELECT vec_id FROM embeddings " +
+      s"ORDER BY vec_id DESC LIMIT $NumProbes)"
+
+  /** The sample modulus for a corpus of `n` vectors — identical
+    * arithmetic to the oracle's `CEIL(COUNT(*) / target.0)` (one
+    * IEEE double division, then ceil).
+    */
+  def sampleModulus(n: Long): Long =
+    math.max(1L, math.ceil(n / TrainSampleTarget.toDouble).toLong)
+
+  /** The training-sample predicate over an id column: PolyHash of the
+    * decimal string, residue 0 mod `mod` (hash is non-negative, so
+    * `%` and `pmod` agree with the oracle's `%`).
+    */
+  def inTrainSample(id: Column, mod: Long): Column =
+    pmod(org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(id.cast("string")))),
+      lit(mod)) === 0
+
+  /** Oracle CTE body selecting the training sample of `src` (one row
+    * per vector, `vec_id` column): the same PolyHash-mod predicate
+    * with the modulus computed in-query from `COUNT(*)` of `src`.
+    */
+  def trainSampleSql(src: String): String = {
+    val ph = graft.functions.PolyHash.sql("CAST(s.vec_id AS VARCHAR)")
+    s"""SELECT s.* FROM $src s,
+       |    (SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${TrainSampleTarget}.0)
+       |       AS BIGINT)) AS mm FROM $src) m
+       |  WHERE $ph % m.mm = 0""".stripMargin
+  }
 
   /** Decimal-routed fixed-point quantization of a float vector:
     * `round(v * QuantScale)` as long, via DECIMAL(20,4) so both engines
@@ -113,20 +189,40 @@ object Ivf {
     s"CASE WHEN ($s) >= 0 THEN (2 * ($s) + ($n)) // (2 * ($n)) " +
       s"ELSE -((-2 * ($s) + ($n)) // (2 * ($n))) END"
 
-  /** Train [[K]] centroids by [[Iters]] Lloyd iterations over a
-    * quantized frame (checkpoint it first — it is scanned once per
-    * iteration plus once for init). Init = the [[K]] smallest `vec_id`s'
-    * vectors, cell ids in that order. Each iteration collects only the
-    * (cells × dim) sum/count aggregate — driver state is
-    * vocabulary-sized, never corpus-sized. An emptied cell keeps its
-    * previous centroid.
+  /** Train [[K]] centroids by [[Iters]] Lloyd iterations over the
+    * deterministic hash sample of a quantized frame (checkpoint the
+    * frame first — the sample derives from it once, then is scanned
+    * once per iteration plus once for init). Init = the [[K]] smallest
+    * sampled `vec_id`s' vectors, cell ids in that order. Each iteration
+    * collects only the (cells × dim) sum/count aggregate — driver state
+    * is vocabulary-sized, never corpus-sized. An emptied cell keeps its
+    * previous centroid. `sampled = false` trains on the full frame —
+    * the eval knob the sampled-vs-full recall spec turns, never the
+    * production path.
     */
-  def train(quant: DataFrame): Seq[(Int, Array[Long])] = {
-    val init = quant.orderBy("vec_id").limit(K).collect()
+  def train(quant: DataFrame,
+      sampled: Boolean = true): Seq[(Int, Array[Long])] = {
+    val tq =
+      if (!sampled) quant
+      else {
+        val mod = sampleModulus(quant.count())
+        if (mod == 1L) quant
+        else {
+          val s = graft.Checkpoints.checkpoint(
+            quant.filter(inTrainSample(col("vec_id"), mod)))
+          val realized = s.count()
+          require(realized >= K,
+            s"training sample realized $realized vectors (modulus $mod) — " +
+              s"fewer than the $K centroids to init; corpus too small to " +
+              "sample, pass sampled = false")
+          s
+        }
+      }
+    val init = tq.orderBy("vec_id").limit(K).collect()
       .map(r => r.getAs[scala.collection.Seq[Long]]("q").toArray)
       .zipWithIndex.map { case (q, i) => (i, q) }.toSeq
     (1 to Iters).foldLeft(init) { case (cents, _) =>
-      val sums = quant
+      val sums = tq
         .select(cellOf(col("q"), cents).as("cell"),
           posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")
@@ -164,8 +260,9 @@ object Ivf {
       r.getAs[scala.collection.Seq[Long]]("centroid").toArray))
       .sortBy(_._1).toSeq
 
-  /** q125 — trained-IVF recall vs the exact q22 baseline, per probe:
-    * probes pick their [[Nprobe]] nearest cells by the SAME integer
+  /** q125 — trained-IVF recall vs the exact cosine baseline (the q22
+    * harness over [[topProbes]] — init-disjoint by construction), per
+    * probe: probes pick their [[Nprobe]] nearest cells by the SAME integer
     * distance the training used (ties toward the smaller cell), scan
     * only those cells' vectors via the standing assignment, rerank by
     * float cosine (round6), and score recall@[[TopK]] against q22.
@@ -173,16 +270,25 @@ object Ivf {
     * applied to the learned index.
     */
   def q125IvfRecall(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
     val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    ivfRecallFrom(spark, dir, cents, cells)
+  }
+
+  /** The q125 recall harness over a caller-supplied trained model —
+    * q125 runs it on the standing artifacts; the sampled-vs-full
+    * training spec runs it on both trainings to pin the recall band.
+    */
+  private[graft] def ivfRecallFrom(spark: SparkSession, dir: String,
+      cents: Seq[(Int, Array[Long])], cells: DataFrame): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
 
     // probe → its Nprobe nearest cells, one array column, exploded
-    val probeCells = quantized(e.filter(col("vec_id") < NumProbes))
+    val probeCells = quantized(topProbes(e))
       .select(col("vec_id").as("probe_id"),
         slice(array_sort(distStructs(col("q"), cents)), 1, Nprobe).as("near"))
       .select(col("probe_id"), explode(col("near")("cell")).as("cell"))
 
-    val probeVecs = e.filter(col("vec_id") < NumProbes)
+    val probeVecs = topProbes(e)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         VectorOps.norm(col("embedding")).as("pn"))
 
@@ -200,7 +306,7 @@ object Ivf {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         lit(1).as("hit"))
 
-    val exact = Similarity.q22CosineTopK(spark, dir)
+    val exact = Similarity.cosineTopKFor(spark, dir, topProbes(e))
       .select(col("probe_id"), col("neighbor_id"))
     exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
       .groupBy("probe_id")
@@ -238,7 +344,7 @@ object Ivf {
     val nOther = e.count() - 1
 
     // probe → every cell with its coarse rank (probes × K rows, broadcast)
-    val ranked = quantized(e.filter(col("vec_id") < NumProbes))
+    val ranked = quantized(topProbes(e))
       .select(col("vec_id").as("probe_id"),
         posexplode(array_sort(distStructs(col("q"), cents)))
           .as(Seq("crank0", "dc")))
@@ -246,7 +352,7 @@ object Ivf {
         col("dc")("cell").as("cell"))
       .filter(col("crank") <= ProbeSweep.max)
 
-    val probeVecs = e.filter(col("vec_id") < NumProbes)
+    val probeVecs = topProbes(e)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pv"),
         VectorOps.norm(col("embedding")).as("pn"))
     // each candidate scored ONCE, carrying its coarse rank
@@ -270,7 +376,7 @@ object Ivf {
       .filter(col("rank") <= TopK)
       .select(col("nprobe"), col("probe_id"),
         col("vec_id").as("neighbor_id"), lit(1).as("hit"))
-    val exact = Similarity.q22CosineTopK(spark, dir)
+    val exact = Similarity.cosineTopKFor(spark, dir, topProbes(e))
       .select(col("probe_id"), col("neighbor_id"))
       .crossJoin(spark.createDataFrame(
         spark.sparkContext.parallelize(ProbeSweep.map(org.apache.spark.sql.Row(_))),
@@ -311,7 +417,7 @@ object Ivf {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY $dist, c.cell) AS crank
        |    FROM quant v CROSS JOIN cent$Iters c
-       |    WHERE v.vec_id < $NumProbes
+       |    WHERE ${probeInSql("v")}
        |  ) WHERE crank <= $sweepMax
        |), scored AS (
        |  SELECT r.probe_id, e.vec_id, r.crank, $ncos AS cos
@@ -335,7 +441,7 @@ object Ivf {
        |  ) WHERE rank <= $TopK
        |), exact AS (
        |  SELECT probe_id, neighbor_id FROM (
-       |${Similarity.q22OracleSql}
+       |${Similarity.cosineTopKSqlFor(probeInSql("p"))}
        |  )
        |), recalls AS (
        |  SELECT n.nprobe,
@@ -401,10 +507,12 @@ object Ivf {
        |FROM cent$Iters s LEFT JOIN pop p ON s.cell = p.cell, n
        |ORDER BY s.cell""".stripMargin
 
-  /** The oracle's training replay: CTEs `quant`, `cent0`, then per
-    * iteration an assignment (`a<i>`) and an update (`cent<i>`), all
-    * generated from the same [[K]]/[[Iters]]/[[QuantScale]] constants
-    * the Spark side trains with.
+  /** The oracle's training replay: CTEs `quant`, the hash-sampled
+    * `tquant` ([[trainSampleSql]]), `cent0`, then per iteration an
+    * assignment (`a<i>`, over the SAMPLE — the corpus-wide scan is only
+    * the final `cells`) and an update (`cent<i>`), all generated from
+    * the same [[K]]/[[Iters]]/[[QuantScale]]/[[TrainSampleTarget]]
+    * constants the Spark side trains with.
     */
   private def trainingSql: String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
@@ -415,7 +523,7 @@ object Ivf {
          |    SELECT v.vec_id, v.q, c.cell,
          |           row_number() OVER (PARTITION BY v.vec_id
          |             ORDER BY $dist, c.cell) AS rn
-         |    FROM quant v CROSS JOIN (SELECT cell, c FROM cent${it - 1}) c
+         |    FROM tquant v CROSS JOIN (SELECT cell, c FROM cent${it - 1}) c
          |  ) WHERE rn = 1
          |), sums$it AS (
          |  SELECT cell, i, CAST(SUM(v) AS BIGINT) AS s,
@@ -423,7 +531,7 @@ object Ivf {
          |  FROM (SELECT cell, generate_subscripts(q, 1) AS i,
          |               unnest(q) AS v FROM a$it)
          |  GROUP BY cell, i
-         |), cent$it AS (
+         |), cent$it AS MATERIALIZED (
          |  SELECT p.cell,
          |         COALESCE(u.c, p.c) AS c
          |  FROM cent${it - 1} p LEFT JOIN (
@@ -432,12 +540,14 @@ object Ivf {
          |  ) u ON p.cell = u.cell
          |)""".stripMargin
     }.mkString(", ")
-    s"""quant AS (
+    s"""quant AS MATERIALIZED (
        |  SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings
-       |), cent0 AS (
+       |), tquant AS MATERIALIZED (
+       |  ${trainSampleSql("quant")}
+       |), cent0 AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
        |         q AS c
-       |  FROM (SELECT vec_id, q FROM quant ORDER BY vec_id LIMIT $K)
+       |  FROM (SELECT vec_id, q FROM tquant ORDER BY vec_id LIMIT $K)
        |), $iters""".stripMargin
   }
 
@@ -449,7 +559,7 @@ object Ivf {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
     s"""${trainingSql},
-       |cells AS (
+       |cells AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id
@@ -471,7 +581,7 @@ object Ivf {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY $dist, c.cell) AS rn
        |    FROM quant v CROSS JOIN cent$Iters c
-       |    WHERE v.vec_id < $NumProbes
+       |    WHERE ${probeInSql("v")}
        |  ) WHERE rn <= $Nprobe
        |), approx AS (
        |  SELECT probe_id, neighbor_id FROM (
@@ -486,7 +596,7 @@ object Ivf {
        |  ) WHERE rank <= $TopK
        |), exact AS (
        |  SELECT probe_id, neighbor_id FROM (
-       |${Similarity.q22OracleSql}
+       |${Similarity.cosineTopKSqlFor(probeInSql("p"))}
        |  )
        |)
        |SELECT e.probe_id, COUNT(*) AS n_exact,

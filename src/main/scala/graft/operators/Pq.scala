@@ -41,7 +41,6 @@ object Pq {
     */
   val PqIters = 2
 
-  private val NumProbes = 10
   private val TopK = 10
 
   /** Exact integer squared-L2 between two long-array columns. */
@@ -109,17 +108,38 @@ object Pq {
       .select(col("vec_id"),
         zip_with(col("q"), col("centroid"), _ - _).as("q"))
 
-  /** Fused PQ training: [[PqIters]] Lloyd iterations, each ONE pass
-    * over the subvector frame covering all [[SubM]] subspaces at once
-    * (the q125 discipline — per iteration the driver collects only the
-    * ([[SubM]] × [[PqK]] × [[SubDim]]) sum/count aggregate). Init =
-    * the [[PqK]] smallest `vec_id`s' subvectors per subspace, codeword
-    * ids in that order; an emptied codeword keeps its previous value.
+  /** Fused PQ training: [[PqIters]] Lloyd iterations over the
+    * deterministic hash sample of the subvector frame
+    * ([[Ivf.TrainSampleTarget]] vectors — the same sampled-codebook
+    * discipline as [[Ivf.train]]; the corpus-wide pass is only the
+    * final [[codesFrame]] encoding), each iteration ONE pass covering
+    * all [[SubM]] subspaces at once (the q125 discipline — per
+    * iteration the driver collects only the ([[SubM]] × [[PqK]] ×
+    * [[SubDim]]) sum/count aggregate). Init = the [[PqK]] smallest
+    * sampled `vec_id`s' subvectors per subspace, codeword ids in that
+    * order; an emptied codeword keeps its previous value.
+    * `sampled = false` is the spec's full-training knob.
     */
-  private[graft] def train(spark: SparkSession,
-      sub: DataFrame): Seq[(Int, Int, Array[Long])] = {
-    val init = sub.filter(col("vec_id").isin(
-        sub.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
+  private[graft] def train(spark: SparkSession, sub: DataFrame,
+      sampled: Boolean = true): Seq[(Int, Int, Array[Long])] = {
+    val tsub =
+      if (!sampled) sub
+      else {
+        val mod = Ivf.sampleModulus(sub.select("vec_id").distinct().count())
+        if (mod == 1L) sub
+        else {
+          val s = graft.Checkpoints.checkpoint(
+            sub.filter(Ivf.inTrainSample(col("vec_id"), mod)))
+          val realized = s.select("vec_id").distinct().count()
+          require(realized >= PqK,
+            s"PQ training sample realized $realized vectors (modulus $mod) " +
+              s"— fewer than the $PqK codewords to init; corpus too small " +
+              "to sample, pass sampled = false")
+          s
+        }
+      }
+    val init = tsub.filter(col("vec_id").isin(
+        tsub.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
           .collect().map(_.getAs[Long]("vec_id")).toSeq: _*))
       .collect()
       .groupBy(_.getAs[Int]("m")).toSeq.flatMap { case (m, rows) =>
@@ -129,7 +149,7 @@ object Pq {
         }
       }
     (1 to PqIters).foldLeft(init) { case (cb, _) =>
-      val sums = assign(sub, codebookFrame(spark, cb))
+      val sums = assign(tsub, codebookFrame(spark, cb))
         .select(col("m"), col("k"), posexplode(col("sq")).as(Seq("pos", "v")))
         .groupBy("m", "k", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
@@ -181,7 +201,7 @@ object Pq {
     * (probes × [[SubM]] × [[PqK]]) lookup frame, always broadcast.
     */
   private def dtableFrame(quant: DataFrame, cb: DataFrame): DataFrame =
-    subvectors(quant.filter(col("vec_id") < NumProbes))
+    subvectors(Ivf.topProbes(quant))
       .select(col("vec_id").as("probe_id"), col("m"), col("sq"))
       .join(broadcast(cb), "m")
       .select(col("probe_id"), col("m"), col("k"),
@@ -201,7 +221,7 @@ object Pq {
         lit(1).as("hit"))
     val exactW = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("dist").asc, col("vec_id").asc)
-    val exact = broadcast(quant.filter(col("vec_id") < NumProbes)
+    val exact = broadcast(Ivf.topProbes(quant)
         .select(col("vec_id").as("probe_id"), col("q").as("pq")))
       .join(quant.select(col("vec_id"), col("q")),
         col("vec_id") =!= col("probe_id"))
@@ -248,7 +268,7 @@ object Pq {
       Ivf.quantized(Tables.embeddings(spark, dir)))
     // coarse: probe → its Nprobe nearest cells, map-side vs the literal
     // centroids (same integer distance and tie-break training used)
-    val probeCells = quant.filter(col("vec_id") < NumProbes)
+    val probeCells = Ivf.topProbes(quant)
       .select(col("vec_id").as("probe_id"),
         slice(array_sort(Ivf.distStructs(col("q"), cents)), 1, Ivf.Nprobe)
           .as("near"))
@@ -293,7 +313,7 @@ object Pq {
       .select(col("vec_id"), posexplode(col("code")).as(Seq("m", "k")))
     val quant = graft.Checkpoints.checkpoint(
       Ivf.quantized(Tables.embeddings(spark, dir)))
-    val probeCells = quant.filter(col("vec_id") < NumProbes)
+    val probeCells = Ivf.topProbes(quant)
       .select(col("vec_id").as("probe_id"),
         slice(array_sort(Ivf.distStructs(col("q"), cents)), 1, Ivf.Nprobe)
           .as("near"))
@@ -324,32 +344,35 @@ object Pq {
     s"list_sum(list_transform(generate_series(1, len($a)), " +
       s"i -> ($a[i] - $b[i]) * ($a[i] - $b[i])))"
 
-  /** CTE chain `sub, cb0…cb[[PqIters]], codes, dt` over an existing
-    * `quant` CTE — the oracle's replay of the fused Lloyd loop (`sub`
-    * = subvector slices, `cb0` = smallest-id init per subspace, per
-    * iteration an assignment + update pair), the final `codes`
-    * encoding, and the probe distance tables — shared by the q139 and
-    * q140 oracles so the two can never train different codebooks.
-    * Iteration CTEs are `p`-prefixed to compose with
-    * [[Ivf.cellsCtes]], which owns `quant`, `a<i>`, `sums<i>`,
-    * `cells`. Every constant is generated from the same fields the
-    * Spark side trains with.
+  /** CTE chain `sub, tmod, tsub, cb0…cb[[PqIters]], codes` over an
+    * existing source CTE — the oracle's replay of the fused Lloyd loop
+    * (`sub` = subvector slices, `tsub` = the PolyHash-mod training
+    * sample with modulus from `COUNT(*)` of the per-vector source —
+    * identical to [[train]]'s distinct-id count, `cb0` = smallest
+    * sampled ids' init per subspace, per iteration an assignment +
+    * update pair over the SAMPLE) and the final corpus-wide `codes`
+    * encoding — shared by the q139 and q140 oracles so the two can
+    * never train different codebooks. Iteration CTEs are `p`-prefixed
+    * to compose with [[Ivf.cellsCtes]], which owns `quant`, `tquant`,
+    * `a<i>`, `sums<i>`, `cells`. Every constant is generated from the
+    * same fields the Spark side trains with.
     */
   private def codesCtesFrom(src: String, pfx: String): String = {
+    val ph = graft.functions.PolyHash.sql("CAST(s.vec_id AS VARCHAR)")
     val iters = (1 to PqIters).map { it =>
       s"""${pfx}pa$it AS (
          |  SELECT vec_id, m, k, sq FROM (
          |    SELECT s.vec_id, s.m, c.k, s.sq,
          |           row_number() OVER (PARTITION BY s.vec_id, s.m
          |             ORDER BY ${distSql("s.sq", "c.cw")}, c.k) AS rn
-         |    FROM ${pfx}sub s JOIN ${pfx}cb${it - 1} c ON s.m = c.m
+         |    FROM ${pfx}tsub s JOIN ${pfx}cb${it - 1} c ON s.m = c.m
          |  ) WHERE rn = 1
          |), ${pfx}psums$it AS (
          |  SELECT m, k, i, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n
          |  FROM (SELECT m, k, generate_subscripts(sq, 1) AS i,
          |               unnest(sq) AS v FROM ${pfx}pa$it)
          |  GROUP BY m, k, i
-         |), ${pfx}cb$it AS (
+         |), ${pfx}cb$it AS MATERIALIZED (
          |  SELECT p.m, p.k, COALESCE(u.cw, p.cw) AS cw
          |  FROM ${pfx}cb${it - 1} p LEFT JOIN (
          |    SELECT m, k, list(${Ivf.roundDivSql("s", "n")} ORDER BY i) AS cw
@@ -357,18 +380,26 @@ object Pq {
          |  ) u ON p.m = u.m AND p.k = u.k
          |)""".stripMargin
     }.mkString(", ")
-    s"""${pfx}sub AS (
+    s"""${pfx}sub AS MATERIALIZED (
        |  SELECT vec_id, m,
        |         q[m * $SubDim + 1 : m * $SubDim + $SubDim] AS sq
        |  FROM $src, (SELECT unnest(generate_series(0, ${SubM - 1})) AS m)
-       |), ${pfx}cb0 AS (
+       |), ${pfx}tmod AS (
+       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${Ivf.TrainSampleTarget}.0)
+       |    AS BIGINT)) AS mm
+       |  FROM $src
+       |), ${pfx}tsub AS MATERIALIZED (
+       |  SELECT s.vec_id, s.m, s.sq FROM ${pfx}sub s, ${pfx}tmod m
+       |  WHERE $ph % m.mm = 0
+       |), ${pfx}cb0 AS MATERIALIZED (
        |  SELECT m,
        |         CAST(row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
        |           AS INTEGER) AS k,
        |         sq AS cw
-       |  FROM ${pfx}sub
-       |  WHERE vec_id IN (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $PqK)
-       |), $iters, ${pfx}codes AS (
+       |  FROM ${pfx}tsub
+       |  WHERE vec_id IN (SELECT DISTINCT vec_id FROM ${pfx}tsub
+       |                   ORDER BY vec_id LIMIT $PqK)
+       |), $iters, ${pfx}codes AS MATERIALIZED (
        |  SELECT vec_id, m, k FROM (
        |    SELECT s.vec_id, s.m, c.k,
        |           row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -391,11 +422,11 @@ object Pq {
     * from the same fields the Spark side trains with.
     */
   private lazy val codesCtes: String =
-    s"""${codesCtesFrom("quant", "")}, dt AS (
+    s"""${codesCtesFrom("quant", "")}, dt AS MATERIALIZED (
        |  SELECT s.vec_id AS probe_id, s.m, c.k,
        |         ${distSql("s.sq", "c.cw")} AS d
        |  FROM sub s JOIN cb$PqIters c ON s.m = c.m
-       |  WHERE s.vec_id < $NumProbes
+       |  WHERE ${Ivf.probeInSql("s")}
        |)""".stripMargin
 
   /** `exact` CTE + final recall SELECT — the shared oracle tail: the
@@ -411,7 +442,7 @@ object Pq {
        |           row_number() OVER (PARTITION BY p.vec_id
        |             ORDER BY ${distSql("p.q", "v.q")}, v.vec_id) AS rank
        |    FROM quant p JOIN quant v ON v.vec_id <> p.vec_id
-       |    WHERE p.vec_id < $NumProbes
+       |    WHERE ${Ivf.probeInSql("p")}
        |  ) WHERE rank <= $TopK
        |)
        |SELECT e.probe_id, COUNT(*) AS n_exact,
@@ -458,7 +489,7 @@ object Pq {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY $cdist, c.cell) AS rn
        |    FROM quant v CROSS JOIN cent${Ivf.Iters} c
-       |    WHERE v.vec_id < $NumProbes
+       |    WHERE ${Ivf.probeInSql("v")}
        |  ) WHERE rn <= ${Ivf.Nprobe}
        |), approx AS (
        |  SELECT probe_id, vec_id AS neighbor_id FROM (
@@ -487,7 +518,7 @@ object Pq {
   lazy val q146OracleSql: String = {
     val cdist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
-    s"""WITH ${Ivf.cellsCtes}, rquant AS (
+    s"""WITH ${Ivf.cellsCtes}, rquant AS MATERIALIZED (
        |  SELECT q.vec_id,
        |         list_transform(generate_series(1, len(q.q)),
        |           i -> q.q[i] - ct.c[i]) AS q
@@ -500,7 +531,7 @@ object Pq {
        |           row_number() OVER (PARTITION BY v.vec_id
        |             ORDER BY $cdist, c.cell) AS rn
        |    FROM quant v CROSS JOIN cent${Ivf.Iters} c
-       |    WHERE v.vec_id < $NumProbes
+       |    WHERE ${Ivf.probeInSql("v")}
        |  ) WHERE rn <= ${Ivf.Nprobe}
        |), pres AS (
        |  SELECT pc.probe_id, pc.cell,

@@ -70,12 +70,32 @@ object Similarity {
     rankTop(scoredNeighbors(p, e), TopK)
   }
 
-  lazy val q22OracleSql: String = {
+  /** The q22 harness over a caller-supplied probe frame (`vec_id` +
+    * `embedding` rows) — the trained-index evals (q125/q143) score
+    * exactness against THEIR probe set (the top-ids probes, disjoint
+    * from Lloyd's smallest-id init) with the very scoring/ranking code
+    * q22 publishes, so baseline and index eval can never drift.
+    */
+  private[operators] def cosineTopKFor(spark: SparkSession, dir: String,
+      probeRows: DataFrame): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val p = probeRows
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+      .withColumn("pn", VectorOps.norm(col("pv")))
+    rankTop(scoredNeighbors(p, e), TopK)
+  }
+
+  /** [[q22OracleSql]]'s body with a caller-supplied probe predicate
+    * over alias `p` — the oracle twin of [[cosineTopKFor]].
+    */
+  private[operators] def cosineTopKSqlFor(probePred: String): String = {
     val cos = VectorOps.round6Sql(VectorOps.cosineSql("p.embedding", "e.embedding"))
     s"""WITH scored AS (
       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, $cos AS cos
       |  FROM embeddings p JOIN embeddings e ON p.vec_id <> e.vec_id
-      |  WHERE p.vec_id < $NumProbes
+      |  WHERE $probePred
       |), ranked AS (
       |  SELECT probe_id, neighbor_id, cos,
       |         row_number() OVER (PARTITION BY probe_id
@@ -86,6 +106,8 @@ object Similarity {
       |FROM ranked WHERE rank <= $TopK
       |ORDER BY probe_id, rank""".stripMargin
   }
+
+  lazy val q22OracleSql: String = cosineTopKSqlFor(s"p.vec_id < $NumProbes")
 
   /** Negatives returned per probe by [[q69HardNegatives]]. */
   private val HardNegK = 5

@@ -37,8 +37,12 @@ class IvfSpec extends SparkSpec {
     assert(cells.forall { r =>
       val c = r.getAs[Int]("cell"); c >= 0 && c < Ivf.K
     })
-    // training moved the centroids off their init vectors (Lloyd ran)
-    val init = quant.orderBy("vec_id").limit(Ivf.K).collect()
+    // training moved the centroids off their init vectors (Lloyd ran);
+    // init = the K smallest SAMPLED ids' vectors
+    val init = quant
+      .filter(Ivf.inTrainSample(col("vec_id"),
+        Ivf.sampleModulus(quant.count())))
+      .orderBy("vec_id").limit(Ivf.K).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("q").toSeq)
     assert(c1.exists { case (k, a) => a.toSeq != init(k) })
     Checkpoints.releaseAll()
@@ -86,6 +90,37 @@ class IvfSpec extends SparkSpec {
     Checkpoints.releaseAll()
   }
 
+  test("sampled training: sample active at the fixture, recall within band of full") {
+    val quant = Checkpoints.checkpoint(
+      Ivf.quantized(Tables.embeddings(spark, sf)))
+    val n = quant.count()
+    assert(Ivf.sampleModulus(n) > 1,
+      s"fixture corpus ($n) must exercise the hash sample")
+    val sampled = Ivf.train(quant)
+    val full = Ivf.train(quant, sampled = false)
+    // the sample genuinely changed what Lloyd saw
+    assert(sampled.map { case (k, a) => (k, a.toSeq) } !=
+      full.map { case (k, a) => (k, a.toSeq) })
+    def micro(c: Seq[(Int, Array[Long])]): Double = {
+      val r = Ivf.ivfRecallFrom(spark, sf, c,
+        Ivf.assignFrame(quant, c)).collect()
+      r.map(_.getAs[Long]("n_hit")).sum.toDouble /
+        r.map(_.getAs[Long]("n_exact")).sum
+    }
+    val ms = micro(sampled)
+    val mf = micro(full)
+    // the published sampled-training claim: codebooks fit on a bounded
+    // sample lose little recall vs full-corpus Lloyd. Scored on the
+    // init-DISJOINT top-id probes — with first-id probes this read
+    // ~0.85 for full training because the probes WERE the init
+    // centroids (each probe's neighborhood forms a flatteringly tight
+    // cell around its own seed); honest probes put both around the
+    // 0.5–0.6 a converged k-means achieves at nprobe 3/16 here.
+    assert(ms >= mf - 0.15, s"sampled micro-recall $ms vs full $mf")
+    assert(ms >= 0.35, s"sampled micro-recall $ms below absolute floor")
+    Checkpoints.releaseAll()
+  }
+
   test("q147 cell balance reconciles with the assignment it audits") {
     val out = graft.operators.Ivf.q147CellBalance(spark, sf).collect()
     assert(out.length == Ivf.K, "one row per trained cell, empties included")
@@ -123,9 +158,15 @@ class IvfSpec extends SparkSpec {
         Ivf.assignFrame(quant, trained).collect().map(_.toSeq).toSet)
       val withArt = Ivf.q125IvfRecall(spark, sf).collect().map(_.toSeq).toSeq
       assert(withArt == inline)
-      // a trained coarse quantizer at nprobe 3/16 must beat coin-flip
-      // recall on every probe
-      withArt.foreach { r => assert(r(3).asInstanceOf[Double] >= 0.5, r) }
+      // per-probe floor on init-disjoint probes: a converged k-means
+      // tops out near 0.65 micro at nprobe 3/16 on this fixture with
+      // per-probe lows near 0.3 (measured against a best-of-8-seeds,
+      // 50-iteration reference) — 0.2 catches a broken index without
+      // flagging honest per-probe variance
+      withArt.foreach { r => assert(r(3).asInstanceOf[Double] >= 0.2, r) }
+      val microArt = withArt.map(_(2).asInstanceOf[Long]).sum.toDouble /
+        withArt.map(_(1).asInstanceOf[Long]).sum
+      assert(microArt >= 0.35, s"micro-recall $microArt")
     } finally {
       Artifacts.clearRoot()
       deleteRecursively(tmp)

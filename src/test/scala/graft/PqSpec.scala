@@ -15,6 +15,16 @@ class PqSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
 
+  /** The PolyHash-mod training sample, replayed locally: the ids the
+    * Lloyd loops (coarse and PQ) actually see.
+    */
+  private def sampleIds(ids: Seq[Long]): Seq[Long] = {
+    val mod = Ivf.sampleModulus(ids.length.toLong)
+    ids.filter(id => graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString),
+      31) % mod == 0)
+  }
+
   test("q139 recalls equal an independent local replay") {
     val emb: Map[Long, Array[Long]] = Tables.embeddings(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") ->
@@ -28,14 +38,16 @@ class PqSpec extends SparkSpec {
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
-    // init: the K smallest ids' subvectors, per subspace
+    // init: the K smallest SAMPLED ids' subvectors, per subspace;
+    // Lloyd runs on the sample, encoding on the full corpus
+    val tids = sampleIds(ids)
     var cb: Map[(Int, Int), Array[Long]] =
-      (for (m <- 0 until M; (id, k) <- ids.take(K).zipWithIndex)
+      (for (m <- 0 until M; (id, k) <- tids.take(K).zipWithIndex)
         yield (m, k) -> sub(emb(id), m)).toMap
     def argmin(s: Array[Long], m: Int): Int =
       (0 until K).map(k => (d2(s, cb((m, k))), k)).min._2
     for (_ <- 1 to Pq.PqIters) {
-      val asn = for (id <- ids; m <- 0 until M)
+      val asn = for (id <- tids; m <- 0 until M)
         yield (m, argmin(sub(emb(id), m), m), sub(emb(id), m))
       cb = cb.map { case ((m, k), old) =>
         val members = asn.collect { case (`m`, `k`, s) => s }
@@ -47,7 +59,7 @@ class PqSpec extends SparkSpec {
     val codes: Map[Long, Array[Int]] = ids.map(id =>
       id -> Array.tabulate(M)(m => argmin(sub(emb(id), m), m))).toMap
 
-    val probes = ids.filter(_ < 10)
+    val probes = ids.sorted.takeRight(10) // top-id probes, init-disjoint
     val expected = probes.map { p =>
       val dt = Array.tabulate(M, K)((m, k) => d2(sub(emb(p), m), cb((m, k))))
       val others = ids.filter(_ != p)
@@ -85,13 +97,14 @@ class PqSpec extends SparkSpec {
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
-    // local IVF training: Lloyd over the full quantized vectors
+    // local IVF training: Lloyd over the SAMPLED quantized vectors
+    val tids = sampleIds(ids)
     var cents: Map[Int, Array[Long]] =
-      ids.take(Ivf.K).zipWithIndex.map { case (id, k) => k -> emb(id) }.toMap
+      tids.take(Ivf.K).zipWithIndex.map { case (id, k) => k -> emb(id) }.toMap
     def cellOf(q: Array[Long]): Int =
       (0 until Ivf.K).map(k => (d2(q, cents(k)), k)).min._2
     for (_ <- 1 to Ivf.Iters) {
-      val asn = ids.map(id => (cellOf(emb(id)), emb(id)))
+      val asn = tids.map(id => (cellOf(emb(id)), emb(id)))
       cents = cents.map { case (k, old) =>
         val members = asn.collect { case (`k`, q) => q }
         (k, if (members.isEmpty) old
@@ -101,14 +114,14 @@ class PqSpec extends SparkSpec {
     }
     val cellAsn: Map[Long, Int] = ids.map(id => id -> cellOf(emb(id))).toMap
 
-    // local PQ training — the q139 replay verbatim
+    // local PQ training — the q139 replay verbatim (sampled)
     var cb: Map[(Int, Int), Array[Long]] =
-      (for (m <- 0 until M; (id, k) <- ids.take(K).zipWithIndex)
+      (for (m <- 0 until M; (id, k) <- tids.take(K).zipWithIndex)
         yield (m, k) -> sub(emb(id), m)).toMap
     def argmin(s: Array[Long], m: Int): Int =
       (0 until K).map(k => (d2(s, cb((m, k))), k)).min._2
     for (_ <- 1 to Pq.PqIters) {
-      val asn = for (id <- ids; m <- 0 until M)
+      val asn = for (id <- tids; m <- 0 until M)
         yield (m, argmin(sub(emb(id), m), m), sub(emb(id), m))
       cb = cb.map { case ((m, k), old) =>
         val members = asn.collect { case (`m`, `k`, s) => s }
@@ -121,7 +134,7 @@ class PqSpec extends SparkSpec {
       id -> Array.tabulate(M)(m => argmin(sub(emb(id), m), m))).toMap
 
     // coarse probe → Nprobe cells; ADC restricted to those cells' members
-    val probes = ids.filter(_ < 10)
+    val probes = ids.sorted.takeRight(10) // top-id probes, init-disjoint
     val expected = probes.map { p =>
       val near = (0 until Ivf.K).map(k => (d2(emb(p), cents(k)), k))
         .sorted.take(Ivf.Nprobe).map(_._2).toSet
@@ -158,13 +171,14 @@ class PqSpec extends SparkSpec {
     def d2(a: Array[Long], b: Array[Long]): Long =
       a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
 
-    // local IVF training (as the q140 replay)
+    // local IVF training (as the q140 replay — sampled)
+    val tids = sampleIds(ids)
     var cents: Map[Int, Array[Long]] =
-      ids.take(Ivf.K).zipWithIndex.map { case (id, k) => k -> emb(id) }.toMap
+      tids.take(Ivf.K).zipWithIndex.map { case (id, k) => k -> emb(id) }.toMap
     def cellOf(q: Array[Long]): Int =
       (0 until Ivf.K).map(k => (d2(q, cents(k)), k)).min._2
     for (_ <- 1 to Ivf.Iters) {
-      val asn = ids.map(id => (cellOf(emb(id)), emb(id)))
+      val asn = tids.map(id => (cellOf(emb(id)), emb(id)))
       cents = cents.map { case (k, old) =>
         val members = asn.collect { case (`k`, q) => q }
         (k, if (members.isEmpty) old
@@ -173,16 +187,16 @@ class PqSpec extends SparkSpec {
       }
     }
     val cellAsn: Map[Long, Int] = ids.map(id => id -> cellOf(emb(id))).toMap
-    // residuals, then the same local PQ loop over them
+    // residuals, then the same local PQ loop over the sampled ones
     val res: Map[Long, Array[Long]] = ids.map(id => id ->
       emb(id).zip(cents(cellAsn(id))).map { case (a, b) => a - b }).toMap
     var cb: Map[(Int, Int), Array[Long]] =
-      (for (m <- 0 until M; (id, k) <- ids.take(K).zipWithIndex)
+      (for (m <- 0 until M; (id, k) <- tids.take(K).zipWithIndex)
         yield (m, k) -> sub(res(id), m)).toMap
     def argmin(s: Array[Long], m: Int): Int =
       (0 until K).map(k => (d2(s, cb((m, k))), k)).min._2
     for (_ <- 1 to Pq.PqIters) {
-      val asn = for (id <- ids; m <- 0 until M)
+      val asn = for (id <- tids; m <- 0 until M)
         yield (m, argmin(sub(res(id), m), m), sub(res(id), m))
       cb = cb.map { case ((m, k), old) =>
         val members = asn.collect { case (`m`, `k`, s) => s }
@@ -195,7 +209,7 @@ class PqSpec extends SparkSpec {
       id -> Array.tabulate(M)(m => argmin(sub(res(id), m), m))).toMap
 
     // coarse probe → per-probed-cell residual tables → restricted ADC
-    val probes = ids.filter(_ < 10)
+    val probes = ids.sorted.takeRight(10) // top-id probes, init-disjoint
     val expected = probes.map { p =>
       val near = (0 until Ivf.K).map(k => (d2(emb(p), cents(k)), k))
         .sorted.take(Ivf.Nprobe).map(_._2)
