@@ -604,11 +604,19 @@ object CorpusAudit {
     * own artifact paths (q41's keeper join reads the standing keeper
     * table; q83 is map-only).
     */
-  def q96FilterDisagreement(spark: SparkSession, dir: String): DataFrame = {
+  def q96FilterDisagreement(spark: SparkSession, dir: String): DataFrame =
+    q96With(spark, dir, TextAnalysis.DefaultQualityModel)
+
+  /** q96 under a caller-supplied quality model — `QualityTrainSpec`
+    * runs the disagreement audit with [[QualityTrain]]'s trained
+    * weights through the identical join/rollup.
+    */
+  private[graft] def q96With(spark: SparkSession, dir: String,
+      model: TextAnalysis.QualityModel): DataFrame = {
     val funnel = Curation.q41CorpusSelect(spark, dir)
       .select(col("doc_id"), col("selected"),
         coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
-    val quality = TextAnalysis.q83QualityClassifier(spark, dir)
+    val quality = TextAnalysis.q83With(spark, dir, model)
       .select(col("doc_id"), col("quality_label"))
     // checkpointed: the joined gate frame feeds both the corpus total
     // and the cell rollup — without the pin the funnel + classifier

@@ -26,9 +26,9 @@ object Curation {
     * synthetic corpus): docs must be their cluster's keeper, predicted
     * English, 5–5000 whitespace tokens, and ≤ 0.5 shingle repetition.
     */
-  private val MinTokens = 5
-  private val MaxTokens = 5000
-  private val MaxRepetition = 0.5
+  private[operators] val MinTokens = 5
+  private[operators] val MaxTokens = 5000
+  private[operators] val MaxRepetition = 0.5
 
   /** q41 — per-document curation verdict: every document appears with its
     * signals and a boolean `selected`; the kept corpus is
@@ -86,7 +86,7 @@ object Curation {
     * STRUCTURALLY by [[q43OracleSql]] (which wraps it as a subquery);
     * a textual scrape would silently break on reformatting.
     */
-  private lazy val q41OracleBody: String = {
+  private[operators] lazy val q41OracleBody: String = {
     val ratio = round6Sql(
       "1.0 - CAST(len(list_distinct(shl)) AS DOUBLE) / greatest(len(tl) - 2, 1)")
     s"""WITH RECURSIVE ${Dedup.keeperCtes}, sig AS (
@@ -755,13 +755,21 @@ object Curation {
     * No windows, no fan-out; at 100 TB this is the cheapest full-corpus
     * statement the engine runs, and the one run most often.
     */
-  def q138CurationLedger(spark: SparkSession, dir: String): DataFrame = {
+  def q138CurationLedger(spark: SparkSession, dir: String): DataFrame =
+    q138With(spark, dir, TextAnalysis.DefaultQualityModel)
+
+  /** q138 under a caller-supplied quality model — `QualityTrainSpec`
+    * runs the ledger with [[QualityTrain]]'s trained weights through
+    * the identical gate composition.
+    */
+  private[graft] def q138With(spark: SparkSession, dir: String,
+      model: TextAnalysis.QualityModel): DataFrame = {
     val base = corpusSelect(spark, dir, graft.functions.Tokenizer.Whitespace)
       .select(col("doc_id"), col("n_tokens"), col("repetition_ratio"),
         col("pred_lang"), col("is_keeper"))
     val gopher = Extraction.q133RepetitionGate(spark, dir)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val quality = TextAnalysis.q83QualityClassifier(spark, dir)
+    val quality = TextAnalysis.q83With(spark, dir, model)
       .select(col("doc_id"),
         (col("quality_label") === "keep").as("quality_ok"))
     val langOk = col("pred_lang") === "en"

@@ -261,6 +261,27 @@ object TextAnalysis {
   /** Intercept of the linear model, in the same tenths scale. */
   private val QualityBiasTenths = -2
 
+  /** A linear bag-of-words quality model: integer per-token weights and
+    * an integer bias in one fixed-point scale, plus the divisor mapping
+    * the integer sum back to score units. The SHIPPED model is
+    * [[DefaultQualityModel]] (the q83 literals); [[QualityTrain]]
+    * produces trained instances, and `QualityTrainSpec` swaps one
+    * through this same kernel — the trained weights run the exact
+    * inference path q83/q96/q138 and the streaming gate ship, which is
+    * the whole point of keeping inference a one-scan codegen'd fold.
+    */
+  final case class QualityModel(weights: Map[String, Long], bias: Long,
+      scale: Double)
+
+  /** The shipped fixed-weight model (CCNet-style linear filter with
+    * hand-pinned weights — the documented stand-in a [[QualityTrain]]
+    * model replaces).
+    */
+  private[graft] lazy val DefaultQualityModel: QualityModel =
+    QualityModel(
+      QualityWeightTenths.map { case (t, w) => t -> w.toLong }.toMap,
+      QualityBiasTenths.toLong, 10.0)
+
   /** q83 — quality-classifier inference: per-document score =
     * (bias + Σ weight(token)) / 10 / n_tokens over lowercased whitespace
     * tokens (each OCCURRENCE votes — bag-of-words, not set-of-words),
@@ -279,7 +300,16 @@ object TextAnalysis {
     * classifier inference must cost one scan, nothing else.
     */
   def q83QualityClassifier(spark: SparkSession, dir: String): DataFrame =
-    scoredQuality(Tables.documents(spark, dir), "text")
+    q83With(spark, dir, DefaultQualityModel)
+
+  /** q83 under a caller-supplied [[QualityModel]] — the trained-weights
+    * flow point ([[QualityTrain.train]] → this → q96/q138's `*With`
+    * twins), same inference shape regardless of where the weights came
+    * from.
+    */
+  private[graft] def q83With(spark: SparkSession, dir: String,
+      model: QualityModel): DataFrame =
+    scoredQuality(Tables.documents(spark, dir), "text", model)
       .select("doc_id", "n_tokens", "quality_score", "quality_label")
       .orderBy("doc_id")
 
@@ -294,16 +324,17 @@ object TextAnalysis {
     * the oracle's NULL-propagating len(); the label CASE then falls
     * through to "cull" in both engines.
     */
-  private[graft] def scoredQuality(df: DataFrame, textCol: String): DataFrame = {
-    val weights = typedLit(QualityWeightTenths.toMap)
+  private[graft] def scoredQuality(df: DataFrame, textCol: String,
+      model: QualityModel = DefaultQualityModel): DataFrame = {
+    val weights = typedLit(model.weights)
     val toks = split(lower(col(textCol)), "\\s+")
     val nTok = when(col(textCol).isNotNull, size(toks))
     val wSum = aggregate(toks, lit(0L),
-      (acc, t) => acc + coalesce(element_at(weights, t), lit(0)).cast("long"))
+      (acc, t) => acc + coalesce(element_at(weights, t), lit(0L)))
     df
       .withColumn("n_tokens", nTok)
       .withColumn("quality_score",
-        round6((wSum + lit(QualityBiasTenths)).cast("double") / 10.0 / nTok))
+        round6((wSum + lit(model.bias)).cast("double") / model.scale / nTok))
       .withColumn("quality_label",
         when(col("quality_score") >= 0.0, "keep").otherwise("cull"))
   }
