@@ -438,7 +438,7 @@ object CorpusOps {
   // ---- q91: epoch-shuffled sequence packing -------------------------------
 
   /** Order-key domain for the epoch shuffle (the q56 hash resolution). */
-  private val EpochHashDomain = 1000000L
+  private[graft] val EpochHashDomain = 1000000L
 
   /** Hash-range width of q91's second level (the [[PackRangeWidth]]
     * analogue over the epoch-hash domain instead of the id domain).
@@ -609,18 +609,104 @@ object CorpusOps {
       .select("doc_id", "n_tokens", "cum_before", "shard_id")
   }
 
-  /** Doc-grain packed-export layout: [[exportAssignment]]'s q84 cuts
-    * with each document's WITHIN-shard token offset (`tok_offset` =
-    * `cum_before` − the shard's first `cum_before` — a ≤-shard-count
-    * aggregate joined back, never a second corpus pass) and the q48
-    * `seq_id` = `tok_offset DIV` [[PackBudget]] it implies. This is the
-    * index a trainer seeks by: byte `4 * tok_offset` of shard
-    * `shard_id`'s file is the document's first token id.
+  /** Sequence orderings the packed export can write in — the sink
+    * parameter composing q127's binary artifact with the order the
+    * training scheduler actually feeds: crawl order (q84's cuts
+    * verbatim), q91's deterministic per-epoch hash permutation, or
+    * q94's easy→hard curriculum. Cut points stay token-balanced per
+    * q84 in every ordering (the cumsum runs over the CHOSEN order);
+    * the manifest names the order so a trainer can refuse a mismatched
+    * artifact.
     */
-  private[graft] def exportLayout(spark: SparkSession, dir: String,
+  sealed trait ExportOrder { def name: String }
+  object ExportOrder {
+    /** Crawl/ingest (doc_id) order. */
+    case object ByDocId extends ExportOrder { val name = "doc_id" }
+
+    /** q91's per-epoch hash permutation (`hash(doc_id ⊕ epoch)`). */
+    final case class ByEpoch(epoch: Int) extends ExportOrder {
+      val name = s"epoch_$epoch"
+    }
+
+    /** q94's surprisal-banded curriculum position. */
+    case object ByCurriculum extends ExportOrder { val name = "curriculum" }
+  }
+
+  /** [[exportAssignment]] generalized over an [[ExportOrder]]: the
+    * global stream order is `(okey, doc_id)` with `okey` the ordering's
+    * key (doc_id itself / q91's epoch hash / q94's curriculum
+    * position), and the q84 cut arithmetic is unchanged — the same
+    * two-level global-cumsum decomposition, banded by a MONOTONE
+    * function of the order key (`okey DIV width`), which is what
+    * licenses the decomposition in every ordering.
+    */
+  private[graft] def exportAssignmentOrdered(spark: SparkSession,
+      dir: String, order: ExportOrder,
       tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
       : DataFrame = {
-    val assigned = exportAssignment(spark, dir, PackRangeWidth, tok)
+    val base = packCounts(spark, dir, tok).select(col("doc_id"),
+      coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
+    val sized = order match {
+      case ExportOrder.ByDocId =>
+        base.withColumn("okey", col("doc_id"))
+          .withColumn("rng", expr(s"doc_id DIV $PackRangeWidth"))
+      case ExportOrder.ByEpoch(e) =>
+        val eh = pmod(org.apache.spark.sql.GraftSqlBridge.column(
+          graft.functions.PolyHash(
+            org.apache.spark.sql.GraftSqlBridge.expression(
+              concat(col("doc_id").cast("string"), lit(s"#epoch$e"))))),
+          lit(EpochHashDomain))
+        base.withColumn("okey", eh)
+          .withColumn("rng", expr(s"okey DIV $EpochRangeWidth"))
+      case ExportOrder.ByCurriculum =>
+        base.join(Curation.q94CurriculumOrder(spark, dir)
+            .select(col("doc_id"), col("curriculum_pos").as("okey")),
+          "doc_id")
+          .withColumn("rng", expr(s"okey DIV $PackRangeWidth"))
+    }
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
+    val following = org.apache.spark.sql.expressions.Window.unboundedFollowing
+    val baseW = org.apache.spark.sql.expressions.Window
+      .orderBy("rng").rowsBetween(unbounded, -1)
+    val totalW = org.apache.spark.sql.expressions.Window
+      .orderBy("rng").rowsBetween(unbounded, following)
+    val bases = sized.groupBy("rng")
+      .agg(sum("n_tokens").as("cell_tokens"))
+      .withColumn("base", coalesce(sum("cell_tokens").over(baseW), lit(0L)))
+      .withColumn("total", sum("cell_tokens").over(totalW))
+      .select("rng", "base", "total")
+    val localW = org.apache.spark.sql.expressions.Window
+      .partitionBy("rng").orderBy(col("okey"), col("doc_id"))
+      .rowsBetween(unbounded, -1)
+    sized.join(bases, "rng")
+      .withColumn("cum_before",
+        col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .withColumn("target",
+        greatest(expr(s"(total + ${ExportShards - 1}) DIV $ExportShards"),
+          lit(1L)))
+      .withColumn("shard_id", expr("CAST(cum_before DIV target AS INT)"))
+      .select("doc_id", "n_tokens", "okey", "cum_before", "shard_id")
+  }
+
+  /** Doc-grain packed-export layout: [[exportAssignment]]'s q84 cuts
+    * (in the chosen [[ExportOrder]]) with each document's WITHIN-shard
+    * token offset (`tok_offset` = `cum_before` − the shard's first
+    * `cum_before` — a ≤-shard-count aggregate joined back, never a
+    * second corpus pass) and the q48 `seq_id` = `tok_offset DIV`
+    * [[PackBudget]] it implies. This is the index a trainer seeks by:
+    * byte `4 * tok_offset` of shard `shard_id`'s file is the
+    * document's first token id.
+    */
+  private[graft] def exportLayout(spark: SparkSession, dir: String,
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace,
+      order: ExportOrder = ExportOrder.ByDocId): DataFrame = {
+    // crawl order keeps the original exportAssignment path (shared with
+    // q84's manifest — the two cannot drift); other orderings run the
+    // generalized assignment
+    val assigned = order match {
+      case ExportOrder.ByDocId => exportAssignment(spark, dir, PackRangeWidth, tok)
+      case _ => exportAssignmentOrdered(spark, dir, order, tok)
+    }
     val shardBase = assigned.groupBy("shard_id")
       .agg(min("cum_before").as("shard_base"))
     assigned.join(broadcast(shardBase), "shard_id")

@@ -570,13 +570,25 @@ object Curation {
 
   // ---- q94: surprisal-banded curriculum order ----------------------------
 
-  /** Hash sub-bucket width for the curriculum's two-level global rank:
-    * `sk DIV HbWidth` splits the [0, 2³¹−1) PolyHash range into 32
-    * order-preserving buckets (floor division is monotone in `sk`, so
-    * ordering by (band, hb, sk, doc_id) IS the ordering by (band, sk,
-    * doc_id)).
+  /** Order-key domain for the curriculum's in-band shuffle (q91's
+    * [[CorpusOps.EpochHashDomain]] discipline). The salt + modulus are
+    * BOTH load-bearing: PolyHash of a bare short decimal id never
+    * exceeds the hash modulus, so it is MONOTONE in the id — an
+    * unsalted, unreduced `PolyHash(doc_id)` "shuffle" reproduces plain
+    * doc_id order exactly (caught by the q150 ordered-export spec, and
+    * true for any corpus whose ids print in ≤12 digits). Salting pushes
+    * the string long enough to wrap and the modulus folds it into a
+    * fixed domain.
     */
-  private val CurriculumHbWidth = 1L << 26
+  private val CurriculumHashDomain = 1000000L
+
+  /** Hash sub-bucket width for the curriculum's two-level global rank:
+    * `sk DIV HbWidth` splits the [0, [[CurriculumHashDomain]]) shuffle
+    * domain into ~32 order-preserving buckets (floor division is
+    * monotone in `sk`, so ordering by (band, hb, sk, doc_id) IS the
+    * ordering by (band, sk, doc_id)).
+    */
+  private val CurriculumHbWidth = 31250L
 
   /** q94 — curriculum ordering: a deterministic total order over the
     * corpus that presents LOW-surprisal (common-token, "easy") documents
@@ -587,8 +599,9 @@ object Curation {
     * global easy→hard ramp while decorrelating neighbors — the same
     * reason q91 epoch-shuffles within shards. Band = integer part of
     * q86's mean token rarity (token-less documents band 0); in-band
-    * order = (PolyHash(doc_id), doc_id), deterministic and
-    * growth-stable like q42.
+    * order = (salted-and-reduced PolyHash of the doc id, doc_id) — see
+    * [[CurriculumHashDomain]] for why bare `PolyHash(doc_id)` would NOT
+    * shuffle — deterministic and growth-stable like q42.
     *
     * Scale shape: the global `curriculum_pos` is NOT a single-task
     * window — q48/q84's two-level decomposition over (band, hash-bucket)
@@ -599,10 +612,11 @@ object Curation {
     * itself rides q86's artifact-backed token-frequency path.
     */
   def q94CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
-    val sk = org.apache.spark.sql.GraftSqlBridge.column(
+    val sk = pmod(org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.PolyHash(
         org.apache.spark.sql.GraftSqlBridge.expression(
-          col("doc_id").cast("string"))))
+          concat(col("doc_id").cast("string"), lit("#curriculum"))))),
+      lit(CurriculumHashDomain))
     // checkpointed: `sized` feeds both the cell census and the doc-grain
     // rank join — without the pin the q86 surprisal derivation (a corpus
     // tokenize + frequency join) would execute once per consumer
@@ -633,7 +647,8 @@ object Curation {
     * `row_number` over (band, sk, doc_id).
     */
   lazy val q94OracleSql: String = {
-    val ph = graft.functions.PolyHash.sql("CAST(doc_id AS VARCHAR)")
+    val ph = graft.functions.PolyHash.sql(
+      "(CAST(doc_id AS VARCHAR) || '#curriculum')")
     s"""WITH sur AS (
       |  SELECT doc_id, mean_rarity FROM (
       |${graft.operators.TextAnalysis.q86OracleSql}
@@ -641,7 +656,7 @@ object Curation {
       |), sized AS (
       |  SELECT doc_id,
       |         CAST(COALESCE(floor(mean_rarity), 0) AS INTEGER) AS band,
-      |         $ph AS sk
+      |         CAST($ph % $CurriculumHashDomain AS BIGINT) AS sk
       |  FROM sur
       |)
       |SELECT doc_id, band, sk,

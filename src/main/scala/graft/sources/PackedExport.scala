@@ -66,13 +66,14 @@ object PackedExport {
     * manifest frame (read back from `outDir/manifest`).
     */
   def packedExport(spark: SparkSession, dir: String, outDir: String,
-      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace,
+      order: CorpusOps.ExportOrder = CorpusOps.ExportOrder.ByDocId)
       : DataFrame = {
     import spark.implicits._
     // checkpointed: referenced by the index write, the stream join, and
     // the manifest rollup — three consumers, one window computation
     val layout = graft.Checkpoints.checkpoint(
-      CorpusOps.exportLayout(spark, dir, tok))
+      CorpusOps.exportLayout(spark, dir, tok, order))
     val occ = occurrences(spark, dir, tok)
     // vocabulary counts: standing token_freq (re-aggregated over sources)
     // for the whitespace default, else counted off the occurrence stream
@@ -180,9 +181,9 @@ object PackedExport {
       .map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("shard_tokens"), r.getAs[Long]("first_doc"),
         r.getAs[Long]("last_doc"), r.getAs[Long]("n_bytes"),
-        r.getAs[Long]("crc32")))
+        r.getAs[Long]("crc32"), order.name))
       .toDF("shard_id", "n_docs", "shard_tokens", "first_doc",
-        "last_doc", "n_bytes", "crc32")
+        "last_doc", "n_bytes", "crc32", "ordering")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(stage, "manifest").toString)
 
@@ -210,13 +211,40 @@ object PackedExport {
     * limit — verification shape, not the training read path; a trainer
     * seeks by the index parquet.
     */
-  def q127PackedExport(spark: SparkSession, dir: String): DataFrame = {
+  def q127PackedExport(spark: SparkSession, dir: String): DataFrame =
+    packedRoundTrip(spark, dir, CorpusOps.ExportOrder.ByDocId)
+
+  /** q149 — the q127 export + byte-level read-back under q91's EPOCH
+    * ordering: the binary artifact matches what an epoch-shuffling
+    * scheduler feeds (tokens laid out in `hash(doc_id ⊕ epoch)`
+    * permutation order, cuts still token-balanced per q84), and the
+    * oracle recomputes the stream sum from the same ordering replayed
+    * in its single-window form.
+    */
+  def q149PackedEpoch(spark: SparkSession, dir: String): DataFrame =
+    packedRoundTrip(spark, dir, CorpusOps.ExportOrder.ByEpoch(ExportEpoch))
+
+  /** q150 — the q127 export + read-back under q94's CURRICULUM
+    * ordering: easy documents' tokens first (surprisal band, in-band
+    * hash shuffle), so the artifact IS the curriculum schedule.
+    */
+  def q150PackedCurriculum(spark: SparkSession, dir: String): DataFrame =
+    packedRoundTrip(spark, dir, CorpusOps.ExportOrder.ByCurriculum)
+
+  /** The epoch whose permutation q149's fixed query entry exports
+    * (mirrors q91's fixed entry).
+    */
+  private[graft] val ExportEpoch = 1
+
+  private def packedRoundTrip(spark: SparkSession, dir: String,
+      order: CorpusOps.ExportOrder): DataFrame = {
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      .digest(s"$dir|${order.name}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
     val outDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_packed_export_$tag").getAbsolutePath
-    val manifest = packedExport(spark, dir, outDir)
+    val manifest = packedExport(spark, dir, outDir, order = order)
     val bin = spark.read.format("binaryFile").load(s"$outDir/shards")
       .select(
         regexp_extract(col("path"), "shard_(\\d+)\\.bin", 1)
@@ -241,23 +269,30 @@ object PackedExport {
     manifest.join(sums, Seq("shard_id"), "left")
       .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
         col("first_doc"), col("last_doc"), col("n_bytes"),
-        coalesce(col("stream_sum"), lit(0L)).as("stream_sum"))
+        coalesce(col("stream_sum"), lit(0L)).as("stream_sum"),
+        col("ordering"))
       .orderBy("shard_id")
   }
 
-  /** First-principles replay: cuts and offsets in q84's exact oracle
-    * form, the vocabulary as the single-window `row_number` definition
+  /** First-principles replay of a [[packedRoundTrip]]: cuts and offsets
+    * in q84's exact oracle form with the cumsum running over the
+    * caller's `(okey, doc_id)` order (`okeyCte` yields one
+    * `(doc_id, okey)` row per document — doc_id itself for q127, q91's
+    * epoch hash for q149, q94's embedded curriculum position for
+    * q150), the vocabulary as the single-window `row_number` definition
     * [[CorpusOps.frequencyVocab]]'s two-level plan must reproduce, and
     * the weighted stream sum over (id, stream position).
     */
-  lazy val q127OracleSql: String =
-    s"""WITH t AS (
-      |  SELECT doc_id,
-      |         COALESCE(len(string_split_regex(text, '\\s+')), 0) AS n_tokens
-      |  FROM documents
+  private def packedOracleFor(okeyCte: String, orderName: String): String =
+    s"""WITH okey AS MATERIALIZED (
+      |$okeyCte
+      |), t AS (
+      |  SELECT d.doc_id, o.okey,
+      |         COALESCE(len(string_split_regex(d.text, '\\s+')), 0) AS n_tokens
+      |  FROM documents d JOIN okey o ON d.doc_id = o.doc_id
       |), c AS (
       |  SELECT doc_id, n_tokens,
-      |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+      |         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY okey, doc_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       |           AS BIGINT) AS cum_before,
       |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
@@ -301,7 +336,27 @@ object PackedExport {
       |)
       |SELECT m.shard_id, m.n_docs, m.shard_tokens, m.first_doc, m.last_doc,
       |       m.shard_tokens * ${BytesPerToken} AS n_bytes,
-      |       COALESCE(su.stream_sum, 0) AS stream_sum
+      |       COALESCE(su.stream_sum, 0) AS stream_sum,
+      |       '$orderName' AS ordering
       |FROM man m LEFT JOIN sums su ON m.shard_id = su.shard_id
       |ORDER BY m.shard_id""".stripMargin
+
+  lazy val q127OracleSql: String = packedOracleFor(
+    "  SELECT doc_id, doc_id AS okey FROM documents",
+    CorpusOps.ExportOrder.ByDocId.name)
+
+  lazy val q149OracleSql: String = {
+    val phE = graft.functions.PolyHash.sql(
+      s"(CAST(doc_id AS VARCHAR) || '#epoch$ExportEpoch')")
+    packedOracleFor(
+      s"  SELECT doc_id, CAST($phE % ${CorpusOps.EpochHashDomain} AS BIGINT)" +
+        " AS okey FROM documents",
+      CorpusOps.ExportOrder.ByEpoch(ExportEpoch).name)
+  }
+
+  lazy val q150OracleSql: String = packedOracleFor(
+    s"""  SELECT doc_id, curriculum_pos AS okey FROM (
+       |${graft.operators.Curation.q94OracleSql}
+       |  )""".stripMargin,
+    CorpusOps.ExportOrder.ByCurriculum.name)
 }

@@ -81,10 +81,11 @@ class EvalCurriculumSpec extends SparkSpec {
     val single = TextAnalysis.q86UnigramSurprisal(spark, sf)
       .select(col("doc_id"),
         coalesce(floor(col("mean_rarity")), lit(0L)).cast("int").as("band"),
-        org.apache.spark.sql.GraftSqlBridge.column(
+        pmod(org.apache.spark.sql.GraftSqlBridge.column(
           graft.functions.PolyHash(
             org.apache.spark.sql.GraftSqlBridge.expression(
-              col("doc_id").cast("string")))).as("sk"))
+              concat(col("doc_id").cast("string"), lit("#curriculum"))))),
+          lit(1000000L)).as("sk"))
       .withColumn("p", row_number().over(
         Window.orderBy(col("band"), col("sk"), col("doc_id"))) - 1)
       .select("doc_id", "p").collect()

@@ -145,4 +145,91 @@ class PackedExportSpec extends SparkSpec {
       .zipWithIndex.map { case ((t, _), i) => t -> i }.toMap
     assert(got == expected)
   }
+
+  test("epoch and curriculum orderings round-trip; tokens laid out in their order") {
+    val orders: Seq[CorpusOps.ExportOrder] = Seq(
+      CorpusOps.ExportOrder.ByEpoch(1), CorpusOps.ExportOrder.ByCurriculum)
+    orders.foreach { order =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-packed-ord").toFile
+      val out = new java.io.File(tmp, "export").getAbsolutePath
+      try {
+        val manifest = PackedExport
+          .packedExport(spark, sf, out, order = order).collect()
+        assert(manifest.nonEmpty)
+        assert(manifest.forall(_.getAs[String]("ordering") == order.name),
+          s"${order.name}: manifest must name its ordering")
+        assert(manifest.map(_.getAs[Long]("shard_tokens")).sum ==
+          CorpusOps.q84ShardManifest(spark, sf).collect()
+            .map(_.getAs[Long]("shard_tokens")).sum,
+          s"${order.name}: total token mass is ordering-invariant")
+
+        val shardBytes: Map[Int, Array[Byte]] =
+          new java.io.File(out, "shards").listFiles()
+            .filter(_.getName.endsWith(".bin"))
+            .map(f => f.getName.stripPrefix("shard_").stripSuffix(".bin").toInt
+              -> readAll(f)).toMap
+        manifest.foreach { r =>
+          val sid = r.getAs[Int]("shard_id")
+          val bytes = shardBytes.getOrElse(sid, Array.empty[Byte])
+          assert(bytes.length.toLong == r.getAs[Long]("n_bytes"),
+            s"${order.name} shard $sid")
+          if (bytes.nonEmpty)
+            assert(crc32(bytes) == r.getAs[Long]("crc32"),
+              s"${order.name} crc shard $sid")
+        }
+
+        // every doc's index slice decodes to exactly its tokens — the
+        // ordering moves documents, never corrupts them
+        val idToToken = spark.read.parquet(s"$out/vocab").collect()
+          .map(r => r.getAs[Int]("id") -> r.getAs[String]("token")).toMap
+        val texts = spark.read.parquet(s"$sf/documents.parquet")
+          .select("doc_id", "text").collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            Option(r.getAs[String]("text"))).toMap
+        val index = spark.read.parquet(s"$out/index").collect()
+        assert(index.length == texts.size)
+        index.foreach { r =>
+          val docId = r.getAs[Long]("doc_id")
+          val sid = r.getAs[Int]("shard_id")
+          val off = r.getAs[Long]("tok_offset").toInt
+          val n = r.getAs[Long]("n_tokens").toInt
+          val slice = shardBytes.getOrElse(sid, Array.empty[Byte])
+            .slice(4 * off, 4 * (off + n))
+          val decoded = leInts(slice).map(idToToken)
+          val expected = texts(docId).map(_.split("\\s+"))
+            .getOrElse(Array.empty)
+          assert(decoded.sameElements(expected),
+            s"${order.name} doc $docId shard $sid")
+        }
+
+        // the GLOBAL layout order (shard, then within-shard offset) is
+        // exactly the ordering's (okey, doc_id) permutation
+        val okey: Map[Long, Long] = order match {
+          case CorpusOps.ExportOrder.ByEpoch(e) =>
+            texts.keys.map(d => d -> graft.functions.PolyHash.compute(
+              org.apache.spark.unsafe.types.UTF8String
+                .fromString(s"$d#epoch$e"), 31) % 1000000L).toMap
+          case _ =>
+            graft.operators.Curation.q94CurriculumOrder(spark, sf).collect()
+              .map(r => r.getAs[Long]("doc_id") ->
+                r.getAs[Long]("curriculum_pos")).toMap
+        }
+        // zero-token docs occupy no stream position — their relative
+        // placement is unobservable in the bytes, so compare carriers
+        val carriers = index.filter(_.getAs[Long]("n_tokens") > 0)
+        val byLayout = carriers.sortBy(r =>
+          (r.getAs[Int]("shard_id"), r.getAs[Long]("tok_offset")))
+          .map(_.getAs[Long]("doc_id")).toSeq
+        val byOrder = carriers.map(_.getAs[Long]("doc_id"))
+          .sortBy(d => (okey(d), d)).toSeq
+        assert(byLayout == byOrder,
+          s"${order.name}: layout order must equal the ordering")
+        assert(byLayout != byLayout.sorted,
+          s"${order.name}: ordering must actually permute the fixture")
+      } finally {
+        deleteRecursively(tmp)
+        Checkpoints.releaseAll()
+      }
+    }
+  }
 }
