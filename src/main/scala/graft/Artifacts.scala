@@ -197,6 +197,13 @@ object Artifacts {
     */
   val TokenDfName = "token_df"
 
+  /** Line-vocabulary document frequencies `(line, line_df)` over the
+    * extraction layer's stripped render lines — q129's aggregate as a
+    * standing artifact (the line analogue of [[TokenDfName]]; additive,
+    * so maintenance appends ±df deltas per changed document).
+    */
+  val LineDfName = "line_df"
+
   /** Per-eval-set shingle index `(set_id, set_version, doc_id, sh)` over
     * the [[operators.EvalSets.Registry]] — the standing benchmark-suite
     * index the registry decontam gate (q124) joins instead of
@@ -237,7 +244,7 @@ object Artifacts {
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
       EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
-      TokenDfName, TokenPositionsName) ++
+      TokenDfName, LineDfName, TokenPositionsName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
 
@@ -546,7 +553,8 @@ object Artifacts {
     */
   def evalShingles(spark: SparkSession, corpusDir: String): DataFrame =
     readOrCompute(spark, corpusDir, EvalShinglesName)(
-      operators.EvalSets.evalShingleRows(shingles8(spark, corpusDir)))
+      operators.EvalSets.evalShingleRows(shingles8(spark, corpusDir))
+        .unionByName(operators.EvalSets.externalShingleRows(spark)))
 
   /** [[shingles8]] for plans that reference the frame MORE THAN ONCE
     * (q105's two aggregations, q112's cap + test + train legs): the
@@ -1182,6 +1190,13 @@ object Artifacts {
   def tokenDf(spark: SparkSession, corpusDir: String): Option[DataFrame] =
     readIfCurrent(spark, corpusDir, TokenDfName)
 
+  /** The standing `(line, line_df)` line document frequencies when the
+    * corpus's current fingerprint resolves (same Option shape — q129's
+    * fallback aggregates the lines frame it already checkpointed).
+    */
+  def lineDf(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, LineDfName)
+
   /** The inline form of the token-count artifact. */
   def tokenCountsFrame(docs: DataFrame, tok: functions.Tokenizer): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1436,6 +1451,7 @@ object Artifacts {
     case TokenFreqName => Seq("source", "token")
     case BigramFreqName => Seq("source", "w1", "w2")
     case TokenDfName => Seq("token")
+    case LineDfName => Seq("line")
     case _ => Seq.empty
   }
 
@@ -1457,6 +1473,7 @@ object Artifacts {
       case TokenFreqName => Some((Seq("source", "token"), "n"))
       case BigramFreqName => Some((Seq("source", "w1", "w2"), "n"))
       case TokenDfName => Some((Seq("token"), "df"))
+      case LineDfName => Some((Seq("line"), "line_df"))
       case _ => None
     }
 
@@ -2022,7 +2039,8 @@ object Artifacts {
     // derived from the committed shingle artifact — a map-side membership
     // explode, never another corpus scan
     val evalSh = build(EvalShinglesName)(
-      operators.EvalSets.evalShingleRows(committed(Shingles8Name)))
+      operators.EvalSets.evalShingleRows(committed(Shingles8Name))
+        .unionByName(operators.EvalSets.externalShingleRows(spark)))
     val tokFreq = build(TokenFreqName)(operators.CorpusOps.tokenFreqRows(docs))
     val bgFreq = build(BigramFreqName)(
       operators.CorpusOps.bigramFreqRows(docs))
@@ -2039,6 +2057,7 @@ object Artifacts {
     // re-tokenizing the corpus
     val tokDf = build(TokenDfName)(operators.CorpusOps.dfFromPostings(
       committed(tokenPostingsName(functions.Tokenizer.Whitespace))))
+    val lineDfA = build(LineDfName)(operators.Extraction.lineDfRows(docs))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -2052,7 +2071,7 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf) ++
+      evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA) ++
       tokPost ++ tokCounts).toMap
   }
 
@@ -2081,12 +2100,14 @@ object Artifacts {
       case Shingles8Name => operators.CorpusOps.docShingles8(docs)
       case EvalShinglesName =>
         operators.EvalSets.evalShingleRows(operators.CorpusOps.docShingles8(docs))
+          .unionByName(operators.EvalSets.externalShingleRows(spark))
       case TokenFreqName => operators.CorpusOps.tokenFreqRows(docs)
       case BigramFreqName => operators.CorpusOps.bigramFreqRows(docs)
       case DocHashesName => docHashesFrame(docs)
       case ChunkPostingsName => operators.CorpusOps.chunkPostingsRows(docs)
       case TokenPositionsName => operators.CorpusOps.tokenPositionsRows(docs)
       case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
+      case LineDfName => operators.Extraction.lineDfRows(docs)
       case tc if tc.startsWith(TokenCountsPrefix) =>
         DefaultTokenizers.find(t => tokenCountsName(t) == tc)
           .map(t => tokenCountsFrame(docs, t))
@@ -2437,6 +2458,12 @@ object Artifacts {
       readOld(TokenDfName)
         .unionByName(operators.CorpusOps.tokenDfRows(fresh))
         .groupBy("token").agg(sum("df").as("df")))
+    // line-vocabulary df: the batch's distinct lines as one +df delta
+    val lineDfA = buildSegInc(LineDfName, None,
+      operators.Extraction.lineDfRows(fresh))(
+      readOld(LineDfName)
+        .unionByName(operators.Extraction.lineDfRows(fresh))
+        .groupBy("line").agg(sum("line_df").as("line_df")))
     // bound segment sprawl: a batch per artifact per interval would
     // otherwise grow every read's file list without limit
     AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
@@ -2455,7 +2482,7 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf) ++
+        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA) ++
         tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
@@ -2760,10 +2787,21 @@ object Artifacts {
         .unionByName(dfDelta)
         .groupBy("token").agg(sum("df").as("df"))
         .filter(col("df") > 0))
+    // line df: the same ±1-per-(doc, distinct line) additive delta
+    val lineDelta = operators.Extraction.lineDfRows(docsGoneOld)
+      .select(col("line"), (-col("line_df")).as("line_df"))
+      .unionByName(operators.Extraction.lineDfRows(docsChangedNew))
+      .groupBy("line").agg(sum("line_df").as("line_df"))
+      .filter(col("line_df") =!= 0)
+    val lineDfA = buildSegInc(LineDfName, None, lineDelta)(
+      readOldA(LineDfName)
+        .unionByName(lineDelta)
+        .groupBy("line").agg(sum("line_df").as("line_df"))
+        .filter(col("line_df") > 0))
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf) ++
+        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA) ++
         tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }

@@ -11,13 +11,14 @@ import org.apache.spark.sql.functions._
   * release gate asks "which docs touch WHICH benchmark, at which
   * version", not "is something contaminated".
   *
-  * [[Registry]] is the stand-in for that suite list: each entry names a
-  * set, pins a version, and (because this container has no external
-  * benchmark files) defines membership as a residue class of `doc_id` —
-  * the same corpus-as-its-own-eval posture q47 documents, generalized to
-  * N possibly-OVERLAPPING sets. In production the registry rows would
-  * point at external text whose shingles are indexed by the same
-  * [[evalShingleRows]] build; nothing downstream changes.
+  * Two registry families coexist: [[Registry]] defines membership as a
+  * residue class of `doc_id` (the corpus-as-its-own-eval posture q47
+  * documents, generalized to N possibly-OVERLAPPING sets), and
+  * [[ExternalRegistry]] rows carry a PATH to a benchmark JSONL file
+  * ingested through the corrupt-line-routing reader — the production
+  * shape. Both feed the same `eval_shingles` index and the same
+  * downstream verdicts; nothing below the index knows which family a
+  * set came from.
   *
   * Scale shape: membership is attached by exploding a BROADCAST-LITERAL
   * registry array per shingle row — a map-side operation, so the corpus
@@ -41,6 +42,85 @@ object EvalSets {
     EvalSet("heldout_a", 1, 10, 7),
     EvalSet("heldout_b", 2, 10, 8),
     EvalSet("heldout_c", 1, 20, 7))
+
+  /** An EXTERNALLY-INGESTED benchmark suite: the registry row carries a
+    * version pin and a PATH to a JSONL file of benchmark items
+    * (`{"item_id": n, "text": "…"}` per line), read through
+    * [[graft.sources.JsonlTables.readRouted]] — the production registry
+    * shape the residue-class [[Registry]] stands in for. Its shingles
+    * enter the same `eval_shingles` index and every downstream verdict
+    * (q124/q145, streaming gate) covers it with no pass-structure
+    * change; having no embedding rows, it can only be flagged
+    * LEXICALLY (q145's documented semantic-leg contract). Files are
+    * version-pinned immutable — bumping a suite is a new registry row,
+    * which is a code change and thus a rebuild.
+    */
+  final case class ExternalEvalSet(setId: String, version: Int, file: String)
+
+  /** Root of the committed benchmark fixtures (overridable for specs
+    * that stage their own corrupt-line files).
+    */
+  val BenchmarkFixtureDir: String =
+    sys.env.getOrElse("GRAFT_BENCHMARK_DIR", "/root/repo/fixtures/benchmarks")
+
+  /** The externally-ingested suites. */
+  val ExternalRegistry: Seq[ExternalEvalSet] = Seq(
+    ExternalEvalSet("external_x", 1, s"$BenchmarkFixtureDir/external_x.jsonl"))
+
+  /** The external-item schema a registry file must parse to. */
+  val ExternalItemSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("item_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+
+  /** Benchmark items of one external suite, corrupt-line-routed: clean
+    * rows become `(doc_id, text)` in the RESERVED NEGATIVE id space
+    * (`−item_id − 1`), so per-doc artifact retract/append — keyed by
+    * non-negative corpus ids — can never touch benchmark rows, and a
+    * benchmark item can never collide with a corpus document. Committed
+    * fixtures must parse completely: a reject here is a broken
+    * registry, not data to quietly drop (a production pipeline routes
+    * rejects to quarantine — the routing itself is spec-covered on a
+    * crafted corrupt file).
+    */
+  private[graft] def externalDocs(spark: SparkSession,
+      set: ExternalEvalSet): DataFrame = {
+    val (clean, rejects) = graft.sources.JsonlTables.readRouted(
+      spark, set.file, ExternalItemSchema)
+    val nBad = rejects.count()
+    require(nBad == 0L,
+      s"external eval set ${set.setId} v${set.version}: $nBad corrupt " +
+        s"lines in ${set.file} — refusing a partial benchmark")
+    clean.select((-col("item_id") - 1).as("doc_id"), col("text"))
+  }
+
+  /** Shingle-index rows for every [[ExternalRegistry]] suite, in
+    * [[evalShingleRows]]'s exact schema — unioned into the
+    * `eval_shingles` build beside the residue sets' rows.
+    */
+  private[graft] def externalShingleRows(spark: SparkSession): DataFrame =
+    ExternalRegistry.map { s =>
+      CorpusOps.docShingles8(externalDocs(spark, s))
+        .select(lit(s.setId).as("set_id"),
+          lit(s.version).as("set_version"), col("doc_id"), col("sh"))
+    }.reduce(_ unionByName _)
+
+  /** One external suite's oracle CTE body `(set_id, set_version, sh)`
+    * — DuckDB reads the same JSONL and shingles it with the q124
+    * 8-gram definition.
+    */
+  private def externalShingleSql(s: ExternalEvalSet): String =
+    s"""SELECT '${s.setId}' AS set_id, ${s.version} AS set_version,
+       |       unnest(list_distinct(${CorpusOps.shingleSqlN(CorpusOps.DecontamN)})) AS sh
+       |FROM (SELECT string_split_regex(text, '\\s+') AS t
+       |      FROM read_json('${s.file}', format = 'newline_delimited',
+       |        columns = {'item_id': 'BIGINT', 'text': 'VARCHAR'}))""".stripMargin
+
+  /** All external suites' shingles as one UNION ALL block. */
+  private[operators] lazy val externalShinglesSql: String =
+    ExternalRegistry.map(externalShingleSql).mkString("\n  UNION ALL\n")
 
   /** True iff the doc belongs to at least one registered set — the
     * corpus side of decontam excludes these (they ARE the benchmarks).
@@ -148,7 +228,8 @@ object EvalSets {
     val nTrain = graft.Tables.documents(spark, dir)
       .filter(!inAnySet(col("doc_id")))
       .agg(count(lit(1)).as("n_train"))
-    val reg = Registry.map(s => (s.setId, s.version))
+    val reg = (Registry.map(s => (s.setId, s.version)) ++
+        ExternalRegistry.map(s => (s.setId, s.version)))
       .toDF("set_id", "set_version")
     val lexCounts = lex.groupBy("set_id")
       .agg(countDistinct("doc_id").as("n_lex_flagged"))
@@ -183,6 +264,12 @@ object EvalSets {
        |  )
        |), reg(set_id, set_version, md, res) AS (
        |  VALUES $registrySql
+       |), spine AS (
+       |  SELECT set_id, set_version FROM reg
+       |  UNION ALL
+       |  SELECT * FROM (VALUES ${ExternalRegistry
+        .map(s => s"('${s.setId}', ${s.version})").mkString(", ")})
+       |    AS x(set_id, set_version)
        |), tr AS (
        |  SELECT COUNT(*) AS n_train FROM documents d
        |  WHERE NOT EXISTS (SELECT 1 FROM reg r
@@ -203,7 +290,7 @@ object EvalSets {
        |          UNION
        |          SELECT doc_id FROM sem s WHERE s.set_id = r.set_id))
        |         AS n_kept
-       |FROM reg r, tr
+       |FROM spine r, tr
        |ORDER BY r.set_id""".stripMargin
 
   lazy val q124OracleSql: String =
@@ -216,9 +303,13 @@ object EvalSets {
        |), reg AS (
        |  SELECT * FROM (VALUES $registrySql)
        |    AS r(set_id, set_version, mod, residue)
+       |), xsh AS (
+       |$externalShinglesSql
        |), ev AS (
        |  SELECT DISTINCT r.set_id, r.set_version, s.sh
        |  FROM sh s JOIN reg r ON s.doc_id % r.mod = r.residue
+       |  UNION
+       |  SELECT DISTINCT set_id, set_version, sh FROM xsh
        |), corpus AS (
        |  SELECT s.* FROM sh s
        |  WHERE NOT EXISTS (SELECT 1 FROM reg r WHERE s.doc_id % r.mod = r.residue)

@@ -326,9 +326,26 @@ object Extraction {
     * back on the line → a per-doc reassembly aggregate (`collect_list`
     * bounded by the doc's own line count). No windows, no pairwise
     * products — at 100 TB the line-vocabulary frame is the line analogue
-    * of `token_freq` and would be the next standing artifact if q129 ran
-    * recurrently.
+    * of `token_freq`, and it IS a standing artifact (`line_df`,
+    * [[lineDfRows]]): recurrent runs read it instead of re-aggregating
+    * the corpus's lines, and maintenance appends ±df deltas per changed
+    * document like every additive artifact.
     */
+  /** The line-vocabulary document frequencies `(line, line_df)` — the
+    * inline form of the `line_df` corpus artifact (q129's aggregate;
+    * the line analogue of `token_freq`, maintained additively because
+    * df over DISJOINT doc sets sums). Shares the [[rawify]]/
+    * [[stripTags]] seam with q123/q129/q133, so the artifact and the
+    * inline aggregate can never strip lines differently.
+    */
+  private[graft] def lineDfRows(docs: DataFrame): DataFrame = {
+    val raw = rawify(col("doc_id"), col("text"))
+    val lineArr = filter(transform(rawLines(raw), stripTags _),
+      l => length(l) > 0)
+    docs.select(col("doc_id"), explode(lineArr).as("line"))
+      .groupBy("line").agg(countDistinct("doc_id").as("line_df"))
+  }
+
   def q129LineDedup(spark: SparkSession, dir: String): DataFrame = {
     val raw = rawify(col("doc_id"), col("text"))
     val lineArr = filter(transform(rawLines(raw), stripTags _),
@@ -336,8 +353,11 @@ object Extraction {
     val lines = graft.Checkpoints.checkpoint(
       Tables.documents(spark, dir)
         .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line"))))
-    val lineDf = lines.groupBy("line")
-      .agg(countDistinct("doc_id").as("line_df"))
+    // the line-grain shuffle rides the standing `line_df` artifact when
+    // one resolves — recurrent runs re-aggregate nothing; the inline
+    // fallback derives from the already-checkpointed lines frame
+    val lineDf = graft.Artifacts.lineDf(spark, dir).getOrElse(
+      lines.groupBy("line").agg(countDistinct("doc_id").as("line_df")))
     val kept = col("line_df") <= MaxLineDf
     lines.join(lineDf, "line")
       .groupBy("doc_id")

@@ -36,7 +36,8 @@ class EvalSetsSpec extends SparkSpec {
     }.toLong
     val out = EvalSets.q145ReleaseGate(spark, sf).collect()
     assert(out.map(_.getAs[String]("set_id")).toSeq ==
-      EvalSets.Registry.map(_.setId).sorted)
+      (EvalSets.Registry.map(_.setId) ++
+        EvalSets.ExternalRegistry.map(_.setId)).sorted)
     out.foreach { r =>
       val sid = r.getAs[String]("set_id")
       val lexIds = lex.collect { case (`sid`, d) => d }
@@ -55,18 +56,28 @@ class EvalSetsSpec extends SparkSpec {
   test("q124 per-set verdicts match a brute-force recomputation") {
     val rows = EvalSets.q124EvalDecontam(spark, sf).collect()
     val members = docs.keys.filter(id => memberships(id).nonEmpty).toSet
-    // eval shingle sets per set_id
-    val evalSh: Map[String, Set[String]] = EvalSets.Registry.map { s =>
-      s.setId -> docs.collect {
-        case (id, t) if id % s.mod == s.residue => shingles8(t)
-      }.foldLeft(Set.empty[String])(_ ++ _)
-    }.toMap
+    // eval shingle sets per set_id — residue sets from the corpus,
+    // external sets from their committed benchmark files
+    val residueSh: Map[String, (Int, Set[String])] =
+      EvalSets.Registry.map { s =>
+        s.setId -> (s.version, docs.collect {
+          case (id, t) if id % s.mod == s.residue => shingles8(t)
+        }.foldLeft(Set.empty[String])(_ ++ _))
+      }.toMap
+    val externalSh: Map[String, (Int, Set[String])] =
+      EvalSets.ExternalRegistry.map { s =>
+        val sh = scala.io.Source.fromFile(s.file).getLines().map { line =>
+          shingles8(line.split("\"text\": \"")(1).stripSuffix("\"}"))
+        }.foldLeft(Set.empty[String])(_ ++ _)
+        s.setId -> (s.version, sh)
+      }.toMap
+    val evalSh = residueSh ++ externalSh
     val expected = for {
       (id, t) <- docs.toSeq if !members.contains(id)
-      s <- EvalSets.Registry
-      n = shingles8(t).count(evalSh(s.setId).contains)
+      (sid, (ver, sh)) <- evalSh.toSeq
+      n = shingles8(t).count(sh.contains)
       if n > 0
-    } yield ((id, s.setId), (s.version, n.toLong))
+    } yield ((id, sid), (ver, n.toLong))
     val got = rows.map(r => ((r.getAs[Long]("doc_id"), r.getAs[String]("set_id")),
       (r.getAs[Int]("set_version"), r.getAs[Long]("n_eval_shingles")))).toMap
     assert(got == expected.toMap, s"got ${got.size} vs expected ${expected.size}")
@@ -79,6 +90,7 @@ class EvalSetsSpec extends SparkSpec {
     try {
       val inline = EvalSets.evalShingleRows(
         graft.operators.CorpusOps.docShingles8(Tables.documents(spark, sf)))
+        .unionByName(EvalSets.externalShingleRows(spark))
         .collect().map(_.toSeq).toSet
       Artifacts.setRoot(tmp.getAbsolutePath)
       Artifacts.materialize(spark, sf)

@@ -30,13 +30,16 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.KeepersName -> rows(Dedup.keeperAssignment(spark, dir)),
       Artifacts.Shingles8Name -> rows(CorpusOps.docShingles8(docs)),
       Artifacts.EvalShinglesName ->
-        rows(graft.operators.EvalSets.evalShingleRows(CorpusOps.docShingles8(docs))),
+        rows(graft.operators.EvalSets.evalShingleRows(CorpusOps.docShingles8(docs))
+          .unionByName(graft.operators.EvalSets.externalShingleRows(spark))),
       Artifacts.TokenFreqName -> rows(CorpusOps.tokenFreqRows(docs)),
       Artifacts.BigramFreqName -> rows(CorpusOps.bigramFreqRows(docs)),
       Artifacts.DocHashesName -> rows(Artifacts.docHashesFrame(docs)),
       Artifacts.ChunkPostingsName -> rows(CorpusOps.chunkPostingsRows(docs)),
       Artifacts.TokenPositionsName -> rows(CorpusOps.tokenPositionsRows(docs)),
-      Artifacts.TokenDfName -> rows(CorpusOps.tokenDfRows(docs))) ++
+      Artifacts.TokenDfName -> rows(CorpusOps.tokenDfRows(docs)),
+      Artifacts.LineDfName ->
+        rows(graft.operators.Extraction.lineDfRows(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t))) ++
       Artifacts.PostingsTokenizers.map(t =>

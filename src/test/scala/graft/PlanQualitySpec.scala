@@ -497,6 +497,31 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: q129 reads the standing line_df — the line aggregate never re-runs") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-linedfguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.Extraction.q129LineDedup(spark, sf)
+      val withArt = df.collect().map(_.toSeq).toSeq
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q129 plan does not read the artifact root (line df re-aggregated):\n" +
+          p.take(600))
+      // and the artifact-served result is row-identical to the inline one
+      Artifacts.clearRoot()
+      val inline = graft.operators.Extraction.q129LineDedup(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(withArt == inline)
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q140 reads BOTH standing indexes — nothing re-trains") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivfadcguard").toFile
     try {
