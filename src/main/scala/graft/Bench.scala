@@ -190,6 +190,47 @@ object Bench {
   private def calibrate(spark: SparkSession, parallelism: Int): Double =
     Seq.fill(3)(probeOnce(spark, parallelism)).sorted.apply(1)
 
+  /** Relative tolerance for [[shuffleIdentical]]: shuffle READ bytes are
+    * row-count-determined but not byte-exact run to run (compressed
+    * block framing moves a fraction of a percent — r13→r14 forensics
+    * measured ≤0.15% on unchanged plans), so "identical" means within
+    * 0.5% or 64 bytes, whichever is larger. A plan change (new
+    * exchange, different join side) moves shuffle bytes by integer
+    * factors, far outside the band.
+    */
+  private[graft] val ShuffleIdenticalTolerance = 0.005
+
+  /** True iff a query's shuffle-read bytes match the previous committed
+    * bench's within [[ShuffleIdenticalTolerance]] — the per-query
+    * noise-vs-plan-change verdict a cross-round reader needs (a timing
+    * regression with identical shuffle bytes is machine load, not a
+    * plan regression; round 14's adjudication did this by manual
+    * byte-diffing).
+    */
+  private[graft] def shuffleIdentical(prev: Long, cur: Long): Boolean =
+    math.abs(cur - prev) <=
+      math.max((prev * ShuffleIdenticalTolerance).toLong, 64L)
+
+  /** Parse the previous `bench_out.json`'s per-query shuffle-read map
+    * (empty on any shape surprise — a missing or pre-field baseline
+    * must not fail the bench that would replace it).
+    */
+  private[graft] def parsePrevShuffle(txt: String): Map[String, Long] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(txt).path("shuffle_read_bytes")
+      if (!node.isObject) Map.empty
+      else {
+        val it = node.fields()
+        val buf = scala.collection.mutable.Map[String, Long]()
+        while (it.hasNext) {
+          val e = it.next()
+          buf += (e.getKey -> e.getValue.asLong())
+        }
+        buf.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -343,6 +384,22 @@ object Bench {
     }.mkString("{", ",", "}")
     val probesJson = segProbes.map { case (i, v) => s"[$i,$v]" }
       .mkString("[", ",", "]")
+    // per-query noise-vs-plan-change hint vs the COMMITTED previous
+    // bench_out.json (read before this run overwrites it); null = no
+    // baseline for the query (new query or first instrumented round)
+    val prevShuffle =
+      try {
+        val pth = Paths.get("bench_out.json")
+        if (Files.exists(pth))
+          parsePrevShuffle(new String(Files.readAllBytes(pth),
+            StandardCharsets.UTF_8))
+        else Map.empty[String, Long]
+      } catch { case scala.util.control.NonFatal(_) => Map.empty[String, Long] }
+    val shuffleCmp = results.collect { case (k, Right(t)) =>
+      "\"" + k + "\":" + prevShuffle.get(k)
+        .map(p => shuffleIdentical(p, t.metrics.shuffleRead).toString)
+        .getOrElse("null")
+    }.mkString("{", ",", "}")
     val extras =
       s""","headline":"fastest3_median"""" +
         s""","total_median3":$totalMedian3""" +
@@ -363,6 +420,7 @@ object Bench {
           case (k, Right(t)) if t.unsettled => "\"" + k + "\""
         }.mkString("[", ",", "]")}""" +
         s""","runs":${numMap(_.runs.mkString("[", ",", "]"))}""" +
+        s""","shuffle_identical_to_prev":$shuffleCmp""" +
         s""","shuffle_read_bytes":${numMap(_.metrics.shuffleRead.toString)}""" +
         s""","shuffle_write_bytes":${numMap(_.metrics.shuffleWrite.toString)}""" +
         s""","peak_storage_bytes":${numMap(_.metrics.peakStorage.toString)}""" +

@@ -124,4 +124,23 @@ class BenchMetricsSpec extends SparkSpec {
     assert(math.abs(normalized - quietTotal) / quietTotal < 0.10,
       s"normalized $normalized vs quiet $quietTotal")
   }
+
+  test("shuffle_identical_to_prev: tolerance band, parse, and shape surprises") {
+    // within 0.5% (or 64 bytes) = identical; integer-factor moves are not
+    assert(Bench.shuffleIdentical(1000000L, 1000000L))
+    assert(Bench.shuffleIdentical(1000000L, 1004999L))
+    assert(!Bench.shuffleIdentical(1000000L, 1006000L))
+    assert(Bench.shuffleIdentical(0L, 0L))
+    assert(Bench.shuffleIdentical(10L, 70L), "64-byte floor for tiny shuffles")
+    assert(!Bench.shuffleIdentical(10L, 80L))
+    assert(!Bench.shuffleIdentical(1000000L, 2000000L), "a plan change is never identical")
+    // parse: the committed bench_out.json field shape
+    val txt = """{"metric":"total","shuffle_read_bytes":{"q1":123,"q2":0},"queries":{}}"""
+    assert(Bench.parsePrevShuffle(txt) == Map("q1" -> 123L, "q2" -> 0L))
+    // shape surprises yield an empty baseline, never a throw
+    assert(Bench.parsePrevShuffle("""{"metric":"total"}""").isEmpty)
+    assert(Bench.parsePrevShuffle("""{"shuffle_read_bytes":[1,2]}""").isEmpty)
+    assert(Bench.parsePrevShuffle("not json at all").isEmpty)
+    assert(Bench.parsePrevShuffle("").isEmpty)
+  }
 }
