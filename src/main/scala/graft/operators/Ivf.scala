@@ -190,39 +190,83 @@ object Ivf {
       s"ELSE -((-2 * ($s) + ($n)) // (2 * ($n))) END"
 
   /** Train [[K]] centroids by [[Iters]] Lloyd iterations over the
-    * deterministic hash sample of a quantized frame (checkpoint the
-    * frame first — the sample derives from it once, then is scanned
-    * once per iteration plus once for init). Init = the [[K]] smallest
-    * sampled `vec_id`s' vectors, cell ids in that order. Each iteration
-    * collects only the (cells × dim) sum/count aggregate — driver state
-    * is vocabulary-sized, never corpus-sized. An emptied cell keeps its
-    * previous centroid. `sampled = false` trains on the full frame —
-    * the eval knob the sampled-vs-full recall spec turns, never the
+    * deterministic hash sample of a quantized frame. Init = the [[K]]
+    * smallest sampled `vec_id`s' vectors, cell ids in that order; an
+    * emptied cell keeps its previous centroid.
+    *
+    * The sampled path COLLECTS the sample (bounded by
+    * [[TrainSampleTarget]] by construction) and runs the loop
+    * driver-local — the FAISS trainer posture, shared with
+    * [[QualityTrain.train]]: an iteration over a ≤250-vector sample is
+    * pure arithmetic, and running it as Spark jobs paid [[Iters]]×
+    * (assignment + aggregate) of job-scheduling floor to move no data
+    * (11.7 s of the sf0.1 artifact build before this). The arithmetic
+    * is bit-identical to the distributed form (exact integer L2, ties
+    * toward the smaller cell, [[roundDiv]] means), which the oracle
+    * replay and the local-replay specs pin.
+    *
+    * `sampled = false` keeps the distributed per-iteration
+    * (cells × dim) aggregate over the FULL frame (checkpoint it first)
+    * — the eval knob the sampled-vs-full recall spec turns, never the
     * production path.
     */
   def train(quant: DataFrame,
       sampled: Boolean = true): Seq[(Int, Array[Long])] = {
+    if (!sampled) return trainDistributed(quant)
+    val mod = sampleModulus(quant.count())
     val tq =
-      if (!sampled) quant
-      else {
-        val mod = sampleModulus(quant.count())
-        if (mod == 1L) quant
-        else {
-          val s = graft.Checkpoints.checkpoint(
-            quant.filter(inTrainSample(col("vec_id"), mod)))
-          val realized = s.count()
-          require(realized >= K,
-            s"training sample realized $realized vectors (modulus $mod) — " +
-              s"fewer than the $K centroids to init; corpus too small to " +
-              "sample, pass sampled = false")
-          s
+      if (mod == 1L) quant
+      else quant.filter(inTrainSample(col("vec_id"), mod))
+    val sample = tq.select("vec_id", "q").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Long]]("q").toArray))
+      .sortBy(_._1)
+    require(sample.length >= K,
+      s"training sample realized ${sample.length} vectors (modulus $mod) " +
+        s"— fewer than the $K centroids to init; corpus too small to " +
+        "sample, pass sampled = false")
+    var cents: Array[Array[Long]] = sample.take(K).map(_._2.clone)
+    for (_ <- 1 to Iters) {
+      val sums = Array.ofDim[Long](K, cents(0).length)
+      val cnts = new Array[Long](K)
+      sample.foreach { case (_, q) =>
+        var best = 0
+        var bestD = d2(q, cents(0))
+        var k = 1
+        while (k < K) {
+          val d = d2(q, cents(k))
+          if (d < bestD) { bestD = d; best = k } // tie keeps the smaller k
+          k += 1
         }
+        var i = 0
+        while (i < q.length) { sums(best)(i) += q(i); i += 1 }
+        cnts(best) += 1
       }
-    val init = tq.orderBy("vec_id").limit(K).collect()
+      cents = Array.tabulate(K)(k =>
+        if (cnts(k) == 0L) cents(k)
+        else sums(k).map(s => roundDiv(s, cnts(k))))
+    }
+    cents.zipWithIndex.map { case (c, k) => (k, c) }.toSeq
+  }
+
+  /** Exact integer squared L2 between two long arrays (driver-side). */
+  private def d2(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** The distributed full-frame Lloyd loop: each iteration one
+    * assignment pass + one collected (cells × dim) sum/count aggregate
+    * — driver state is vocabulary-sized, never corpus-sized.
+    */
+  private def trainDistributed(quant: DataFrame): Seq[(Int, Array[Long])] = {
+    val init = quant.orderBy("vec_id").limit(K).collect()
       .map(r => r.getAs[scala.collection.Seq[Long]]("q").toArray)
       .zipWithIndex.map { case (q, i) => (i, q) }.toSeq
     (1 to Iters).foldLeft(init) { case (cents, _) =>
-      val sums = tq
+      val sums = quant
         .select(cellOf(col("q"), cents).as("cell"),
           posexplode(col("q")).as(Seq("pos", "v")))
         .groupBy("cell", "pos")

@@ -122,24 +122,68 @@ object Pq {
     */
   private[graft] def train(spark: SparkSession, sub: DataFrame,
       sampled: Boolean = true): Seq[(Int, Int, Array[Long])] = {
+    if (!sampled) return trainDistributed(spark, sub)
+    val mod = Ivf.sampleModulus(sub.select("vec_id").distinct().count())
     val tsub =
-      if (!sampled) sub
-      else {
-        val mod = Ivf.sampleModulus(sub.select("vec_id").distinct().count())
-        if (mod == 1L) sub
-        else {
-          val s = graft.Checkpoints.checkpoint(
-            sub.filter(Ivf.inTrainSample(col("vec_id"), mod)))
-          val realized = s.select("vec_id").distinct().count()
-          require(realized >= PqK,
-            s"PQ training sample realized $realized vectors (modulus $mod) " +
-              s"— fewer than the $PqK codewords to init; corpus too small " +
-              "to sample, pass sampled = false")
-          s
+      if (mod == 1L) sub
+      else sub.filter(Ivf.inTrainSample(col("vec_id"), mod))
+    // bounded by the sample target × SubM — collect and run the fused
+    // loop driver-local (the Ivf.train posture; iterations cost
+    // arithmetic, not PqIters × job-scheduling floor)
+    val rows = tsub.select("vec_id", "m", "sq").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("m"),
+        r.getAs[scala.collection.Seq[Long]]("sq").toArray))
+      .sortBy(t => (t._1, t._2))
+    val ids = rows.map(_._1).distinct.sorted
+    require(ids.length >= PqK,
+      s"PQ training sample realized ${ids.length} vectors (modulus $mod) " +
+        s"— fewer than the $PqK codewords to init; corpus too small " +
+        "to sample, pass sampled = false")
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L
+      var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // init: the PqK smallest sampled ids' subvectors, per subspace
+    val initIds = ids.take(PqK)
+    var cb: Array[Array[Array[Long]]] = Array.tabulate(SubM) { m =>
+      initIds.map(id =>
+        rows.find(t => t._1 == id && t._2 == m).get._3.clone)
+    }
+    for (_ <- 1 to PqIters) {
+      val sums = Array.ofDim[Long](SubM, PqK, SubDim)
+      val cnts = Array.ofDim[Long](SubM, PqK)
+      rows.foreach { case (_, m, sq) =>
+        var best = 0
+        var bestD = d2(sq, cb(m)(0))
+        var k = 1
+        while (k < PqK) {
+          val d = d2(sq, cb(m)(k))
+          if (d < bestD) { bestD = d; best = k } // tie keeps the smaller k
+          k += 1
         }
+        var i = 0
+        while (i < sq.length) { sums(m)(best)(i) += sq(i); i += 1 }
+        cnts(m)(best) += 1
       }
-    val init = tsub.filter(col("vec_id").isin(
-        tsub.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
+      cb = Array.tabulate(SubM, PqK) { (m, k) =>
+        if (cnts(m)(k) == 0L) cb(m)(k)
+        else sums(m)(k).map(s => Ivf.roundDiv(s, cnts(m)(k)))
+      }
+    }
+    (for (m <- 0 until SubM; k <- 0 until PqK) yield (m, k, cb(m)(k))).toSeq
+  }
+
+  /** The distributed full-frame fused loop: each iteration ONE pass over
+    * the subvector frame covering all [[SubM]] subspaces, with only the
+    * ([[SubM]] × [[PqK]] × [[SubDim]]) sum/count aggregate collected —
+    * the sampled-vs-full eval knob, never the production path.
+    */
+  private def trainDistributed(spark: SparkSession,
+      sub: DataFrame): Seq[(Int, Int, Array[Long])] = {
+    val init = sub.filter(col("vec_id").isin(
+        sub.select("vec_id").distinct().orderBy("vec_id").limit(PqK)
           .collect().map(_.getAs[Long]("vec_id")).toSeq: _*))
       .collect()
       .groupBy(_.getAs[Int]("m")).toSeq.flatMap { case (m, rows) =>
@@ -149,7 +193,7 @@ object Pq {
         }
       }
     (1 to PqIters).foldLeft(init) { case (cb, _) =>
-      val sums = assign(tsub, codebookFrame(spark, cb))
+      val sums = assign(sub, codebookFrame(spark, cb))
         .select(col("m"), col("k"), posexplode(col("sq")).as(Seq("pos", "v")))
         .groupBy("m", "k", "pos")
         .agg(sum("v").as("s"), count(lit(1)).as("n"))
