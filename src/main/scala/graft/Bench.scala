@@ -191,14 +191,18 @@ object Bench {
     Seq.fill(3)(probeOnce(spark, parallelism)).sorted.apply(1)
 
   /** Relative tolerance for [[shuffleIdentical]]: shuffle READ bytes are
-    * row-count-determined but not byte-exact run to run (compressed
-    * block framing moves a fraction of a percent — r13→r14 forensics
-    * measured ≤0.15% on unchanged plans), so "identical" means within
-    * 0.5% or 64 bytes, whichever is larger. A plan change (new
-    * exchange, different join side) moves shuffle bytes by integer
-    * factors, far outside the band.
+    * row-count-determined but not byte-exact run to run — compressed
+    * block framing moves a fraction of a percent (r13→r14 forensics
+    * measured ≤0.15% on unchanged plans), and AQE's runtime coalescing
+    * adds up to a few percent on SMALL shuffles (q92's 77 KB read
+    * oscillated ±2.7% between identical-code runs) — so "identical"
+    * means within 3% or 64 bytes, whichever is larger. A plan change
+    * (new exchange, different join side, an aggregate replaced by an
+    * artifact read) moves shuffle bytes by tens of percent to integer
+    * factors, far outside the band — q129's line_df artifact landed as
+    * a clean 0.61× flag on exactly this instrument.
     */
-  private[graft] val ShuffleIdenticalTolerance = 0.005
+  private[graft] val ShuffleIdenticalTolerance = 0.03
 
   /** True iff a query's shuffle-read bytes match the previous committed
     * bench's within [[ShuffleIdenticalTolerance]] — the per-query

@@ -221,19 +221,20 @@ object Ivf {
       .map(r => (r.getAs[Long]("vec_id"),
         r.getAs[scala.collection.Seq[Long]]("q").toArray))
       .sortBy(_._1)
-    require(sample.length >= K,
-      s"training sample realized ${sample.length} vectors (modulus $mod) " +
-        s"— fewer than the $K centroids to init; corpus too small to " +
-        "sample, pass sampled = false")
+    require(sample.nonEmpty, "empty training frame")
+    // a corpus smaller than K trains min(K, n) centroids — the
+    // distributed form's limit(K) degradation, which the tiny streaming
+    // intake batches rely on
     var cents: Array[Array[Long]] = sample.take(K).map(_._2.clone)
+    val kk = cents.length
     for (_ <- 1 to Iters) {
-      val sums = Array.ofDim[Long](K, cents(0).length)
-      val cnts = new Array[Long](K)
+      val sums = Array.ofDim[Long](kk, cents(0).length)
+      val cnts = new Array[Long](kk)
       sample.foreach { case (_, q) =>
         var best = 0
         var bestD = d2(q, cents(0))
         var k = 1
-        while (k < K) {
+        while (k < kk) {
           val d = d2(q, cents(k))
           if (d < bestD) { bestD = d; best = k } // tie keeps the smaller k
           k += 1
@@ -242,7 +243,7 @@ object Ivf {
         while (i < q.length) { sums(best)(i) += q(i); i += 1 }
         cnts(best) += 1
       }
-      cents = Array.tabulate(K)(k =>
+      cents = Array.tabulate(kk)(k =>
         if (cnts(k) == 0L) cents(k)
         else sums(k).map(s => roundDiv(s, cnts(k))))
     }

@@ -135,30 +135,33 @@ object Pq {
         r.getAs[scala.collection.Seq[Long]]("sq").toArray))
       .sortBy(t => (t._1, t._2))
     val ids = rows.map(_._1).distinct.sorted
-    require(ids.length >= PqK,
-      s"PQ training sample realized ${ids.length} vectors (modulus $mod) " +
-        s"— fewer than the $PqK codewords to init; corpus too small " +
-        "to sample, pass sampled = false")
+    require(ids.nonEmpty, "empty PQ training frame")
     def d2(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L
       var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    // init: the PqK smallest sampled ids' subvectors, per subspace
+    // init: the PqK smallest sampled ids' subvectors, per subspace —
+    // min(PqK, n) codewords on a tiny corpus (the distributed form's
+    // limit(PqK) degradation)
     val initIds = ids.take(PqK)
+    val kk = initIds.length
     var cb: Array[Array[Array[Long]]] = Array.tabulate(SubM) { m =>
       initIds.map(id =>
         rows.find(t => t._1 == id && t._2 == m).get._3.clone)
     }
     for (_ <- 1 to PqIters) {
-      val sums = Array.ofDim[Long](SubM, PqK, SubDim)
-      val cnts = Array.ofDim[Long](SubM, PqK)
+      // sized from the codebook, not [[SubDim]]: slices of a
+      // shorter-than-64-dim vector run short (and can differ by m)
+      val sums = Array.tabulate(SubM, kk)((m, k) =>
+        new Array[Long](cb(m)(k).length))
+      val cnts = Array.ofDim[Long](SubM, kk)
       rows.foreach { case (_, m, sq) =>
         var best = 0
         var bestD = d2(sq, cb(m)(0))
         var k = 1
-        while (k < PqK) {
+        while (k < kk) {
           val d = d2(sq, cb(m)(k))
           if (d < bestD) { bestD = d; best = k } // tie keeps the smaller k
           k += 1
@@ -167,12 +170,12 @@ object Pq {
         while (i < sq.length) { sums(m)(best)(i) += sq(i); i += 1 }
         cnts(m)(best) += 1
       }
-      cb = Array.tabulate(SubM, PqK) { (m, k) =>
+      cb = Array.tabulate(SubM, kk) { (m, k) =>
         if (cnts(m)(k) == 0L) cb(m)(k)
         else sums(m)(k).map(s => Ivf.roundDiv(s, cnts(m)(k)))
       }
     }
-    (for (m <- 0 until SubM; k <- 0 until PqK) yield (m, k, cb(m)(k))).toSeq
+    (for (m <- 0 until SubM; k <- 0 until kk) yield (m, k, cb(m)(k))).toSeq
   }
 
   /** The distributed full-frame fused loop: each iteration ONE pass over

@@ -169,7 +169,12 @@ object QualityTrain {
     * merges are FULL OUTER JOINs (a feature enters the model the first
     * epoch it appears in a misclassified document).
     */
-  lazy val q148OracleSql: String = {
+  /** The shared training replay CTE chain (`smod` … `aw[[Iters]]`) —
+    * q148 selects the final averaged weights from it, q151 scores the
+    * corpus with them; one chain, so the two can never train different
+    * models.
+    */
+  private lazy val trainingCtes: String = {
     val ph = graft.functions.PolyHash.sql("CAST(d.doc_id AS VARCHAR)")
     val epochs = (1 to Iters).map { it =>
       s"""s$it AS (
@@ -193,7 +198,7 @@ object QualityTrain {
          |  FROM aw${it - 1} p FULL JOIN w$it c ON p.feature = c.feature
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH smod AS (
+    s"""smod AS (
        |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${TrainDocTarget}.0)
        |    AS BIGINT)) AS mm
        |  FROM documents
@@ -216,9 +221,62 @@ object QualityTrain {
        |), aw0 AS (
        |  SELECT CAST(NULL AS VARCHAR) AS feature, CAST(0 AS BIGINT) AS w
        |  WHERE FALSE
-       |), $epochs
+       |), $epochs""".stripMargin
+  }
+
+  lazy val q148OracleSql: String =
+    s"""WITH $trainingCtes
        |SELECT feature, CAST(w AS BIGINT) AS weight
        |FROM aw$Iters WHERE w <> 0
        |ORDER BY feature""".stripMargin
+
+  /** q151's oracle: the training chain, the trained weights split into
+    * token features + intercept, and q83's exact scoring arithmetic
+    * (per-occurrence integer weight sum, one double scale-and-divide,
+    * sign label) — occurrence-grain explode + LEFT JOIN instead of
+    * q83's literal CASE chain because the weights are a trained CTE,
+    * not constants; `SUM(COALESCE(w, 0))` mirrors the kernel's
+    * missing-token zero.
+    */
+  lazy val q151OracleSql: String = {
+    // plain (non-interpolated) triple quote: backslashes stay literal,
+    // so the regex needs exactly ONE here (interpolated fragments need
+    // two — see graft-oracle-traps)
+    val score = graft.functions.VectorOps.round6Sql(
+      """CAST(s.wsum + wb.b AS DOUBLE) / 1.0
+       |          / len(string_split_regex(lower(d.text), '\s+'))""".stripMargin)
+    s"""WITH $trainingCtes, wf AS MATERIALIZED (
+       |  SELECT feature, w FROM aw$Iters WHERE feature <> '$BiasFeature'
+       |), wb AS (
+       |  SELECT COALESCE((SELECT w FROM aw$Iters
+       |                   WHERE feature = '$BiasFeature'), 0) AS b
+       |), occ2 AS (
+       |  SELECT doc_id,
+       |         unnest(string_split_regex(lower(text), '\\s+')) AS feature
+       |  FROM documents WHERE text IS NOT NULL
+       |), ws AS (
+       |  SELECT o.doc_id, CAST(SUM(COALESCE(w.w, 0)) AS BIGINT) AS wsum
+       |  FROM occ2 o LEFT JOIN wf w ON o.feature = w.feature
+       |  GROUP BY o.doc_id
+       |), scored AS (
+       |  SELECT d.doc_id,
+       |         len(string_split_regex(lower(d.text), '\\s+')) AS n_tokens,
+       |         $score AS quality_score
+       |  FROM documents d LEFT JOIN ws s ON d.doc_id = s.doc_id, wb
+       |)
+       |SELECT doc_id, n_tokens, quality_score,
+       |       CASE WHEN quality_score >= 0.0 THEN 'keep' ELSE 'cull' END
+       |         AS quality_label
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
   }
+
+  /** q151 — trained-classifier corpus sweep: [[train]]'s model pushed
+    * through q83's one-scan inference kernel over every document — the
+    * end-to-end "train on the sample, score the corpus" pipeline as a
+    * single hash-oracled query (the spec-level flow check made a
+    * CORRECTNESS row).
+    */
+  def q151TrainedQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.q83With(spark, dir, train(spark, dir))
 }
