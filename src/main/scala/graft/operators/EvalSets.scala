@@ -45,13 +45,15 @@ object EvalSets {
 
   /** An EXTERNALLY-INGESTED benchmark suite: the registry row carries a
     * version pin and a PATH to a JSONL file of benchmark items
-    * (`{"item_id": n, "text": "…"}` per line), read through
+    * (`{"item_id": n, "text": "…", "embedding": […]}` per line — the
+    * embedding optional per item), read through
     * [[graft.sources.JsonlTables.readRouted]] — the production registry
     * shape the residue-class [[Registry]] stands in for. Its shingles
-    * enter the same `eval_shingles` index and every downstream verdict
-    * (q124/q145, streaming gate) covers it with no pass-structure
-    * change; having no embedding rows, it can only be flagged
-    * LEXICALLY (q145's documented semantic-leg contract). Files are
+    * enter the same `eval_shingles` index, its vectors enter q142's
+    * semantic screen (assigned to trained cells map-side), and every
+    * downstream verdict (q124/q142/q145, streaming gate) covers it
+    * with no pass-structure change; an item WITHOUT an embedding is
+    * screened lexically only (q145's semantic-leg contract). Files are
     * version-pinned immutable — bumping a suite is a new registry row,
     * which is a code change and thus a rebuild.
     */
@@ -67,13 +69,21 @@ object EvalSets {
   val ExternalRegistry: Seq[ExternalEvalSet] = Seq(
     ExternalEvalSet("external_x", 1, s"$BenchmarkFixtureDir/external_x.jsonl"))
 
-  /** The external-item schema a registry file must parse to. */
+  /** The external-item schema a registry file must parse to: benchmark
+    * text plus (optionally, per line) the item's embedding under the
+    * corpus's own encoder — the production shape, since a benchmark
+    * suite ships its vectors precomputed; items without one are
+    * screened lexically only.
+    */
   val ExternalItemSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("item_id",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text",
-        org.apache.spark.sql.types.StringType)))
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
 
   /** Benchmark items of one external suite, corrupt-line-routed: clean
     * rows become `(doc_id, text)` in the RESERVED NEGATIVE id space
@@ -93,8 +103,33 @@ object EvalSets {
     require(nBad == 0L,
       s"external eval set ${set.setId} v${set.version}: $nBad corrupt " +
         s"lines in ${set.file} — refusing a partial benchmark")
-    clean.select((-col("item_id") - 1).as("doc_id"), col("text"))
+    clean.select((-col("item_id") - 1).as("doc_id"), col("text"),
+      col("embedding"))
   }
+
+  /** Every external suite's benchmark VECTORS `(eval_id, embedding,
+    * set_id, set_version)` in the reserved negative id space — the
+    * semantic screen's external eval side (q142 assigns them to
+    * trained cells map-side; items without an embedding line are
+    * lexical-only).
+    */
+  private[graft] def externalVectors(spark: SparkSession): DataFrame =
+    ExternalRegistry.map { s =>
+      externalDocs(spark, s).filter(col("embedding").isNotNull)
+        .select(col("doc_id").as("eval_id"), col("embedding"),
+          lit(s.setId).as("set_id"), lit(s.version).as("set_version"))
+    }.reduce(_ unionByName _)
+
+  /** One external suite's oracle vector CTE body `(eval_id, embedding)`
+    * — the same JSONL read with the embedding column (DOUBLE[] in
+    * DuckDB = the exact double-widened floats the fixture serializes).
+    */
+  private[operators] def externalVectorSql(s: ExternalEvalSet): String =
+    s"""SELECT -item_id - 1 AS eval_id, embedding
+       |FROM read_json('${s.file}', format = 'newline_delimited',
+       |  columns = {'item_id': 'BIGINT', 'text': 'VARCHAR',
+       |             'embedding': 'DOUBLE[]'})
+       |WHERE embedding IS NOT NULL""".stripMargin
 
   /** Shingle-index rows for every [[ExternalRegistry]] suite, in
     * [[evalShingleRows]]'s exact schema — unioned into the

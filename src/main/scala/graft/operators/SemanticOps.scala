@@ -309,26 +309,45 @@ object SemanticOps {
     * membership is a map-side literal; adding a benchmark suite changes
     * no pass structure. The Lloyd training never re-runs here.
     */
-  def q142SemDecontam(spark: SparkSession, dir: String): DataFrame =
+  def q142SemDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    // external benchmark vectors, assigned to the SAME trained cells
+    // map-side (quantize → literal-centroid argmin, exactly the corpus
+    // assignment's arithmetic) — the semantic screen covers external
+    // suites wherever their items ship embeddings
+    val extVec = EvalSets.externalVectors(spark)
+    val extEval = Ivf.assignFrame(
+        Ivf.quantized(extVec.select(col("eval_id").as("vec_id"),
+          col("embedding"))), cents)
+      .select(col("vec_id").as("eval_id"), col("cell"))
+      .join(extVec, "eval_id")
+      .select(col("cell"), col("eval_id"), col("embedding").as("ve"),
+        VectorOps.norm(col("embedding")).as("ne"),
+        col("set_id"), col("set_version"))
     semDecontamFrom(Tables.embeddings(spark, dir),
-      graft.Artifacts.ivfModel(spark, dir)._2.select("vec_id", "cell"))
+      cells.select("vec_id", "cell"), extraEval = Some(extEval))
+  }
 
   /** [[q142SemDecontam]] over caller-supplied embeddings + cells (`cap`
     * overridable so the degradation is spec-testable at crafted
-    * populations).
+    * populations; `extraEval` is the external suites' pre-assigned
+    * eval side, unioned before the census so the cap discipline is one
+    * definition for both families).
     */
   private[graft] def semDecontamFrom(e: DataFrame, cells: DataFrame,
-      cap: Long = CellCap): DataFrame = {
+      cap: Long = CellCap,
+      extraEval: Option[DataFrame] = None): DataFrame = {
     val memb = cells.join(e, "vec_id")
       .select(col("cell"), col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
-    val eval = memb
+    val residueEval = memb
       .select(col("cell"), col("vec_id").as("eval_id"),
         col("embedding").as("ve"), col("nrm").as("ne"),
         explode(EvalSets.memberSets(col("vec_id"))).as("s"))
       .select(col("cell"), col("eval_id"), col("ve"), col("ne"),
         col("s")("set_id").as("set_id"),
         col("s")("set_version").as("set_version"))
+    val eval = extraEval.fold(residueEval)(residueEval.unionByName(_))
     val train = memb.filter(!EvalSets.inAnySet(col("vec_id")))
       .select(col("cell"), col("vec_id"),
         col("embedding").as("vt"), col("nrm").as("nt"))
@@ -358,16 +377,42 @@ object SemanticOps {
   lazy val q142OracleSql: String = {
     val cos = VectorOps.round6Sql(
       VectorOps.cosineSql("t.embedding", "e.embedding"))
+    val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    // per external suite: read its vectors, quantize, assign to the
+    // trained cells by the corpus assignment's exact argmin
+    val xCtes = EvalSets.ExternalRegistry.zipWithIndex.map { case (s, i) =>
+      s"""xv$i AS MATERIALIZED (
+         |${EvalSets.externalVectorSql(s)}
+         |), xc$i AS MATERIALIZED (
+         |  SELECT eval_id, embedding, cell FROM (
+         |    SELECT v.eval_id, v.embedding, c.cell,
+         |           row_number() OVER (PARTITION BY v.eval_id
+         |             ORDER BY $dist, c.cell) AS rn
+         |    FROM (SELECT eval_id, embedding,
+         |                 ${Ivf.quantizeSql("embedding")} AS q
+         |          FROM xv$i) v
+         |    CROSS JOIN cent${Ivf.Iters} c
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val xUnions = EvalSets.ExternalRegistry.zipWithIndex.map { case (s, i) =>
+      s"""  UNION ALL
+         |  SELECT x.cell, x.eval_id, x.embedding,
+         |         '${s.setId}' AS set_id, ${s.version} AS set_version
+         |  FROM xc$i x""".stripMargin
+    }.mkString("\n")
     s"""WITH ${Ivf.cellsCtes},
        |reg(set_id, set_version, md, res) AS (
        |  VALUES ${EvalSets.registrySql}
-       |), memb AS (
+       |), $xCtes, memb AS (
        |  SELECT c.cell, c.vec_id, e.embedding
        |  FROM cells c JOIN embeddings e ON c.vec_id = e.vec_id
        |), ev AS (
        |  SELECT m.cell, m.vec_id AS eval_id, m.embedding,
        |         r.set_id, r.set_version
        |  FROM memb m JOIN reg r ON m.vec_id % r.md = r.res
+       |$xUnions
        |), tr AS (
        |  SELECT m.cell, m.vec_id, m.embedding FROM memb m
        |  WHERE NOT EXISTS (SELECT 1 FROM reg r

@@ -67,7 +67,8 @@ class EvalSetsSpec extends SparkSpec {
     val externalSh: Map[String, (Int, Set[String])] =
       EvalSets.ExternalRegistry.map { s =>
         val sh = scala.io.Source.fromFile(s.file).getLines().map { line =>
-          shingles8(line.split("\"text\": \"")(1).stripSuffix("\"}"))
+          shingles8(line.split("\"text\": \"")(1)
+            .split("\", \"embedding\"")(0).stripSuffix("\"}"))
         }.foldLeft(Set.empty[String])(_ ++ _)
         s.setId -> (s.version, sh)
       }.toMap

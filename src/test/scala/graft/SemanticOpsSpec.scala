@@ -99,14 +99,39 @@ class SemanticOpsSpec extends SparkSpec {
       val best = hits.map(e => (-truth((t, e)), e)).min
       (t, sid) -> (ver, hits.size.toLong, -best._1, best._2)
     }).toMap
-    assert(out.length == expected.size)
-    out.foreach { r =>
+    // residue sets: exact equality against the q21 truth replay;
+    // external sets (negative closest_eval ids) are checked separately
+    val extIds = graft.operators.EvalSets.ExternalRegistry.map(_.setId).toSet
+    val (extOut, resOut) =
+      out.partition(r => extIds(r.getAs[String]("set_id")))
+    assert(resOut.length == expected.size)
+    resOut.foreach { r =>
       val key = (r.getAs[Long]("vec_id"), r.getAs[String]("set_id"))
       val (ver, n, cos, closest) = expected(key)
       assert(r.getAs[Int]("set_version") == ver, s"$key version")
       assert(r.getAs[Long]("n_hits") == n, s"$key n_hits")
       assert(r.getAs[Double]("max_cos") == cos, s"$key max_cos")
       assert(r.getAs[Long]("closest_eval") == closest, s"$key closest")
+    }
+    // external rows: every closest_eval is a benchmark item (reserved
+    // negative id space), every hit clears Tau, and each leaked doc
+    // (its vector copied verbatim into the benchmark) scores an exact
+    // cosine-1.0 hit against its own copy
+    assert(extOut.nonEmpty, "external suite must flag semantically")
+    extOut.foreach { r =>
+      assert(r.getAs[Long]("closest_eval") < 0, "external eval ids")
+      assert(r.getAs[Double]("max_cos") >= SemanticOps.Tau)
+    }
+    val extByDoc = extOut
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("max_cos")).toMap
+    val leaked = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(100)) === 3)
+      .collect().map(_.getAs[Long]("doc_id"))
+      .filter(d => setsOf(d).isEmpty && cellOf.contains(d))
+    leaked.foreach { d =>
+      assert(extByDoc.get(d).contains(1.0), s"leaked doc $d max_cos")
     }
     Checkpoints.releaseAll()
   }
