@@ -537,6 +537,81 @@ object Ivf {
       .orderBy("cell")
   }
 
+  /** q152 — training-sample drift audit: per trained cell, the CORPUS
+    * share of its population beside the TRAINING SAMPLE's share of its
+    * members assigned there, and the signed drift between them. The
+    * sampled-training health check a deployment actually watches: the
+    * codebooks were fit on the hash sample, so if the sample's cell
+    * distribution diverges from the corpus's (corpus grew or shifted
+    * since the snapshot), the sample no longer represents what the
+    * index serves and the snapshot is due for retraining — q147 says
+    * whether cells are BALANCED, this says whether the sample that
+    * shaped them still LOOKS LIKE the corpus. Shares are exact-count
+    * ratios (one double division each, round6); empty cells carry
+    * explicit zeros on both sides.
+    *
+    * Scale shape: reads the standing `ivf_cells` assignment; the
+    * sample flag is the map-side PolyHash-mod predicate; one K-row
+    * aggregate — no training, no vector touched.
+    */
+  def q152SampleDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
+    import spark.implicits._
+    val spine = cents.map(_._1).toDF("cell")
+    val mod = sampleModulus(cells.count())
+    val flagged = cells.select(col("cell"),
+      inTrainSample(col("vec_id"), mod).cast("long").as("in_sample"))
+    val agg = flagged.groupBy("cell")
+      .agg(count(lit(1)).as("pop"), sum("in_sample").as("sample_pop"))
+    val tot = agg.agg(sum("pop").as("n"), sum("sample_pop").as("sn"))
+    spine.join(agg, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("pop"), lit(0L)).as("pop"),
+        coalesce(col("sample_pop"), lit(0L)).as("sample_pop"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("pop"), col("sample_pop"),
+        VectorOps.round6(col("pop").cast("double") / col("n"))
+          .as("corpus_share"),
+        VectorOps.round6(col("sample_pop").cast("double") / col("sn"))
+          .as("sample_share"),
+        VectorOps.round6(col("sample_pop").cast("double") / col("sn") -
+          col("pop").cast("double") / col("n")).as("share_drift"))
+      .orderBy("cell")
+  }
+
+  /** [[cellsCtes]] + the same sample predicate over the assignment +
+    * one K-row aggregate with the identical share arithmetic.
+    */
+  lazy val q152OracleSql: String = {
+    val ph = graft.functions.PolyHash.sql("CAST(cl.vec_id AS VARCHAR)")
+    s"""WITH ${cellsCtes}, smod AS (
+       |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / ${TrainSampleTarget}.0)
+       |    AS BIGINT)) AS mm FROM cells
+       |), agg AS (
+       |  SELECT cl.cell, COUNT(*) AS pop,
+       |         CAST(SUM(CASE WHEN $ph % m.mm = 0 THEN 1 ELSE 0 END)
+       |           AS BIGINT) AS sample_pop
+       |  FROM cells cl, smod m
+       |  GROUP BY cl.cell
+       |), tot AS (
+       |  SELECT CAST(SUM(pop) AS BIGINT) AS n,
+       |         CAST(SUM(sample_pop) AS BIGINT) AS sn
+       |  FROM agg
+       |)
+       |SELECT s.cell, COALESCE(a.pop, 0) AS pop,
+       |       COALESCE(a.sample_pop, 0) AS sample_pop,
+       |       ${VectorOps.round6Sql(
+            "CAST(COALESCE(a.pop, 0) AS DOUBLE) / t.n")} AS corpus_share,
+       |       ${VectorOps.round6Sql(
+            "CAST(COALESCE(a.sample_pop, 0) AS DOUBLE) / t.sn")}
+       |         AS sample_share,
+       |       ${VectorOps.round6Sql(
+            """CAST(COALESCE(a.sample_pop, 0) AS DOUBLE) / t.sn
+       |         - CAST(COALESCE(a.pop, 0) AS DOUBLE) / t.n""".stripMargin)}
+       |         AS share_drift
+       |FROM cent$Iters s LEFT JOIN agg a ON s.cell = a.cell, tot t
+       |ORDER BY s.cell""".stripMargin
+  }
+
   /** [[cellsCtes]] + a K-row spine (trained cells, empty ones included)
     * + the same single aggregate.
     */

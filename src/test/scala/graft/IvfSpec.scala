@@ -139,6 +139,37 @@ class IvfSpec extends SparkSpec {
     Checkpoints.releaseAll()
   }
 
+  test("q152 sample drift reconciles with q147 pops and the hash membership") {
+    val drift = Ivf.q152SampleDrift(spark, sf).collect()
+    assert(drift.length == Ivf.K)
+    val pops = Ivf.q147CellBalance(spark, sf).collect()
+      .map(r => r.getAs[Int]("cell") -> r.getAs[Long]("pop")).toMap
+    drift.foreach { r =>
+      assert(r.getAs[Long]("pop") == pops(r.getAs[Int]("cell")),
+        s"cell ${r.getAs[Int]("cell")} pop vs q147")
+    }
+    val n = drift.map(_.getAs[Long]("pop")).sum
+    val mod = Ivf.sampleModulus(n)
+    def inSample(id: Long): Boolean = graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(id.toString),
+      31) % mod == 0
+    val (cents, cells) = Artifacts.ivfModel(spark, sf)
+    val expectedSample = cells.collect()
+      .filter(r => inSample(r.getAs[Long]("vec_id")))
+      .groupBy(_.getAs[Int]("cell")).view.mapValues(_.length.toLong).toMap
+    drift.foreach { r =>
+      val c = r.getAs[Int]("cell")
+      assert(r.getAs[Long]("sample_pop") == expectedSample.getOrElse(c, 0L),
+        s"cell $c sample_pop")
+    }
+    Seq("corpus_share", "sample_share").foreach { col =>
+      val tot = drift.map(_.getAs[Double](col)).sum
+      assert(math.abs(tot - 1.0) < 1e-4, s"$col sums to $tot")
+    }
+    assert(math.abs(drift.map(_.getAs[Double]("share_drift")).sum) < 1e-4)
+    Checkpoints.releaseAll()
+  }
+
   test("artifact mode: committed model ≡ inline model, q125 identical across modes") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toFile
     try {
