@@ -642,10 +642,14 @@ object CorpusOps {
     */
   private[graft] def exportAssignmentOrdered(spark: SparkSession,
       dir: String, order: ExportOrder,
-      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace)
-      : DataFrame = {
-    val base = packCounts(spark, dir, tok).select(col("doc_id"),
+      tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace,
+      members: Option[DataFrame] = None): DataFrame = {
+    // optional membership frame (doc_id): the curated-export path —
+    // cuts, offsets, and shard targets are computed over the KEPT set
+    // only, so the binary artifact holds no culled byte
+    val all = packCounts(spark, dir, tok).select(col("doc_id"),
       coalesce(col("n_tokens").cast("long"), lit(0L)).as("n_tokens"))
+    val base = members.fold(all)(m => all.join(m.select("doc_id"), "doc_id"))
     val sized = order match {
       case ExportOrder.ByDocId =>
         base.withColumn("okey", col("doc_id"))
@@ -699,13 +703,15 @@ object CorpusOps {
     */
   private[graft] def exportLayout(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace,
-      order: ExportOrder = ExportOrder.ByDocId): DataFrame = {
+      order: ExportOrder = ExportOrder.ByDocId,
+      members: Option[DataFrame] = None): DataFrame = {
     // crawl order keeps the original exportAssignment path (shared with
-    // q84's manifest — the two cannot drift); other orderings run the
-    // generalized assignment
-    val assigned = order match {
-      case ExportOrder.ByDocId => exportAssignment(spark, dir, PackRangeWidth, tok)
-      case _ => exportAssignmentOrdered(spark, dir, order, tok)
+    // q84's manifest — the two cannot drift); other orderings and the
+    // membership-filtered (curated) export run the generalized assignment
+    val assigned = (order, members) match {
+      case (ExportOrder.ByDocId, None) =>
+        exportAssignment(spark, dir, PackRangeWidth, tok)
+      case _ => exportAssignmentOrdered(spark, dir, order, tok, members)
     }
     val shardBase = assigned.groupBy("shard_id")
       .agg(min("cum_before").as("shard_base"))
@@ -893,22 +899,39 @@ object CorpusOps {
     // the exact-dup side runs off the standing digest artifact when one
     // is materialized (readOrCompute falls back to hashing the scan)
     val hashes = graft.Artifacts.docHashes(spark, dir)
-    val exact = hashes.join(incoming.select("doc_id"), "doc_id")
-      .join(hashes.join(corpus.select("doc_id"), "doc_id")
-          .select(col("h"), col("doc_id").as("corpus_id")), "h")
-      .groupBy("doc_id").agg(min("corpus_id").as("exact_match"))
-
     val banded =
       if (graft.Artifacts.isMaterialized(spark, dir,
           graft.Artifacts.MinhashBandsName))
         graft.Artifacts.minhashBands(spark, dir)
       else graft.Checkpoints.checkpoint(Dedup.bandedSignatures(d))
-    val corpusBands = Dedup.capBuckets(
-      banded.join(corpus.select("doc_id"), "doc_id"),
+    dedupVerdictsOf(incoming,
+      hashes.join(incoming.select("doc_id"), "doc_id"),
+      banded.join(incoming.select("doc_id"), "doc_id"),
+      hashes.join(corpus.select("doc_id"), "doc_id"),
+      banded.join(corpus.select("doc_id"), "doc_id"))
+  }
+
+  /** The verdict JOIN SHAPE under [[dedupVerdictsAgainst]], over
+    * caller-supplied side frames: `incomingHashes`/`corpusHashes` are
+    * `(doc_id, h)` digests, `incomingBands`/`corpusBands` are
+    * `(doc_id, sig, band, bucket)` LSH rows. The corpus bands are
+    * hot-bucket capped HERE (the cap is part of the verdict semantics,
+    * not of where the bands came from). Factored out so the streaming
+    * intake gate (`StreamingOps.nearDupOfBatch`), whose incoming side is
+    * an arriving batch rather than rows of the corpus table, shares the
+    * one verdict definition with q50/q81 instead of a parallel copy.
+    */
+  private[graft] def dedupVerdictsOf(incoming: DataFrame,
+      incomingHashes: DataFrame, incomingBands: DataFrame,
+      corpusHashes: DataFrame, corpusBands: DataFrame): DataFrame = {
+    val exact = incomingHashes
+      .join(corpusHashes.select(col("h"), col("doc_id").as("corpus_id")), "h")
+      .groupBy("doc_id").agg(min("corpus_id").as("exact_match"))
+
+    val capped = Dedup.capBuckets(corpusBands,
       Dedup.MaxBucketPop, "band", "bucket")
-    val incomingBands = banded.join(incoming.select("doc_id"), "doc_id")
     val near = incomingBands
-      .join(corpusBands
+      .join(capped
           .select(col("band"), col("bucket"),
             col("doc_id").as("corpus_id"), col("sig").as("corpus_sig")),
         Seq("band", "bucket"))
@@ -1301,6 +1324,100 @@ object CorpusOps {
       |         AS anneal_weight
       |FROM uni u JOIN temp t USING (lang, source) CROSS JOIN ep
       |ORDER BY ep.epoch, u.lang, u.source""".stripMargin
+  }
+
+  // ---- q155: the anneal schedule APPLIED — per-epoch sample plan ----------
+
+  /** q155 — the realized training mix per epoch: q97's annealed weights
+    * pushed through q56's deterministic sampler with an EPOCH-SALTED
+    * hash (`doc_id || '#mix' || epoch`), rolled up to (epoch, lang,
+    * source) grain — docs kept, token mass kept, and each stratum's
+    * share of its epoch's token bill. q97 publishes the *designed*
+    * schedule; this is what the sampler actually DRAWS under it — the
+    * table a training run's data loader manifests from, and the check
+    * that the realized shares track the designed anneal (they differ by
+    * sampling quantization, which is exactly what the report shows).
+    * The epoch salt matters: each epoch must be an independent draw
+    * (the point of multi-epoch sampling is seeing DIFFERENT subsets of
+    * the down-weighted strata), and a shared salt would re-draw the
+    * same documents every epoch; a weight ≥ 1 keeps the whole stratum
+    * (the q56 rule verbatim — the hash test is vacuous above 1).
+    *
+    * Scale shape: one documents pass ((doc_id, lang, source) columns
+    * only — in artifact mode the token mass joins in from standing
+    * counts and text is never read), broadcast-joined to the
+    * stratum × epoch weight table (a few-hundred-row broadcast), the
+    * epoch fan-out is map-side, and the rollup is a map-side-partial
+    * aggregate to (epoch, stratum) grain; per-epoch totals are a
+    * broadcast of an epoch-grain aggregate. Growth-stable and
+    * RNG-free like q42/q56: a doc's per-epoch fate never changes when
+    * the corpus around it grows.
+    */
+  def q155EpochSamplePlan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val tok = graft.functions.Tokenizer.Whitespace
+    val docTokens = graft.Artifacts.tokenCounts(spark, dir, tok) match {
+      case Some(tc) => Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source")
+        .join(tc, "doc_id")
+      case None => Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          tok.count(col("text")).as("n_tokens"))
+    }
+    val anneal = q97AnnealSchedule(spark, dir)
+      .select("lang", "source", "epoch", "anneal_weight")
+    val hash = pmod(org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PolyHash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          concat(col("doc_id").cast("string"), lit("#mix"),
+            col("epoch").cast("string"))))),
+      lit(MixResolution))
+    val kept = docTokens
+      .join(broadcast(anneal), Seq("lang", "source"))
+      .withColumn("__h", hash)
+      .filter(col("__h") < col("anneal_weight") * MixResolution)
+      .groupBy("epoch", "lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"))
+    val epochTotals = kept.groupBy("epoch")
+      .agg(sum("n_tokens").as("epoch_tokens"))
+    kept.join(broadcast(epochTotals), "epoch")
+      .select(col("epoch"), col("lang"), col("source"),
+        col("n_docs"), col("n_tokens"),
+        round6(col("n_tokens").cast("double")
+          / nullif(col("epoch_tokens"), lit(0L))).as("token_share"))
+      .orderBy("epoch", "lang", "source")
+  }
+
+  /** q97's oracle verbatim as the weight table, q56's hash-keep rule
+    * under the epoch salt, the same two rollups.
+    */
+  lazy val q155OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    val ph = graft.functions.PolyHash.sql(
+      "CAST(d.doc_id AS VARCHAR) || '#mix' || CAST(a.epoch AS VARCHAR)")
+    s"""WITH anneal AS (
+      |  SELECT * FROM (
+      |$q97OracleSql
+      |  )
+      |), kept AS (
+      |  SELECT a.epoch, d.lang, d.source, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split_regex(d.text, '\\s+'))) AS BIGINT)
+      |           AS n_tokens
+      |  FROM documents d
+      |  JOIN anneal a ON d.lang = a.lang AND d.source = a.source
+      |  WHERE $ph % $MixResolution < a.anneal_weight * $MixResolution
+      |  GROUP BY 1, 2, 3
+      |), tot AS (
+      |  SELECT epoch, CAST(SUM(n_tokens) AS BIGINT) AS epoch_tokens
+      |  FROM kept GROUP BY epoch
+      |)
+      |SELECT k.epoch, k.lang, k.source, k.n_docs, k.n_tokens,
+      |       ${round6Sql(
+               "CAST(k.n_tokens AS DOUBLE) / nullif(t.epoch_tokens, 0)")}
+      |         AS token_share
+      |FROM kept k JOIN tot t USING (epoch)
+      |ORDER BY k.epoch, k.lang, k.source""".stripMargin
   }
 
   // ---- q98: packing efficiency audit -------------------------------------

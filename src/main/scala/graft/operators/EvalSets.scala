@@ -185,6 +185,28 @@ object EvalSets {
     Registry.map(s => s"('${s.setId}', ${s.version}, ${s.mod}, ${s.residue})")
       .mkString(", ")
 
+  /** The RELEASE membership as a `(doc_id, okey)` oracle statement —
+    * q138's kept set, minus registered benchmark members, minus the
+    * lexical ∪ semantic flagged union over every set (q145's drop rule
+    * at doc grain). Each screen's own oracle is embedded whole, so the
+    * release export (`PackedExport.q157PackedRelease`) ships exactly
+    * what the ledger keeps AND the release gate clears.
+    */
+  private[graft] lazy val releaseKeptCte: String =
+    s"""  SELECT k.doc_id, k.doc_id AS okey FROM (
+       |${graft.operators.Curation.q138OracleSql}
+       |  ) k
+       |  WHERE k.keep
+       |    AND NOT EXISTS (SELECT 1 FROM (VALUES $registrySql)
+       |          AS r(set_id, set_version, md, res)
+       |          WHERE k.doc_id % r.md = r.res)
+       |    AND k.doc_id NOT IN (SELECT doc_id FROM (
+       |$q124OracleSql
+       |    ))
+       |    AND k.doc_id NOT IN (SELECT vec_id FROM (
+       |${SemanticOps.q142OracleSql}
+       |    ))""".stripMargin
+
   /** Per-set shingle index rows `(set_id, set_version, doc_id, sh)` from
     * a per-doc shingle frame (the `shingles8` artifact or its inline
     * form): each member doc's shingles, labeled with every set the doc

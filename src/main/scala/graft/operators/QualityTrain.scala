@@ -238,14 +238,19 @@ object QualityTrain {
     * not constants; `SUM(COALESCE(w, 0))` mirrors the kernel's
     * missing-token zero.
     */
-  lazy val q151OracleSql: String = {
+  /** The training chain plus q83's scoring arithmetic as CTEs ending in
+    * `scored (doc_id, n_tokens, quality_score)` — q151 labels and
+    * returns it per document, q154 bands and rolls it up; one chain, so
+    * the sweep prices exactly the scores the sweep's gate would serve.
+    */
+  private lazy val scoringCtes: String = {
     // plain (non-interpolated) triple quote: backslashes stay literal,
     // so the regex needs exactly ONE here (interpolated fragments need
     // two — see graft-oracle-traps)
     val score = graft.functions.VectorOps.round6Sql(
       """CAST(s.wsum + wb.b AS DOUBLE) / 1.0
        |          / len(string_split_regex(lower(d.text), '\s+'))""".stripMargin)
-    s"""WITH $trainingCtes, wf AS MATERIALIZED (
+    s"""$trainingCtes, wf AS MATERIALIZED (
        |  SELECT feature, w FROM aw$Iters WHERE feature <> '$BiasFeature'
        |), wb AS (
        |  SELECT COALESCE((SELECT w FROM aw$Iters
@@ -263,13 +268,16 @@ object QualityTrain {
        |         len(string_split_regex(lower(d.text), '\\s+')) AS n_tokens,
        |         $score AS quality_score
        |  FROM documents d LEFT JOIN ws s ON d.doc_id = s.doc_id, wb
-       |)
+       |)""".stripMargin
+  }
+
+  lazy val q151OracleSql: String =
+    s"""WITH $scoringCtes
        |SELECT doc_id, n_tokens, quality_score,
        |       CASE WHEN quality_score >= 0.0 THEN 'keep' ELSE 'cull' END
        |         AS quality_label
        |FROM scored
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** q151 — trained-classifier corpus sweep: [[train]]'s model pushed
     * through q83's one-scan inference kernel over every document — the
@@ -279,4 +287,102 @@ object QualityTrain {
     */
   def q151TrainedQuality(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.q83With(spark, dir, train(spark, dir))
+
+  // ---- q154: trained-gate threshold sweep ---------------------------------
+
+  /** q154 — the OPERATING TABLE for the trained quality gate: q151's
+    * scores banded by SIGNED log₂ magnitude (the q68/q115 binary-digit
+    * trick: band = ±length(bin(⌊|score|⌋)) — integer-exact in both
+    * engines, and scale-free, which matters because the averaged
+    * perceptron's scores are unnormalized integer sums spanning ±10⁴
+    * where any fixed-width band would put every document in its own
+    * row). Band b ≥ 2 covers scores [2^(b−1), 2^b), band 1 covers
+    * [0, 2), negative bands mirror; `score_min`/`score_max` report each
+    * band's empirical score edges. Each band is priced against the
+    * training label itself — curated-source membership. Per band: docs,
+    * token mass, curated docs, curated rate; plus the running totals
+    * from the top — for every candidate threshold t = score_min(b),
+    * `cum_*` IS what a gate at t would keep (docs, tokens) and
+    * `cum_precision` its curated purity. q151 says what the trained
+    * model scores; this says which cutoff to SHIP — the
+    * precision/volume trade read off one table instead of re-running
+    * the gate per candidate threshold (the q100/q143/q144 calibration
+    * discipline applied to the trained gate).
+    *
+    * Scale shape: one doc-grain equi-join (scores ⋈ source column) into
+    * a map-side-partial aggregate to band grain (≤ ~30 log₂ bands);
+    * the cumulative window runs over that tiny frame only — never a
+    * doc-grain global window (the q97/q100 tiny-spine posture).
+    * Training itself is q148's bounded-sample driver-local loop.
+    */
+  def q154TrainedThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val scored = q151TrainedQuality(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score")
+    val src = graft.Tables.documents(spark, dir).select(
+      col("doc_id"),
+      when(col("source").isin(CuratedSources.map(x => x: Any): _*), 1L)
+        .otherwise(0L).as("curated"))
+    val mag = length(bin(floor(abs(col("quality_score"))).cast("long")))
+    val cells = scored.join(src, "doc_id")
+      .withColumn("band",
+        when(col("quality_score") >= 0, mag).otherwise(-mag))
+      .groupBy("band")
+      .agg(
+        min("quality_score").as("score_min"),
+        max("quality_score").as("score_max"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens"),
+        sum("curated").as("n_curated"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").desc_nulls_last)
+    cells
+      .withColumn("curated_rate", graft.functions.VectorOps.round6(
+        col("n_curated").cast("double") / col("n_docs")))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_curated", sum("n_curated").over(w))
+      .withColumn("cum_precision", graft.functions.VectorOps.round6(
+        col("cum_curated").cast("double") / col("cum_docs")))
+      .select("band", "score_min", "score_max", "n_docs", "n_tokens",
+        "n_curated", "curated_rate", "cum_docs", "cum_tokens",
+        "cum_curated", "cum_precision")
+      .orderBy(col("band").desc_nulls_last)
+  }
+
+  /** [[scoringCtes]] verbatim, then the signed-log₂ band rollup and the
+    * descending-band running totals over the band-grain frame.
+    */
+  lazy val q154OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    val mag = "length(bin(CAST(floor(abs(s.quality_score)) AS BIGINT)))"
+    s"""WITH $scoringCtes, lab AS (
+       |  SELECT s.doc_id, s.n_tokens, s.quality_score,
+       |         CASE WHEN s.quality_score >= 0 THEN $mag
+       |              ELSE -$mag END AS band,
+       |         CASE WHEN d.source IN (${
+              CuratedSources.map(s => s"'$s'").mkString(", ")})
+       |              THEN 1 ELSE 0 END AS curated
+       |  FROM scored s JOIN documents d USING (doc_id)
+       |), cells AS (
+       |  SELECT band, MIN(quality_score) AS score_min,
+       |         MAX(quality_score) AS score_max,
+       |         COUNT(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |         CAST(SUM(curated) AS BIGINT) AS n_curated
+       |  FROM lab GROUP BY band
+       |), cum AS (
+       |  SELECT band, score_min, score_max, n_docs, n_tokens, n_curated,
+       |         CAST(SUM(n_docs) OVER w AS BIGINT) AS cum_docs,
+       |         CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       |         CAST(SUM(n_curated) OVER w AS BIGINT) AS cum_curated
+       |  FROM cells WINDOW w AS (ORDER BY band DESC)
+       |)
+       |SELECT band, score_min, score_max, n_docs, n_tokens, n_curated,
+       |       ${round6Sql("CAST(n_curated AS DOUBLE) / n_docs")}
+       |         AS curated_rate,
+       |       cum_docs, cum_tokens, cum_curated,
+       |       ${round6Sql("CAST(cum_curated AS DOUBLE) / cum_docs")}
+       |         AS cum_precision
+       |FROM cum ORDER BY band DESC""".stripMargin
+  }
 }

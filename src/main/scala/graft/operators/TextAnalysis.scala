@@ -1066,13 +1066,15 @@ object TextAnalysis {
       .orderBy("step")
   }
 
-  /** The identical loop unrolled as a generated CTE chain (the q125
-    * trainingSql discipline): `v0` is the wrapped census, each step a
-    * (pairs → argmax → rewrite) CTE triple, the final SELECT the union
-    * of the argmax rows.
+  /** The [[BpeSteps]]-step training chain as generated CTEs — each step
+    * a (pairs → argmax → rewrite) triple over the previous `v{k-1}`
+    * vocabulary state. References only `v0` (the wrapped census), so
+    * q135's oracle (which SELECTs the merge rows `b1..bN`) and q153's
+    * (which scores the final `v{N}` state) interpolate the SAME chain
+    * and can never train different merges.
     */
-  lazy val q135OracleSql: String = {
-    val steps = (1 to BpeSteps).map { k =>
+  private lazy val bpeStepCtes: String =
+    (1 to BpeSteps).map { k =>
       s"""p$k AS (
          |  SELECT n, s[i] AS c1, s[i + 1] AS c2 FROM (
          |    SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i
@@ -1088,6 +1090,13 @@ object TextAnalysis {
          |  FROM v${k - 1}, b$k
          |)""".stripMargin
     }.mkString(",\n")
+
+  /** The identical loop unrolled as a generated CTE chain (the q125
+    * trainingSql discipline): `v0` is the wrapped census, each step a
+    * (pairs → argmax → rewrite) CTE triple, the final SELECT the union
+    * of the argmax rows.
+    */
+  lazy val q135OracleSql: String = {
     val out = (1 to BpeSteps).map { k =>
       s"SELECT $k AS step, c1 AS lhs, c2 AS rhs, c1 || c2 AS merged, weight FROM b$k"
     }.mkString("\nUNION ALL\n")
@@ -1099,9 +1108,123 @@ object TextAnalysis {
        |         COUNT(*) AS n
        |  FROM tok GROUP BY token
        |),
-       |$steps
+       |$bpeStepCtes
        |SELECT * FROM (
        |$out
        |) ORDER BY step""".stripMargin
   }
+
+  // ---- q153: fertility under the TRAINED tokenizer ------------------------
+
+  /** q153 — per-source fertility under the q135-TRAINED tokenizer: the
+    * trained merge table applied back to the corpus vocabulary, rolled
+    * to source grain. q95 budgets with the shipped PRE-tokenizer (a
+    * fixed segmentation); this is the number that exists only after
+    * training — how many subword tokens each source actually costs
+    * under the merges just learned, and how many characters one trained
+    * token carries (the compression the merge table bought; before any
+    * merge every character is its own symbol, so chars_per_token = 1.0
+    * is the untrained floor). The per-source table is what converts a
+    * raw-byte corpus size into a post-training token budget, and the
+    * source spread says who the tokenizer serves well (prose compresses
+    * hard, identifiers and numbers barely) — the acceptance check a
+    * tokenizer-training run ships with its merge table.
+    *
+    * Encoding-by-construction: the corpus vocabulary is re-encoded by
+    * replaying the TRAINING rewrite itself — each trained merge applied
+    * in rank order as one plain string replace over the space-wrapped
+    * symbol form ([[wrapChars]]; the merges fold into ONE codegen'd
+    * column expression). For the vocabulary the merges were trained on,
+    * sequential rank-order application is exactly the training loop's
+    * final state, so the oracle scores the training chain's own `v{N}`
+    * — encoder and trainer cannot disagree. (The [[graft.functions
+    * .BpeEncode]] kernel is the PRODUCTION encoder for model merge
+    * tables; it pre-tokenizes into letter/digit/punct runs, a different
+    * segmentation than this whitespace-grain trainer, so it would not
+    * reproduce v{N} bit-for-bit.)
+    *
+    * Scale shape: training is q135 (vocabulary-grain aggregates off the
+    * standing `token_freq` census); scoring is a map-only replace chain
+    * over the (source, token, n) index plus a source-grain rollup — in
+    * artifact mode the documents table is NEVER scanned (plan-guarded),
+    * so the whole query is vocabulary-sized however large the corpus.
+    * All sums are exact longs; the two ratios are decimal-routed once
+    * at the end (the q95 posture).
+    */
+  def q153TrainedFertility(spark: SparkSession, dir: String): DataFrame = {
+    // inline fallback pays ONE tokenizing scan shared by training and
+    // scoring (the q90 checkpoint posture); artifact mode reads the
+    // standing index and never touches documents
+    val tf = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(
+        CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
+    trainedFertilityFrom(spark, tf, BpeSteps)
+  }
+
+  /** [[q153TrainedFertility]] over a caller-supplied `(source, token,
+    * n)` index — the spec's crafted-dictionary seam (training census =
+    * the index re-aggregated over sources, exactly [[graft.Artifacts
+    * .tokenTotals]]'s artifact-mode derivation).
+    */
+  private[graft] def trainedFertilityFrom(spark: SparkSession,
+      tf: DataFrame, steps: Int): DataFrame = {
+    val merges = bpeTrainFrom(spark,
+      tf.groupBy("token").agg(sum("n").as("n")), steps)
+      .collect().sortBy(_.getAs[Int]("step"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    val encoded = merges.foldLeft(wrapChars(col("token"))) {
+      case (w, (a, b)) => replace(w, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    tf.withColumn("n_sym", size(split(trim(encoded), "  ")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum("n").as("ws_tokens"),
+        sum(col("n") * length(col("token")).cast("long")).as("n_chars"),
+        sum(col("n") * col("n_sym")).as("bpe_tokens"))
+      .withColumn("fertility", round6(
+        col("bpe_tokens").cast("double") / nullif(col("ws_tokens"), lit(0L))))
+      .withColumn("chars_per_token", round6(
+        col("n_chars").cast("double") / nullif(col("bpe_tokens"), lit(0L))))
+      .orderBy("source")
+  }
+
+  /** The training chain verbatim ([[bpeStepCtes]] — `v0` here is the
+    * same census derived at (source, token) grain first), then the
+    * final vocabulary state `v{N}` scored instead of the merge rows:
+    * symbols-per-word from the trained state, joined back to the
+    * per-source index by the space-stripped word (wrapping never drops
+    * characters, so `replace(w, ' ', '')` IS the original token).
+    */
+  lazy val q153OracleSql: String =
+    s"""WITH tok AS (
+       |  SELECT source, unnest(string_split_regex(text, '\\s+')) AS token
+       |  FROM documents
+       |), tf AS (
+       |  SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token
+       |), v0 AS (
+       |  SELECT regexp_replace(token, '(.)', ' \\1 ', 'g') AS w,
+       |         CAST(SUM(n) AS BIGINT) AS n
+       |  FROM tf GROUP BY 1
+       |),
+       |$bpeStepCtes,
+       |enc AS (
+       |  SELECT replace(w, ' ', '') AS token,
+       |         len(string_split(trim(w), '  ')) AS n_sym
+       |  FROM v$BpeSteps
+       |), agg AS (
+       |  SELECT tf.source,
+       |         COUNT(*) AS n_types,
+       |         CAST(SUM(tf.n) AS BIGINT) AS ws_tokens,
+       |         CAST(SUM(tf.n * len(tf.token)) AS BIGINT) AS n_chars,
+       |         CAST(SUM(tf.n * e.n_sym) AS BIGINT) AS bpe_tokens
+       |  FROM tf JOIN enc e USING (token)
+       |  GROUP BY tf.source
+       |)
+       |SELECT source, n_types, ws_tokens, n_chars, bpe_tokens,
+       |       ${round6Sql("CAST(bpe_tokens AS DOUBLE) / nullif(ws_tokens, 0)")}
+       |         AS fertility,
+       |       ${round6Sql("CAST(n_chars AS DOUBLE) / nullif(bpe_tokens, 0)")}
+       |         AS chars_per_token
+       |FROM agg ORDER BY source""".stripMargin
 }

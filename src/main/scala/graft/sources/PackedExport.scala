@@ -67,13 +67,18 @@ object PackedExport {
     */
   def packedExport(spark: SparkSession, dir: String, outDir: String,
       tok: graft.functions.Tokenizer = graft.functions.Tokenizer.Whitespace,
-      order: CorpusOps.ExportOrder = CorpusOps.ExportOrder.ByDocId)
-      : DataFrame = {
+      order: CorpusOps.ExportOrder = CorpusOps.ExportOrder.ByDocId,
+      members: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
+    // `members` (a doc_id frame) restricts the export to a kept subset
+    // (the curated-export path, q156): the layout — and therefore the id
+    // stream, index, and manifest — covers members only; the VOCABULARY
+    // stays corpus-wide (ids must be stable across exports of different
+    // cuts of one corpus, and the tokenizer is trained corpus-wide)
     // checkpointed: referenced by the index write, the stream join, and
     // the manifest rollup — three consumers, one window computation
     val layout = graft.Checkpoints.checkpoint(
-      CorpusOps.exportLayout(spark, dir, tok, order))
+      CorpusOps.exportLayout(spark, dir, tok, order, members))
     val occ = occurrences(spark, dir, tok)
     // vocabulary counts: standing token_freq (re-aggregated over sources)
     // for the whitespace default, else counted off the occurrence stream
@@ -237,14 +242,17 @@ object PackedExport {
   private[graft] val ExportEpoch = 1
 
   private def packedRoundTrip(spark: SparkSession, dir: String,
-      order: CorpusOps.ExportOrder): DataFrame = {
+      order: CorpusOps.ExportOrder,
+      members: Option[DataFrame] = None,
+      memberTag: String = ""): DataFrame = {
     val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|${order.name}".getBytes("UTF-8"))
+      .digest(s"$dir|${order.name}|$memberTag".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(8)
     val outDir = new java.io.File(
       System.getProperty("java.io.tmpdir"),
       s"graft_packed_export_$tag").getAbsolutePath
-    val manifest = packedExport(spark, dir, outDir, order = order)
+    val manifest = packedExport(spark, dir, outDir, order = order,
+      members = members)
     val bin = spark.read.format("binaryFile").load(s"$outDir/shards")
       .select(
         regexp_extract(col("path"), "shard_(\\d+)\\.bin", 1)
@@ -359,4 +367,57 @@ object PackedExport {
        |${graft.operators.Curation.q94OracleSql}
        |  )""".stripMargin,
     CorpusOps.ExportOrder.ByCurriculum.name)
+
+  /** q156 — the CURATED packed export: [[packedExport]] restricted to
+    * the documents q138's ledger keeps (every gate the engine ships —
+    * extraction, language, length, repetition, quality, dedup —
+    * conjoined), byte-level read-back per q127. This closes the
+    * pipeline end to end: what reaches the binary artifact a trainer
+    * mounts is exactly what the curation funnel selected, with cuts and
+    * offsets computed over the kept set (a culled document shifts no
+    * boundary and ships no byte) while the vocabulary stays
+    * corpus-wide (token ids stable across cuts). The oracle feeds
+    * q138's own ledger statement into the shared packed-export replay
+    * as the membership/okey frame, so the export and the funnel it
+    * ships cannot drift.
+    */
+  def q156PackedCurated(spark: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Curation.q138CurationLedger(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    packedRoundTrip(spark, dir, CorpusOps.ExportOrder.ByDocId,
+      members = Some(kept), memberTag = "curated")
+  }
+
+  lazy val q156OracleSql: String = packedOracleFor(
+    s"""  SELECT doc_id, doc_id AS okey FROM (
+       |${graft.operators.Curation.q138OracleSql}
+       |  ) WHERE keep""".stripMargin,
+    CorpusOps.ExportOrder.ByDocId.name)
+
+  /** q157 — the RELEASE packed export: q156's curated membership
+    * tightened by the release gate — registered benchmark members
+    * excluded (they ARE the evals) and q145's drop rule applied at doc
+    * grain (the lexical q124 ∪ semantic q142 flagged union over every
+    * registered and external set). This is the binary artifact a lab
+    * actually releases to training: curation gates ∧ decontamination ∧
+    * member exclusion, byte-level read-back, corpus-wide vocabulary.
+    * q145 prices the gate per benchmark set; this ships its verdict.
+    */
+  def q157PackedRelease(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.{Curation, EvalSets, SemanticOps}
+    val kept = Curation.q138CurationLedger(spark, dir)
+      .filter(col("keep") && !EvalSets.inAnySet(col("doc_id")))
+      .select("doc_id")
+    val flagged = EvalSets.q124EvalDecontam(spark, dir).select("doc_id")
+      .union(SemanticOps.q142SemDecontam(spark, dir)
+        .select(col("vec_id").as("doc_id")))
+      .distinct()
+    val members = kept.join(flagged, Seq("doc_id"), "left_anti")
+    packedRoundTrip(spark, dir, CorpusOps.ExportOrder.ByDocId,
+      members = Some(members), memberTag = "release")
+  }
+
+  lazy val q157OracleSql: String = packedOracleFor(
+    graft.operators.EvalSets.releaseKeptCte,
+    CorpusOps.ExportOrder.ByDocId.name)
 }

@@ -641,6 +641,46 @@ object StreamingOps {
       idCol, graft.Artifacts.evalShingles(spark, corpusDir))
   }
 
+  /** q50's verdict at INTAKE time: each arriving document checked
+    * against the STANDING corpus digests + MinHash band index BEFORE the
+    * batch folds in — exact duplicates by content hash, near-duplicates
+    * by shared band bucket verified at signature agreement ≥ 0.5,
+    * verdict precedence exact > near > new, match_id = the smallest
+    * matching corpus doc. The fourth intake gate: [[dedupStream]] drops
+    * exact repeats of the stream's own past, [[noveltyOfBatch]] scores
+    * n-gram novelty, [[contaminationOfBatch]] screens eval leakage —
+    * this one answers "is this page already in the corpus, possibly
+    * lightly mutated", which is the verdict that decides whether the
+    * batch row is worth storing at all (a re-crawl of a boilerplate
+    * page costs its storage forever but adds nothing).
+    *
+    * The discipline of the other gates: the STREAM carries zero
+    * signature state — the batch's digests and band rows are derived
+    * per micro-batch (batch-sized work), the corpus side is one read of
+    * the standing `doc_hashes`/`minhash_bands` artifacts (inline
+    * fallback when none is materialized), and the verdict goes through
+    * q50's OWN join core (`CorpusOps.dedupVerdictsOf`) — identical to
+    * the batch audit by construction, not by parallel implementation.
+    * At-least-once delivery is absorbed by a doc-grain dedup first
+    * (arbitrary-but-single winner, the [[artifactMaintainingIntake]]
+    * posture). Output: one `(idCol, verdict, match_id)` row per
+    * distinct arriving document.
+    */
+  def nearDupOfBatch(batch: DataFrame, spark: SparkSession,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.{CorpusOps, Dedup}
+    val b = batch.dropDuplicates(idCol)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    CorpusOps.dedupVerdictsOf(
+      b.select("doc_id"),
+      graft.Artifacts.docHashesFrame(b),
+      Dedup.bandedSignatures(b),
+      graft.Artifacts.docHashes(spark, corpusDir),
+      graft.Artifacts.minhashBands(spark, corpusDir))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the
     * preceding 30 minutes. The interval join is an equi-join on user_id

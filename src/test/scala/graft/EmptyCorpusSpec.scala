@@ -105,7 +105,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q132_dup_runs" -> (CorpusOps.q132DupRuns _),
     "q133_repetition_gate" -> (graft.operators.Extraction.q133RepetitionGate _),
     "q134_snippet" -> (Search.q134Snippet _),
-    "q144_pack_budget_sweep" -> (CorpusOps.q144PackBudgetSweep _))
+    "q144_pack_budget_sweep" -> (CorpusOps.q144PackBudgetSweep _),
+    "q153_trained_fertility" -> (TextAnalysis.q153TrainedFertility _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

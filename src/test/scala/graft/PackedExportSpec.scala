@@ -232,4 +232,102 @@ class PackedExportSpec extends SparkSpec {
       }
     }
   }
+
+  test("curated export ships exactly the ledger's kept docs; vocab stays corpus-wide") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-packed-cur").toFile
+    val outFull = new java.io.File(tmp, "full").getAbsolutePath
+    val outCur = new java.io.File(tmp, "curated").getAbsolutePath
+    try {
+      val ledger = graft.operators.Curation
+        .q138CurationLedger(spark, sf).collect()
+      val kept = ledger.filter(_.getAs[Boolean]("keep"))
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(kept.nonEmpty && kept.size < ledger.length,
+        "fixture must cull something and keep something")
+      PackedExport.packedExport(spark, sf, outFull).collect()
+      val keptDf = graft.operators.Curation.q138CurationLedger(spark, sf)
+        .filter(col("keep")).select("doc_id")
+      val manifest = PackedExport.packedExport(spark, sf, outCur,
+        members = Some(keptDf)).collect()
+
+      // the index covers exactly the kept set
+      val index = spark.read.parquet(s"$outCur/index").collect()
+      assert(index.map(_.getAs[Long]("doc_id")).toSet == kept)
+
+      // byte mass = kept docs' token mass exactly; CRCs verify
+      val counts = spark.read.parquet(s"$outFull/index").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+      assert(manifest.map(_.getAs[Long]("shard_tokens")).sum ==
+        kept.toSeq.map(counts).sum)
+      val shardBytes: Map[Int, Array[Byte]] =
+        new java.io.File(outCur, "shards").listFiles()
+          .filter(_.getName.endsWith(".bin"))
+          .map(f => f.getName.stripPrefix("shard_").stripSuffix(".bin").toInt
+            -> readAll(f)).toMap
+      manifest.foreach { r =>
+        val bytes = shardBytes.getOrElse(r.getAs[Int]("shard_id"),
+          Array.empty[Byte])
+        assert(bytes.length.toLong == r.getAs[Long]("n_bytes"))
+        if (bytes.nonEmpty)
+          assert(crc32(bytes) == r.getAs[Long]("crc32"))
+      }
+
+      // token ids are the corpus-wide vocabulary — identical between the
+      // full and curated exports (stable across cuts of one corpus)
+      def vocabOf(out: String) = spark.read.parquet(s"$out/vocab").collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[Int]("id")).toMap
+      assert(vocabOf(outCur) == vocabOf(outFull))
+
+      // each kept doc's slice decodes back to its exact tokens
+      val idToToken = vocabOf(outCur).map(_.swap)
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          Option(r.getAs[String]("text"))).toMap
+      index.foreach { r =>
+        val docId = r.getAs[Long]("doc_id")
+        val slice = shardBytes.getOrElse(r.getAs[Int]("shard_id"),
+          Array.empty[Byte]).slice(
+          4 * r.getAs[Long]("tok_offset").toInt,
+          4 * (r.getAs[Long]("tok_offset").toInt +
+            r.getAs[Long]("n_tokens").toInt))
+        val decoded = leInts(slice).map(idToToken)
+        val expected = texts(docId).map(_.split("\\s+"))
+          .getOrElse(Array.empty)
+        assert(decoded.sameElements(expected), s"curated doc $docId")
+      }
+    } finally {
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("release export ships exactly curated ∧ non-member ∧ unflagged docs") {
+    import graft.operators.{Curation, EvalSets, SemanticOps}
+    try {
+      val ledgerKeep = Curation.q138CurationLedger(spark, sf)
+        .filter(col("keep")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val members = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id").collect().map(_.getLong(0))
+        .filter(id => EvalSets.Registry.exists(s =>
+          java.lang.Math.floorMod(id, s.mod) == s.residue)).toSet
+      val flagged =
+        (EvalSets.q124EvalDecontam(spark, sf).select("doc_id")
+          .collect().map(_.getLong(0)) ++
+          SemanticOps.q142SemDecontam(spark, sf).select("vec_id")
+            .collect().map(_.getLong(0))).toSet
+      val expected = ledgerKeep -- members -- flagged
+      assert(expected.nonEmpty, "fixture release set is empty")
+      assert(expected.size < ledgerKeep.size,
+        "fixture must exclude someone (members exist by construction)")
+      val manifest = PackedExport.q157PackedRelease(spark, sf).collect()
+      assert(manifest.map(_.getAs[Long]("n_docs")).sum ==
+        expected.size.toLong)
+      // doc id range in the manifest stays inside the release set
+      val ids = manifest.flatMap(r => Seq(r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc")))
+      ids.foreach(id => assert(expected(id), s"manifest names culled doc $id"))
+    } finally Checkpoints.releaseAll()
+  }
 }

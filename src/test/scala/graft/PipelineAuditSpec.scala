@@ -59,6 +59,54 @@ class PipelineAuditSpec extends SparkSpec {
     }
   }
 
+  test("q155 equals a local replay of the epoch-salted sampler") {
+    val sched = CorpusOps.q97AnnealSchedule(spark, sf).collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("source"),
+        r.getAs[Int]("epoch")), r.getAs[Double]("anneal_weight"))).toMap
+    val docs = Tables.documents(spark, sf).collect().map { r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("source"),
+        Option(r.getAs[String]("text")).map(_.split("\\s+", -1).length))
+    }
+    def h(id: Long, e: Int): Long = graft.functions.PolyHash.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"$id#mix$e"),
+      31) % 1000000L
+    // independent replay: per (epoch, stratum), kept docs + token mass
+    val keptDocs = (for {
+      (id, lang, src, nt) <- docs
+      e <- 0 to 3
+      w <- sched.get((lang, src, e))
+      if h(id, e) < w * 1000000L
+    } yield ((e, lang, src), (id, nt)))
+    val expect = keptDocs.groupBy(_._1).map { case (k, rs) =>
+      k -> (rs.length.toLong, rs.flatMap(_._2._2).map(_.toLong).sum)
+    }
+    val out = CorpusOps.q155EpochSamplePlan(spark, sf).collect()
+    val got = out.map(r => ((r.getAs[Int]("epoch"), r.getAs[String]("lang"),
+      r.getAs[String]("source")),
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))).toMap
+    assert(got == expect)
+    // token_share sums to 1 within each epoch
+    out.groupBy(_.getAs[Int]("epoch")).foreach { case (e, rs) =>
+      val s = rs.map(_.getAs[Double]("token_share")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"epoch $e share sum $s")
+    }
+    // independent draws: some down-weighted stratum keeps DIFFERENT doc
+    // sets across epochs (the epoch salt's whole point) — assert when
+    // the schedule actually down-weights something
+    val partialStrata = sched.filter(_._2 < 0.999).keys
+      .map(k => (k._1, k._2)).toSet
+    if (partialStrata.nonEmpty) {
+      val byEpoch = keptDocs.filter { case ((_, l, s), _) =>
+        partialStrata((l, s)) }
+        .groupBy(_._1._1).view
+        .mapValues(_.map(_._2._1).toSet).toMap
+      assert(byEpoch.values.toSet.size > 1,
+        "every epoch drew the identical sample — epoch salt inert")
+    }
+    Checkpoints.releaseAll()
+  }
+
   test("q99 rollup reconciles with q76's change set") {
     val drift = CorpusOps.q99SnapshotDrift(spark, sf).collect()
     assert(drift.nonEmpty)

@@ -343,6 +343,7 @@ class PlanQualitySpec extends SparkSpec {
       for ((name, q, maxScans) <- Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame, Int)](
           ("q60", graft.operators.CorpusAudit.q60SplitOverlap _, 0),
           ("q77", graft.operators.CorpusAudit.q77SourceOverlap _, 0),
+          ("q153", graft.operators.TextAnalysis.q153TrainedFertility _, 0),
           ("q47", graft.operators.CorpusOps.q47Decontaminate _, 1))) {
         val p = finalPlan(q(spark, sf))
         Checkpoints.releaseAll()

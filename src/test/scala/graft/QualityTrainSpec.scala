@@ -131,4 +131,50 @@ class QualityTrainSpec extends SparkSpec {
     }
     Checkpoints.releaseAll()
   }
+
+  test("q154 sweep reconciles against the trained scores it prices") {
+    val m = QualityTrain.train(spark, sf)
+    val docs = Tables.documents(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val scored = TextAnalysis.q83With(spark, sf, m).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Int]("n_tokens").toLong,
+        r.getAs[Double]("quality_score")))
+    val curated = docs.view.mapValues(s =>
+      s != null && s.startsWith("src") &&
+        s.stripPrefix("src").forall(_.isDigit) &&
+        s.stripPrefix("src").toInt < 10).toMap
+    // independent band cells from the q83-scored rows (signed log2
+    // magnitude — Long.toBinaryString(0) is "0", matching bin(0))
+    def bandOf(s: Double): Int = {
+      val len = java.lang.Long.toBinaryString(
+        math.floor(math.abs(s)).toLong).length
+      if (s >= 0) len else -len
+    }
+    val expectCells = scored.groupBy { case (_, _, s) => bandOf(s) }
+      .map { case (b, rs) =>
+        b -> (rs.size.toLong, rs.map(_._2).sum,
+          rs.count(r => curated(r._1)).toLong)
+      }
+    val out = QualityTrain.q154TrainedThresholdSweep(spark, sf).collect()
+    val gotCells = out.map(r => r.getAs[Int]("band") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_curated"))).toMap
+    assert(gotCells == expectCells)
+    // bands descend; running totals accumulate exactly; the last row's
+    // totals are the corpus totals (every doc is priced exactly once)
+    val bands = out.map(_.getAs[Int]("band")).toSeq
+    assert(bands == bands.sorted.reverse && bands.distinct == bands)
+    var (cd, ct, cc) = (0L, 0L, 0L)
+    out.foreach { r =>
+      cd += r.getAs[Long]("n_docs"); ct += r.getAs[Long]("n_tokens")
+      cc += r.getAs[Long]("n_curated")
+      assert(r.getAs[Long]("cum_docs") == cd)
+      assert(r.getAs[Long]("cum_tokens") == ct)
+      assert(r.getAs[Long]("cum_curated") == cc)
+    }
+    assert(cd == docs.size)
+    assert(cc == docs.count { case (id, _) => curated(id) })
+    Checkpoints.releaseAll()
+  }
 }
