@@ -1228,6 +1228,23 @@ object Artifacts {
       operators.CorpusOps.tokenPostingsRows(
         Tables.documents(spark, corpusDir), tok))
 
+  /** Train q135's merge table off the standing census and commit the
+    * TRAINED tokenizer's count artifact — the train→tokenize seam as
+    * one build step. The tokenizer id digests the trained merges, and
+    * training is deterministic, so any process training the same
+    * corpus snapshot constructs the same id and resolves the committed
+    * counts; after a snapshot change the artifact stops resolving
+    * (stale-safe) and the next build retrains. Returns the tokenizer
+    * (for the caller to run budget/pack operators under) and the
+    * committed row count.
+    */
+  def materializeTrainedTokenCounts(spark: SparkSession,
+      corpusDir: String): (functions.Tokenizer, Long) = {
+    val tok = functions.Tokenizer.TrainedWs(
+      operators.TextAnalysis.trainedMerges(spark, corpusDir))
+    (tok, materializeTokenCounts(spark, corpusDir, tok))
+  }
+
   private def materializeTokenizerArtifact(spark: SparkSession,
       corpusDir: String, name: String, frame: => DataFrame): Long = {
     require(rootOpt.nonEmpty,

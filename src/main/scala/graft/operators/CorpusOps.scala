@@ -514,14 +514,26 @@ object CorpusOps {
 
   // ---- q84: token-balanced shard manifest --------------------------------
 
-  /** Output shard count for the training-export manifest. */
-  private[graft] val ExportShards = 16
+  /** Target token mass per export shard: the shard count AUTO-SIZES as
+    * `n_shards = max(1, ceil(total_tokens / TargetShardTokens))` and the
+    * cut target is `ceil(total / n_shards)` (≤ the target mass), so the
+    * binary artifact scales with the corpus instead of pushing
+    * `total/16` tokens through a fixed count of single-task sorted
+    * writers — at 100 TB a hard-coded 16 means ~6 TB per shard file.
+    * Production sets this to the file size a trainer mounts (~250M
+    * tokens ≈ 1 GiB of int32 ids); the test default keeps multi-shard
+    * coverage at spec scale. The manifest carries the realized count
+    * (`n_shards`), so a trainer can refuse an artifact cut for a
+    * different target.
+    */
+  private[graft] val TargetShardTokens = 4096L
 
   /** q84 — token-balanced export sharding: documents in global doc_id
-    * order are cut into [[ExportShards]] contiguous shards of ≈ equal
-    * TOKEN mass (boundaries at multiples of `ceil(total/shards)` over
-    * the exclusive running token sum), and the manifest reports each
-    * shard's document count, token mass, and id range. This is the
+    * order are cut into `n_shards = ceil(total / `[[TargetShardTokens]]`)`
+    * contiguous shards of ≈ equal TOKEN mass (boundaries at multiples of
+    * `ceil(total/n_shards)` over the exclusive running token sum), and
+    * the manifest reports each shard's document count, token mass, id
+    * range, and the realized shard count. This is the
     * writer-facing complement of q48: packing balances SEQUENCES inside
     * a shard, this balances the SHARDS a distributed trainer reads —
     * hash sharding (q42/q48-style) balances document COUNTS, which under
@@ -560,7 +572,8 @@ object CorpusOps {
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("shard_tokens"),
         min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"))
+        max("doc_id").as("last_doc"),
+        max("n_shards").as("n_shards"))
       .orderBy("shard_id")
 
   /** Doc-grain q84 cut assignment `(doc_id, n_tokens, cum_before,
@@ -602,11 +615,13 @@ object CorpusOps {
     sized.join(bases, "rng")
       .withColumn("cum_before",
         col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .withColumn("n_shards",
+        greatest(expr(s"(total + ${TargetShardTokens - 1})" +
+          s" DIV $TargetShardTokens"), lit(1L)))
       .withColumn("target",
-        greatest(expr(s"(total + ${ExportShards - 1}) DIV $ExportShards"),
-          lit(1L)))
+        greatest(expr("(total + n_shards - 1) DIV n_shards"), lit(1L)))
       .withColumn("shard_id", expr("CAST(cum_before DIV target AS INT)"))
-      .select("doc_id", "n_tokens", "cum_before", "shard_id")
+      .select("doc_id", "n_tokens", "cum_before", "shard_id", "n_shards")
   }
 
   /** Sequence orderings the packed export can write in — the sink
@@ -685,11 +700,14 @@ object CorpusOps {
     sized.join(bases, "rng")
       .withColumn("cum_before",
         col("base") + coalesce(sum("n_tokens").over(localW), lit(0L)))
+      .withColumn("n_shards",
+        greatest(expr(s"(total + ${TargetShardTokens - 1})" +
+          s" DIV $TargetShardTokens"), lit(1L)))
       .withColumn("target",
-        greatest(expr(s"(total + ${ExportShards - 1}) DIV $ExportShards"),
-          lit(1L)))
+        greatest(expr("(total + n_shards - 1) DIV n_shards"), lit(1L)))
       .withColumn("shard_id", expr("CAST(cum_before DIV target AS INT)"))
-      .select("doc_id", "n_tokens", "okey", "cum_before", "shard_id")
+      .select("doc_id", "n_tokens", "okey", "cum_before", "shard_id",
+        "n_shards")
   }
 
   /** Doc-grain packed-export layout: [[exportAssignment]]'s q84 cuts
@@ -718,7 +736,8 @@ object CorpusOps {
     assigned.join(broadcast(shardBase), "shard_id")
       .withColumn("tok_offset", col("cum_before") - col("shard_base"))
       .withColumn("seq_id", floor(col("tok_offset") / PackBudget))
-      .select("doc_id", "shard_id", "n_tokens", "tok_offset", "seq_id")
+      .select("doc_id", "shard_id", "n_tokens", "tok_offset", "seq_id",
+        "n_shards")
   }
 
   /** Frequency-ranked vocabulary over corpus-wide token counts: id 0 is
@@ -784,15 +803,16 @@ object CorpusOps {
       |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
       |  FROM t
       |), s AS (
-      |  SELECT doc_id, n_tokens,
-      |         CAST(FLOOR(CAST(cum_before AS DOUBLE) /
-      |           GREATEST(CAST(FLOOR(CAST(total + ${ExportShards - 1} AS DOUBLE)
-      |             / $ExportShards) AS BIGINT), 1)) AS INTEGER) AS shard_id
-      |  FROM c
+      |  SELECT doc_id, n_tokens, ns,
+      |         CAST(cum_before // GREATEST((total + ns - 1) // ns, 1)
+      |           AS INTEGER) AS shard_id
+      |  FROM (SELECT *, GREATEST((total + ${TargetShardTokens - 1})
+      |          // $TargetShardTokens, 1) AS ns FROM c)
       |)
       |SELECT shard_id, COUNT(*) AS n_docs,
       |       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
-      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |       MAX(ns) AS n_shards
       |FROM s GROUP BY shard_id ORDER BY shard_id""".stripMargin
 
   // ---- q49: PII scrubbing ------------------------------------------------
@@ -1386,7 +1406,11 @@ object CorpusOps {
         col("n_docs"), col("n_tokens"),
         round6(col("n_tokens").cast("double")
           / nullif(col("epoch_tokens"), lit(0L))).as("token_share"))
-      .orderBy("epoch", "lang", "source")
+      // nulls-last pinned on both engines: Spark defaults ASC NULLS
+      // FIRST, DuckDB NULLS LAST — latent row-order divergence if a
+      // lang/source is ever null (the q120 ordering discipline)
+      .orderBy(col("epoch"), col("lang").asc_nulls_last,
+        col("source").asc_nulls_last)
   }
 
   /** q97's oracle verbatim as the weight table, q56's hash-keep rule
@@ -1417,7 +1441,8 @@ object CorpusOps {
                "CAST(k.n_tokens AS DOUBLE) / nullif(t.epoch_tokens, 0)")}
       |         AS token_share
       |FROM kept k JOIN tot t USING (epoch)
-      |ORDER BY k.epoch, k.lang, k.source""".stripMargin
+      |ORDER BY k.epoch, k.lang ASC NULLS LAST,
+      |         k.source ASC NULLS LAST""".stripMargin
   }
 
   // ---- q98: packing efficiency audit -------------------------------------

@@ -553,6 +553,66 @@ object Curation {
     admitted.orderBy("source", "cum_tokens")
   }
 
+  /** q160 — q75's greedy per-source token budget priced in the
+    * TRAINED tokenizer's units: q135's just-learned merge table becomes
+    * a [[graft.functions.Tokenizer.TrainedWs]] instance and flows
+    * through the UNCHANGED banded budget operator — the
+    * train → tokenize → budget seam closed as one hash-oracled query.
+    * Budgets move materially under the trained units (a merge table
+    * this young leaves most words multi-symbol, so documents cost
+    * roughly chars-per-word more than whitespace units and far fewer
+    * fit the same budget — pinned against q75 in `QualityTrainSpec`).
+    *
+    * Scale shape: training is q135's vocabulary-grain loop off the
+    * standing census; counting is map-only (one codegen'd replace
+    * chain per whitespace token); with the trained count artifact
+    * materialized ([[graft.Artifacts.materializeTrainedTokenCounts]] —
+    * digest-keyed, so any process training the same corpus resolves
+    * it) the budget scan reads (doc_id, source) and never text. The
+    * oracle replays the training chain's own final vocabulary state
+    * (`v{N}`) for per-type symbol counts — encoder and trainer cannot
+    * disagree (the q153 encoding-by-construction argument).
+    */
+  def q160TrainedBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudget(spark, dir, graft.functions.Tokenizer.TrainedWs(
+      TextAnalysis.trainedMerges(spark, dir)))
+
+  /** The q135 training chain verbatim, its `v{N}` state scored to
+    * per-type symbol counts, occurrence-grain per-doc totals, then
+    * q75's window/filter arithmetic unchanged.
+    */
+  lazy val q160OracleSql: String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, source,
+      |         unnest(string_split_regex(text, '\\s+')) AS token
+      |  FROM documents
+      |), v0 AS (
+      |  SELECT regexp_replace(token, '(.)', ' \\1 ', 'g') AS w,
+      |         COUNT(*) AS n
+      |  FROM tok GROUP BY token
+      |),
+      |${TextAnalysis.bpeStepCtes},
+      |enc AS (
+      |  SELECT replace(w, ' ', '') AS token,
+      |         len(string_split(trim(w), '  ')) AS n_sym
+      |  FROM v${TextAnalysis.BpeSteps}
+      |), dt AS (
+      |  SELECT o.doc_id, CAST(SUM(e.n_sym) AS BIGINT) AS n_tokens
+      |  FROM tok o JOIN enc e USING (token)
+      |  GROUP BY o.doc_id
+      |), t AS (
+      |  SELECT d.doc_id, d.source, s.n_tokens
+      |  FROM documents d LEFT JOIN dt s USING (doc_id)
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= $SourceTokenBudget
+      |ORDER BY source, cum_tokens""".stripMargin
+
   lazy val q75OracleSql: String =
     s"""WITH t AS (
       |  SELECT doc_id, source,

@@ -60,14 +60,28 @@ object EvalSets {
   final case class ExternalEvalSet(setId: String, version: Int, file: String)
 
   /** Root of the committed benchmark fixtures (overridable for specs
-    * that stage their own corrupt-line files).
+    * that stage their own corrupt-line files). Resolved repo-relative —
+    * `fixtures/benchmarks` under the working directory (sbt and the
+    * driver both run from the checkout root), absolutized so the path
+    * survives being embedded into oracle SQL run by another process —
+    * with the env override taking precedence; a moved checkout keeps
+    * working without an env var.
     */
   val BenchmarkFixtureDir: String =
-    sys.env.getOrElse("GRAFT_BENCHMARK_DIR", "/root/repo/fixtures/benchmarks")
+    sys.env.getOrElse("GRAFT_BENCHMARK_DIR",
+      new java.io.File("fixtures/benchmarks").getAbsolutePath)
 
-  /** The externally-ingested suites. */
+  /** The externally-ingested suites. `external_x` ships every item with
+    * an embedding (both screens active); `external_y` is mostly
+    * embedding-LESS (its leaked items are screened lexically only —
+    * the q145 semantic-leg contract exercised end-to-end) plus one
+    * embedding-only paraphrase stand-in (novel text, corpus-copied
+    * vector) that only the semantic screen can catch. Two suites also
+    * pin that per-suite verdicts never collapse.
+    */
   val ExternalRegistry: Seq[ExternalEvalSet] = Seq(
-    ExternalEvalSet("external_x", 1, s"$BenchmarkFixtureDir/external_x.jsonl"))
+    ExternalEvalSet("external_x", 1, s"$BenchmarkFixtureDir/external_x.jsonl"),
+    ExternalEvalSet("external_y", 1, s"$BenchmarkFixtureDir/external_y.jsonl"))
 
   /** The external-item schema a registry file must parse to: benchmark
     * text plus (optionally, per line) the item's embedding under the
@@ -190,7 +204,12 @@ object EvalSets {
     * lexical ∪ semantic flagged union over every set (q145's drop rule
     * at doc grain). Each screen's own oracle is embedded whole, so the
     * release export (`PackedExport.q157PackedRelease`) ships exactly
-    * what the ledger keeps AND the release gate clears.
+    * what the ledger keeps AND the release gate clears. The member test
+    * uses the sign-safe `((x % m) + m) % m` form (= Spark's `pmod`):
+    * DuckDB's C-style `%` yields negative remainders for negative
+    * dividends, and while corpus doc_ids are non-negative by the
+    * reserved-negative-id contract, the shipping release gate must not
+    * lean on that implicitly.
     */
   private[graft] lazy val releaseKeptCte: String =
     s"""  SELECT k.doc_id, k.doc_id AS okey FROM (
@@ -199,7 +218,7 @@ object EvalSets {
        |  WHERE k.keep
        |    AND NOT EXISTS (SELECT 1 FROM (VALUES $registrySql)
        |          AS r(set_id, set_version, md, res)
-       |          WHERE k.doc_id % r.md = r.res)
+       |          WHERE ((k.doc_id % r.md) + r.md) % r.md = r.res)
        |    AND k.doc_id NOT IN (SELECT doc_id FROM (
        |$q124OracleSql
        |    ))

@@ -315,9 +315,16 @@ object QualityTrain {
     * doc-grain global window (the q97/q100 tiny-spine posture).
     * Training itself is q148's bounded-sample driver-local loop.
     */
-  def q154TrainedThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
-    val scored = q151TrainedQuality(spark, dir)
-      .select("doc_id", "n_tokens", "quality_score")
+  def q154TrainedThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    sweepFrom(spark, dir, q151TrainedQuality(spark, dir)
+      .select("doc_id", "n_tokens", "quality_score"))
+
+  /** The q154 operating table over a caller-supplied scored frame —
+    * shared with [[q158TrainedGate]] so the gate prices its cutoff on
+    * exactly the scores it then gates (one scoring pass, not two).
+    */
+  private def sweepFrom(spark: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
     val src = graft.Tables.documents(spark, dir).select(
       col("doc_id"),
       when(col("source").isin(CuratedSources.map(x => x: Any): _*), 1L)
@@ -350,12 +357,15 @@ object QualityTrain {
   }
 
   /** [[scoringCtes]] verbatim, then the signed-log₂ band rollup and the
-    * descending-band running totals over the band-grain frame.
+    * descending-band running totals, ending in a `sweep` CTE holding
+    * q154's full output — q154 selects it whole, q158 picks its cutoff
+    * from it; one chain, so the gate's priced table and the shipped
+    * threshold can never drift.
     */
-  lazy val q154OracleSql: String = {
+  private lazy val sweepCtes: String = {
     import graft.functions.VectorOps.round6Sql
     val mag = "length(bin(CAST(floor(abs(s.quality_score)) AS BIGINT)))"
-    s"""WITH $scoringCtes, lab AS (
+    s"""$scoringCtes, lab AS (
        |  SELECT s.doc_id, s.n_tokens, s.quality_score,
        |         CASE WHEN s.quality_score >= 0 THEN $mag
        |              ELSE -$mag END AS band,
@@ -376,13 +386,106 @@ object QualityTrain {
        |         CAST(SUM(n_tokens) OVER w AS BIGINT) AS cum_tokens,
        |         CAST(SUM(n_curated) OVER w AS BIGINT) AS cum_curated
        |  FROM cells WINDOW w AS (ORDER BY band DESC)
-       |)
-       |SELECT band, score_min, score_max, n_docs, n_tokens, n_curated,
-       |       ${round6Sql("CAST(n_curated AS DOUBLE) / n_docs")}
-       |         AS curated_rate,
-       |       cum_docs, cum_tokens, cum_curated,
-       |       ${round6Sql("CAST(cum_curated AS DOUBLE) / cum_docs")}
-       |         AS cum_precision
-       |FROM cum ORDER BY band DESC""".stripMargin
+       |), sweep AS (
+       |  SELECT band, score_min, score_max, n_docs, n_tokens, n_curated,
+       |         ${round6Sql("CAST(n_curated AS DOUBLE) / n_docs")}
+       |           AS curated_rate,
+       |         cum_docs, cum_tokens, cum_curated,
+       |         ${round6Sql("CAST(cum_curated AS DOUBLE) / cum_docs")}
+       |           AS cum_precision
+       |  FROM cum
+       |)""".stripMargin
   }
+
+  lazy val q154OracleSql: String =
+    s"""WITH $sweepCtes
+       |SELECT band, score_min, score_max, n_docs, n_tokens, n_curated,
+       |       curated_rate, cum_docs, cum_tokens, cum_curated,
+       |       cum_precision
+       |FROM sweep ORDER BY band DESC""".stripMargin
+
+  // ---- q158: the trained gate SHIPPED -------------------------------------
+
+  /** Minimum curated purity the shipped trained gate must clear: the
+    * cutoff is the LOWEST band (maximum admitted volume) whose q154
+    * running precision still clears this floor.
+    */
+  val GatePurityFloor = 0.6
+
+  /** q158 — the trained quality gate APPLIED: q154 prices every
+    * candidate cutoff; this picks one and ships its verdict per
+    * document. The threshold is chosen from the operating table itself
+    * — the lowest band whose cumulative curated purity clears
+    * [[GatePurityFloor]] (volume-maximal at acceptable purity; if no
+    * band clears, the strictest band — the top of the table — so the
+    * gate degrades to shipping only the most confident scores, never
+    * to shipping everything). The gate `quality_score ≥ score_min` of
+    * the chosen band admits EXACTLY that band's `cum_docs` documents
+    * (bands partition score ranges, so the band's empirical minimum
+    * separates it from every lower band — reconciled in
+    * `QualityTrainSpec`), and the verdict composes with q138's ledger:
+    * `ship = trained_keep ∧ ledger keep` is the membership
+    * `PackedExport.q159PackedTrained` exports. The chosen band and
+    * threshold ride every row, so the hash gate pins the selection
+    * rule, not just the verdicts.
+    *
+    * Scale shape: training is q148's bounded-sample driver-local loop;
+    * scoring is ONE map-only corpus pass (checkpointed — the sweep and
+    * the verdict read the same scored frame); the operating table is
+    * band-grain (≤ ~30 rows, collected); the ledger join is doc-grain
+    * equi-join. Nothing here re-scores or re-trains per candidate
+    * threshold.
+    */
+  def q158TrainedGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = graft.Checkpoints.checkpoint(
+      q151TrainedQuality(spark, dir)
+        .select("doc_id", "n_tokens", "quality_score"))
+    val rows = sweepFrom(spark, dir, scored).collect()
+    require(rows.nonEmpty, "q158: empty operating table")
+    def bandOf(r: org.apache.spark.sql.Row) = r.getAs[Int]("band")
+    val qualifying = rows.filter(
+      _.getAs[Double]("cum_precision") >= GatePurityFloor)
+    val chosen = if (qualifying.nonEmpty) qualifying.minBy(bandOf)
+                 else rows.maxBy(bandOf)
+    val thr = chosen.getAs[Double]("score_min")
+    val ledger = Curation.q138CurationLedger(spark, dir)
+      .select(col("doc_id"), col("keep").as("ledger_keep"))
+    scored.join(ledger, "doc_id")
+      .select(col("doc_id"), col("quality_score"),
+        lit(bandOf(chosen).toLong).as("gate_band"),
+        lit(thr).as("gate_threshold"),
+        (col("quality_score") >= thr).as("trained_keep"),
+        col("ledger_keep"),
+        ((col("quality_score") >= thr) && col("ledger_keep")).as("ship"))
+      .orderBy("doc_id")
+  }
+
+  /** [[sweepCtes]] verbatim, the same lowest-qualifying-band pick (with
+    * the strictest-band fallback), q138's ledger embedded whole, and
+    * the conjoined verdict — score, cutoff selection, and membership
+    * replayed in ONE statement.
+    */
+  lazy val q158OracleSql: String =
+    s"""WITH $sweepCtes, pick AS (
+       |  SELECT band, score_min FROM sweep
+       |  WHERE cum_precision >= $GatePurityFloor
+       |  ORDER BY band ASC LIMIT 1
+       |), fb AS (
+       |  SELECT band, score_min FROM sweep ORDER BY band DESC LIMIT 1
+       |), thr AS (
+       |  SELECT COALESCE((SELECT band FROM pick), (SELECT band FROM fb)) AS b,
+       |         COALESCE((SELECT score_min FROM pick),
+       |                   (SELECT score_min FROM fb)) AS t
+       |), led AS (
+       |  SELECT doc_id, keep FROM (
+       |${Curation.q138OracleSql}
+       |  )
+       |)
+       |SELECT s.doc_id, s.quality_score,
+       |       CAST(t.b AS BIGINT) AS gate_band, t.t AS gate_threshold,
+       |       s.quality_score >= t.t AS trained_keep,
+       |       l.keep AS ledger_keep,
+       |       (s.quality_score >= t.t AND l.keep) AS ship
+       |FROM scored s JOIN led l USING (doc_id), thr t
+       |ORDER BY s.doc_id""".stripMargin
 }

@@ -1073,7 +1073,7 @@ object TextAnalysis {
     * (which scores the final `v{N}` state) interpolate the SAME chain
     * and can never train different merges.
     */
-  private lazy val bpeStepCtes: String =
+  private[operators] lazy val bpeStepCtes: String =
     (1 to BpeSteps).map { k =>
       s"""p$k AS (
          |  SELECT n, s[i] AS c1, s[i + 1] AS c2 FROM (
@@ -1151,6 +1151,18 @@ object TextAnalysis {
     * All sums are exact longs; the two ratios are decimal-routed once
     * at the end (the q95 posture).
     */
+  /** The q135-trained merge table collected in rank order — the seam
+    * q160's budget run and the artifact build construct
+    * [[graft.functions.Tokenizer.TrainedWs]] from. Deterministic
+    * (integer weights, binary-order tie-breaks), so every caller trains
+    * the identical table and the digest-keyed count artifact committed
+    * by one process resolves in another.
+    */
+  private[graft] def trainedMerges(spark: SparkSession,
+      dir: String): Seq[(String, String)] =
+    q135BpeTrain(spark, dir).collect().sortBy(_.getAs[Int]("step"))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+
   def q153TrainedFertility(spark: SparkSession, dir: String): DataFrame = {
     // inline fallback pays ONE tokenizing scan shared by training and
     // scoring (the q90 checkpoint posture); artifact mode reads the
@@ -1186,7 +1198,10 @@ object TextAnalysis {
         col("bpe_tokens").cast("double") / nullif(col("ws_tokens"), lit(0L))))
       .withColumn("chars_per_token", round6(
         col("n_chars").cast("double") / nullif(col("bpe_tokens"), lit(0L))))
-      .orderBy("source")
+      // nulls-last pinned: the standing token_freq contract includes
+      // null-source rows, and Spark's ASC default is NULLS FIRST while
+      // DuckDB's is NULLS LAST (the q120 ordering discipline)
+      .orderBy(col("source").asc_nulls_last)
   }
 
   /** The training chain verbatim ([[bpeStepCtes]] — `v0` here is the
@@ -1226,5 +1241,5 @@ object TextAnalysis {
        |         AS fertility,
        |       ${round6Sql("CAST(n_chars AS DOUBLE) / nullif(bpe_tokens, 0)")}
        |         AS chars_per_token
-       |FROM agg ORDER BY source""".stripMargin
+       |FROM agg ORDER BY source ASC NULLS LAST""".stripMargin
 }

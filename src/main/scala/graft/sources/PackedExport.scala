@@ -79,6 +79,13 @@ object PackedExport {
     // the manifest rollup — three consumers, one window computation
     val layout = graft.Checkpoints.checkpoint(
       CorpusOps.exportLayout(spark, dir, tok, order, members))
+    // realized auto-sized shard count (ceil(total / TargetShardTokens),
+    // carried per-row by the layout): sizes the writer repartition and
+    // rides in the manifest so a trainer can refuse a mismatched cut
+    val nShards: Int = {
+      val r = layout.agg(max("n_shards")).first()
+      if (r.isNullAt(0)) 1 else math.max(r.getLong(0).toInt, 1)
+    }
     val occ = occurrences(spark, dir, tok)
     // vocabulary counts: standing token_freq (re-aggregated over sources)
     // for the whitespace default, else counted off the occurrence stream
@@ -97,7 +104,7 @@ object PackedExport {
     hfs.delete(stage, true)
     hfs.mkdirs(new org.apache.hadoop.fs.Path(stage, "shards"))
 
-    layout.write.mode(SaveMode.Overwrite)
+    layout.drop("n_shards").write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(stage, "index").toString)
     vocab.write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(stage, "vocab").toString)
@@ -122,7 +129,7 @@ object PackedExport {
     }
     val shardsDir = new org.apache.hadoop.fs.Path(stage, "shards").toString
     val stats = stream
-      .repartition(CorpusOps.ExportShards, col("shard_id"))
+      .repartition(nShards, col("shard_id"))
       .sortWithinPartitions("shard_id", "spos")
       .as[(Int, Long, Int)]
       .mapPartitions { rows =>
@@ -186,9 +193,9 @@ object PackedExport {
       .map(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("n_docs"),
         r.getAs[Long]("shard_tokens"), r.getAs[Long]("first_doc"),
         r.getAs[Long]("last_doc"), r.getAs[Long]("n_bytes"),
-        r.getAs[Long]("crc32"), order.name))
+        r.getAs[Long]("crc32"), order.name, nShards.toLong))
       .toDF("shard_id", "n_docs", "shard_tokens", "first_doc",
-        "last_doc", "n_bytes", "crc32", "ordering")
+        "last_doc", "n_bytes", "crc32", "ordering", "n_shards")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(new org.apache.hadoop.fs.Path(stage, "manifest").toString)
 
@@ -278,7 +285,7 @@ object PackedExport {
       .select(col("shard_id"), col("n_docs"), col("shard_tokens"),
         col("first_doc"), col("last_doc"), col("n_bytes"),
         coalesce(col("stream_sum"), lit(0L)).as("stream_sum"),
-        col("ordering"))
+        col("ordering"), col("n_shards"))
       .orderBy("shard_id")
   }
 
@@ -306,18 +313,18 @@ object PackedExport {
       |         CAST(SUM(n_tokens) OVER () AS BIGINT) AS total
       |  FROM t
       |), s AS (
-      |  SELECT doc_id, n_tokens, cum_before,
-      |         CAST(FLOOR(CAST(cum_before AS DOUBLE) /
-      |           GREATEST(CAST(FLOOR(CAST(total + ${CorpusOps.ExportShards - 1}
-      |             AS DOUBLE) / ${CorpusOps.ExportShards}) AS BIGINT), 1))
+      |  SELECT doc_id, n_tokens, cum_before, ns,
+      |         CAST(cum_before // GREATEST((total + ns - 1) // ns, 1)
       |           AS INTEGER) AS shard_id
-      |  FROM c
+      |  FROM (SELECT *, GREATEST((total + ${CorpusOps.TargetShardTokens - 1})
+      |          // ${CorpusOps.TargetShardTokens}, 1) AS ns FROM c)
       |), base AS (
       |  SELECT shard_id, MIN(cum_before) AS shard_base FROM s GROUP BY shard_id
       |), man AS (
       |  SELECT shard_id, COUNT(*) AS n_docs,
       |         CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
-      |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |         MAX(ns) AS n_shards
       |  FROM s GROUP BY shard_id
       |), pos AS (
       |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
@@ -345,7 +352,7 @@ object PackedExport {
       |SELECT m.shard_id, m.n_docs, m.shard_tokens, m.first_doc, m.last_doc,
       |       m.shard_tokens * ${BytesPerToken} AS n_bytes,
       |       COALESCE(su.stream_sum, 0) AS stream_sum,
-      |       '$orderName' AS ordering
+      |       '$orderName' AS ordering, m.n_shards
       |FROM man m LEFT JOIN sums su ON m.shard_id = su.shard_id
       |ORDER BY m.shard_id""".stripMargin
 
@@ -419,5 +426,29 @@ object PackedExport {
 
   lazy val q157OracleSql: String = packedOracleFor(
     graft.operators.EvalSets.releaseKeptCte,
+    CorpusOps.ExportOrder.ByDocId.name)
+
+  /** q159 — the TRAINED-GATE packed export: [[packedExport]] restricted
+    * to q158's `ship` verdict (trained quality gate at the q154-chosen
+    * cutoff ∧ q138's ledger), byte-level read-back per q127. This is
+    * the last arc of the train-and-ship loop: q148 trains the
+    * classifier, q151 scores the corpus, q154 prices the cutoffs, q158
+    * picks and applies one, and this sink ships exactly what the
+    * trained gate admits — the oracle replays score, threshold
+    * selection, ledger membership, and the binary layout in one
+    * statement, so the shipped bytes cannot drift from the trained
+    * decision.
+    */
+  def q159PackedTrained(spark: SparkSession, dir: String): DataFrame = {
+    val ship = graft.operators.QualityTrain.q158TrainedGate(spark, dir)
+      .filter(col("ship")).select("doc_id")
+    packedRoundTrip(spark, dir, CorpusOps.ExportOrder.ByDocId,
+      members = Some(ship), memberTag = "trained")
+  }
+
+  lazy val q159OracleSql: String = packedOracleFor(
+    s"""  SELECT g.doc_id, g.doc_id AS okey FROM (
+       |${graft.operators.QualityTrain.q158OracleSql}
+       |  ) g WHERE g.ship""".stripMargin,
     CorpusOps.ExportOrder.ByDocId.name)
 }

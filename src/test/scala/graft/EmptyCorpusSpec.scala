@@ -106,7 +106,10 @@ class EmptyCorpusSpec extends SparkSpec {
     "q133_repetition_gate" -> (graft.operators.Extraction.q133RepetitionGate _),
     "q134_snippet" -> (Search.q134Snippet _),
     "q144_pack_budget_sweep" -> (CorpusOps.q144PackBudgetSweep _),
-    "q153_trained_fertility" -> (TextAnalysis.q153TrainedFertility _))
+    "q153_trained_fertility" -> (TextAnalysis.q153TrainedFertility _),
+    "q28_multimodal_features" ->
+      (graft.operators.Multimodal.q28MultimodalFeatures _),
+    "q161_wav_stats" -> (graft.operators.Multimodal.q161WavStats _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

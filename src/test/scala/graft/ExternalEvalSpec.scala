@@ -38,27 +38,66 @@ class ExternalEvalSpec extends SparkSpec {
   }
 
   test("external shingle rows equal a local replay, in the reserved negative id space") {
-    val set = EvalSets.ExternalRegistry.head
-    val got = EvalSets.externalShingleRows(spark).collect()
-    assert(got.forall(_.getAs[String]("set_id") == set.setId))
-    assert(got.forall(_.getAs[Int]("set_version") == set.version))
-    assert(got.forall(_.getAs[Long]("doc_id") < 0),
+    val all = EvalSets.externalShingleRows(spark).collect()
+    assert(all.map(_.getAs[String]("set_id")).toSet ==
+      EvalSets.ExternalRegistry.map(_.setId).toSet,
+      "every registered suite must contribute shingle rows")
+    assert(all.forall(_.getAs[Long]("doc_id") < 0),
       "benchmark rows must live in the reserved negative id space")
-    // local replay: distinct 8-gram shingles per item, doc_id = -item-1
-    val expected = scala.io.Source.fromFile(set.file).getLines().map { line =>
-      val item = line.split("\"item_id\": ")(1).split(",")(0).trim.toLong
-      val text = line.split("\"text\": \"")(1)
-        .split("\", \"embedding\"")(0).stripSuffix("\"}")
-      val toks = text.split("\\s+", -1)
-      val shs =
-        if (toks.length < 8) Set.empty[String]
-        else toks.sliding(8).map(_.mkString(" ")).toSet
-      (-item - 1) -> shs
-    }.toMap
-    val gotBy = got.groupBy(_.getAs[Long]("doc_id")).view
-      .mapValues(_.map(_.getAs[String]("sh")).toSet).toMap
-    // items shorter than the shingle width produce no rows
-    assert(gotBy == expected.filter(_._2.nonEmpty))
+    for (set <- EvalSets.ExternalRegistry) {
+      val got = all.filter(_.getAs[String]("set_id") == set.setId)
+      assert(got.forall(_.getAs[Int]("set_version") == set.version))
+      // local replay: distinct 8-gram shingles per item, doc_id = -item-1
+      val expected = scala.io.Source.fromFile(set.file).getLines().map { line =>
+        val item = line.split("\"item_id\": ")(1).split(",")(0)
+          .stripSuffix("}").trim.toLong
+        val text = line.split("\"text\": \"")(1)
+          .split("\", \"embedding\"")(0).stripSuffix("\"}")
+        val toks = text.split("\\s+", -1)
+        val shs =
+          if (toks.length < 8) Set.empty[String]
+          else toks.sliding(8).map(_.mkString(" ")).toSet
+        (-item - 1) -> shs
+      }.toMap
+      val gotBy = got.groupBy(_.getAs[Long]("doc_id")).view
+        .mapValues(_.map(_.getAs[String]("sh")).toSet).toMap
+      // items shorter than the shingle width produce no rows
+      assert(gotBy == expected.filter(_._2.nonEmpty), set.setId)
+    }
+    Checkpoints.releaseAll()
+  }
+
+  test("embedding-less items screen lexically only; suite verdicts do not collapse") {
+    val y = EvalSets.ExternalRegistry.find(_.setId == "external_y").get
+    // the vector side carries ONLY the items that ship an embedding —
+    // external_y's leaked items are embedding-less by construction
+    val vecs = EvalSets.externalVectors(spark).collect()
+      .filter(_.getAs[String]("set_id") == y.setId)
+    assert(vecs.length == 1,
+      "external_y must ship exactly one embedded item (the paraphrase)")
+    // …and its lexical leaks (docs ≡ 11 mod 100 copied verbatim) are
+    // still flagged by the 8-gram screen — the lexical-only contract
+    val q124 = EvalSets.q124EvalDecontam(spark, sf).collect()
+    val yFlagged = q124.filter(_.getAs[String]("set_id") == y.setId)
+      .map(_.getAs[Long]("doc_id")).toSet
+    val leaked = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(100)) === 11 &&
+        !EvalSets.inAnySet(col("doc_id")) &&
+        size(split(col("text"), "\\s+")) >= 8)
+      .select("doc_id").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(leaked.nonEmpty)
+    assert(leaked.subsetOf(yFlagged),
+      s"embedding-less leaks missed: ${leaked -- yFlagged}")
+    // the semantic screen catches the paraphrase stand-in (novel text,
+    // corpus-copied vector): the source vector scores cosine 1.0
+    val sem = graft.operators.SemanticOps.q142SemDecontam(spark, sf)
+      .collect().filter(_.getAs[String]("set_id") == y.setId)
+    assert(sem.map(_.getAs[Long]("vec_id")).contains(11L),
+      "the copied-embedding source vector must be semantically flagged")
+    // and per-suite verdicts stay distinct: x and y flag different docs
+    val xFlagged = q124.filter(_.getAs[String]("set_id") == "external_x")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(xFlagged != yFlagged, "suite verdicts collapsed")
     Checkpoints.releaseAll()
   }
 

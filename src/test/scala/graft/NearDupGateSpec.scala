@@ -69,6 +69,15 @@ class NearDupGateSpec extends SparkSpec {
       .groupBy(_._1).filter(_._2.size <= 64)
       .map { case (k, v) => (k, v.map(_._2)) }
     val byHash = corpus.groupBy { case (_, t) => md5hex(t) }
+    // Intra-batch duplicate ids in fixtures MUST carry identical text:
+    // this mirror dedups with toMap (last wins) while nearDupOfBatch
+    // uses dropDuplicates (arbitrary winner) — the comparison is only
+    // well-defined when the winners are content-equal.
+    batch.groupBy(_.doc_id).values.foreach { ds =>
+      assert(ds.map(_.text).distinct.size == 1,
+        s"fixture defect: conflicting texts for intra-batch duplicate " +
+          s"id ${ds.head.doc_id}")
+    }
     batch.map(d => d.doc_id -> d).toMap.values.toSeq.map { d =>
       val exact = byHash.getOrElse(md5hex(d.text), Map.empty)
         .keys.toSeq.sorted.headOption

@@ -116,8 +116,8 @@ class PackedExportSpec extends SparkSpec {
         .toDF("doc_id", "text", "source")
         .write.parquet(s"$corpus/documents.parquet")
       val manifest = PackedExport.packedExport(spark, corpus, out).collect()
-      // 5 tokens, 16 shards → target 1: every token its own shard; the
-      // null doc rides shard of cum_before 3 with 0 tokens
+      // 5 tokens → auto-sized to ONE shard (total well under
+      // TargetShardTokens); the null doc rides along with 0 tokens
       assert(manifest.map(_.getAs[Long]("shard_tokens")).sum == 5L)
       assert(manifest.map(_.getAs[Long]("n_docs")).sum == 3L)
       val vocab = spark.read.parquet(s"$out/vocab").collect()
@@ -328,6 +328,24 @@ class PackedExportSpec extends SparkSpec {
       val ids = manifest.flatMap(r => Seq(r.getAs[Long]("first_doc"),
         r.getAs[Long]("last_doc")))
       ids.foreach(id => assert(expected(id), s"manifest names culled doc $id"))
+    } finally Checkpoints.releaseAll()
+  }
+
+  test("trained-gate export ships exactly q158's ship set") {
+    try {
+      val gate = graft.operators.QualityTrain.q158TrainedGate(spark, sf)
+        .collect()
+      val expected = gate.filter(_.getAs[Boolean]("ship"))
+        .map(_.getAs[Long]("doc_id")).toSet
+      assert(expected.nonEmpty, "fixture trained-gate ship set is empty")
+      assert(expected.size < gate.length,
+        "the gate must cull something for the test to mean anything")
+      val manifest = PackedExport.q159PackedTrained(spark, sf).collect()
+      assert(manifest.map(_.getAs[Long]("n_docs")).sum ==
+        expected.size.toLong)
+      val ids = manifest.flatMap(r => Seq(r.getAs[Long]("first_doc"),
+        r.getAs[Long]("last_doc")))
+      ids.foreach(id => assert(expected(id), s"manifest names gated doc $id"))
     } finally Checkpoints.releaseAll()
   }
 }

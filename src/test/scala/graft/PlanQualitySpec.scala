@@ -318,6 +318,22 @@ class PlanQualitySpec extends SparkSpec {
           l.contains("text"))
       assert(textScans == 0,
         "q75 artifact-mode scan still reads the text column")
+      // q160 under the TRAINED tokenizer's committed counts: the budget
+      // scan likewise reads (doc_id, source), never text — tokenization
+      // under the trained table is paid once at materialize time
+      Artifacts.materializeTrainedTokenCounts(spark, sf)
+      val q160 = graft.operators.Curation.q160TrainedBudget(spark, sf)
+      q160.collect()
+      val p160 = q160.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(p160.contains(tmp.getName),
+        "q160 plan does not read the trained count artifact:\n" +
+          p160.take(600))
+      val textScans160 = p160.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans160 == 0,
+        "q160 artifact-mode scan still reads the text column")
     } finally {
       Artifacts.clearRoot()
       deleteRecursively(tmp)

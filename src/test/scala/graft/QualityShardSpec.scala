@@ -91,9 +91,14 @@ class QualityShardSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val total = docs.map(_._2).sum
     val maxDoc = docs.map(_._2).max
-    val target = (total + 15) / 16
+    val nShards = math.max(
+      (total + CorpusOps.TargetShardTokens - 1) / CorpusOps.TargetShardTokens,
+      1L)
+    val target = (total + nShards - 1) / nShards
     val shards = CorpusOps.q84ShardManifest(spark, sf).collect()
-    assert(shards.nonEmpty && shards.length <= 16)
+    assert(shards.nonEmpty && shards.length <= nShards)
+    assert(shards.forall(_.getAs[Long]("n_shards") == nShards),
+      "manifest n_shards disagrees with the auto-size formula")
     // conservation: every doc in exactly one shard
     assert(shards.map(_.getAs[Long]("shard_tokens")).sum == total)
     assert(shards.map(_.getAs[Long]("n_docs")).sum == docs.length)
@@ -127,5 +132,44 @@ class QualityShardSpec extends SparkSpec {
       assert(m.head.getAs[Long]("shard_tokens") == 100L)
       assert(m.head.getAs[Long]("first_doc") == 42L)
     } finally deleteRecursively(dir)
+  }
+
+  test("q84 shard count auto-sizes with corpus token mass; cuts stay balanced") {
+    import spark.implicits._
+    val T = CorpusOps.TargetShardTokens
+    def manifestFor(nDocs: Int, perDoc: Int) = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-autoshard").toFile
+      try {
+        (1 to nDocs).map(i => (i.toLong,
+            Seq.fill(perDoc)("w").mkString(" "), "en", "s",
+            (2L * perDoc - 1)))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+          .write.parquet(s"${dir.getPath}/documents.parquet")
+        CorpusOps.q84ShardManifest(spark, dir.getPath).collect()
+      } finally {
+        Tables.invalidate(dir.getPath)
+        deleteRecursively(dir)
+      }
+    }
+    // 1.5×T tokens → 2 shards; 3.25×T → 4 shards: the count MOVES with
+    // corpus mass (the fixed-16 posture sheared at 100 TB)
+    val small = manifestFor((T * 3 / 2 / 64).toInt, 64)
+    val big = manifestFor((T * 13 / 4 / 64).toInt, 64)
+    def claimed(m: Array[org.apache.spark.sql.Row]) =
+      m.map(_.getAs[Long]("n_shards")).distinct.toSeq
+    assert(claimed(small) == Seq(2L) && small.length == 2,
+      s"1.5×target corpus cut into ${claimed(small)} shards")
+    assert(claimed(big) == Seq(4L) && big.length == 4,
+      s"3.25×target corpus cut into ${claimed(big)} shards")
+    // balance invariant holds at the auto-sized count: every non-last
+    // shard within one document (64 tokens) of its target
+    Seq(small, big).foreach { m =>
+      val total = m.map(_.getAs[Long]("shard_tokens")).sum
+      val n = m.head.getAs[Long]("n_shards")
+      val target = (total + n - 1) / n
+      m.sortBy(_.getAs[Int]("shard_id")).dropRight(1).foreach { s =>
+        assert(math.abs(s.getAs[Long]("shard_tokens") - target) <= 64L)
+      }
+    }
   }
 }

@@ -177,4 +177,61 @@ class QualityTrainSpec extends SparkSpec {
     assert(cc == docs.count { case (id, _) => curated(id) })
     Checkpoints.releaseAll()
   }
+
+  test("q158 admits exactly the q154 cum row at the chosen band; ship = gate ∧ ledger") {
+    val sweep = QualityTrain.q154TrainedThresholdSweep(spark, sf).collect()
+    val qualifying = sweep.filter(
+      _.getAs[Double]("cum_precision") >= QualityTrain.GatePurityFloor)
+    val chosen = if (qualifying.nonEmpty) qualifying.minBy(_.getAs[Int]("band"))
+                 else sweep.maxBy(_.getAs[Int]("band"))
+    val out = QualityTrain.q158TrainedGate(spark, sf).collect()
+    assert(out.length == Tables.documents(spark, sf).count())
+    // the selection rule is surfaced on every row
+    assert(out.forall(_.getAs[Long]("gate_band") ==
+      chosen.getAs[Int]("band").toLong))
+    assert(out.forall(_.getAs[Double]("gate_threshold") ==
+      chosen.getAs[Double]("score_min")))
+    // the threshold gate admits EXACTLY the chosen band's running total
+    // (bands partition score ranges, so score_min separates the bands)
+    val kept = out.filter(_.getAs[Boolean]("trained_keep"))
+    assert(kept.length.toLong == chosen.getAs[Long]("cum_docs"),
+      s"gate kept ${kept.length}, q154 cum row says " +
+        s"${chosen.getAs[Long]("cum_docs")}")
+    // chosen band is the LOWEST band clearing the floor — volume-maximal
+    if (qualifying.nonEmpty)
+      assert(!sweep.exists(r =>
+        r.getAs[Int]("band") < chosen.getAs[Int]("band") &&
+          r.getAs[Double]("cum_precision") >= QualityTrain.GatePurityFloor))
+    // ship composes the ledger verbatim
+    val ledger = Curation.q138CurationLedger(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("ship") ==
+        (r.getAs[Boolean]("trained_keep") && ledger(r.getAs[Long]("doc_id"))))
+    }
+    Checkpoints.releaseAll()
+  }
+
+  test("q160 prices the budget in trained units: costlier per doc, fewer admitted") {
+    val trained = Curation.q160TrainedBudget(spark, sf).collect()
+    val ws = Curation.q75TokenBudget(spark, sf).collect()
+    assert(trained.nonEmpty)
+    assert(trained.forall(
+      _.getAs[Long]("cum_tokens") <= Curation.SourceTokenBudget))
+    // a merge table this young leaves most words multi-symbol: every
+    // doc costs strictly more than its whitespace count, so the same
+    // budget admits strictly fewer documents
+    assert(trained.length < ws.length,
+      s"trained admitted ${trained.length} vs whitespace ${ws.length}")
+    val wsCounts = ws.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    trained.foreach { r =>
+      wsCounts.get(r.getAs[Long]("doc_id")).foreach { w =>
+        assert(r.getAs[Long]("n_tokens") > w,
+          s"doc ${r.getAs[Long]("doc_id")}: trained count " +
+            s"${r.getAs[Long]("n_tokens")} not above whitespace $w")
+      }
+    }
+    Checkpoints.releaseAll()
+  }
 }

@@ -50,15 +50,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("q28 multimodal decode stub is deterministic with L1-normalized features") {
+  test("q28 real P6 decode is deterministic; header fields and stats are coherent") {
     val a = Multimodal.q28MultimodalFeatures(spark, sf).collect()
     val b = Multimodal.q28MultimodalFeatures(spark, sf).collect()
     assert(a.sameElements(b))
     a.take(50).foreach { r =>
-      val fsum = (0 until Multimodal.FeatureDim)
-        .map(i => r.getAs[Double](s"f$i")).sum
-      assert(math.abs(fsum - 1.0) < 1e-3, s"f-sum $fsum")
-      assert(r.getAs[Int]("n_bytes") > 0)
+      assert(r.getAs[Int]("maxval") == 255)
+      assert(r.getAs[Int]("n_pixels") ==
+        r.getAs[Int]("width") * r.getAs[Int]("height"))
+      // container = header + plane, byte-exact
+      assert(r.getAs[Long]("n_bytes") ==
+        3L + r.getAs[Int]("width").toString.length + 1 +
+          r.getAs[Int]("height").toString.length + 5 +
+          3L * r.getAs[Int]("n_pixels"))
+      Seq("r", "g", "b").foreach { c =>
+        val mean = r.getAs[Double](s"mean_$c")
+        assert(mean >= 0.0 && mean <= 255.0)
+        assert(r.getAs[Int](s"min_$c") <= r.getAs[Int](s"max_$c"))
+      }
     }
   }
 

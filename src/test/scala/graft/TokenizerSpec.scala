@@ -22,6 +22,24 @@ class TokenizerSpec extends SparkSpec {
     override def count(text: Column): Column = length(text)
   }
 
+  test("TrainedWs replays merges in rank order; id digests the table") {
+    import spark.implicits._
+    val tok = Tokenizer.TrainedWs(Seq("t" -> "h", "th" -> "e"))
+    val out = Seq("the the cat", "thth").toDF("text")
+      .select(tok.tokens(col("text")).as("t"),
+        tok.count(col("text")).as("n")).collect()
+    // "the" → t h e → th e → the; "cat" stays characters
+    assert(out(0).getSeq[String](0) == Seq("the", "the", "c", "a", "t"))
+    assert(out(0).getInt(1) == 5)
+    // "thth": t h t h → left-to-right non-overlapping (t,h) pairs both
+    // → th th; the (th,e) merge then finds nothing
+    assert(out(1).getSeq[String](0) == Seq("th", "th"))
+    // id digests the merges: a different table is a different artifact key
+    assert(tok.id == Tokenizer.TrainedWs(Seq("t" -> "h", "th" -> "e")).id)
+    assert(tok.id != Tokenizer.TrainedWs(Seq("t" -> "h")).id)
+    assert(!tok.zeroTokenCapable)
+  }
+
   test("tokenizer ids: stable for named impls, refused for anonymous ones") {
     // ids key the token-count artifact path; the three shipped ids are
     // load-bearing (committed artifacts resolve by them across sessions)
