@@ -130,6 +130,18 @@ object Artifacts {
     */
   val DocHashesName = "doc_hashes"
 
+  /** Per-document image grids `(doc_id, gx, gy, sums, cnts,
+    * fingerprint)` — each decoded image's block-average thumbnail and
+    * packed aHash bits (`operators.Multimodal.imageGridRows`). Media
+    * DECODE is the expensive pass of a multimodal corpus — at 100 TB it
+    * dwarfs every text scan — so the thumbnail family (q162 cells, q163
+    * perceptual dup groups, q165 banded Hamming pairs, q167 embedding
+    * kNN) reads this frame instead of re-decoding per query: the
+    * `doc_hashes` posture for pixels. Per-doc rows — retract/append
+    * maintenance, the band-index shape.
+    */
+  val ImageGridsName = "image_grids"
+
   /** Per-document token counts, keyed by TOKENIZER ID as well as corpus
     * fingerprint (`token_counts_<tokId>/fp=<fp>`): at 100 TB,
     * tokenization is the single most repeated map cost in the system —
@@ -244,7 +256,7 @@ object Artifacts {
     Seq(NgramPostingsName, SpanCountsName, DupSpansName, MinhashBandsName,
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
       EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
-      TokenDfName, LineDfName, TokenPositionsName) ++
+      TokenDfName, LineDfName, TokenPositionsName, ImageGridsName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
 
@@ -1145,6 +1157,15 @@ object Artifacts {
     docs.select(col("doc_id"), md5(col("text")).as("h"))
   }
 
+  /** The per-document image-grid frame `(doc_id, gx, gy, sums, cnts,
+    * fingerprint)` — artifact when fresh, else decoded inline
+    * (`Multimodal.imageGridRows`: one `mapPartitions` decode pass).
+    */
+  def imageGrids(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, ImageGridsName)(
+      operators.Multimodal.imageGridRows(
+        Tables.documents(spark, corpusDir)))
+
   /** The per-document token counts `(doc_id, n_tokens)` for `tok`, IF a
     * version committed for the corpus's current fingerprint resolves
     * (Option shape — see [[readIfCurrent]]: token-count consumers fall
@@ -1461,7 +1482,8 @@ object Artifacts {
     case LshAnnIndexName | LshNearDupIndexName | VecHashesName => Seq("id")
     case NgramPostingsName | Shingles8Name | EvalShinglesName |
          DocHashesName | KeepersName | TokenPositionsName |
-         MinhashBandsName | ChunkPostingsName => Seq("doc_id")
+         MinhashBandsName | ChunkPostingsName | ImageGridsName =>
+      Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
     case tp if tp.startsWith(TokenPostingsPrefix) => Seq("doc_id")
     case SpanCountsName => Seq("sh")
@@ -2075,6 +2097,9 @@ object Artifacts {
     val tokDf = build(TokenDfName)(operators.CorpusOps.dfFromPostings(
       committed(tokenPostingsName(functions.Tokenizer.Whitespace))))
     val lineDfA = build(LineDfName)(operators.Extraction.lineDfRows(docs))
+    // image grids: the ONE media decode pass of the snapshot
+    val imgGrids = build(ImageGridsName)(
+      operators.Multimodal.imageGridRows(docs))
     // token counts last: cheap map-only scans, one per default tokenizer
     val tokCounts = DefaultTokenizers.map { tok =>
       build(tokenCountsName(tok))(tokenCountsFrame(docs, tok))
@@ -2088,8 +2113,8 @@ object Artifacts {
     if (timings.values.exists(_ > 0)) lastBuild.set(timings.toMap)
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-      evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA) ++
-      tokPost ++ tokCounts).toMap
+      evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
+      imgGrids) ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -2125,6 +2150,7 @@ object Artifacts {
       case TokenPositionsName => operators.CorpusOps.tokenPositionsRows(docs)
       case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
       case LineDfName => operators.Extraction.lineDfRows(docs)
+      case ImageGridsName => operators.Multimodal.imageGridRows(docs)
       case tc if tc.startsWith(TokenCountsPrefix) =>
         DefaultTokenizers.find(t => tokenCountsName(t) == tc)
           .map(t => tokenCountsFrame(docs, t))
@@ -2481,6 +2507,11 @@ object Artifacts {
       readOld(LineDfName)
         .unionByName(operators.Extraction.lineDfRows(fresh))
         .groupBy("line").agg(sum("line_df").as("line_df")))
+    // image grids: per-doc rows — the batch decodes only its own media
+    val imgGrids = buildSegInc(ImageGridsName, None,
+      operators.Multimodal.imageGridRows(fresh))(
+      readOld(ImageGridsName)
+        .unionByName(operators.Multimodal.imageGridRows(fresh)))
     // bound segment sprawl: a batch per artifact per interval would
     // otherwise grow every read's file list without limit
     AllNames.filter(n => segmentKeys(n).nonEmpty).foreach { n =>
@@ -2499,8 +2530,8 @@ object Artifacts {
       graceMs = AppendPruneGraceMs)
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA) ++
-        tokPost ++ tokCounts).toMap,
+        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
+        imgGrids) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -2815,11 +2846,18 @@ object Artifacts {
         .unionByName(lineDelta)
         .groupBy("line").agg(sum("line_df").as("line_df"))
         .filter(col("line_df") > 0))
+    // image grids: per-doc rows — retract the gone docs, decode only
+    // the changed docs' media (the band-index shape for pixels)
+    val imgGrids = buildSegInc(ImageGridsName, Some(dGone),
+      operators.Multimodal.imageGridRows(docsChangedNew))(
+      readOldA(ImageGridsName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.Multimodal.imageGridRows(docsChangedNew)))
     pruneSweep(spark, newDir, AllNames, Set(fpNew))
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
-        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA) ++
-        tokPost ++ tokCounts).toMap,
+        evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
+        imgGrids) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

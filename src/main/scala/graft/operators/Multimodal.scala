@@ -65,14 +65,17 @@ object Multimodal {
       out
     }
 
-    /** Parse a P6 container and reduce its pixel plane to per-channel
-      * (sum, min, max). Full header grammar: `P6`, then
-      * whitespace-separated width/height/maxval with `#`-to-newline
-      * comments allowed anywhere whitespace is, then EXACTLY one
-      * whitespace byte, then `w·h·3` plane bytes. Anything else is a
-      * routed reason, never an exception.
+    /** Parse the P6 header and validate the plane length. Full header
+      * grammar: `P6`, then whitespace-separated width/height/maxval
+      * with `#`-to-newline comments allowed anywhere whitespace is,
+      * then EXACTLY one whitespace byte, then `w·h·3` plane bytes.
+      * Returns `(width, height, maxval, planeOffset)`; anything
+      * malformed is a routed reason, never an exception. Shared by the
+      * stats reduction ([[decode]]) and the resize kernel
+      * ([[decodeGrid]]) so the two can never parse differently.
       */
-    def decode(bytes: Array[Byte]): Either[String, PpmStats] = {
+    private def parseHeader(
+        bytes: Array[Byte]): Either[String, (Int, Int, Int, Int)] = {
       var pos = 0
       def skipWs(): Unit = {
         var in = true
@@ -110,21 +113,71 @@ object Multimodal {
       val expect = 3L * w * h
       if (bytes.length - pos != expect)
         return Left(s"truncated_plane:${bytes.length - pos}:$expect")
-      val sums = new Array[Long](3)
-      val mins = Array(Int.MaxValue, Int.MaxValue, Int.MaxValue)
-      val maxs = Array(Int.MinValue, Int.MinValue, Int.MinValue)
-      var i = 0
-      while (pos < bytes.length) {
-        val v = bytes(pos) & 0xFF
-        val c = i % 3
-        sums(c) += v
-        if (v < mins(c)) mins(c) = v
-        if (v > maxs(c)) maxs(c) = v
-        i += 1; pos += 1
+      Right((w, h, mv, pos))
+    }
+
+    /** Parse a P6 container and reduce its pixel plane to per-channel
+      * (sum, min, max).
+      */
+    def decode(bytes: Array[Byte]): Either[String, PpmStats] =
+      parseHeader(bytes).map { case (w, h, mv, off) =>
+        val sums = new Array[Long](3)
+        val mins = Array(Int.MaxValue, Int.MaxValue, Int.MaxValue)
+        val maxs = Array(Int.MinValue, Int.MinValue, Int.MinValue)
+        var pos = off
+        var i = 0
+        while (pos < bytes.length) {
+          val v = bytes(pos) & 0xFF
+          val c = i % 3
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          i += 1; pos += 1
+        }
+        PpmStats(w, h, mv, w * h, bytes.length.toLong, sums, mins, maxs)
       }
-      Right(PpmStats(w, h, mv, w * h, bytes.length.toLong, sums, mins, maxs))
+
+    /** Parse a P6 container and reduce it to a `gx×gy` block-average
+      * grid — the RESIZE kernel. `gx = min(g, width)`, `gy = min(g,
+      * height)` (downsample only: a grid never exceeds the source, so
+      * every cell holds ≥ 1 pixel). Pixel `(px, py)` lands in cell
+      * `(px·gx ÷ w, py·gy ÷ h)` — the standard box-filter block
+      * assignment; each cell accumulates the integer sum of its pixels'
+      * THREE channel bytes (so `sum / (3·count)` is the cell's
+      * grayscale mean) and its pixel count. No float in the kernel —
+      * means divide in the PLAN, the q28 discipline.
+      */
+    def decodeGrid(bytes: Array[Byte], g: Int): Either[String, PpmGrid] = {
+      require(g > 0, "ppm: grid must be positive")
+      parseHeader(bytes).map { case (w, h, _, off) =>
+        val gx = math.min(g, w)
+        val gy = math.min(g, h)
+        val sums = new Array[Long](gx * gy)
+        val cnts = new Array[Long](gx * gy)
+        var p = 0
+        val n = w * h
+        while (p < n) {
+          val px = p % w
+          val py = p / w
+          val cell = ((py.toLong * gy) / h).toInt * gx +
+            ((px.toLong * gx) / w).toInt
+          val base = off + 3 * p
+          sums(cell) += (bytes(base) & 0xFF) + (bytes(base + 1) & 0xFF) +
+            (bytes(base + 2) & 0xFF)
+          cnts(cell) += 1
+          p += 1
+        }
+        PpmGrid(w, h, gx, gy, sums, cnts)
+      }
     }
   }
+
+  /** One decoded image reduced to a `gx×gy` block-average grid: integer
+    * block sums (all three channel bytes — grayscale·3) and pixel
+    * counts, row-major cells (`cell = cy·gx + cx`).
+    */
+  final case class PpmGrid(width: Int, height: Int, gx: Int, gy: Int,
+      sums: Array[Long], cnts: Array[Long])
 
   // ---- RIFF/WAVE PCM codec -------------------------------------------------
 
@@ -170,13 +223,16 @@ object Multimodal {
     }
 
     /** Walk the RIFF chunks (unknown chunks skipped by their declared
-      * size — real WAV files carry LIST/INFO chunks), parse fmt,
-      * reduce the data chunk's interleaved 16-bit LE frames to
-      * per-channel (sum, peak). Only integer PCM-16 is accepted; other
-      * formats route with a reason (the production decoder would
-      * dispatch on them).
+      * size — real WAV files carry LIST/INFO chunks), parse and
+      * validate fmt, locate the data chunk. Only integer PCM-16 is
+      * accepted; other formats route with a reason (the production
+      * decoder would dispatch on them). Returns `(channels, rate,
+      * dataOffset, dataLength)`. Shared by the whole-take reduction
+      * ([[decode]]) and the frame-window kernel ([[windowedStats]]) so
+      * the two can never walk the container differently.
       */
-    def decode(bytes: Array[Byte]): Either[String, WavStats] = {
+    private def parsePcm16(
+        bytes: Array[Byte]): Either[String, (Int, Int, Int, Int)] = {
       if (bytes.length < 12 ||
           new String(bytes, 0, 4, StandardCharsets.US_ASCII) != "RIFF" ||
           new String(bytes, 8, 4, StandardCharsets.US_ASCII) != "WAVE")
@@ -204,27 +260,87 @@ object Multimodal {
       if (format != 1) return Left(s"unsupported_format:$format")
       if (bits != 16) return Left(s"unsupported_bits:$bits")
       if (ch <= 0 || rate <= 0) return Left("bad_fmt_fields")
-      val blockAlign = 2 * ch
-      if (len % blockAlign != 0) return Left("partial_frame")
-      val nFrames = len / blockAlign
-      val sums = new Array[Long](ch)
-      val peaks = new Array[Int](ch)
-      var f = 0
-      while (f < nFrames) {
-        var c = 0
-        while (c < ch) {
-          val raw = le16(bytes, off + f * blockAlign + 2 * c)
-          val s = if (raw >= 0x8000) raw - 0x10000 else raw
-          sums(c) += s
-          val a = math.abs(s)
-          if (a > peaks(c)) peaks(c) = a
-          c += 1
+      if (len % (2 * ch) != 0) return Left("partial_frame")
+      Right((ch, rate, off, len))
+    }
+
+    /** Reduce the data chunk's interleaved 16-bit LE frames to
+      * per-channel (sum, peak).
+      */
+    def decode(bytes: Array[Byte]): Either[String, WavStats] =
+      parsePcm16(bytes).map { case (ch, rate, off, len) =>
+        val blockAlign = 2 * ch
+        val nFrames = len / blockAlign
+        val sums = new Array[Long](ch)
+        val peaks = new Array[Int](ch)
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < ch) {
+            val raw = le16(bytes, off + f * blockAlign + 2 * c)
+            val s = if (raw >= 0x8000) raw - 0x10000 else raw
+            sums(c) += s
+            val a = math.abs(s)
+            if (a > peaks(c)) peaks(c) = a
+            c += 1
+          }
+          f += 1
         }
-        f += 1
+        WavStats(ch, rate, 16, nFrames.toLong, sums, peaks)
       }
-      Right(WavStats(ch, rate, bits, nFrames.toLong, sums, peaks))
+
+    /** FRAME-SAMPLE a mono PCM-16 take: `nWindows` evenly spaced
+      * windows of up to `frameLen` frames each (start stride
+      * `max(max(n − frameLen, 0) ÷ nWindows, 1)` — the byte-level
+      * [[Multimodal.frameSample]] arithmetic lifted to frames; the
+      * `max(·, 0)` keeps the stride truncation-safe cross-engine), each
+      * reduced to (start, count, sum, peak). Windows that would start
+      * past the take are dropped, so every emitted window holds ≥ 1
+      * sample; a zero-frame take emits no windows. Mono only — the
+      * window grain is the FRAME and our media derivation is mono; a
+      * multi-channel take routes.
+      */
+    def windowedStats(bytes: Array[Byte], nWindows: Int,
+        frameLen: Int): Either[String, Seq[WavWindow]] = {
+      require(nWindows > 0 && frameLen > 0, "wav: window params positive")
+      parsePcm16(bytes).flatMap { case (ch, _, off, len) =>
+        if (ch != 1) Left(s"not_mono:$ch")
+        else {
+          val n = len / 2
+          val step = math.max(math.max(n - frameLen, 0) / nWindows, 1)
+          Right((0 until nWindows).flatMap { k =>
+            val start = k * step
+            if (start >= n) None
+            else {
+              val end = math.min(start + frameLen, n)
+              var sum = 0L
+              var absSum = 0L
+              var peak = 0
+              var j = start
+              while (j < end) {
+                val raw = le16(bytes, off + 2 * j)
+                val s = if (raw >= 0x8000) raw - 0x10000 else raw
+                sum += s
+                val a = math.abs(s)
+                absSum += a
+                if (a > peak) peak = a
+                j += 1
+              }
+              Some(WavWindow(k, start.toLong, (end - start).toLong, sum,
+                absSum, peak))
+            }
+          })
+        }
+      }
     }
   }
+
+  /** One frame-sampled window of a mono PCM take: window index, first
+    * frame, sample count, integer amplitude sum and magnitude sum
+    * (means divide in the plan) and peak magnitude.
+    */
+  final case class WavWindow(idx: Int, startFrame: Long, nSamples: Long,
+      ampSum: Long, absSum: Long, peak: Int)
 
   // ---- media frame + routing ----------------------------------------------
 
@@ -431,30 +547,37 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
-  /** Sample j = bytes (2j−1, 2j) little-endian, sign-corrected at
-    * 0x8000, odd tail paired with the zero pad; frame count, duration,
-    * mean, and peak from those samples.
+  /** The shared WAV oracle replay (`base` … `samp`): every sample
+    * rebuilt from the character codes — two bytes little-endian,
+    * sign-corrected at 0x8000, odd tail paired with the zero pad.
+    * q161 reduces the whole take from it; q164 slices frame windows —
+    * one sample derivation, so the two oracles can never pair bytes
+    * differently.
     */
+  private lazy val wavSampCtes: String =
+    """base AS (
+      |  SELECT doc_id,
+      |         CAST(8000 + (n_chars % 8) * 1000 AS INTEGER) AS sample_rate,
+      |         list_transform(generate_series(1, length(coalesce(text, ''))),
+      |                        i -> ascii(substring(text, i, 1))) AS codes,
+      |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+      |  FROM documents
+      |), samp AS (
+      |  SELECT doc_id, sample_rate, L,
+      |         list_transform(generate_series(1, CAST((L + 1) // 2 AS INTEGER)),
+      |           j -> CASE WHEN codes[2*j - 1]
+      |                       + 256 * COALESCE(codes[2*j], 0) >= 32768
+      |                     THEN codes[2*j - 1]
+      |                       + 256 * COALESCE(codes[2*j], 0) - 65536
+      |                     ELSE codes[2*j - 1]
+      |                       + 256 * COALESCE(codes[2*j], 0) END) AS s
+      |  FROM base
+      |)""".stripMargin
+
+  /** Frame count, duration, mean, and peak from the replayed samples. */
   lazy val q161OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
-    s"""WITH base AS (
-       |  SELECT doc_id,
-       |         CAST(8000 + (n_chars % 8) * 1000 AS INTEGER) AS sample_rate,
-       |         list_transform(generate_series(1, length(coalesce(text, ''))),
-       |                        i -> ascii(substring(text, i, 1))) AS codes,
-       |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
-       |  FROM documents
-       |), samp AS (
-       |  SELECT doc_id, sample_rate, L,
-       |         list_transform(generate_series(1, CAST((L + 1) // 2 AS INTEGER)),
-       |           j -> CASE WHEN codes[2*j - 1]
-       |                       + 256 * COALESCE(codes[2*j], 0) >= 32768
-       |                     THEN codes[2*j - 1]
-       |                       + 256 * COALESCE(codes[2*j], 0) - 65536
-       |                     ELSE codes[2*j - 1]
-       |                       + 256 * COALESCE(codes[2*j], 0) END) AS s
-       |  FROM base
-       |)
+    s"""WITH $wavSampCtes
        |SELECT doc_id, sample_rate,
        |       CAST((L + 1) // 2 AS BIGINT) AS n_frames,
        |       CAST(((L + 1) // 2) * 1000 // sample_rate AS BIGINT)
@@ -464,5 +587,733 @@ object Multimodal {
        |       CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0)
        |         AS INTEGER) AS peak_amp
        |FROM samp ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q162: image resize (block-average grid) ------------------------------
+
+  /** Grid edge for the resize family: decoded images downsample to at
+    * most [[Grid]]×[[Grid]] block-average cells — 16 cells is the
+    * classic average-hash geometry, and small enough that q163's
+    * fingerprint fits one BIGINT with room to spare.
+    */
+  val Grid = 4
+
+  private val gridKernelSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("gx", IntegerType),
+    StructField("gy", IntegerType),
+    StructField("sums", ArrayType(LongType)),
+    StructField("cnts", ArrayType(LongType)),
+    StructField("reject_reason", StringType)))
+
+  /** Partition-batched RESIZE over a `(doc_id, media)` frame: each
+    * payload decoded and reduced to its block-average grid by
+    * [[Ppm.decodeGrid]], corrupt media routed with a reason — the
+    * (features, rejects) split of [[decodePpmRouted]] applied to the
+    * resize kernel.
+    */
+  def resizeGridRouted(mediaDf: DataFrame,
+      g: Int): (DataFrame, DataFrame) = {
+    val enc = RowEncoder.encoderFor(gridKernelSchema)
+    val all = mediaDf.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Ppm.decodeGrid(r.getAs[Array[Byte]](1), g) match {
+          case Right(gr) => Row(id, gr.width, gr.height, gr.gx, gr.gy,
+            gr.sums.toSeq, gr.cnts.toSeq, null)
+          case Left(reason) =>
+            Row(id, null, null, null, null, null, null, reason)
+        }
+      }
+    }(enc)
+    (all.filter(col("reject_reason").isNull).drop("reject_reason"),
+      all.filter(col("reject_reason").isNotNull)
+        .select("doc_id", "reject_reason"))
+  }
+
+  /** q162 — the multimodal RESIZE op: every image downsampled to its
+    * `gx×gy` block-average thumbnail (gx = min(4, w), gy = min(4, h) —
+    * downsample only, every cell ≥ 1 pixel), one row per cell with the
+    * integer pixel count and channel-byte sum from the kernel and the
+    * grayscale mean dividing in the plan (`px_sum / (3·n_px)`). The
+    * oracle replays the pixel → cell box-filter assignment from the
+    * same text bytes, so a transposed cell index, a wrong block edge,
+    * or a padding byte miscounted all hash-mismatch. The grid rows are
+    * what q163 fingerprints and what an embedding/vision tower would
+    * consume as its fixed-size input.
+    *
+    * Scale shape: ONE `mapPartitions` decode pass (no per-pixel rows
+    * ever leave the kernel — a doc emits ≤ 16 cells); the per-pixel
+    * explosion exists only in the ORACLE's replay.
+    */
+  def q162ImageResize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    // artifact-first (one decode per corpus snapshot, not per query);
+    // self-encoded containers must parse (q28's routing note applies)
+    imageFingerprints(spark, dir).select(col("doc_id"), col("gx"),
+        posexplode(arrays_zip(col("sums"), col("cnts"))))
+      .select(col("doc_id"),
+        expr("CAST(pos DIV gx AS INT)").as("cell_y"),
+        expr("CAST(pos % gx AS INT)").as("cell_x"),
+        col("col.cnts").as("n_px"),
+        col("col.sums").as("px_sum"),
+        round6(col("col.sums").cast("double") / (col("col.cnts") * 3))
+          .as("mean_val"))
+      .orderBy("doc_id", "cell_y", "cell_x")
+  }
+
+  /** The shared grid oracle replay (`base` … `cells`): the q28 header
+    * derivation, then every pixel assigned to its box-filter cell
+    * (`cx = px·gx ÷ w`, `cy = py·gy ÷ h`) and each cell reduced to
+    * (pixel count, channel-byte sum). q162 reads the cells; q163
+    * fingerprints them — one block assignment, so the two oracles can
+    * never disagree on the grid.
+    */
+  private lazy val gridCellsCtes: String =
+    s"""base AS (
+       |  SELECT doc_id,
+       |         CAST(n_chars % 24 + 8 AS INTEGER) AS w,
+       |         list_transform(generate_series(1, length(coalesce(text, ''))),
+       |                        i -> ascii(substring(text, i, 1))) AS codes,
+       |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+       |  FROM documents
+       |), dims AS (
+       |  SELECT doc_id, w, codes, L,
+       |         CAST(CEIL(CAST(GREATEST(L, 1) AS DOUBLE) / (3 * w))
+       |           AS INTEGER) AS h
+       |  FROM base
+       |), px AS (
+       |  SELECT doc_id, w, h, LEAST($Grid, w) AS gx, LEAST($Grid, h) AS gy,
+       |         codes, L,
+       |         unnest(generate_series(0, CAST(w AS BIGINT) * h - 1)) AS p
+       |  FROM dims
+       |), vals AS (
+       |  SELECT doc_id, gx, gy,
+       |         CAST(((p // w) * gy) // h AS INTEGER) AS cell_y,
+       |         CAST(((p % w) * gx) // w AS INTEGER) AS cell_x,
+       |         (CASE WHEN 3 * p + 1 <= L
+       |               THEN codes[CAST(3 * p + 1 AS INTEGER)] ELSE 0 END
+       |        + CASE WHEN 3 * p + 2 <= L
+       |               THEN codes[CAST(3 * p + 2 AS INTEGER)] ELSE 0 END
+       |        + CASE WHEN 3 * p + 3 <= L
+       |               THEN codes[CAST(3 * p + 3 AS INTEGER)] ELSE 0 END) AS pv
+       |  FROM px
+       |), cells AS (
+       |  SELECT doc_id, gx, gy, cell_y, cell_x,
+       |         CAST(count(*) AS BIGINT) AS n_px,
+       |         CAST(sum(pv) AS BIGINT) AS px_sum
+       |  FROM vals GROUP BY doc_id, gx, gy, cell_y, cell_x
+       |)""".stripMargin
+
+  lazy val q162OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $gridCellsCtes
+       |SELECT doc_id, cell_y, cell_x, n_px, px_sum,
+       |       ${round6Sql("CAST(px_sum AS DOUBLE) / (3 * n_px)")} AS mean_val
+       |FROM cells ORDER BY doc_id, cell_y, cell_x""".stripMargin
+  }
+
+  // ---- q163: perceptual-hash image near-dup ---------------------------------
+
+  /** q163 — multimodal DEDUP: the classic average-hash (aHash) over
+    * q162's grids. Per image, bit c = (cell c's mean ≥ the image's
+    * global pixel mean), compared integer-exactly as
+    * `s_c·N ≥ S·n_c` (no division, no float, no tie ambiguity); the
+    * ≤ 16 bits pack into one BIGINT fingerprint. Images whose
+    * fingerprints collide are perceptual near-duplicates — the
+    * image-dedup posture of the large crawl pipelines, where
+    * re-encoded/lightly-retouched copies survive exact byte dedup but
+    * land on the same coarse luminance shape. Output is the dup groups
+    * (≥ 2 members): grid height (fingerprints are only comparable
+    * within a geometry; gx is constant 4 here since w ≥ 8 by the width
+    * derivation), fingerprint, member count, and the ordered member
+    * list.
+    *
+    * Scale shape: one `mapPartitions` decode pass, per-doc column
+    * arithmetic over a 16-element array, then ONE shuffle on the
+    * fingerprint (the exact-dedup q17 shape — at 100 TB the
+    * fingerprint column is the standing artifact and near-dup at
+    * Hamming distance > 0 adds a band join, exactly like MinHash's).
+    */
+  /** The standing `image_grids` artifact rows, one per document: grid
+    * geometry, block sums/counts, and the packed aHash fingerprint —
+    * q163's scoring stage, shared with q162's thumbnail cells, q165's
+    * banded Hamming join, and q167's embedding derivation. One
+    * `mapPartitions` decode, then map-only column arithmetic over the
+    * ≤ 16-element grid arrays (bit c = `s_c·N ≥ S·n_c`, packed by
+    * positional shift). Media decode is the expensive pass of a 100 TB
+    * multimodal corpus, so this frame is exactly what
+    * `Artifacts.materialize` persists (the `doc_hashes` posture for
+    * pixels): decode once, dedup/search many.
+    */
+  def imageGridRows(docs: DataFrame): DataFrame = {
+    // tolerate schema-minimal corpora (the artifact-maintenance fixtures
+    // carry only doc_id/text/source): n_chars IS length(text) on every
+    // shipped corpus (a data invariant, not an assumption — zero
+    // mismatches at every SF), so deriving it is the same media frame
+    val withStats =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars",
+        length(coalesce(col("text"), lit(""))).cast("long"))
+    val (good, _bad) = resizeGridRouted(withMediaColumns(withStats), Grid)
+    good
+      .withColumn("s_total", expr(
+        "aggregate(sums, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("n_total", expr(
+        "aggregate(cnts, CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .withColumn("fingerprint", expr(
+        """aggregate(transform(sums, (s, i) ->
+          |  IF(s * n_total >= s_total * cnts[i],
+          |     shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+          |CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select("doc_id", "gx", "gy", "sums", "cnts", "fingerprint")
+  }
+
+  /** Grid frame for the corpus — the standing artifact when fresh,
+    * else [[imageGridRows]] inline.
+    */
+  private def imageFingerprints(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.imageGrids(spark, dir)
+
+  def q163ImagePhashDups(spark: SparkSession, dir: String): DataFrame =
+    imageFingerprints(spark, dir)
+      .groupBy(col("gy").as("grid_rows"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("doc_ids"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("grid_rows", "fingerprint")
+
+  /** The shared fingerprint replay (`base` … `fp`): [[gridCellsCtes]]
+    * plus the per-document global totals and the packed aHash bits —
+    * q163 groups it, q165 bands it, one derivation.
+    */
+  private lazy val fpCtes: String =
+    s"""$gridCellsCtes, tot AS (
+       |  SELECT doc_id, sum(n_px) AS n_total, sum(px_sum) AS s_total
+       |  FROM cells GROUP BY doc_id
+       |), fp AS (
+       |  SELECT c.doc_id, any_value(c.gy) AS gy,
+       |         CAST(sum(CASE WHEN c.px_sum * t.n_total >= t.s_total * c.n_px
+       |                       THEN (CAST(1 AS BIGINT)
+       |                             << (c.cell_y * c.gx + c.cell_x))
+       |                       ELSE 0 END) AS BIGINT) AS fingerprint
+       |  FROM cells c JOIN tot t USING (doc_id)
+       |  GROUP BY c.doc_id
+       |)""".stripMargin
+
+  lazy val q163OracleSql: String =
+    s"""WITH $fpCtes
+       |SELECT gy AS grid_rows, fingerprint,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |         AS doc_ids
+       |FROM fp GROUP BY gy, fingerprint HAVING count(*) >= 2
+       |ORDER BY grid_rows, fingerprint""".stripMargin
+
+  // ---- q164: audio frame-window features ------------------------------------
+
+  /** Frame-window geometry for q164: [[FrameWindows]] evenly spaced
+    * windows of up to [[FrameLen]] frames each.
+    */
+  val FrameWindows = 3
+  val FrameLen = 64
+
+  /** q164 — the multimodal FRAME-SAMPLE op as a hash-oracled query:
+    * each document's PCM take (q161's derivation) sliced into
+    * [[FrameWindows]] evenly spaced windows of [[FrameLen]] frames by
+    * [[Wav.windowedStats]], each window reduced to integer (count,
+    * amplitude sum, peak) in the kernel with the mean dividing in the
+    * plan — the windowed-feature pass an audio featurizer runs before
+    * embedding (VAD energy, clipping detection), and the audio analog
+    * of [[frameSample]]'s byte windows. The oracle re-slices the same
+    * windows from the replayed samples, so the stride arithmetic, the
+    * window clamp, and the dropped-past-the-end windows are all
+    * hash-pinned. Takes with zero frames emit no windows (oracle:
+    * `WHERE` on the frame count), and every emitted window holds ≥ 1
+    * sample so the mean never divides by zero.
+    *
+    * Scale shape: one `mapPartitions` decode pass emitting ≤
+    * [[FrameWindows]] rows per doc; no per-sample rows leave the
+    * kernel.
+    */
+  /** The frame-window kernel pass shared by q164 (window grain) and
+    * q166 (per-take screen): one `mapPartitions` decode emitting ≤
+    * [[FrameWindows]] rows per doc, each with the window's integer
+    * (count, amplitude sum, magnitude sum, peak).
+    */
+  private def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+    val kernelSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("window_idx", IntegerType),
+      StructField("start_frame", LongType),
+      StructField("n_samples", LongType),
+      StructField("amp_sum", LongType),
+      StructField("abs_sum", LongType),
+      StructField("peak_amp", IntegerType)))
+    val enc = RowEncoder.encoderFor(kernelSchema)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val text = Option(r.getString(1)).getOrElse("")
+          val rate = (8000 + (r.getLong(2) % 8) * 1000).toInt
+          val container = Wav.encode(
+            text.getBytes(StandardCharsets.UTF_8), rate)
+          Wav.windowedStats(container, FrameWindows, FrameLen) match {
+            case Right(ws) => ws.map(w => Row(r.getLong(0), w.idx,
+              w.startFrame, w.nSamples, w.ampSum, w.absSum, w.peak))
+            case Left(reason) => throw new IllegalStateException(
+              s"audioWindows: self-encoded WAV failed to window: $reason")
+          }
+        }
+      }(enc)
+  }
+
+  def q164AudioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    audioWindows(spark, dir)
+      .select(col("doc_id"), col("window_idx"), col("start_frame"),
+        col("n_samples"), col("amp_sum"),
+        round6(col("amp_sum").cast("double") / col("n_samples"))
+          .as("mean_amp"),
+        col("peak_amp"))
+      .orderBy("doc_id", "window_idx")
+  }
+
+  lazy val q164OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $wavSampCtes, wins AS (
+       |  SELECT doc_id, s, CAST((L + 1) // 2 AS BIGINT) AS n,
+       |         unnest(generate_series(0, ${FrameWindows - 1})) AS k
+       |  FROM samp WHERE (L + 1) // 2 > 0
+       |), w2 AS (
+       |  SELECT doc_id, k, n, s,
+       |         k * GREATEST(GREATEST(n - $FrameLen, 0) // $FrameWindows, 1)
+       |           AS start
+       |  FROM wins
+       |), w3 AS (
+       |  SELECT doc_id, k, start,
+       |         list_transform(generate_series(CAST(start + 1 AS INTEGER),
+       |           CAST(LEAST(start + $FrameLen, n) AS INTEGER)),
+       |           j -> s[j]) AS ws
+       |  FROM w2 WHERE start < n
+       |)
+       |SELECT doc_id, CAST(k AS INTEGER) AS window_idx,
+       |       CAST(start AS BIGINT) AS start_frame,
+       |       CAST(len(ws) AS BIGINT) AS n_samples,
+       |       CAST(list_sum(ws) AS BIGINT) AS amp_sum,
+       |       ${round6Sql("CAST(list_sum(ws) AS DOUBLE) / len(ws)")}
+       |         AS mean_amp,
+       |       CAST(list_max(list_transform(ws, x -> abs(x))) AS INTEGER)
+       |         AS peak_amp
+       |FROM w3 ORDER BY doc_id, window_idx""".stripMargin
+  }
+
+  /** The q164 window slicing as shared oracle CTEs (`base` … `w3`):
+    * the replayed samples, the window stride, and the clamped slices —
+    * q164 reports the windows, q166 screens the take from them.
+    */
+  private lazy val audioWindowCtes: String =
+    s"""$wavSampCtes, wins AS (
+       |  SELECT doc_id, s, CAST((L + 1) // 2 AS BIGINT) AS n,
+       |         unnest(generate_series(0, ${FrameWindows - 1})) AS k
+       |  FROM samp WHERE (L + 1) // 2 > 0
+       |), w2 AS (
+       |  SELECT doc_id, k, n, s,
+       |         k * GREATEST(GREATEST(n - $FrameLen, 0) // $FrameWindows, 1)
+       |           AS start
+       |  FROM wins
+       |), w3 AS (
+       |  SELECT doc_id, k, start,
+       |         list_transform(generate_series(CAST(start + 1 AS INTEGER),
+       |           CAST(LEAST(start + $FrameLen, n) AS INTEGER)),
+       |           j -> s[j]) AS ws
+       |  FROM w2 WHERE start < n
+       |)""".stripMargin
+
+  // ---- q165: banded Hamming near-dup over image fingerprints ----------------
+
+  /** Maximum Hamming distance q165 reports. With [[HammingBands]] bands
+    * over the 16 fingerprint bits, recall at ≤ [[HammingMax]] is EXACT
+    * by pigeonhole: 3 differing bits cannot touch all 4 bands, so every
+    * qualifying pair shares at least one band bucket.
+    */
+  val HammingMax = 3
+  val HammingBands = 4
+
+  /** q165 — NEAR-duplicate images at Hamming distance 1–[[HammingMax]]:
+    * the band-bucket join over q163's aHash fingerprints, at
+    * FINGERPRINT grain. q163's groups are the distance-0 story (linear
+    * in group size); pairing *documents* at distance > 0 would be
+    * quadratic in the dup-group sizes, so the join runs over the
+    * DISTINCT fingerprints instead — per grid geometry there are at
+    * most 2¹⁶ of them, each band bucket stays tiny, and each emitted
+    * row carries the two groups' document counts so the document-grain
+    * pair count is `n_docs_a·n_docs_b` without materializing it (the
+    * q21/q82 capped-candidate discipline, achieved structurally rather
+    * than by a cap). Bands are 4-bit fingerprint slices — the MinHash
+    * band trick transplanted to Hamming space — and the verdict
+    * `bit_count(xor) ≤ 3` is exact, so the output is
+    * provably-complete near-dup groups, not candidates.
+    *
+    * Scale shape: fingerprint-grain aggregate (≤ 2¹⁶ rows) → 4-row
+    * band explode → equi-join on (geometry, band, bits) → popcount
+    * filter. No doc-grain pair ever exists.
+    */
+  def q165ImageHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grp = imageFingerprints(spark, dir)
+      .groupBy("gy", "fingerprint").agg(count(lit(1)).as("n_docs"))
+    val bands = grp.select(col("gy"), col("fingerprint"), col("n_docs"),
+        explode(sequence(lit(0), lit(HammingBands - 1))).as("b"))
+      .withColumn("bits",
+        expr("shiftright(fingerprint, 4 * b) & CAST(15 AS BIGINT)"))
+    val left = bands.select(col("gy"), col("b"), col("bits"),
+      col("fingerprint").as("fp_a"), col("n_docs").as("n_docs_a"))
+    val right = bands.select(col("gy"), col("b"), col("bits"),
+      col("fingerprint").as("fp_b"), col("n_docs").as("n_docs_b"))
+    left.join(right, Seq("gy", "b", "bits"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select("gy", "fp_a", "n_docs_a", "fp_b", "n_docs_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS INT)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("gy").as("grid_rows"), col("fp_a"), col("fp_b"),
+        col("hamming"), col("n_docs_a"), col("n_docs_b"))
+      .orderBy("grid_rows", "fp_a", "fp_b")
+  }
+
+  lazy val q165OracleSql: String =
+    s"""WITH $fpCtes, grp AS (
+       |  SELECT gy, fingerprint, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM fp GROUP BY gy, fingerprint
+       |), bands AS (
+       |  SELECT gy, fingerprint, n_docs,
+       |         unnest(generate_series(0, ${HammingBands - 1})) AS b
+       |  FROM grp
+       |), b2 AS (
+       |  SELECT gy, fingerprint, n_docs, b,
+       |         (fingerprint >> CAST(4 * b AS INTEGER)) & 15 AS bits
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT a.gy, a.fingerprint AS fp_a, a.n_docs AS n_docs_a,
+       |         c.fingerprint AS fp_b, c.n_docs AS n_docs_b
+       |  FROM b2 a JOIN b2 c ON a.gy = c.gy AND a.b = c.b AND a.bits = c.bits
+       |    AND a.fingerprint < c.fingerprint
+       |)
+       |SELECT gy AS grid_rows, fp_a, fp_b,
+       |       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming,
+       |       n_docs_a, n_docs_b
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $HammingMax
+       |ORDER BY grid_rows, fp_a, fp_b""".stripMargin
+
+  // ---- q166: audio quality screen -------------------------------------------
+
+  /** Clipping floor: a windowed peak at or above this magnitude flags
+    * the take (32767 = positive full scale; −32768 exceeds it).
+    */
+  val ClipPeak = 32767
+
+  /** Silence ceiling: a take whose windowed mean |amplitude| is below
+    * this (~1% of full scale) flags as silent — compared integer-exactly
+    * as `abs_sum < ceiling · n_samples`.
+    */
+  val SilenceMeanAbs = 328L
+
+  /** q166 — the audio QUALITY SCREEN: per take, q164's sampled windows
+    * rolled up to (window count, sample count, magnitude sum, peak) and
+    * two flags a media pipeline gates on before paying for embedding —
+    * `clipped` (any windowed peak at full scale: the take is distorted)
+    * and `silent` (windowed mean |amplitude| under [[SilenceMeanAbs]],
+    * integer-exact; zero-frame takes are silent by definition) —
+    * `keep = ¬clipped ∧ ¬silent`. Screening on SAMPLED windows, not the
+    * whole take, is the point of frame-sampling: the verdict costs
+    * ≤ [[FrameWindows]]·[[FrameLen]] samples per take regardless of
+    * take length. Every document gets a verdict row (zero-frame takes
+    * included, via the left join), so the screen composes with the
+    * curation ledger the way q83's text gate does.
+    *
+    * Scale shape: the one decode pass → doc-grain map-side-partial
+    * aggregate (≤ 3 rows in, 1 out per doc) → broadcast-or-shuffle
+    * equi-join back to the doc spine; flags are column arithmetic.
+    */
+  def q166AudioQualityScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val agg = audioWindows(spark, dir).groupBy("doc_id")
+      .agg(count(lit(1)).as("w_n"), sum("n_samples").as("w_samp"),
+        sum("abs_sum").as("w_abs"), max("peak_amp").as("w_peak"))
+    val nW = coalesce(col("w_n"), lit(0L))
+    val nS = coalesce(col("w_samp"), lit(0L))
+    val aS = coalesce(col("w_abs"), lit(0L))
+    val pk = coalesce(col("w_peak"), lit(0))
+    val clipped = pk >= ClipPeak
+    val silent = (nS === 0L) || (aS < lit(SilenceMeanAbs) * nS)
+    Tables.documents(spark, dir).select("doc_id")
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), nW.as("n_windows"), nS.as("n_samples"),
+        aS.as("abs_sum"),
+        round6(aS.cast("double") / nullif(nS, lit(0L))).as("mean_abs"),
+        pk.as("peak_amp"), clipped.as("clipped"), silent.as("silent"),
+        (!clipped && !silent).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  lazy val q166OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $audioWindowCtes, wagg AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS w_n,
+       |         CAST(sum(len(ws)) AS BIGINT) AS w_samp,
+       |         CAST(sum(list_sum(list_transform(ws, x -> abs(x))))
+       |           AS BIGINT) AS w_abs,
+       |         CAST(max(list_max(list_transform(ws, x -> abs(x))))
+       |           AS INTEGER) AS w_peak
+       |  FROM w3 GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(w.w_n, 0) AS n_windows,
+       |       COALESCE(w.w_samp, 0) AS n_samples,
+       |       COALESCE(w.w_abs, 0) AS abs_sum,
+       |       ${round6Sql("CAST(COALESCE(w.w_abs, 0) AS DOUBLE)" +
+              " / NULLIF(COALESCE(w.w_samp, 0), 0)")} AS mean_abs,
+       |       COALESCE(w.w_peak, 0) AS peak_amp,
+       |       COALESCE(w.w_peak, 0) >= $ClipPeak AS clipped,
+       |       (COALESCE(w.w_samp, 0) = 0 OR
+       |        COALESCE(w.w_abs, 0) < $SilenceMeanAbs * COALESCE(w.w_samp, 0))
+       |         AS silent,
+       |       NOT (COALESCE(w.w_peak, 0) >= $ClipPeak) AND
+       |       NOT (COALESCE(w.w_samp, 0) = 0 OR
+       |            COALESCE(w.w_abs, 0) <
+       |              $SilenceMeanAbs * COALESCE(w.w_samp, 0)) AS keep
+       |FROM documents d LEFT JOIN wagg w USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---- q167: image-embedding kNN --------------------------------------------
+
+  /** q167's probe count and neighbors returned per probe. */
+  val ImageKnnProbes = 3
+  val ImageTopK = 5
+
+  /** q167 — SIMILARITY SEARCH over image features: q162's thumbnails as
+    * 16-dim grayscale-mean embeddings (`s_c / (3·n_c)` per cell — the
+    * fixed-size vector a vision tower would refine), brute-force cosine
+    * top-[[ImageTopK]] for [[ImageKnnProbes]] probe images. The
+    * decode → resize → embed → search arc end to end: probes are the
+    * HIGHEST doc_ids among full-grid (gy = 4) images (the q117
+    * eval-probe posture), candidates every other full-grid image
+    * (partial grids aren't dimension-compatible), scores through the
+    * native [[graft.functions.DotProduct]] kernel, rounded BEFORE
+    * ranking so cross-engine ties break identically (q22's rule:
+    * cos DESC, neighbor_id ASC).
+    *
+    * Scale shape: the probe side is [[ImageKnnProbes]] rows broadcast
+    * into one map-only scan of the candidate vectors, then a
+    * per-probe top-k — q22's brute-force baseline over KERNEL-DERIVED
+    * features instead of stored embeddings; the IVF/PQ path (q125/
+    * q139) applies unchanged the moment the fingerprint frame is
+    * materialized as a standing artifact.
+    */
+  def q167ImageKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val vecs = imageFingerprints(spark, dir)
+      .filter(col("gy") === Grid)
+      .select(col("doc_id"), expr(
+        "transform(sums, (s, i) -> CAST(s AS DOUBLE) / (3.0 * cnts[i]))")
+        .as("vec"))
+    val probes = vecs.orderBy(col("doc_id").desc).limit(ImageKnnProbes)
+      .select(col("doc_id").as("probe_id"), col("vec").as("pvec"))
+    val scored = vecs.crossJoin(broadcast(probes))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("doc_id").as("neighbor_id"),
+        VectorOps.round6(VectorOps.cosine(col("pvec"), col("vec")))
+          .as("cos"))
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(Window.partitionBy("probe_id")
+        .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= ImageTopK)
+      .select("probe_id", "rank", "neighbor_id", "cos")
+      .orderBy("probe_id", "rank")
+  }
+
+  // ---- phash verdict core (intake gate) --------------------------------------
+
+  /** Verdict core for the perceptual-dup INTAKE gate: probe grid rows
+    * `(doc_id, gy, fingerprint)` against a standing grid frame —
+    * `exact_phash` when an identical (geometry, fingerprint) exists,
+    * `near_phash` at Hamming 1–[[HammingMax]] through q165's band
+    * join (complete by pigeonhole), else `new`; `match_id` = the
+    * smallest matching standing doc, exact winning over near. The
+    * probe side is batch-bounded; the standing side is one artifact
+    * read plus map-only band arithmetic — no corpus media is ever
+    * re-decoded.
+    */
+  def phashVerdictsOf(probes: DataFrame, standing: DataFrame): DataFrame = {
+    val p = probes.select("doc_id", "gy", "fingerprint")
+    val s = standing.select(col("doc_id").as("m_id"), col("gy").as("m_gy"),
+      col("fingerprint").as("m_fp"))
+    val exact = p
+      .join(s, col("gy") === col("m_gy") && col("fingerprint") === col("m_fp"))
+      .groupBy("doc_id").agg(min("m_id").as("exact_id"))
+    val pb = p.select(col("doc_id"), col("gy"), col("fingerprint"),
+        explode(sequence(lit(0), lit(HammingBands - 1))).as("b"))
+      .withColumn("bits",
+        expr("shiftright(fingerprint, 4 * b) & CAST(15 AS BIGINT)"))
+    val sb = s.select(col("m_id"), col("m_gy"), col("m_fp"),
+        explode(sequence(lit(0), lit(HammingBands - 1))).as("m_b"))
+      .withColumn("m_bits",
+        expr("shiftright(m_fp, 4 * m_b) & CAST(15 AS BIGINT)"))
+    val near = pb
+      .join(sb, col("gy") === col("m_gy") && col("b") === col("m_b") &&
+        col("bits") === col("m_bits"))
+      .filter(expr(s"bit_count(fingerprint ^ m_fp) BETWEEN 1 AND $HammingMax"))
+      .groupBy("doc_id").agg(min("m_id").as("near_id"))
+    p.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_phash")
+          .when(col("near_id").isNotNull, "near_phash")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+
+  // ---- q168: the multimodal curation ledger ----------------------------------
+
+  /** q168 — the MULTIMODAL curation ledger: every modality's gate
+    * composed into one per-document ship verdict — text quality (q83's
+    * classifier label), audio quality (q166's clipped/silent screen),
+    * and image dedup (q163's perceptual groups reduced to a keeper:
+    * the smallest doc of each (geometry, fingerprint) group ships, its
+    * perceptual copies don't — unique images are their own keeper).
+    * `ship = text_keep ∧ audio_keep ∧ image_keeper`, with `image_match`
+    * carrying the keeper id so a culled copy is attributable. The
+    * multimodal twin of q138's text ledger: the one frame a release
+    * pipeline joins before packing a corpus that carries media columns.
+    *
+    * Scale shape: one fingerprint-grain aggregate (keeper per group) +
+    * three doc-grain equi-joins; the image side reads the standing
+    * `image_grids`, the text and audio sides are map-only scans.
+    */
+  def q168MultimodalLedger(spark: SparkSession, dir: String): DataFrame = {
+    val img = imageFingerprints(spark, dir)
+      .select("doc_id", "gy", "fingerprint")
+    val keepers = img.groupBy("gy", "fingerprint")
+      .agg(min("doc_id").as("image_match"))
+    val withK = img.join(keepers, Seq("gy", "fingerprint"))
+      .select(col("doc_id"), col("image_match"))
+    val txt = TextAnalysis.q83QualityClassifier(spark, dir)
+      .select(col("doc_id"), (col("quality_label") === "keep").as("text_keep"))
+    val aud = q166AudioQualityScreen(spark, dir)
+      .select(col("doc_id"), col("keep").as("audio_keep"))
+    withK.join(txt, "doc_id").join(aud, "doc_id")
+      .select(col("doc_id"), col("text_keep"), col("audio_keep"),
+        (col("doc_id") === col("image_match")).as("image_keeper"),
+        col("image_match"),
+        (col("text_keep") && col("audio_keep") &&
+          (col("doc_id") === col("image_match"))).as("ship"))
+      .orderBy("doc_id")
+  }
+
+  /** q83's and q166's oracles embedded whole (the q158-embeds-q138
+    * precedent — inner WITHs shadow legally), the keeper reduction on
+    * [[fpCtes]], and the conjunction — all three modality gates
+    * replayed in ONE statement.
+    */
+  lazy val q168OracleSql: String =
+    s"""WITH $fpCtes, grpmin AS (
+       |  SELECT gy, fingerprint, min(doc_id) AS keeper
+       |  FROM fp GROUP BY gy, fingerprint
+       |), img AS (
+       |  SELECT f.doc_id, g.keeper FROM fp f
+       |  JOIN grpmin g USING (gy, fingerprint)
+       |), txt AS (
+       |  SELECT doc_id, quality_label FROM (
+       |${TextAnalysis.q83OracleSql}
+       |  )
+       |), aud AS (
+       |  SELECT doc_id, keep AS audio_keep FROM (
+       |$q166OracleSql
+       |  )
+       |)
+       |SELECT i.doc_id,
+       |       t.quality_label = 'keep' AS text_keep,
+       |       a.audio_keep,
+       |       i.doc_id = i.keeper AS image_keeper,
+       |       i.keeper AS image_match,
+       |       (t.quality_label = 'keep' AND a.audio_keep
+       |        AND i.doc_id = i.keeper) AS ship
+       |FROM img i JOIN txt t USING (doc_id) JOIN aud a USING (doc_id)
+       |ORDER BY i.doc_id""".stripMargin
+
+  // ---- q169: per-source image dup burden -------------------------------------
+
+  /** q169 — image dup burden by SOURCE: which feed ships perceptually
+    * duplicated images (q67's source-grain dup accounting in image
+    * space). Per source: image count, count in a ≥2-member perceptual
+    * group, and the dup rate — the number that says "this crawl
+    * mirrors that one's pictures" before storage is paid at scale.
+    *
+    * Scale shape: fingerprint-grain group sizes (≤ 2¹⁶ per geometry)
+    * joined back at doc grain, one (doc_id, source) documents
+    * projection, source-grain rollup.
+    */
+  def q169SourceImageDups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val img = imageFingerprints(spark, dir)
+      .select("doc_id", "gy", "fingerprint")
+    val sizes = img.groupBy("gy", "fingerprint").agg(count(lit(1)).as("gsz"))
+    val flagged = img.join(sizes, Seq("gy", "fingerprint"))
+      .select(col("doc_id"), (col("gsz") >= 2).cast("long").as("dup"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(flagged, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_images"), sum("dup").as("n_dup_images"))
+      .withColumn("dup_rate",
+        round6(col("n_dup_images").cast("double") / col("n_images")))
+      .orderBy(col("source").asc_nulls_last)
+  }
+
+  lazy val q169OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $fpCtes, gsz AS (
+       |  SELECT gy, fingerprint, count(*) AS gsz
+       |  FROM fp GROUP BY gy, fingerprint
+       |), flag AS (
+       |  SELECT f.doc_id, CASE WHEN g.gsz >= 2 THEN 1 ELSE 0 END AS dup
+       |  FROM fp f JOIN gsz g USING (gy, fingerprint)
+       |)
+       |SELECT d.source,
+       |       CAST(count(*) AS BIGINT) AS n_images,
+       |       CAST(sum(fl.dup) AS BIGINT) AS n_dup_images,
+       |       ${round6Sql("CAST(sum(fl.dup) AS DOUBLE) / count(*)")}
+       |         AS dup_rate
+       |FROM documents d JOIN flag fl USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source ASC NULLS LAST""".stripMargin
+  }
+
+  lazy val q167OracleSql: String = {
+    import graft.functions.VectorOps
+    val cos = VectorOps.round6Sql(VectorOps.cosineSql("p.pvec", "v.vec"))
+    s"""WITH $gridCellsCtes, vecs AS (
+       |  SELECT doc_id, list(CAST(px_sum AS DOUBLE) / (3.0 * n_px)
+       |           ORDER BY cell_y * gx + cell_x) AS vec
+       |  FROM cells WHERE gy = $Grid GROUP BY doc_id
+       |), probes AS (
+       |  SELECT doc_id AS probe_id, vec AS pvec FROM vecs
+       |  ORDER BY doc_id DESC LIMIT $ImageKnnProbes
+       |), scored AS (
+       |  SELECT p.probe_id, v.doc_id AS neighbor_id, $cos AS cos
+       |  FROM probes p JOIN vecs v ON v.doc_id <> p.probe_id
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, rank, neighbor_id, cos
+       |FROM ranked WHERE rank <= $ImageTopK
+       |ORDER BY probe_id, rank""".stripMargin
   }
 }

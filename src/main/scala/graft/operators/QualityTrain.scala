@@ -412,6 +412,47 @@ object QualityTrain {
     */
   val GatePurityFloor = 0.6
 
+  /** The cutoff-selection rule, shared by [[q158TrainedGate]] and the
+    * intake-gate factory [[trainedGate]] (ONE definition, so the batch
+    * audit and the stream's admission rule can never pick different
+    * cutoffs): the lowest band whose cumulative curated purity clears
+    * [[GatePurityFloor]] — volume-maximal at acceptable purity — with
+    * the strictest-band fallback when none clears.
+    */
+  private def pickCutoff(
+      rows: Array[org.apache.spark.sql.Row]): org.apache.spark.sql.Row = {
+    require(rows.nonEmpty, "trained gate: empty operating table")
+    def bandOf(r: org.apache.spark.sql.Row) = r.getAs[Int]("band")
+    val qualifying = rows.filter(
+      _.getAs[Double]("cum_precision") >= GatePurityFloor)
+    if (qualifying.nonEmpty) qualifying.minBy(bandOf) else rows.maxBy(bandOf)
+  }
+
+  /** The shipped gate's portable state: the trained model plus the
+    * q154-priced cutoff — everything a streaming intake needs to apply
+    * q158's admission verdict at the door without touching the corpus
+    * at batch time.
+    */
+  final case class TrainedGate(model: TextAnalysis.QualityModel,
+      band: Int, threshold: Double)
+
+  /** Train + price + pick ONCE against the standing corpus: q148's
+    * bounded-sample training, q151's one-pass corpus scoring, q154's
+    * operating table, [[pickCutoff]]'s rule. The returned [[TrainedGate]]
+    * is what `StreamingOps.trainedGateOfBatch` applies per micro-batch —
+    * the gate is a published artifact retrained on the audit cadence
+    * (q152's drift signal), never per batch.
+    */
+  def trainedGate(spark: SparkSession, dir: String): TrainedGate = {
+    val m = train(spark, dir)
+    val scored = graft.Checkpoints.checkpoint(
+      TextAnalysis.q83With(spark, dir, m)
+        .select("doc_id", "n_tokens", "quality_score"))
+    val chosen = pickCutoff(sweepFrom(spark, dir, scored).collect())
+    TrainedGate(m, chosen.getAs[Int]("band"),
+      chosen.getAs[Double]("score_min"))
+  }
+
   /** q158 — the trained quality gate APPLIED: q154 prices every
     * candidate cutoff; this picks one and ships its verdict per
     * document. The threshold is chosen from the operating table itself
@@ -440,13 +481,8 @@ object QualityTrain {
     val scored = graft.Checkpoints.checkpoint(
       q151TrainedQuality(spark, dir)
         .select("doc_id", "n_tokens", "quality_score"))
-    val rows = sweepFrom(spark, dir, scored).collect()
-    require(rows.nonEmpty, "q158: empty operating table")
+    val chosen = pickCutoff(sweepFrom(spark, dir, scored).collect())
     def bandOf(r: org.apache.spark.sql.Row) = r.getAs[Int]("band")
-    val qualifying = rows.filter(
-      _.getAs[Double]("cum_precision") >= GatePurityFloor)
-    val chosen = if (qualifying.nonEmpty) qualifying.minBy(bandOf)
-                 else rows.maxBy(bandOf)
     val thr = chosen.getAs[Double]("score_min")
     val ledger = Curation.q138CurationLedger(spark, dir)
       .select(col("doc_id"), col("keep").as("ledger_keep"))

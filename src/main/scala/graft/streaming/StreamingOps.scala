@@ -681,6 +681,67 @@ object StreamingOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** q158's TRAINED quality verdict at INTAKE time — the fifth gate:
+    * each arriving document scored with the trained weights and gated
+    * at the q154-priced cutoff, using a [[graft.operators.QualityTrain.TrainedGate]]
+    * trained and priced ONCE against the standing corpus
+    * (`QualityTrain.trainedGate`) and applied unchanged per micro-batch.
+    * Retraining at the door would silently drift the stream's admission
+    * rule away from the batch audit's — the gate is a published
+    * artifact, retrained on the audit cadence (q152's drift signal),
+    * never per batch.
+    *
+    * Unlike the join gates this one touches NO standing state at batch
+    * time: q83's scoring kernel under the trained weights is map-only
+    * column arithmetic, then `quality_score ≥ threshold` — per-batch
+    * cost is exactly one pass over the batch's own rows. The verdict
+    * goes through the same `scoredQuality` kernel and the same
+    * (band, threshold) q158 ships, so gate-vs-audit agreement is by
+    * construction (pinned per document in `QualityTrainSpec`). q158's
+    * ledger conjunction is deliberately NOT applied: an arriving
+    * document has no ledger row yet — the gate decides admission, the
+    * ledger decides shipping later. At-least-once delivery is absorbed
+    * by the usual doc-grain dedup. Output: one `(idCol, quality_score,
+    * gate_band, gate_threshold, trained_keep)` row per distinct
+    * arriving document.
+    */
+  /** q163/q165's perceptual verdict at INTAKE time — the MULTIMODAL
+    * gate: each arriving document's media decoded (batch-bounded —
+    * only the batch's own payloads), reduced to its grid fingerprint,
+    * and verdicted against the STANDING `image_grids` artifact through
+    * the shared [[graft.operators.Multimodal.phashVerdictsOf]] core:
+    * `exact_phash` on an identical fingerprint, `near_phash` at
+    * Hamming 1–3 via the band join (pigeonhole-complete), else `new`,
+    * `match_id` = the smallest matching corpus doc. The image twin of
+    * [[nearDupOfBatch]]: a re-crawl shipping the same pictures under
+    * new bytes is caught at the door, before its storage is paid. The
+    * stream carries zero image state — batch grids are derived per
+    * micro-batch, the corpus side is one artifact read plus map-only
+    * band arithmetic (corpus media is NEVER re-decoded at batch time),
+    * and at-least-once is absorbed by the usual doc-grain dedup.
+    */
+  def imageDupOfBatch(batch: DataFrame, spark: SparkSession,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.Multimodal
+    val b = batch.dropDuplicates(idCol)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Multimodal.phashVerdictsOf(
+      Multimodal.imageGridRows(b),
+      graft.Artifacts.imageGrids(spark, corpusDir))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  def trainedGateOfBatch(batch: DataFrame,
+      gate: graft.operators.QualityTrain.TrainedGate,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.TextAnalysis.scoredQuality(
+        batch.dropDuplicates(idCol), textCol, gate.model)
+      .select(col(idCol), col("quality_score"),
+        lit(gate.band.toLong).as("gate_band"),
+        lit(gate.threshold).as("gate_threshold"),
+        (col("quality_score") >= gate.threshold).as("trained_keep"))
+
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the
     * preceding 30 minutes. The interval join is an equi-join on user_id

@@ -109,7 +109,20 @@ class EmptyCorpusSpec extends SparkSpec {
     "q153_trained_fertility" -> (TextAnalysis.q153TrainedFertility _),
     "q28_multimodal_features" ->
       (graft.operators.Multimodal.q28MultimodalFeatures _),
-    "q161_wav_stats" -> (graft.operators.Multimodal.q161WavStats _))
+    "q161_wav_stats" -> (graft.operators.Multimodal.q161WavStats _),
+    "q162_image_resize" -> (graft.operators.Multimodal.q162ImageResize _),
+    "q163_image_phash_dups" ->
+      (graft.operators.Multimodal.q163ImagePhashDups _),
+    "q164_audio_frames" -> (graft.operators.Multimodal.q164AudioFrames _),
+    "q165_image_hamming_pairs" ->
+      (graft.operators.Multimodal.q165ImageHammingPairs _),
+    "q166_audio_quality_screen" ->
+      (graft.operators.Multimodal.q166AudioQualityScreen _),
+    "q167_image_knn" -> (graft.operators.Multimodal.q167ImageKnn _),
+    "q168_multimodal_ledger" ->
+      (graft.operators.Multimodal.q168MultimodalLedger _),
+    "q169_source_image_dups" ->
+      (graft.operators.Multimodal.q169SourceImageDups _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -39,7 +39,9 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.TokenPositionsName -> rows(CorpusOps.tokenPositionsRows(docs)),
       Artifacts.TokenDfName -> rows(CorpusOps.tokenDfRows(docs)),
       Artifacts.LineDfName ->
-        rows(graft.operators.Extraction.lineDfRows(docs))) ++
+        rows(graft.operators.Extraction.lineDfRows(docs)),
+      Artifacts.ImageGridsName ->
+        rows(graft.operators.Multimodal.imageGridRows(docs))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t))) ++
       Artifacts.PostingsTokenizers.map(t =>

@@ -144,4 +144,392 @@ class MultimodalSpec extends SparkSpec {
           samples.map(_.toLong).sum.toDouble / samples.length) < 1e-6)
     }
   }
+
+  // ---- resize grid (q162) ---------------------------------------------------
+
+  test("decodeGrid on the 2x2 fixture: identity grid, hand-computed cells") {
+    // 2x2 source under a 4-grid clamps to gx=gy=2 — each pixel its own
+    // cell, sum = its three channel bytes
+    val g = Multimodal.Ppm.decodeGrid(readAll("ok_2x2.ppm"), 4).toOption.get
+    assert(g.width == 2 && g.height == 2 && g.gx == 2 && g.gy == 2)
+    // pixels: (10,20,30) (40,50,60) / (70,80,90) (200,150,255)
+    assert(g.sums.toSeq == Seq(60L, 150L, 240L, 605L))
+    assert(g.cnts.toSeq == Seq(1L, 1L, 1L, 1L))
+  }
+
+  test("decodeGrid block assignment matches an independent local recompute") {
+    // 8x2 image (48 payload bytes, values 1..48): gx=4, gy=2 — 2-pixel
+    // blocks; recompute the box-filter assignment from scratch
+    val payload = Array.tabulate(48)(i => (i + 1).toByte)
+    val g = Multimodal.Ppm.decodeGrid(
+      Multimodal.Ppm.encode(payload, 8), 4).toOption.get
+    assert(g.width == 8 && g.height == 2 && g.gx == 4 && g.gy == 2)
+    val sums = new Array[Long](8)
+    val cnts = new Array[Long](8)
+    for (p <- 0 until 16) {
+      val cell = ((p / 8) * 2 / 2) * 4 + (p % 8) * 4 / 8
+      sums(cell) += (0 until 3).map(c => payload(3 * p + c) & 0xFF).sum
+      cnts(cell) += 1
+    }
+    assert(g.sums.toSeq == sums.toSeq && g.cnts.toSeq == cnts.toSeq)
+    // padding rows are still pixels: 2-byte payload at width 3 → one
+    // row, three 1-pixel cells, zeros visible in the sums
+    val pad = Multimodal.Ppm.decodeGrid(
+      Multimodal.Ppm.encode(Array[Byte](7, 8), 3), 4).toOption.get
+    assert(pad.gx == 3 && pad.gy == 1)
+    assert(pad.sums.toSeq == Seq(15L, 0L, 0L))
+  }
+
+  test("resizeGridRouted splits grids from rejects with decode's reasons") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, readAll("ok_2x2.ppm")),
+      (2L, readAll("bad_magic.ppm")),
+      (3L, readAll("truncated.ppm"))).toDF("doc_id", "media")
+    val (good, bad) = Multimodal.resizeGridRouted(media, 4)
+    val g = good.collect()
+    assert(g.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+    assert(g.head.getAs[scala.collection.Seq[Long]]("sums").toSeq ==
+      Seq(60L, 150L, 240L, 605L))
+    val rejects = bad.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("reject_reason")).toMap
+    assert(rejects(2L) == "bad_magic")
+    assert(rejects(3L).startsWith("truncated_plane"))
+  }
+
+  test("q162 grids reconcile with a local box-filter recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
+    val byDoc = Multimodal.q162ImageResize(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.toSeq.sortBy(_._1).take(50).foreach { case (id, rows) =>
+      val (text, nChars) = docs(id)
+      val payload = Option(text).getOrElse("").getBytes("UTF-8")
+      val w = (nChars % 24 + 8).toInt
+      val h = ((math.max(payload.length, 1) + 3 * w - 1) / (3 * w))
+      val gx = math.min(4, w)
+      val gy = math.min(4, h)
+      val sums = new Array[Long](gx * gy)
+      val cnts = new Array[Long](gx * gy)
+      for (p <- 0 until w * h) {
+        val cell = ((p / w) * gy / h) * gx + (p % w) * gx / w
+        sums(cell) += (0 until 3).map { c =>
+          val i = 3 * p + c
+          if (i < payload.length) payload(i) & 0xFF else 0
+        }.sum
+        cnts(cell) += 1
+      }
+      assert(rows.length == gx * gy)
+      rows.foreach { r =>
+        val cell = r.getAs[Int]("cell_y") * gx + r.getAs[Int]("cell_x")
+        assert(r.getAs[Long]("px_sum") == sums(cell))
+        assert(r.getAs[Long]("n_px") == cnts(cell))
+        assert(math.abs(r.getAs[Double]("mean_val") -
+          sums(cell).toDouble / (3 * cnts(cell))) < 1e-6)
+      }
+    }
+  }
+
+  // ---- perceptual-hash dedup (q163) -----------------------------------------
+
+  test("q163 groups equal a full local aHash mirror") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+    // mirror: grid → integer-exact bits vs the global mean → fingerprint
+    val fps = docs.map { r =>
+      val payload = Option(r.getAs[String]("text")).getOrElse("")
+        .getBytes("UTF-8")
+      val w = (r.getAs[Long]("n_chars") % 24 + 8).toInt
+      val g = Multimodal.Ppm.decodeGrid(
+        Multimodal.Ppm.encode(payload, w), 4).toOption.get
+      val sTot = g.sums.sum
+      val nTot = g.cnts.sum
+      val fp = g.sums.indices.map { i =>
+        if (g.sums(i) * nTot >= sTot * g.cnts(i)) 1L << i else 0L
+      }.sum
+      (r.getAs[Long]("doc_id"), g.gy, fp)
+    }
+    val expected = fps.groupBy(t => (t._2, t._3))
+      .filter(_._2.length >= 2)
+      .map { case ((gy, fp), ms) =>
+        (gy, fp) -> ms.map(_._1).sorted.mkString(",")
+      }
+    val out = Multimodal.q163ImagePhashDups(spark, sf).collect()
+      .map(r => (r.getAs[Int]("grid_rows"), r.getAs[Long]("fingerprint")) ->
+        r.getAs[String]("doc_ids")).toMap
+    assert(out == expected)
+    assert(out.nonEmpty, "fixture corpus should contain dup images")
+  }
+
+  // ---- audio frame windows (q164) -------------------------------------------
+
+  test("windowedStats slices hand-checkable windows; stereo routes") {
+    assert(Multimodal.Wav.windowedStats(readAll("tone.wav"), 3, 4) ==
+      Left("not_mono:2"))
+    // 300-byte payload → 150 frames; stride max((150-64)/3,1)=28
+    val payload = Array.tabulate(300)(i => (i % 251).toByte)
+    val container = Multimodal.Wav.encode(payload, 8000)
+    val ws = Multimodal.Wav.windowedStats(container, 3, 64).toOption.get
+    assert(ws.map(_.startFrame) == Seq(0L, 28L, 56L))
+    assert(ws.forall(_.nSamples == 64L))
+    val samples = payload.grouped(2).map { p =>
+      val v = (p(0) & 0xFF) | ((p(1) & 0xFF) << 8)
+      if (v >= 0x8000) v - 0x10000 else v
+    }.toArray
+    ws.foreach { w =>
+      val slice = samples.slice(w.startFrame.toInt,
+        w.startFrame.toInt + w.nSamples.toInt)
+      assert(w.ampSum == slice.map(_.toLong).sum)
+      assert(w.peak == slice.map(math.abs).max)
+    }
+    // 1-frame take: stride clamps to 1, windows past the end drop
+    val tiny = Multimodal.Wav.windowedStats(
+      Multimodal.Wav.encode(Array[Byte](1, 2), 8000), 3, 64).toOption.get
+    assert(tiny.map(w => (w.idx, w.startFrame, w.nSamples)) ==
+      Seq((0, 0L, 1L)))
+    // zero-frame take: no windows
+    assert(Multimodal.Wav.windowedStats(
+      Multimodal.Wav.encode(Array.empty[Byte], 8000), 3, 64)
+      .toOption.get.isEmpty)
+  }
+
+  test("q164 windows reconcile with a local recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text")).toMap
+    val byDoc = Multimodal.q164AudioFrames(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    byDoc.toSeq.sortBy(_._1).take(50).foreach { case (id, rows) =>
+      val b = Option(docs(id)).getOrElse("").getBytes("UTF-8")
+      val padded = if (b.length % 2 == 0) b else b :+ 0.toByte
+      val samples = padded.grouped(2).map { p =>
+        val v = (p(0) & 0xFF) | ((p(1) & 0xFF) << 8)
+        if (v >= 0x8000) v - 0x10000 else v
+      }.toArray
+      val n = samples.length
+      val step = math.max(math.max(n - 64, 0) / 3, 1)
+      val expected = (0 until 3).flatMap { k =>
+        val start = k * step
+        if (start >= n) None
+        else {
+          val slice = samples.slice(start, math.min(start + 64, n))
+          Some((k, start.toLong, slice.length.toLong,
+            slice.map(_.toLong).sum, slice.map(math.abs).max))
+        }
+      }
+      assert(rows.map(r => (r.getAs[Int]("window_idx"),
+        r.getAs[Long]("start_frame"), r.getAs[Long]("n_samples"),
+        r.getAs[Long]("amp_sum"), r.getAs[Int]("peak_amp"))).toSeq
+        .sortBy(_._1) == expected)
+    }
+    // zero-frame docs emit no windows; everything else emits ≥ 1
+    val emptyDocs = docs.filter { case (_, t) =>
+      Option(t).getOrElse("").isEmpty }.keySet
+    assert(byDoc.keySet == docs.keySet -- emptyDocs)
+  }
+
+  /** Local aHash mirror shared by the q163/q165/q167 tests:
+    * (doc_id, gy, fingerprint, grid).
+    */
+  private def localFingerprints(): Seq[(Long, Int, Long, Multimodal.PpmGrid)] =
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect().toSeq
+      .map { r =>
+        val payload = Option(r.getAs[String]("text")).getOrElse("")
+          .getBytes("UTF-8")
+        val w = (r.getAs[Long]("n_chars") % 24 + 8).toInt
+        val g = Multimodal.Ppm.decodeGrid(
+          Multimodal.Ppm.encode(payload, w), 4).toOption.get
+        val sTot = g.sums.sum
+        val nTot = g.cnts.sum
+        val fp = g.sums.indices.map { i =>
+          if (g.sums(i) * nTot >= sTot * g.cnts(i)) 1L << i else 0L
+        }.sum
+        (r.getAs[Long]("doc_id"), g.gy, fp, g)
+      }
+
+  // ---- banded Hamming pairs (q165) ------------------------------------------
+
+  test("q165 equals a brute-force Hamming sweep over distinct fingerprints") {
+    val grp = localFingerprints().groupBy(t => (t._2, t._3))
+      .map { case ((gy, fp), ms) => (gy, fp, ms.length.toLong) }.toSeq
+    val expected = (for {
+      a <- grp; b <- grp
+      if a._1 == b._1 && a._2 < b._2
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, a._2, b._2) -> (h, a._3, b._3)).toMap
+    val out = Multimodal.q165ImageHammingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Int]("grid_rows"), r.getAs[Long]("fp_a"),
+        r.getAs[Long]("fp_b")) -> (r.getAs[Int]("hamming"),
+        r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b"))).toMap
+    // brute force IS the recall oracle: the 4-band bucket join must
+    // surface every pair at Hamming ≤ 3 (pigeonhole), nothing else
+    assert(out == expected)
+  }
+
+  // ---- audio quality screen (q166) ------------------------------------------
+
+  test("q166 flags clipping and silence from the sampled windows; every doc verdicts") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+    val out = Multimodal.q166AudioQualityScreen(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == docs.map(_.getAs[Long]("doc_id")).toSet)
+    docs.foreach { d =>
+      val id = d.getAs[Long]("doc_id")
+      val b = Option(d.getAs[String]("text")).getOrElse("").getBytes("UTF-8")
+      val rate = (8000 + (d.getAs[Long]("n_chars") % 8) * 1000).toInt
+      val ws = Multimodal.Wav.windowedStats(
+        Multimodal.Wav.encode(b, rate), 3, 64).toOption.get
+      val r = out(id)
+      assert(r.getAs[Long]("n_windows") == ws.length.toLong)
+      assert(r.getAs[Long]("n_samples") == ws.map(_.nSamples).sum)
+      assert(r.getAs[Long]("abs_sum") == ws.map(_.absSum).sum)
+      val peak = if (ws.isEmpty) 0 else ws.map(_.peak).max
+      assert(r.getAs[Int]("peak_amp") == peak)
+      val silent = ws.isEmpty ||
+        ws.map(_.absSum).sum < 328L * ws.map(_.nSamples).sum
+      assert(r.getAs[Boolean]("clipped") == (peak >= 32767))
+      assert(r.getAs[Boolean]("silent") == silent)
+      assert(r.getAs[Boolean]("keep") == (!(peak >= 32767) && !silent))
+    }
+    // the corpus text-as-PCM derivation: ASCII bytes are quiet enough
+    // that neither flag is vacuous only if at least one side occurs;
+    // zero-frame (empty/null text) docs must be silent
+    out.values.filter(_.getAs[Long]("n_windows") == 0L)
+      .foreach(r => assert(r.getAs[Boolean]("silent")))
+  }
+
+  // ---- image kNN (q167) -----------------------------------------------------
+
+  test("q167 ranks mirror a local cosine recompute over grid embeddings") {
+    val vecs = localFingerprints().filter(_._2 == 4)
+      .map { case (id, _, _, g) =>
+        id -> g.sums.indices.map(i =>
+          g.sums(i).toDouble / (3.0 * g.cnts(i))).toArray
+      }
+    assert(vecs.size > Multimodal.ImageKnnProbes,
+      "fixture corpus needs full-grid images")
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((acc, i) => acc + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val probes = vecs.map(_._1).sorted.reverse.take(Multimodal.ImageKnnProbes)
+    val expected = probes.flatMap { p =>
+      val pv = vecs.find(_._1 == p).get._2
+      vecs.filter(_._1 != p)
+        .map { case (id, v) => (id, round6(cos(pv, v))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Multimodal.ImageTopK).zipWithIndex
+        .map { case ((id, c), i) => (p, i + 1, id, c) }
+    }.sortBy(t => (t._1, t._2))
+    val out = Multimodal.q167ImageKnn(spark, sf).collect()
+      .map(r => (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cos"))).toSeq
+    assert(out.map(t => (t._1, t._2, t._3)) ==
+      expected.map(t => (t._1, t._2, t._3)))
+    out.zip(expected).foreach { case (o, e) =>
+      assert(math.abs(o._4 - e._4) < 1e-9) }
+  }
+
+  // ---- multimodal ledger (q168) ---------------------------------------------
+
+  test("q168 composes the three modality gates; culled copies name their keeper") {
+    val fps = localFingerprints()
+    val keeper = fps.groupBy(t => (t._2, t._3))
+      .flatMap { case (_, ms) =>
+        val k = ms.map(_._1).min; ms.map(m => m._1 -> k) }
+    val aud = Multimodal.q166AudioQualityScreen(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val txt = graft.operators.TextAnalysis
+      .q83QualityClassifier(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("quality_label") == "keep")).toMap
+    val out = Multimodal.q168MultimodalLedger(spark, sf).collect()
+    assert(out.length == fps.length, "one ledger row per document")
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("image_match") == keeper(id))
+      assert(r.getAs[Boolean]("image_keeper") == (keeper(id) == id))
+      assert(r.getAs[Boolean]("text_keep") == txt(id))
+      assert(r.getAs[Boolean]("audio_keep") == aud(id))
+      assert(r.getAs[Boolean]("ship") ==
+        (txt(id) && aud(id) && keeper(id) == id))
+    }
+    // the image gate must actually bite: dup groups exist in the fixture
+    assert(out.exists(!_.getAs[Boolean]("image_keeper")))
+  }
+
+  // ---- source image dup burden (q169) ----------------------------------------
+
+  test("q169 source rollup reconciles with the fingerprint groups") {
+    val fps = localFingerprints()
+    val sizes = fps.groupBy(t => (t._2, t._3)).view.mapValues(_.length).toMap
+    val srcOf = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expected = fps.groupBy(t => srcOf(t._1)).map { case (src, ms) =>
+      src -> (ms.length.toLong,
+        ms.count(m => sizes((m._2, m._3)) >= 2).toLong)
+    }
+    val out = Multimodal.q169SourceImageDups(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_images"), r.getAs[Long]("n_dup_images"))).toMap
+    assert(out == expected)
+    out.foreach { case (src, (n, d)) =>
+      assert(d <= n, s"source $src dup count exceeds image count") }
+  }
+
+  // ---- multimodal intake gate -------------------------------------------------
+
+  test("imageDupOfBatch verdicts arriving media against the standing corpus") {
+    import spark.implicits._
+    val corpus = localFingerprints().map(t => (t._2, t._3, t._1))
+    // arriving batch: two exact re-crawls of corpus texts under NEW ids,
+    // a novel text, and an at-least-once repeat of one row
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+      .orderBy("doc_id").limit(2).collect()
+    val batch = Seq(
+      (900001L, docs(0).getAs[String]("text")),
+      (900002L, docs(1).getAs[String]("text")),
+      (900003L, "an entirely new page with text the corpus never saw x9z"),
+      (900001L, docs(0).getAs[String]("text"))).toDF("doc_id", "text")
+    val out = graft.streaming.StreamingOps
+      .imageDupOfBatch(batch, spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.size == 3, "doc-grain dedup absorbs the repeat")
+    // mirror: exact = identical (gy, fp); near = Hamming 1..3
+    def verdictOf(text: String): (String, Option[Long]) = {
+      val payload = text.getBytes("UTF-8")
+      val w = (text.length % 24 + 8)
+      val g = Multimodal.Ppm.decodeGrid(
+        Multimodal.Ppm.encode(payload, w), 4).toOption.get
+      val sTot = g.sums.sum; val nTot = g.cnts.sum
+      val fp = g.sums.indices.map(i =>
+        if (g.sums(i) * nTot >= sTot * g.cnts(i)) 1L << i else 0L).sum
+      val exact = corpus.filter(c => c._1 == g.gy && c._2 == fp).map(_._3)
+      val near = corpus.filter(c => c._1 == g.gy &&
+        (1 to 3).contains(java.lang.Long.bitCount(c._2 ^ fp))).map(_._3)
+      if (exact.nonEmpty) ("exact_phash", Some(exact.min))
+      else if (near.nonEmpty) ("near_phash", Some(near.min))
+      else ("new", None)
+    }
+    assert(out(900001L) == verdictOf(docs(0).getAs[String]("text")))
+    assert(out(900002L) == verdictOf(docs(1).getAs[String]("text")))
+    assert(out(900003L) ==
+      verdictOf("an entirely new page with text the corpus never saw x9z"))
+    assert(out(900001L)._1 == "exact_phash", "a re-crawl must be caught")
+  }
 }

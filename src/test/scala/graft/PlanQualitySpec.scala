@@ -853,6 +853,42 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: the image family rides image_grids — media never re-decoded") {
+    // q162/q163/q165/q167 all derive from the per-doc grid frame; with
+    // the image_grids artifact materialized each query is column
+    // arithmetic + joins over standing state and the documents table
+    // (the decode input) must not appear in any executed plan — media
+    // decode is the pass a 100 TB multimodal corpus cannot afford per
+    // query
+    val tmp = java.nio.file.Files.createTempDirectory("graft-imgguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val queries: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "q162" -> graft.operators.Multimodal.q162ImageResize(spark, sf),
+        "q163" -> graft.operators.Multimodal.q163ImagePhashDups(spark, sf),
+        "q165" -> graft.operators.Multimodal.q165ImageHammingPairs(spark, sf),
+        "q167" -> graft.operators.Multimodal.q167ImageKnn(spark, sf))
+      queries.foreach { case (name, df) =>
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        Checkpoints.releaseAll()
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        val docScans = p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains("documents"))
+        assert(docScans == 0,
+          s"$name artifact-mode plan still scans documents $docScans times " +
+            "— the image family must read the standing image_grids")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q122 reads the pair artifact — document text never scanned") {
     // the matrix is a rollup of standing dup_pairs state; its one
     // documents read is the (doc_id, source) labeling projection, so a

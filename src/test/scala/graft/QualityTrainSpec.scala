@@ -234,4 +234,28 @@ class QualityTrainSpec extends SparkSpec {
     }
     Checkpoints.releaseAll()
   }
+
+  test("trained intake gate agrees with q158 per document, and never retrains") {
+    // the gate object: trained + priced ONCE against the standing corpus
+    val gate = QualityTrain.trainedGate(spark, sf)
+    val audit = QualityTrain.q158TrainedGate(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("gate_band"), r.getAs[Double]("gate_threshold"),
+          r.getAs[Boolean]("trained_keep"))).toMap
+    // a micro-batch of corpus rows, with an at-least-once repeat
+    val batch = Tables.documents(spark, sf)
+      .select("doc_id", "text").limit(40)
+    val out = graft.streaming.StreamingOps
+      .trainedGateOfBatch(batch.union(batch.limit(5)), gate)
+      .collect()
+    assert(out.length == 40, "doc-grain dedup absorbs the repeat")
+    out.foreach { r =>
+      val (band, thr, keep) = audit(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("gate_band") == band)
+      assert(r.getAs[Double]("gate_threshold") == thr)
+      assert(r.getAs[Boolean]("trained_keep") == keep,
+        s"gate and q158 disagree on doc ${r.getAs[Long]("doc_id")}")
+    }
+    Checkpoints.releaseAll()
+  }
 }
