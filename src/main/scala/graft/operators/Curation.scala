@@ -462,17 +462,6 @@ object Curation {
 
   private[graft] def tokenBudgetBanded(spark: SparkSession, dir: String,
       bandWidth: Long, tok: graft.functions.Tokenizer): DataFrame = {
-    val budget = SourceTokenBudget
-    // The map-side rewrite (InferWindowGroupLimit) only fires for rank
-    // bounds at or under spark.sql.optimizer.windowGroupLimitThreshold
-    // (default 1000); the band-0 cap is budget+1, so the session configs
-    // that care about this plan (Verify/Bench/SparkSpec) pin the
-    // threshold above it. Correctness never depends on the rewrite — an
-    // un-pinned session just plans a full window instead of the bounded
-    // per-group heap — and a query builder must not mutate shared
-    // session conf as a planning side effect (`PlanQualitySpec` guards
-    // the rewrite where it matters).
-    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     // token mass from the standing artifact when one resolves: the scan
     // side then reads only (doc_id, source) — no text bytes, no
     // tokenizer evaluation
@@ -494,14 +483,35 @@ object Curation {
     val all = if (tok.zeroTokenCapable)
       raw.withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
     else raw
+    bandedBudgetOf(all, tok.zeroTokenCapable, bandWidth)
+  }
+
+  /** q75's banded-budget arithmetic over ANY per-doc cost frame
+    * `(doc_id, source, n_tokens)` — shared by the tokenizer-priced
+    * budgets (q75/q160) and the multimodal-priced one (q170), so the
+    * window/cap/cutoff arithmetic cannot drift between pricings.
+    */
+  private def bandedBudgetOf(all: DataFrame, zeroTokenCapable: Boolean,
+      bandWidth: Long): DataFrame = {
+    val budget = SourceTokenBudget
+    // The map-side rewrite (InferWindowGroupLimit) only fires for rank
+    // bounds at or under spark.sql.optimizer.windowGroupLimitThreshold
+    // (default 1000); the band-0 cap is budget+1, so the session configs
+    // that care about this plan (Verify/Bench/SparkSpec) pin the
+    // threshold above it. Correctness never depends on the rewrite — an
+    // un-pinned session just plans a full window instead of the bounded
+    // per-group heap — and a query builder must not mutate shared
+    // session conf as a planning side effect (`PlanQualitySpec` guards
+    // the rewrite where it matters).
+    val unbounded = org.apache.spark.sql.expressions.Window.unboundedPreceding
     // The band-0 rank cap below assumes every admitted row advances the
-    // running sum by ≥ 1 token; a zero-token-capable tokenizer breaks
+    // running sum by ≥ 1 token; a zero-token-capable cost breaks
     // that (unbounded zero-cost rows can all be admissible past any
     // rank), so its zero-token rows are routed AROUND the capped path:
     // they sort after every positive row in the greedy order, so each
     // one's running total is the source's full positive token mass —
     // admitted iff that total fits the budget.
-    val sized = (if (tok.zeroTokenCapable) all.filter(col("n_tokens") > 0)
+    val sized = (if (zeroTokenCapable) all.filter(col("n_tokens") > 0)
                  else all)
       .withColumn("band", floor(col("n_tokens") / bandWidth))
     // 1. rank prefilter — the LITERAL cap is what plans the map-side
@@ -537,7 +547,7 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "source", "n_tokens", "cum_tokens")
     val admitted =
-      if (!tok.zeroTokenCapable) positives
+      if (!zeroTokenCapable) positives
       else {
         // zero-token rows: cum = the source's full positive token mass
         // (they follow every positive row in the n_tokens-desc order and
@@ -576,6 +586,72 @@ object Curation {
   def q160TrainedBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudget(spark, dir, graft.functions.Tokenizer.TrainedWs(
       TextAnalysis.trainedMerges(spark, dir)))
+
+  /** q170 — the MULTIMODAL context budget: q75's greedy per-source
+    * budget priced in interleaved text+image units — whitespace text
+    * tokens PLUS the document's vision-patch cost, one patch per
+    * thumbnail cell (`gx·gy ≤ 16`, the ViT-patch accounting of the
+    * interleaved-pretraining data loaders: an image is not free
+    * context, it displaces text from the same window). Costs flow
+    * through the UNCHANGED [[bandedBudgetOf]] arithmetic, so the three
+    * budget pricings (whitespace q75, trained q160, multimodal q170)
+    * can never diverge in their window/cap/cutoff logic. Null text
+    * costs its patches alone (every doc carries media, so no row is
+    * zero-cost and the zero-token routing stays off).
+    *
+    * Scale shape: patch cost reads the STANDING `image_grids` geometry
+    * and text cost the standing whitespace counts when materialized —
+    * the budget scan then reads no text bytes and decodes no media.
+    */
+  def q170MultimodalBudget(spark: SparkSession, dir: String): DataFrame = {
+    val patches = graft.Artifacts.imageGrids(spark, dir)
+      .select(col("doc_id"),
+        (col("gx") * col("gy")).cast("long").as("patch_tokens"))
+    val ws = graft.functions.Tokenizer.Whitespace
+    val text = graft.Artifacts.tokenCounts(spark, dir, ws) match {
+      case Some(tc) => tc.select(col("doc_id"),
+        col("n_tokens").cast("long").as("text_tokens"))
+      case None => Tables.documents(spark, dir).select(col("doc_id"),
+        ws.count(col("text")).cast("long").as("text_tokens"))
+    }
+    val all = Tables.documents(spark, dir).select("doc_id", "source")
+      .join(text, "doc_id").join(patches, "doc_id")
+      .select(col("doc_id"), col("source"),
+        (coalesce(col("text_tokens"), lit(0L)) + col("patch_tokens"))
+          .as("n_tokens"))
+    bandedBudgetOf(all, zeroTokenCapable = false, TokenBandWidth)
+  }
+
+  /** q75's window/filter arithmetic with the cost term widened to
+    * text + patches; the patch count replays the grid geometry from
+    * the same header derivation the image oracles use.
+    */
+  lazy val q170OracleSql: String =
+    s"""WITH g AS (
+      |  SELECT doc_id,
+      |         CAST(n_chars % 24 + 8 AS INTEGER) AS w,
+      |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |         LEAST(4, w) * LEAST(4, CAST(CEIL(
+      |           CAST(GREATEST(L, 1) AS DOUBLE) / (3 * w)) AS INTEGER))
+      |           AS patch_tokens
+      |  FROM g
+      |), t AS (
+      |  SELECT d.doc_id, d.source,
+      |         COALESCE(CAST(len(string_split_regex(d.text, '\\s+'))
+      |           AS BIGINT), 0) + p.patch_tokens AS n_tokens
+      |  FROM documents d JOIN p USING (doc_id)
+      |), c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         CAST(SUM(n_tokens) OVER (PARTITION BY source
+      |           ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+      |  FROM t
+      |)
+      |SELECT doc_id, source, n_tokens, cum_tokens
+      |FROM c WHERE cum_tokens <= $SourceTokenBudget
+      |ORDER BY source, cum_tokens""".stripMargin
 
   /** The q135 training chain verbatim, its `v{N}` state scored to
     * per-type symbol counts, occurrence-grain per-doc totals, then

@@ -122,7 +122,8 @@ class EmptyCorpusSpec extends SparkSpec {
     "q168_multimodal_ledger" ->
       (graft.operators.Multimodal.q168MultimodalLedger _),
     "q169_source_image_dups" ->
-      (graft.operators.Multimodal.q169SourceImageDups _))
+      (graft.operators.Multimodal.q169SourceImageDups _),
+    "q170_multimodal_budget" -> (Curation.q170MultimodalBudget _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -532,4 +532,40 @@ class MultimodalSpec extends SparkSpec {
       verdictOf("an entirely new page with text the corpus never saw x9z"))
     assert(out(900001L)._1 == "exact_phash", "a re-crawl must be caught")
   }
+
+  // ---- multimodal budget (q170) ------------------------------------------------
+
+  test("q170 equals a local greedy budget in text+patch units") {
+    import graft.operators.Curation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars", "source").collect()
+    val costs = docs.map { r =>
+      val text = Option(r.getAs[String]("text"))
+      val payload = text.getOrElse("").getBytes("UTF-8")
+      val w = (r.getAs[Long]("n_chars") % 24 + 8).toInt
+      val g = Multimodal.Ppm.decodeGrid(
+        Multimodal.Ppm.encode(payload, w), 4).toOption.get
+      val ws = text.map(_.split("\\s+", -1).length.toLong).getOrElse(0L)
+      (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        ws + g.gx * g.gy)
+    }
+    val expected: Map[Long, (Long, Long)] =
+      costs.groupBy(_._2).toSeq.flatMap { case (_, ms) =>
+        var cum = 0L
+        ms.sortBy(m => (-m._3, m._1)).toSeq.flatMap { m =>
+          cum += m._3
+          if (cum <= Curation.SourceTokenBudget) Some(m._1 -> (m._3, cum))
+          else None
+        }
+      }.toMap
+    val out = Curation.q170MultimodalBudget(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toMap
+    assert(out == expected)
+    // the patch term must bite: every doc costs ≥ 4 more than q75's
+    // whitespace pricing, so the same budget admits no more documents
+    val ws = Curation.q75TokenBudget(spark, sf).collect()
+    assert(out.size <= ws.length)
+    assert(out.nonEmpty)
+  }
 }
