@@ -342,6 +342,142 @@ object Multimodal {
   final case class WavWindow(idx: Int, startFrame: Long, nSamples: Long,
       ampSum: Long, absSum: Long, peak: Int)
 
+  // ---- YUV4MPEG2 (Y4M) video codec ------------------------------------------
+
+  /** One decoded Y4M stream's header fields and frame count — the
+    * integer reductions stay per-frame ([[Y4m.frameStats]]); no float
+    * in the kernel.
+    */
+  final case class Y4mInfo(width: Int, height: Int, fpsNum: Int,
+      fpsDen: Int, nFrames: Int, dataOffset: Int)
+
+  /** One sampled video frame reduced to integer luma statistics:
+    * sample index, actual frame number, pixel count, luma sum (mean
+    * divides in the plan), min, max.
+    */
+  final case class Y4mFrame(idx: Int, frameNo: Int, nPx: Int,
+      lumaSum: Long, lumaMin: Int, lumaMax: Int)
+
+  object Y4m {
+
+    private val Magic = "YUV4MPEG2"
+
+    /** Wrap a payload as a REAL YUV4MPEG2 stream (the uncompressed
+      * video container mplayer/ffmpeg read): ASCII stream header
+      * `YUV4MPEG2 W<w> H<h> F<num>:<den> Cmono\n`, then per frame an
+      * ASCII `FRAME\n` marker + `w·h` luma-plane bytes (mono chroma
+      * mode — one plane per frame). Payload zero-padded to
+      * `ceil(max(len,1) / (w·h))` whole frames — the deterministic
+      * media derivation q171 runs on.
+      */
+    def encode(payload: Array[Byte], width: Int, height: Int,
+        fps: Int): Array[Byte] = {
+      require(width > 0 && height > 0 && fps > 0, "y4m: positive dims")
+      val frameSize = width * height
+      val nFrames = ((math.max(payload.length, 1) + frameSize.toLong - 1)
+        / frameSize).toInt
+      val header = s"$Magic W$width H$height F$fps:1 Cmono\n"
+        .getBytes(StandardCharsets.US_ASCII)
+      val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+      val out = new Array[Byte](
+        header.length + nFrames * (marker.length + frameSize))
+      System.arraycopy(header, 0, out, 0, header.length)
+      var pos = header.length
+      var f = 0
+      while (f < nFrames) {
+        System.arraycopy(marker, 0, out, pos, marker.length)
+        pos += marker.length
+        val start = f * frameSize
+        val n = math.min(frameSize, math.max(payload.length - start, 0))
+        if (n > 0) System.arraycopy(payload, start, out, pos, n)
+        pos += frameSize
+        f += 1
+      }
+      out
+    }
+
+    /** Parse the stream header (magic, space-separated `W`/`H`/`F`
+      * parameters with unknown parameters skipped — real Y4M carries
+      * `I`/`A`/`X` tags) and validate the frame walk: every frame is
+      * an exact `FRAME\n` marker (parameterized frame headers route —
+      * the production decoder would parse them) followed by `w·h`
+      * luma bytes, and the stream must end on a frame boundary.
+      * Routed reasons, never exceptions.
+      */
+    def parse(bytes: Array[Byte]): Either[String, Y4mInfo] = {
+      val headerEnd = bytes.indexOf('\n'.toByte)
+      if (headerEnd < 0) return Left("no_header_terminator")
+      val header = new String(bytes, 0, headerEnd, StandardCharsets.US_ASCII)
+      val tokens = header.split(" ")
+      if (tokens.isEmpty || tokens(0) != Magic) return Left("bad_magic")
+      var w = -1; var h = -1; var fn = -1; var fd = -1
+      tokens.drop(1).foreach { t =>
+        if (t.nonEmpty) t.charAt(0) match {
+          case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
+          case 'H' => h = t.drop(1).toIntOption.getOrElse(-1)
+          case 'F' => t.drop(1).split(":") match {
+            case Array(n, d) =>
+              fn = n.toIntOption.getOrElse(-1)
+              fd = d.toIntOption.getOrElse(-1)
+            case _ => ()
+          }
+          case _ => () // unknown parameter (I/A/X/C...) — skipped
+        }
+      }
+      if (w <= 0 || h <= 0) return Left("bad_dimensions")
+      if (fn <= 0 || fd <= 0) return Left("bad_frame_rate")
+      val frameSize = w * h
+      val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
+      var pos = headerEnd + 1
+      var nFrames = 0
+      while (pos < bytes.length) {
+        if (pos + marker.length > bytes.length ||
+            !marker.indices.forall(i => bytes(pos + i) == marker(i)))
+          return Left(s"bad_frame_marker:$nFrames")
+        pos += marker.length
+        if (pos + frameSize > bytes.length)
+          return Left(s"truncated_frame:$nFrames")
+        pos += frameSize
+        nFrames += 1
+      }
+      Right(Y4mInfo(w, h, fn, fd, nFrames, headerEnd + 1))
+    }
+
+    /** FRAME-SAMPLE a parsed stream: `k` evenly spaced frames (stride
+      * `max(nFrames ÷ k, 1)`, frames past the end dropped — the
+      * [[Wav.windowedStats]] discipline at frame grain), each reduced
+      * to integer luma (count, sum, min, max).
+      */
+    def frameStats(bytes: Array[Byte],
+        k: Int): Either[String, Seq[Y4mFrame]] = {
+      require(k > 0, "y4m: sample count positive")
+      parse(bytes).map { info =>
+        val frameSize = info.width * info.height
+        val marker = 6 // "FRAME\n"
+        val step = math.max(info.nFrames / k, 1)
+        (0 until k).flatMap { i =>
+          val f = i * step
+          if (f >= info.nFrames) None
+          else {
+            val base = info.dataOffset + f * (marker + frameSize) + marker
+            var sum = 0L
+            var mn = Int.MaxValue
+            var mx = Int.MinValue
+            var j = 0
+            while (j < frameSize) {
+              val v = bytes(base + j) & 0xFF
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              j += 1
+            }
+            Some(Y4mFrame(i, f, frameSize, sum, mn, mx))
+          }
+        }
+      }
+    }
+  }
+
   // ---- media frame + routing ----------------------------------------------
 
   /** Deterministic media derivation: each document's text bytes wrapped
@@ -1135,6 +1271,112 @@ object Multimodal {
       .filter(col("rank") <= ImageTopK)
       .select("probe_id", "rank", "neighbor_id", "cos")
       .orderBy("probe_id", "rank")
+  }
+
+  // ---- q171: video frame sampling --------------------------------------------
+
+  /** q171's stream geometry: fixed luma-plane height, frames sampled
+    * per stream, and the nominal frame rate the container carries.
+    */
+  val Y4mHeight = 6
+  val Y4mSamples = 3
+  val Y4mFps = 24
+
+  /** q171 — the multimodal VIDEO pipeline end-to-end: each document's
+    * text bytes wrapped as a REAL YUV4MPEG2 stream (the uncompressed
+    * video container ffmpeg/mplayer read: ASCII stream header, per
+    * frame an ASCII `FRAME\n` marker + the luma plane, mono chroma,
+    * width from doc stats, last frame zero-padded), then the parser
+    * walks the header grammar (unknown parameters skipped) and the
+    * frame markers, and [[Y4m.frameStats]] samples [[Y4mSamples]]
+    * evenly spaced frames, reducing each to integer luma (count, sum,
+    * min, max) — the thumbnail-track pass a video featurizer runs
+    * before embedding, and the third REAL container beside P6 (q28)
+    * and RIFF/WAVE (q161): image, audio, and video each decode from a
+    * self-describing format, never a synthetic stub. The oracle
+    * rebuilds every sampled frame from the character codes — frame
+    * size, stride, the drop-past-the-end rule, and the zero padding
+    * visible in the last frame's min — so the whole walk is
+    * hash-pinned. Means divide in the plan (the q28 discipline).
+    *
+    * Scale shape: one `mapPartitions` decode pass emitting ≤
+    * [[Y4mSamples]] rows per doc; no per-pixel rows leave the kernel.
+    */
+  def q171VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val kernelSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_no", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("luma_sum", LongType),
+      StructField("luma_min", IntegerType),
+      StructField("luma_max", IntegerType)))
+    val enc = RowEncoder.encoderFor(kernelSchema)
+    val frames = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val text = Option(r.getString(1)).getOrElse("")
+          val w = (r.getLong(2) % 16 + 8).toInt
+          val container = Y4m.encode(
+            text.getBytes(StandardCharsets.UTF_8), w, Y4mHeight, Y4mFps)
+          Y4m.frameStats(container, Y4mSamples) match {
+            case Right(fs) => fs.map(f => Row(r.getLong(0), f.idx,
+              f.frameNo, f.nPx, f.lumaSum, f.lumaMin, f.lumaMax))
+            case Left(reason) => throw new IllegalStateException(
+              s"q171: self-encoded Y4M failed to sample: $reason")
+          }
+        }
+      }(enc)
+    frames.select(col("doc_id"), col("frame_idx"), col("frame_no"),
+        col("n_px"), col("luma_sum"),
+        round6(col("luma_sum").cast("double") / col("n_px")).as("mean_luma"),
+        col("luma_min"), col("luma_max"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Frame `f` covers payload bytes `[f·S, (f+1)·S)` with `S = h·w`;
+    * bytes past the text are the zero pad. Stride, drop rule, and the
+    * per-frame reductions replayed from the character codes.
+    */
+  lazy val q171OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(n_chars % 16 + 8 AS INTEGER) AS w,
+       |         list_transform(generate_series(1, length(coalesce(text, ''))),
+       |                        i -> ascii(substring(text, i, 1))) AS codes,
+       |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+       |  FROM documents
+       |), dims AS (
+       |  SELECT doc_id, codes, L, $Y4mHeight * w AS fs,
+       |         CAST(CEIL(CAST(GREATEST(L, 1) AS DOUBLE) / ($Y4mHeight * w))
+       |           AS INTEGER) AS nf
+       |  FROM base
+       |), fr AS (
+       |  SELECT doc_id, codes, L, fs, nf,
+       |         unnest(generate_series(0, ${Y4mSamples - 1})) AS i
+       |  FROM dims
+       |), f2 AS (
+       |  SELECT doc_id, codes, L, fs, nf, i,
+       |         i * GREATEST(nf // $Y4mSamples, 1) AS f
+       |  FROM fr
+       |), f3 AS (
+       |  SELECT doc_id, i, f, fs,
+       |         list_transform(generate_series(CAST(f * fs + 1 AS INTEGER),
+       |           CAST((f + 1) * fs AS INTEGER)),
+       |           j -> CASE WHEN j <= L THEN codes[j] ELSE 0 END) AS px
+       |  FROM f2 WHERE f < nf
+       |)
+       |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       |       CAST(f AS INTEGER) AS frame_no,
+       |       CAST(fs AS INTEGER) AS n_px,
+       |       CAST(list_sum(px) AS BIGINT) AS luma_sum,
+       |       ${round6Sql("CAST(list_sum(px) AS DOUBLE) / fs")} AS mean_luma,
+       |       CAST(list_min(px) AS INTEGER) AS luma_min,
+       |       CAST(list_max(px) AS INTEGER) AS luma_max
+       |FROM f3 ORDER BY doc_id, frame_idx""".stripMargin
   }
 
   // ---- phash verdict core (intake gate) --------------------------------------

@@ -123,7 +123,8 @@ class EmptyCorpusSpec extends SparkSpec {
       (graft.operators.Multimodal.q168MultimodalLedger _),
     "q169_source_image_dups" ->
       (graft.operators.Multimodal.q169SourceImageDups _),
-    "q170_multimodal_budget" -> (Curation.q170MultimodalBudget _))
+    "q170_multimodal_budget" -> (Curation.q170MultimodalBudget _),
+    "q171_video_frames" -> (graft.operators.Multimodal.q171VideoFrames _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

@@ -533,6 +533,82 @@ class MultimodalSpec extends SparkSpec {
     assert(out(900001L)._1 == "exact_phash", "a re-crawl must be caught")
   }
 
+  // ---- Y4M video codec + q171 ---------------------------------------------------
+
+  test("Y4M fixture parses: unknown header params skipped, frames counted, stats hand-computed") {
+    val info = Multimodal.Y4m.parse(readAll("ok_2x2.y4m")).toOption.get
+    assert(info.width == 2 && info.height == 2)
+    assert(info.fpsNum == 24 && info.fpsDen == 1)
+    assert(info.nFrames == 2)
+    // frames: (10,20,30,40) and (200,0,255,5) — sample both (k=3,
+    // stride max(2/3,1)=1, third sample past the end drops)
+    val fs = Multimodal.Y4m.frameStats(readAll("ok_2x2.y4m"), 3).toOption.get
+    assert(fs.map(f => (f.idx, f.frameNo, f.nPx, f.lumaSum,
+      f.lumaMin, f.lumaMax)) ==
+      Seq((0, 0, 4, 100L, 10, 40), (1, 1, 4, 460L, 0, 255)))
+  }
+
+  test("corrupt Y4M streams route with reasons") {
+    assert(Multimodal.Y4m.parse(readAll("bad_magic.y4m")) ==
+      Left("bad_magic"))
+    val t = Multimodal.Y4m.parse(readAll("truncated.y4m"))
+    assert(t == Left("truncated_frame:1"))
+    assert(Multimodal.Y4m.parse(Array.empty[Byte]) ==
+      Left("no_header_terminator"))
+    assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 F24:1\nFRAME\n"
+      .getBytes("US-ASCII")) == Left("bad_dimensions"))
+    assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 H2 F24:1\nFRAMX\n1234"
+      .getBytes("US-ASCII")) == Left("bad_frame_marker:0"))
+  }
+
+  test("Y4M encode/decode round-trips with zero padding in the last frame") {
+    // 5-byte payload at 2x2: 2 frames, last 3 bytes padding
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    val bytes = Multimodal.Y4m.encode(payload, 2, 2, 24)
+    val info = Multimodal.Y4m.parse(bytes).toOption.get
+    assert(info.nFrames == 2)
+    val fs = Multimodal.Y4m.frameStats(bytes, 2).toOption.get
+    assert(fs.map(f => (f.frameNo, f.lumaSum, f.lumaMin, f.lumaMax)) ==
+      Seq((0, 10L, 1, 4), (1, 5L, 0, 5)))
+    // empty payload: one all-zero frame
+    val es = Multimodal.Y4m.frameStats(
+      Multimodal.Y4m.encode(Array.empty[Byte], 3, 2, 24), 3).toOption.get
+    assert(es.map(f => (f.frameNo, f.lumaSum, f.lumaMin, f.lumaMax)) ==
+      Seq((0, 0L, 0, 0)))
+  }
+
+  test("q171 sampled frames reconcile with a local recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("text"), r.getAs[Long]("n_chars"))).toMap
+    val byDoc = Multimodal.q171VideoFrames(spark, sf).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // every doc emits ≥ 1 frame (empty payloads pad to one zero frame)
+    assert(byDoc.keySet == docs.keySet)
+    byDoc.toSeq.sortBy(_._1).take(50).foreach { case (id, rows) =>
+      val (text, nChars) = docs(id)
+      val b = Option(text).getOrElse("").getBytes("UTF-8")
+      val w = (nChars % 16 + 8).toInt
+      val fs = 6 * w
+      val nf = ((math.max(b.length, 1) + fs - 1) / fs)
+      val step = math.max(nf / 3, 1)
+      val expected = (0 until 3).flatMap { i =>
+        val f = i * step
+        if (f >= nf) None
+        else {
+          val px = (f * fs until (f + 1) * fs)
+            .map(p => if (p < b.length) b(p) & 0xFF else 0)
+          Some((i, f, fs, px.map(_.toLong).sum, px.min, px.max))
+        }
+      }
+      assert(rows.map(r => (r.getAs[Int]("frame_idx"),
+        r.getAs[Int]("frame_no"), r.getAs[Int]("n_px"),
+        r.getAs[Long]("luma_sum"), r.getAs[Int]("luma_min"),
+        r.getAs[Int]("luma_max"))).toSeq.sortBy(_._1) == expected)
+    }
+  }
+
   // ---- multimodal budget (q170) ------------------------------------------------
 
   test("q170 equals a local greedy budget in text+patch units") {
