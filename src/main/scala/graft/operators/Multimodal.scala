@@ -1302,47 +1302,63 @@ object Multimodal {
     * Scale shape: one `mapPartitions` decode pass emitting ≤
     * [[Y4mSamples]] rows per doc; no per-pixel rows leave the kernel.
     */
-  def q171VideoFrames(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorOps.round6
+  /** The video frame-sampling kernel pass shared by q171 (frame grain)
+    * and q172 (per-take signature): one `mapPartitions` decode emitting
+    * ≤ [[Y4mSamples]] rows per doc, each with the frame's integer luma
+    * reductions plus the take's frame count.
+    */
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
     val kernelSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", IntegerType),
       StructField("frame_no", IntegerType),
+      StructField("n_frames", IntegerType),
       StructField("n_px", IntegerType),
       StructField("luma_sum", LongType),
       StructField("luma_min", IntegerType),
       StructField("luma_max", IntegerType)))
     val enc = RowEncoder.encoderFor(kernelSchema)
-    val frames = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val text = Option(r.getString(1)).getOrElse("")
           val w = (r.getLong(2) % 16 + 8).toInt
-          val container = Y4m.encode(
-            text.getBytes(StandardCharsets.UTF_8), w, Y4mHeight, Y4mFps)
+          val payload = text.getBytes(StandardCharsets.UTF_8)
+          val container = Y4m.encode(payload, w, Y4mHeight, Y4mFps)
+          // the decoder's own frame count, not the encode arithmetic —
+          // the two must agree or the container is malformed
+          val nf = Y4m.parse(container).fold(
+            reason => throw new IllegalStateException(
+              s"videoFrames: self-encoded Y4M failed to parse: $reason"),
+            _.nFrames)
           Y4m.frameStats(container, Y4mSamples) match {
             case Right(fs) => fs.map(f => Row(r.getLong(0), f.idx,
-              f.frameNo, f.nPx, f.lumaSum, f.lumaMin, f.lumaMax))
+              f.frameNo, nf, f.nPx, f.lumaSum, f.lumaMin, f.lumaMax))
             case Left(reason) => throw new IllegalStateException(
-              s"q171: self-encoded Y4M failed to sample: $reason")
+              s"videoFrames: self-encoded Y4M failed to sample: $reason")
           }
         }
       }(enc)
-    frames.select(col("doc_id"), col("frame_idx"), col("frame_no"),
+  }
+
+  def q171VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    videoFrames(spark, dir).select(col("doc_id"), col("frame_idx"),
+        col("frame_no"),
         col("n_px"), col("luma_sum"),
         round6(col("luma_sum").cast("double") / col("n_px")).as("mean_luma"),
         col("luma_min"), col("luma_max"))
       .orderBy("doc_id", "frame_idx")
   }
 
-  /** Frame `f` covers payload bytes `[f·S, (f+1)·S)` with `S = h·w`;
-    * bytes past the text are the zero pad. Stride, drop rule, and the
-    * per-frame reductions replayed from the character codes.
+  /** The shared video-frame replay (`base` … `f3`): frame `f` covers
+    * payload bytes `[f·S, (f+1)·S)` with `S = h·w`, bytes past the
+    * text are the zero pad; stride, drop rule, and the slices — q171
+    * reports the frames, q172 fingerprints them, one walk.
     */
-  lazy val q171OracleSql: String = {
-    import graft.functions.VectorOps.round6Sql
-    s"""WITH base AS (
+  private lazy val videoFrameCtes: String =
+    s"""base AS (
        |  SELECT doc_id,
        |         CAST(n_chars % 16 + 8 AS INTEGER) AS w,
        |         list_transform(generate_series(1, length(coalesce(text, ''))),
@@ -1363,12 +1379,16 @@ object Multimodal {
        |         i * GREATEST(nf // $Y4mSamples, 1) AS f
        |  FROM fr
        |), f3 AS (
-       |  SELECT doc_id, i, f, fs,
+       |  SELECT doc_id, i, f, fs, nf,
        |         list_transform(generate_series(CAST(f * fs + 1 AS INTEGER),
        |           CAST((f + 1) * fs AS INTEGER)),
        |           j -> CASE WHEN j <= L THEN codes[j] ELSE 0 END) AS px
        |  FROM f2 WHERE f < nf
-       |)
+       |)""".stripMargin
+
+  lazy val q171OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH $videoFrameCtes
        |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
        |       CAST(f AS INTEGER) AS frame_no,
        |       CAST(fs AS INTEGER) AS n_px,
@@ -1378,6 +1398,59 @@ object Multimodal {
        |       CAST(list_max(px) AS INTEGER) AS luma_max
        |FROM f3 ORDER BY doc_id, frame_idx""".stripMargin
   }
+
+  // ---- q172: video perceptual dedup -------------------------------------------
+
+  /** q172 — VIDEO perceptual dedup, closing the dedup story across all
+    * three modalities (q163 images, q165 their Hamming tail — this is
+    * the video analog): each take's signature is its sampled frames'
+    * luma means quantized to 4 bits each
+    * (`min(⌊sum·16 ÷ (255·n_px)⌋, 15)` — integer-exact, no float, no
+    * tie ambiguity) packed by sample position into one BIGINT, keyed
+    * by the take's frame count (signatures are only comparable within
+    * a length class, the q163 geometry rule). Takes sharing
+    * (n_frames, signature) are perceptual near-duplicates — the same
+    * footage re-containered or lightly re-encoded lands on the same
+    * coarse luma trajectory. Output is the dup groups (≥ 2 members)
+    * with ordered member lists.
+    *
+    * Scale shape: the one decode pass → per-doc 3-row aggregate →
+    * ONE shuffle on the signature (the q17/q163 exact-dedup shape; at
+    * 100 TB the signature column joins the standing artifacts).
+    */
+  def q172VideoPhashDups(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = videoFrames(spark, dir)
+      .withColumn("q", expr(
+        "least(CAST(luma_sum * 16 DIV (255 * n_px) AS BIGINT)," +
+          " CAST(15 AS BIGINT))"))
+      .groupBy("doc_id", "n_frames")
+      .agg(sum(expr("shiftleft(q, 4 * frame_idx)")).as("fingerprint"))
+    sigs.groupBy(col("n_frames"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("doc_ids"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("n_frames", "fingerprint")
+  }
+
+  lazy val q172OracleSql: String =
+    s"""WITH $videoFrameCtes, f4 AS (
+       |  SELECT doc_id, i, nf,
+       |         LEAST(CAST(COALESCE(list_sum(px), 0) * 16 // (255 * fs)
+       |           AS BIGINT), 15) AS q
+       |  FROM f3
+       |), sig AS (
+       |  SELECT doc_id, nf,
+       |         CAST(sum(q << CAST(4 * i AS INTEGER)) AS BIGINT)
+       |           AS fingerprint
+       |  FROM f4 GROUP BY doc_id, nf
+       |)
+       |SELECT nf AS n_frames, fingerprint,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |         AS doc_ids
+       |FROM sig GROUP BY nf, fingerprint HAVING count(*) >= 2
+       |ORDER BY n_frames, fingerprint""".stripMargin
 
   // ---- phash verdict core (intake gate) --------------------------------------
 

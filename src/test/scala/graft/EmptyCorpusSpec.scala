@@ -124,7 +124,9 @@ class EmptyCorpusSpec extends SparkSpec {
     "q169_source_image_dups" ->
       (graft.operators.Multimodal.q169SourceImageDups _),
     "q170_multimodal_budget" -> (Curation.q170MultimodalBudget _),
-    "q171_video_frames" -> (graft.operators.Multimodal.q171VideoFrames _))
+    "q171_video_frames" -> (graft.operators.Multimodal.q171VideoFrames _),
+    "q172_video_phash_dups" ->
+      (graft.operators.Multimodal.q172VideoPhashDups _))
 
   ops.foreach { case (name, fn) =>
     test(s"$name returns empty on an empty corpus") {

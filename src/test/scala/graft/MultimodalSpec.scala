@@ -609,6 +609,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // ---- video perceptual dedup (q172) ---------------------------------------------
+
+  test("q172 groups equal a full local video-signature mirror") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+    val sigs = docs.map { r =>
+      val b = Option(r.getAs[String]("text")).getOrElse("").getBytes("UTF-8")
+      val w = (r.getAs[Long]("n_chars") % 16 + 8).toInt
+      val fs = 6 * w
+      val nf = (math.max(b.length, 1) + fs - 1) / fs
+      val step = math.max(nf / 3, 1)
+      val fp = (0 until 3).flatMap { i =>
+        val f = i * step
+        if (f >= nf) None
+        else {
+          val sum = (f * fs until (f + 1) * fs)
+            .map(p => if (p < b.length) (b(p) & 0xFF).toLong else 0L).sum
+          Some(math.min(sum * 16 / (255L * fs), 15L) << (4 * i))
+        }
+      }.sum
+      (r.getAs[Long]("doc_id"), nf, fp)
+    }
+    val expected = sigs.groupBy(t => (t._2, t._3)).filter(_._2.length >= 2)
+      .map { case ((nf, fp), ms) =>
+        (nf, fp) -> ms.map(_._1).sorted.mkString(",") }
+    val out = Multimodal.q172VideoPhashDups(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_frames"), r.getAs[Long]("fingerprint")) ->
+        r.getAs[String]("doc_ids")).toMap
+    assert(out == expected)
+    assert(out.nonEmpty, "fixture corpus should contain dup takes")
+  }
+
   // ---- multimodal budget (q170) ------------------------------------------------
 
   test("q170 equals a local greedy budget in text+patch units") {
