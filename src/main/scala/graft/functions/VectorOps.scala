@@ -25,16 +25,28 @@ object VectorOps {
   /** ‖a‖₂ in double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity dot/(‖a‖·‖b‖) in double. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity dot/(‖a‖·‖b‖) in double; a zero-norm operand
+    * yields 0, not 0/0 — Spark's NaN would round to NULL while the
+    * DuckDB oracle's would ERROR on the decimal cast, a cross-engine
+    * divergence on degenerate vectors (e.g. an all-NUL document's grid
+    * embedding). "No shared direction" is the honest score anyway.
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den === 0.0, lit(0.0)).otherwise(dot(a, b) / den)
+  }
 
   /** Oracle-side cosine matching [[cosine]]'s formula exactly:
-    * `list_inner_product` on double lists, norms multiplied separately.
+    * `list_inner_product` on double lists, norms multiplied separately,
+    * the same zero-norm → 0 guard.
     */
-  def cosineSql(a: String, b: String): String =
-    s"list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
-      s"(sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
-      s"sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[]))))"
+  def cosineSql(a: String, b: String): String = {
+    val na = s"sqrt(list_inner_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))"
+    val nb = s"sqrt(list_inner_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))"
+    s"(CASE WHEN $na * $nb = 0 THEN 0.0 ELSE " +
+      s"list_inner_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+      s"($na * $nb) END)"
+  }
 
   /** Element-wise mean of a vector column — the custom
     * [[VectorCentroid]] `TypedImperativeAggregate`.

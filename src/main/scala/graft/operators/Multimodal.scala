@@ -373,24 +373,32 @@ object Multimodal {
     def encode(payload: Array[Byte], width: Int, height: Int,
         fps: Int): Array[Byte] = {
       require(width > 0 && height > 0 && fps > 0, "y4m: positive dims")
-      val frameSize = width * height
-      val nFrames = ((math.max(payload.length, 1) + frameSize.toLong - 1)
+      val frameSize = width.toLong * height
+      require(frameSize <= Int.MaxValue, "y4m: frame exceeds array bound")
+      val nFrames = ((math.max(payload.length, 1) + frameSize - 1)
         / frameSize).toInt
       val header = s"$Magic W$width H$height F$fps:1 Cmono\n"
         .getBytes(StandardCharsets.US_ASCII)
       val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
-      val out = new Array[Byte](
-        header.length + nFrames * (marker.length + frameSize))
+      // size in LONG arithmetic: a multi-GB payload must fail with a
+      // clear message, not wrap negative into NegativeArraySizeException
+      val totalLen = header.length +
+        nFrames.toLong * (marker.length + frameSize)
+      require(totalLen <= Int.MaxValue,
+        s"y4m: stream of $totalLen bytes exceeds one array; " +
+          "chunk the payload before encoding")
+      val out = new Array[Byte](totalLen.toInt)
+      val fsz = frameSize.toInt // ≤ totalLen ≤ Int.MaxValue
       System.arraycopy(header, 0, out, 0, header.length)
       var pos = header.length
       var f = 0
       while (f < nFrames) {
         System.arraycopy(marker, 0, out, pos, marker.length)
         pos += marker.length
-        val start = f * frameSize
-        val n = math.min(frameSize, math.max(payload.length - start, 0))
+        val start = f * fsz
+        val n = math.min(fsz, math.max(payload.length - start, 0))
         if (n > 0) System.arraycopy(payload, start, out, pos, n)
-        pos += frameSize
+        pos += fsz
         f += 1
       }
       out
@@ -411,6 +419,11 @@ object Multimodal {
       val tokens = header.split(" ")
       if (tokens.isEmpty || tokens(0) != Magic) return Left("bad_magic")
       var w = -1; var h = -1; var fn = -1; var fd = -1
+      // the Y4M default when no C tag is present IS 4:2:0 ("420jpeg"),
+      // so an untagged stream must route too — only Cmono has the
+      // one-plane frame size this walker assumes; silently walking a
+      // C420/C444 stream would misread chroma bytes as luma frames
+      var cm = "420jpeg"
       tokens.drop(1).foreach { t =>
         if (t.nonEmpty) t.charAt(0) match {
           case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
@@ -421,11 +434,13 @@ object Multimodal {
               fd = d.toIntOption.getOrElse(-1)
             case _ => ()
           }
-          case _ => () // unknown parameter (I/A/X/C...) — skipped
+          case 'C' => cm = t.drop(1)
+          case _ => () // unknown parameter (I/A/X...) — skipped
         }
       }
       if (w <= 0 || h <= 0) return Left("bad_dimensions")
       if (fn <= 0 || fd <= 0) return Left("bad_frame_rate")
+      if (cm != "mono") return Left(s"unsupported_chroma:$cm")
       val frameSize = w * h
       val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
       var pos = headerEnd + 1

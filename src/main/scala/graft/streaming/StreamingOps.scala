@@ -681,30 +681,6 @@ object StreamingOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
-  /** q158's TRAINED quality verdict at INTAKE time — the fifth gate:
-    * each arriving document scored with the trained weights and gated
-    * at the q154-priced cutoff, using a [[graft.operators.QualityTrain.TrainedGate]]
-    * trained and priced ONCE against the standing corpus
-    * (`QualityTrain.trainedGate`) and applied unchanged per micro-batch.
-    * Retraining at the door would silently drift the stream's admission
-    * rule away from the batch audit's — the gate is a published
-    * artifact, retrained on the audit cadence (q152's drift signal),
-    * never per batch.
-    *
-    * Unlike the join gates this one touches NO standing state at batch
-    * time: q83's scoring kernel under the trained weights is map-only
-    * column arithmetic, then `quality_score ≥ threshold` — per-batch
-    * cost is exactly one pass over the batch's own rows. The verdict
-    * goes through the same `scoredQuality` kernel and the same
-    * (band, threshold) q158 ships, so gate-vs-audit agreement is by
-    * construction (pinned per document in `QualityTrainSpec`). q158's
-    * ledger conjunction is deliberately NOT applied: an arriving
-    * document has no ledger row yet — the gate decides admission, the
-    * ledger decides shipping later. At-least-once delivery is absorbed
-    * by the usual doc-grain dedup. Output: one `(idCol, quality_score,
-    * gate_band, gate_threshold, trained_keep)` row per distinct
-    * arriving document.
-    */
   /** q163/q165's perceptual verdict at INTAKE time — the MULTIMODAL
     * gate: each arriving document's media decoded (batch-bounded —
     * only the batch's own payloads), reduced to its grid fingerprint,
@@ -732,6 +708,30 @@ object StreamingOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** q158's TRAINED quality verdict at INTAKE time — the fifth gate:
+    * each arriving document scored with the trained weights and gated
+    * at the q154-priced cutoff, using a [[graft.operators.QualityTrain.TrainedGate]]
+    * trained and priced ONCE against the standing corpus
+    * (`QualityTrain.trainedGate`) and applied unchanged per micro-batch.
+    * Retraining at the door would silently drift the stream's admission
+    * rule away from the batch audit's — the gate is a published
+    * artifact, retrained on the audit cadence (q152's drift signal),
+    * never per batch.
+    *
+    * Unlike the join gates this one touches NO standing state at batch
+    * time: q83's scoring kernel under the trained weights is map-only
+    * column arithmetic, then `quality_score ≥ threshold` — per-batch
+    * cost is exactly one pass over the batch's own rows. The verdict
+    * goes through the same `scoredQuality` kernel and the same
+    * (band, threshold) q158 ships, so gate-vs-audit agreement is by
+    * construction (pinned per document in `QualityTrainSpec`). q158's
+    * ledger conjunction is deliberately NOT applied: an arriving
+    * document has no ledger row yet — the gate decides admission, the
+    * ledger decides shipping later. At-least-once delivery is absorbed
+    * by the usual doc-grain dedup. Output: one `(idCol, quality_score,
+    * gate_band, gate_threshold, trained_keep)` row per distinct
+    * arriving document.
+    */
   def trainedGateOfBatch(batch: DataFrame,
       gate: graft.operators.QualityTrain.TrainedGate,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =

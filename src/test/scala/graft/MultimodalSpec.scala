@@ -557,8 +557,15 @@ class MultimodalSpec extends SparkSpec {
       Left("no_header_terminator"))
     assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 F24:1\nFRAME\n"
       .getBytes("US-ASCII")) == Left("bad_dimensions"))
-    assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 H2 F24:1\nFRAMX\n1234"
+    assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 H2 F24:1 Cmono\nFRAMX\n1234"
       .getBytes("US-ASCII")) == Left("bad_frame_marker:0"))
+    // declared non-mono chroma routes — walking a C420 stream with the
+    // one-plane frame size would misread chroma bytes as luma
+    assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 H2 F24:1 C420jpeg\n1234"
+      .getBytes("US-ASCII")) == Left("unsupported_chroma:420jpeg"))
+    // no C tag at all: the Y4M spec default is 4:2:0, so it routes too
+    assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 H2 F24:1\nFRAME\n1234"
+      .getBytes("US-ASCII")) == Left("unsupported_chroma:420jpeg"))
   }
 
   test("Y4M encode/decode round-trips with zero padding in the last frame") {
