@@ -634,7 +634,13 @@ object Ivf {
     * the same [[K]]/[[Iters]]/[[QuantScale]]/[[TrainSampleTarget]]
     * constants the Spark side trains with.
     */
-  private def trainingSql: String = {
+  /** The oracle's Lloyd training replay (`quant` … `cent[[Iters]]`) with
+    * the quantized-source CTE body supplied by the caller — what lets
+    * the image-vector IVF (q175) replay the SAME chain over
+    * grid-derived vectors instead of the embeddings table (one training
+    * replay, two vector spaces).
+    */
+  private[operators] def trainingSqlFrom(quantBody: String): String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
     val iters = (1 to Iters).map { it =>
@@ -661,7 +667,7 @@ object Ivf {
          |)""".stripMargin
     }.mkString(", ")
     s"""quant AS MATERIALIZED (
-       |  SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings
+       |  $quantBody
        |), tquant AS MATERIALIZED (
        |  ${trainSampleSql("quant")}
        |), cent0 AS MATERIALIZED (
@@ -671,15 +677,16 @@ object Ivf {
        |), $iters""".stripMargin
   }
 
-  /** CTE chain `quant, cent0…cent[[Iters]], cells` — the oracle's replay
-    * of training + final assignment, shared by the q125 and q130 oracles
-    * so the two can never train different models.
+  /** [[cellsCtes]] over a caller-supplied quantized-source CTE body;
+    * `cellName` renames the final assignment CTE for callers whose WITH
+    * already owns a `cells` (q175 composes with the grid replay).
     */
-  private[operators] lazy val cellsCtes: String = {
+  private[operators] def cellsCtesFrom(quantBody: String,
+      cellName: String = "cells"): String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
       "i -> (q[i] - c[i]) * (q[i] - c[i])))"
-    s"""${trainingSql},
-       |cells AS MATERIALIZED (
+    s"""${trainingSqlFrom(quantBody)},
+       |$cellName AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
        |    SELECT v.vec_id, c.cell,
        |           row_number() OVER (PARTITION BY v.vec_id
@@ -688,6 +695,13 @@ object Ivf {
        |  ) WHERE rn = 1
        |)""".stripMargin
   }
+
+  /** CTE chain `quant, cent0…cent[[Iters]], cells` — the oracle's replay
+    * of training + final assignment, shared by the q125 and q130 oracles
+    * so the two can never train different models.
+    */
+  private[operators] lazy val cellsCtes: String = cellsCtesFrom(
+    s"SELECT vec_id, ${quantizeSql("embedding")} AS q FROM embeddings")
 
   lazy val q125OracleSql: String = {
     val dist = "list_sum(list_transform(generate_series(1, len(q)), " +

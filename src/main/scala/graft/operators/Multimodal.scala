@@ -562,6 +562,39 @@ object Multimodal {
         .select("doc_id", "reject_reason"))
   }
 
+  private val y4mInfoSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("fps_num", IntegerType),
+    StructField("fps_den", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("reject_reason", StringType)))
+
+  /** The routed split for VIDEO: each `(doc_id, media)` payload walked
+    * by [[Y4m.parse]] into header fields + validated frame count, or a
+    * routing reason — [[decodePpmRouted]]'s posture for the third
+    * container (a 100 TB video crawl always contains truncated streams,
+    * unsupported chroma modes, and foreign magic).
+    */
+  def decodeY4mRouted(mediaDf: DataFrame): (DataFrame, DataFrame) = {
+    val enc = RowEncoder.encoderFor(y4mInfoSchema)
+    val all = mediaDf.select("doc_id", "media").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        Y4m.parse(r.getAs[Array[Byte]](1)) match {
+          case Right(i) =>
+            Row(id, i.width, i.height, i.fpsNum, i.fpsDen, i.nFrames, null)
+          case Left(reason) =>
+            Row(id, null, null, null, null, null, reason)
+        }
+      }
+    }(enc)
+    (all.filter(col("reject_reason").isNull).drop("reject_reason"),
+      all.filter(col("reject_reason").isNotNull)
+        .select("doc_id", "reject_reason"))
+  }
+
   /** Frame sampling: n evenly spaced fixed-width byte windows from the
     * payload (the video-frame-sample analog), as pure column expressions.
     */
@@ -993,9 +1026,12 @@ object Multimodal {
   /** The frame-window kernel pass shared by q164 (window grain) and
     * q166 (per-take screen): one `mapPartitions` decode emitting ≤
     * [[FrameWindows]] rows per doc, each with the window's integer
-    * (count, amplitude sum, magnitude sum, peak).
+    * (count, amplitude sum, magnitude sum, peak). Takes ANY
+    * `(doc_id, text[, n_chars])` frame — a missing `n_chars` is derived
+    * (the [[imageGridRows]] posture), which is what lets the streaming
+    * intake gate run the identical kernel over a raw batch.
     */
-  private def audioWindows(spark: SparkSession, dir: String): DataFrame = {
+  private def audioWindowsOf(docs: DataFrame): DataFrame = {
     val kernelSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("window_idx", IntegerType),
@@ -1005,7 +1041,11 @@ object Multimodal {
       StructField("abs_sum", LongType),
       StructField("peak_amp", IntegerType)))
     val enc = RowEncoder.encoderFor(kernelSchema)
-    Tables.documents(spark, dir)
+    val withStats =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars",
+        length(coalesce(col("text"), lit(""))).cast("long"))
+    withStats
       .select(col("doc_id"), col("text"), col("n_chars"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -1022,6 +1062,9 @@ object Multimodal {
         }
       }(enc)
   }
+
+  private def audioWindows(spark: SparkSession, dir: String): DataFrame =
+    audioWindowsOf(Tables.documents(spark, dir))
 
   def q164AudioFrames(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.round6
@@ -1189,9 +1232,14 @@ object Multimodal {
     * aggregate (≤ 3 rows in, 1 out per doc) → broadcast-or-shuffle
     * equi-join back to the doc spine; flags are column arithmetic.
     */
-  def q166AudioQualityScreen(spark: SparkSession, dir: String): DataFrame = {
+  /** q166's verdict core over ANY `(doc_id, text[, n_chars])` frame —
+    * one definition for the batch audit and the streaming intake gate
+    * (`StreamingOps.audioQualityOfBatch`), so the screen a crawl passes
+    * at the door can never drift from the audit a release runs later.
+    */
+  private[graft] def audioVerdictsOf(docs: DataFrame): DataFrame = {
     import graft.functions.VectorOps.round6
-    val agg = audioWindows(spark, dir).groupBy("doc_id")
+    val agg = audioWindowsOf(docs).groupBy("doc_id")
       .agg(count(lit(1)).as("w_n"), sum("n_samples").as("w_samp"),
         sum("abs_sum").as("w_abs"), max("peak_amp").as("w_peak"))
     val nW = coalesce(col("w_n"), lit(0L))
@@ -1200,15 +1248,17 @@ object Multimodal {
     val pk = coalesce(col("w_peak"), lit(0))
     val clipped = pk >= ClipPeak
     val silent = (nS === 0L) || (aS < lit(SilenceMeanAbs) * nS)
-    Tables.documents(spark, dir).select("doc_id")
+    docs.select("doc_id")
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"), nW.as("n_windows"), nS.as("n_samples"),
         aS.as("abs_sum"),
         round6(aS.cast("double") / nullif(nS, lit(0L))).as("mean_abs"),
         pk.as("peak_amp"), clipped.as("clipped"), silent.as("silent"),
         (!clipped && !silent).as("keep"))
-      .orderBy("doc_id")
   }
+
+  def q166AudioQualityScreen(spark: SparkSession, dir: String): DataFrame =
+    audioVerdictsOf(Tables.documents(spark, dir)).orderBy("doc_id")
 
   lazy val q166OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
@@ -1433,13 +1483,20 @@ object Multimodal {
     * ONE shuffle on the signature (the q17/q163 exact-dedup shape; at
     * 100 TB the signature column joins the standing artifacts).
     */
-  def q172VideoPhashDups(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = videoFrames(spark, dir)
+  /** The per-take quantized luma signature `(doc_id, n_frames,
+    * fingerprint)` — q172's scoring stage, shared with q173's banded
+    * Hamming join (one derivation, the q163/q165 split at video grain).
+    */
+  private def videoSignatures(spark: SparkSession, dir: String): DataFrame =
+    videoFrames(spark, dir)
       .withColumn("q", expr(
         "least(CAST(luma_sum * 16 DIV (255 * n_px) AS BIGINT)," +
           " CAST(15 AS BIGINT))"))
       .groupBy("doc_id", "n_frames")
       .agg(sum(expr("shiftleft(q, 4 * frame_idx)")).as("fingerprint"))
+
+  def q172VideoPhashDups(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = videoSignatures(spark, dir)
     sigs.groupBy(col("n_frames"), col("fingerprint"))
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
@@ -1448,8 +1505,12 @@ object Multimodal {
       .orderBy("n_frames", "fingerprint")
   }
 
-  lazy val q172OracleSql: String =
-    s"""WITH $videoFrameCtes, f4 AS (
+  /** The shared signature replay (`base` … `sig`): [[videoFrameCtes]]
+    * plus the 4-bit quantization and the positional pack — q172 groups
+    * it, q173 bands it, one derivation.
+    */
+  private lazy val videoSigCtes: String =
+    s"""$videoFrameCtes, f4 AS (
        |  SELECT doc_id, i, nf,
        |         LEAST(CAST(COALESCE(list_sum(px), 0) * 16 // (255 * fs)
        |           AS BIGINT), 15) AS q
@@ -1459,13 +1520,87 @@ object Multimodal {
        |         CAST(sum(q << CAST(4 * i AS INTEGER)) AS BIGINT)
        |           AS fingerprint
        |  FROM f4 GROUP BY doc_id, nf
-       |)
+       |)""".stripMargin
+
+  lazy val q172OracleSql: String =
+    s"""WITH $videoSigCtes
        |SELECT nf AS n_frames, fingerprint,
        |       CAST(count(*) AS BIGINT) AS n_docs,
        |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
        |         AS doc_ids
        |FROM sig GROUP BY nf, fingerprint HAVING count(*) >= 2
        |ORDER BY n_frames, fingerprint""".stripMargin
+
+  // ---- q173: banded Hamming near-dup over video signatures -------------------
+
+  /** q173's band geometry: [[VideoHammingBands]] bands of 3 bits over
+    * the ≤ 12-bit signature (4 bits × ≤ [[Y4mSamples]] sampled frames).
+    * Recall at Hamming ≤ [[HammingMax]] is EXACT by pigeonhole — 3
+    * differing bits cannot touch all 4 bands — the q165 argument at
+    * video grain. Takes with fewer than [[Y4mSamples]] sampled frames
+    * have shorter signatures; the `n_frames` key already separates
+    * length classes, and their constantly-zero high bands are harmless
+    * (every class member shares them, adding candidates only within
+    * the class).
+    */
+  val VideoHammingBands = 4
+
+  /** q173 — NEAR-duplicate videos at Hamming distance 1–[[HammingMax]]
+    * over q172's quantized luma signatures: the band-bucket join at
+    * SIGNATURE grain (q165's shape — q172's groups are the distance-0
+    * story; this is the tail where one sampled frame's coarse luma
+    * moved a quantization step, the re-encode/re-grade case). Each row
+    * carries both groups' member counts, so the document-grain pair
+    * count is `n_docs_a·n_docs_b` without materializing it.
+    *
+    * Scale shape: signature-grain aggregate → 4-row band explode →
+    * equi-join on (length class, band, bits) → popcount filter. No
+    * doc-grain pair ever exists.
+    */
+  def q173VideoHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grp = videoSignatures(spark, dir)
+      .groupBy("n_frames", "fingerprint").agg(count(lit(1)).as("n_docs"))
+    val bands = grp.select(col("n_frames"), col("fingerprint"), col("n_docs"),
+        explode(sequence(lit(0), lit(VideoHammingBands - 1))).as("b"))
+      .withColumn("bits",
+        expr("shiftright(fingerprint, 3 * b) & CAST(7 AS BIGINT)"))
+    val left = bands.select(col("n_frames"), col("b"), col("bits"),
+      col("fingerprint").as("fp_a"), col("n_docs").as("n_docs_a"))
+    val right = bands.select(col("n_frames"), col("b"), col("bits"),
+      col("fingerprint").as("fp_b"), col("n_docs").as("n_docs_b"))
+    left.join(right, Seq("n_frames", "b", "bits"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select("n_frames", "fp_a", "n_docs_a", "fp_b", "n_docs_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS INT)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("n_frames"), col("fp_a"), col("fp_b"),
+        col("hamming"), col("n_docs_a"), col("n_docs_b"))
+      .orderBy("n_frames", "fp_a", "fp_b")
+  }
+
+  lazy val q173OracleSql: String =
+    s"""WITH $videoSigCtes, grp AS (
+       |  SELECT nf, fingerprint, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM sig GROUP BY nf, fingerprint
+       |), bands AS (
+       |  SELECT nf, fingerprint, n_docs,
+       |         unnest(generate_series(0, ${VideoHammingBands - 1})) AS b
+       |  FROM grp
+       |), b2 AS (
+       |  SELECT nf, fingerprint, n_docs, b,
+       |         (fingerprint >> CAST(3 * b AS INTEGER)) & 7 AS bits
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT a.nf, a.fingerprint AS fp_a, a.n_docs AS n_docs_a,
+       |         c.fingerprint AS fp_b, c.n_docs AS n_docs_b
+       |  FROM b2 a JOIN b2 c ON a.nf = c.nf AND a.b = c.b AND a.bits = c.bits
+       |    AND a.fingerprint < c.fingerprint
+       |)
+       |SELECT nf AS n_frames, fp_a, fp_b,
+       |       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming,
+       |       n_docs_a, n_docs_b
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $HammingMax
+       |ORDER BY n_frames, fp_a, fp_b""".stripMargin
 
   // ---- phash verdict core (intake gate) --------------------------------------
 
@@ -1621,6 +1756,241 @@ object Multimodal {
        |         AS dup_rate
        |FROM documents d JOIN flag fl USING (doc_id)
        |GROUP BY d.source ORDER BY d.source ASC NULLS LAST""".stripMargin
+  }
+
+  // ---- q174: per-source media storage accounting ------------------------------
+
+  /** q174 — media STORAGE accounting by (source, modality): documents,
+    * container bytes, media units (pixels / samples / frames), mean
+    * units and bytes per doc, and the modality's leading dimension
+    * (image/video width, audio sample rate). The capacity-planning
+    * query a multimodal lake runs before paying 100 TB of object
+    * storage — "which feed ships the pixel mass, and at what container
+    * overhead" — and the storage twin of q169's dup burden.
+    *
+    * Zero media decode, zero grid scan: every container field is HEADER
+    * ARITHMETIC over the manifest columns the derivations carry
+    * (`n_chars`, byte length) — P6's dims/plane (q28's n_bytes
+    * formula), WAV's 44-byte header + padded data chunk, Y4M's ASCII
+    * header + per-frame marker+plane — so the plan is one documents
+    * projection (no text content read beyond its length) into a
+    * dimension-sized rollup. The oracle replays all three container
+    * layouts byte-for-byte.
+    */
+  def q174MediaStorage(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps.round6
+    val d = Tables.documents(spark, dir).select(col("source"),
+      col("n_chars"),
+      octet_length(coalesce(col("text"), lit(""))).cast("long").as("L"))
+    val img = d
+      .withColumn("w", col("n_chars") % 24 + 8)
+      .withColumn("h", expr("(GREATEST(L, 1) + 3*w - 1) DIV (3*w)"))
+      .select(col("source"), lit("image").as("modality"),
+        col("w").as("dim1"),
+        (col("w") * col("h")).as("units"),
+        // header "P6\n{w} {h}\n255\n" = 9 + digits, then the plane
+        (lit(9L) + length(col("w").cast("string"))
+          + length(col("h").cast("string"))
+          + lit(3L) * col("w") * col("h")).as("bytes"))
+    val aud = d.select(col("source"), lit("audio").as("modality"),
+      (lit(8000L) + (col("n_chars") % 8) * 1000).as("dim1"),
+      expr("(L + 1) DIV 2").as("units"),
+      // 44-byte canonical RIFF/WAVE header + odd-tail-padded data chunk
+      (lit(44L) + col("L") + col("L") % 2).as("bytes"))
+    val vid = d
+      .withColumn("w", col("n_chars") % 16 + 8)
+      .withColumn("nf", expr(s"(GREATEST(L, 1) + $Y4mHeight*w - 1)" +
+        s" DIV ($Y4mHeight*w)"))
+      .select(col("source"), lit("video").as("modality"),
+        col("w").as("dim1"),
+        col("nf").as("units"),
+        // header "YUV4MPEG2 W{w} H6 F24:1 Cmono\n" = 27 + width digits,
+        // then per frame "FRAME\n" + the luma plane
+        (lit(27L) + length(col("w").cast("string"))
+          + col("nf") * (lit(6L) + lit(Y4mHeight.toLong) * col("w")))
+          .as("bytes"))
+    img.unionByName(aud).unionByName(vid)
+      .groupBy("source", "modality")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bytes").as("container_bytes"),
+        sum("units").as("n_units"),
+        // integer sum then ONE divide: exact and partition-order-free,
+        // where avg(double) could drift a ulp across engines
+        sum("dim1").as("dim1_sum"))
+      .withColumn("mean_dim1",
+        round6(col("dim1_sum").cast("double") / col("n_docs")))
+      .drop("dim1_sum")
+      .withColumn("mean_units",
+        round6(col("n_units").cast("double") / col("n_docs")))
+      .withColumn("mean_bytes",
+        round6(col("container_bytes").cast("double") / col("n_docs")))
+      .orderBy(col("source").asc_nulls_last, col("modality"))
+  }
+
+  lazy val q174OracleSql: String = {
+    import graft.functions.VectorOps.round6Sql
+    s"""WITH d AS (
+       |  SELECT source, n_chars,
+       |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+       |  FROM documents
+       |), img AS (
+       |  SELECT source, 'image' AS modality,
+       |         CAST(w AS BIGINT) AS dim1,
+       |         CAST(w * h AS BIGINT) AS units,
+       |         CAST(9 + len(CAST(w AS VARCHAR)) + len(CAST(h AS VARCHAR))
+       |              + 3 * w * h AS BIGINT) AS bytes
+       |  FROM (SELECT source, n_chars % 24 + 8 AS w,
+       |               (GREATEST(L, 1) + 3*(n_chars % 24 + 8) - 1)
+       |                 // (3*(n_chars % 24 + 8)) AS h
+       |        FROM d)
+       |), aud AS (
+       |  SELECT source, 'audio' AS modality,
+       |         CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) AS dim1,
+       |         CAST((L + 1) // 2 AS BIGINT) AS units,
+       |         CAST(44 + L + L % 2 AS BIGINT) AS bytes
+       |  FROM d
+       |), vid AS (
+       |  SELECT source, 'video' AS modality,
+       |         CAST(w AS BIGINT) AS dim1,
+       |         CAST(nf AS BIGINT) AS units,
+       |         CAST(27 + len(CAST(w AS VARCHAR))
+       |              + nf * (6 + $Y4mHeight * w) AS BIGINT) AS bytes
+       |  FROM (SELECT source, n_chars % 16 + 8 AS w,
+       |               (GREATEST(L, 1) + $Y4mHeight*(n_chars % 16 + 8) - 1)
+       |                 // ($Y4mHeight*(n_chars % 16 + 8)) AS nf
+       |        FROM d)
+       |), m AS (
+       |  SELECT * FROM img UNION ALL SELECT * FROM aud
+       |  UNION ALL SELECT * FROM vid
+       |)
+       |SELECT source, modality,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(bytes) AS BIGINT) AS container_bytes,
+       |       CAST(SUM(units) AS BIGINT) AS n_units,
+       |       ${round6Sql("CAST(SUM(dim1) AS DOUBLE) / COUNT(*)")}
+       |         AS mean_dim1,
+       |       ${round6Sql("CAST(SUM(units) AS DOUBLE) / COUNT(*)")}
+       |         AS mean_units,
+       |       ${round6Sql("CAST(SUM(bytes) AS DOUBLE) / COUNT(*)")}
+       |         AS mean_bytes
+       |FROM m GROUP BY source, modality
+       |ORDER BY source ASC NULLS LAST, modality""".stripMargin
+  }
+
+  // ---- q175: trained IVF over image embeddings --------------------------------
+
+  /** q175 — the trained IVF path (q125's shape) over IMAGE vectors:
+    * q167's 16-dim grid embeddings quantized (fixed-point, the q125
+    * discipline), [[Ivf.K]] centroids trained by the sampled Lloyd loop
+    * over the deterministic PolyHash sample, every full-grid image
+    * assigned map-side against the literal centroids, and q167's probe
+    * images searched at nprobe = [[Ivf.Nprobe]] with a float-cosine
+    * rerank — recall@[[ImageTopK]] scored against q167's exact
+    * brute-force ranks. This is the scale path q167's scaladoc promised:
+    * brute-force cosine is the baseline, the trained inverted file is
+    * what a 10⁹-image corpus actually serves, and the oracle replays
+    * the WHOLE arc (grid derivation → quantize → Lloyd → assignment →
+    * probe → rerank → recall) in one statement.
+    *
+    * Scale shape: training collects only the bounded sample; assignment
+    * is one map-only pass over the grid frame (the standing artifact —
+    * zero media decode, zero documents scan in artifact mode);
+    * the probe side is [[ImageKnnProbes]] rows broadcast; the rerank
+    * scans only the probed cells' members.
+    */
+  def q175ImageIvf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val vecs = imageFingerprints(spark, dir)
+      .filter(col("gy") === Grid)
+      .select(col("doc_id").as("vec_id"), expr(
+        "transform(sums, (s, i) -> CAST(s AS DOUBLE) / (3.0 * cnts[i]))")
+        .as("vec"))
+    // checkpointed: the training sample collect, the assignment pass,
+    // and the probe selection all read it
+    val quant = graft.Checkpoints.checkpoint(
+      vecs.select(col("vec_id"), Ivf.quantize(col("vec")).as("q")))
+    val cents = Ivf.train(quant)
+    val cells = Ivf.assignFrame(quant, cents)
+    val probeCells = quant.orderBy(col("vec_id").desc).limit(ImageKnnProbes)
+      .select(col("vec_id").as("probe_id"),
+        slice(array_sort(Ivf.distStructs(col("q"), cents)), 1, Ivf.Nprobe)
+          .as("near"))
+      .select(col("probe_id"), explode(col("near")("cell")).as("cell"))
+    val probeVecs = vecs.orderBy(col("vec_id").desc).limit(ImageKnnProbes)
+      .select(col("vec_id").as("probe_id"), col("vec").as("pvec"))
+    val rank = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = broadcast(probeCells.join(probeVecs, "probe_id"))
+      .join(cells.join(vecs.withColumnRenamed("vec", "nv"), "vec_id"), "cell")
+      .filter(col("probe_id") =!= col("vec_id"))
+      .withColumn("cos", VectorOps.round6(
+        VectorOps.cosine(col("pvec"), col("nv"))))
+      .withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= ImageTopK)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        lit(1).as("hit"))
+    val exact = q167ImageKnn(spark, dir).select("probe_id", "neighbor_id")
+    exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .withColumn("recall", VectorOps.round6(
+        col("n_hit").cast("double") / col("n_exact")))
+      .orderBy("probe_id")
+  }
+
+  lazy val q175OracleSql: String = {
+    import graft.functions.VectorOps
+    val dist = "list_sum(list_transform(generate_series(1, len(q)), " +
+      "i -> (q[i] - c[i]) * (q[i] - c[i])))"
+    val probeIn = s"vec_id IN (SELECT vec_id FROM ivecs " +
+      s"ORDER BY vec_id DESC LIMIT $ImageKnnProbes)"
+    val ncos = VectorOps.round6Sql(VectorOps.cosineSql("pv.vec", "e.vec"))
+    val xcos = VectorOps.round6Sql(VectorOps.cosineSql("p.pvec", "v.vec"))
+    val recall = VectorOps.round6Sql(
+      "CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*)")
+    s"""WITH $gridCellsCtes, ivecs AS MATERIALIZED (
+       |  SELECT doc_id AS vec_id, list(CAST(px_sum AS DOUBLE) / (3.0 * n_px)
+       |           ORDER BY cell_y * gx + cell_x) AS vec
+       |  FROM cells WHERE gy = $Grid GROUP BY doc_id
+       |), ${Ivf.cellsCtesFrom(
+             s"SELECT vec_id, ${Ivf.quantizeSql("vec")} AS q FROM ivecs",
+             cellName = "icell")},
+       |probe_cells AS (
+       |  SELECT vec_id AS probe_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY $dist, c.cell) AS rn
+       |    FROM quant v CROSS JOIN cent${Ivf.Iters} c
+       |    WHERE v.$probeIn
+       |  ) WHERE rn <= ${Ivf.Nprobe}
+       |), approx AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT pc.probe_id, e.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY pc.probe_id
+       |             ORDER BY $ncos DESC, e.vec_id ASC) AS rank
+       |    FROM probe_cells pc
+       |    JOIN icell cl ON pc.cell = cl.cell
+       |    JOIN ivecs e ON cl.vec_id = e.vec_id
+       |    JOIN ivecs pv ON pc.probe_id = pv.vec_id
+       |    WHERE e.vec_id <> pc.probe_id
+       |  ) WHERE rank <= $ImageTopK
+       |), probes AS (
+       |  SELECT vec_id AS probe_id, vec AS pvec FROM ivecs WHERE $probeIn
+       |), exact AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT p.probe_id, v.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY p.probe_id
+       |             ORDER BY $xcos DESC, v.vec_id ASC) AS rank
+       |    FROM probes p JOIN ivecs v ON v.vec_id <> p.probe_id
+       |  ) WHERE rank <= $ImageTopK
+       |)
+       |SELECT e.probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |       $recall AS recall
+       |FROM exact e LEFT JOIN approx a
+       |  ON e.probe_id = a.probe_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.probe_id
+       |ORDER BY e.probe_id""".stripMargin
   }
 
   lazy val q167OracleSql: String = {

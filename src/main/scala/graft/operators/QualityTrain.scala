@@ -145,21 +145,68 @@ object QualityTrain {
       (avg - BiasFeature).filter(_._2 != 0L), bias, 1.0)
   }
 
-  /** q148 — the trained model as a frame `(feature, weight)`: every
-    * feature with a non-zero averaged weight (the [[BiasFeature]] row
-    * included), feature-ordered. The full weight table IS the query
-    * output, so the hash gate checks every trained coefficient, not a
-    * summary.
+  /** The trained model as a `(feature, weight)` frame: every feature
+    * with a non-zero averaged weight plus the [[BiasFeature]] row —
+    * q148's content and the standing `quality_model` artifact's
+    * (training is deterministic per corpus snapshot, so the corpus
+    * fingerprint alone keys it).
     */
-  def q148QualityTrain(spark: SparkSession, dir: String): DataFrame = {
+  def modelFrame(spark: SparkSession, dir: String): DataFrame = {
     val m = train(spark, dir)
     import spark.implicits._
     ((m.weights.toSeq ++
       (if (m.bias != 0L) Seq(BiasFeature -> m.bias) else Nil))
       : Seq[(String, Long)])
       .toDF("feature", "weight")
-      .orderBy("feature")
   }
+
+  /** Rebuild the model from a committed model frame — the exact inverse
+    * of [[modelFrame]] (weights are integers, so the round-trip is
+    * bit-identical; a zero bias simply has no row).
+    */
+  def modelFromFrame(df: DataFrame): TextAnalysis.QualityModel = {
+    val m = df.collect()
+      .map(r => r.getAs[String]("feature") -> r.getAs[Long]("weight")).toMap
+    TextAnalysis.QualityModel(m - BiasFeature, m.getOrElse(BiasFeature, 0L), 1.0)
+  }
+
+  /** The trained model: the standing `quality_model` artifact when one
+    * is committed for the corpus's current fingerprint, else [[train]]
+    * — identical by construction (training is deterministic), so
+    * consumers never care which path served it.
+    */
+  def modelOf(spark: SparkSession, dir: String): TextAnalysis.QualityModel =
+    graft.Artifacts.qualityModel(spark, dir).getOrElse(train(spark, dir))
+
+  /** ONE corpus scoring pass under `m` — q83's map-only kernel, the
+    * standing `quality_scores` artifact's content.
+    */
+  def scoresFrame(spark: SparkSession, dir: String,
+      m: TextAnalysis.QualityModel): DataFrame =
+    TextAnalysis.scoredQuality(graft.Tables.documents(spark, dir), "text", m)
+      .select("doc_id", "n_tokens", "quality_score")
+
+  /** The scored corpus `(doc_id, n_tokens, quality_score)`: the standing
+    * `quality_scores` artifact when current (ZERO documents scan —
+    * train, score, and checkpoint all skipped), else one scoring pass
+    * under [[modelOf]], checkpointed (the sweep and the verdict both
+    * read it).
+    */
+  def scoredCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.qualityScores(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(scoresFrame(spark, dir, modelOf(spark, dir))))
+
+  /** q148 — the trained model as a frame `(feature, weight)`: every
+    * feature with a non-zero averaged weight (the [[BiasFeature]] row
+    * included), feature-ordered. The full weight table IS the query
+    * output, so the hash gate checks every trained coefficient, not a
+    * summary. Artifact-first: the standing `quality_model` when
+    * committed, else trained inline.
+    */
+  def q148QualityTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.qualityModelFrame(spark, dir)
+      .getOrElse(modelFrame(spark, dir))
+      .orderBy("feature")
 
   /** The oracle's training replay: the curated-source label, the
     * PolyHash-mod sample, the bias-augmented design matrix, then per
@@ -283,10 +330,17 @@ object QualityTrain {
     * through q83's one-scan inference kernel over every document — the
     * end-to-end "train on the sample, score the corpus" pipeline as a
     * single hash-oracled query (the spec-level flow check made a
-    * CORRECTNESS row).
+    * CORRECTNESS row). Artifact-first: with `quality_scores` standing,
+    * the plan is an artifact read + the label CASE — zero documents
+    * scans (the label falls through to "cull" on a NULL score exactly
+    * as the inline kernel's does).
     */
   def q151TrainedQuality(spark: SparkSession, dir: String): DataFrame =
-    TextAnalysis.q83With(spark, dir, train(spark, dir))
+    scoredCorpus(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"),
+        when(col("quality_score") >= 0.0, "keep").otherwise("cull")
+          .as("quality_label"))
+      .orderBy("doc_id")
 
   // ---- q154: trained-gate threshold sweep ---------------------------------
 
@@ -316,8 +370,7 @@ object QualityTrain {
     * Training itself is q148's bounded-sample driver-local loop.
     */
   def q154TrainedThresholdSweep(spark: SparkSession, dir: String): DataFrame =
-    sweepFrom(spark, dir, q151TrainedQuality(spark, dir)
-      .select("doc_id", "n_tokens", "quality_score"))
+    sweepFrom(spark, dir, scoredCorpus(spark, dir))
 
   /** The q154 operating table over a caller-supplied scored frame —
     * shared with [[q158TrainedGate]] so the gate prices its cutoff on
@@ -444,10 +497,9 @@ object QualityTrain {
     * (q152's drift signal), never per batch.
     */
   def trainedGate(spark: SparkSession, dir: String): TrainedGate = {
-    val m = train(spark, dir)
-    val scored = graft.Checkpoints.checkpoint(
-      TextAnalysis.q83With(spark, dir, m)
-        .select("doc_id", "n_tokens", "quality_score"))
+    val m = modelOf(spark, dir)
+    val scored = graft.Artifacts.qualityScores(spark, dir).getOrElse(
+      graft.Checkpoints.checkpoint(scoresFrame(spark, dir, m)))
     val chosen = pickCutoff(sweepFrom(spark, dir, scored).collect())
     TrainedGate(m, chosen.getAs[Int]("band"),
       chosen.getAs[Double]("score_min"))
@@ -470,17 +522,17 @@ object QualityTrain {
     * threshold ride every row, so the hash gate pins the selection
     * rule, not just the verdicts.
     *
-    * Scale shape: training is q148's bounded-sample driver-local loop;
-    * scoring is ONE map-only corpus pass (checkpointed — the sweep and
+    * Scale shape: the scored frame is the standing `quality_scores`
+    * artifact when committed — zero train/score work at query time —
+    * else training is q148's bounded-sample driver-local loop and
+    * scoring ONE map-only corpus pass (checkpointed — the sweep and
     * the verdict read the same scored frame); the operating table is
     * band-grain (≤ ~30 rows, collected); the ledger join is doc-grain
     * equi-join. Nothing here re-scores or re-trains per candidate
     * threshold.
     */
   def q158TrainedGate(spark: SparkSession, dir: String): DataFrame = {
-    val scored = graft.Checkpoints.checkpoint(
-      q151TrainedQuality(spark, dir)
-        .select("doc_id", "n_tokens", "quality_score"))
+    val scored = scoredCorpus(spark, dir)
     val chosen = pickCutoff(sweepFrom(spark, dir, scored).collect())
     def bandOf(r: org.apache.spark.sql.Row) = r.getAs[Int]("band")
     val thr = chosen.getAs[Double]("score_min")

@@ -74,11 +74,16 @@ object PackedExport {
     // (the curated-export path, q156): the layout — and therefore the id
     // stream, index, and manifest — covers members only; the VOCABULARY
     // stays corpus-wide (ids must be stable across exports of different
-    // cuts of one corpus, and the tokenizer is trained corpus-wide)
+    // cuts of one corpus, and the tokenizer is trained corpus-wide).
+    // Checkpointed FIRST: the membership subtree appears twice inside the
+    // layout plan (range-cell sizing + the per-doc join), and for the
+    // curated/release/trained exports it embeds the full ledger/gate
+    // chain — without the checkpoint that chain executed 2× per export
+    val membersCk = members.map(m => graft.Checkpoints.checkpoint(m))
     // checkpointed: referenced by the index write, the stream join, and
     // the manifest rollup — three consumers, one window computation
     val layout = graft.Checkpoints.checkpoint(
-      CorpusOps.exportLayout(spark, dir, tok, order, members))
+      CorpusOps.exportLayout(spark, dir, tok, order, membersCk))
     // realized auto-sized shard count (ceil(total / TargetShardTokens),
     // carried per-row by the layout): sizes the writer repartition and
     // rides in the manifest so a trainer can refuse a mismatched cut

@@ -708,6 +708,25 @@ object StreamingOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** q166's audio QUALITY screen at INTAKE time — the seventh gate:
+    * each arriving document's take decoded (batch-bounded — only the
+    * batch's own payloads), frame-sampled, and verdicted
+    * clipped/silent/keep through the shared
+    * [[graft.operators.Multimodal.audioVerdictsOf]] core — gate ≡ q166
+    * per document by construction. Like the trained text gate this one
+    * touches NO standing state and carries no stream state: the whole
+    * verdict is one `mapPartitions` decode over the batch plus a
+    * doc-grain rollup, so a distorted or silent take is refused BEFORE
+    * its storage and embedding cost is paid. At-least-once delivery is
+    * absorbed by the usual doc-grain dedup.
+    */
+  def audioQualityOfBatch(batch: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    graft.operators.Multimodal.audioVerdictsOf(
+      batch.dropDuplicates(idCol)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .withColumnRenamed("doc_id", idCol)
+
   /** q158's TRAINED quality verdict at INTAKE time — the fifth gate:
     * each arriving document scored with the trained weights and gated
     * at the q154-priced cutoff, using a [[graft.operators.QualityTrain.TrainedGate]]

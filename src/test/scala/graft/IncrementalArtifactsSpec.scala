@@ -41,7 +41,12 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.LineDfName ->
         rows(graft.operators.Extraction.lineDfRows(docs)),
       Artifacts.ImageGridsName ->
-        rows(graft.operators.Multimodal.imageGridRows(docs))) ++
+        rows(graft.operators.Multimodal.imageGridRows(docs)),
+      Artifacts.QualityModelName ->
+        rows(graft.operators.QualityTrain.modelFrame(spark, dir)),
+      Artifacts.QualityScoresName ->
+        rows(graft.operators.QualityTrain.scoresFrame(spark, dir,
+          graft.operators.QualityTrain.train(spark, dir)))) ++
       Artifacts.DefaultTokenizers.map(t =>
         Artifacts.tokenCountsName(t) -> rows(Artifacts.tokenCountsFrame(docs, t))) ++
       Artifacts.PostingsTokenizers.map(t =>

@@ -648,6 +648,140 @@ class MultimodalSpec extends SparkSpec {
     assert(out.nonEmpty, "fixture corpus should contain dup takes")
   }
 
+  test("q175 trained image IVF: full recall table shape, deterministic, " +
+      "and every approx hit is a real exact neighbor") {
+    val out = Multimodal.q175ImageIvf(spark, sf).collect()
+    assert(out.length == Multimodal.ImageKnnProbes)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_exact") == Multimodal.ImageTopK.toLong)
+      val hit = r.getAs[Long]("n_hit")
+      assert(hit >= 0 && hit <= Multimodal.ImageTopK,
+        s"n_hit out of range: $hit")
+      assert(r.getAs[Double]("recall") ==
+        BigDecimal(hit.toDouble / Multimodal.ImageTopK)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(out.map(_.getAs[Long]("n_hit")).sum > 0,
+      "the trained index should recover at least one exact neighbor")
+    // deterministic end to end (sampled Lloyd is hash-seeded, not random)
+    val again = Multimodal.q175ImageIvf(spark, sf).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    Checkpoints.releaseAll()
+  }
+
+  test("q174 container bytes equal the REAL encoders' output lengths") {
+    // the query is pure header arithmetic; this pins it to the actual
+    // containers — every formula must equal the encoder's byte count
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars", "source").collect()
+    val local = docs.flatMap { r =>
+      val b = Option(r.getAs[String]("text")).getOrElse("").getBytes("UTF-8")
+      val nc = r.getAs[Long]("n_chars")
+      val src = r.getAs[String]("source")
+      val wImg = (nc % 24 + 8).toInt
+      val rate = (8000 + (nc % 8) * 1000).toInt
+      val wVid = (nc % 16 + 8).toInt
+      val img = Multimodal.Ppm.encode(b, wImg)
+      val aud = Multimodal.Wav.encode(b, rate)
+      val vid = Multimodal.Y4m.encode(b, wVid, 6, 24)
+      val h = (math.max(b.length, 1) + 3L * wImg - 1) / (3L * wImg)
+      val nf = (math.max(b.length, 1) + 6L * wVid - 1) / (6L * wVid)
+      Seq(
+        (src, "image", img.length.toLong, wImg.toLong * h),
+        (src, "audio", aud.length.toLong, (b.length + 1L) / 2),
+        (src, "video", vid.length.toLong, nf))
+    }
+    val expected = local.groupBy(t => (t._1, t._2)).map { case (k, ms) =>
+      k -> (ms.length.toLong, ms.map(_._3).sum, ms.map(_._4).sum)
+    }
+    val out = Multimodal.q174MediaStorage(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("modality")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("container_bytes"),
+          r.getAs[Long]("n_units"))).toMap
+    assert(out == expected,
+      "q174's header arithmetic drifted from the real containers")
+  }
+
+  test("decodeY4mRouted splits fixtures into features and routed rejects") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mediaRows = Seq(
+      Row(1L, readAll("ok_2x2.y4m")),
+      Row(2L, readAll("bad_magic.y4m")),
+      Row(3L, readAll("truncated.y4m")),
+      Row(4L, "YUV4MPEG2 W2 H2 F24:1 C420\nxxxx".getBytes("US-ASCII")))
+    val mediaDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(mediaRows),
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("media", BinaryType))))
+    val (good, bad) = Multimodal.decodeY4mRouted(mediaDf)
+    val g = good.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Int]("width"), r.getAs[Int]("height"),
+        r.getAs[Int]("fps_num"), r.getAs[Int]("fps_den"),
+        r.getAs[Int]("n_frames"))).toMap
+    assert(g == Map(1L -> ((2, 2, 24, 1, 2))))
+    val b = bad.collect().map(r => r.getAs[Long]("doc_id") ->
+      r.getAs[String]("reject_reason")).toMap
+    assert(b == Map(2L -> "bad_magic", 3L -> "truncated_frame:1",
+      4L -> "unsupported_chroma:420"))
+  }
+
+  test("audio intake gate agrees with q166 per document; repeats absorbed") {
+    val audit = Multimodal.q166AudioQualityScreen(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toString).toMap
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").limit(40)
+    val out = graft.streaming.StreamingOps
+      .audioQualityOfBatch(batch.union(batch.limit(5)))
+      .collect()
+    assert(out.length == 40, "doc-grain dedup absorbs the repeat")
+    out.foreach { r =>
+      assert(r.toString == audit(r.getAs[Long]("doc_id")),
+        s"gate and q166 disagree on doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("q173 equals a brute-force Hamming sweep over distinct video signatures") {
+    // the same local signature mirror as the q172 test, reduced to
+    // (length class, signature, member count)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+    val sigs = docs.map { r =>
+      val b = Option(r.getAs[String]("text")).getOrElse("").getBytes("UTF-8")
+      val w = (r.getAs[Long]("n_chars") % 16 + 8).toInt
+      val fs = 6 * w
+      val nf = (math.max(b.length, 1) + fs - 1) / fs
+      val step = math.max(nf / 3, 1)
+      val fp = (0 until 3).flatMap { i =>
+        val f = i * step
+        if (f >= nf) None
+        else {
+          val sum = (f * fs until (f + 1) * fs)
+            .map(p => if (p < b.length) (b(p) & 0xFF).toLong else 0L).sum
+          Some(math.min(sum * 16 / (255L * fs), 15L) << (4 * i))
+        }
+      }.sum
+      (r.getAs[Long]("doc_id"), nf, fp)
+    }
+    val grp = sigs.groupBy(t => (t._2, t._3))
+      .map { case ((nf, fp), ms) => (nf, fp, ms.length.toLong) }.toSeq
+    // brute force IS the recall oracle: the 4×3-bit band join must
+    // surface every pair at Hamming ≤ 3 (pigeonhole), nothing else
+    val expected = (for {
+      a <- grp; b <- grp
+      if a._1 == b._1 && a._2 < b._2
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, a._2, b._2) -> (h, a._3, b._3)).toMap
+    val out = Multimodal.q173VideoHammingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Int]("n_frames"), r.getAs[Long]("fp_a"),
+        r.getAs[Long]("fp_b")) -> (r.getAs[Int]("hamming"),
+        r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b"))).toMap
+    assert(out == expected)
+    assert(expected.nonEmpty,
+      "fixture corpus should contain near-dup takes at Hamming 1-3")
+  }
+
   // ---- multimodal budget (q170) ------------------------------------------------
 
   test("q170 equals a local greedy budget in text+patch units") {

@@ -864,12 +864,17 @@ class PlanQualitySpec extends SparkSpec {
     try {
       Artifacts.setRoot(tmp.getAbsolutePath)
       Artifacts.materialize(spark, sf)
-      val queries: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-        "q162" -> graft.operators.Multimodal.q162ImageResize(spark, sf),
-        "q163" -> graft.operators.Multimodal.q163ImagePhashDups(spark, sf),
-        "q165" -> graft.operators.Multimodal.q165ImageHammingPairs(spark, sf),
-        "q167" -> graft.operators.Multimodal.q167ImageKnn(spark, sf))
-      queries.foreach { case (name, df) =>
+      // thunks, not frames: q175 checkpoints its quantized vectors at
+      // construction, and the per-query releaseAll below would drop a
+      // pre-built frame's blocks before its collect
+      val queries: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "q162" -> (() => graft.operators.Multimodal.q162ImageResize(spark, sf)),
+        "q163" -> (() => graft.operators.Multimodal.q163ImagePhashDups(spark, sf)),
+        "q165" -> (() => graft.operators.Multimodal.q165ImageHammingPairs(spark, sf)),
+        "q167" -> (() => graft.operators.Multimodal.q167ImageKnn(spark, sf)),
+        "q175" -> (() => graft.operators.Multimodal.q175ImageIvf(spark, sf)))
+      queries.foreach { case (name, mk) =>
+        val df = mk()
         df.collect()
         val p = df.queryExecution.executedPlan.toString
           .split("== Initial Plan ==")(0)
@@ -882,6 +887,52 @@ class PlanQualitySpec extends SparkSpec {
           s"$name artifact-mode plan still scans documents $docScans times " +
             "— the image family must read the standing image_grids")
       }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("artifact mode: the trained-quality family rides quality_scores — " +
+      "never re-trained or re-scored") {
+    // q148 is the standing model, q151 the standing scores + a label CASE
+    // — ZERO documents scans; q154 adds only the (doc_id, source)
+    // curated-label projection, so its documents read must never touch
+    // text. Training + scoring at query time is what made q159 the
+    // bench's top hotspot.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qualguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val zeroDoc: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "q148" -> graft.operators.QualityTrain.q148QualityTrain(spark, sf),
+        "q151" -> graft.operators.QualityTrain.q151TrainedQuality(spark, sf))
+      zeroDoc.foreach { case (name, df) =>
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        Checkpoints.releaseAll()
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        val docScans = p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains("documents"))
+        assert(docScans == 0,
+          s"$name artifact-mode plan still scans documents $docScans times")
+      }
+      val sweep = graft.operators.QualityTrain
+        .q154TrainedThresholdSweep(spark, sf)
+      sweep.collect()
+      val p = sweep.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q154 plan does not read the artifact root:\n" + p.take(600))
+      val textScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents") &&
+          l.contains("text"))
+      assert(textScans == 0,
+        "q154 artifact-mode documents scan still reads text")
     } finally {
       Artifacts.clearRoot()
       deleteRecursively(tmp)

@@ -258,4 +258,47 @@ class QualityTrainSpec extends SparkSpec {
     }
     Checkpoints.releaseAll()
   }
+
+  test("quality_model/quality_scores artifacts: round-trip exact, " +
+      "consumers identical in artifact mode, idempotent") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    // inline results FIRST (no artifact root set)
+    val in148 = rows(QualityTrain.q148QualityTrain(spark, sf))
+    val in151 = rows(QualityTrain.q151TrainedQuality(spark, sf))
+    val in154 = rows(QualityTrain.q154TrainedThresholdSweep(spark, sf))
+    val in158 = rows(QualityTrain.q158TrainedGate(spark, sf))
+    val inGate = QualityTrain.trainedGate(spark, sf)
+    Checkpoints.releaseAll()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qual-art").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      val counts = Artifacts.materialize(spark, sf)
+      assert(counts(Artifacts.QualityScoresName) ==
+        Tables.documents(spark, sf).count(),
+        "one score row per document")
+      // model round-trip is bit-exact: artifact → QualityModel == train
+      assert(Artifacts.qualityModel(spark, sf).get ==
+        QualityTrain.train(spark, sf))
+      // scores artifact content == one inline scoring pass
+      assert(rows(Artifacts.qualityScores(spark, sf).get) ==
+        rows(QualityTrain.scoresFrame(spark, sf,
+          QualityTrain.train(spark, sf))))
+      // every consumer reads artifact-first and returns the same frame
+      assert(rows(QualityTrain.q148QualityTrain(spark, sf)) == in148)
+      assert(rows(QualityTrain.q151TrainedQuality(spark, sf)) == in151)
+      assert(rows(QualityTrain.q154TrainedThresholdSweep(spark, sf)) == in154)
+      assert(rows(QualityTrain.q158TrainedGate(spark, sf)) == in158)
+      val artGate = QualityTrain.trainedGate(spark, sf)
+      assert(artGate == inGate,
+        "the published intake gate must not move when the artifacts land")
+      // idempotent: a second materialize skips (same committed counts)
+      assert(Artifacts.materialize(spark, sf)(Artifacts.QualityModelName) ==
+        counts(Artifacts.QualityModelName))
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
 }
