@@ -142,6 +142,19 @@ object Artifacts {
     */
   val ImageGridsName = "image_grids"
 
+  /** Per-document TEXT-GATE bits `(doc_id, gopher_keep, lang_ok,
+    * len_ok, rep_ok, quality_ok)` — every q138 ledger gate that is a
+    * pure function of the document's own text
+    * (`operators.Curation.textGateRows`); the dedup bit is keeper STATE
+    * and joins [[KeepersName]] at read time. Per-doc rows —
+    * retract/append maintenance, the token-counts shape. With this
+    * standing, the curation ledger (q138) and every export it gates
+    * (q156/q157/q159) is two artifact joins + column arithmetic: the
+    * funnel's Gopher/language/quality scans run once per snapshot, not
+    * once per export.
+    */
+  val TextGatesName = "text_gates"
+
   /** The trained quality model `(feature, weight)` — q148's averaged
     * perceptron, trained ONCE per corpus snapshot
     * (`operators.QualityTrain.modelFrame`). Training is DETERMINISTIC
@@ -278,7 +291,7 @@ object Artifacts {
       DocHashesName, DupPairsName, KeepersName, Shingles8Name,
       EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
       TokenDfName, LineDfName, TokenPositionsName, ImageGridsName,
-      QualityModelName, QualityScoresName) ++
+      TextGatesName, QualityModelName, QualityScoresName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
 
@@ -1188,6 +1201,14 @@ object Artifacts {
       operators.Multimodal.imageGridRows(
         Tables.documents(spark, corpusDir)))
 
+  /** The standing text-gate bits `(doc_id, gopher_keep, lang_ok,
+    * len_ok, rep_ok, quality_ok)` when the corpus's current fingerprint
+    * resolves (Option shape — q138's fallback recomputes the gate
+    * passes inline).
+    */
+  def textGates(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, TextGatesName)
+
   /** The committed trained-model frame `(feature, weight)`, IF a version
     * committed for the corpus's current fingerprint resolves (Option
     * shape — consumers fall back to retraining, which is deterministic,
@@ -1531,7 +1552,8 @@ object Artifacts {
     case LshAnnIndexName | LshNearDupIndexName | VecHashesName => Seq("id")
     case NgramPostingsName | Shingles8Name | EvalShinglesName |
          DocHashesName | KeepersName | TokenPositionsName |
-         MinhashBandsName | ChunkPostingsName | ImageGridsName =>
+         MinhashBandsName | ChunkPostingsName | ImageGridsName |
+         TextGatesName =>
       Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
     case tp if tp.startsWith(TokenPostingsPrefix) => Seq("doc_id")
@@ -2149,6 +2171,10 @@ object Artifacts {
     // image grids: the ONE media decode pass of the snapshot
     val imgGrids = build(ImageGridsName)(
       operators.Multimodal.imageGridRows(docs))
+    // text-gate bits: the curation funnel's per-doc text scans
+    // (Gopher line arithmetic, language ID, quality scoring), once
+    val txtGates = build(TextGatesName)(
+      operators.Curation.textGateRows(docs))
     // trained quality family: train once (q148's deterministic
     // bounded-sample perceptron), then ONE map-only scoring pass under
     // the COMMITTED model — the standing scores can never drift from
@@ -2172,7 +2198,7 @@ object Artifacts {
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
       evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
-      imgGrids, qModel, qScores) ++ tokPost ++ tokCounts).toMap
+      imgGrids, txtGates, qModel, qScores) ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -2209,6 +2235,7 @@ object Artifacts {
       case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
       case LineDfName => operators.Extraction.lineDfRows(docs)
       case ImageGridsName => operators.Multimodal.imageGridRows(docs)
+      case TextGatesName => operators.Curation.textGateRows(docs)
       case QualityModelName =>
         operators.QualityTrain.modelFrame(spark, corpusDir)
       case QualityScoresName =>
@@ -2575,6 +2602,13 @@ object Artifacts {
       operators.Multimodal.imageGridRows(fresh))(
       readOld(ImageGridsName)
         .unionByName(operators.Multimodal.imageGridRows(fresh)))
+    // text-gate bits: per-doc rows — the batch evaluates only its own
+    // gates (pure text functions; the keeper bit that CAN flip for old
+    // docs lives in the keepers artifact, joined at read time)
+    val txtGates = buildSegInc(TextGatesName, None,
+      operators.Curation.textGateRows(fresh))(
+      readOld(TextGatesName)
+        .unionByName(operators.Curation.textGateRows(fresh)))
     // trained quality family: rebuilt WHOLE — the training sample is a
     // deterministic function of the corpus COUNT (PolyHash mod
     // ⌈n/target⌉), so ANY append can move the model and with it every
@@ -2606,7 +2640,7 @@ object Artifacts {
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
-        imgGrids, qModel, qScores) ++ tokPost ++ tokCounts).toMap,
+        imgGrids, txtGates, qModel, qScores) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -2928,6 +2962,13 @@ object Artifacts {
       readOldA(ImageGridsName)
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Multimodal.imageGridRows(docsChangedNew)))
+    // text-gate bits: per-doc rows — retract the gone docs, evaluate
+    // only the changed docs' gates
+    val txtGates = buildSegInc(TextGatesName, Some(dGone),
+      operators.Curation.textGateRows(docsChangedNew))(
+      readOldA(TextGatesName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.Curation.textGateRows(docsChangedNew)))
     // trained quality family: rebuilt WHOLE against the new snapshot
     // (see maintainAppended — the training sample, and so the model and
     // every score, moves with any corpus change)
@@ -2940,7 +2981,7 @@ object Artifacts {
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
-        imgGrids, qModel, qScores) ++ tokPost ++ tokCounts).toMap,
+        imgGrids, txtGates, qModel, qScores) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

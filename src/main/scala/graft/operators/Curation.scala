@@ -909,38 +909,82 @@ object Curation {
   def q138CurationLedger(spark: SparkSession, dir: String): DataFrame =
     q138With(spark, dir, TextAnalysis.DefaultQualityModel)
 
-  /** q138 under a caller-supplied quality model — `QualityTrainSpec`
-    * runs the ledger with [[QualityTrain]]'s trained weights through
-    * the identical gate composition.
+  /** The per-document TEXT-GATE bits of the ledger `(doc_id,
+    * gopher_keep, lang_ok, len_ok, rep_ok, quality_ok)` — every q138
+    * gate that is a pure function of the document's own text. The dedup
+    * bit is deliberately NOT here: keeper election is corpus STATE (a
+    * new duplicate can flip an old document's bit), so it joins the
+    * standing `keepers` artifact at read time, where these bits are
+    * per-doc rows maintained retract/append like the token counts. This
+    * frame is what `Artifacts.materialize` commits as `text_gates`:
+    * the funnel's three remaining corpus-scale scans (Gopher line/ngram
+    * fractions, language ID, quality scoring) run once per snapshot.
+    * Exactly the q41/q133/q83 derivations, column for column.
     */
-  private[graft] def q138With(spark: SparkSession, dir: String,
-      model: TextAnalysis.QualityModel): DataFrame = {
-    val base = corpusSelect(spark, dir, graft.functions.Tokenizer.Whitespace)
-      .select(col("doc_id"), col("n_tokens"), col("repetition_ratio"),
-        col("pred_lang"), col("is_keeper"))
-    val gopher = Extraction.q133RepetitionGate(spark, dir)
+  private[graft] def textGateRows(docs: DataFrame,
+      model: TextAnalysis.QualityModel =
+        TextAnalysis.DefaultQualityModel): DataFrame = {
+    val toks = graft.functions.Tokenizer.Whitespace.tokens(col("text"))
+    val totalSh = greatest(size(toks) - 2, lit(0))
+    val distinctSh = size(Dedup.shingles3(toks))
+    val repetition = round6(when(totalSh > 0,
+      lit(1.0) - distinctSh.cast("double") / totalSh).otherwise(0.0))
+    val signals = docs.select(col("doc_id"),
+      (TextAnalysis.langPred(col("text")) === "en").as("lang_ok"),
+      size(toks).between(MinTokens, MaxTokens).as("len_ok"),
+      (repetition <= MaxRepetition).as("rep_ok"))
+    val gopher = Extraction.repetitionGateFrom(docs)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val quality = TextAnalysis.q83With(spark, dir, model)
+    val quality = TextAnalysis.scoredQuality(docs, "text", model)
       .select(col("doc_id"),
         (col("quality_label") === "keep").as("quality_ok"))
-    val langOk = col("pred_lang") === "en"
-    val lenOk = col("n_tokens").between(MinTokens, MaxTokens)
-    val repOk = col("repetition_ratio") <= MaxRepetition
-    base.join(gopher, "doc_id").join(quality, "doc_id")
+    signals.join(gopher, "doc_id").join(quality, "doc_id")
+      .select("doc_id", "gopher_keep", "lang_ok", "len_ok", "rep_ok",
+        "quality_ok")
+  }
+
+  /** The ledger over a caller-supplied bits frame: the keeper join and
+    * the keep/reason composition — ONE definition under both the
+    * standing `text_gates` artifact and the inline gate passes, so the
+    * two paths can never compose differently.
+    */
+  private def ledgerFrom(spark: SparkSession, dir: String,
+      bits: DataFrame): DataFrame = {
+    val keepers = graft.Artifacts.keepers(spark, dir)
+      .select(col("doc_id"), col("is_keeper"))
+    bits.join(keepers, "doc_id")
       .select(col("doc_id"),
-        col("gopher_keep"), langOk.as("lang_ok"), lenOk.as("len_ok"),
-        repOk.as("rep_ok"), col("quality_ok"),
+        col("gopher_keep"), col("lang_ok"), col("len_ok"),
+        col("rep_ok"), col("quality_ok"),
         col("is_keeper").as("dedup_ok"),
-        (col("gopher_keep") && langOk && lenOk && repOk &&
-          col("quality_ok") && col("is_keeper")).as("keep"),
+        (col("gopher_keep") && col("lang_ok") && col("len_ok") &&
+          col("rep_ok") && col("quality_ok") && col("is_keeper")).as("keep"),
         when(!col("gopher_keep"), "repetition_gate")
-          .when(!langOk, "language")
-          .when(!lenOk, "length")
-          .when(!repOk, "intra_doc_repetition")
+          .when(!col("lang_ok"), "language")
+          .when(!col("len_ok"), "length")
+          .when(!col("rep_ok"), "intra_doc_repetition")
           .when(!col("quality_ok"), "quality")
           .when(!col("is_keeper"), "duplicate")
           .otherwise("kept").as("reason"))
       .orderBy("doc_id")
+  }
+
+  /** q138 under a caller-supplied quality model — `QualityTrainSpec`
+    * runs the ledger with [[QualityTrain]]'s trained weights through
+    * the identical gate composition. The default-model ledger reads the
+    * standing `text_gates` bits when committed (with `keepers`, the
+    * whole ledger is then two artifact joins — zero documents scans);
+    * a custom model recomputes the bits inline (its quality column is
+    * not the committed one).
+    */
+  private[graft] def q138With(spark: SparkSession, dir: String,
+      model: TextAnalysis.QualityModel): DataFrame = {
+    val bits =
+      if (model == TextAnalysis.DefaultQualityModel)
+        graft.Artifacts.textGates(spark, dir)
+          .getOrElse(textGateRows(Tables.documents(spark, dir)))
+      else textGateRows(Tables.documents(spark, dir), model)
+    ledgerFrom(spark, dir, bits)
   }
 
   /** Each gate's own oracle statement as a subquery (they cannot

@@ -42,6 +42,8 @@ class IncrementalArtifactsSpec extends SparkSpec {
         rows(graft.operators.Extraction.lineDfRows(docs)),
       Artifacts.ImageGridsName ->
         rows(graft.operators.Multimodal.imageGridRows(docs)),
+      Artifacts.TextGatesName ->
+        rows(graft.operators.Curation.textGateRows(docs)),
       Artifacts.QualityModelName ->
         rows(graft.operators.QualityTrain.modelFrame(spark, dir)),
       Artifacts.QualityScoresName ->

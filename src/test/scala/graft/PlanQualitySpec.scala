@@ -940,6 +940,37 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: the curation ledger is two standing joins — " +
+      "zero documents scans, identical rows") {
+    // q138 = text_gates ⋈ keepers + column arithmetic once both stand;
+    // the Gopher/language/quality scans must not reappear in the plan
+    // (they're what made every ledger-gated export re-pay the funnel)
+    val inline = graft.operators.Curation.q138CurationLedger(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    Checkpoints.releaseAll()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ledgguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val df = graft.operators.Curation.q138CurationLedger(spark, sf)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(got == inline, "artifact-mode ledger drifted from inline")
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q138 plan does not read the artifact root:\n" + p.take(600))
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0,
+        s"q138 artifact-mode plan still scans documents $docScans times")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q122 reads the pair artifact — document text never scanned") {
     // the matrix is a rollup of standing dup_pairs state; its one
     // documents read is the (doc_id, source) labeling projection, so a
