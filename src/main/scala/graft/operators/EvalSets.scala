@@ -255,11 +255,21 @@ object EvalSets {
     * the corpus pass count is independent of the registry size.
     */
   def q124EvalDecontam(spark: SparkSession, dir: String): DataFrame =
-    contaminationOfShingles(
-      graft.Artifacts.shingles8(spark, dir)
-        .filter(!inAnySet(col("doc_id"))),
-      "doc_id", graft.Artifacts.evalShingles(spark, dir))
+    graft.Artifacts.evalFlagsLex(spark, dir).getOrElse(
+      lexFlagRows(graft.Artifacts.shingles8(spark, dir),
+        graft.Artifacts.evalShingles(spark, dir)))
       .orderBy("doc_id", "set_id")
+
+  /** q124's verdict rows over caller-supplied shingle frames — the
+    * standing `eval_flags_lex` artifact's content: a join of two
+    * standing indexes, so both the build and the fallback are zero
+    * text-scan. One definition, so the committed flags and the inline
+    * verdicts can never disagree.
+    */
+  private[graft] def lexFlagRows(sh8: DataFrame,
+      evalIdx: DataFrame): DataFrame =
+    contaminationOfShingles(sh8.filter(!inAnySet(col("doc_id"))),
+      "doc_id", evalIdx)
 
   /** The q124 rollup over ANY per-doc distinct-shingle frame: join the
     * (set, sh)-distinct'd index, count shared shingles per (doc, set).

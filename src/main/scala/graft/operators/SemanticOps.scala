@@ -309,7 +309,17 @@ object SemanticOps {
     * membership is a map-side literal; adding a benchmark suite changes
     * no pass structure. The Lloyd training never re-runs here.
     */
-  def q142SemDecontam(spark: SparkSession, dir: String): DataFrame = {
+  def q142SemDecontam(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.evalFlagsSem(spark, dir)
+      .map(_.orderBy("vec_id", "set_id"))
+      .getOrElse(q142SemInline(spark, dir))
+
+  /** q142's verdict computation — the standing `eval_flags_sem`
+    * artifact's content (one definition for the build and the inline
+    * fallback).
+    */
+  private[graft] def q142SemInline(spark: SparkSession,
+      dir: String): DataFrame = {
     val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
     // external benchmark vectors, assigned to the SAME trained cells
     // map-side (quantize → literal-centroid argmin, exactly the corpus

@@ -215,6 +215,13 @@ class EmbeddingArtifactsSpec extends SparkSpec {
           graft.operators.Ivf.assignFrame(scratchQuant, scratchCents),
           scratchCents)))
       val scratchResPq = graft.operators.Pq.train(spark, scratchResSub)
+      // independent semantic-flags expectation: inline with NO root —
+      // trains its own scratch model (asserted equal to the committed
+      // one via the centroid entries)
+      Artifacts.clearRoot()
+      val scratchSemFlags =
+        rows(graft.operators.SemanticOps.q142SemInline(spark, newDir))
+      Artifacts.setRoot(root.getAbsolutePath)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
@@ -234,7 +241,8 @@ class EmbeddingArtifactsSpec extends SparkSpec {
           rows(graft.operators.Pq.codebookFrame(spark, scratchResPq)),
         Artifacts.PqResCodesName -> rows(graft.operators.Pq.codesFrame(
           scratchResSub,
-          graft.operators.Pq.codebookFrame(spark, scratchResPq))))
+          graft.operators.Pq.codebookFrame(spark, scratchResPq))),
+        Artifacts.EvalFlagsSemName -> scratchSemFlags)
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, newDir, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, newDir, n)) == expected(n),
@@ -330,6 +338,11 @@ class EmbeddingArtifactsSpec extends SparkSpec {
           graft.operators.Ivf.assignFrame(scratchQuant, scratchCents),
           scratchCents)))
       val scratchResPq = graft.operators.Pq.train(spark, scratchResSub)
+      // independent semantic-flags expectation (see the incremental test)
+      Artifacts.clearRoot()
+      val scratchSemFlags =
+        rows(graft.operators.SemanticOps.q142SemInline(spark, corpus))
+      Artifacts.setRoot(root.getAbsolutePath)
       val expected = Map(
         Artifacts.LshAnnIndexName -> rows(Similarity.annIndexFrame(eNew)),
         Artifacts.LshNearDupIndexName ->
@@ -349,7 +362,8 @@ class EmbeddingArtifactsSpec extends SparkSpec {
           rows(graft.operators.Pq.codebookFrame(spark, scratchResPq)),
         Artifacts.PqResCodesName -> rows(graft.operators.Pq.codesFrame(
           scratchResSub,
-          graft.operators.Pq.codebookFrame(spark, scratchResPq))))
+          graft.operators.Pq.codebookFrame(spark, scratchResPq))),
+        Artifacts.EvalFlagsSemName -> scratchSemFlags)
       Artifacts.EmbeddingNames.foreach { n =>
         assert(Artifacts.isMaterialized(spark, corpus, n), s"$n not committed")
         assert(rows(Artifacts.readCommitted(spark, corpus, n)) == expected(n),

@@ -44,6 +44,12 @@ class IncrementalArtifactsSpec extends SparkSpec {
         rows(graft.operators.Multimodal.imageGridRows(docs)),
       Artifacts.TextGatesName ->
         rows(graft.operators.Curation.textGateRows(docs)),
+      Artifacts.EvalFlagsLexName ->
+        rows(graft.operators.EvalSets.lexFlagRows(
+          CorpusOps.docShingles8(docs),
+          graft.operators.EvalSets.evalShingleRows(
+            CorpusOps.docShingles8(docs))
+            .unionByName(graft.operators.EvalSets.externalShingleRows(spark)))),
       Artifacts.QualityModelName ->
         rows(graft.operators.QualityTrain.modelFrame(spark, dir)),
       Artifacts.QualityScoresName ->

@@ -971,6 +971,47 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: the decontam screens read standing flags — " +
+      "identical rows, no per-query re-screen") {
+    // q124's lexical screen and q142's semantic screen are computed
+    // once per snapshot (eval_flags_lex / eval_flags_sem); at query
+    // time neither re-joins shingles nor re-scores cells
+    val inline124 = graft.operators.EvalSets.q124EvalDecontam(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val inline142 = graft.operators.SemanticOps.q142SemDecontam(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    Checkpoints.releaseAll()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-flagguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      Artifacts.materializeEmbeddings(spark, sf)
+      val lex = graft.operators.EvalSets.q124EvalDecontam(spark, sf)
+      assert(lex.collect().map(_.toString).sorted.toSeq == inline124,
+        "artifact-mode q124 drifted from inline")
+      val pLex = lex.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(pLex.contains(tmp.getName) &&
+        pLex.linesIterator.count(l => l.contains("FileScan parquet") &&
+          l.contains("documents")) == 0,
+        "q124 artifact-mode plan still scans documents:\n" + pLex.take(600))
+      val sem = graft.operators.SemanticOps.q142SemDecontam(spark, sf)
+      assert(sem.collect().map(_.toString).sorted.toSeq == inline142,
+        "artifact-mode q142 drifted from inline")
+      val pSem = sem.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(pSem.contains(tmp.getName) &&
+        pSem.linesIterator.count(l => l.contains("FileScan parquet") &&
+          l.contains("embeddings")) == 0,
+        "q142 artifact-mode plan still scans embeddings:\n" + pSem.take(600))
+      Checkpoints.releaseAll()
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: q122 reads the pair artifact — document text never scanned") {
     // the matrix is a rollup of standing dup_pairs state; its one
     // documents read is the (doc_id, source) labeling projection, so a
