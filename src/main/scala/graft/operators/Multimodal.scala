@@ -1290,6 +1290,140 @@ object Multimodal {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- q176/q177: audio perceptual dedup --------------------------------------
+
+  /** The per-take quantized amplitude signature `(doc_id, n_frames,
+    * fingerprint)` — each of q164's sampled windows reduced to its mean
+    * |amplitude| quantized to 4 bits (`min(⌊abs_sum·16 ÷
+    * (32768·n_samples)⌋, 15)` — integer-exact, the q172 quantizer in
+    * amplitude space) and packed by window position, keyed by the
+    * take's frame count (signatures are only comparable within a length
+    * class, the q163/q172 geometry rule). Zero-frame takes carry no
+    * audio to fingerprint and emit no signature. Shared by q176
+    * (distance-0 groups) and q177 (banded Hamming tail).
+    */
+  private def audioSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = audioWindows(spark, dir)
+      .withColumn("q", expr(
+        "least(CAST(abs_sum * 16 DIV (32768 * n_samples) AS BIGINT)," +
+          " CAST(15 AS BIGINT))"))
+      .groupBy("doc_id")
+      .agg(sum(expr("shiftleft(q, 4 * window_idx)")).as("fingerprint"))
+    val lens = Tables.documents(spark, dir).select(col("doc_id"),
+      expr("(octet_length(coalesce(text, '')) + 1) DIV 2")
+        .cast("long").as("n_frames"))
+    sigs.join(lens, "doc_id").select("doc_id", "n_frames", "fingerprint")
+  }
+
+  /** q176 — AUDIO perceptual dedup, completing the modality matrix
+    * (q163 images, q172 video — every modality now carries its own
+    * perceptual dedup beside its quality screen): takes sharing
+    * (frame count, quantized windowed-amplitude signature) are
+    * perceptual near-duplicates — the same recording re-containered or
+    * re-mastered at the same length lands on the same coarse loudness
+    * trajectory. Output is the dup groups (≥ 2 members) with ordered
+    * member lists.
+    *
+    * Scale shape: the one decode pass → per-doc ≤ 3-row aggregate →
+    * ONE shuffle on the signature (the q17/q163/q172 exact-dedup
+    * shape).
+    */
+  def q176AudioPhashDups(spark: SparkSession, dir: String): DataFrame =
+    audioSignatures(spark, dir)
+      .groupBy(col("n_frames"), col("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string"))).as("doc_ids"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("n_frames", "fingerprint")
+
+  /** The shared signature replay (`base` … `asig`): [[audioWindowCtes]]
+    * plus the 4-bit amplitude quantization, the positional pack, and
+    * the frame-count key — q176 groups it, q177 bands it.
+    */
+  private lazy val audioSigCtes: String =
+    s"""$audioWindowCtes, aq AS (
+       |  SELECT doc_id, k,
+       |         LEAST(CAST(COALESCE(list_sum(list_transform(ws,
+       |             x -> abs(x))), 0) * 16 // (32768 * len(ws))
+       |           AS BIGINT), 15) AS q
+       |  FROM w3
+       |), asig AS (
+       |  SELECT s.doc_id, l.n_frames, s.fingerprint FROM (
+       |    SELECT doc_id,
+       |           CAST(sum(q << CAST(4 * k AS INTEGER)) AS BIGINT)
+       |             AS fingerprint
+       |    FROM aq GROUP BY doc_id
+       |  ) s JOIN (
+       |    SELECT doc_id,
+       |           CAST((octet_length(encode(coalesce(text, ''))) + 1) // 2
+       |             AS BIGINT) AS n_frames
+       |    FROM documents
+       |  ) l USING (doc_id)
+       |)""".stripMargin
+
+  lazy val q176OracleSql: String =
+    s"""WITH $audioSigCtes
+       |SELECT n_frames, fingerprint,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+       |         AS doc_ids
+       |FROM asig GROUP BY n_frames, fingerprint HAVING count(*) >= 2
+       |ORDER BY n_frames, fingerprint""".stripMargin
+
+  /** q177 — NEAR-duplicate audio at Hamming 1–[[HammingMax]] over
+    * q176's signatures: the 4×3-bit band-bucket join at SIGNATURE grain
+    * per frame-count class (q165's image tail and q173's video tail, in
+    * amplitude space — the re-master that moved one window's loudness a
+    * quantization step). Pigeonhole-complete at ≤ [[HammingMax]]; each
+    * row carries both groups' member counts.
+    */
+  def q177AudioHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grp = audioSignatures(spark, dir)
+      .groupBy("n_frames", "fingerprint").agg(count(lit(1)).as("n_docs"))
+    val bands = grp.select(col("n_frames"), col("fingerprint"), col("n_docs"),
+        explode(sequence(lit(0), lit(VideoHammingBands - 1))).as("b"))
+      .withColumn("bits",
+        expr("shiftright(fingerprint, 3 * b) & CAST(7 AS BIGINT)"))
+    val left = bands.select(col("n_frames"), col("b"), col("bits"),
+      col("fingerprint").as("fp_a"), col("n_docs").as("n_docs_a"))
+    val right = bands.select(col("n_frames"), col("b"), col("bits"),
+      col("fingerprint").as("fp_b"), col("n_docs").as("n_docs_b"))
+    left.join(right, Seq("n_frames", "b", "bits"))
+      .filter(col("fp_a") < col("fp_b"))
+      .select("n_frames", "fp_a", "n_docs_a", "fp_b", "n_docs_b").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(fp_a ^ fp_b) AS INT)"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("n_frames"), col("fp_a"), col("fp_b"),
+        col("hamming"), col("n_docs_a"), col("n_docs_b"))
+      .orderBy("n_frames", "fp_a", "fp_b")
+  }
+
+  lazy val q177OracleSql: String =
+    s"""WITH $audioSigCtes, grp AS (
+       |  SELECT n_frames, fingerprint, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM asig GROUP BY n_frames, fingerprint
+       |), bands AS (
+       |  SELECT n_frames, fingerprint, n_docs,
+       |         unnest(generate_series(0, ${VideoHammingBands - 1})) AS b
+       |  FROM grp
+       |), b2 AS (
+       |  SELECT n_frames, fingerprint, n_docs, b,
+       |         (fingerprint >> CAST(3 * b AS INTEGER)) & 7 AS bits
+       |  FROM bands
+       |), cand AS (
+       |  SELECT DISTINCT a.n_frames, a.fingerprint AS fp_a,
+       |         a.n_docs AS n_docs_a,
+       |         c.fingerprint AS fp_b, c.n_docs AS n_docs_b
+       |  FROM b2 a JOIN b2 c ON a.n_frames = c.n_frames AND a.b = c.b
+       |    AND a.bits = c.bits AND a.fingerprint < c.fingerprint
+       |)
+       |SELECT n_frames, fp_a, fp_b,
+       |       CAST(bit_count(xor(fp_a, fp_b)) AS INTEGER) AS hamming,
+       |       n_docs_a, n_docs_b
+       |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $HammingMax
+       |ORDER BY n_frames, fp_a, fp_b""".stripMargin
+
   // ---- q167: image-embedding kNN --------------------------------------------
 
   /** q167's probe count and neighbors returned per probe. */

@@ -741,6 +741,58 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Local audio-signature mirror shared by the q176/q177 tests:
+    * (doc_id, n_frames, fingerprint) via the REAL windowed decoder.
+    */
+  private def localAudioSignatures(): Seq[(Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+    docs.flatMap { r =>
+      val b = Option(r.getAs[String]("text")).getOrElse("").getBytes("UTF-8")
+      val rate = (8000 + (r.getAs[Long]("n_chars") % 8) * 1000).toInt
+      val n = (b.length + 1L) / 2
+      if (n == 0) None
+      else {
+        val ws = Multimodal.Wav.windowedStats(
+          Multimodal.Wav.encode(b, rate), 3, 64).toOption.get
+        val fp = ws.map(w =>
+          math.min(w.absSum * 16 / (32768L * w.nSamples), 15L)
+            << (4 * w.idx)).sum
+        Some((r.getAs[Long]("doc_id"), n, fp))
+      }
+    }.toSeq
+  }
+
+  test("q176 groups equal a local audio-signature mirror via the real decoder") {
+    val expected = localAudioSignatures().groupBy(t => (t._2, t._3))
+      .filter(_._2.length >= 2)
+      .map { case ((n, fp), ms) =>
+        (n, fp) -> ms.map(_._1).sorted.mkString(",") }
+    val out = Multimodal.q176AudioPhashDups(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_frames"), r.getAs[Long]("fingerprint")) ->
+        r.getAs[String]("doc_ids")).toMap
+    assert(out == expected)
+    assert(out.nonEmpty, "fixture corpus should contain dup takes")
+  }
+
+  test("q177 equals a brute-force Hamming sweep over distinct audio signatures") {
+    val grp = localAudioSignatures().groupBy(t => (t._2, t._3))
+      .map { case ((n, fp), ms) => (n, fp, ms.length.toLong) }.toSeq
+    val expected = (for {
+      a <- grp; b <- grp
+      if a._1 == b._1 && a._2 < b._2
+      h = java.lang.Long.bitCount(a._2 ^ b._2)
+      if h <= 3
+    } yield (a._1, a._2, b._2) -> (h, a._3, b._3)).toMap
+    val out = Multimodal.q177AudioHammingPairs(spark, sf).collect()
+      .map(r => (r.getAs[Long]("n_frames"), r.getAs[Long]("fp_a"),
+        r.getAs[Long]("fp_b")) -> (r.getAs[Int]("hamming"),
+        r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b"))).toMap
+    assert(out == expected)
+    assert(expected.nonEmpty,
+      "fixture corpus should contain near-dup takes at Hamming 1-3")
+  }
+
   test("q173 equals a brute-force Hamming sweep over distinct video signatures") {
     // the same local signature mirror as the q172 test, reduced to
     // (length class, signature, member count)
