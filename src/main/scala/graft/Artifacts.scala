@@ -189,6 +189,26 @@ object Artifacts {
     */
   val QualityScoresName = "quality_scores"
 
+  /** The trained IVF over the IMAGE grid embeddings `(cell, centroid)`
+    * — q175's coarse quantizer at [[operators.Ivf.K]] cells, trained
+    * over `operators.Multimodal.imageQuantRows` of the committed
+    * [[ImageGridsName]] (never a media re-decode). DOCUMENTS-fp keyed:
+    * grid vectors derive from documents, and the text-side precedent
+    * ([[IvfCentroidsName]]) keys by its own source table the same way.
+    * Rebuilt whole on maintenance (the [[QualityModelName]] posture —
+    * the Lloyd sample is a deterministic function of the full grid
+    * frame, so any append can move every centroid and with it every
+    * assignment).
+    */
+  val ImageIvfCentroidsName = "image_ivf_centroids"
+
+  /** Per-image cell assignment `(vec_id, cell)` under the COMMITTED
+    * image centroids — with the centroids, the standing half of
+    * [[imageIvfModel]]: query time probes cells and reranks members,
+    * paying zero Lloyd work and zero corpus-wide assignment pass.
+    */
+  val ImageIvfCellsName = "image_ivf_cells"
+
   /** Per-document token counts, keyed by TOKENIZER ID as well as corpus
     * fingerprint (`token_counts_<tokId>/fp=<fp>`): at 100 TB,
     * tokenization is the single most repeated map cost in the system —
@@ -305,6 +325,7 @@ object Artifacts {
       EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
       TokenDfName, LineDfName, TokenPositionsName, ImageGridsName,
       TextGatesName, QualityModelName, QualityScoresName,
+      ImageIvfCentroidsName, ImageIvfCellsName,
       EvalFlagsLexName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
@@ -338,7 +359,7 @@ object Artifacts {
     * and an exact-string key would let a [[gc]] keep-list written with a
     * trailing slash delete a live corpus's whole tree.
     */
-  private def corpusKey(corpusDir: String): String = {
+  private[graft] def corpusKey(corpusDir: String): String = {
     val norm = {
       val stripped = corpusDir.replaceAll("/+$", "")
       if (stripped.isEmpty) "/" else stripped
@@ -1240,6 +1261,32 @@ object Artifacts {
     readOrCompute(spark, corpusDir, ImageGridsName)(
       operators.Multimodal.imageGridRows(
         Tables.documents(spark, corpusDir)))
+
+  /** The trained IMAGE IVF model: (centroids as literals,
+    * cell-assignment frame) — [[ivfModel]]'s discipline over the grid
+    * embeddings, resolved by the DOCUMENTS fingerprint. Artifact-first
+    * on both pieces; with no committed version the model trains inline
+    * over the (artifact-first) grid frame, and the assignment derives
+    * from those same centroids, so the two pieces always agree within
+    * a call whichever path produced them.
+    */
+  def imageIvfModel(spark: SparkSession,
+      corpusDir: String): (Seq[(Int, Array[Long])], DataFrame) = {
+    readIfCurrent(spark, corpusDir, ImageIvfCentroidsName) match {
+      case Some(cdf) =>
+        val cents = operators.Ivf.collectCentroids(cdf)
+        val cells = readIfCurrent(spark, corpusDir, ImageIvfCellsName)
+          .getOrElse(operators.Ivf.assignFrame(
+            operators.Multimodal.imageQuantRows(
+              imageGrids(spark, corpusDir)), cents))
+        (cents, cells)
+      case None =>
+        val quant = Checkpoints.checkpoint(
+          operators.Multimodal.imageQuantRows(imageGrids(spark, corpusDir)))
+        val cents = operators.Ivf.train(quant)
+        (cents, operators.Ivf.assignFrame(quant, cents))
+    }
+  }
 
   /** The standing lexical decontam flags when the corpus's current
     * fingerprint resolves (Option shape — q124's fallback is the same
@@ -2234,6 +2281,15 @@ object Artifacts {
     // image grids: the ONE media decode pass of the snapshot
     val imgGrids = build(ImageGridsName)(
       operators.Multimodal.imageGridRows(docs))
+    // image IVF: train at most once (lazy) over the COMMITTED grids —
+    // never a media re-decode — and cells always derive from the
+    // COMMITTED centroid artifact (the embeddings-side IVF discipline)
+    lazy val imgQuant = Checkpoints.checkpoint(
+      operators.Multimodal.imageQuantRows(committed(ImageGridsName)))
+    val imgIvfC = build(ImageIvfCentroidsName)(
+      operators.Ivf.centroidsFrame(spark, operators.Ivf.train(imgQuant)))
+    val imgIvfA = build(ImageIvfCellsName)(operators.Ivf.assignFrame(imgQuant,
+      operators.Ivf.collectCentroids(committed(ImageIvfCentroidsName))))
     // text-gate bits: the curation funnel's per-doc text scans
     // (Gopher line arithmetic, language ID, quality scoring), once
     val txtGates = build(TextGatesName)(
@@ -2261,7 +2317,8 @@ object Artifacts {
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
       evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
-      imgGrids, txtGates, qModel, qScores) ++ tokPost ++ tokCounts).toMap
+      imgGrids, imgIvfC, imgIvfA, txtGates, qModel, qScores)
+      ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -2298,6 +2355,14 @@ object Artifacts {
       case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
       case LineDfName => operators.Extraction.lineDfRows(docs)
       case ImageGridsName => operators.Multimodal.imageGridRows(docs)
+      case ImageIvfCentroidsName =>
+        operators.Ivf.centroidsFrame(spark, operators.Ivf.train(
+          operators.Multimodal.imageQuantRows(
+            operators.Multimodal.imageGridRows(docs))))
+      case ImageIvfCellsName =>
+        val q = operators.Multimodal.imageQuantRows(
+          operators.Multimodal.imageGridRows(docs))
+        operators.Ivf.assignFrame(q, operators.Ivf.train(q))
       case EvalFlagsLexName =>
         val sh8 = operators.CorpusOps.docShingles8(docs)
         operators.EvalSets.lexFlagRows(sh8,
@@ -2670,6 +2735,17 @@ object Artifacts {
       operators.Multimodal.imageGridRows(fresh))(
       readOld(ImageGridsName)
         .unionByName(operators.Multimodal.imageGridRows(fresh)))
+    // image IVF: rebuilt WHOLE from the NEW grid artifact (the
+    // quality-model posture — the Lloyd sample is a deterministic
+    // function of the full grid frame, so any append can move every
+    // centroid); training reads standing grids, never re-decodes media
+    lazy val imgQuantA = Checkpoints.checkpoint(
+      operators.Multimodal.imageQuantRows(readNew(ImageGridsName)))
+    val imgIvfC = buildInc(ImageIvfCentroidsName)(
+      operators.Ivf.centroidsFrame(spark, operators.Ivf.train(imgQuantA)))
+    val imgIvfA = buildInc(ImageIvfCellsName)(
+      operators.Ivf.assignFrame(imgQuantA,
+        operators.Ivf.collectCentroids(readNew(ImageIvfCentroidsName))))
     // lexical decontam flags: rebuilt WHOLE from the two NEW shingle
     // indexes (a standing-state join, no text scan) — an appended
     // eval-member doc can flag OLD training docs, so per-doc folding
@@ -2715,7 +2791,7 @@ object Artifacts {
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf,
-        lineDfA, imgGrids, txtGates, qModel, qScores)
+        lineDfA, imgGrids, imgIvfC, imgIvfA, txtGates, qModel, qScores)
         ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
@@ -3038,6 +3114,16 @@ object Artifacts {
       readOldA(ImageGridsName)
         .join(dGone, Seq("doc_id"), "left_anti")
         .unionByName(operators.Multimodal.imageGridRows(docsChangedNew)))
+    // image IVF: rebuilt WHOLE against the new grid artifact (see
+    // maintainAppended — the sample, and so the model and every
+    // assignment, moves with any corpus change)
+    lazy val imgQuantN = Checkpoints.checkpoint(
+      operators.Multimodal.imageQuantRows(readNewA(ImageGridsName)))
+    val imgIvfC = buildInc(ImageIvfCentroidsName)(
+      operators.Ivf.centroidsFrame(spark, operators.Ivf.train(imgQuantN)))
+    val imgIvfA = buildInc(ImageIvfCellsName)(
+      operators.Ivf.assignFrame(imgQuantN,
+        operators.Ivf.collectCentroids(readNewA(ImageIvfCentroidsName))))
     // lexical decontam flags: rebuilt whole from the new shingle
     // indexes (see maintainAppended)
     val lexFlags = buildInc(EvalFlagsLexName)(
@@ -3062,7 +3148,7 @@ object Artifacts {
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf,
-        lineDfA, imgGrids, txtGates, qModel, qScores)
+        lineDfA, imgGrids, imgIvfC, imgIvfA, txtGates, qModel, qScores)
         ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }

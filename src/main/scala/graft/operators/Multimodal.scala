@@ -53,11 +53,24 @@ object Multimodal {
       * `h = ceil(max(len,1) / 3w)` — the deterministic media derivation
       * q28 runs on (the corpus stands in for a decoded crawl).
       */
+    /** The one header template [[encode]] writes — the container-byte
+      * accounting (q174) derives its fixed overhead from THIS string,
+      * so a template change moves the formulas with it instead of
+      * silently skewing a hard-coded digit count.
+      */
+    private def headerOf(width: Int, height: Int): String =
+      s"P6\n$width $height\n255\n"
+
+    /** Header bytes excluding the dimension digits, derived from
+      * [[headerOf]] (single-digit probe dims subtracted back out).
+      */
+    val HeaderFixedLen: Int = headerOf(1, 1).length - 2
+
     def encode(payload: Array[Byte], width: Int): Array[Byte] = {
       require(width > 0, "ppm: width must be positive")
       val height = ((math.max(payload.length, 1) + 3L * width - 1)
         / (3L * width)).toInt
-      val header = s"P6\n$width $height\n255\n"
+      val header = headerOf(width, height)
         .getBytes(StandardCharsets.US_ASCII)
       val out = new Array[Byte](header.length + 3 * width * height)
       System.arraycopy(header, 0, out, 0, header.length)
@@ -201,6 +214,12 @@ object Multimodal {
       * container: RIFF size, fmt chunk (PCM, channels, rate, byte
       * rate, block align, bits), data chunk.
       */
+    /** Canonical header byte count, derived from the encoder itself
+      * (an empty payload is pure header) — the q174 accounting reads
+      * this, never a literal 44.
+      */
+    lazy val HeaderLen: Int = encode(Array.emptyByteArray, 8000).length
+
     def encode(payload: Array[Byte], sampleRate: Int): Array[Byte] = {
       val dataLen = payload.length + (payload.length & 1)
       val out = java.nio.ByteBuffer.allocate(44 + dataLen)
@@ -362,6 +381,16 @@ object Multimodal {
 
     private val Magic = "YUV4MPEG2"
 
+    /** The one stream-header template [[encode]] writes; the q174
+      * accounting derives its fixed overhead from this string (the
+      * [[Ppm.headerOf]] posture).
+      */
+    private[operators] def headerOf(width: Int, height: Int,
+        fps: Int): String = s"$Magic W$width H$height F$fps:1 Cmono\n"
+
+    /** Per-frame marker byte count, from the marker string itself. */
+    val MarkerLen: Int = "FRAME\n".length
+
     /** Wrap a payload as a REAL YUV4MPEG2 stream (the uncompressed
       * video container mplayer/ffmpeg read): ASCII stream header
       * `YUV4MPEG2 W<w> H<h> F<num>:<den> Cmono\n`, then per frame an
@@ -377,7 +406,7 @@ object Multimodal {
       require(frameSize <= Int.MaxValue, "y4m: frame exceeds array bound")
       val nFrames = ((math.max(payload.length, 1) + frameSize - 1)
         / frameSize).toInt
-      val header = s"$Magic W$width H$height F$fps:1 Cmono\n"
+      val header = headerOf(width, height, fps)
         .getBytes(StandardCharsets.US_ASCII)
       val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
       // size in LONG arithmetic: a multi-GB payload must fail with a
@@ -441,7 +470,13 @@ object Multimodal {
       if (w <= 0 || h <= 0) return Left("bad_dimensions")
       if (fn <= 0 || fd <= 0) return Left("bad_frame_rate")
       if (cm != "mono") return Left(s"unsupported_chroma:$cm")
-      val frameSize = w * h
+      // frame size in LONG arithmetic (the encode() discipline): a
+      // foreign header declaring W·H past Int.MaxValue wraps negative
+      // in Int math and the walk below would re-read the same marker
+      // forever or index negative — route, never hang or throw
+      val frameSizeL = w.toLong * h
+      if (frameSizeL > Int.MaxValue) return Left("frame_exceeds_stream")
+      val frameSize = frameSizeL.toInt
       val marker = "FRAME\n".getBytes(StandardCharsets.US_ASCII)
       var pos = headerEnd + 1
       var nFrames = 0
@@ -450,7 +485,9 @@ object Multimodal {
             !marker.indices.forall(i => bytes(pos + i) == marker(i)))
           return Left(s"bad_frame_marker:$nFrames")
         pos += marker.length
-        if (pos + frameSize > bytes.length)
+        // LONG compare: pos + frameSize can itself wrap Int when the
+        // declared frame nearly fills the address space
+        if (pos.toLong + frameSize > bytes.length)
           return Left(s"truncated_frame:$nFrames")
         pos += frameSize
         nFrames += 1
@@ -1449,13 +1486,30 @@ object Multimodal {
     * q139) applies unchanged the moment the fingerprint frame is
     * materialized as a standing artifact.
     */
-  def q167ImageKnn(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorOps
-    val vecs = imageFingerprints(spark, dir)
-      .filter(col("gy") === Grid)
-      .select(col("doc_id"), expr(
+  /** The 16-dim grid EMBEDDING frame `(vec_id, vec)` of the full-grid
+    * images — cell means off a grid frame (the standing `image_grids`
+    * artifact in artifact mode; one map, no decode). The image-side
+    * twin of the embeddings table: q167 searches it exact, q175's
+    * trained IVF indexes it, and the `image_ivf_*` artifacts are
+    * functions of it.
+    */
+  def imageVecRows(grids: DataFrame): DataFrame =
+    grids.filter(col("gy") === Grid)
+      .select(col("doc_id").as("vec_id"), expr(
         "transform(sums, (s, i) -> CAST(s AS DOUBLE) / (3.0 * cnts[i]))")
         .as("vec"))
+
+  /** [[imageVecRows]] quantized to the IVF's fixed-point domain
+    * `(vec_id, q)` — the frame the image IVF trains and assigns over.
+    */
+  def imageQuantRows(grids: DataFrame): DataFrame =
+    imageVecRows(grids)
+      .select(col("vec_id"), Ivf.quantize(col("vec")).as("q"))
+
+  def q167ImageKnn(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorOps
+    val vecs = imageVecRows(imageFingerprints(spark, dir))
+      .select(col("vec_id").as("doc_id"), col("vec"))
     val probes = vecs.orderBy(col("doc_id").desc).limit(ImageKnnProbes)
       .select(col("doc_id").as("probe_id"), col("vec").as("pvec"))
     val scored = vecs.crossJoin(broadcast(probes))
@@ -1911,6 +1965,17 @@ object Multimodal {
     * dimension-sized rollup. The oracle replays all three container
     * layouts byte-for-byte.
     */
+  /** Y4M stream-header bytes excluding the WIDTH digits (height and
+    * fps are fixed corpus geometry, so their digits are part of the
+    * fixed overhead), derived from [[Y4m.headerOf]] with a
+    * single-digit probe width subtracted back out — change the
+    * template or the geometry constants and the accounting formulas
+    * (both engines — the oracle interpolates the same value) move
+    * with them.
+    */
+  private lazy val Y4mHeaderFixedLen: Int =
+    Y4m.headerOf(1, Y4mHeight, Y4mFps).length - 1
+
   def q174MediaStorage(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.round6
     val d = Tables.documents(spark, dir).select(col("source"),
@@ -1922,15 +1987,15 @@ object Multimodal {
       .select(col("source"), lit("image").as("modality"),
         col("w").as("dim1"),
         (col("w") * col("h")).as("units"),
-        // header "P6\n{w} {h}\n255\n" = 9 + digits, then the plane
-        (lit(9L) + length(col("w").cast("string"))
+        // header "P6\n{w} {h}\n255\n" = fixed + digits, then the plane
+        (lit(Ppm.HeaderFixedLen.toLong) + length(col("w").cast("string"))
           + length(col("h").cast("string"))
           + lit(3L) * col("w") * col("h")).as("bytes"))
     val aud = d.select(col("source"), lit("audio").as("modality"),
       (lit(8000L) + (col("n_chars") % 8) * 1000).as("dim1"),
       expr("(L + 1) DIV 2").as("units"),
-      // 44-byte canonical RIFF/WAVE header + odd-tail-padded data chunk
-      (lit(44L) + col("L") + col("L") % 2).as("bytes"))
+      // canonical RIFF/WAVE header + odd-tail-padded data chunk
+      (lit(Wav.HeaderLen.toLong) + col("L") + col("L") % 2).as("bytes"))
     val vid = d
       .withColumn("w", col("n_chars") % 16 + 8)
       .withColumn("nf", expr(s"(GREATEST(L, 1) + $Y4mHeight*w - 1)" +
@@ -1938,10 +2003,11 @@ object Multimodal {
       .select(col("source"), lit("video").as("modality"),
         col("w").as("dim1"),
         col("nf").as("units"),
-        // header "YUV4MPEG2 W{w} H6 F24:1 Cmono\n" = 27 + width digits,
-        // then per frame "FRAME\n" + the luma plane
-        (lit(27L) + length(col("w").cast("string"))
-          + col("nf") * (lit(6L) + lit(Y4mHeight.toLong) * col("w")))
+        // stream header = fixed + width digits, then per frame the
+        // "FRAME\n" marker + the luma plane
+        (lit(Y4mHeaderFixedLen.toLong) + length(col("w").cast("string"))
+          + col("nf") * (lit(Y4m.MarkerLen.toLong)
+            + lit(Y4mHeight.toLong) * col("w")))
           .as("bytes"))
     img.unionByName(aud).unionByName(vid)
       .groupBy("source", "modality")
@@ -1971,7 +2037,8 @@ object Multimodal {
        |  SELECT source, 'image' AS modality,
        |         CAST(w AS BIGINT) AS dim1,
        |         CAST(w * h AS BIGINT) AS units,
-       |         CAST(9 + len(CAST(w AS VARCHAR)) + len(CAST(h AS VARCHAR))
+       |         CAST(${Ppm.HeaderFixedLen} + len(CAST(w AS VARCHAR))
+       |              + len(CAST(h AS VARCHAR))
        |              + 3 * w * h AS BIGINT) AS bytes
        |  FROM (SELECT source, n_chars % 24 + 8 AS w,
        |               (GREATEST(L, 1) + 3*(n_chars % 24 + 8) - 1)
@@ -1981,14 +2048,15 @@ object Multimodal {
        |  SELECT source, 'audio' AS modality,
        |         CAST(8000 + (n_chars % 8) * 1000 AS BIGINT) AS dim1,
        |         CAST((L + 1) // 2 AS BIGINT) AS units,
-       |         CAST(44 + L + L % 2 AS BIGINT) AS bytes
+       |         CAST(${Wav.HeaderLen} + L + L % 2 AS BIGINT) AS bytes
        |  FROM d
        |), vid AS (
        |  SELECT source, 'video' AS modality,
        |         CAST(w AS BIGINT) AS dim1,
        |         CAST(nf AS BIGINT) AS units,
-       |         CAST(27 + len(CAST(w AS VARCHAR))
-       |              + nf * (6 + $Y4mHeight * w) AS BIGINT) AS bytes
+       |         CAST($Y4mHeaderFixedLen + len(CAST(w AS VARCHAR))
+       |              + nf * (${Y4m.MarkerLen} + $Y4mHeight * w)
+       |           AS BIGINT) AS bytes
        |  FROM (SELECT source, n_chars % 16 + 8 AS w,
        |               (GREATEST(L, 1) + $Y4mHeight*(n_chars % 16 + 8) - 1)
        |                 // ($Y4mHeight*(n_chars % 16 + 8)) AS nf
@@ -2026,31 +2094,36 @@ object Multimodal {
     * the WHOLE arc (grid derivation → quantize → Lloyd → assignment →
     * probe → rerank → recall) in one statement.
     *
-    * Scale shape: training collects only the bounded sample; assignment
-    * is one map-only pass over the grid frame (the standing artifact —
-    * zero media decode, zero documents scan in artifact mode);
-    * the probe side is [[ImageKnnProbes]] rows broadcast; the rerank
-    * scans only the probed cells' members.
+    * Scale shape: the trained model is STANDING state
+    * (`image_ivf_centroids`/`image_ivf_cells`, documents-fp keyed
+    * beside `image_grids`) — in artifact mode query time reads the
+    * committed centroids/cells and pays zero Lloyd work and zero
+    * assignment pass (training, when it does run at materialize time,
+    * collects only the bounded PolyHash sample); zero media decode,
+    * zero documents scan; the probe side is [[ImageKnnProbes]] rows
+    * broadcast; the rerank scans only the probed cells' members.
     */
   def q175ImageIvf(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps
-    val vecs = imageFingerprints(spark, dir)
-      .filter(col("gy") === Grid)
-      .select(col("doc_id").as("vec_id"), expr(
-        "transform(sums, (s, i) -> CAST(s AS DOUBLE) / (3.0 * cnts[i]))")
-        .as("vec"))
-    // checkpointed: the training sample collect, the assignment pass,
-    // and the probe selection all read it
-    val quant = graft.Checkpoints.checkpoint(
-      vecs.select(col("vec_id"), Ivf.quantize(col("vec")).as("q")))
-    val cents = Ivf.train(quant)
-    val cells = Ivf.assignFrame(quant, cents)
-    val probeCells = quant.orderBy(col("vec_id").desc).limit(ImageKnnProbes)
+    val vecs = imageVecRows(imageFingerprints(spark, dir))
+    // the trained model is STANDING state (documents-fp keyed
+    // `image_ivf_centroids`/`image_ivf_cells` — grids derive from
+    // documents): artifact-first, so in artifact mode query time pays
+    // zero Lloyd iterations and zero assignment pass — the probe side
+    // below quantizes only the ImageKnnProbes probe rows
+    val (cents, cells) = graft.Artifacts.imageIvfModel(spark, dir)
+    // checkpointed: the probe-cell selection and the rerank's probe
+    // frame both read the same TakeOrdered result
+    val probes = graft.Checkpoints.checkpoint(
+      vecs.orderBy(col("vec_id").desc).limit(ImageKnnProbes))
+    val probeCells = probes
       .select(col("vec_id").as("probe_id"),
+        Ivf.quantize(col("vec")).as("q"))
+      .select(col("probe_id"),
         slice(array_sort(Ivf.distStructs(col("q"), cents)), 1, Ivf.Nprobe)
           .as("near"))
       .select(col("probe_id"), explode(col("near")("cell")).as("cell"))
-    val probeVecs = vecs.orderBy(col("vec_id").desc).limit(ImageKnnProbes)
+    val probeVecs = probes
       .select(col("vec_id").as("probe_id"), col("vec").as("pvec"))
     val rank = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id").asc)

@@ -42,6 +42,15 @@ class IncrementalArtifactsSpec extends SparkSpec {
         rows(graft.operators.Extraction.lineDfRows(docs)),
       Artifacts.ImageGridsName ->
         rows(graft.operators.Multimodal.imageGridRows(docs)),
+      Artifacts.ImageIvfCentroidsName ->
+        rows(graft.operators.Ivf.centroidsFrame(spark,
+          graft.operators.Ivf.train(graft.operators.Multimodal
+            .imageQuantRows(graft.operators.Multimodal.imageGridRows(docs))))),
+      Artifacts.ImageIvfCellsName -> {
+        val q = graft.operators.Multimodal.imageQuantRows(
+          graft.operators.Multimodal.imageGridRows(docs))
+        rows(graft.operators.Ivf.assignFrame(q, graft.operators.Ivf.train(q)))
+      },
       Artifacts.TextGatesName ->
         rows(graft.operators.Curation.textGateRows(docs)),
       Artifacts.EvalFlagsLexName ->

@@ -566,6 +566,18 @@ class MultimodalSpec extends SparkSpec {
     // no C tag at all: the Y4M spec default is 4:2:0, so it routes too
     assert(Multimodal.Y4m.parse("YUV4MPEG2 W2 H2 F24:1\nFRAME\n1234"
       .getBytes("US-ASCII")) == Left("unsupported_chroma:420jpeg"))
+    // declared W·H past Int.MaxValue wraps negative in Int arithmetic —
+    // before the Long guard this walk re-read the same marker forever
+    // (2·2147483645 ≡ -6); it must route, bounded, never hang or throw
+    assert(Multimodal.Y4m.parse(
+      "YUV4MPEG2 W2 H2147483645 F24:1 Cmono\nFRAME\n1234"
+        .getBytes("US-ASCII")) == Left("frame_exceeds_stream"))
+    // frameSize == Int.MaxValue passes the size guard but pos+frameSize
+    // wraps Int inside the walk — the Long compare must route it as
+    // truncated instead of indexing negative
+    assert(Multimodal.Y4m.parse(
+      "YUV4MPEG2 W2147483647 H1 F24:1 Cmono\nFRAME\n1234"
+        .getBytes("US-ASCII")) == Left("truncated_frame:0"))
   }
 
   test("Y4M encode/decode round-trips with zero padding in the last frame") {
