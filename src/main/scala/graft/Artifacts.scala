@@ -209,6 +209,24 @@ object Artifacts {
     */
   val ImageIvfCellsName = "image_ivf_cells"
 
+  /** Per-take quantized VIDEO luma signatures `(doc_id, n_frames,
+    * fingerprint)` — q172's 4-bit-per-sampled-frame pack
+    * (`operators.Multimodal.videoSigRows`), the [[ImageGridsName]]
+    * posture for footage: video DECODE runs once per snapshot, and
+    * q172's dup groups, q173's Hamming tail, and the
+    * `videoDupOfBatch` intake gate all read the standing signatures.
+    * Per-doc rows — retract/append maintenance.
+    */
+  val VideoSigsName = "video_sigs"
+
+  /** Per-take quantized AUDIO amplitude signatures `(doc_id, n_frames,
+    * fingerprint)` — the [[VideoSigsName]] twin in amplitude space
+    * (`operators.Multimodal.audioSigRows`), read by q176/q177 and the
+    * `audioDupOfBatch` intake gate. Per-doc rows — retract/append
+    * maintenance.
+    */
+  val AudioSigsName = "audio_sigs"
+
   /** Per-document token counts, keyed by TOKENIZER ID as well as corpus
     * fingerprint (`token_counts_<tokId>/fp=<fp>`): at 100 TB,
     * tokenization is the single most repeated map cost in the system —
@@ -326,6 +344,7 @@ object Artifacts {
       TokenDfName, LineDfName, TokenPositionsName, ImageGridsName,
       TextGatesName, QualityModelName, QualityScoresName,
       ImageIvfCentroidsName, ImageIvfCellsName,
+      VideoSigsName, AudioSigsName,
       EvalFlagsLexName) ++
       DefaultTokenizers.map(tokenCountsName) ++
       PostingsTokenizers.map(tokenPostingsName)
@@ -1283,10 +1302,25 @@ object Artifacts {
       case None =>
         val quant = Checkpoints.checkpoint(
           operators.Multimodal.imageQuantRows(imageGrids(spark, corpusDir)))
-        val cents = operators.Ivf.train(quant)
+        val cents = operators.Ivf.trainOrEmpty(quant)
         (cents, operators.Ivf.assignFrame(quant, cents))
     }
   }
+
+  /** The per-take video signature frame `(doc_id, n_frames,
+    * fingerprint)` — artifact when fresh, else decoded inline
+    * (`Multimodal.videoSigRows`: one `mapPartitions` decode pass).
+    */
+  def videoSigs(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, VideoSigsName)(
+      operators.Multimodal.videoSigRows(
+        Tables.documents(spark, corpusDir)))
+
+  /** The per-take audio signature frame — [[videoSigs]]'s twin. */
+  def audioSigs(spark: SparkSession, corpusDir: String): DataFrame =
+    readOrCompute(spark, corpusDir, AudioSigsName)(
+      operators.Multimodal.audioSigRows(
+        Tables.documents(spark, corpusDir)))
 
   /** The standing lexical decontam flags when the corpus's current
     * fingerprint resolves (Option shape — q124's fallback is the same
@@ -1439,6 +1473,61 @@ object Artifacts {
     val tok = functions.Tokenizer.TrainedWs(
       operators.TextAnalysis.trainedMerges(spark, corpusDir))
     (tok, materializeTokenCounts(spark, corpusDir, tok))
+  }
+
+  /** q21's embedding near-dup GROUND TRUTH `(id_a, id_b, cos)` — eval
+    * state keyed by the EMBEDDINGS fingerprint. Deliberately OUTSIDE
+    * [[EmbeddingNames]] (the trained-tokenizer-counts precedent):
+    * maintenance never folds it — one appended vector pairs against
+    * every existing one, so any fold IS the rebuild — and over-cap
+    * corpora legitimately have no truth at all, which must not demote
+    * the vector side's completeness probes. Built by
+    * [[materializeNearDupTruth]]; q21 and the recall scorers (q111)
+    * read it artifact-first, so the O(n²) eval pass runs once per
+    * embeddings snapshot instead of once per consumer.
+    */
+  val NearDupTruthName = "neardup_truth"
+
+  /** The standing ground truth when the embeddings fingerprint
+    * resolves — q21's consumer seam (`None` → the guarded inline
+    * brute force, unchanged semantics).
+    */
+  def nearDupTruth(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrentWith(spark, corpusDir, NearDupTruthName,
+      () => embeddingsFingerprint(spark, corpusDir),
+      rebuild = "Artifacts.materializeNearDupTruth")
+
+  /** Build and commit the near-dup ground truth — idempotent per
+    * embeddings fingerprint. A corpus over
+    * `operators.Dedup.MaxBruteForceVectors` (the brute-force guard that
+    * IS q21's contract) or without an embeddings table is a no-op
+    * returning -1: the truth is only DEFINED at eval scale, and an
+    * absent artifact leaves q21's inline refusal exactly as loud as
+    * before.
+    */
+  def materializeNearDupTruth(spark: SparkSession, corpusDir: String): Long = {
+    require(rootOpt.nonEmpty,
+      "Artifacts.materializeNearDupTruth needs a root — setRoot(...) or " +
+        "SPARK_GRAFT_ARTIFACTS_DIR")
+    val embPath = new Path(s"$corpusDir/embeddings.parquet")
+    val fs = embPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(embPath)) return -1L
+    val e = Tables.embeddings(spark, corpusDir)
+    if (e.count() > operators.Dedup.MaxBruteForceVectors) return -1L
+    val fp = embeddingsFingerprint(spark, corpusDir)
+    val p = versionPath(corpusDir, NearDupTruthName, fp).get
+    if (isCommitted(spark, Some(p), NearDupTruthName))
+      committedCount(spark, corpusDir, NearDupTruthName, p)
+    else {
+      val t0 = System.nanoTime()
+      val n = write(spark, corpusDir, fp, NearDupTruthName,
+        operators.Dedup.embeddingNearDupPairsFrom(e))._2
+      lastBuild.set(lastBuild.get() +
+        (NearDupTruthName -> (System.nanoTime() - t0) / 1e9))
+      pruneSweep(spark, corpusDir, Seq(NearDupTruthName), Set(fp),
+        table = "embeddings.parquet")
+      n
+    }
   }
 
   private def materializeTokenizerArtifact(spark: SparkSession,
@@ -1658,7 +1747,7 @@ object Artifacts {
     case NgramPostingsName | Shingles8Name | EvalShinglesName |
          DocHashesName | KeepersName | TokenPositionsName |
          MinhashBandsName | ChunkPostingsName | ImageGridsName |
-         TextGatesName =>
+         TextGatesName | VideoSigsName | AudioSigsName =>
       Seq("doc_id")
     case tc if tc.startsWith(TokenCountsPrefix) => Seq("doc_id")
     case tp if tp.startsWith(TokenPostingsPrefix) => Seq("doc_id")
@@ -2287,9 +2376,14 @@ object Artifacts {
     lazy val imgQuant = Checkpoints.checkpoint(
       operators.Multimodal.imageQuantRows(committed(ImageGridsName)))
     val imgIvfC = build(ImageIvfCentroidsName)(
-      operators.Ivf.centroidsFrame(spark, operators.Ivf.train(imgQuant)))
+      operators.Ivf.centroidsFrame(spark, operators.Ivf.trainOrEmpty(imgQuant)))
     val imgIvfA = build(ImageIvfCellsName)(operators.Ivf.assignFrame(imgQuant,
       operators.Ivf.collectCentroids(committed(ImageIvfCentroidsName))))
+    // video/audio signatures: the other two modalities' ONE decode pass
+    val vidSigs = build(VideoSigsName)(
+      operators.Multimodal.videoSigRows(docs))
+    val audSigs = build(AudioSigsName)(
+      operators.Multimodal.audioSigRows(docs))
     // text-gate bits: the curation funnel's per-doc text scans
     // (Gopher line arithmetic, language ID, quality scoring), once
     val txtGates = build(TextGatesName)(
@@ -2317,8 +2411,8 @@ object Artifacts {
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
       evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
-      imgGrids, imgIvfC, imgIvfA, txtGates, qModel, qScores)
-      ++ tokPost ++ tokCounts).toMap
+      imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates, qModel,
+      qScores) ++ tokPost ++ tokCounts).toMap
   }
 
   /** The inline frame for one artifact name against a corpus dir — the
@@ -2356,13 +2450,15 @@ object Artifacts {
       case LineDfName => operators.Extraction.lineDfRows(docs)
       case ImageGridsName => operators.Multimodal.imageGridRows(docs)
       case ImageIvfCentroidsName =>
-        operators.Ivf.centroidsFrame(spark, operators.Ivf.train(
+        operators.Ivf.centroidsFrame(spark, operators.Ivf.trainOrEmpty(
           operators.Multimodal.imageQuantRows(
             operators.Multimodal.imageGridRows(docs))))
       case ImageIvfCellsName =>
         val q = operators.Multimodal.imageQuantRows(
           operators.Multimodal.imageGridRows(docs))
-        operators.Ivf.assignFrame(q, operators.Ivf.train(q))
+        operators.Ivf.assignFrame(q, operators.Ivf.trainOrEmpty(q))
+      case VideoSigsName => operators.Multimodal.videoSigRows(docs)
+      case AudioSigsName => operators.Multimodal.audioSigRows(docs)
       case EvalFlagsLexName =>
         val sh8 = operators.CorpusOps.docShingles8(docs)
         operators.EvalSets.lexFlagRows(sh8,
@@ -2742,10 +2838,20 @@ object Artifacts {
     lazy val imgQuantA = Checkpoints.checkpoint(
       operators.Multimodal.imageQuantRows(readNew(ImageGridsName)))
     val imgIvfC = buildInc(ImageIvfCentroidsName)(
-      operators.Ivf.centroidsFrame(spark, operators.Ivf.train(imgQuantA)))
+      operators.Ivf.centroidsFrame(spark, operators.Ivf.trainOrEmpty(imgQuantA)))
     val imgIvfA = buildInc(ImageIvfCellsName)(
       operators.Ivf.assignFrame(imgQuantA,
         operators.Ivf.collectCentroids(readNew(ImageIvfCentroidsName))))
+    // video/audio signatures: per-doc rows — the batch decodes only its
+    // own media (the image-grids shape for the other two modalities)
+    val vidSigs = buildSegInc(VideoSigsName, None,
+      operators.Multimodal.videoSigRows(fresh))(
+      readOld(VideoSigsName)
+        .unionByName(operators.Multimodal.videoSigRows(fresh)))
+    val audSigs = buildSegInc(AudioSigsName, None,
+      operators.Multimodal.audioSigRows(fresh))(
+      readOld(AudioSigsName)
+        .unionByName(operators.Multimodal.audioSigRows(fresh)))
     // lexical decontam flags: rebuilt WHOLE from the two NEW shingle
     // indexes (a standing-state join, no text scan) — an appended
     // eval-member doc can flag OLD training docs, so per-doc folding
@@ -2791,8 +2897,8 @@ object Artifacts {
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf,
-        lineDfA, imgGrids, imgIvfC, imgIvfA, txtGates, qModel, qScores)
-        ++ tokPost ++ tokCounts).toMap,
+        lineDfA, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates,
+        qModel, qScores) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -3120,10 +3226,22 @@ object Artifacts {
     lazy val imgQuantN = Checkpoints.checkpoint(
       operators.Multimodal.imageQuantRows(readNewA(ImageGridsName)))
     val imgIvfC = buildInc(ImageIvfCentroidsName)(
-      operators.Ivf.centroidsFrame(spark, operators.Ivf.train(imgQuantN)))
+      operators.Ivf.centroidsFrame(spark, operators.Ivf.trainOrEmpty(imgQuantN)))
     val imgIvfA = buildInc(ImageIvfCellsName)(
       operators.Ivf.assignFrame(imgQuantN,
         operators.Ivf.collectCentroids(readNewA(ImageIvfCentroidsName))))
+    // video/audio signatures: retract the gone docs, decode only the
+    // changed docs' media
+    val vidSigs = buildSegInc(VideoSigsName, Some(dGone),
+      operators.Multimodal.videoSigRows(docsChangedNew))(
+      readOldA(VideoSigsName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.Multimodal.videoSigRows(docsChangedNew)))
+    val audSigs = buildSegInc(AudioSigsName, Some(dGone),
+      operators.Multimodal.audioSigRows(docsChangedNew))(
+      readOldA(AudioSigsName)
+        .join(dGone, Seq("doc_id"), "left_anti")
+        .unionByName(operators.Multimodal.audioSigRows(docsChangedNew)))
     // lexical decontam flags: rebuilt whole from the new shingle
     // indexes (see maintainAppended)
     val lexFlags = buildInc(EvalFlagsLexName)(
@@ -3148,8 +3266,8 @@ object Artifacts {
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf,
-        lineDfA, imgGrids, imgIvfC, imgIvfA, txtGates, qModel, qScores)
-        ++ tokPost ++ tokCounts).toMap,
+        lineDfA, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates,
+        qModel, qScores) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

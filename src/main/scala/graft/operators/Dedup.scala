@@ -729,13 +729,23 @@ object Dedup {
     * `Similarity.q82AnnNearDupPairs` is the bucketed scale path — same
     * threshold, same rounding, subset-by-construction).
     *
-    * Guarded: refuses corpora larger than [[MaxBruteForceVectors]]. The
-    * guard's `count()` on a parquet source is satisfied from row-group
-    * metadata (no data scan), so the check is cheap even on a large
-    * table it is about to reject.
+    * ARTIFACT-FIRST: the truth is eval state — a pure function of the
+    * embeddings snapshot — so when the standing `neardup_truth`
+    * artifact resolves, q21 (and every recall scorer that reads the
+    * truth, q111 foremost) serves the committed pairs instead of
+    * re-paying the O(n²) pass per consumer.
+    *
+    * Guarded inline: refuses corpora larger than
+    * [[MaxBruteForceVectors]]. The guard's `count()` on a parquet
+    * source is satisfied from row-group metadata (no data scan), so
+    * the check is cheap even on a large table it is about to reject —
+    * and over-cap corpora never have a truth artifact to serve, so the
+    * refusal stays loud in both modes.
     */
   def q21EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
-    embeddingNearDupPairsFrom(Tables.embeddings(spark, dir))
+    graft.Artifacts.nearDupTruth(spark, dir)
+      .map(_.select("id_a", "id_b", "cos").orderBy("id_a", "id_b"))
+      .getOrElse(embeddingNearDupPairsFrom(Tables.embeddings(spark, dir)))
 
   /** [[q21EmbeddingNearDup]] over a caller-supplied embeddings frame —
     * the seam the deterministic eval sample

@@ -210,8 +210,16 @@ object Ivf {
     * — the eval knob the sampled-vs-full recall spec turns, never the
     * production path.
     */
+  /** Lloyd trainings actually run in this JVM — the plan-guard specs'
+    * probe that artifact-mode queries pay ZERO training at query time;
+    * nothing else reads it.
+    */
+  private[graft] val trainsPerformed =
+    new java.util.concurrent.atomic.AtomicLong
+
   def train(quant: DataFrame,
       sampled: Boolean = true): Seq[(Int, Array[Long])] = {
+    trainsPerformed.incrementAndGet()
     if (!sampled) return trainDistributed(quant)
     val mod = sampleModulus(quant.count())
     val tq =
@@ -284,11 +292,25 @@ object Ivf {
     }
   }
 
+  /** [[train]] tolerant of an EMPTY frame: a corpus with no vectors of
+    * this kind (e.g. no full-grid images on a schema-minimal fixture)
+    * trains ZERO centroids rather than refusing — the artifact builds
+    * need a committed (empty) model for such corpora, where the
+    * embeddings path's hard `require` would abort the whole
+    * materialize. One `isEmpty` probe (a limit-1 job) is the price.
+    */
+  def trainOrEmpty(quant: DataFrame): Seq[(Int, Array[Long])] =
+    if (quant.isEmpty) Seq.empty else train(quant)
+
   /** Final per-vector cell assignment `(vec_id, cell)` — one map-side
-    * pass against the literal centroids.
+    * pass against the literal centroids. Zero centroids (the
+    * [[trainOrEmpty]] empty case — only reachable when the frame
+    * itself is empty) keeps the schema and emits no rows.
     */
   def assignFrame(quant: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame =
-    quant.select(col("vec_id"), cellOf(col("q"), cents).as("cell"))
+    if (cents.isEmpty)
+      quant.select(col("vec_id"), lit(null).cast("int").as("cell")).limit(0)
+    else quant.select(col("vec_id"), cellOf(col("q"), cents).as("cell"))
 
   /** Trained centroids as a (cells × dim) frame `(cell, centroid)` —
     * the `ivf_centroids` artifact shape.

@@ -643,6 +643,112 @@ object Multimodal {
             .cast("int"),
           lit(frameLen))).as("frames"))
 
+  /** q178's window geometry: [[FrameSampleWindows]] byte windows of up
+    * to [[FrameSampleBytes]] bytes each over the P6 container.
+    */
+  val FrameSampleWindows = 4
+  val FrameSampleBytes = 32
+
+  /** q178 — the byte-grain FRAME-SAMPLE op as its own hash-oracled
+    * query: each document's REAL P6 container sliced by [[frameSample]]
+    * into [[FrameSampleWindows]] evenly spaced [[FrameSampleBytes]]-byte
+    * windows (the stride a sampler uses to cheaply profile a binary
+    * object without decoding it — magic sniffing, corruption spotting,
+    * entropy probes), each window reduced to (declared 1-based start,
+    * byte count, byte sum, min, max) with the bytes re-parsed out of
+    * the BINARY column. The oracle rebuilds every window from first
+    * principles — header chars, payload chars, zero pad, the
+    * double-division stride and its end clamp — so an off-by-one in
+    * the window arithmetic, a wrong header byte, or a mis-clamped tail
+    * all hash-mismatch. q164 is this op at audio-frame grain, q171 at
+    * video-frame grain; this pins the raw byte-window helper itself.
+    *
+    * Scale shape: one container-encode pass, ≤ [[FrameSampleWindows]]
+    * fixed-width slices per doc — no per-byte rows leave the plan
+    * (the per-byte explosion exists only in the oracle's replay).
+    */
+  def q178FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val frames = frameSample(withMediaColumns(d),
+        FrameSampleWindows, FrameSampleBytes)
+      .select(col("doc_id"),
+        posexplode(col("frames")).as(Seq("frame_idx", "fbytes")))
+    // container length by the SAME header arithmetic q174 ships (and
+    // whose formulas are spec-pinned to the real encoder): joining it
+    // back beats a second encode pass just to read a length
+    val geo = d.select(col("doc_id"),
+        octet_length(coalesce(col("text"), lit(""))).cast("long").as("L"),
+        (col("n_chars") % 24 + 8).as("w"))
+      .withColumn("h", expr("(GREATEST(L, 1) + 3*w - 1) DIV (3*w)"))
+      .select(col("doc_id"),
+        (lit(Ppm.HeaderFixedLen.toLong) + length(col("w").cast("string"))
+          + length(col("h").cast("string"))
+          + lit(3L) * col("w") * col("h")).as("clen"))
+    frames.join(geo, "doc_id")
+      // the helper's own stride arithmetic, replayed: double division,
+      // floor-by-int-cast (both positive by construction)
+      .withColumn("win_start", expr(
+        s"CAST(frame_idx * GREATEST(CAST(clen - $FrameSampleBytes AS DOUBLE)" +
+          s" / $FrameSampleWindows, 1.0D) + 1 AS INT)"))
+      .withColumn("codes", expr(
+        "transform(sequence(1, length(fbytes)), p -> " +
+          "CAST(conv(hex(substr(fbytes, p, 1)), 16, 10) AS INT))"))
+      .select(col("doc_id"), col("frame_idx"), col("win_start"),
+        length(col("fbytes")).as("n_bytes"),
+        expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)")
+          .as("byte_sum"),
+        expr("array_min(codes)").as("byte_min"),
+        expr("array_max(codes)").as("byte_max"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  lazy val q178OracleSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CAST(n_chars % 24 + 8 AS INTEGER) AS w,
+       |         list_transform(generate_series(1, length(coalesce(text, ''))),
+       |                        i -> ascii(substring(text, i, 1))) AS codes,
+       |         CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+       |  FROM documents
+       |), geo AS (
+       |  SELECT doc_id, codes, L, w, h,
+       |         'P6' || chr(10) || CAST(w AS VARCHAR) || ' '
+       |           || CAST(h AS VARCHAR) || chr(10) || '255' || chr(10) AS hdr,
+       |         CAST(${Ppm.HeaderFixedLen} + len(CAST(w AS VARCHAR))
+       |           + len(CAST(h AS VARCHAR)) AS BIGINT) AS hl,
+       |         CAST(${Ppm.HeaderFixedLen} + len(CAST(w AS VARCHAR))
+       |           + len(CAST(h AS VARCHAR)) + 3 * w * h AS BIGINT) AS clen
+       |  FROM (SELECT doc_id, codes, L, w,
+       |               CAST(CEIL(CAST(GREATEST(L, 1) AS DOUBLE) / (3 * w))
+       |                 AS BIGINT) AS h
+       |        FROM base)
+       |), spans AS (
+       |  SELECT doc_id, codes, L, hdr, hl, clen, frame_idx,
+       |         CAST(FLOOR(frame_idx * GREATEST(
+       |             CAST(clen - $FrameSampleBytes AS DOUBLE)
+       |               / $FrameSampleWindows, 1.0) + 1) AS BIGINT) AS win_start
+       |  FROM (SELECT *, unnest(generate_series(0, ${FrameSampleWindows - 1}))
+       |          AS frame_idx FROM geo)
+       |), vals AS (
+       |  SELECT doc_id, frame_idx, win_start,
+       |         CASE WHEN p <= hl
+       |                THEN ascii(substring(hdr, CAST(p AS INTEGER), 1))
+       |              WHEN p - hl <= L THEN codes[CAST(p - hl AS INTEGER)]
+       |              ELSE 0 END AS v
+       |  FROM (SELECT doc_id, frame_idx, win_start, hl, L, hdr, codes,
+       |               unnest(generate_series(win_start,
+       |                 LEAST(win_start + ${FrameSampleBytes - 1}, clen))) AS p
+       |        FROM spans)
+       |)
+       |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |       CAST(win_start AS INTEGER) AS win_start,
+       |       CAST(count(*) AS INTEGER) AS n_bytes,
+       |       CAST(sum(v) AS BIGINT) AS byte_sum,
+       |       CAST(min(v) AS INTEGER) AS byte_min,
+       |       CAST(max(v) AS INTEGER) AS byte_max
+       |FROM vals GROUP BY doc_id, frame_idx, win_start
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   // ---- q28: image pipeline end-to-end --------------------------------------
 
   /** q28 — the multimodal IMAGE pipeline end-to-end: container build →
@@ -1339,14 +1445,21 @@ object Multimodal {
     * audio to fingerprint and emit no signature. Shared by q176
     * (distance-0 groups) and q177 (banded Hamming tail).
     */
-  private def audioSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = audioWindows(spark, dir)
+  private def audioSignatures(spark: SparkSession, dir: String): DataFrame =
+    graft.Artifacts.audioSigs(spark, dir)
+
+  /** The signature derivation over ANY docs frame — the [[videoSigRows]]
+    * twin in amplitude space: what the standing `audio_sigs` artifact
+    * materializes and what the intake gate runs batch-bounded.
+    */
+  def audioSigRows(docs: DataFrame): DataFrame = {
+    val sigs = audioWindowsOf(docs)
       .withColumn("q", expr(
         "least(CAST(abs_sum * 16 DIV (32768 * n_samples) AS BIGINT)," +
           " CAST(15 AS BIGINT))"))
       .groupBy("doc_id")
       .agg(sum(expr("shiftleft(q, 4 * window_idx)")).as("fingerprint"))
-    val lens = Tables.documents(spark, dir).select(col("doc_id"),
+    val lens = docs.select(col("doc_id"),
       expr("(octet_length(coalesce(text, '')) + 1) DIV 2")
         .cast("long").as("n_frames"))
     sigs.join(lens, "doc_id").select("doc_id", "n_frames", "fingerprint")
@@ -1560,7 +1673,16 @@ object Multimodal {
     * ≤ [[Y4mSamples]] rows per doc, each with the frame's integer luma
     * reductions plus the take's frame count.
     */
-  private def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+  private def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    videoFramesOf(Tables.documents(spark, dir))
+
+  /** The same kernel over ANY `(doc_id, text[, n_chars])` frame — a
+    * missing `n_chars` is derived (the [[imageGridRows]] posture),
+    * which is what lets the streaming intake gate and the signature
+    * artifact's maintenance paths run the identical walk over a raw
+    * batch.
+    */
+  private def videoFramesOf(docs: DataFrame): DataFrame = {
     val kernelSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("frame_idx", IntegerType),
@@ -1571,7 +1693,11 @@ object Multimodal {
       StructField("luma_min", IntegerType),
       StructField("luma_max", IntegerType)))
     val enc = RowEncoder.encoderFor(kernelSchema)
-    Tables.documents(spark, dir)
+    val withStats =
+      if (docs.columns.contains("n_chars")) docs
+      else docs.withColumn("n_chars",
+        length(coalesce(col("text"), lit(""))).cast("long"))
+    withStats
       .select(col("doc_id"), col("text"), col("n_chars"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
@@ -1676,7 +1802,16 @@ object Multimodal {
     * Hamming join (one derivation, the q163/q165 split at video grain).
     */
   private def videoSignatures(spark: SparkSession, dir: String): DataFrame =
-    videoFrames(spark, dir)
+    graft.Artifacts.videoSigs(spark, dir)
+
+  /** The signature derivation over ANY docs frame — one decode pass →
+    * per-doc ≤ [[Y4mSamples]]-row aggregate. This is what the standing
+    * `video_sigs` artifact materializes (decode once per snapshot, the
+    * `image_grids` posture for footage) and what the intake gate runs
+    * batch-bounded over arrivals.
+    */
+  def videoSigRows(docs: DataFrame): DataFrame =
+    videoFramesOf(docs)
       .withColumn("q", expr(
         "least(CAST(luma_sum * 16 DIV (255 * n_px) AS BIGINT)," +
           " CAST(15 AS BIGINT))"))
@@ -1828,6 +1963,51 @@ object Multimodal {
       .select(col("doc_id"),
         when(col("exact_id").isNotNull, "exact_phash")
           .when(col("near_id").isNotNull, "near_phash")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_id"), col("near_id")).as("match_id"))
+  }
+
+  /** Verdict core for the VIDEO/AUDIO perceptual-dup intake gates —
+    * [[phashVerdictsOf]] over the `(doc_id, n_frames, fingerprint)`
+    * signature shape both modalities share: `exact_sig` when an
+    * identical (length class, signature) exists in the standing frame,
+    * `near_sig` at Hamming 1–[[HammingMax]] through the
+    * [[VideoHammingBands]]×3-bit band join (complete by pigeonhole —
+    * the q173/q177 argument), else `new`; `match_id` = the smallest
+    * matching standing doc, exact winning over near. The probe side is
+    * batch-bounded; the standing side is one artifact read plus
+    * map-only band arithmetic — corpus media is never re-decoded at
+    * batch time.
+    */
+  def sigVerdictsOf(probes: DataFrame, standing: DataFrame): DataFrame = {
+    val p = probes.select(col("doc_id"),
+      col("n_frames").cast("long").as("n_frames"), col("fingerprint"))
+    val s = standing.select(col("doc_id").as("m_id"),
+      col("n_frames").cast("long").as("m_nf"),
+      col("fingerprint").as("m_fp"))
+    val exact = p
+      .join(s, col("n_frames") === col("m_nf") &&
+        col("fingerprint") === col("m_fp"))
+      .groupBy("doc_id").agg(min("m_id").as("exact_id"))
+    val pb = p.select(col("doc_id"), col("n_frames"), col("fingerprint"),
+        explode(sequence(lit(0), lit(VideoHammingBands - 1))).as("b"))
+      .withColumn("bits",
+        expr("shiftright(fingerprint, 3 * b) & CAST(7 AS BIGINT)"))
+    val sb = s.select(col("m_id"), col("m_nf"), col("m_fp"),
+        explode(sequence(lit(0), lit(VideoHammingBands - 1))).as("m_b"))
+      .withColumn("m_bits",
+        expr("shiftright(m_fp, 3 * m_b) & CAST(7 AS BIGINT)"))
+    val near = pb
+      .join(sb, col("n_frames") === col("m_nf") && col("b") === col("m_b") &&
+        col("bits") === col("m_bits"))
+      .filter(expr(s"bit_count(fingerprint ^ m_fp) BETWEEN 1 AND $HammingMax"))
+      .groupBy("doc_id").agg(min("m_id").as("near_id"))
+    p.select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_sig")
+          .when(col("near_id").isNotNull, "near_sig")
           .otherwise("new").as("verdict"),
         coalesce(col("exact_id"), col("near_id")).as("match_id"))
   }

@@ -708,6 +708,50 @@ object StreamingOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** q172/q173's perceptual verdict at INTAKE time — the VIDEO twin of
+    * [[imageDupOfBatch]]: each arriving take decoded batch-bounded,
+    * reduced to its quantized luma signature
+    * (`Multimodal.videoSigRows`), and verdicted against the STANDING
+    * `video_sigs` artifact through the shared
+    * [[graft.operators.Multimodal.sigVerdictsOf]] core — `exact_sig`
+    * on an identical (length class, signature), `near_sig` at Hamming
+    * 1–3 via the band join (pigeonhole-complete), else `new`;
+    * `match_id` = the smallest matching corpus take. A re-delivered or
+    * re-containered take is refused at the door instead of admitted
+    * and culled at batch audit; corpus media is NEVER re-decoded at
+    * batch time, and at-least-once is absorbed by the usual doc-grain
+    * dedup.
+    */
+  def videoDupOfBatch(batch: DataFrame, spark: SparkSession,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.Multimodal
+    val b = batch.dropDuplicates(idCol)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Multimodal.sigVerdictsOf(
+      Multimodal.videoSigRows(b),
+      graft.Artifacts.videoSigs(spark, corpusDir))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
+  /** q176/q177's perceptual verdict at INTAKE time — the AUDIO twin of
+    * [[videoDupOfBatch]] (amplitude space, `Multimodal.audioSigRows`
+    * against the standing `audio_sigs`), completing the per-modality
+    * dup gate set: text, image, video, and audio arrivals all verdict
+    * at the door through their standing signature state.
+    */
+  def audioDupOfBatch(batch: DataFrame, spark: SparkSession,
+      corpusDir: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.Multimodal
+    val b = batch.dropDuplicates(idCol)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    Multimodal.sigVerdictsOf(
+      Multimodal.audioSigRows(b),
+      graft.Artifacts.audioSigs(spark, corpusDir))
+      .withColumnRenamed("doc_id", idCol)
+  }
+
   /** q166's audio QUALITY screen at INTAKE time — the seventh gate:
     * each arriving document's take decoded (batch-bounded — only the
     * batch's own payloads), frame-sampled, and verdicted

@@ -44,13 +44,17 @@ class IncrementalArtifactsSpec extends SparkSpec {
         rows(graft.operators.Multimodal.imageGridRows(docs)),
       Artifacts.ImageIvfCentroidsName ->
         rows(graft.operators.Ivf.centroidsFrame(spark,
-          graft.operators.Ivf.train(graft.operators.Multimodal
+          graft.operators.Ivf.trainOrEmpty(graft.operators.Multimodal
             .imageQuantRows(graft.operators.Multimodal.imageGridRows(docs))))),
       Artifacts.ImageIvfCellsName -> {
         val q = graft.operators.Multimodal.imageQuantRows(
           graft.operators.Multimodal.imageGridRows(docs))
-        rows(graft.operators.Ivf.assignFrame(q, graft.operators.Ivf.train(q)))
+        rows(graft.operators.Ivf.assignFrame(q, graft.operators.Ivf.trainOrEmpty(q)))
       },
+      Artifacts.VideoSigsName ->
+        rows(graft.operators.Multimodal.videoSigRows(docs)),
+      Artifacts.AudioSigsName ->
+        rows(graft.operators.Multimodal.audioSigRows(docs)),
       Artifacts.TextGatesName ->
         rows(graft.operators.Curation.textGateRows(docs)),
       Artifacts.EvalFlagsLexName ->

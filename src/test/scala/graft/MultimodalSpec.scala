@@ -533,6 +533,115 @@ class MultimodalSpec extends SparkSpec {
     assert(out(900001L)._1 == "exact_phash", "a re-crawl must be caught")
   }
 
+  /** Local video-signature mirror (doc_id, n_frames, fingerprint) —
+    * the q172 arithmetic at document grain, for the gate tests.
+    */
+  private def localVideoSignatures(): Seq[(Long, Long, Long)] = {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "n_chars").collect()
+    docs.map { r =>
+      val (nf, fp) = localVideoSigOf(
+        Option(r.getAs[String]("text")).getOrElse(""),
+        r.getAs[Long]("n_chars"))
+      (r.getAs[Long]("doc_id"), nf, fp)
+    }.toSeq
+  }
+
+  private def localVideoSigOf(text: String, nChars: Long): (Long, Long) = {
+    val b = text.getBytes("UTF-8")
+    val w = (nChars % 16 + 8).toInt
+    val fs = 6 * w
+    val nf = (math.max(b.length, 1) + fs - 1) / fs
+    val step = math.max(nf / 3, 1)
+    val fp = (0 until 3).flatMap { i =>
+      val f = i * step
+      if (f >= nf) None
+      else {
+        val sum = (f * fs until (f + 1) * fs)
+          .map(p => if (p < b.length) (b(p) & 0xFF).toLong else 0L).sum
+        Some(math.min(sum * 16 / (255L * fs), 15L) << (4 * i))
+      }
+    }.sum
+    (nf.toLong, fp)
+  }
+
+  test("videoDupOfBatch verdicts arriving takes against the standing signatures") {
+    import spark.implicits._
+    val corpus = localVideoSignatures()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+      .orderBy("doc_id").limit(2).collect()
+    val novel = "an entirely new take the corpus never filmed q7y"
+    val batch = Seq(
+      (900001L, docs(0).getAs[String]("text")),
+      (900002L, docs(1).getAs[String]("text")),
+      (900003L, novel),
+      (900001L, docs(0).getAs[String]("text"))).toDF("doc_id", "text")
+    val out = graft.streaming.StreamingOps
+      .videoDupOfBatch(batch, spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.size == 3, "doc-grain dedup absorbs the repeat")
+    // mirror: exact = identical (n_frames, fp); near = Hamming 1..3
+    // within the length class. The gate derives n_chars from the
+    // arriving text itself (no stats column at the door).
+    def verdictOf(text: String): (String, Option[Long]) = {
+      val (nf, fp) = localVideoSigOf(text, text.length.toLong)
+      val exact = corpus.filter(c => c._2 == nf && c._3 == fp).map(_._1)
+      val near = corpus.filter(c => c._2 == nf &&
+        (1 to 3).contains(java.lang.Long.bitCount(c._3 ^ fp))).map(_._1)
+      if (exact.nonEmpty) ("exact_sig", Some(exact.min))
+      else if (near.nonEmpty) ("near_sig", Some(near.min))
+      else ("new", None)
+    }
+    assert(out(900001L) == verdictOf(docs(0).getAs[String]("text")))
+    assert(out(900002L) == verdictOf(docs(1).getAs[String]("text")))
+    assert(out(900003L) == verdictOf(novel))
+    assert(out(900001L)._1 == "exact_sig", "a re-delivered take must be caught")
+  }
+
+  test("audioDupOfBatch verdicts arriving takes against the standing signatures") {
+    import spark.implicits._
+    val corpus = localAudioSignatures()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").filter(col("text").isNotNull)
+      .orderBy("doc_id").limit(2).collect()
+    val novel = "an entirely new recording the corpus never heard k3w"
+    val batch = Seq(
+      (900001L, docs(0).getAs[String]("text")),
+      (900002L, docs(1).getAs[String]("text")),
+      (900003L, novel),
+      (900001L, docs(0).getAs[String]("text"))).toDF("doc_id", "text")
+    val out = graft.streaming.StreamingOps
+      .audioDupOfBatch(batch, spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("verdict"),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(out.size == 3, "doc-grain dedup absorbs the repeat")
+    def verdictOf(text: String): (String, Option[Long]) = {
+      val b = text.getBytes("UTF-8")
+      val rate = (8000 + (text.length % 8) * 1000)
+      val n = (b.length + 1L) / 2
+      val ws = Multimodal.Wav.windowedStats(
+        Multimodal.Wav.encode(b, rate), 3, 64).toOption.get
+      val fp = ws.map(w =>
+        math.min(w.absSum * 16 / (32768L * w.nSamples), 15L)
+          << (4 * w.idx)).sum
+      val exact = corpus.filter(c => c._2 == n && c._3 == fp).map(_._1)
+      val near = corpus.filter(c => c._2 == n &&
+        (1 to 3).contains(java.lang.Long.bitCount(c._3 ^ fp))).map(_._1)
+      if (exact.nonEmpty) ("exact_sig", Some(exact.min))
+      else if (near.nonEmpty) ("near_sig", Some(near.min))
+      else ("new", None)
+    }
+    assert(out(900001L) == verdictOf(docs(0).getAs[String]("text")))
+    assert(out(900002L) == verdictOf(docs(1).getAs[String]("text")))
+    assert(out(900003L) == verdictOf(novel))
+    assert(out(900001L)._1 == "exact_sig",
+      "a re-delivered recording must be caught")
+  }
+
   // ---- Y4M video codec + q171 ---------------------------------------------------
 
   test("Y4M fixture parses: unknown header params skipped, frames counted, stats hand-computed") {

@@ -940,6 +940,75 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("artifact mode: the video/audio dedup family rides the standing " +
+      "signatures — zero documents scans, zero media decode") {
+    // q172/q173 read video_sigs, q176/q177 read audio_sigs: the decode
+    // pass runs once per snapshot at materialize time, never per query
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sigguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val family: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "q172" -> (() => graft.operators.Multimodal.q172VideoPhashDups(spark, sf)),
+        "q173" -> (() => graft.operators.Multimodal.q173VideoHammingPairs(spark, sf)),
+        "q176" -> (() => graft.operators.Multimodal.q176AudioPhashDups(spark, sf)),
+        "q177" -> (() => graft.operators.Multimodal.q177AudioHammingPairs(spark, sf)))
+      family.foreach { case (name, mk) =>
+        val df = mk()
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        Checkpoints.releaseAll()
+        assert(p.contains(tmp.getName),
+          s"$name plan does not read the artifact root:\n" + p.take(600))
+        val docScans = p.linesIterator.count(l =>
+          l.contains("FileScan parquet") && l.contains("documents"))
+        assert(docScans == 0,
+          s"$name artifact-mode plan still scans documents $docScans times " +
+            "— the dedup family must read the standing signatures")
+      }
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
+  test("artifact mode: q175 rides the standing image IVF — zero Lloyd " +
+      "work, zero documents scans, identical rows") {
+    // the trained model is image_ivf_centroids/image_ivf_cells; at query
+    // time q175 must read the committed pieces (no Ivf.train call at
+    // all — the counter pins it) and touch documents never (vecs come
+    // from the standing image_grids)
+    val inline = graft.operators.Multimodal.q175ImageIvf(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    Checkpoints.releaseAll()
+    val tmp = java.nio.file.Files.createTempDirectory("graft-iivfguard").toFile
+    try {
+      Artifacts.setRoot(tmp.getAbsolutePath)
+      Artifacts.materialize(spark, sf)
+      val trains0 = graft.operators.Ivf.trainsPerformed.get()
+      val df = graft.operators.Multimodal.q175ImageIvf(spark, sf)
+      val got = df.collect().map(_.toString).sorted.toSeq
+      assert(got == inline, "artifact-mode q175 drifted from inline")
+      assert(graft.operators.Ivf.trainsPerformed.get() == trains0,
+        "q175 in artifact mode must not run Lloyd training at query time")
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      Checkpoints.releaseAll()
+      assert(p.contains(tmp.getName),
+        "q175 plan does not read the artifact root:\n" + p.take(600))
+      val docScans = p.linesIterator.count(l =>
+        l.contains("FileScan parquet") && l.contains("documents"))
+      assert(docScans == 0,
+        s"q175 artifact-mode plan still scans documents $docScans times")
+    } finally {
+      Artifacts.clearRoot()
+      deleteRecursively(tmp)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("artifact mode: the curation ledger is two standing joins — " +
       "zero documents scans, identical rows") {
     // q138 = text_gates ⋈ keepers + column arithmetic once both stand;
