@@ -189,6 +189,20 @@ object Artifacts {
     */
   val QualityScoresName = "quality_scores"
 
+  /** The trained BPE merge table `(step, lhs, rhs, merged, weight)` —
+    * q135's iterative training over the corpus census, run ONCE per
+    * snapshot (training is deterministic: argmax with lexicographic
+    * ties over integer weights — the [[QualityModelName]] argument).
+    * q135 serves it directly, and every consumer that derives the
+    * trained tokenizer from the merges (q153's fertility scoring,
+    * q160's trained budget via `TextAnalysis.trainedMerges`,
+    * [[materializeTrainedTokenCounts]]) reads the standing table
+    * instead of re-running the 8-step collect-per-step train per
+    * query. Rebuilt whole on maintenance — any corpus change can
+    * reorder pair weights, and the rebuild is census-bounded.
+    */
+  val BpeMergesName = "bpe_merges"
+
   /** The trained IVF over the IMAGE grid embeddings `(cell, centroid)`
     * — q175's coarse quantizer at [[operators.Ivf.K]] cells, trained
     * over `operators.Multimodal.imageQuantRows` of the committed
@@ -343,7 +357,7 @@ object Artifacts {
       EvalShinglesName, TokenFreqName, BigramFreqName, ChunkPostingsName,
       TokenDfName, LineDfName, TokenPositionsName, ImageGridsName,
       TextGatesName, QualityModelName, QualityScoresName,
-      ImageIvfCentroidsName, ImageIvfCellsName,
+      BpeMergesName, ImageIvfCentroidsName, ImageIvfCellsName,
       VideoSigsName, AudioSigsName,
       EvalFlagsLexName) ++
       DefaultTokenizers.map(tokenCountsName) ++
@@ -1306,6 +1320,13 @@ object Artifacts {
         (cents, operators.Ivf.assignFrame(quant, cents))
     }
   }
+
+  /** The standing BPE merge table when the corpus fingerprint resolves
+    * (Option shape — q135's fallback is the same iterative train
+    * computed inline).
+    */
+  def bpeMerges(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrent(spark, corpusDir, BpeMergesName)
 
   /** The per-take video signature frame `(doc_id, n_frames,
     * fingerprint)` — artifact when fresh, else decoded inline
@@ -2367,6 +2388,13 @@ object Artifacts {
     val tokDf = build(TokenDfName)(operators.CorpusOps.dfFromPostings(
       committed(tokenPostingsName(functions.Tokenizer.Whitespace))))
     val lineDfA = build(LineDfName)(operators.Extraction.lineDfRows(docs))
+    // BPE merges: train ONCE off the just-committed census (the
+    // trained-state group with the quality model below — every
+    // downstream consumer of the trained tokenizer reads this table)
+    val bpeM = build(BpeMergesName)(operators.TextAnalysis.bpeTrainFrom(
+      spark, committed(TokenFreqName).groupBy("token")
+        .agg(org.apache.spark.sql.functions.sum("n").as("n")),
+      operators.TextAnalysis.BpeSteps))
     // image grids: the ONE media decode pass of the snapshot
     val imgGrids = build(ImageGridsName)(
       operators.Multimodal.imageGridRows(docs))
@@ -2411,7 +2439,7 @@ object Artifacts {
     pruneSweep(spark, corpusDir, AllNames, Set(fp))
     (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
       evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf, lineDfA,
-      imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates, qModel,
+      bpeM, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates, qModel,
       qScores) ++ tokPost ++ tokCounts).toMap
   }
 
@@ -2448,6 +2476,15 @@ object Artifacts {
       case TokenPositionsName => operators.CorpusOps.tokenPositionsRows(docs)
       case TokenDfName => operators.CorpusOps.tokenDfRows(docs)
       case LineDfName => operators.Extraction.lineDfRows(docs)
+      case BpeMergesName =>
+        operators.TextAnalysis.bpeTrainFrom(spark,
+          docs.select(org.apache.spark.sql.functions.explode(
+              operators.Dedup.tokens(
+                org.apache.spark.sql.functions.col("text"))).as("token"))
+            .groupBy("token")
+            .agg(org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n")),
+          operators.TextAnalysis.BpeSteps)
       case ImageGridsName => operators.Multimodal.imageGridRows(docs)
       case ImageIvfCentroidsName =>
         operators.Ivf.centroidsFrame(spark, operators.Ivf.trainOrEmpty(
@@ -2826,6 +2863,12 @@ object Artifacts {
       readOld(LineDfName)
         .unionByName(operators.Extraction.lineDfRows(fresh))
         .groupBy("line").agg(sum("line_df").as("line_df")))
+    // BPE merges: rebuilt WHOLE off the NEW census (the quality-model
+    // posture — any append can reorder pair weights); census-bounded
+    val bpeM = buildInc(BpeMergesName)(operators.TextAnalysis.bpeTrainFrom(
+      spark, readNew(TokenFreqName).groupBy("token")
+        .agg(sum("n").as("n")),
+      operators.TextAnalysis.BpeSteps))
     // image grids: per-doc rows — the batch decodes only its own media
     val imgGrids = buildSegInc(ImageGridsName, None,
       operators.Multimodal.imageGridRows(fresh))(
@@ -2897,8 +2940,8 @@ object Artifacts {
     IncrementalResult("append",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf,
-        lineDfA, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates,
-        qModel, qScores) ++ tokPost ++ tokCounts).toMap,
+        lineDfA, bpeM, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs,
+        txtGates, qModel, qScores) ++ tokPost ++ tokCounts).toMap,
       nAdd, 0, 0, nAffected, nVerts)
   }
 
@@ -3213,6 +3256,11 @@ object Artifacts {
         .unionByName(lineDelta)
         .groupBy("line").agg(sum("line_df").as("line_df"))
         .filter(col("line_df") > 0))
+    // BPE merges: rebuilt whole off the new census (see maintainAppended)
+    val bpeM = buildInc(BpeMergesName)(operators.TextAnalysis.bpeTrainFrom(
+      spark, readNewA(TokenFreqName).groupBy("token")
+        .agg(sum("n").as("n")),
+      operators.TextAnalysis.BpeSteps))
     // image grids: per-doc rows — retract the gone docs, decode only
     // the changed docs' media (the band-index shape for pixels)
     val imgGrids = buildSegInc(ImageGridsName, Some(dGone),
@@ -3266,8 +3314,8 @@ object Artifacts {
     IncrementalResult("incremental",
       (Seq(postings, counts, spans, bands, hashes, pairs, keepers, sh8,
         evalSh, lexFlags, tokFreq, bgFreq, chunkPost, tokPos, tokDf,
-        lineDfA, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs, txtGates,
-        qModel, qScores) ++ tokPost ++ tokCounts).toMap,
+        lineDfA, bpeM, imgGrids, imgIvfC, imgIvfA, vidSigs, audSigs,
+        txtGates, qModel, qScores) ++ tokPost ++ tokCounts).toMap,
       nAdd, nChg, nRem, nAffected, nVerts)
   }
 }

@@ -1018,7 +1018,15 @@ object TextAnalysis {
     * replace with identical semantics in both engines.
     */
   def q135BpeTrain(spark: SparkSession, dir: String): DataFrame =
-    bpeTrainFrom(spark, graft.Artifacts.tokenTotals(spark, dir), BpeSteps)
+    // artifact-first: the merge table is TRAINED state, computed once
+    // per snapshot (`bpe_merges`) — the iterative collect-per-step
+    // train runs only when no committed version resolves
+    graft.Artifacts.bpeMerges(spark, dir)
+      .map(_.select("step", "lhs", "rhs", "merged", "weight")
+        .orderBy("step"))
+      .getOrElse(
+        bpeTrainFrom(spark, graft.Artifacts.tokenTotals(spark, dir),
+          BpeSteps))
 
   /** [[q135BpeTrain]] over a caller-supplied `(token, n)` vocabulary —
     * the spec's crafted-dictionary seam.
@@ -1166,11 +1174,16 @@ object TextAnalysis {
   def q153TrainedFertility(spark: SparkSession, dir: String): DataFrame = {
     // inline fallback pays ONE tokenizing scan shared by training and
     // scoring (the q90 checkpoint posture); artifact mode reads the
-    // standing index and never touches documents
+    // standing index — and the standing MERGES — and never re-trains
     val tf = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
       graft.Checkpoints.checkpoint(
         CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
-    trainedFertilityFrom(spark, tf, BpeSteps)
+    graft.Artifacts.bpeMerges(spark, dir) match {
+      case Some(m) =>
+        scoredFertility(tf, m.collect().sortBy(_.getAs[Int]("step"))
+          .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq)
+      case None => trainedFertilityFrom(spark, tf, BpeSteps)
+    }
   }
 
   /** [[q153TrainedFertility]] over a caller-supplied `(source, token,
@@ -1179,11 +1192,19 @@ object TextAnalysis {
     * .tokenTotals]]'s artifact-mode derivation).
     */
   private[graft] def trainedFertilityFrom(spark: SparkSession,
-      tf: DataFrame, steps: Int): DataFrame = {
-    val merges = bpeTrainFrom(spark,
+      tf: DataFrame, steps: Int): DataFrame =
+    scoredFertility(tf, bpeTrainFrom(spark,
       tf.groupBy("token").agg(sum("n").as("n")), steps)
       .collect().sortBy(_.getAs[Int]("step"))
-      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq)
+
+  /** The q153 scoring pass under an already-trained merge list — the
+    * seam the standing `bpe_merges` artifact feeds, and the one the
+    * inline path reaches after training; one definition, so the two
+    * modes can never score differently.
+    */
+  private def scoredFertility(tf: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
     val encoded = merges.foldLeft(wrapChars(col("token"))) {
       case (w, (a, b)) => replace(w, lit(s" $a  $b "), lit(s" $a$b "))
     }

@@ -40,6 +40,12 @@ class IncrementalArtifactsSpec extends SparkSpec {
       Artifacts.TokenDfName -> rows(CorpusOps.tokenDfRows(docs)),
       Artifacts.LineDfName ->
         rows(graft.operators.Extraction.lineDfRows(docs)),
+      Artifacts.BpeMergesName ->
+        rows(graft.operators.TextAnalysis.bpeTrainFrom(spark,
+          docs.select(explode(graft.operators.Dedup.tokens(col("text")))
+              .as("token"))
+            .groupBy("token").agg(count(lit(1)).as("n")),
+          graft.operators.TextAnalysis.BpeSteps)),
       Artifacts.ImageGridsName ->
         rows(graft.operators.Multimodal.imageGridRows(docs)),
       Artifacts.ImageIvfCentroidsName ->
