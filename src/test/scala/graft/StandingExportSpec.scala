@@ -81,6 +81,36 @@ class StandingExportSpec extends SparkSpec {
     }
   }
 
+  test("a stranded stage directory neither breaks the build nor is mistaken for a key") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-standing-strand")
+      .toFile
+    val corpus = new java.io.File(tmp, "corpus").getAbsolutePath
+    val store = new java.io.File(PackedExport.storeRoot(corpus), "doc_id")
+    try {
+      Seq((1L, "a b", "s"), (2L, "c d e", "s"))
+        .toDF("doc_id", "text", "source")
+        .write.parquet(s"$corpus/documents.parquet")
+      // a crash mid-build leaves an underscore-prefixed stage sibling;
+      // the next build must proceed, and the key sweep must leave the
+      // possibly-in-flight stage alone (underscore = not a key)
+      store.mkdirs()
+      new java.io.File(store, "_crashed__stage").mkdirs()
+      val out = PackedExport.q127PackedExport(spark, corpus).collect()
+      assert(out.map(_.getAs[Long]("shard_tokens")).sum == 5L)
+      val entries = store.listFiles().map(_.getName)
+      assert(entries.count(!_.startsWith("_")) == 1,
+        s"exactly one committed key expected, got ${entries.mkString(",")}")
+      assert(entries.contains("_crashed__stage"),
+        "the sweep must never delete an underscore-prefixed stage sibling")
+    } finally {
+      Tables.invalidate(corpus)
+      deleteRecursively(tmp)
+      deleteRecursively(new java.io.File(PackedExport.storeRoot(corpus)))
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("the verified commit ships its own read-back: verify ⋈ manifest is total") {
     // every manifest shard resolves a stream_sum (zero-token shards to
     // 0), and the served n_bytes are exactly 4·shard_tokens — the
