@@ -2494,17 +2494,27 @@ object CorpusOps {
     * short to shingle).
     */
   private[graft] def shingleNovelty(docs: DataFrame, keyCols: Seq[String],
-      textCol: String, corpusShingles: DataFrame): DataFrame = {
+      textCol: String, corpusShingles: DataFrame): DataFrame =
+    noveltyOfShingles(docs.select(keyCols.map(col): _*),
+      docs.select(keyCols.map(col) :+
+        explode(shinglesN(Dedup.tokens(col(textCol)), DecontamN)).as("sh"): _*),
+      keyCols, corpusShingles)
+
+  /** [[shingleNovelty]] over PRE-EXPLODED per-doc distinct shingle rows
+    * `(keyCols…, sh)` — the seam the composite intake uses so one
+    * shingle derivation feeds novelty AND decontamination instead of
+    * each gate re-tokenizing the batch.
+    */
+  private[graft] def noveltyOfShingles(docKeys: DataFrame, sh: DataFrame,
+      keyCols: Seq[String], corpusShingles: DataFrame): DataFrame = {
     val keys = keyCols.map(col)
-    val sh = docs.select(keys :+
-      explode(shinglesN(Dedup.tokens(col(textCol)), DecontamN)).as("sh"): _*)
     val seen = corpusShingles.select(col("sh")).distinct()
       .withColumn("seen", lit(1))
     val per = sh.join(seen, Seq("sh"), "left")
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
-    docs.select(keys: _*).distinct()
+    docKeys.distinct()
       .join(per, keyCols, "left")
       .select(keys ++ Seq(
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),

@@ -532,6 +532,19 @@ object Multimodal {
 
   // ---- media frame + routing ----------------------------------------------
 
+  /** Per-payload decode counters for the three media kernels (one
+    * increment per input payload, not per emitted row) — the
+    * composite-intake spec's probe that `intakeOfBatch` decodes each
+    * arriving payload exactly once per modality; nothing else reads
+    * them (the `Ivf.trainsPerformed` posture).
+    */
+  private[graft] val gridDecodes =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val audioDecodes =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] val videoDecodes =
+    new java.util.concurrent.atomic.AtomicLong
+
   /** Deterministic media derivation: each document's text bytes wrapped
     * as a REAL P6 container (header + zero-padded pixel plane), width
     * from doc stats the way a manifest would carry it — the corpus
@@ -946,6 +959,7 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(gridKernelSchema)
     val all = mediaDf.select("doc_id", "media").mapPartitions { rows =>
       rows.map { r =>
+        gridDecodes.incrementAndGet()
         val id = r.getLong(0)
         Ppm.decodeGrid(r.getAs[Array[Byte]](1), g) match {
           case Right(gr) => Row(id, gr.width, gr.height, gr.gx, gr.gy,
@@ -1174,7 +1188,7 @@ object Multimodal {
     * (the [[imageGridRows]] posture), which is what lets the streaming
     * intake gate run the identical kernel over a raw batch.
     */
-  private def audioWindowsOf(docs: DataFrame): DataFrame = {
+  private[graft] def audioWindowsOf(docs: DataFrame): DataFrame = {
     val kernelSchema = StructType(Seq(
       StructField("doc_id", LongType),
       StructField("window_idx", IntegerType),
@@ -1192,6 +1206,7 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("n_chars"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
+          audioDecodes.incrementAndGet()
           val text = Option(r.getString(1)).getOrElse("")
           val rate = (8000 + (r.getLong(2) % 8) * 1000).toInt
           val container = Wav.encode(
@@ -1380,9 +1395,16 @@ object Multimodal {
     * (`StreamingOps.audioQualityOfBatch`), so the screen a crawl passes
     * at the door can never drift from the audit a release runs later.
     */
-  private[graft] def audioVerdictsOf(docs: DataFrame): DataFrame = {
+  private[graft] def audioVerdictsOf(docs: DataFrame): DataFrame =
+    audioVerdictsFromWindows(docs, audioWindowsOf(docs))
+
+  /** [[audioVerdictsOf]] over an ALREADY-DECODED window frame — the
+    * composite intake's seam (see [[audioSigsFromWindows]]).
+    */
+  private[graft] def audioVerdictsFromWindows(docs: DataFrame,
+      windows: DataFrame): DataFrame = {
     import graft.functions.VectorOps.round6
-    val agg = audioWindowsOf(docs).groupBy("doc_id")
+    val agg = windows.groupBy("doc_id")
       .agg(count(lit(1)).as("w_n"), sum("n_samples").as("w_samp"),
         sum("abs_sum").as("w_abs"), max("peak_amp").as("w_peak"))
     val nW = coalesce(col("w_n"), lit(0L))
@@ -1452,8 +1474,17 @@ object Multimodal {
     * twin in amplitude space: what the standing `audio_sigs` artifact
     * materializes and what the intake gate runs batch-bounded.
     */
-  def audioSigRows(docs: DataFrame): DataFrame = {
-    val sigs = audioWindowsOf(docs)
+  def audioSigRows(docs: DataFrame): DataFrame =
+    audioSigsFromWindows(docs, audioWindowsOf(docs))
+
+  /** [[audioSigRows]] over an ALREADY-DECODED window frame
+    * ([[audioWindowsOf]]'s shape) — the seam the composite intake uses
+    * to derive the signature and the quality verdict from ONE decode
+    * pass instead of two.
+    */
+  private[graft] def audioSigsFromWindows(docs: DataFrame,
+      windows: DataFrame): DataFrame = {
+    val sigs = windows
       .withColumn("q", expr(
         "least(CAST(abs_sum * 16 DIV (32768 * n_samples) AS BIGINT)," +
           " CAST(15 AS BIGINT))"))
@@ -1701,6 +1732,7 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("n_chars"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
+          videoDecodes.incrementAndGet()
           val text = Option(r.getString(1)).getOrElse("")
           val w = (r.getLong(2) % 16 + 8).toInt
           val payload = text.getBytes(StandardCharsets.UTF_8)
@@ -1927,6 +1959,18 @@ object Multimodal {
 
   // ---- phash verdict core (intake gate) --------------------------------------
 
+  /** The gate cores' standing side at distinct-signature grain: one
+    * `(keyCol, fingerprint, min_id)` row per distinct signature. Both
+    * verdict paths reduce to `min(doc_id)` over the matches, and a
+    * group's min is preserved by taking the min per distinct signature
+    * first — so this is a pure re-bracketing of the same aggregate,
+    * while the exact and band joins downstream see each corpus
+    * signature once however many takes carry it.
+    */
+  private[graft] def distinctStanding(standing: DataFrame, keyCol: String): DataFrame =
+    standing.groupBy(col(keyCol), col("fingerprint"))
+      .agg(min(col("doc_id")).as("min_id"))
+
   /** Verdict core for the perceptual-dup INTAKE gate: probe grid rows
     * `(doc_id, gy, fingerprint)` against a standing grid frame —
     * `exact_phash` when an identical (geometry, fingerprint) exists,
@@ -1936,11 +1980,21 @@ object Multimodal {
     * probe side is batch-bounded; the standing side is one artifact
     * read plus map-only band arithmetic — no corpus media is ever
     * re-decoded.
+    *
+    * The standing side joins at DISTINCT-SIGNATURE grain: both exact
+    * and near resolve to `min(doc_id)`, so collapsing the frame to one
+    * `(geometry, fingerprint) → min(doc_id)` row first is
+    * verdict-identical ([[distinctStanding]]) — and it bounds band-
+    * bucket population by DISTINCT fingerprints, not take count. A
+    * boilerplate image with k corpus copies would otherwise put k rows
+    * in every one of its band buckets and fan each probe out k ways —
+    * the same signature-grain argument the q165/q173 batch tails make.
     */
   def phashVerdictsOf(probes: DataFrame, standing: DataFrame): DataFrame = {
     val p = probes.select("doc_id", "gy", "fingerprint")
-    val s = standing.select(col("doc_id").as("m_id"), col("gy").as("m_gy"),
-      col("fingerprint").as("m_fp"))
+    val s = distinctStanding(standing, "gy")
+      .select(col("min_id").as("m_id"), col("gy").as("m_gy"),
+        col("fingerprint").as("m_fp"))
     val exact = p
       .join(s, col("gy") === col("m_gy") && col("fingerprint") === col("m_fp"))
       .groupBy("doc_id").agg(min("m_id").as("exact_id"))
@@ -1978,13 +2032,19 @@ object Multimodal {
     * batch-bounded; the standing side is one artifact read plus
     * map-only band arithmetic — corpus media is never re-decoded at
     * batch time.
+    *
+    * Like [[phashVerdictsOf]], the standing side joins at
+    * DISTINCT-SIGNATURE grain ([[distinctStanding]]): band-bucket
+    * population bounds by distinct signatures, so a duplicate-flooded
+    * corpus take cannot fan the gate's band join out per copy.
     */
   def sigVerdictsOf(probes: DataFrame, standing: DataFrame): DataFrame = {
     val p = probes.select(col("doc_id"),
       col("n_frames").cast("long").as("n_frames"), col("fingerprint"))
-    val s = standing.select(col("doc_id").as("m_id"),
-      col("n_frames").cast("long").as("m_nf"),
-      col("fingerprint").as("m_fp"))
+    val s = distinctStanding(standing, "n_frames")
+      .select(col("min_id").as("m_id"),
+        col("n_frames").cast("long").as("m_nf"),
+        col("fingerprint").as("m_fp"))
     val exact = p
       .join(s, col("n_frames") === col("m_nf") &&
         col("fingerprint") === col("m_fp"))
