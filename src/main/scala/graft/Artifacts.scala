@@ -1551,6 +1551,48 @@ object Artifacts {
     }
   }
 
+  /** q141's LSH S-curve calibration table — eval state keyed by the
+    * DOCUMENTS fingerprint (a pure function of the standing
+    * `minhash_bands` artifact, which keys the same way). Deliberately
+    * OUTSIDE [[AllNames]] (the [[NearDupTruthName]] precedent): the
+    * four capped candidate self-joins are whole-corpus by definition —
+    * any incremental fold IS the rebuild — and the table is an audit
+    * product a deployment consults before picking a band layout, not
+    * an index the maintenance paths must carry batch over batch.
+    */
+  val LshCalibrationName = "lsh_calibration"
+
+  /** The standing calibration when the documents fingerprint resolves —
+    * q141's consumer seam (`None` → the inline four-config pass).
+    */
+  def lshCalibration(spark: SparkSession, corpusDir: String): Option[DataFrame] =
+    readIfCurrentWith(spark, corpusDir, LshCalibrationName,
+      () => corpusFingerprint(spark, corpusDir),
+      rebuild = "Artifacts.materializeLshCalibration")
+
+  /** Build and commit the calibration table — idempotent per documents
+    * fingerprint; Bench's untimed phase calls it beside
+    * [[materializeNearDupTruth]].
+    */
+  def materializeLshCalibration(spark: SparkSession, corpusDir: String): Long = {
+    require(rootOpt.nonEmpty,
+      "Artifacts.materializeLshCalibration needs a root — setRoot(...) or " +
+        "SPARK_GRAFT_ARTIFACTS_DIR")
+    val fp = corpusFingerprint(spark, corpusDir)
+    val p = versionPath(corpusDir, LshCalibrationName, fp).get
+    if (isCommitted(spark, Some(p), LshCalibrationName))
+      committedCount(spark, corpusDir, LshCalibrationName, p)
+    else {
+      val t0 = System.nanoTime()
+      val n = write(spark, corpusDir, fp, LshCalibrationName,
+        operators.Dedup.lshCalibrationFrame(spark, corpusDir))._2
+      lastBuild.set(lastBuild.get() +
+        (LshCalibrationName -> (System.nanoTime() - t0) / 1e9))
+      pruneSweep(spark, corpusDir, Seq(LshCalibrationName), Set(fp))
+      n
+    }
+  }
+
   private def materializeTokenizerArtifact(spark: SparkSession,
       corpusDir: String, name: String, frame: => DataFrame): Long = {
     require(rootOpt.nonEmpty,

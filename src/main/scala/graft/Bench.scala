@@ -283,6 +283,9 @@ object Bench {
         // the near-dup eval ground truth (q21/q111's input) — the one
         // remaining O(n²) eval pass, paid once per embeddings snapshot
         Artifacts.materializeNearDupTruth(spark, sfDir)
+        // q141's S-curve table — a pure function of the standing band
+        // index, so the four capped self-joins run once per snapshot
+        Artifacts.materializeLshCalibration(spark, sfDir)
         (System.nanoTime() - t0) / 1e9
       }
     // standing packed deliverables: write + byte-verify each export

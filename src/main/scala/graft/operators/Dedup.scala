@@ -315,7 +315,21 @@ object Dedup {
     * cap-bounded. The audit is what a 100 TB deployment runs on a
     * sample before committing a band layout to the full corpus.
     */
-  def q141LshCalibration(spark: SparkSession, dir: String): DataFrame = {
+  def q141LshCalibration(spark: SparkSession, dir: String): DataFrame =
+    // artifact-first (the neardup_truth posture): the table is a pure
+    // function of the standing minhash_bands artifact, so the four
+    // capped self-joins run once per corpus snapshot — a consumer
+    // reads the 4-row standing table (re-ordered after the parquet
+    // round-trip; the inline plan carries its own orderBy)
+    graft.Artifacts.lshCalibration(spark, dir)
+      .map(_.orderBy("bands"))
+      .getOrElse(lshCalibrationFrame(spark, dir))
+
+  /** The inline calibration pass — what the standing `lsh_calibration`
+    * artifact materializes and the no-root fallback runs per query.
+    */
+  private[graft] def lshCalibrationFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val sigs = graft.Checkpoints.checkpoint(
       graft.Artifacts.minhashBands(spark, dir)
