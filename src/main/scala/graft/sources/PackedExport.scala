@@ -43,6 +43,44 @@ object PackedExport {
   /** Bytes per token id (int32 little-endian). */
   val BytesPerToken = 4
 
+  /** One streaming verification walk over a shard's id stream: total
+    * byte count, CRC32 of every byte, and the order-sensitive checksum
+    * `Σ (id+1)·(i+1)` over the little-endian int32 ids — one buffered
+    * pass with a ≤ [[BytesPerToken]]-byte carry across read boundaries,
+    * so memory is constant however large the shard (trailing bytes
+    * short of a full id contribute to length/CRC but decode no id —
+    * the length check against the manifest is what catches them).
+    */
+  private[graft] def walkIdStream(in: java.io.InputStream): (Long, Long, Long) = {
+    val buf = new Array[Byte](1 << 16)
+    val carry = new Array[Byte](BytesPerToken)
+    val crc = new java.util.zip.CRC32
+    var carryLen = 0
+    var nBytes = 0L
+    var tokIdx = 0L
+    var sum = 0L
+    var n = in.read(buf)
+    while (n > 0) {
+      crc.update(buf, 0, n)
+      nBytes += n
+      var i = 0
+      while (i < n) {
+        carry(carryLen) = buf(i)
+        carryLen += 1
+        if (carryLen == BytesPerToken) {
+          val id = (carry(0) & 0xFF) | ((carry(1) & 0xFF) << 8) |
+            ((carry(2) & 0xFF) << 16) | ((carry(3) & 0xFF) << 24)
+          tokIdx += 1
+          sum += (id.toLong + 1L) * tokIdx
+          carryLen = 0
+        }
+        i += 1
+      }
+      n = in.read(buf)
+    }
+    (nBytes, crc.getValue, sum)
+  }
+
   /** Standing-deliverable layout version (part of the store key). */
   private val StoreFormatVersion = 1
 
@@ -219,31 +257,36 @@ object PackedExport {
       .parquet(new org.apache.hadoop.fs.Path(stage, "manifest").toString)
 
     if (verified) {
-      // byte-level read-back BEFORE the commit: one whole-shard pass
-      // re-parses every id out of the staged bytes; a wrong byte order,
-      // a lost write, or a manifest/file disagreement refuses to commit
-      // rather than shipping to a trainer
+      // byte-level read-back BEFORE the commit: a STREAMING pass per
+      // staged shard re-parses every id out of the bytes ([[walkIdStream]]
+      // — buffered CRC/id/stream-sum accumulation in constant memory, so
+      // checkable shard size is unbounded; the former whole-file
+      // `binaryFile` read bounded it at the JVM row limit). A wrong byte
+      // order, a lost write, or a manifest/file disagreement refuses to
+      // commit rather than shipping to a trainer.
       val stagedShards = new org.apache.hadoop.fs.Path(stage, "shards")
+      val shardPaths: Seq[(Int, String)] = manifest.toSeq
+        .filter(_.getAs[Long]("n_bytes") > 0)
+        .map { r =>
+          val sid = r.getAs[Int]("shard_id")
+          (sid, new org.apache.hadoop.fs.Path(
+            stagedShards, f"shard_$sid%05d.bin").toString)
+        }
       val readBack: Array[(Int, Long, Long, Long)] =
-        if (manifest.exists(_.getAs[Long]("n_bytes") > 0))
-          spark.read.format("binaryFile").load(stagedShards.toString)
-            .select(regexp_extract(col("path"), "shard_(\\d+)\\.bin", 1)
-              .cast("int").as("shard_id"), col("content"))
-            .as[(Int, Array[Byte])]
-            .map { case (sid, bytes) =>
-              val crc = new java.util.zip.CRC32
-              crc.update(bytes)
-              var sum = 0L
-              var i = 0
-              val n = bytes.length / BytesPerToken
-              while (i < n) {
-                val o = i * BytesPerToken
-                val id = (bytes(o) & 0xFF) | ((bytes(o + 1) & 0xFF) << 8) |
-                  ((bytes(o + 2) & 0xFF) << 16) | ((bytes(o + 3) & 0xFF) << 24)
-                sum += (id.toLong + 1L) * (i + 1L)
-                i += 1
+        if (shardPaths.nonEmpty)
+          spark.createDataset(shardPaths)
+            .repartition(shardPaths.size)
+            .mapPartitions { it =>
+              val conf = new org.apache.hadoop.conf.Configuration(false)
+              confEntries.foreach { case (k, v) => conf.set(k, v) }
+              it.map { case (sid, pth) =>
+                val f = new org.apache.hadoop.fs.Path(pth)
+                val in = f.getFileSystem(conf).open(f)
+                try {
+                  val (nBytes, crc, sum) = walkIdStream(in)
+                  (sid, nBytes, crc, sum)
+                } finally in.close()
               }
-              (sid, bytes.length.toLong, crc.getValue, sum)
             }.collect()
         else Array.empty
       val byShard = readBack.map(t => t._1 -> t).toMap
@@ -283,10 +326,10 @@ object PackedExport {
     * shipped files all hash-mismatch. (The CRC32 is spec-checked; no
     * oracle can replay it in SQL.)
     *
-    * The verification read loads whole shard files as rows
-    * (`binaryFile`), which bounds checkable shard size to the JVM row
-    * limit — verification shape, not the training read path; a trainer
-    * seeks by the index parquet.
+    * The verification read streams each staged shard in constant
+    * memory ([[walkIdStream]]), so checkable shard size is unbounded —
+    * verification shape, not the training read path; a trainer seeks
+    * by the index parquet.
     */
   def q127PackedExport(spark: SparkSession, dir: String): DataFrame =
     standingRoundTrip(spark, dir, CorpusOps.ExportOrder.ByDocId)
@@ -480,6 +523,32 @@ object PackedExport {
     standingExportDir(spark, dir, CorpusOps.ExportOrder.ByDocId,
       Some(trainedMembers(spark, dir)), "trained",
       record = Some("packed_trained"))
+  }
+
+  /** Sweep standing deliverable trees for corpora no longer in service
+    * — [[graft.Artifacts.gc]]'s posture for the packed store. The
+    * ROOTED store lives inside each corpus's artifact key directory
+    * (`<root>/<corpusKey>/packed`), so `Artifacts.gc` already sweeps it
+    * with the rest of that corpus's state; this covers the ROOTLESS tmp
+    * fallback tree ([[storeRoot]]'s `graft_packed_exports/<corpusKey>`),
+    * whose decommissioned corpora otherwise live until OS tmp cleanup.
+    * Returns the removed corpus-key names.
+    */
+  def gc(keepCorpusDirs: Seq[String]): Seq[String] =
+    gcAt(new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_packed_exports"),
+      keepCorpusDirs.map(graft.Artifacts.corpusKey).toSet)
+
+  /** [[gc]]'s sweep over an explicit base — the spec seam. */
+  private[graft] def gcAt(base: java.io.File,
+      keepKeys: Set[String]): Seq[String] = {
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    Option(base.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && !keepKeys.contains(f.getName))
+      .map { f => deleteRec(f); f.getName }
   }
 
   /** q138's kept set — q156's membership frame. */
