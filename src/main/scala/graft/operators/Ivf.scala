@@ -405,7 +405,19 @@ object Ivf {
     * frame; nothing re-trains (the cosine side joins embeddings twice —
     * probe rows and candidate rows — exactly like q125).
     */
-  def q143NprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+  def q143NprobeSweep(spark: SparkSession, dir: String): DataFrame =
+    // artifact-first (the lsh_calibration posture, vector side): the
+    // sweep is a pure function of the embeddings table and the standing
+    // coarse index — a consumer reads the |ProbeSweep|-row table
+    graft.Artifacts.annEval(spark, dir, graft.Artifacts.NprobeSweepEvalName)
+      .map(_.orderBy("nprobe"))
+      .getOrElse(nprobeSweepFrame(spark, dir))
+
+  /** The inline sweep pass — what the standing `eval_nprobe_sweep`
+    * table materializes and the rootless fallback runs per query.
+    */
+  private[graft] def nprobeSweepFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
     val nOther = e.count() - 1

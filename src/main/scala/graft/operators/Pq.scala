@@ -306,7 +306,21 @@ object Pq {
     * corpus/K × [[SubM]] lookups, independent of dimension — the
     * non-residual IVFADC memory/compute budget.
     */
-  def q140IvfAdcRecall(spark: SparkSession, dir: String): DataFrame = {
+  def q140IvfAdcRecall(spark: SparkSession, dir: String): DataFrame =
+    // artifact-first (the lsh_calibration posture): the recall table is
+    // a pure function of the embeddings table and the standing indexes,
+    // so the scoring pass runs once per embeddings snapshot — a
+    // consumer reads the probe-grain standing table (re-ordered after
+    // the parquet round-trip; the inline plan carries its own orderBy)
+    graft.Artifacts.annEval(spark, dir, graft.Artifacts.IvfAdcEvalName)
+      .map(_.orderBy("probe_id"))
+      .getOrElse(ivfAdcRecallFrame(spark, dir))
+
+  /** The inline scoring pass — what the standing `eval_ivfadc` table
+    * materializes and the rootless fallback runs per query.
+    */
+  private[graft] def ivfAdcRecallFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
     val (cbLit, codesArr) = graft.Artifacts.pqModel(spark, dir)
     val codes = codesArr
@@ -352,7 +366,18 @@ object Pq {
     * the standing `pq_res_codebooks`/`pq_res_codes` artifacts; nothing
     * trains at query time (plan-guarded).
     */
-  def q146IvfAdcResidualRecall(spark: SparkSession, dir: String): DataFrame = {
+  def q146IvfAdcResidualRecall(spark: SparkSession, dir: String): DataFrame =
+    // artifact-first (see [[q140IvfAdcRecall]])
+    graft.Artifacts.annEval(spark, dir, graft.Artifacts.IvfAdcResEvalName)
+      .map(_.orderBy("probe_id"))
+      .getOrElse(ivfAdcResidualRecallFrame(spark, dir))
+
+  /** The inline residual scoring pass — what the standing
+    * `eval_ivfadc_residual` table materializes and the rootless
+    * fallback runs per query.
+    */
+  private[graft] def ivfAdcResidualRecallFrame(spark: SparkSession,
+      dir: String): DataFrame = {
     val (cents, cells) = graft.Artifacts.ivfModel(spark, dir)
     val (cbLit, codesArr) = graft.Artifacts.pqResModel(spark, dir)
     val cb = codebookFrame(spark, cbLit)
