@@ -927,6 +927,116 @@ object StreamingOps {
       .withColumnRenamed("doc_id", idCol)
   }
 
+  /** [[gatedIntake]]'s default admission rule over [[intakeOfBatch]]'s
+    * verdict columns: text-new ∧ uncontaminated ∧ quality keep (the
+    * trained gate's verdict when a gate is supplied, q83's label
+    * otherwise) ∧ audio screen keep ∧ perceptually new in every
+    * modality. NULL media columns pass — a payload whose container
+    * routes instead of decoding has no fingerprint to be a duplicate
+    * OF, and rejecting it for that would silently drop every non-media
+    * document; a NULL quality score (no tokens) culls.
+    */
+  private[graft] def defaultAdmit(
+      gate: Option[graft.operators.QualityTrain.TrainedGate]): Column = {
+    val textKeep = gate.fold(col("quality_label") === "keep")(_ =>
+      col("trained_keep"))
+    col("dedup_verdict") === "new" && !col("contaminated") &&
+      coalesce(textKeep, lit(false)) &&
+      coalesce(col("audio_keep"), lit(true)) &&
+      coalesce(col("image_verdict") === "new", lit(true)) &&
+      coalesce(col("video_verdict") === "new", lit(true)) &&
+      coalesce(col("audio_verdict") === "new", lit(true))
+  }
+
+  /** The GATED door-to-corpus intake — the full production admission
+    * pipeline as one sink: each micro-batch is verdicted by
+    * [[intakeOfBatch]] (every gate over ONE decode/tokenize pass),
+    * `admit` (default [[defaultAdmit]]) decides per document, admitted
+    * documents are appended and every standing artifact is carried
+    * across the append in lockstep ([[artifactMaintainingIntake]]'s
+    * contract), and EVERY arriving document's full verdict row lands in
+    * `auditDir/batch=<id>` with its `admitted` flag — the "why was my
+    * page rejected at the door" trail, idempotent per batch id (a
+    * replayed batch overwrites its own audit directory; the recorded
+    * verdicts are those of the batch's LAST processing — on a
+    * crash-replay an already-admitted document re-verdicts as a dup of
+    * itself, which is the truthful post-append state).
+    *
+    * Crash posture matches the ungated sink: the batch is deduped and
+    * anti-joined against the corpus from ONE checkpointed frame, so
+    * the appended rows are bit-identical to the rows maintenance folds
+    * in; a replayed batch whose admitted rows are all present is a
+    * no-op UNLESS artifacts still key to the pre-crash fingerprint, in
+    * which case the self-heal leg folds exactly the batch rows that
+    * ARE in the table (rejected rows never entered it and must not
+    * enter the artifacts).
+    *
+    * Expects a seeded corpus: the gates verdict arrivals AGAINST the
+    * standing corpus state — an empty deployment bootstraps through
+    * [[artifactMaintainingIntake]] first, then switches the door on.
+    */
+  def gatedIntake(docs: DataFrame, spark: SparkSession, corpusDir: String,
+      auditDir: String,
+      gate: Option[graft.operators.QualityTrain.TrainedGate] = None,
+      admit: Option[Column] = None,
+      checkpoint: Option[String] = None): StreamingQuery = {
+    val writer = docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        gatedIntakeBatch(batch.toDF(), id, spark, corpusDir, auditDir,
+          gate, admit)
+        ()
+      }
+    checkpoint.fold(writer)(c => writer.option("checkpointLocation", c))
+      .start()
+  }
+
+  /** One micro-batch of [[gatedIntake]] — the sink's body, callable
+    * directly (the spec stages torn-append replays through it).
+    */
+  private[graft] def gatedIntakeBatch(batchDf: DataFrame, batchId: Long,
+      spark: SparkSession, corpusDir: String, auditDir: String,
+      gate: Option[graft.operators.QualityTrain.TrainedGate],
+      admit: Option[Column]): Unit = graft.Checkpoints.scoped {
+    val path = s"$corpusDir/documents.parquet"
+    val fpOld = graft.Artifacts.corpusFingerprint(spark, corpusDir)
+    val b = graft.Checkpoints.checkpoint(batchDf.dropDuplicates("doc_id"))
+    val flagged = graft.Checkpoints.checkpoint(
+      intakeOfBatch(b, spark, corpusDir, gate)
+        .withColumn("admitted", admit.getOrElse(defaultAdmit(gate))))
+    // audit trail first: on a crash anywhere downstream the replay
+    // overwrites this batch's directory, never duplicates it
+    flagged.write.mode(SaveMode.Overwrite)
+      .parquet(s"$auditDir/batch=$batchId")
+    val existingIds: Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+        Some(spark.read.parquet(path).select("doc_id"))
+      else None
+    }
+    val admittedRows = b.join(
+      flagged.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+    val fresh = graft.Checkpoints.checkpoint(existingIds match {
+      case Some(ex) => admittedRows.join(ex, Seq("doc_id"), "left_anti")
+      case None => admittedRows
+    })
+    if (fresh.isEmpty) {
+      // self-heal: fold only batch rows that ARE in the table — the
+      // pre-crash append's rows; rejected rows never entered the corpus
+      existingIds.foreach { ex =>
+        if (!graft.Artifacts.isFullyMaterialized(spark, corpusDir))
+          graft.Artifacts.maintainAppended(spark, corpusDir, fpOld,
+            b.join(ex, Seq("doc_id"), "left_semi"), prefiltered = false)
+      }
+    } else {
+      fresh.write.mode(SaveMode.Append).parquet(path)
+      graft.Tables.invalidate(corpusDir)
+      graft.Artifacts.maintainAppended(spark, corpusDir, fpOld, fresh,
+        prefiltered = true)
+    }
+    ()
+  }
+
   /** q44 — last-touch attribution over the static events table: for each
     * purchase, the most recent view by the same user strictly within the
     * preceding 30 minutes. The interval join is an equi-join on user_id
