@@ -286,6 +286,13 @@ object Bench {
         // q141's S-curve table — a pure function of the standing band
         // index, so the four capped self-joins run once per snapshot
         Artifacts.materializeLshCalibration(spark, sfDir)
+        // the ANN recall evals (q140/q143/q146) — pure functions of the
+        // embeddings table and the standing indexes, scored once per
+        // embeddings snapshot
+        Artifacts.materializeAnnEvals(spark, sfDir)
+        // q112's per-eval-item contamination report — a pure function
+        // of the standing shingles8 index, joined once per snapshot
+        Artifacts.materializeEvalContamination(spark, sfDir)
         (System.nanoTime() - t0) / 1e9
       }
     // standing packed deliverables: write + byte-verify each export
