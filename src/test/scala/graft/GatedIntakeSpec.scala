@@ -133,6 +133,43 @@ class GatedIntakeSpec extends SparkSpec {
     }
   }
 
+  test("admit override replaces the default rule") {
+    val liveRoot = Files.createTempDirectory("graft-gated-ovr").toFile
+    val corpus = Files.createTempDirectory("graft-gated-ovr-c").toString + "/c"
+    val audit = Files.createTempDirectory("graft-gated-ovr-a").toString + "/a"
+    try {
+      Artifacts.setRoot(liveRoot.getAbsolutePath)
+      seed.toDF().write.parquet(s"$corpus/documents.parquet")
+      Tables.invalidate(corpus)
+      Artifacts.materialize(spark, corpus)
+      // text-only policy: a deployment that trusts its media pipeline
+      // elsewhere admits on the text gates alone — doc 103's perceptual
+      // collision (rejected by the default rule) is admitted here
+      val batch = Seq(IngestDoc(103L, "a genuinely fresh discussion of " +
+        "compiler intermediate representations and register allocation " +
+        "strategies in modern optimizing backends", "crawl")).toDF()
+      StreamingOps.gatedIntakeBatch(batch, 0L, spark, corpus, audit, None,
+        Some(col("dedup_verdict") === "new" && !col("contaminated") &&
+          col("quality_label") === "keep"))
+      val ids = spark.read.parquet(s"$corpus/documents.parquet")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.contains(103L), "override must admit the text-clean doc")
+      assert(Artifacts.isFullyMaterialized(spark, corpus),
+        "artifacts must carry the override-admitted append")
+      val a0 = spark.read.parquet(s"$audit/batch=0")
+        .select("image_verdict", "admitted").collect().head
+      assert(a0.getString(0) != "new" && a0.getBoolean(1),
+        "audit must record the collision AND the override admission")
+    } finally {
+      Artifacts.clearRoot()
+      Tables.invalidate(corpus)
+      deleteRecursively(liveRoot)
+      deleteRecursively(new java.io.File(corpus).getParentFile)
+      deleteRecursively(new java.io.File(audit).getParentFile)
+      Checkpoints.releaseAll()
+    }
+  }
+
   test("torn append self-heals; rejected rows stay out of artifacts") {
     val liveRoot = Files.createTempDirectory("graft-gated-heal").toFile
     val corpus = Files.createTempDirectory("graft-gated-heal-c").toString + "/c"
