@@ -23,6 +23,52 @@ object Tables {
     cache.computeIfAbsent((spark, sfDir, name),
       _ => spark.read.parquet(s"$sfDir/$name.parquet"))
 
+  /** Fan a small single-split input out across the cores — for HEAVY
+    * per-row consumers only.
+    *
+    * A parquet file below `spark.sql.files.maxPartitionBytes` arrives as
+    * ONE scan task, and every per-row projection that fuses with the scan
+    * (tokenization, shingling, regex language id, vector arithmetic) then
+    * runs on one core while the rest of the machine idles — the
+    * unsplittable-input skew of the optimization guide (§2.5), measured
+    * here as ~350 ms single-task stages on a 32-core session. One hash
+    * repartition on the table key buys parallelism for those projections;
+    * the shuffled bytes are the table itself (hundreds of KB), orders of
+    * magnitude below the projection work it parallelizes.
+    *
+    * Deliberately NOT applied to every read: a many-task SQL stage costs
+    * ~15-50 ms of fixed per-task setup in this environment, so fanning a
+    * metadata-only read (doc_id/lang/source projections feeding a tiny
+    * aggregate) buys nothing and pays an exchange plus a stage of task
+    * overhead — measured as consistent 2-3× regressions on those queries.
+    * The fan width is capped ([[FanWidth]]): the point is to shrink a
+    * ~350 ms single-core stage to tens of ms, after which per-task
+    * overhead dominates and more tasks only add straggler surface.
+    *
+    * Scale posture: the guard is the INPUT's estimated size, not a local
+    * constant — at production scale a scan has >= cores splits (size >>
+    * maxPartitionBytes) and this is a no-op, so plans are unchanged where
+    * the scan already parallelizes. Decision cached per (session, dir,
+    * table); correctness is partition-layout-independent (every declared
+    * query orders its output explicitly).
+    */
+  private def fanOut(spark: SparkSession, sfDir: String, name: String,
+      key: String): DataFrame =
+    cache.computeIfAbsent((spark, sfDir, name + "#fanout"), _ => {
+      val base = table(spark, sfDir, name)
+      val cores = spark.sparkContext.defaultParallelism
+      val singleSplit = base.queryExecution.optimizedPlan.stats.sizeInBytes <
+        spark.sessionState.conf.filesMaxPartitionBytes
+      if (cores > 1 && singleSplit &&
+          !sys.env.contains("SPARK_GRAFT_NO_FANOUT"))
+        base.repartition(math.min(cores, FanWidth), col(key))
+      else base
+    })
+
+  /** Cap on fan-out width (override: SPARK_GRAFT_FANOUT). */
+  private lazy val FanWidth: Int =
+    sys.env.get("SPARK_GRAFT_FANOUT").map(_.toInt).getOrElse(8)
+
   /** Drop cached handles for `sfDir` — required after an IN-PLACE rewrite
     * of a table under it (the cached DataFrame pins the file listing from
     * read time; Spark's own posture is `REFRESH TABLE` in that case).
@@ -88,4 +134,17 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** `documents` fanned across cores — use at call sites whose scan-side
+    * projection is expensive (tokenize / shingle / regex / media decode),
+    * never for metadata-only reads. See [[fanOut]].
+    */
+  def documentsFanned(s: SparkSession, d: String): DataFrame =
+    fanOut(s, d, "documents", "doc_id")
+
+  /** `embeddings` fanned across cores — for vector-arithmetic consumers
+    * (distance evals, quantization); see [[fanOut]].
+    */
+  def embeddingsFanned(s: SparkSession, d: String): DataFrame =
+    fanOut(s, d, "embeddings", "vec_id")
 }

@@ -61,7 +61,7 @@ object CandidateJoin {
     * default record (reference `etl.py:118-121`).
     */
   def q15CandidateJoin(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val w2key = regexp_extract(col("text"), "^(\\S+\\s+\\S+)", 1)
     val w1key = regexp_extract(col("text"), "^(\\S+)", 1)
 
@@ -126,7 +126,7 @@ object CandidateJoin {
     */
   def q16EnrichmentJoin(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextNorm
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val title = TextQueries.syntheticTitle(d("doc_id"), d("text"))
     val lookup = d.filter(col("doc_id") % 2 === 0)
       .select(TextNorm.fullTitleClean(title).as("key"), col("doc_id"))

@@ -345,7 +345,7 @@ object CorpusAudit {
     val distinctSh = size(Dedup.shingles3(toks))
     val rep = round6(when(total > 0,
       lit(1.0) - distinctSh.cast("double") / total).otherwise(0.0))
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .select(col("source"),
         size(toks).cast("long").as("n_tokens"),
         rep.as("rep"),
@@ -455,7 +455,7 @@ object CorpusAudit {
     // needed); inline mode derives and pins it as before
     val idx = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
       graft.Checkpoints.checkpoint(
-        CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
+        CorpusOps.tokenFreqRows(Tables.documentsFanned(spark, dir))))
     val norms = idx.groupBy("source").agg(
       count(lit(1)).as("vocab"),
       sum(col("n") * col("n")).as("sumsq"))
@@ -541,7 +541,7 @@ object CorpusAudit {
   def q90SourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     val tf = graft.Checkpoints.checkpoint(
       graft.Artifacts.tokenFreq(spark, dir).getOrElse(
-        CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
+        CorpusOps.tokenFreqRows(Tables.documentsFanned(spark, dir))))
     val srcTot = tf.groupBy("source").agg(sum("n").as("src_total"))
     val corpus = tf.groupBy("token").agg(sum("n").as("nc"))
     val corpusTot = corpus.agg(sum("nc").as("corpus_total"))
@@ -749,9 +749,9 @@ object CorpusAudit {
     */
   def q110DiversityProfile(spark: SparkSession, dir: String): DataFrame = {
     val tf = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
-      CorpusOps.tokenFreqRows(Tables.documents(spark, dir)))
+      CorpusOps.tokenFreqRows(Tables.documentsFanned(spark, dir)))
     val bf = graft.Artifacts.bigramFreq(spark, dir).getOrElse(
-      CorpusOps.bigramFreqRows(Tables.documents(spark, dir)))
+      CorpusOps.bigramFreqRows(Tables.documentsFanned(spark, dir)))
     val t1 = tf.groupBy("source")
       .agg(sum("n").as("n_tokens"), count(lit(1)).as("uniq_tokens"))
     val t2 = bf.groupBy(col("source").as("source2"))

@@ -225,7 +225,7 @@ object CorpusOps {
 
   private[graft] def decontamStrip(spark: SparkSession, dir: String,
       maxBroadcast: Long): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
       .withColumn("split", Curation.splitOf(col("doc_id")))
     val posSh = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShinglesAll(
@@ -364,7 +364,7 @@ object CorpusOps {
   private def packCounts(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame =
     graft.Artifacts.tokenCounts(spark, dir, tok).getOrElse(
-      graft.Checkpoints.checkpoint(Tables.documents(spark, dir)
+      graft.Checkpoints.checkpoint(Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), tok.count(col("text")).as("n_tokens"))))
 
   /** The shared two-level offset kernel behind q48 and q91: `sized` is
@@ -1026,7 +1026,7 @@ object CorpusOps {
     * aggregate, then `TakeOrderedAndProject` — no global sort.
     */
   def q51BoilerplateNgrams(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    Tables.documentsFanned(spark, dir)
       .select(explode(shinglesN(Dedup.tokens(col("text")), 3)).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("sh"))
@@ -1779,7 +1779,7 @@ object CorpusOps {
     * al.'s shape) and every diagnose/strip/rollup pass joins against it.
     */
   private[graft] def dupSpanSet(spark: SparkSession, dir: String): DataFrame =
-    dupSpansFromCounts(spanCounts(Tables.documents(spark, dir)))
+    dupSpansFromCounts(spanCounts(Tables.documentsFanned(spark, dir)))
 
   /** Distinct-document frequency of every [[SpanN]]-gram span —
     * `(sh, ndocs)`. The `span_counts` corpus artifact
@@ -1813,7 +1813,7 @@ object CorpusOps {
       graft.functions.NgramShinglesAll(
         org.apache.spark.sql.GraftSqlBridge.expression(
           Dedup.tokens(col("text"))), SpanN))
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val idx = d.select(col("doc_id"), explode(allSh).as("sh"))
     val dup = idx.join(graft.Artifacts.dupSpans(spark, dir), "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
@@ -1852,7 +1852,7 @@ object CorpusOps {
     val posSh = org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.NgramShinglesAll(
         org.apache.spark.sql.GraftSqlBridge.expression(toks), SpanN))
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val idx = d.select(col("doc_id"), posexplode(posSh).as(Seq("start", "sh")))
     val dupStarts = idx
       .join(graft.Artifacts.dupSpans(spark, dir), "sh")
@@ -2469,7 +2469,7 @@ object CorpusOps {
     * pairwise document comparisons anywhere.
     */
   def q109SnapshotNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val (prior, cur) = snapshotFixture(Tables.documents(spark, dir))
+    val (prior, cur) = snapshotFixture(Tables.documentsFanned(spark, dir))
     // referenced by both the shingle explode and the final reattach —
     // checkpointed so the id+hash diff runs once, not once per subtree
     val changed = graft.Checkpoints.checkpoint(snapshotDiff(

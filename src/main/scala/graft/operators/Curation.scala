@@ -47,7 +47,10 @@ object Curation {
     */
   def corpusSelect(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // fanned: tokenize + shingle + language-id over every document is the
+    // funnel's dominant cost, and a single-split local scan would run it
+    // on one core (twice, under the final range sort's sampling pass)
+    val d = Tables.documentsFanned(spark, dir)
     val toks = tok.tokens(col("text"))
     val totalSh = greatest(size(toks) - 2, lit(0))
     val distinctSh = size(Dedup.shingles3(toks))
@@ -982,8 +985,8 @@ object Curation {
     val bits =
       if (model == TextAnalysis.DefaultQualityModel)
         graft.Artifacts.textGates(spark, dir)
-          .getOrElse(textGateRows(Tables.documents(spark, dir)))
-      else textGateRows(Tables.documents(spark, dir), model)
+          .getOrElse(textGateRows(Tables.documentsFanned(spark, dir)))
+      else textGateRows(Tables.documentsFanned(spark, dir), model)
     ledgerFrom(spark, dir, bits)
   }
 

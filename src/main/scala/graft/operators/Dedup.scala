@@ -497,7 +497,7 @@ object Dedup {
     * PolyHash base, same cap).
     */
   def q19DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhashSignatures(Tables.documents(spark, dir))
+    val sigs = simhashSignatures(Tables.documentsFanned(spark, dir))
     val chunked = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(0xFFFFL)): _*))
@@ -1032,8 +1032,8 @@ object Dedup {
     * `(doc_id, keeper_id, is_keeper)`, one row per document.
     */
   private[graft] def keeperAssignment(spark: SparkSession, dir: String): DataFrame =
-    keeperAssignmentFrom(Tables.documents(spark, dir),
-      shingleIndex(Tables.documents(spark, dir)))
+    keeperAssignmentFrom(Tables.documentsFanned(spark, dir),
+      shingleIndex(Tables.documentsFanned(spark, dir)))
 
   /** [[keeperAssignment]] parameterized by the postings frame the near
     * edges derive from — inline [[shingleIndex]] for the plain path.
@@ -1398,7 +1398,7 @@ object Dedup {
     val members = graft.Artifacts.keepers(spark, dir)
       .select(col("doc_id"), col("keeper_id").as("cluster_id"))
     val scores = TextAnalysis
-      .scoredQuality(graft.Tables.documents(spark, dir), "text")
+      .scoredQuality(graft.Tables.documentsFanned(spark, dir), "text")
       .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("quality_score").desc_nulls_last, col("doc_id").asc)

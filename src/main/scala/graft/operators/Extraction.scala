@@ -351,7 +351,7 @@ object Extraction {
     val lineArr = filter(transform(rawLines(raw), stripTags _),
       l => length(l) > 0)
     val lines = graft.Checkpoints.checkpoint(
-      Tables.documents(spark, dir)
+      Tables.documentsFanned(spark, dir)
         .select(col("doc_id"), posexplode(lineArr).as(Seq("pos", "line"))))
     // the line-grain shuffle rides the standing `line_df` artifact when
     // one resolves — recurrent runs re-aggregate nothing; the inline
@@ -408,7 +408,7 @@ object Extraction {
     * the hash.
     */
   def q133RepetitionGate(spark: SparkSession, dir: String): DataFrame =
-    repetitionGateFrom(Tables.documents(spark, dir))
+    repetitionGateFrom(Tables.documentsFanned(spark, dir))
 
   /** [[q133RepetitionGate]] over a caller-supplied documents frame — the
     * spec's crafted-row seam (a `doc_id % 4 == 0` row passes [[rawify]]

@@ -681,7 +681,7 @@ object Multimodal {
     * (the per-byte explosion exists only in the oracle's replay).
     */
   def q178FrameSample(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val frames = frameSample(withMediaColumns(d),
         FrameSampleWindows, FrameSampleBytes)
       .select(col("doc_id"),
@@ -784,7 +784,7 @@ object Multimodal {
   def q28MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.round6
     val (good, bad) = decodePpmRouted(
-      withMediaColumns(Tables.documents(spark, dir)))
+      withMediaColumns(Tables.documentsFanned(spark, dir)))
     // self-encoded containers must parse — a reject here is a codec
     // defect, not data (the routing path is for FOREIGN media and is
     // spec-covered on crafted corrupt fixtures)
@@ -863,7 +863,7 @@ object Multimodal {
       StructField("amp_sum", LongType),
       StructField("peak_amp", IntegerType)))
     val enc = RowEncoder.encoderFor(kernelSchema)
-    val stats = Tables.documents(spark, dir)
+    val stats = Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), col("text"), col("n_chars"))
       .mapPartitions { rows =>
         rows.map { r =>
@@ -1222,7 +1222,7 @@ object Multimodal {
   }
 
   private def audioWindows(spark: SparkSession, dir: String): DataFrame =
-    audioWindowsOf(Tables.documents(spark, dir))
+    audioWindowsOf(Tables.documentsFanned(spark, dir))
 
   def q164AudioFrames(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorOps.round6
@@ -1423,7 +1423,7 @@ object Multimodal {
   }
 
   def q166AudioQualityScreen(spark: SparkSession, dir: String): DataFrame =
-    audioVerdictsOf(Tables.documents(spark, dir)).orderBy("doc_id")
+    audioVerdictsOf(Tables.documentsFanned(spark, dir)).orderBy("doc_id")
 
   lazy val q166OracleSql: String = {
     import graft.functions.VectorOps.round6Sql
@@ -1705,7 +1705,7 @@ object Multimodal {
     * reductions plus the take's frame count.
     */
   private def videoFrames(spark: SparkSession, dir: String): DataFrame =
-    videoFramesOf(Tables.documents(spark, dir))
+    videoFramesOf(Tables.documentsFanned(spark, dir))
 
   /** The same kernel over ANY `(doc_id, text[, n_chars])` frame — a
     * missing `n_chars` is derived (the [[imageGridRows]] posture),

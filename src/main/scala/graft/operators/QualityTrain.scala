@@ -183,7 +183,7 @@ object QualityTrain {
     */
   def scoresFrame(spark: SparkSession, dir: String,
       m: TextAnalysis.QualityModel): DataFrame =
-    TextAnalysis.scoredQuality(graft.Tables.documents(spark, dir), "text", m)
+    TextAnalysis.scoredQuality(graft.Tables.documentsFanned(spark, dir), "text", m)
       .select("doc_id", "n_tokens", "quality_score")
 
   /** The scored corpus `(doc_id, n_tokens, quality_score)`: the standing

@@ -52,7 +52,7 @@ object Search {
   private[operators] def postingsOrInline(spark: SparkSession, dir: String): DataFrame =
     graft.Artifacts.tokenPostings(spark, dir).getOrElse(
       graft.Checkpoints.checkpoint(
-        Tables.documents(spark, dir).select(col("doc_id"),
+        Tables.documentsFanned(spark, dir).select(col("doc_id"),
             explode(Dedup.tokens(col("text"))).as("token"))
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))))
 

@@ -47,7 +47,7 @@ object Segments {
     */
   private[graft] def chunkTokenFrame(spark: SparkSession,
       dir: String): DataFrame =
-    chunkTokens(Tables.documents(spark, dir))
+    chunkTokens(Tables.documentsFanned(spark, dir))
 
   /** [[chunkTokenFrame]] over a caller-supplied documents frame — the
     * seam the `chunk_postings` artifact build and its incremental
@@ -170,7 +170,7 @@ object Segments {
     // whose different downstreams defeat exchange reuse — the executed
     // plan otherwise runs the whole chain twice from the scan
     val fps = graft.Checkpoints.checkpoint(
-      winnowFingerprints(Tables.documents(spark, dir)))
+      winnowFingerprints(Tables.documentsFanned(spark, dir)))
     val capped = Dedup.capBuckets(fps, MaxFpDf, "fp")
     val counts = fps.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val pairs = capped.as("x").join(capped.as("y"), Seq("fp"))

@@ -20,7 +20,7 @@ object TextAnalysis {
     * filters applied before LLM training.
     */
   def q24TextStats(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val text = col("text")
     val toks = split(text, "\\s+")
     val chars = length(text)
@@ -64,7 +64,11 @@ object TextAnalysis {
     */
   def langScores(text: Column): Seq[Column] =
     LangProfiles.map { case (_, re) =>
-      size(regexp_extract_all(lower(text), lit(re)))
+      // regexp_count ≡ size(regexp_extract_all(...)): both count the same
+      // non-overlapping find() matches, but the count never materializes
+      // the matched substrings into an array (pure counting, no per-match
+      // allocation on the scan's hot path)
+      regexp_count(lower(text), lit(re))
     }
 
   /** Stopword-profile argmax with the deterministic tie order
@@ -99,7 +103,7 @@ object TextAnalysis {
     * accuracy.
     */
   def q25LangId(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val Seq(en, de, es, fr) = langScores(col("text"))
     d.select(col("doc_id"),
         en.as("score_en"), de.as("score_de"),
@@ -309,7 +313,7 @@ object TextAnalysis {
     */
   private[graft] def q83With(spark: SparkSession, dir: String,
       model: QualityModel): DataFrame =
-    scoredQuality(Tables.documents(spark, dir), "text", model)
+    scoredQuality(Tables.documentsFanned(spark, dir), "text", model)
       .select("doc_id", "n_tokens", "quality_score", "quality_label")
       .orderBy("doc_id")
 
@@ -393,7 +397,7 @@ object TextAnalysis {
         .select(col("token"),
           length(bin(expr("total DIV n"))).as("rarity")),
       maxBroadcast)
-    val per = Tables.documents(spark, dir)
+    val per = Tables.documentsFanned(spark, dir)
       .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("token"))
       .join(rarity, "token")
       .groupBy("doc_id")
@@ -512,7 +516,7 @@ object TextAnalysis {
 
   private[graft] def bigramSurprisal(spark: SparkSession, dir: String,
       maxBroadcast: Long): DataFrame = {
-    val bigrams = bigramsOf(Tables.documents(spark, dir), Seq("doc_id"))
+    val bigrams = bigramsOf(Tables.documentsFanned(spark, dir), Seq("doc_id"))
     // artifact mode retires the counting scan: the standing
     // (source, w1, w2, n) frequencies re-aggregate to pair grain
     val counts = graft.Artifacts.bigramFreq(spark, dir) match {
@@ -674,7 +678,7 @@ object TextAnalysis {
     * delta is computed once per VOCAB row, not once per occurrence.
     */
   def q104DsirWeights(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    val docs = Tables.documentsFanned(spark, dir)
     val tok = docs.select(col("doc_id"),
       explode(Dedup.tokens(col("text"))).as("token"))
     val keep = scoredQuality(docs, "text")
@@ -859,7 +863,7 @@ object TextAnalysis {
   def q119PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
     val bg = graft.Artifacts.bigramFreq(spark, dir) match {
       case Some(b) => b.groupBy("w1", "w2").agg(sum("n").as("n_ab"))
-      case None => bigramsOf(Tables.documents(spark, dir), Seq.empty)
+      case None => bigramsOf(Tables.documentsFanned(spark, dir), Seq.empty)
         .groupBy("w1", "w2").agg(count(lit(1)).as("n_ab"))
     }
     val uni = graft.Artifacts.tokenTotals(spark, dir)
@@ -935,7 +939,7 @@ object TextAnalysis {
     */
   def q120OovRate(spark: SparkSession, dir: String): DataFrame = {
     val perSource = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
-      CorpusOps.tokenFreqRows(Tables.documents(spark, dir)))
+      CorpusOps.tokenFreqRows(Tables.documentsFanned(spark, dir)))
     val vocab = graft.Artifacts.tokenTotals(spark, dir)
       .orderBy(col("n").desc, col("token").asc).limit(OovVocabK)
       .select(col("token"), lit(1).as("in_vocab"))
@@ -1177,7 +1181,7 @@ object TextAnalysis {
     // standing index — and the standing MERGES — and never re-trains
     val tf = graft.Artifacts.tokenFreq(spark, dir).getOrElse(
       graft.Checkpoints.checkpoint(
-        CorpusOps.tokenFreqRows(Tables.documents(spark, dir))))
+        CorpusOps.tokenFreqRows(Tables.documentsFanned(spark, dir))))
     graft.Artifacts.bpeMerges(spark, dir) match {
       case Some(m) =>
         scoredFertility(tf, m.collect().sortBy(_.getAs[Int]("step"))

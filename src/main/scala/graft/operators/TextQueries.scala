@@ -38,7 +38,7 @@ object TextQueries {
     * `etl.py:216-223`, `etl.py:162`).
     */
   def q5TitleClean(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val title = syntheticTitle(d("doc_id"), d("text"))
     d.select(
         d("doc_id"),
@@ -99,7 +99,7 @@ object TextQueries {
     * reference's ordered-candidate iteration.
     */
   def q6TitleCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val title = syntheticTitle(d("doc_id"), d("text"))
     d.select(d("doc_id"),
         posexplode(TextNorm.titleCandidates(title)))
@@ -227,7 +227,7 @@ object TextQueries {
     * DuckDB counterpart `strip_accents`).
     */
   def q8StripDiacritics(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    val d = Tables.documentsFanned(spark, dir)
     val accented = translate(d("text"), "aeiou", "áéíóü")
     val stripped = TextNorm.stripDiacritics(accented)
     d.select(
