@@ -61,7 +61,9 @@ object CandidateJoin {
     * default record (reference `etl.py:118-121`).
     */
   def q15CandidateJoin(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documentsFanned(spark, dir)
+    // NOT fanned: the per-doc work here is two anchored regex extracts —
+    // too light to amortize the repartition (measured 0.36->1.5 s fanned)
+    val d = Tables.documents(spark, dir)
     val w2key = regexp_extract(col("text"), "^(\\S+\\s+\\S+)", 1)
     val w1key = regexp_extract(col("text"), "^(\\S+)", 1)
 

@@ -1131,9 +1131,17 @@ object CorpusOps {
       tok: graft.functions.Tokenizer): DataFrame = {
     import graft.functions.VectorOps.round6
     val strata = stratumTokenMass(spark, dir, tok)
-    val totals = strata.agg(
-      sum("n_docs").as("total_docs"), count(lit(1)).as("n_strata"))
-    strata.crossJoin(broadcast(totals))
+    // corpus totals as unpartitioned window aggregates over the
+    // stratum-grain frame (bounded: |lang×source|) instead of a separate
+    // agg + broadcast join: the scalar then rides the same stage as the
+    // strata rows, where the agg+crossJoin form costs an extra aggregate
+    // job, a broadcast build, and two AQE replanning rounds per scalar —
+    // measured as the dominant wall cost of the mixture family (tiny
+    // task times, ~30-60 ms of driver latency per extra stage)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    strata
+      .withColumn("total_docs", sum("n_docs").over(w))
+      .withColumn("n_strata", count(lit(1)).over(w))
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         round6(col("n_docs").cast("double") / col("total_docs")).as("doc_share"),
         round6(least(lit(1.0),
@@ -1234,13 +1242,16 @@ object CorpusOps {
   private def temperatureScaled(spark: SparkSession, dir: String,
       tok: graft.functions.Tokenizer): DataFrame = {
     val strata = stratumTokenMass(spark, dir, tok)
-    val totals = strata.agg(sum("n_tokens").as("total_tokens"))
-    val scaled = strata.crossJoin(broadcast(totals))
+    // both corpus scalars (total mass, Σ√share) as unpartitioned window
+    // aggregates over the bounded stratum frame — one stage instead of
+    // two aggregate jobs + two broadcast builds (see mixtureWeights)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    strata
+      .withColumn("total_tokens", sum("n_tokens").over(w))
       .withColumn("token_share",
         col("n_tokens").cast("double") / col("total_tokens"))
       .withColumn("s", sqrt(col("token_share")))
-    val z = scaled.agg(sum("s").as("z"))
-    scaled.crossJoin(broadcast(z))
+      .withColumn("z", sum("s").over(w))
   }
 
   /** q89 under a pluggable [[graft.functions.Tokenizer]]. */
@@ -1399,9 +1410,14 @@ object CorpusOps {
       .groupBy("epoch", "lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("n_tokens"))
-    val epochTotals = kept.groupBy("epoch")
-      .agg(sum("n_tokens").as("epoch_tokens"))
-    kept.join(broadcast(epochTotals), "epoch")
+    // per-epoch totals as a window over the already-aggregated
+    // (epoch, stratum) frame — the broadcast-join form re-aggregated the
+    // kept frame a second time and paid a broadcast build for a
+    // |epochs|-row table
+    val keptTot = kept.withColumn("epoch_tokens",
+      sum("n_tokens").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("epoch")))
+    keptTot
       .select(col("epoch"), col("lang"), col("source"),
         col("n_docs"), col("n_tokens"),
         round6(col("n_tokens").cast("double")

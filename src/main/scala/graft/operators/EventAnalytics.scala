@@ -391,8 +391,13 @@ object EventAnalytics {
     val buckets = perUser
       .groupBy((length(bin(col("n_events"))) - 1).as("bucket"))
       .agg(count(lit(1)).as("n_users"), sum("n_events").as("total_events"))
-    val total = buckets.agg(sum("total_events").as("all_events"))
-    buckets.crossJoin(broadcast(total))
+    // the grand total as an unpartitioned window over the bounded
+    // (≤64-row) bucket frame — one stage instead of an aggregate job
+    // plus a broadcast build
+    val withTotal = buckets.withColumn("all_events",
+      sum("total_events").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+    withTotal
       .select(col("bucket"), col("n_users"), col("total_events"),
         round6(col("total_events").cast("double") / col("all_events"))
           .as("event_share"))

@@ -347,7 +347,7 @@ object Ivf {
     */
   private[graft] def ivfRecallFrom(spark: SparkSession, dir: String,
       cents: Seq[(Int, Array[Long])], cells: DataFrame): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
 
     // probe → its Nprobe nearest cells, one array column, exploded
     val probeCells = quantized(topProbes(e))
@@ -597,11 +597,15 @@ object Ivf {
       inTrainSample(col("vec_id"), mod).cast("long").as("in_sample"))
     val agg = flagged.groupBy("cell")
       .agg(count(lit(1)).as("pop"), sum("in_sample").as("sample_pop"))
-    val tot = agg.agg(sum("pop").as("n"), sum("sample_pop").as("sn"))
+    // totals as unpartitioned windows over the bounded K-row cell frame
+    // (empty cells carry explicit zeros, so summing after the spine join
+    // is identical) — one stage instead of an aggregate job + broadcast
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     spine.join(agg, Seq("cell"), "left")
       .select(col("cell"), coalesce(col("pop"), lit(0L)).as("pop"),
         coalesce(col("sample_pop"), lit(0L)).as("sample_pop"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n", sum("pop").over(w))
+      .withColumn("sn", sum("sample_pop").over(w))
       .select(col("cell"), col("pop"), col("sample_pop"),
         VectorOps.round6(col("pop").cast("double") / col("n"))
           .as("corpus_share"),

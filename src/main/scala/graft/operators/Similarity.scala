@@ -63,7 +63,7 @@ object Similarity {
     * per (probe, vector).
     */
   def q22CosineTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
     val p = probes(e).withColumn("pn", VectorOps.norm(col("pv")))
@@ -78,7 +78,7 @@ object Similarity {
     */
   private[operators] def cosineTopKFor(spark: SparkSession, dir: String,
       probeRows: DataFrame): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"))
     val p = probeRows
@@ -136,7 +136,7 @@ object Similarity {
         graft.Artifacts.KeepersName)) assignment
       else graft.Checkpoints.checkpoint(assignment))
       .select(col("doc_id").as("vec_id"), col("keeper_id"))
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
       .join(keepers, "vec_id")
       .select(col("vec_id"), col("embedding"),
         VectorOps.norm(col("embedding")).as("nrm"), col("keeper_id"))
@@ -259,7 +259,7 @@ object Similarity {
     */
   def q35IvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val nprobe = 3
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     // the standing centroid table when the embeddings fingerprint
     // resolves (the one corpus-wide aggregation in this query, paid
     // once per embedding snapshot), inline aggregation otherwise
@@ -345,7 +345,7 @@ object Similarity {
     * asserted in `SimilaritySpec` against q22.
     */
   def q23AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     // the standing vector index when the embeddings fingerprint
     // resolves (the per-vector projection pass paid once per snapshot),
     // inline sign sketches otherwise
@@ -472,7 +472,7 @@ object Similarity {
     * bucket) rendezvous with their vectors for the exact-cosine confirm.
     */
   def q82AnnNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    annNearDupPairsFrom(Tables.embeddings(spark, dir),
+    annNearDupPairsFrom(Tables.embeddingsFanned(spark, dir),
       // standing near-dup index when the embeddings fingerprint
       // resolves, inline sign sketches otherwise (shared frame
       // definition either way)
@@ -657,7 +657,7 @@ object Similarity {
     * exactly how much recall that swap trades away.
     */
   def q93KnnLabelEval(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
       .select(col("vec_id"), col("embedding"), col("label"),
         VectorOps.norm(col("embedding")).as("nrm"))
     val p = probes(e).withColumn("pn", VectorOps.norm(col("pv")))
@@ -732,7 +732,7 @@ object Similarity {
     * summation cannot leak into who makes the outlier list.
     */
   def q103CentroidOutliers(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = Tables.embeddingsFanned(spark, dir)
     // standing centroid table when fresh — the corpus-wide aggregation
     // drops out of the per-query plan (plan-guarded: no VectorCentroid
     // leaf in artifact mode), leaving one scan for the distance pass
@@ -905,8 +905,10 @@ object Similarity {
     require(target > 0 && target <= Dedup.MaxBruteForceVectors,
       s"sample target must be in (0, ${Dedup.MaxBruteForceVectors}] — the " +
         s"q21 brute-force cap the truth pass runs under (got $target)")
-    val e = Tables.embeddings(spark, dir)
-    val n = e.count()
+    val e = Tables.embeddingsFanned(spark, dir)
+    // the size guard counts the plain scan — a fanned count would pay
+    // the repartition exchange just to count rows
+    val n = Tables.embeddings(spark, dir).count()
     val mod = math.max(1L, math.ceil(n.toDouble / target).toLong)
     def inSample(id: Column): Column =
       pmod(org.apache.spark.sql.GraftSqlBridge.column(

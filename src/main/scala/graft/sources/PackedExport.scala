@@ -438,8 +438,13 @@ object PackedExport {
       order: CorpusOps.ExportOrder, members: Option[DataFrame],
       memberTag: String, record: Option[String] = None): String = {
     val corpusFp = graft.Artifacts.corpusFingerprint(spark, dir)
-    val membersCk = members.map(m => graft.Checkpoints.checkpoint(m))
-    val mfp = membershipFpOf(membersCk)
+    // fingerprint over the RAW members plan: one aggregate pass. The
+    // checkpoint is deferred to the build branch — it exists so the
+    // export's several member references don't recompute the gate chain,
+    // but on the committed path (every serve after the first) the only
+    // consumer is this one aggregate, and the checkpoint job was pure
+    // query-time overhead.
+    val mfp = membershipFpOf(members)
     // the layout version rides in the key: a library that changes the
     // deliverable format resolves to fresh keys instead of serving a
     // prior version's bytes out of a long-lived store
@@ -455,6 +460,8 @@ object PackedExport {
           hfs.exists(new org.apache.hadoop.fs.Path(s"$outDir/verify"))
       val t0 = System.nanoTime()
       if (!committed) {
+        // checkpoint here, where the export references members repeatedly
+        val membersCk = members.map(m => graft.Checkpoints.checkpoint(m))
         packedExport(spark, dir, outDir, order = order, members = membersCk,
           verified = true)
         buildsPerformed.incrementAndGet()

@@ -87,6 +87,14 @@ object ProfileQ {
         dt
       }
       println(f"[profile] $n%-28s median=${times.sorted.apply(1)}%.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      // how much of the timed window is driver-side plan construction +
+      // analysis + initial physical planning (no jobs run yet)?
+      val tc0 = System.nanoTime()
+      val dfc = graft.SparkEntry.queries(n)(spark, sfDir)
+      val tc1 = System.nanoTime()
+      dfc.queryExecution.executedPlan // force analysis+optimization+planning
+      val tc2 = System.nanoTime()
+      println(f"[profile]   construct=${(tc1 - tc0) / 1e6}%.0f ms plan=${(tc2 - tc1) / 1e6}%.0f ms")
       log.dump()
       explainDir.foreach { d =>
         val df = graft.SparkEntry.queries(n)(spark, sfDir)
